@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** S1-S8: sources and sinks (jobs/etl_job.py:78-122,426-452).
+  *
+  * JDBC parity note: no MySQL exists in this environment; the JDBC paths
+  * build the exact option set the reference uses and are integration-
+  * tested for option plumbing only (SURVEY.md §7.4 risk 3).
+  */
+object Sources {
+
+  /** S1: parquet scan of the (possibly partitioned/globbed) log path.
+    * The reference passes a monthly glob ending in `yyyymm=201906`
+    * (configs/etl_config.json:28); for a properly partitioned layout
+    * prefer reading the root and filtering on the partition column so
+    * Catalyst prunes partitions instead of the shell glob. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S1 with the declared schema (fails fast on drift; SURVEY.md §1.4). */
+  def logs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.logEvent).parquet(path)
+
+  /** S2: JDBC scan (jobs/etl_job.py:92-105). Single-partition read — the
+    * category dim is small; pass partitioning options for big tables. */
+  def jdbc(spark: SparkSession, c: JdbcConfig): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", c.url)
+      .option("driver", c.driver)
+      .option("dbtable", c.table)
+      .option("user", c.user)
+      .option("password", c.password)
+      .load()
+}
+
+object Sinks {
+
+  /** S3: JDBC append (jobs/etl_job.py:108-122). Idempotency is the
+    * caller's problem — reference semantics, documented. */
+  def jdbcAppend(df: DataFrame, c: JdbcConfig): Unit =
+    df.write.format("jdbc")
+      .option("url", c.url)
+      .option("driver", c.driver)
+      .option("dbtable", c.table)
+      .option("user", c.user)
+      .option("password", c.password)
+      .mode(SaveMode.Append)
+      .save()
+
+  /** S4: parquet append (jobs/etl_job.py:441-452). Deliberately NOT
+    * coalesced — parallel writers, one file per task. */
+  def parquetAppend(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S5: single-file UTF-8 CSV with header (jobs/etl_job.py:426-438).
+    * coalesce(1) serializes the final stage — only for small exports. */
+  def csvSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write
+      .option("encoding", "utf-8")
+      .option("header", "true")
+      .mode(SaveMode.Overwrite)
+      .csv(path)
+}
