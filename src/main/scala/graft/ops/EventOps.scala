@@ -1,0 +1,262 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The SURVEY §2 operator families (P/F/J/U/A) exercised on the driver
+  * testdata — `events` is the structural analogue of the reference's
+  * shopping-log table (JSON props + event_type + user id + timestamp),
+  * so each reference operator is demonstrated on it with a DuckDB
+  * oracle. Query names carry the §2 operator ids they cover.
+  *
+  * All queries are narrow or single-shuffle plans; every filter/projection
+  * is expressed on columns (codegen, pushdown-friendly) — no UDFs.
+  */
+object EventOps {
+
+  /** P1+P2+F1: projection + JSON key extraction (jobs/etl_job.py:174-175). */
+  val p1Project: Q = Q(
+    "p1_f1_project_json",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      col("event_type").as("logtype"),
+      col("user_id").cast(StringType).as("userid"),
+      get_json_object(col("props"), "$.k").as("k")),
+    Some("""
+      SELECT event_id, event_type AS logtype,
+             CAST(user_id AS VARCHAR) AS userid,
+             json_extract_string(props, '$.k') AS k
+      FROM events
+    """.trim)
+  )
+
+  /** P3: conjunctive membership filter (jobs/etl_job.py:173). */
+  val p3Filter: Q = Q(
+    "p3_filter_isin",
+    (s, d) => Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view", "click") &&
+        col("user_id").isin(1L, 2L, 3L, 5L, 8L, 13L))
+      .select(col("event_id"), col("event_type"), col("user_id")),
+    Some("""
+      SELECT event_id, event_type, user_id FROM events
+      WHERE event_type IN ('purchase','view','click')
+        AND user_id IN (1,2,3,5,8,13)
+    """.trim)
+  )
+
+  /** P4+P7+P8: null-predicate split + fallback (C11 analogue,
+    * jobs/etl_job.py:353-366): synthesize a null userid (user 0), fall
+    * back to a device-style id. */
+  val p4Fallback: Q = Q(
+    "p4_null_fallback",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("userid",
+        when(col("user_id") === 0L, lit(null).cast(StringType))
+          .otherwise(col("user_id").cast(StringType)))
+      val nullBranch = ev.filter(col("userid").isNull)
+        .select(col("event_id"), concat(lit("anon-"), col("event_id").cast(StringType)).as("userid"))
+      val okBranch = ev.filter(col("userid").isNotNull)
+        .select(col("event_id"), col("userid"))
+      nullBranch.union(okBranch)
+    },
+    Some("""
+      SELECT event_id, 'anon-' || CAST(event_id AS VARCHAR) AS userid
+      FROM events WHERE user_id = 0
+      UNION ALL
+      SELECT event_id, CAST(user_id AS VARCHAR) AS userid
+      FROM events WHERE user_id <> 0
+    """.trim)
+  )
+
+  /** F2: timestamp-format normalization regex (jobs/etl_job.py:273-281)
+    * applied to a second-precision ISO rendering of ts. */
+  val f2Regex: Q = Q(
+    "f2_regex_normalize",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      regexp_replace(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        "(\\d+-\\d+-\\d+T\\d+:\\d+:\\d+)Z", "$1.000Z").as("ts_norm")),
+    Some("""
+      SELECT event_id,
+             regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                            '(\d+-\d+-\d+T\d+:\d+:\d+)Z', '\1.000Z') AS ts_norm
+      FROM events
+    """.trim)
+  )
+
+  /** F3+F4: UTC→KST shift + date/time split (jobs/etl_job.py:284-307).
+    * from_utc_timestamp(_, Asia/Seoul) ≡ +9h (no DST since 1988). */
+  val f3Timezone: Q = Q(
+    "f3_f4_tz_split",
+    (s, d) => {
+      val kst = from_utc_timestamp(col("ts"), "Asia/Seoul")
+      Tables.events(s, d).select(
+        col("event_id"),
+        date_format(kst, "yyyy-MM-dd").as("transaction_date"),
+        date_format(kst, "HH:mm:ss").as("transaction_time"))
+    },
+    Some("""
+      SELECT event_id,
+             strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d') AS transaction_date,
+             strftime(ts + INTERVAL 9 HOUR, '%H:%M:%S') AS transaction_time
+      FROM events
+    """.trim)
+  )
+
+  /** F5: the comma-scrub regex, char-eating behavior included
+    * (jobs/etl_job.py:310-320), on a constructed comma-bearing string. */
+  val f5Comma: Q = Q(
+    "f5_remove_comma",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(concat(col("lang"), lit(",,"), col("source"), lit(","), col("lang")),
+        "[^\\\"](\\,+)|(\\,+)[^\\\"]", "").as("scrubbed")),
+    Some("""
+      SELECT doc_id,
+             regexp_replace(lang || ',,' || source || ',' || lang,
+                            '[^"](,+)|(,+)[^"]', '', 'g') AS scrubbed
+      FROM documents
+    """.trim)
+  )
+
+  /** F6: bracket/quote strip + split → array (jobs/etl_job.py:323-333)
+    * on a constructed JSON-array-ish string. */
+  val f6Split: Q = Q(
+    "f6_strip_split",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      split(
+        regexp_replace(
+          concat(lit("[\""), col("lang"), lit("\",\""), col("source"), lit("\"]")),
+          "(^\\[)|(\\]$)|(\\\")", ""),
+        ",").as("parts")),
+    Some("""
+      SELECT doc_id,
+             string_split(regexp_replace('["' || lang || '","' || source || '"]',
+                                         '(^\[)|(\]$)|(")', '', 'g'), ',') AS parts
+      FROM documents
+    """.trim)
+  )
+
+  /** F7+F8: arrays_zip + explode (jobs/etl_job.py:336-350) over word
+    * slices of the document text. */
+  val f7Zip: Q = Q(
+    "f7_f8_zip_explode",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), slice(w, 1, 3).as("codes"), slice(w, 4, 3).as("names"))
+        .withColumn("tmp", explode(arrays_zip(col("codes"), col("names"))))
+        .select(col("doc_id"), col("tmp.codes").as("code"), col("tmp.names").as("name"))
+    },
+    Some("""
+      SELECT doc_id, z[1] AS code, z[2] AS name FROM (
+        SELECT doc_id, unnest(list_zip(w[1:3], w[4:6])) AS z
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ) t
+    """.trim)
+  )
+
+  /** F9: element_at(split, -1) — last path segment (jobs/etl_job.py:225). */
+  val f9Last: Q = Q(
+    "f9_element_at",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(split(col("text"), " "), -1).as("last_word")),
+    Some("""
+      SELECT doc_id, list_extract(string_split(text, ' '), -1) AS last_word
+      FROM documents
+    """.trim)
+  )
+
+  /** F10+P9: substring truncation (jobs/etl_job.py:423). */
+  val f10Substr: Q = Q(
+    "f10_substring",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"), substring(col("text"), 1, 100).as("prefix")),
+    Some("SELECT doc_id, substring(text, 1, 100) AS prefix FROM documents")
+  )
+
+  /** U1+U2: per-logtype select branches unioned (C1-C4 analogue,
+    * jobs/etl_job.py:164-257). */
+  val u1Union: Q = Q(
+    "u1_union_branches",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val buy = ev.filter(col("event_type") === "purchase").select(
+        col("event_id"), lit("buy").as("src"),
+        get_json_object(col("props"), "$.k").as("code"))
+      val view = ev.filter(col("event_type") === "view").select(
+        col("event_id"), lit("view").as("src"),
+        get_json_object(col("props"), "$.k").as("code"))
+      buy.union(view)
+    },
+    Some("""
+      SELECT event_id, 'buy' AS src, json_extract_string(props, '$.k') AS code
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, 'view' AS src, json_extract_string(props, '$.k') AS code
+      FROM events WHERE event_type = 'view'
+    """.trim)
+  )
+
+  /** J1+U4+A1: the C12+C13 shape — inner-join enrichment against a dim,
+    * re-append the "login" rows null-padded, dedup
+    * (jobs/etl_job.py:380-423,369-377). The dim (customer) is
+    * broadcast: zero shuffle on the fact side. */
+  val j1Enrich: Q = Q(
+    "j1_u4_a1_enrich",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cust = Tables.customer(s, d)
+      val enriched = ev.filter(col("event_type") =!= "signup")
+        .join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment").as("segment"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lit(null).cast(StringType).as("segment"))
+      enriched.union(signup).dropDuplicates()
+    },
+    Some("""
+      SELECT DISTINCT * FROM (
+        SELECT event_id, user_id, event_type, c_mktsegment AS segment
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type <> 'signup'
+        UNION ALL
+        SELECT event_id, user_id, event_type, CAST(NULL AS VARCHAR) AS segment
+        FROM events WHERE event_type = 'signup'
+      ) t
+    """.trim)
+  )
+
+  /** A1: plain distinct on a projection (jobs/etl_job.py:369-377). */
+  val a1Distinct: Q = Q(
+    "a1_dropdup",
+    (s, d) => Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).dropDuplicates(),
+    Some("SELECT DISTINCT user_id, event_type FROM events")
+  )
+
+  /** A2+A3: aggregation — count + order-independent decimal sum/avg
+    * (tests/test_etl_job.py:54-59). */
+  val a2Stats: Q = Q(
+    "a2_a3_agg_stats",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")),
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(p1Project, p3Filter, p4Fallback, f2Regex, f3Timezone,
+    f5Comma, f6Split, f7Zip, f9Last, f10Substr, u1Union, j1Enrich,
+    a1Distinct, a2Stats)
+}

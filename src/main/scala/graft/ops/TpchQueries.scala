@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join/aggregation/window headline queries on the TPC-H-ish star
+  * schema — the bench workload. Plans are written for the 1000-executor
+  * case: dimension sides broadcast explicitly, fact-side aggregations
+  * rely on map-side partial agg, AQE coalesces post-shuffle partitions.
+  */
+object TpchQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+  private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, revenue
+    * per order. customer/orders filter early (pushdown), lineitem joins
+    * on the shuffled orderkey; at 100 TB lineitem⋈orders is the one
+    * real shuffle, customer broadcasts. */
+  val q3: Q = Q(
+    "q3_join_agg",
+    (s, d) => {
+      val cutoff = lit("1997-06-30").cast("timestamp")
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(revenue).as("revenue"))
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+    """.trim)
+  )
+
+  /** Q5 shape: 6-way join, revenue by nation. All dims (supplier,
+    * customer, nation, region) broadcast; only lineitem⋈orders
+    * shuffles. Note the TPC-H c_nationkey = s_nationkey co-location
+    * predicate. */
+  val q5: Q = Q(
+    "q5_multi_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(revenue).as("revenue"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name
+    """.trim)
+  )
+
+  /** Window top-k: 3 biggest orders per customer. Deterministic via the
+    * o_orderkey tiebreak; o_totalprice passes through untouched (no
+    * float arithmetic → bit-identical to the oracle). */
+  val w1: Q = Q(
+    "w1_window_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) t WHERE rn <= 3
+    """.trim)
+  )
+
+  /** Two-key equi self-join (the C12 join shape, jobs/etl_job.py:392):
+    * lineitem enriched with per-(partkey,suppkey) aggregate — a
+    * composite-key join where both sides shuffle on the same key pair
+    * (co-partitioned, single exchange each). */
+  val j1TwoKey: Q = Q(
+    "j1_twokey_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ps = li.groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+      li.join(ps,
+          col("l_partkey") === col("partkey") && col("l_suppkey") === col("suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), max(col("total_qty")).as("total_qty_max"))
+    },
+    Some("""
+      SELECT l_partkey, l_suppkey, COUNT(*) AS n, MAX(total_qty) AS total_qty_max
+      FROM lineitem
+      JOIN (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+      ) ps ON l_partkey = partkey AND l_suppkey = suppkey
+      GROUP BY l_partkey, l_suppkey
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(q3, q5, w1, j1TwoKey)
+}
