@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def catalog: Seq[Q] =
-    ops.Relational.all ++ ops.EventOps.all ++ ops.TpchQueries.all
+    ops.Relational.all ++ ops.EventOps.all ++ ops.TpchQueries.all ++
+      text.TextQueries.all ++ ops.ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `binary`
+  * columns plus typed metadata, with decode/feature-extraction running
+  * distributed via `mapPartitions` over a typed Dataset.
+  *
+  * The decode step is a STUB — no image/audio codecs exist in this
+  * container — but it is a *deterministic* stub, so the Spark-side
+  * plumbing (schema, encoders, partition-wise batching, null-safety) is
+  * real and fully tested. Swap `decodeStub` for a JNI/codec call and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** A media row: id, raw payload, declared type. */
+  final case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String)
+
+  /** Extracted features (what a real decoder would yield). */
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** Derive a media table from `documents` — payload = UTF-8 bytes of
+    * the text, type cycling over the three modalities. Stands in for a
+    * real binary source (S3 blobs / tar shards) while exercising the
+    * exact schema a real one would have. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+
+  /** STUB decoder: a real implementation calls the codec here (e.g.
+    * javax.imageio / ffmpeg JNI). Deterministic fake features derived
+    * from the payload keep the pipeline testable end-to-end. */
+  private[mm] def decodeStub(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
+    val n = payload.length
+    mediaType match {
+      case "image" => (n % 1024, (n / 7) % 1024, 1)
+      case "audio" => (0, 0, n % 4096) // frames ≈ samples
+      case "video" => (n % 1920, n % 1080, n % 300)
+      case _       => (0, 0, 0)
+    }
+  }
+
+  /** Distributed feature extraction: one decode call per row, executed
+    * partition-wise (the iterator shape lets a real decoder batch or
+    * reuse native contexts per partition — same contract as Arrow-batch
+    * UDFs in other engines). */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val payload = Option(r.payload).getOrElse(Array.emptyByteArray)
+        val (w, h, frames) = decodeStub(payload, r.media_type)
+        val checksum = payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+        MediaFeatures(r.media_id, r.media_type, payload.length.toLong, w, h, frames, checksum)
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `stride`-th chunk of `chunk` bytes —
+    * the binary-slicing idiom a video pipeline needs (pure column ops,
+    * no decode). */
+  def sampleChunks(media: DataFrame, chunk: Int = 64, stride: Int = 4): DataFrame =
+    media.select(
+      col("media_id"), col("media_type"),
+      transform(
+        sequence(lit(0), greatest((length(col("payload")) / (chunk * stride)).cast("int") - 1, lit(0))),
+        i => substring(col("payload"), (i * chunk * stride + 1).cast("int"), lit(chunk)))
+        .as("chunks"))
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.dedup.Dedup
+import graft.mm.Multimodal
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the training-data-pipeline tier: dedup,
+  * similarity search, multimodal plumbing, windowed aggregation.
+  * Hash-based operators (minhash/simhash/LSH/fingerprints) have no SQL
+  * oracle — their determinism is pinned by specs instead.
+  */
+object ExtensionQueries {
+
+  /** Exact dedup by full text. */
+  val dedupExact: Q = Q(
+    "x_dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d)),
+    Some("""
+      SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text
+    """.trim)
+  )
+
+  /** MinHash+LSH near-dup pairs (rows-only check; spec covers recall). */
+  val dedupMinhash: Q = Q(
+    "x_dedup_minhash",
+    (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.5),
+    None
+  )
+
+  /** SimHash signatures + per-doc hamming weight (rows-only check). */
+  val dedupSimhash: Q = Q(
+    "x_dedup_simhash",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      Dedup.simhash(col("text")).as("simhash")),
+    None
+  )
+
+  /** Exact n-gram Jaccard pairs — hash-free, so fully oracle-checked:
+    * candidates via shingle equi-join, verified with set arithmetic. */
+  val ngramJaccard: Q = Q(
+    "x_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.05),
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      sh AS (SELECT doc_id, unnest(shl) AS g FROM sh0),
+      sizes AS (SELECT doc_id, len(shl) AS n FROM sh0),
+      common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT id1, id2, n_common,
+             CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) AS jaccard
+      FROM common
+      JOIN (SELECT doc_id AS id1j, n AS n1 FROM sizes) s1 ON id1 = id1j
+      JOIN (SELECT doc_id AS id2j, n AS n2 FROM sizes) s2 ON id2 = id2j
+      WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= 0.05
+    """.trim)
+  )
+
+  /** Brute-force cosine top-20 against vec_id 0 — the ANN baseline.
+    * Double-cast before arithmetic + sequential fold keeps the score
+    * bit-identical to DuckDB's list_dot_product. */
+  val knnCosine: Q = Q(
+    "x_knn_cosine",
+    (s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d), queryId = 0L, k = 20),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      sc AS (SELECT vec_id,
+                    list_dot_product(v, qv) /
+                      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+             FROM e, q WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT vec_id, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM sc) t
+      WHERE rn <= 20
+    """.trim)
+  )
+
+  /** LSH-bucketed ANN (rows-only: hyperplanes are xxhash-derived). */
+  val annLsh: Q = Q(
+    "x_ann_lsh",
+    (s, d) => Similarity.annLsh(Tables.embeddings(s, d), queryId = 0L, dim = 64,
+      k = 20, nBits = 6),
+    None
+  )
+
+  /** Embedding-cosine near-dup pairs above 0.5 (oracle-checked brute
+    * force; the LSH-prefiltered variant is the scale path). */
+  val cosineNearDups: Q = Q(
+    "x_cosine_neardups",
+    (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.5),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+    """.trim)
+  )
+
+  /** Multimodal metadata: binary payload size per modality — the
+    * column-plumbing part is oracle-checkable via octet_length. */
+  val mmMetadata: Q = Q(
+    "x_mm_metadata",
+    (s, d) => Multimodal.mediaTable(Tables.documents(s, d))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes")),
+    Some("""
+      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             COUNT(*) AS n,
+             CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY 1
+    """.trim)
+  )
+
+  /** Stubbed decode + feature extraction (rows-only; spec pins values). */
+  val mmFeatures: Q = Q(
+    "x_mm_decode_features",
+    (s, d) => Multimodal.extractFeatures(
+      Multimodal.mediaTable(Tables.documents(s, d))).toDF(),
+    None
+  )
+
+  /** Tumbling-window aggregation (batch form of the streaming op). */
+  val tumblingWindow: Q = Q(
+    "x_tumbling_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value")),
+    Some("""
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
+    knnCosine, annLsh, cosineNearDups, mmMetadata, mmFeatures, tumblingWindow)
+}

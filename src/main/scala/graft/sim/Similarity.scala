@@ -1,0 +1,97 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Float arithmetic is kept deterministic by casting to array<double>
+  * BEFORE any arithmetic (a float multiply then widen differs from a
+  * double multiply) and by folding sums left-to-right with `aggregate`
+  * — the same sequential order every engine uses for a loop.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force top-k cosine neighbors of one query vector. The query
+    * side is a 1-row broadcast; the scan side computes cosine inside
+    * codegen and a single top-k (window over one 64-double score) picks
+    * the neighbors. At 100 TB this is the exact-search baseline: one
+    * pass, no shuffle except the final k-row reduction. */
+  def knnBruteForce(emb: DataFrame, queryId: Long, k: Int = 20,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    val scored = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(asDouble(col(vecCol)), col("qv")).as("cos_sim"))
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(idCol), round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
+    * with pseudo-random hyperplanes. Hyperplanes are generated
+    * deterministically from (bit, dim) via xxhash64 → uniform in
+    * [-0.5, 0.5) — data-independent, reproducible across runs/executors
+    * with zero driver state. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column = {
+    val planes: Seq[Column] = (0 until nBits).map { b =>
+      array((0 until dim).map { i =>
+        // deterministic pseudo-uniform in [-0.5, 0.5)
+        (pmod(xxhash64(lit(b * 131071 + i)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+      }: _*)
+    }
+    (0 until nBits).map { b =>
+      when(dot(vec, planes(b)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: probe only vectors in the query's bucket.
+    * Recall is tunable via nBits (fewer bits → bigger buckets); at
+    * scale the bucket column is a partition/bucketing key so a probe
+    * touches one partition instead of the full corpus. */
+  def annLsh(emb: DataFrame, queryId: Long, dim: Int, k: Int = 20, nBits: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBucket = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, nBits))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    val scored = withBucket.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol), cosine(col("v"), col("qv")).as("cos_sim"))
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(idCol), round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold.
+    * Brute-force O(n²) self-join here; the LSH bucket variant
+    * (join on bucket equality first) is the scale path. */
+  def cosineNearDups(emb: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     useLshPrefilter: Boolean = false, dim: Int = 64): DataFrame = {
+    val v = emb.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
+    val u = emb.select(col(idCol).as("id2"), asDouble(col(vecCol)).as("v2"))
+    val pairs =
+      if (useLshPrefilter) {
+        val vb = v.withColumn("b1", lshBucket(col("v1"), dim, 6))
+        val ub = u.withColumn("b2", lshBucket(col("v2"), dim, 6))
+        vb.join(ub, col("b1") === col("b2") && col("id1") < col("id2"))
+      } else v.crossJoin(u).filter(col("id1") < col("id2"))
+    pairs
+      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, all built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs — every operator
+  * stays inside whole-stage codegen and scales linearly with executors).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the pipeline's canonical token unit). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphabetic runs, digit runs and single
+    * punctuation marks each count as one token — a cheap, deterministic
+    * proxy for a real BPE vocabulary. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Longest token length (quality signal: gibberish has long runs). */
+  def maxTokenLen(text: Column): Column =
+    array_max(transform(tokens(text), t => length(t)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+
+  /** Fraction of tokens that are stopwords, in exact decimal so the
+    * value is engine-independent. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "for",
+    "on", "with", "as", "at", "by", "it", "this", "that")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Composite quality score in [0,100], integer arithmetic only (no
+    * float divergence): penalties for too-short text, no stopwords,
+    * excessive punctuation, very long tokens. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val shortPenalty = when(nTok < 10, 40).otherwise(0)
+    val stopPenalty = when(stopwordCount(text) === 0, 25).otherwise(0)
+    val punctPenalty = when(punctCount(text) * 5 > length(text), 20).otherwise(0)
+    val longTokPenalty = when(maxTokenLen(text) > 30, 15).otherwise(0)
+    lit(100) - shortPenalty - stopPenalty - punctPenalty - longTokPenalty
+  }
+
+  /** Language-ID by marker-word counting — an n-gram-free heuristic with
+    * a fixed tie order (en > de > es > fr > zh), deterministic across
+    * engines. Real pipelines plug a model here; the operator shape
+    * (argmax over per-language evidence columns) is what matters. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is)\\b",
+    "de" -> "\\b(der|und|die|das)\\b",
+    "es" -> "\\b(el|la|los|de)\\b",
+    "fr" -> "\\b(le|la|les|des)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, p) =>
+      l -> size(regexp_extract_all(text, lit(p), lit(0)))
+    }
+
+  def detectLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in marker order) reaching the max, if any evidence
+    scores.reverse.foldLeft(lit("unknown")) { case (acc, (l, sc)) =>
+      when(sc > 0 && sc === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of the normalized text
+    * (lowercased, whitespace collapsed) — exact-dedup key that is
+    * robust to trivial whitespace/case edits. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling-window content fingerprints: xxhash64 of each w-token
+    * window, for fuzzy containment checks. */
+  def rollingFingerprints(text: Column, w: Int = 8): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the text-analysis tier, over `documents`.
+  * Oracles mirror the exact integer/regex arithmetic in DuckDB —
+  * everything is integer-valued, so no float-order hazards.
+  */
+object TextQueries {
+
+  /** Token counting + quality stats (all integer). */
+  val stats: Q = Q(
+    "x_text_stats",
+    (s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.subwordCount(t).as("n_subwords"),
+        length(t).as("len_chars"),
+        TextAnalysis.maxTokenLen(t).as("max_token_len"),
+        TextAnalysis.punctCount(t).as("n_punct"),
+        TextAnalysis.stopwordCount(t).as("n_stopwords"),
+        TextAnalysis.qualityScore(t).as("quality"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
+             length(text) AS len_chars,
+             list_max(list_transform(regexp_split_to_array(text, '\s+'), x -> length(x))) AS max_token_len,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                 x -> list_contains(['the','a','an','and','or','of','to','in','is','was','for','on','with','as','at','by','it','this','that'], x))) AS n_stopwords,
+             100
+               - CASE WHEN len(regexp_split_to_array(text, '\s+')) < 10 THEN 40 ELSE 0 END
+               - CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> list_contains(['the','a','an','and','or','of','to','in','is','was','for','on','with','as','at','by','it','this','that'], x))) = 0 THEN 25 ELSE 0 END
+               - CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 5 > length(text) THEN 20 ELSE 0 END
+               - CASE WHEN list_max(list_transform(regexp_split_to_array(text, '\s+'), x -> length(x))) > 30 THEN 15 ELSE 0 END
+               AS quality
+      FROM documents
+    """.trim)
+  )
+
+  /** Marker-word language ID with fixed tie order. */
+  val langid: Q = Q(
+    "x_langid",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      TextAnalysis.detectLang(col("text")).as("detected_lang")),
+    Some("""
+      WITH scores AS (
+        SELECT doc_id, lang AS labeled_lang,
+               len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+               len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS c_de,
+               len(regexp_extract_all(text, '\b(el|la|los|de)\b')) AS c_es,
+               len(regexp_extract_all(text, '\b(le|la|les|des)\b')) AS c_fr,
+               len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+        FROM documents)
+      SELECT doc_id, labeled_lang,
+             CASE
+               WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+               WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+               WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+               WHEN c_fr > 0 AND c_fr >= c_zh THEN 'fr'
+               WHEN c_zh > 0 THEN 'zh'
+               ELSE 'unknown'
+             END AS detected_lang
+      FROM scores
+    """.trim)
+  )
+
+  /** Document fingerprinting — xxhash64 is Spark-specific, so this is a
+    * rows-only check (no SQL oracle); the spec pins its properties. */
+  val fingerprints: Q = Q(
+    "x_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      size(TextAnalysis.rollingFingerprints(col("text"))).as("n_windows")),
+    None
+  )
+
+  def all: Seq[Q] = Seq(stats, langid, fingerprints)
+}

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "through fields of green grass under a bright blue summer sky today"
+  private val nearDup = base.replace("today", "tonight") // 1 token differs
+  private val unrelated = "completely different content about database engines and " +
+    "query optimization with columnar storage formats and vectorized execution plans"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated), (3L, base) // 3 = exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs).filter(col("n_copies") > 1)
+    assert(rowSeq(out.select("keep_id", "n_copies")) == Seq(Seq(0L, 2L)))
+  }
+
+  test("fingerprint dedup is whitespace/case robust") {
+    val d = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactByFingerprint(d).filter(col("n_copies") > 1)
+    assert(rowSeq(out.select("keep_id", "n_copies")) == Seq(Seq(0L, 2L)))
+  }
+
+  test("minhash LSH finds the planted near-dup pair and skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // near-dup found
+    assert(pairs.contains((0L, 3L))) // exact dup found
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
+  }
+
+  test("simhash: near-dups differ in few bits, unrelated in many") {
+    val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(3L)) == 0) // identical text → identical signature
+    assert(ham(sig(0L), sig(1L)) < 12, s"near-dup hamming ${ham(sig(0L), sig(1L))}")
+    assert(ham(sig(0L), sig(2L)) > 12, s"unrelated hamming ${ham(sig(0L), sig(2L))}")
+  }
+
+  test("ngram jaccard: planted pair scores high, unrelated absent") {
+    val out = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id1", "id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.7 })
+    assert(!out.exists { case (a, b, _) => a == 2L || b == 2L })
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic embeddings: vec 1 ≈ vec 0 (tiny nudge),
+    * the rest pseudo-random. */
+  private def emb = {
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 13) - 6).toFloat / 6f)
+    val rows = Seq(
+      (0L, v(1)),
+      (1L, v(1).zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }),
+      (2L, v(7)), (3L, v(11)), (4L, v(23)), (5L, v(5)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force knn: nearest neighbor is the planted near-identical vector") {
+    val out = Similarity.knnBruteForce(emb, queryId = 0L, k = 3).collect()
+    assert(out.length == 3)
+    assert(out.head.getLong(0) == 1L)       // planted neighbor first
+    assert(out.head.getDouble(1) > 0.999)   // nearly identical
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3)) // ranks contiguous
+  }
+
+  test("lsh ann: identical-direction vector lands in the query bucket and ranks first") {
+    val out = Similarity.annLsh(emb, queryId = 0L, dim = 8, k = 3, nBits = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(0) == 1L)
+  }
+
+  test("cosine near-dup pairs: finds the planted pair above threshold") {
+    val out = Similarity.cosineNearDups(emb, threshold = 0.99)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("lsh prefilter variant returns a subset of brute-force pairs") {
+    val brute = Similarity.cosineNearDups(emb, threshold = 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDups(emb, threshold = 0.9, useLshPrefilter = true, dim = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  test("windowedCounts over a file stream reaches the memory sink") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    Seq(
+      (1L, ts(5), 1L, "view", 1.0), (2L, ts(10), 1L, "view", 2.0),
+      (3L, ts(20), 2L, "purchase", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/batch1")
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val q = EventStream.windowedCounts(stream, "1 hour", "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_out ORDER BY event_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 10:00:00", "purchase", 1L, 5.0),
+        ("2024-01-01 10:00:00", "view", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize aggregates per-user state (batch execution of the stateful op)") {
+    val events = Seq(
+      EventStream.Event(1L, ts(0), 1L, "view", 1.0),
+      EventStream.Event(2L, ts(1), 1L, "view", 2.0),
+      EventStream.Event(3L, ts(2), 2L, "purchase", 10.0)).toDS()
+    val out = EventStream.sessionize(events).collect()
+      .map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+    assert(out(1L) == ((2L, 3.0)))
+    assert(out(2L) == ((1L, 10.0)))
+  }
+}
