@@ -44,13 +44,29 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash/LSH
 
-  /** MinHash signature: k permutations simulated with seeded xxhash64;
-    * signature[j] = min over shingles of hash_j(shingle). Pure column
-    * expressions — the whole signature computes inside codegen. */
+  /** MinHash signature (per-row expression form): signature[j] = min
+    * over shingles of hash_j(shingle). Fine for one-off use; the
+    * pipeline path below uses the aggregation form instead — this
+    * expression rebuilds the shingle array once per hash function. */
   def minhashSignature(text: Column, k: Int = 64, shingleW: Int = 3): Column = {
     val sh = shingles(text, shingleW)
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(sh, g => xxhash64(g, j))))
+  }
+
+  /** MinHash signatures as an aggregation: explode shingles once, then
+    * k `min(xxhash64(shingle, j))` aggregates in one groupBy. Map-side
+    * partial mins mean the shuffle carries (id, k×8 bytes) per map
+    * task — at 100 TB this is the only form that scales; the per-row
+    * expression form recomputes the shingle array k times. */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 64,
+                        shingleW: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleW)).as("g"))
+    val aggs = (0 until k).map(j => min(xxhash64(col("g"), lit(j))).as(s"h$j"))
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
   }
 
   /** LSH banding: split the k-wide signature into bands of `rowsPerBand`
@@ -60,8 +76,7 @@ object Dedup {
   def lshBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  k: Int = 64, rowsPerBand: Int = 8, shingleW: Int = 3): DataFrame = {
     val nBands = k / rowsPerBand
-    docs
-      .select(col(idCol), minhashSignature(col(textCol), k, shingleW).as("sig"))
+    minhashSignatures(docs, idCol, textCol, k, shingleW)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(nBands - 1)),
           b => xxhash64(concat_ws(",",

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two double arrays. */
+  /** Dot product of two double arrays — a native codegen'd Catalyst
+    * expression (graft.functions.DotProduct); summation order matches a
+    * left fold, so values are bit-identical to the SQL-oracle form. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(a, b)
+
+  /** The interpreted higher-order-function form (kept for reference and
+    * as the property-test oracle for DotProduct). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -81,8 +88,11 @@ object Similarity {
   def cosineNearDups(emb: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      useLshPrefilter: Boolean = false, dim: Int = 64): DataFrame = {
+    // norms precomputed once per vector (O(n)), not once per pair (O(n²))
     val v = emb.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
+      .withColumn("nrm1", norm(col("v1")))
     val u = emb.select(col(idCol).as("id2"), asDouble(col(vecCol)).as("v2"))
+      .withColumn("nrm2", norm(col("v2")))
     val pairs =
       if (useLshPrefilter) {
         val vb = v.withColumn("b1", lshBucket(col("v1"), dim, 6))
@@ -90,7 +100,7 @@ object Similarity {
         vb.join(ub, col("b1") === col("b2") && col("id1") < col("id2"))
       } else v.crossJoin(u).filter(col("id1") < col("id2"))
     pairs
-      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
   }

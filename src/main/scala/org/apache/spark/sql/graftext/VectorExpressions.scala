@@ -1,0 +1,74 @@
+/** Lives under org.apache.spark.sql to reach the private[sql] Catalyst
+  * surface (AbstractDataType, classic.ExpressionUtils) — the same
+  * pattern public Spark extension libraries use. Public API re-exported
+  * via graft.functions.VectorFunctions.
+  */
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding hot loop.
+  *
+  * The `functions.aggregate`/`zip_with` fold used by the naive cosine
+  * runs interpreted (higher-order functions don't participate in
+  * whole-stage codegen), which makes it THE bottleneck of O(n²)
+  * similarity scans. This expression generates a tight primitive
+  * double loop instead — same left-to-right summation order, so results
+  * are bit-identical to the fold (and to the DuckDB oracle).
+  *
+  * Null handling: a null array yields null (standard binary-expression
+  * propagation); null *elements* contribute 0.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct matches the interpreted fold bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(25)((
+      Array.fill(16)(rnd.nextDouble() * 2000 - 1000),
+      Array.fill(16)(rnd.nextDouble() * 2000 - 1000)))
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("fast"),
+      Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct: null array yields null, values correct") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
+      (None, Some(Array(3.0, 4.0)))
+    ).toDF("a", "b")
+    val out = df.select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) == 11.0)
+    assert(out(1) == null)
+  }
+
+  test("DotProduct survives whole-stage codegen (plan executes with many rows)") {
+    val n = 10000
+    val df = spark.range(n).select(
+      col("id"),
+      array((0 until 8).map(i => (col("id") + i).cast("double")): _*).as("v"))
+    val total = df.select(sum(VectorFunctions.dotProduct(col("v"), col("v"))).as("s"))
+      .collect().head.getDouble(0)
+    assert(total > 0)
+  }
+}
