@@ -12,7 +12,7 @@ object SparkEntry {
 
   def catalog: Seq[Q] =
     ops.Relational.all ++ ops.EventOps.all ++ ops.TpchQueries.all ++
-      text.TextQueries.all ++ ops.ExtensionQueries.all
+      ops.CoverageQueries.all ++ text.TextQueries.all ++ ops.ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

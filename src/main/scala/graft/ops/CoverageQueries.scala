@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Coverage beyond the reference's own surface (SURVEY §2.5 lists these
+  * as absent there): grouping sets, sorted top-k, semi/anti/outer
+  * joins, distinct counting. All oracle-checked.
+  */
+object CoverageQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** ROLLUP aggregation (hierarchy totals in one pass). */
+  val rollup1: Q = Q(
+    "g1_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """.trim)
+  )
+
+  /** CUBE aggregation (all grouping-set combinations). */
+  val cube1: Q = Q(
+    "g2_cube",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """.trim)
+  )
+
+  /** Global sorted top-k with a unique tiebreak — deterministic. On a
+    * cluster this is TakeOrderedAndProject: per-partition top-k then a
+    * k-row driver merge, never a full sort. */
+  val topk: Q = Q(
+    "a4_orderby_limit",
+    (s, d) => Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice")),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """.trim)
+  )
+
+  /** Exact distinct counting per group. */
+  val countDistinct1: Q = Q(
+    "a5_count_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps")),
+    Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_returnflag
+    """.trim)
+  )
+
+  /** Semi + anti join: customers with vs without orders (EXISTS / NOT
+    * EXISTS as joins — no row multiplication, early out per match). */
+  val semiAnti: Q = Q(
+    "j2_semi_anti",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select(lit("with").as("kind"), col("c_custkey"))
+      val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select(lit("without").as("kind"), col("c_custkey"))
+      withOrders.union(withoutOrders)
+    },
+    Some("""
+      SELECT 'with' AS kind, c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'without' AS kind, c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """.trim)
+  )
+
+  /** Left outer join preserving unmatched rows with null padding. */
+  val outer: Q = Q(
+    "j3_left_outer",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val ordAgg = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      cust.join(ordAgg, cust("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, COALESCE(n_orders, 0) AS n_orders
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(rollup1, cube1, topk, countDistinct1, semiAnti, outer)
+}
