@@ -14,9 +14,11 @@ object SparkEntry {
     ops.Relational.all ++ ops.EventOps.all ++ ops.TpchQueries.all ++
       ops.CoverageQueries.all ++ text.TextQueries.all ++ ops.ExtensionQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed C1..C13 pipeline shape (select branches ∪ → timezone →
+    * id fallback → broadcast enrichment ∪ null-padded logins → dedup). */
   def entry(spark: SparkSession): DataFrame =
-    ops.Relational.q1Agg.run(spark, "/root/testdata/sf0.001")
+    ops.EventOps.cPipeline.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

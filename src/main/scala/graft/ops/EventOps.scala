@@ -256,7 +256,74 @@ object EventOps {
     """.trim)
   )
 
+  /** C1..C13 composed — the whole reference pipeline shape on events:
+    * per-family JSON select branches ∪, timezone shift + date/time
+    * split, null-userid fallback, broadcast inner-join enrichment with
+    * the "login" (signup) rows re-appended null-padded, full dedup. */
+  val cPipeline: Q = Q(
+    "c1_c13_pipeline_events",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val k = get_json_object(col("props"), "$.k")
+      // two "site families" keyed by user_id parity, different key dialects
+      def branch(parity: Int, code: org.apache.spark.sql.Column) = ev
+        .filter(col("event_type").isin("purchase", "view", "signup") &&
+          pmod(col("user_id"), lit(2)) === parity)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          code.as("code"))
+      val selected = branch(0, k).union(branch(1, concat(lit("b-"), k)))
+      val kst = from_utc_timestamp(col("ts"), "Asia/Seoul")
+      val shaped = selected.select(
+        col("event_id"), col("user_id"), col("event_type"), col("code"),
+        date_format(kst, "yyyy-MM-dd").as("transaction_date"),
+        date_format(kst, "HH:mm:ss").as("transaction_time"),
+        when(col("user_id") === 0L, concat(lit("anon-"), col("event_id").cast(StringType)))
+          .otherwise(col("user_id").cast(StringType)).as("userid"))
+      val cust = Tables.customer(s, d)
+      val enriched = shaped.filter(col("event_type") =!= "signup")
+        .join(broadcast(cust), shaped("user_id") === cust("c_custkey"))
+        .select(col("userid"), col("transaction_date"), col("transaction_time"),
+          col("event_type").as("log_type"), col("code"),
+          col("c_mktsegment").as("segment"))
+      val signup = shaped.filter(col("event_type") === "signup")
+        .select(col("userid"), col("transaction_date"), col("transaction_time"),
+          col("event_type").as("log_type"), col("code"),
+          lit(null).cast(StringType).as("segment"))
+      enriched.union(signup).dropDuplicates()
+    },
+    Some("""
+      WITH sel AS (
+        SELECT event_id, user_id, event_type, ts,
+               json_extract_string(props, '$.k') AS code
+        FROM events
+        WHERE event_type IN ('purchase','view','signup') AND user_id % 2 = 0
+        UNION ALL
+        SELECT event_id, user_id, event_type, ts,
+               'b-' || json_extract_string(props, '$.k') AS code
+        FROM events
+        WHERE event_type IN ('purchase','view','signup') AND user_id % 2 = 1
+      ), shaped AS (
+        SELECT event_id, user_id, event_type, code,
+               strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d') AS transaction_date,
+               strftime(ts + INTERVAL 9 HOUR, '%H:%M:%S') AS transaction_time,
+               CASE WHEN user_id = 0 THEN 'anon-' || CAST(event_id AS VARCHAR)
+                    ELSE CAST(user_id AS VARCHAR) END AS userid
+        FROM sel
+      )
+      SELECT DISTINCT * FROM (
+        SELECT userid, transaction_date, transaction_time,
+               event_type AS log_type, code, c_mktsegment AS segment
+        FROM shaped JOIN customer ON user_id = c_custkey
+        WHERE event_type <> 'signup'
+        UNION ALL
+        SELECT userid, transaction_date, transaction_time,
+               event_type AS log_type, code, CAST(NULL AS VARCHAR) AS segment
+        FROM shaped WHERE event_type = 'signup'
+      ) t
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(p1Project, p3Filter, p4Fallback, f2Regex, f3Timezone,
     f5Comma, f6Split, f7Zip, f9Last, f10Substr, u1Union, j1Enrich,
-    a1Distinct, a2Stats)
+    a1Distinct, a2Stats, cPipeline)
 }
