@@ -35,10 +35,14 @@ object EtlDemo {
       Schemas.category)
     cats.createOrReplaceTempView("demo_categories")
 
-    val cfg = EtlConfig(
-      types = TransformTypes(Seq("154992"), Seq("-48"), Seq("155138"), Seq("4550")),
-      loadPath = s"$dir/logs", savePath = s"$dir/out",
-      loadDb = None, saveDb = None, dbInsert = false, fileWrite = true)
+    // config in the reference's JSON shape, through the real parser
+    val cfg = ConfigLoader.fromString(s"""
+      {"transform": {"default": [154992], "type1": [-48],
+                     "type2": [155138], "type3": [4550]},
+       "mysql": {"insert": false},
+       "file": {"write": true,
+                "load": {"path": "$dir/logs"},
+                "save": {"path": "$dir/out"}}}""")
 
     // run with the in-memory dim instead of JDBC (no MySQL here)
     val job = new EtlJob(spark, cfg) {

@@ -31,6 +31,13 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming dedup: drop repeated event_ids within the watermark
+    * horizon — the streaming form of the pipeline's C13 stage; state is
+    * bounded by the watermark. */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom state: per-user session aggregation with a processing-time
     * timeout (mapGroupsWithState — the arbitrary-state operator). */
   def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.etl.ConfigLoader
+
+class SkewAndConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin produces exactly the rows of the unsalted join") {
+    // skewed fact: 90% of rows share key 1
+    val fact = ((1 to 90).map(i => (1L, s"r$i")) ++ (1 to 10).map(i => (i.toLong + 1, s"s$i")))
+      .toDF("k", "payload")
+    val dim = (1 to 11).map(i => (i.toLong, s"d$i")).toDF("dk", "attr")
+    val plain = fact.join(dim, fact("k") === dim("dk")).select("k", "payload", "attr")
+    val salted = Skew.saltedJoin(fact, dim, "k", "dk", nSalts = 4,
+      factSaltBy = Seq("payload")).select("k", "payload", "attr")
+    assert(rowSet(salted) == rowSet(plain))
+    assert(salted.count() == plain.count())
+  }
+
+  test("salt is deterministic across evaluations") {
+    val df = (1 to 50).map(i => Tuple1(s"row$i")).toDF("id")
+    val a = df.select(Skew.salt(8, df("id")).as("s")).collect().map(_.getInt(0)).toSeq
+    val b = df.select(Skew.salt(8, df("id")).as("s")).collect().map(_.getInt(0)).toSeq
+    assert(a == b)
+    assert(a.toSet.size > 1) // actually spreads
+  }
+
+  test("ConfigLoader parses the reference JSON shape") {
+    val cfg = ConfigLoader.fromString("""
+      {
+        "transform": {"default": [154992], "type1": [-48],
+                      "type2": [155138], "type3": [4550]},
+        "mysql": {"insert": true,
+          "load": {"url": "jdbc:mysql://h/db", "driver": "d",
+                   "dbtable": "EP_INFO_VIEW", "user": "u", "password": "p"},
+          "save": {"url": "jdbc:mysql://h/db", "driver": "d",
+                   "dbtable": "ETL_RESULT", "user": "u", "password": "p"}},
+        "file": {"write": false,
+          "load": {"path": "/data/in"}, "save": {"path": "/data/out"}}
+      }""")
+    assert(cfg.types.default == Seq("154992")) // int ids normalized to strings
+    assert(cfg.types.type1 == Seq("-48"))
+    assert(cfg.dbInsert && !cfg.fileWrite)
+    assert(cfg.loadDb.get.table == "EP_INFO_VIEW")
+    assert(cfg.saveDb.get.table == "ETL_RESULT")
+    assert(cfg.loadPath == "/data/in")
+  }
+}

@@ -37,6 +37,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated event_ids within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    Seq(
+      (1L, ts(5), 1L, "view", 1.0), (1L, ts(6), 1L, "view", 1.0), // dup id 1
+      (2L, ts(10), 2L, "purchase", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/batch1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val q = EventStream.streamingDedup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize aggregates per-user state (batch execution of the stateful op)") {
     val events = Seq(
       EventStream.Event(1L, ts(0), 1L, "view", 1.0),
