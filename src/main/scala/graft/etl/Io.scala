@@ -53,6 +53,13 @@ object Sinks {
   def parquetAppend(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** S4 at scale: partitioned parquet layout (e.g. by month, the
+    * reference's yyyymm= convention done properly) — readers filtering
+    * on the partition column scan only matching directories (partition
+    * pruning), which is what makes monthly re-runs over 100 TB cheap. */
+  def parquetPartitionedAppend(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(SaveMode.Append).parquet(path)
+
   /** S5: single-file UTF-8 CSV with header (jobs/etl_job.py:426-438).
     * coalesce(1) serializes the final stage — only for small exports. */
   def csvSingleFile(df: DataFrame, path: String): Unit =
