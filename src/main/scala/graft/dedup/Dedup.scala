@@ -89,19 +89,22 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", threshold: Double = 0.7,
                       k: Int = 64, rowsPerBand: Int = 8, shingleW: Int = 3): DataFrame = {
-    val b1 = lshBuckets(docs, idCol, textCol, k, rowsPerBand, shingleW)
-    val b2 = b1.withColumnRenamed(idCol, "id2")
-    val candidates = b1.join(b2,
-        b1("band") === b2("band") && b1("bucket") === b2("bucket") &&
-          b1(idCol) < b2("id2"))
-      .select(b1(idCol).as("id1"), col("id2")).dropDuplicates()
+    // self-joins via alias (not rename): both sides canonicalize to the
+    // same subplan, so the signature-aggregation exchange is computed
+    // once and reused (ReusedExchange) instead of re-scanning the input
+    val buckets = lshBuckets(docs, idCol, textCol, k, rowsPerBand, shingleW)
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .dropDuplicates()
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
     candidates
-      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), "id1")
-      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .join(sh.as("s1"), col("id1") === col(s"s1.$idCol"))
+      .join(sh.as("s2"), col("id2") === col(s"s2.$idCol"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("double") /
+          size(array_union(col("s1.sh"), col("s2.sh"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

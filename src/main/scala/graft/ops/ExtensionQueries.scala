@@ -149,6 +149,51 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** The composed training-corpus pipeline: quality-score filter →
+    * exact dedup (keep lowest doc_id per text) → per-language corpus
+    * stats. The canonical pretraining-data preparation flow, end to end
+    * under the oracle gate. */
+  val corpusPipeline: Q = Q(
+    "x_corpus_pipeline",
+    (s, d) => {
+      import graft.text.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), t.as("text"),
+        TextAnalysis.qualityScore(t).as("quality"),
+        TextAnalysis.tokenCount(t).as("n_tokens"))
+      val kept = scored.filter(col("quality") >= 60)
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, text,
+               100
+                 - CASE WHEN len(regexp_split_to_array(text, '\s+')) < 10 THEN 40 ELSE 0 END
+                 - CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is','was','for','on','with','as','at','by','it','this','that'], x))) = 0 THEN 25 ELSE 0 END
+                 - CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 5 > length(text) THEN 20 ELSE 0 END
+                 - CASE WHEN list_max(list_transform(regexp_split_to_array(text, '\s+'), x -> length(x))) > 30 THEN 15 ELSE 0 END
+                 AS quality,
+               len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE quality >= 60),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM kept) t WHERE rn = 1)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM deduped GROUP BY lang
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
-    knnCosine, annLsh, cosineNearDups, mmMetadata, mmFeatures, tumblingWindow)
+    knnCosine, annLsh, cosineNearDups, mmMetadata, mmFeatures, tumblingWindow,
+    corpusPipeline)
 }

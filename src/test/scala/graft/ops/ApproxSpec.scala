@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based aggregation sanity: HLL distinct counts land within the
+  * documented error bound of the exact answer. (No DuckDB oracle — HLL
+  * implementations differ across engines by design.) */
+class ApproxSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact on lineitem keys") {
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect().head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx percentiles bracket the exact median") {
+    val li = Tables.lineitem(spark, sfDir)
+    val Array(p25, p50, p75) = li
+      .select(percentile_approx(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)))
+      .collect().head.getSeq[Double](0).toArray
+    assert(p25 <= p50 && p50 <= p75)
+    assert(p50 >= 1.0 && p50 <= 50.0) // l_quantity domain
+  }
+}
