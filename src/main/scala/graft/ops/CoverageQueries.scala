@@ -108,5 +108,71 @@ object CoverageQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(rollup1, cube1, topk, countDistinct1, semiAnti, outer)
+  /** INTERSECT / EXCEPT set operations (absent from the reference —
+    * SURVEY §2.4 — but part of a complete relational surface). */
+  val setOps: Q = Q(
+    "u5_intersect_except",
+    (s, d) => {
+      val buyers = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      val viewers = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"))
+      val both = buyers.intersect(viewers).select(lit("both").as("kind"), col("user_id"))
+      val buyOnly = buyers.except(viewers).select(lit("buy_only").as("kind"), col("user_id"))
+      both.union(buyOnly)
+    },
+    Some("""
+      SELECT 'both' AS kind, user_id FROM
+        (SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'view') t
+      UNION ALL
+      SELECT 'buy_only' AS kind, user_id FROM
+        (SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'view') t
+    """.trim)
+  )
+
+  /** Pivot: per-user event counts spread across event-type columns
+    * (conditional aggregation under the hood — same shape in the
+    * oracle via FILTER clauses). */
+  val pivot1: Q = Q(
+    "g3_pivot",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L),
+    Some("""
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+             COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+             COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+      FROM events GROUP BY user_id
+    """.trim)
+  )
+
+  /** Corpus wordcount: explode tokens, count by token — the canonical
+    * map-side-combine aggregation (partial counts per task, one shuffle
+    * of (token, n) pairs). */
+  val wordcount: Q = Q(
+    "x_token_histogram",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10),
+    Some("""
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+            FROM documents) t
+      GROUP BY token HAVING COUNT(*) >= 10
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(rollup1, cube1, topk, countDistinct1, semiAnti, outer,
+    setOps, pivot1, wordcount)
 }
