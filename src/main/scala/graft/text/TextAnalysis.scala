@@ -82,8 +82,15 @@ object TextAnalysis {
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
   /** Rolling-window content fingerprints: xxhash64 of each w-token
-    * window, for fuzzy containment checks. */
-  def rollingFingerprints(text: Column, w: Int = 8): Column = {
+    * window, for fuzzy containment checks. Uses the native RollingHashes
+    * expression — one tight loop per row instead of four nested
+    * interpreted higher-order functions per window. */
+  def rollingFingerprints(text: Column, w: Int = 8): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.rollingHashes(tokens(text), w)
+
+  /** The pure column-function form (kept as the test oracle for the
+    * native expression). */
+  def rollingFingerprintsHof(text: Column, w: Int = 8): Column = {
     val toks = tokens(text)
     transform(
       sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),

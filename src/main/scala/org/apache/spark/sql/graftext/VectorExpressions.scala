@@ -71,4 +71,18 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def rollingHashes(tokens: Column, w: Int): Column =
+    ExpressionUtils.column(RollingHashes(ExpressionUtils.expression(tokens), w))
+
+  /** Register graft's native expressions for SQL use on an existing
+    * session (the SparkSessionExtensions path is GraftExtensions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hashes",
+      exprs => RollingHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
 }

@@ -33,6 +33,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(1) == null)
   }
 
+  test("RollingHashes matches the column-function form exactly") {
+    import graft.text.TextAnalysis
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "short one", "a b c d e f g h i j k l m n o p q").map(Tuple1(_))
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextAnalysis.rollingFingerprints(col("text")).as("fast"),
+      TextAnalysis.rollingFingerprintsHof(col("text")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("native expressions callable from SQL after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "size(rolling_hashes(array('a','b','c'), 2)) AS n").collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+  }
+
   test("DotProduct survives whole-stage codegen (plan executes with many rows)") {
     val n = 10000
     val df = spark.range(n).select(
