@@ -89,9 +89,11 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", threshold: Double = 0.7,
                       k: Int = 64, rowsPerBand: Int = 8, shingleW: Int = 3): DataFrame = {
-    // self-joins via alias (not rename): both sides canonicalize to the
-    // same subplan, so the signature-aggregation exchange is computed
-    // once and reused (ReusedExchange) instead of re-scanning the input
+    // Both sides of the candidate self-join consume the signatures. At
+    // pipeline scale, materialize signatures first (write/persist) so
+    // the corpus is shingled once; measured at bench scale the two
+    // sides race ahead of any cache, so no persist() here — callers
+    // owning the lifecycle can persist the lshBuckets result themselves.
     val buckets = lshBuckets(docs, idCol, textCol, k, rowsPerBand, shingleW)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
