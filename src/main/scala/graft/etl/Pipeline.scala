@@ -1,6 +1,16 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** The 16-column output record (jobs/etl_job.py:416-423) — typed API
+  * boundary per SURVEY.md §1.4; all fields nullable strings by the
+  * reference's contract (login rows carry null category columns). */
+final case class EtlResult(
+    USER_ID: String, SHOPPING_ID: String,
+    TRANSACTION_DATE: String, TRANSACTION_TIME: String,
+    LOG_TYPE: String, INTG_ID: String, ITEM_CODE: String, ITEM_NAME: String,
+    CAT1: String, CAT2: String, CAT3: String, CAT4: String,
+    INTG_CAT1: String, INTG_CAT2: String, INTG_CAT3: String, INTG_CAT4: String)
 
 /** The 13-stage transform chain (jobs/etl_job.py:138-161), composed with
   * native `Dataset.transform`.
@@ -42,4 +52,13 @@ object Pipeline {
       .transform(Transforms.selectValidId)
       .transform(Enrichment.joinWithCategories(_, categories))
       .transform(Transforms.dropAllDuplicates)
+
+  /** Typed variant: same plan, case-class rows at the API boundary. */
+  def transformDataTyped(logs: DataFrame, categories: DataFrame,
+                         types: TransformTypes,
+                         zone: String = "Asia/Seoul"): Dataset[EtlResult] = {
+    val df = transformData(logs, categories, types, zone)
+    import df.sparkSession.implicits._
+    df.as[EtlResult]
+  }
 }

@@ -120,6 +120,15 @@ class PipelineSpec extends SparkSpec {
       Seq(Seq("rb1", "RbName")))
   }
 
+  test("typed pipeline returns Dataset[EtlResult] with identical rows") {
+    val cats = Fixtures.categories(Seq(Fixtures.catRow("-48", "-48-pc1", "a")))
+    val typed = Pipeline.transformDataTyped(Fixtures.goldenLogs, cats, Fixtures.types)
+    val results: Seq[EtlResult] = typed.collect().toSeq
+    assert(results.map(_.USER_ID) == Seq("uid-3"))
+    assert(results.head.ITEM_CODE == "-48-pc1")
+    assert(results.head.CAT1 == "c1-a")
+  }
+
   test("C13: duplicate rows collapse") {
     val dup = Fixtures.logRow("m1", "-48", "u1", "c1", "2019-06-01T01:43:09.000Z",
       "purchase", """{"goodsCode": ["g1"], "goodsName": ["n1"]}""")
