@@ -50,14 +50,14 @@ object Transforms {
     * The reference pattern `[^\"](\,+)|(\,+)[^\"]` also consumes the
     * adjacent non-quote character — reproduced byte-for-byte
     * (SURVEY.md §7.4 quirk 1). */
-  private val commaPattern = "[^\\\"](\\,+)|(\\,+)[^\\\"]"
+  private[etl] val commaPattern = "[^\\\"](\\,+)|(\\,+)[^\\\"]"
   def removeComma(df: DataFrame): DataFrame =
     df.withColumn("productCode", regexp_replace(col("productCode"), commaPattern, ""))
       .withColumn("productName", regexp_replace(col("productName"), commaPattern, ""))
 
   /** C9 (jobs/etl_job.py:323-333): strip `[`, `]`, `"` then split on ','
     * — turns the JSON-array-ish string `["a","b"]` into array<string>. */
-  private val quotePattern = "(^\\[)|(\\]$)|(\\\")"
+  private[etl] val quotePattern = "(^\\[)|(\\]$)|(\\\")"
   def removeQuote(df: DataFrame): DataFrame =
     df.withColumn("productCode", split(regexp_replace(col("productCode"), quotePattern, ""), ","))
       .withColumn("productName", split(regexp_replace(col("productName"), quotePattern, ""), ","))
