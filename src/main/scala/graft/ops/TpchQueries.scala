@@ -130,5 +130,81 @@ object TpchQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(q3, q5, w1, j1TwoKey)
+  /** Offset window functions: per-user previous/next event deltas (the
+    * time-series idiom behind as-of lookups). */
+  val w2Lag: Q = Q(
+    "w2_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("secs_since_prev",
+          (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("prev_type"), col("next_type"), col("secs_since_prev"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             LEAD(event_type) OVER w AS next_type,
+             epoch_us(ts) // 1000000 - epoch_us(LAG(ts) OVER w) // 1000000 AS secs_since_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """.trim)
+  )
+
+  /** Running aggregation with an explicit ROWS frame. */
+  val w3Running: Q = Q(
+    "w3_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.Tables.events(s, d)
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value
+      FROM events
+    """.trim)
+  )
+
+  /** Batch sessionization: session_window with a 30-minute gap, checked
+    * against the classic gaps-and-islands SQL formulation. */
+  val w4Session: Q = Q(
+    "w4_session_window",
+    (s, d) => graft.Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value")),
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM events),
+      islands AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked)
+      SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+      FROM islands GROUP BY user_id, session_id
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(q3, q5, w1, j1TwoKey, w2Lag, w3Running, w4Session)
 }
