@@ -56,6 +56,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2)
   }
 
+  test("GraftExtensions injects both functions into a SparkSessionExtensions") {
+    // builder-time path can't be exercised against the shared session
+    // (getOrCreate returns it), so verify the injection hook directly
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new org.apache.spark.sql.graftext.GraftExtensions()(e)
+    // applying again must not throw (idempotent registration contract)
+    new org.apache.spark.sql.graftext.GraftExtensions()(e)
+  }
+
   test("DotProduct survives whole-stage codegen (plan executes with many rows)") {
     val n = 10000
     val df = spark.range(n).select(
