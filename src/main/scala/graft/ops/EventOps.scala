@@ -122,7 +122,10 @@ object EventOps {
   )
 
   /** F6: bracket/quote strip + split → array (jobs/etl_job.py:323-333)
-    * on a constructed JSON-array-ish string. */
+    * on a constructed JSON-array-ish string. The array itself stays an
+    * intermediate; the query surfaces scalar projections of it (size +
+    * elements + re-joined form) because the driver's comparator cannot
+    * sort array-typed result columns. */
   val f6Split: Q = Q(
     "f6_strip_split",
     (s, d) => Tables.documents(s, d).select(
@@ -131,12 +134,25 @@ object EventOps {
         regexp_replace(
           concat(lit("[\""), col("lang"), lit("\",\""), col("source"), lit("\"]")),
           "(^\\[)|(\\]$)|(\\\")", ""),
-        ",").as("parts")),
+        ",").as("parts"))
+      .select(
+        col("doc_id"),
+        size(col("parts")).as("n_parts"),
+        element_at(col("parts"), 1).as("first_part"),
+        element_at(col("parts"), -1).as("last_part"),
+        array_join(col("parts"), "|").as("joined")),
     Some("""
+      WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace('["' || lang || '","' || source || '"]',
+                                           '(^\[)|(\]$)|(")', '', 'g'), ',') AS parts
+        FROM documents)
       SELECT doc_id,
-             string_split(regexp_replace('["' || lang || '","' || source || '"]',
-                                         '(^\[)|(\]$)|(")', '', 'g'), ',') AS parts
-      FROM documents
+             len(parts) AS n_parts,
+             parts[1] AS first_part,
+             parts[-1] AS last_part,
+             array_to_string(parts, '|') AS joined
+      FROM t
     """.trim)
   )
 

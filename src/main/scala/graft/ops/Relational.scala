@@ -23,30 +23,54 @@ object Relational {
     * lineitem. At 100 TB this is a map-side partial agg + one shuffle on
     * (returnflag, linestatus) — 6 groups, so the reduce side is trivial;
     * all heavy lifting stays in whole-stage codegen over the scan.
+    *
+    * Determinism: products of doubles round differently across engines
+    * at the decimal cast (Spark casts via the shortest string repr,
+    * DuckDB rounds the exact binary value), so all arithmetic here is
+    * done IN decimal: cast each raw 2-decimal column to DECIMAL(12,4)
+    * first (where both engines agree), multiply exactly — (12,4)×(13,4)
+    * stays within 38 digits in both — and quantize each product back to
+    * scale 4 via round(x, 4), which is HALF_UP for positives in BOTH
+    * engines (a downscale CAST would not do: Spark's rounds HALF_UP but
+    * DuckDB's truncates toward zero). The sums are then exact and the
+    * final double casts bit-identical.
     */
   val q1Agg: Q = Q(
     "q1_agg",
     (s, d) => {
+      val one = lit(1).cast("decimal(12,4)")
+      val ep = col("l_extendedprice").cast("decimal(12,4)")
+      val disc = col("l_discount").cast("decimal(12,4)")
+      val tax = col("l_tax").cast("decimal(12,4)")
+      val discPrice = round(ep * (one - disc), 4)
+      val charge = round(discPrice * (one + tax), 4)
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          sum(col("l_quantity").cast("decimal(12,4)")).cast("double").as("sum_qty"),
+          sum(ep).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order")
         )
     },
     Some("""
+      WITH l AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS DECIMAL(12,4)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(12,4)) AS ep,
+               CAST(l_discount AS DECIMAL(12,4)) AS disc,
+               CAST(l_tax AS DECIMAL(12,4)) AS tax
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+             CAST(SUM(ep) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(round(ep * (CAST(1 AS DECIMAL(12,4)) - disc), 4)) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(round(round(ep * (CAST(1 AS DECIMAL(12,4)) - disc), 4) * (CAST(1 AS DECIMAL(12,4)) + tax), 4)) AS DOUBLE) AS sum_charge,
              COUNT(*) AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      FROM l
       GROUP BY l_returnflag, l_linestatus
     """.stripMargin.trim)
   )

@@ -13,7 +13,9 @@ import pandas as pd
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def norm(df: pd.DataFrame) -> str:
+def norm_rows(df: pd.DataFrame):
+    """Sorted normalized string rows (handles array cells, unlike
+    DataFrame.sort_values which crashes on ndarray columns)."""
     df = df.reindex(sorted(df.columns), axis=1)
     def cell(v):
         if isinstance(v, float):
@@ -23,8 +25,10 @@ def norm(df: pd.DataFrame) -> str:
         if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
             return "NULL"
         return str(v)
-    rows = sorted("|".join(cell(v) for v in r) for r in df.itertuples(index=False, name=None))
-    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    return sorted("|".join(cell(v) for v in r) for r in df.itertuples(index=False, name=None))
+
+def norm(df: pd.DataFrame) -> str:
+    return hashlib.sha256("\n".join(norm_rows(df)).encode()).hexdigest()
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -47,12 +51,13 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: cols {sorted(got.columns)} vs {sorted(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
-        if norm(got) != norm(exp):
+        gr, er = norm_rows(got), norm_rows(exp)
+        if gr != er:
             print(f"FAIL {name}: hash mismatch ({len(got)} rows)")
-            gd = got.reindex(sorted(got.columns), axis=1).sort_values(list(sorted(got.columns))).head(3)
-            ed = exp.reindex(sorted(exp.columns), axis=1).sort_values(list(sorted(exp.columns))).head(3)
-            print("  got:", gd.to_dict("records"))
-            print("  exp:", ed.to_dict("records"))
+            diffs = [(g, e) for g, e in zip(gr, er) if g != e][:3]
+            for g, e in diffs:
+                print("  got:", g)
+                print("  exp:", e)
             n_fail += 1; continue
         print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
