@@ -23,9 +23,11 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup at scale: hash first, shuffle the hash. Collision
-    * probability for xxhash64 at 10^11 docs is ~3e-4 (birthday bound) —
-    * acceptable for train-data dedup; use exact() when it isn't. */
+  /** Exact dedup at scale: hash first, shuffle the hash. 64-bit
+    * birthday bound n²/2^65: ~3e-4 expected collisions at 10^8 docs,
+    * but ~270 at 10^11 — at that scale use exact() or a 128-bit
+    * fingerprint (e.g. md5 halves) so distinct docs aren't silently
+    * merged. */
   def exactByFingerprint(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))

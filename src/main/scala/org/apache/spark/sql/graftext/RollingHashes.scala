@@ -35,14 +35,20 @@ case class RollingHashes(child: Expression, w: Int)
     var i = 0
     while (i < windows) {
       val len = math.min(w, n - i)
+      // Null elements are SKIPPED (not empty-substituted) to match the
+      // documented column-function equivalent: concat_ws omits nulls, so
+      // ["a", null, "b"] joins to "a b", never "a  b".
       val parts = new Array[UTF8String](len)
+      var m = 0
       var j = 0
       while (j < len) {
-        parts(j) = if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
-        else toks.getUTF8String(i + j)
+        if (!toks.isNullAt(i + j)) {
+          parts(m) = toks.getUTF8String(i + j)
+          m += 1
+        }
         j += 1
       }
-      val joined = UTF8String.concatWs(space, parts: _*)
+      val joined = UTF8String.concatWs(space, parts.take(m): _*)
       out(i) = XXH64.hashUnsafeBytes(joined.getBaseObject, joined.getBaseOffset,
         joined.numBytes(), seed)
       i += 1

@@ -47,6 +47,14 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("RollingHashes skips null elements like concat_ws does") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hashes(array('a', CAST(NULL AS STRING), 'b'), 3)[0] AS h, " +
+        "xxhash64('a b') AS expect").collect().head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("native expressions callable from SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
