@@ -24,7 +24,12 @@ object Bench {
     // first query in the map
     spark.range(1).count()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional local-iteration filter (regex); the driver sets no filter.
+    val nameFilter: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(p) => val re = p.r; n => re.findFirstIn(n).isDefined
+      case None => _ => true
+    }
+    val results = SparkEntry.queries.filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {

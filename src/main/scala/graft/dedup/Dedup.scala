@@ -36,40 +36,56 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** w-token shingles (n-grams) of the text, distinct. */
-  def shingles(text: Column, w: Int = 3): Column = {
+  /** w-token shingles (n-grams) of the text, distinct (first-occurrence
+    * order). Native single-pass expression; `shinglesHof` below is the
+    * semantically-identical column-function form kept as its test
+    * oracle. */
+  def shingles(text: Column, w: Int = 3): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.rollingNgrams(
+      TextAnalysis.tokens(text), w)
+
+  /** The interpreted higher-order-function form of `shingles` (test
+    * oracle for the native RollingNgrams expression). */
+  def shinglesHof(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(w)))))
   }
 
+  /** 64-bit hashes of the w-token shingles via the native RollingHashes
+    * expression — one pass per row, no interpreted HOF chain, and every
+    * downstream shuffle carries 8-byte longs instead of shingle text.
+    * Multiset (duplicate windows retained): min-aggregation and
+    * distinct-set arithmetic are both duplicate-insensitive, so callers
+    * that need the set apply array_distinct. */
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.rollingHashes(
+      TextAnalysis.tokens(text), w)
+
   // ----------------------------------------------------------- minhash/LSH
 
-  /** MinHash signature (per-row expression form): signature[j] = min
-    * over shingles of hash_j(shingle). Fine for one-off use; the
-    * pipeline path below uses the aggregation form instead — this
-    * expression rebuilds the shingle array once per hash function. */
-  def minhashSignature(text: Column, k: Int = 64, shingleW: Int = 3): Column = {
+  /** MinHash signature as a pure column-function chain: signature[j] =
+    * min over shingles of hash_j(shingle). Kept as the interpreted
+    * reference form; the pipeline path uses the native MinHashSignature
+    * expression (same shape, one tight loop). */
+  def minhashSignatureHof(text: Column, k: Int = 64, shingleW: Int = 3): Column = {
     val sh = shingles(text, shingleW)
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(sh, g => xxhash64(g, j))))
   }
 
-  /** MinHash signatures as an aggregation: explode shingles once, then
-    * k `min(xxhash64(shingle, j))` aggregates in one groupBy. Map-side
-    * partial mins mean the shuffle carries (id, k×8 bytes) per map
-    * task — at 100 TB this is the only form that scales; the per-row
-    * expression form recomputes the shingle array k times. */
+  /** MinHash signatures, fully NARROW: one native rolling-hash pass
+    * over the tokens, then one native k×|shingles| min loop per row —
+    * no explode, no shuffle, no aggregation. The map stage emits
+    * (id, k×8 bytes) straight into LSH banding; at 100 TB the entire
+    * signature computation rides the scan. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 64,
-                        shingleW: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleW)).as("g"))
-    val aggs = (0 until k).map(j => min(xxhash64(col("g"), lit(j))).as(s"h$j"))
-    sh.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
-  }
+                        shingleW: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      org.apache.spark.sql.graftext.VectorExpressions.minhashSignature(
+        shingleHashes(col(textCol), shingleW), k).as("sig"))
 
   /** LSH banding: split the k-wide signature into bands of `rowsPerBand`
     * and hash each band to one bucket key. Docs sharing any band bucket
@@ -85,24 +101,40 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))).as(Seq("band", "bucket")))
   }
 
+  /** Expand each per-key doc-id list into its i<j pairs. Replaces a
+    * bucket self-join: the upstream plan is consumed ONCE (a self-join
+    * would execute it per side), and the only shuffle is the groupBy on
+    * the key. O(f²) per key stays in one task — acceptable while key
+    * frequency f is bounded (LSH bucket / shingle doc-frequency); see
+    * maxKeyFreq below for the unbounded-skew escape hatch. */
+  private def pairsFromIdLists(grouped: DataFrame, idsCol: String): DataFrame =
+    grouped
+      .filter(size(col(idsCol)) > 1)
+      .select(explode(filter(
+        flatten(transform(col(idsCol),
+          x => transform(col(idsCol), y => struct(x.as("id1"), y.as("id2"))))),
+        p => p("id1") < p("id2"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verify.
-    * Self-join only on (band, bucket) — the shuffled payload is 24
-    * bytes/row; text is re-joined per *candidate* for verification. */
+    * Candidates come from grouping band buckets and expanding id pairs
+    * (the signature pipeline — shingle, explode, 64-way min agg — runs
+    * once; a bucket self-join would run it twice). Shuffled payload is
+    * (bucket, id) pairs, never text; text is re-joined per *candidate*
+    * for verification. */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", threshold: Double = 0.7,
                       k: Int = 64, rowsPerBand: Int = 8, shingleW: Int = 3): DataFrame = {
-    // Both sides of the candidate self-join consume the signatures. At
-    // pipeline scale, materialize signatures first (write/persist) so
-    // the corpus is shingled once; measured at bench scale the two
-    // sides race ahead of any cache, so no persist() here — callers
-    // owning the lifecycle can persist the lshBuckets result themselves.
     val buckets = lshBuckets(docs, idCol, textCol, k, rowsPerBand, shingleW)
-    val candidates = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+    val candidates = pairsFromIdLists(
+      buckets.groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col(idCol)).as("ids")), "ids")
       .dropDuplicates()
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
+    // exact Jaccard over hashed shingle SETS — same value as over the
+    // shingle strings modulo 64-bit collisions, at a fraction of the
+    // memory/compare cost per candidate pair
+    val sh = docs.select(col(idCol),
+      array_distinct(shingleHashes(col(textCol), shingleW)).as("sh"))
     candidates
       .join(sh.as("s1"), col("id1") === col(s"s1.$idCol"))
       .join(sh.as("s2"), col("id2") === col(s"s2.$idCol"))
@@ -140,16 +172,30 @@ object Dedup {
   // ------------------------------------------------------- ngram jaccard
 
   /** Exact n-gram Jaccard near-dup pairs: candidates = docs sharing at
-    * least one shingle (equi-join on the shingle string), verified with
-    * exact set arithmetic. Oracle-friendly (no hashing involved). */
+    * least one shingle (group by shingle, expand id pairs — shingles
+    * the corpus once; a shingle self-join would do it once per side),
+    * verified with exact set arithmetic. Oracle-friendly (no hashing).
+    *
+    * `maxShingleDocFreq`: a shingle present in f docs expands to f²/2
+    * pairs inside one task, so a stop-word shingle at corpus scale is
+    * both a skew and a memory hazard. Setting a cap drops shingles
+    * with doc-frequency above it (CCNet-style frequency pruning) —
+    * near-dup recall is unaffected in practice because near-dup pairs
+    * share many rarer shingles too, but the result is then a lower
+    * bound on n_common; None keeps the operator exact. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", threshold: Double = 0.05,
-                        shingleW: Int = 3): DataFrame = {
+                        shingleW: Int = 3,
+                        maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    // Group by shingle and expand i<j id pairs per shingle: the corpus
+    // is shingled once for the pair stream (plus one cheap narrow pass
+    // for the per-doc set sizes), and the only wide ops are the two
+    // groupBys and the final small joins.
     val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleW)).as("g"))
+    val grouped = sh.groupBy(col("g")).agg(collect_list(col(idCol)).as("ids"))
+    val capped = maxShingleDocFreq.fold(grouped)(f => grouped.filter(size(col("ids")) <= f))
     val sizes = docs.select(col(idCol), size(shingles(col(textCol), shingleW)).as("n"))
-    val a = sh.withColumnRenamed(idCol, "id1")
-    val b = sh.withColumnRenamed(idCol, "id2").withColumnRenamed("g", "gb")
-    a.join(b, col("g") === col("gb") && col("id1") < col("id2"))
+    pairsFromIdLists(capped, "ids")
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n", "n1"), "id1")
       .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n", "n2"), "id2")

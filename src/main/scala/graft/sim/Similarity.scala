@@ -42,8 +42,21 @@ object Similarity {
     val scored = emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol), cosine(asDouble(col(vecCol)), col("qv")).as("cos_sim"))
-    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    topKRanked(scored, k, idCol)
+  }
+
+  /** Deterministic top-k with rank column. orderBy+limit compiles to
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge —
+    * so no global sort and no all-rows-to-one-partition window; the
+    * rank window then runs over just the k survivors. The partition key
+    * is id%1 (constant 0, but NOT foldable — a literal key would be
+    * optimized away, putting WindowExec back on its no-partition
+    * single-partition warning path for what is here a k-row input). */
+  private def topKRanked(scored: DataFrame, k: Int, idCol: String): DataFrame = {
+    val w = Window.partitionBy(pmod(col(idCol), lit(1)))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+      .withColumn("rn", row_number().over(w))
       .select(col(idCol), round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
   }
 
@@ -77,9 +90,7 @@ object Similarity {
     val scored = withBucket.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col(idCol), cosine(col("v"), col("qv")).as("cos_sim"))
-    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col(idCol), round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
+    topKRanked(scored, k, idCol)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.

@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
       exprs => RollingHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("rolling_ngrams"),
+      new ExpressionInfo(classOf[RollingNgrams].getName, "rolling_ngrams"),
+      exprs => RollingNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int])))
   }
 }

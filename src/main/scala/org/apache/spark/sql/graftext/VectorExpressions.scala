@@ -75,6 +75,12 @@ object VectorExpressions {
   def rollingHashes(tokens: Column, w: Int): Column =
     ExpressionUtils.column(RollingHashes(ExpressionUtils.expression(tokens), w))
 
+  def rollingNgrams(tokens: Column, w: Int): Column =
+    ExpressionUtils.column(RollingNgrams(ExpressionUtils.expression(tokens), w))
+
+  def minhashSignature(hashes: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hashes), k))
+
   /** Register graft's native expressions for SQL use on an existing
     * session (the SparkSessionExtensions path is GraftExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -83,6 +89,9 @@ object VectorExpressions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hashes",
       exprs => RollingHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("rolling_ngrams",
+      exprs => RollingNgrams(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

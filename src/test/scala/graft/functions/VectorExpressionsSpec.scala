@@ -47,6 +47,21 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("RollingNgrams matches the column-function shingle form exactly") {
+    import graft.dedup.Dedup
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "short one", "a", "a b c a b c a b c d",
+      "x y x y x y").map(Tuple1(_))
+    val df = texts.toDF("text")
+    val rows = df.select(
+      Dedup.shingles(col("text")).as("fast"),
+      Dedup.shinglesHof(col("text")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("RollingHashes skips null elements like concat_ws does") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
