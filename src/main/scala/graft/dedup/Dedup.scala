@@ -145,16 +145,47 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** MinHash+LSH near-dups on the md5 hash family — the engine-portable
+    * construction the DuckDB oracle can replay hash-for-hash (md5 is
+    * identical everywhere; xxhash64 is Spark-only). k single-hash bands
+    * (r=1): any shared minhash makes a candidate pair, exact Jaccard
+    * verification keeps precision. Same candidate-expansion shape as
+    * minhashNearDups (group by band key, expand i<j pairs); md5 over
+    * shingle strings costs more than the native splitmix path, so the
+    * xxhash-based operator remains the scale path. */
+  def minhashNearDupsMd5(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", threshold: Double = 0.7,
+                         k: Int = 8, shingleW: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(k - 1)),
+        j => array_min(transform(shingles(col(textCol), shingleW),
+          g => md5(concat(j.cast("string"), lit("|"), g)))))).as(Seq("j", "s")))
+    val candidates = pairsFromIdLists(
+      sigs.groupBy(col("j"), col("s")).agg(collect_list(col(idCol)).as("ids")), "ids")
+      .dropDuplicates()
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
+    candidates
+      .join(sh.as("s1"), col("id1") === col(s"s1.$idCol"))
+      .join(sh.as("s2"), col("id2") === col(s"s2.$idCol"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).as("nc"),
+        size(col("s1.sh")).as("n1"), size(col("s2.sh")).as("n2"))
+      .withColumn("jaccard", col("nc").cast("double") / (col("n1") + col("n2") - col("nc")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash as pure column expressions: per-token hash → ±1 per
-    * bit position → per-position sums via a zip_with fold → sign bits
-    * recombined. Near-dups then differ in few bits (hamming distance).
-    */
-  def simhash(text: Column): Column = {
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val zeros = array((0 until 64).map(_ => lit(0L)): _*)
+  /** SimHash over an arbitrary per-token hash array: per-token hash →
+    * ±1 per bit position → per-position sums via a zip_with fold → sign
+    * bits recombined (bit b set iff more tokens have it set than not).
+    * Near-dups then differ in few bits (hamming distance). The hash
+    * column is pluggable so an engine-portable hash (e.g. md5-derived)
+    * can replace xxhash64 where cross-engine verification matters. */
+  def simhashFrom(hashes: Column, bits: Int): Column = {
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    val zeros = array((0 until bits).map(_ => lit(0L)): _*)
     val bitSums = aggregate(
       hashes,
       zeros,
@@ -165,6 +196,22 @@ object Dedup {
       zip_with(bitSums, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
+
+  /** 64-bit SimHash of the whitespace tokens (xxhash64 basis — the
+    * fast in-engine path). */
+  def simhash(text: Column): Column =
+    simhashFrom(transform(TextAnalysis.tokens(text), t => xxhash64(t)), 64)
+
+  /** 60-bit engine-portable token hash: the first 15 hex chars of
+    * md5(token) as a long. Bit-for-bit reproducible in any engine with
+    * md5 + hex parsing (the DuckDB oracle replays it exactly). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash on the md5 basis — used by the oracle-checked catalog
+    * query; same algorithm as simhash, different hash family. */
+  def simhashMd5(text: Column): Column =
+    simhashFrom(transform(TextAnalysis.tokens(text), t => md5Hash60(t)), 60)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -23,20 +23,54 @@ object ExtensionQueries {
     """.trim)
   )
 
-  /** MinHash+LSH near-dup pairs (rows-only check; spec covers recall). */
+  /** MinHash+LSH near-dup pairs on the md5 hash family — fully
+    * oracle-checked: DuckDB replays the identical minhash/banding/
+    * verification construction hash-for-hash. (The xxhash64+splitmix
+    * operator minhashNearDups is the faster in-engine scale path; its
+    * algorithm is identical and spec-pinned.) */
   val dedupMinhash: Q = Q(
     "x_dedup_minhash",
-    (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.5),
-    None
+    (s, d) => Dedup.minhashNearDupsMd5(Tables.documents(s, d), threshold = 0.5),
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      sigs AS (SELECT doc_id, j,
+                      list_min(list_transform(shl, g -> md5(j || '|' || g))) AS s
+               FROM sh0, (SELECT unnest(generate_series(0, 7)) AS j) js),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+               FROM sigs a JOIN sigs b
+                 ON a.j = b.j AND a.s = b.s AND a.doc_id < b.doc_id),
+      scored AS (SELECT id1, id2,
+                        len(list_intersect(x.shl, y.shl)) AS nc,
+                        len(x.shl) AS n1, len(y.shl) AS n2
+                 FROM cand
+                 JOIN sh0 x ON id1 = x.doc_id
+                 JOIN sh0 y ON id2 = y.doc_id)
+      SELECT id1, id2, CAST(nc AS DOUBLE) / (n1 + n2 - nc) AS jaccard
+      FROM scored
+      WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5
+    """.trim)
   )
 
-  /** SimHash signatures + per-doc hamming weight (rows-only check). */
+  /** SimHash signatures on the md5-derived 60-bit token hash —
+    * oracle-checked bit-for-bit (the xxhash64 simhash is the in-engine
+    * fast path, spec-pinned). */
   val dedupSimhash: Q = Q(
     "x_dedup_simhash",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
-      Dedup.simhash(col("text")).as("simhash")),
-    None
+      Dedup.simhashMd5(col("text")).as("simhash")),
+    Some("""
+      SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+               CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM (SELECT doc_id,
+                   list_transform(regexp_split_to_array(text, '\s+'),
+                     t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+            FROM documents)
+    """.trim)
   )
 
   /** Exact n-gram Jaccard pairs — hash-free, so fully oracle-checked:
@@ -83,13 +117,35 @@ object ExtensionQueries {
     """.trim)
   )
 
-  /** LSH-bucketed ANN (rows-only: hyperplanes are xxhash-derived). */
-  val annLsh: Q = Q(
-    "x_ann_lsh",
-    (s, d) => Similarity.annLsh(Tables.embeddings(s, d), queryId = 0L, dim = 64,
-      k = 20, nBits = 6),
-    None
-  )
+  /** LSH-bucketed ANN, fully oracle-checked: the hyperplanes are
+    * deterministic driver-side constants, inlined as literal arrays
+    * into BOTH the Spark plan and this SQL — so DuckDB computes the
+    * identical buckets (dot products are bit-identical, see knnCosine)
+    * and the identical probe result. */
+  val annLsh: Q = {
+    val planeSql = Similarity.hyperplanes(dim = 64, nBits = 6).zipWithIndex
+      .map { case (p, b) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}::DOUBLE[]) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+    Q(
+      "x_ann_lsh",
+      (s, d) => Similarity.annLsh(Tables.embeddings(s, d), queryId = 0L, dim = 64,
+        k = 20, nBits = 6),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+        sc AS (SELECT vec_id,
+                      list_dot_product(v, qv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+               FROM b, q WHERE vec_id <> 0 AND bucket = qbucket)
+        SELECT vec_id, ROUND(c, 6) AS cos_sim, rn
+        FROM (SELECT vec_id, c,
+                     ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM sc) t
+        WHERE rn <= 20
+      """.trim)
+    )
+  }
 
   /** Embedding-cosine near-dup pairs above 0.5 (oracle-checked brute
     * force; the LSH-prefiltered variant is the scale path). */
@@ -123,12 +179,28 @@ object ExtensionQueries {
     """.trim)
   )
 
-  /** Stubbed decode + feature extraction (rows-only; spec pins values). */
+  /** Stubbed decode + feature extraction through the real mapPartitions
+    * Dataset path. The fake decode is deterministic arithmetic over the
+    * payload size, so width/height/frames are oracle-checked; the
+    * payload checksum (a JVM byte fold) stays spec-pinned and is
+    * dropped from the query projection. */
   val mmFeatures: Q = Q(
     "x_mm_decode_features",
     (s, d) => Multimodal.extractFeatures(
-      Multimodal.mediaTable(Tables.documents(s, d))).toDF(),
-    None
+      Multimodal.mediaTable(Tables.documents(s, d))).toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames")),
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id,
+                        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                        octet_length(CAST(text AS BLOB)) AS n
+                 FROM documents)
+      SELECT media_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+             CAST(CASE media_type WHEN 'image' THEN n % 1024 WHEN 'audio' THEN 0 ELSE n % 1920 END AS INT) AS width,
+             CAST(CASE media_type WHEN 'image' THEN (n // 7) % 1024 WHEN 'audio' THEN 0 ELSE n % 1080 END AS INT) AS height,
+             CAST(CASE media_type WHEN 'image' THEN 1 WHEN 'audio' THEN n % 4096 ELSE n % 300 END AS INT) AS n_frames
+      FROM m
+    """.trim)
   )
 
   /** Tumbling-window aggregation (batch form of the streaming op). */

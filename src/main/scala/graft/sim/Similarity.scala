@@ -60,20 +60,30 @@ object Similarity {
       .select(col(idCol), round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
   }
 
-  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
-    * with pseudo-random hyperplanes. Hyperplanes are generated
-    * deterministically from (bit, dim) via xxhash64 → uniform in
-    * [-0.5, 0.5) — data-independent, reproducible across runs/executors
-    * with zero driver state. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column = {
-    val planes: Seq[Column] = (0 until nBits).map { b =>
-      array((0 until dim).map { i =>
-        // deterministic pseudo-uniform in [-0.5, 0.5)
-        (pmod(xxhash64(lit(b * 131071 + i)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-      }: _*)
+  /** Deterministic random hyperplanes: plane[b][i] = splitmix64 of a
+    * (seed, b, i) counter, scaled to [-0.5, 0.5). Generated driver-side
+    * as plain doubles so the SAME constants can be inlined as literals
+    * into both the Spark plan and a SQL oracle — data-independent,
+    * reproducible across runs/executors with zero driver state. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): IndexedSeq[IndexedSeq[Double]] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
     }
+    IndexedSeq.tabulate(nBits, dim) { (b, i) =>
+      // top 53 bits → uniform double in [0,1) → shift to [-0.5, 0.5)
+      (mix(seed + b.toLong * dim + i) >>> 11) * 1.1102230246251565e-16 - 0.5
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
+    * with the deterministic hyperplanes above (inlined as literals). */
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column = {
+    val planes = hyperplanes(dim, nBits)
     (0 until nBits).map { b =>
-      when(dot(vec, planes(b)) > 0, lit(1L << b)).otherwise(lit(0L))
+      when(dot(vec, array(planes(b).map(lit): _*)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

@@ -72,15 +72,31 @@ object TextQueries {
     """.trim)
   )
 
-  /** Document fingerprinting — xxhash64 is Spark-specific, so this is a
-    * rows-only check (no SQL oracle); the spec pins its properties. */
+  /** Document fingerprinting, oracle-checked on the md5 basis:
+    * whole-doc fingerprint of the normalized text, the minimum shingle
+    * fingerprint (the winnowing-style content anchor), and the rolling
+    * window count (computed via the native RollingHashes expression;
+    * its count is hash-independent). The xxhash64 fingerprint remains
+    * the in-engine fast path, spec-pinned. */
   val fingerprints: Q = Q(
     "x_fingerprint",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
-      TextAnalysis.fingerprint(col("text")).as("fp"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp_md5"),
+      array_min(transform(graft.dedup.Dedup.shingles(col("text")),
+        g => md5(g.cast("binary")))).as("min_shingle_md5"),
       size(TextAnalysis.rollingFingerprints(col("text"))).as("n_windows")),
-    None
+    Some("""
+      WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      sh AS (SELECT doc_id, text, toks, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shl FROM w)
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+             list_min(list_transform(shl, g -> md5(g))) AS min_shingle_md5,
+             CAST(greatest(len(toks) - 7, 1) AS INT) AS n_windows
+      FROM sh
+    """.trim)
   )
 
   def all: Seq[Q] = Seq(stats, langid, fingerprints)
