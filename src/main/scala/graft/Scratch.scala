@@ -25,27 +25,34 @@ object Scratch {
 
     val docs = Tables.documents(spark, sfDir)
     import graft.dedup.Dedup
+    import org.apache.spark.sql.graftext.VectorExpressions
     time("warmup pass") {
       docs.select(Dedup.shingleHashes(col("text")).as("h")).queryExecution.toRdd.count()
     }
-    time("shingleHashes") {
-      docs.select(Dedup.shingleHashes(col("text")).as("h")).queryExecution.toRdd.count()
+    time("shingles (native)") {
+      docs.select(Dedup.shingles(col("text")).as("s")).queryExecution.toRdd.count()
     }
-    time("explode hashes") {
-      docs.select(col("doc_id"), explode(Dedup.shingleHashes(col("text"))).as("g"))
+    time("fp_md5 only") {
+      docs.select(md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("f"))
         .queryExecution.toRdd.count()
     }
-    time("signatures (64 min-aggs)") {
-      Dedup.minhashSignatures(docs).queryExecution.toRdd.count()
+    time("md5Min(shingles)") {
+      docs.select(VectorExpressions.md5Min(Dedup.shingles(col("text"))).as("m"))
+        .queryExecution.toRdd.count()
     }
-    time("buckets") {
-      Dedup.lshBuckets(docs).queryExecution.toRdd.count()
+    time("n_windows only") {
+      docs.select(size(graft.text.TextAnalysis.rollingFingerprints(col("text"))).as("n"))
+        .queryExecution.toRdd.count()
     }
-    time("full minhashNearDups") {
-      Dedup.minhashNearDups(docs, threshold = 0.5).queryExecution.toRdd.count()
+    time("md5MinHash(shingles, 8)") {
+      docs.select(VectorExpressions.md5MinHash(Dedup.shingles(col("text")), 8).as("s"))
+        .queryExecution.toRdd.count()
     }
-    time("full ngramJaccardPairs") {
-      Dedup.ngramJaccardPairs(docs, threshold = 0.05).queryExecution.toRdd.count()
+    time("simhashMd5") {
+      docs.select(Dedup.simhashMd5(col("text")).as("s")).queryExecution.toRdd.count()
+    }
+    time("full minhashNearDupsMd5") {
+      Dedup.minhashNearDupsMd5(docs, threshold = 0.5).queryExecution.toRdd.count()
     }
     spark.stop()
   }

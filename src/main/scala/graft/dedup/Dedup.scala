@@ -147,19 +147,19 @@ object Dedup {
 
   /** MinHash+LSH near-dups on the md5 hash family — the engine-portable
     * construction the DuckDB oracle can replay hash-for-hash (md5 is
-    * identical everywhere; xxhash64 is Spark-only). k single-hash bands
-    * (r=1): any shared minhash makes a candidate pair, exact Jaccard
-    * verification keeps precision. Same candidate-expansion shape as
-    * minhashNearDups (group by band key, expand i<j pairs); md5 over
-    * shingle strings costs more than the native splitmix path, so the
-    * xxhash-based operator remains the scale path. */
+    * identical everywhere; xxhash64 is Spark-only). One digest per
+    * shingle, k hashes by Carter-Wegman double hashing over the two
+    * 60-bit md5 halves (native Md5MinHash expression); k single-hash
+    * bands (r=1): any shared minhash makes a candidate pair, exact
+    * Jaccard verification keeps precision. Same candidate-expansion
+    * shape as minhashNearDups; the xxhash/splitmix operator remains the
+    * (hash-cheaper) in-engine scale path. */
   def minhashNearDupsMd5(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", threshold: Double = 0.7,
                          k: Int = 8, shingleW: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(k - 1)),
-        j => array_min(transform(shingles(col(textCol), shingleW),
-          g => md5(concat(j.cast("string"), lit("|"), g)))))).as(Seq("j", "s")))
+      org.apache.spark.sql.graftext.VectorExpressions.md5MinHash(
+        shingles(col(textCol), shingleW), k)).as(Seq("j", "s")))
     val candidates = pairsFromIdLists(
       sigs.groupBy(col("j"), col("s")).agg(collect_list(col(idCol)).as("ids")), "ids")
       .dropDuplicates()
@@ -209,9 +209,14 @@ object Dedup {
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** SimHash on the md5 basis — used by the oracle-checked catalog
-    * query; same algorithm as simhash, different hash family. */
-  def simhashMd5(text: Column): Column =
-    simhashFrom(transform(TextAnalysis.tokens(text), t => md5Hash60(t)), 60)
+    * query; same algorithm as simhash, different hash family. Native
+    * end-to-end (one digest per token + a tight bit-count loop); the
+    * column-function equivalent is
+    * simhashFrom(transform(tokens, md5Hash60), 60). */
+  def simhashMd5(text: Column): Column = {
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    V.simhashFrom(V.md5Hashes60(TextAnalysis.tokens(text)), 60)
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

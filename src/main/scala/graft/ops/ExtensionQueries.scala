@@ -37,7 +37,9 @@ object ExtensionQueries {
                 generate_series(1, greatest(len(w) - 2, 1)),
                 i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
       sigs AS (SELECT doc_id, j,
-                      list_min(list_transform(shl, g -> md5(j || '|' || g))) AS s
+                      list_min(list_transform(shl, g ->
+                        ('0x' || substr(md5(g), 1, 15))::BIGINT
+                        + j * ('0x' || substr(md5(g), 17, 15))::BIGINT)) AS s
                FROM sh0, (SELECT unnest(generate_series(0, 7)) AS j) js),
       cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
                FROM sigs a JOIN sigs b

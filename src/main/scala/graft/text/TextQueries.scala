@@ -82,9 +82,10 @@ object TextQueries {
     "x_fingerprint",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp_md5"),
-      array_min(transform(graft.dedup.Dedup.shingles(col("text")),
-        g => md5(g.cast("binary")))).as("min_shingle_md5"),
+      md5(org.apache.spark.sql.graftext.VectorExpressions.normalizeWs(col("text"))
+        .cast("binary")).as("fp_md5"),
+      org.apache.spark.sql.graftext.VectorExpressions.md5Min(
+        graft.dedup.Dedup.shingles(col("text"))).as("min_shingle_md5"),
       size(TextAnalysis.rollingFingerprints(col("text"))).as("n_windows")),
     Some("""
       WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents),

@@ -1,0 +1,200 @@
+package org.apache.spark.sql.graftext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5 plumbing for the engine-portable (oracle-replayable)
+  * hash expressions. md5 is the one hash family every engine computes
+  * identically, so constructions built on it can be verified
+  * hash-for-hash by an external SQL engine; these expressions exist to
+  * make that affordable (one digest per element, tight loops) instead
+  * of k interpreted md5 calls per element.
+  */
+private[graftext] object Md5Support {
+  private val local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  def digest(u: UTF8String): Array[Byte] = {
+    val md = local.get()
+    md.reset()
+    md.digest(u.getBytes)
+  }
+  /** Unsigned big-endian value of 8 bytes starting at `off`, shifted to
+    * the top 60 bits — numerically equal to parsing hex chars
+    * [2·off+1 .. 2·off+15] of the digest's hex rendering (what
+    * `('0x' || substr(md5(x), 2·off+1, 15))::BIGINT` yields in SQL). */
+  def hex60(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** Per-row md5-based MinHash signature over a shingle array:
+  * signature[j] = min over shingles g of (a(g) + j·b(g)), where a/b are
+  * the 60-bit halves of md5(g) (hex chars 1-15 and 17-31). One digest
+  * per shingle; the k hashes are Carter-Wegman double-hashing — and the
+  * whole construction is replayable in portable SQL.
+  */
+case class Md5MinHash(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = Md5Support.digest(arr.getUTF8String(i))
+        val a = Md5Support.hex60(d, 0)
+        val b = Md5Support.hex60(d, 8)
+        var j = 0
+        while (j < k) {
+          val h = a + j * b
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHash =
+    copy(child = newChild)
+}
+
+/** Per-element 60-bit md5 hashes of a string array: element i →
+  * hex60(md5(arr[i])) (hex chars 1-15), i.e. the same value SQL gets
+  * from `('0x' || substr(md5(x), 1, 15))::BIGINT`. Null elements hash
+  * to null slots skipped by downstream folds.
+  */
+case class Md5Hashes60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_hashes60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        out(m) = Md5Support.hex60(Md5Support.digest(arr.getUTF8String(i)), 0)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else out.take(m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hashes60 =
+    copy(child = newChild)
+}
+
+/** SimHash signature of a hash array: bit b of the result is set iff
+  * more elements have bit b set than cleared (strict majority). The
+  * tight-loop form of the aggregate/zip_with column chain in
+  * graft.dedup.Dedup.simhashFrom.
+  */
+case class SimHashFrom(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_from"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFrom =
+    copy(child = newChild)
+}
+
+/** Minimum md5 (lowercase hex) over a string array — one digest per
+  * element, unsigned byte-wise min (equal to the lexicographic min of
+  * the hex renderings), hex-encoded once at the end.
+  */
+case class Md5Min(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "md5_min"
+
+  private def unsignedLess(x: Array[Byte], y: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val xi = x(i) & 0xff
+      val yi = y(i) & 0xff
+      if (xi != yi) return xi < yi
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = Md5Support.digest(arr.getUTF8String(i))
+        if (best == null || unsignedLess(d, best)) best = d
+      }
+      i += 1
+    }
+    if (best == null) null
+    else {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < 16) {
+        sb.append(Character.forDigit((best(j) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(best(j) & 0xf, 16))
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Min =
+    copy(child = newChild)
+}

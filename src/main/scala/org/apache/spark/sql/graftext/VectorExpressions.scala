@@ -81,6 +81,21 @@ object VectorExpressions {
   def minhashSignature(hashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hashes), k))
 
+  def md5MinHash(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(Md5MinHash(ExpressionUtils.expression(shingles), k))
+
+  def md5Min(shingles: Column): Column =
+    ExpressionUtils.column(Md5Min(ExpressionUtils.expression(shingles)))
+
+  def md5Hashes60(tokens: Column): Column =
+    ExpressionUtils.column(Md5Hashes60(ExpressionUtils.expression(tokens)))
+
+  def simhashFrom(hashes: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashFrom(ExpressionUtils.expression(hashes), bits))
+
+  def normalizeWs(s: Column): Column =
+    ExpressionUtils.column(NormalizeWs(ExpressionUtils.expression(s)))
+
   /** Register graft's native expressions for SQL use on an existing
     * session (the SparkSessionExtensions path is GraftExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -62,6 +62,39 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("md5 expressions match their column-function equivalents") {
+    import graft.dedup.Dedup
+    import graft.text.TextAnalysis
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    val texts = Seq(
+      "The Quick  Brown\tFox jumps\nover the lazy dog",
+      "short one", "a", "MiXeD CaSe   WITH   Runs").map(Tuple1(_))
+    val df = texts.toDF("text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val rows = df.select(
+      V.normalizeWs(col("text")).as("nw_fast"),
+      regexp_replace(lower(col("text")), "\\s+", " ").as("nw_hof"),
+      V.md5Hashes60(toks).as("h60_fast"),
+      transform(toks, t => Dedup.md5Hash60(t)).as("h60_hof"),
+      V.simhashFrom(V.md5Hashes60(toks), 60).as("sh_fast"),
+      Dedup.simhashFrom(V.md5Hashes60(toks), 60).as("sh_hof"),
+      V.md5Min(Dedup.shingles(col("text"))).as("mm_fast"),
+      array_min(transform(Dedup.shingles(col("text")),
+        g => md5(g.cast("binary")))).as("mm_hof"),
+      V.md5MinHash(Dedup.shingles(col("text")), 8).as("mh_fast"),
+      transform(sequence(lit(0), lit(7)), j => array_min(transform(
+        Dedup.shingles(col("text")),
+        g => Dedup.md5Hash60(g) + j * conv(substring(md5(g.cast("binary")), 17, 15), 16, 10)
+          .cast("long")))).as("mh_hof")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+      assert(r.getLong(4) == r.getLong(5))
+      assert(r.getString(6) == r.getString(7))
+      assert(r.getSeq[Long](8) == r.getSeq[Long](9))
+    }
+  }
+
   test("RollingHashes skips null elements like concat_ws does") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
