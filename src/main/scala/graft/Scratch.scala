@@ -48,9 +48,24 @@ object Scratch {
       docs.select(VectorExpressions.md5MinHash(Dedup.shingles(col("text")), 8).as("s"))
         .queryExecution.toRdd.count()
     }
-    time("simhashMd5") {
-      docs.select(Dedup.simhashMd5(col("text")).as("s")).queryExecution.toRdd.count()
+    val sigs = docs.select(col("doc_id"), posexplode(
+      VectorExpressions.md5MinHash(Dedup.shingles(col("text")), 8)).as(Seq("j", "s")))
+    time("sigs exploded") { sigs.queryExecution.toRdd.count() }
+    time("sigs grouped") {
+      sigs.groupBy(col("j"), col("s")).agg(collect_list(col("doc_id")).as("ids"))
+        .queryExecution.toRdd.count()
     }
+    val cand = {
+      val grouped = sigs.groupBy(col("j"), col("s")).agg(collect_list(col("doc_id")).as("ids"))
+      grouped.filter(size(col("ids")) > 1)
+        .select(explode(filter(
+          flatten(transform(col("ids"),
+            x => transform(col("ids"), y => struct(x.as("id1"), y.as("id2"))))),
+          p => p("id1") < p("id2"))).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        .dropDuplicates()
+    }
+    time("candidates+dedup") { cand.queryExecution.toRdd.count() }
     time("full minhashNearDupsMd5") {
       Dedup.minhashNearDupsMd5(docs, threshold = 0.5).queryExecution.toRdd.count()
     }

@@ -149,19 +149,28 @@ object Dedup {
     * construction the DuckDB oracle can replay hash-for-hash (md5 is
     * identical everywhere; xxhash64 is Spark-only). One digest per
     * shingle, k hashes by Carter-Wegman double hashing over the two
-    * 60-bit md5 halves (native Md5MinHash expression); k single-hash
-    * bands (r=1): any shared minhash makes a candidate pair, exact
-    * Jaccard verification keeps precision. Same candidate-expansion
-    * shape as minhashNearDups; the xxhash/splitmix operator remains the
+    * 60-bit md5 halves (native Md5MinHash expression); bands of
+    * `rowsPerBand` signature values (r=2 default: a candidate pair must
+    * share a FULL band, which keeps the false-candidate rate — and the
+    * verify-stage work — bounded as the corpus grows; r=1 degenerates
+    * into every pair sharing any single min). Exact Jaccard
+    * verification keeps precision. Same candidate-expansion shape as
+    * minhashNearDups; the xxhash/splitmix operator remains the
     * (hash-cheaper) in-engine scale path. */
   def minhashNearDupsMd5(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", threshold: Double = 0.7,
-                         k: Int = 8, shingleW: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), posexplode(
+                         k: Int = 16, rowsPerBand: Int = 2,
+                         shingleW: Int = 3): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sig = docs.select(col(idCol),
       org.apache.spark.sql.graftext.VectorExpressions.md5MinHash(
-        shingles(col(textCol), shingleW), k)).as(Seq("j", "s")))
+        shingles(col(textCol), shingleW), k).as("sig"))
+    val sigs = sig.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .as(Seq("band", "s")))
     val candidates = pairsFromIdLists(
-      sigs.groupBy(col("j"), col("s")).agg(collect_list(col(idCol)).as("ids")), "ids")
+      sigs.groupBy(col("band"), col("s")).agg(collect_list(col(idCol)).as("ids")), "ids")
       .dropDuplicates()
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
     candidates

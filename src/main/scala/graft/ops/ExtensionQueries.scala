@@ -36,14 +36,18 @@ object ExtensionQueries {
       sh0 AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(w) - 2, 1)),
                 i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
-      sigs AS (SELECT doc_id, j,
-                      list_min(list_transform(shl, g ->
-                        ('0x' || substr(md5(g), 1, 15))::BIGINT
-                        + j * ('0x' || substr(md5(g), 17, 15))::BIGINT)) AS s
-               FROM sh0, (SELECT unnest(generate_series(0, 7)) AS j) js),
+      ab AS (SELECT doc_id, shl, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
       cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-               FROM sigs a JOIN sigs b
-                 ON a.j = b.j AND a.s = b.s AND a.doc_id < b.doc_id),
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id),
       scored AS (SELECT id1, id2,
                         len(list_intersect(x.shl, y.shl)) AS nc,
                         len(x.shl) AS n1, len(y.shl) AS n2
@@ -235,8 +239,11 @@ object ExtensionQueries {
       val t = col("text")
       val scored = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), t.as("text"),
-        TextAnalysis.qualityScore(t).as("quality"),
-        TextAnalysis.tokenCount(t).as("n_tokens"))
+        TextAnalysis.textStats(t).as("st"))
+        .select(
+          col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.qualityScoreFrom(col("st"), col("text")).as("quality"),
+          col("st.n_tokens").as("n_tokens"))
       val kept = scored.filter(col("quality") >= 60)
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
       val deduped = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -38,6 +38,14 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
 
+  /** All four token counters in ONE native pass:
+    * struct(n_tokens, max_token_len, n_punct, n_stopwords). Project it
+    * once and reference the fields — each column function above
+    * re-splits the text per use. Semantics are identical (the spec pins
+    * field-for-field parity). */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.textStats(text, stopwords)
+
   /** Composite quality score in [0,100], integer arithmetic only (no
     * float divergence): penalties for too-short text, no stopwords,
     * excessive punctuation, very long tokens. */
@@ -47,6 +55,17 @@ object TextAnalysis {
     val stopPenalty = when(stopwordCount(text) === 0, 25).otherwise(0)
     val punctPenalty = when(punctCount(text) * 5 > length(text), 20).otherwise(0)
     val longTokPenalty = when(maxTokenLen(text) > 30, 15).otherwise(0)
+    lit(100) - shortPenalty - stopPenalty - punctPenalty - longTokPenalty
+  }
+
+  /** qualityScore computed from an already-projected textStats struct
+    * (st) — lets the text be scanned once per row instead of once per
+    * counter. */
+  def qualityScoreFrom(st: Column, text: Column): Column = {
+    val shortPenalty = when(st("n_tokens") < 10, 40).otherwise(0)
+    val stopPenalty = when(st("n_stopwords") === 0, 25).otherwise(0)
+    val punctPenalty = when(st("n_punct") * 5 > length(text), 20).otherwise(0)
+    val longTokPenalty = when(st("max_token_len") > 30, 15).otherwise(0)
     lit(100) - shortPenalty - stopPenalty - punctPenalty - longTokPenalty
   }
 

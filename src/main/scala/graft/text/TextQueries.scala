@@ -9,20 +9,25 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Token counting + quality stats (all integer). */
+  /** Token counting + quality stats (all integer). The four token
+    * counters come from one native text_stats pass, projected once and
+    * field-referenced (CollapseProject keeps the struct shared). */
   val stats: Q = Q(
     "x_text_stats",
     (s, d) => {
       val t = col("text")
       Tables.documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        TextAnalysis.subwordCount(t).as("n_subwords"),
-        length(t).as("len_chars"),
-        TextAnalysis.maxTokenLen(t).as("max_token_len"),
-        TextAnalysis.punctCount(t).as("n_punct"),
-        TextAnalysis.stopwordCount(t).as("n_stopwords"),
-        TextAnalysis.qualityScore(t).as("quality"))
+        col("doc_id"), t.as("text"),
+        TextAnalysis.textStats(t).as("st"))
+        .select(
+          col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+          length(col("text")).as("len_chars"),
+          col("st.max_token_len").as("max_token_len"),
+          col("st.n_punct").as("n_punct"),
+          col("st.n_stopwords").as("n_stopwords"),
+          TextAnalysis.qualityScoreFrom(col("st"), col("text")).as("quality"))
     },
     Some("""
       SELECT doc_id,

@@ -33,13 +33,24 @@ private[graftext] object Md5Support {
     while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** 56-bit variant (14 hex chars): small enough that a + j·b stays
+    * inside a signed 64-bit integer for j ≤ 127 — DuckDB raises on
+    * BIGINT overflow, so the double-hashing arithmetic must not wrap. */
+  def hex56(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v >>> 8
+  }
 }
 
 /** Per-row md5-based MinHash signature over a shingle array:
   * signature[j] = min over shingles g of (a(g) + j·b(g)), where a/b are
-  * the 60-bit halves of md5(g) (hex chars 1-15 and 17-31). One digest
-  * per shingle; the k hashes are Carter-Wegman double-hashing — and the
-  * whole construction is replayable in portable SQL.
+  * the 56-bit halves of md5(g) (hex chars 1-14 and 17-30 — 56 bits so
+  * the sum cannot overflow a signed 64-bit int for any j ≤ 127). One
+  * digest per shingle; the k hashes are Carter-Wegman double-hashing —
+  * and the whole construction is replayable in portable SQL.
   */
 case class Md5MinHash(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -57,8 +68,8 @@ case class Md5MinHash(child: Expression, k: Int)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val d = Md5Support.digest(arr.getUTF8String(i))
-        val a = Md5Support.hex60(d, 0)
-        val b = Md5Support.hex60(d, 8)
+        val a = Md5Support.hex56(d, 0)
+        val b = Md5Support.hex56(d, 8)
         var j = 0
         while (j < k) {
           val h = a + j * b

@@ -96,6 +96,9 @@ object VectorExpressions {
   def normalizeWs(s: Column): Column =
     ExpressionUtils.column(NormalizeWs(ExpressionUtils.expression(s)))
 
+  def textStats(s: Column, stopwords: Seq[String]): Column =
+    ExpressionUtils.column(TextStats(ExpressionUtils.expression(s), stopwords))
+
   /** Register graft's native expressions for SQL use on an existing
     * session (the SparkSessionExtensions path is GraftExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -62,6 +62,34 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("TextStats matches the per-counter column functions field-for-field") {
+    import graft.text.TextAnalysis
+    val texts = Seq(
+      "The quick brown fox, it jumps over the lazy dog!",
+      "  leading and trailing  ", "", "one",
+      "tabs\there\tand\nnewlines", "!!! ??? ...",
+      "averyveryveryverylongtokenthatgoesonandonandonpastthirty chars",
+      "the the the a a of", "数字 and 中文 mixed in").map(Tuple1(_))
+    val df = texts.toDF("text")
+    val t = col("text")
+    val rows = df.select(
+      TextAnalysis.textStats(t).as("st"),
+      TextAnalysis.tokenCount(t).as("c1"),
+      TextAnalysis.maxTokenLen(t).as("c2"),
+      TextAnalysis.punctCount(t).as("c3"),
+      TextAnalysis.stopwordCount(t).as("c4"),
+      TextAnalysis.qualityScoreFrom(col("st"), t).as("q1"),
+      TextAnalysis.qualityScore(t).as("q2")).collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) == r.getInt(1), s"n_tokens: $r")
+      assert(st.getInt(1) == r.getInt(2), s"max_token_len: $r")
+      assert(st.getInt(2) == r.getInt(3), s"n_punct: $r")
+      assert(st.getInt(3) == r.getInt(4), s"n_stopwords: $r")
+      assert(r.getInt(5) == r.getInt(6), s"quality: $r")
+    }
+  }
+
   test("md5 expressions match their column-function equivalents") {
     import graft.dedup.Dedup
     import graft.text.TextAnalysis
@@ -84,8 +112,9 @@ class VectorExpressionsSpec extends SparkSpec {
       V.md5MinHash(Dedup.shingles(col("text")), 8).as("mh_fast"),
       transform(sequence(lit(0), lit(7)), j => array_min(transform(
         Dedup.shingles(col("text")),
-        g => Dedup.md5Hash60(g) + j * conv(substring(md5(g.cast("binary")), 17, 15), 16, 10)
-          .cast("long")))).as("mh_hof")).collect()
+        g => conv(substring(md5(g.cast("binary")), 1, 14), 16, 10).cast("long")
+          + j * conv(substring(md5(g.cast("binary")), 17, 14), 16, 10).cast("long"))))
+        .as("mh_hof")).collect()
     rows.foreach { r =>
       assert(r.getString(0) == r.getString(1))
       assert(r.getSeq[Long](2) == r.getSeq[Long](3))
