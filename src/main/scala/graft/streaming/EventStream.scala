@@ -38,6 +38,63 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class SessionState(start: Long, last: Long, n: Long, value: Double)
+
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Long,
+                                 total_value: Double)
+
+  /** Gap-based session windows via flatMapGroupsWithState (append mode,
+    * event-time timeout): events within `gap` of each other merge into
+    * one session; a session closes — and emits exactly one row — when a
+    * later event arrives past the gap, or when the watermark passes
+    * last_event + gap (the timeout path). State per user is one open
+    * session; the watermark bounds it. This is the arbitrary-state
+    * upgrade of the built-in session_window aggregation (w4): use it
+    * when the per-session result needs logic an agg can't express. */
+  def sessionWindows(events: Dataset[Event],
+                     gap: java.time.Duration = java.time.Duration.ofMinutes(30),
+                     watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMillis = gap.toMillis
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          def close(s: SessionState): ClosedSession =
+            ClosedSession(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.value)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(s))
+          } else {
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case null => SessionState(t, t, 1L, e.value)
+                case s if t - s.last > gapMillis =>
+                  closed += close(s)
+                  SessionState(t, t, 1L, e.value)
+                case s =>
+                  SessionState(s.start, math.max(s.last, t), s.n + 1, s.value + e.value)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.last + gapMillis)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom state: per-user session aggregation with a processing-time
     * timeout (mapGroupsWithState — the arbitrary-state operator). */
   def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {

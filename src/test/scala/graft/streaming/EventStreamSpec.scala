@@ -55,6 +55,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows emits gap-closed and timeout-closed sessions (flatMapGroupsWithState)") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-sess").toString
+    // user 1: two events 5 min apart (one session), then an event 50 min
+    // later (past the 30-min gap -> closes session 1 in-batch)
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(5), 1L, "view", 2.0),
+      (3L, ts(55), 1L, "purchase", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/batch1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      .as[EventStream.Event](org.apache.spark.sql.Encoders.product[EventStream.Event])
+    val q = EventStream.sessionWindows(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past session 2's timeout
+      Seq((99L, Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(s"$dir/batch2")
+      q.processAllAvailable()
+      q.processAllAvailable() // one more microbatch so the timeout fires
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sess_out WHERE user_id = 1 ORDER BY n_events DESC")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((1L, 2L, 3.0)), s"gap-closed session missing: ${rows.toSeq}")
+      assert(rows.contains((1L, 1L, 5.0)), s"timeout-closed session missing: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize aggregates per-user state (batch execution of the stateful op)") {
     val events = Seq(
       EventStream.Event(1L, ts(0), 1L, "view", 1.0),
