@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** S1-S8: sources and sinks (jobs/etl_job.py:78-122,426-452).
   *
   * JDBC parity note: no MySQL exists in this environment; the JDBC paths
-  * build the exact option set the reference uses and are integration-
-  * tested for option plumbing only (SURVEY.md §7.4 risk 3).
+  * build the exact option set the reference uses and round-trip against
+  * embedded Derby in IoSpec (SURVEY.md §7.4 risk 3) — only url/driver
+  * options differ from the MySQL endpoints.
   */
 object Sources {
 

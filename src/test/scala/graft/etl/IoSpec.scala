@@ -3,10 +3,25 @@ package graft.etl
 import graft.SparkSpec
 import java.nio.file.Files
 
-/** Sink round-trips (S4/S5) — the JDBC paths (S2/S3) are option-plumbing
-  * only since no database exists in this environment. */
+/** Sink round-trips: parquet/CSV (S4/S5) and a REAL JDBC round-trip
+  * (S2/S3) against embedded Derby — same code path as the reference's
+  * MySQL endpoints, only the url/driver options differ. */
 class IoSpec extends SparkSpec {
   import spark.implicits._
+
+  test("jdbc sink + source round-trip (S2/S3) against embedded Derby") {
+    val cfg = JdbcConfig(
+      url = "jdbc:derby:memory:graftio;create=true",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      user = "", password = "", table = "ETL_RESULT")
+    val df = Seq(("u1", "p1", "cat"), ("u2", "p2", "cat")).toDF("USER_ID", "PRODUCT_CODE", "CAT1")
+    Sinks.jdbcAppend(df, cfg)  // append creates the table on first write
+    Sinks.jdbcAppend(df, cfg)  // reference semantics: append, not upsert
+    val back = Sources.jdbc(spark, cfg)
+    assert(back.columns.toSeq == Seq("USER_ID", "PRODUCT_CODE", "CAT1"))
+    assert(back.count() == 4)
+    assert(rowSet(back.select("USER_ID").distinct()) == Set("u1", "u2"))
+  }
 
   test("csvSingleFile: single part file, header, round-trips") {
     val dir = Files.createTempDirectory("csv-sink").toString + "/out"
