@@ -209,6 +209,75 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** As-of join: each purchase event enriched with the user's most
+    * recent signup at-or-before it (union+window implementation, see
+    * AsOf). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a fully
+    * independent implementation of the same semantics, so this checks
+    * the operator's meaning, not just its arithmetic. */
+  val asofJoin: Q = Q(
+    "x_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+        .select(col("user_id"), col("signup_ts").as("ts"),
+          col("signup_ts"), col("signup_value"))
+      AsOf.asofJoin(purchases, signups, "user_id", "ts",
+        Seq("signup_ts", "signup_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+          col("signup_value"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("signup_ts")))
+            .as("secs_since_signup"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, ts AS signup_ts, MAX(value) AS signup_value
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+             s.signup_value,
+             CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+               - CAST(epoch(date_trunc('second', s.signup_ts)) AS BIGINT) AS secs_since_signup
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+    """.trim)
+  )
+
+  /** Range join: per purchase, how many clicks the same user made in
+    * the preceding 30 minutes — bucketed-equi-join implementation (see
+    * RangeJoin); the oracle is DuckDB's inequality join, an independent
+    * evaluation of the same interval semantics. */
+  val rangeJoin: Q = Q(
+    "x_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      RangeJoin.slidingCount(purchases, clicks, "user_id", "ts",
+        windowSec = 1800L, countAs = "n_clicks_30m")
+        .select(col("event_id"), col("user_id"), col("n_clicks_30m"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id,
+                        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ls
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS rs
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, COUNT(c.rs) AS n_clicks_30m
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id AND c.rs >= p.ls - 1800 AND c.rs < p.ls
+      GROUP BY p.event_id, p.user_id
+    """.trim)
+  )
+
   /** Tumbling-window aggregation (batch form of the streaming op). */
   val tumblingWindow: Q = Q(
     "x_tumbling_window",
@@ -275,6 +344,6 @@ object ExtensionQueries {
   )
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
-    knnCosine, annLsh, cosineNearDups, mmMetadata, mmFeatures, tumblingWindow,
-    corpusPipeline)
+    knnCosine, annLsh, cosineNearDups, mmMetadata, mmFeatures, asofJoin,
+    rangeJoin, tumblingWindow, corpusPipeline)
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      (1L, 10L, ts(5)),   // before any quote -> null
+      (2L, 10L, ts(15)),  // after q1 -> 100
+      (3L, 10L, ts(30)),  // tie with q2 -> 200 (>= semantics)
+      (4L, 10L, ts(45)),  // after q2 -> 200
+      (5L, 99L, ts(45))   // other key, no quotes -> null
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      (10L, ts(10), 100.0), // q1
+      (10L, ts(30), 200.0)  // q2
+    ).toDF("key", "t", "px")
+    val out = AsOf.asofJoin(left, right, "key", "t", Seq("px"))
+      .select(col("id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == null)
+    assert(out(2L) == 100.0)
+    assert(out(3L) == 200.0)
+    assert(out(4L) == 200.0)
+    assert(out(5L) == null)
+  }
+
+  test("bucketed range join matches the naive theta join exactly") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i =>
+      (i.toLong, (i % 5).toLong, ts(rnd.nextInt(59)))).toDF("id", "key", "t")
+    val right = (1 to 400).map(i =>
+      ((i % 5).toLong, ts(rnd.nextInt(59)))).toDF("key", "t")
+    val fast = RangeJoin.slidingCount(left, right, "key", "t", 600L, "n")
+      .select("id", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive: key-equi join + range filter (the spec of the semantics)
+    val l = left.select(col("id"), col("key"), unix_timestamp(col("t")).as("ls"))
+    val r = right.select(col("key").as("k2"), unix_timestamp(col("t")).as("rs"))
+    val naive = l.join(r, col("key") === col("k2") &&
+        col("rs") >= col("ls") - 600 && col("rs") < col("ls"), "left_outer")
+      .groupBy(col("id")).agg(count(col("rs")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == naive)
+  }
+
+  test("asofJoin carries multi-column right values atomically") {
+    val left = Seq((1L, 1L, ts(20))).toDF("id", "key", "t")
+    val right = Seq(
+      (1L, ts(5), Some("a"), 1.0),
+      (1L, ts(10), None: Option[String], 2.0) // latest row has a NULL col
+    ).toDF("key", "t", "label", "px")
+    val r = AsOf.asofJoin(left, right, "key", "t", Seq("label", "px")).collect().head
+    // both values must come from the ts(10) row: label null, px 2.0 —
+    // per-column carry would have mixed in "a" from the older row
+    assert(r.isNullAt(r.fieldIndex("label")))
+    assert(r.getDouble(r.fieldIndex("px")) == 2.0)
+  }
+}
