@@ -28,6 +28,12 @@ object Scratch {
     val docs = Tables.documents(spark, sfDir)
     import graft.dedup.Dedup
     import org.apache.spark.sql.graftext.VectorExpressions
+    time("warmup pass2") {
+      graft.SparkEntry.queries("a6_percentiles")(spark, sfDir).queryExecution.toRdd.count()
+    }
+    time("a6 warm") {
+      graft.SparkEntry.queries("a6_percentiles")(spark, sfDir).queryExecution.toRdd.count()
+    }
     time("warmup pass") {
       docs.select(Dedup.shingleHashes(col("text")).as("h")).queryExecution.toRdd.count()
     }

@@ -67,6 +67,60 @@ object CoverageQueries {
     """.trim)
   )
 
+  /** EXACT percentiles (linear interpolation, quantile_cont
+    * definition) per group, computed SORT-BASED: rank with a window,
+    * pick the two bracketing rows per quantile, interpolate with
+    * rational arithmetic ((n-1)·num/den split into integer index +
+    * exact fraction). Spark's percentile() aggregate instead buffers
+    * every group value in one in-memory map — this form only sorts
+    * (spillable; upgrade path for giant single groups is a two-pass
+    * histogram-then-select over a range-partitioned sort). The oracle
+    * replays the identical formulation, so results are bit-identical.
+    */
+  val percentiles: Q = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "a6_percentiles",
+      (s, d) => {
+        val wRn = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        val base = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        // group sizes via a tiny broadcast-joined aggregate — an
+        // unbounded COUNT(*) window frame would buffer each whole
+        // partition a second time
+        val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val ranked = base
+          .withColumn("rn", row_number().over(wRn))
+          .join(broadcast(counts), "l_returnflag")
+        def qc(num: Int, den: Int): Column = {
+          val idx = (col("n") - 1) * num
+          val lo = floor(idx / den).cast("long") + 1
+          val frac = (idx % den).cast("double") / den
+          sum(when(col("rn") === lo, col("v") * (lit(1.0) - frac))
+            .when(col("rn") === lo + 1, col("v") * frac))
+        }
+        ranked.groupBy(col("l_returnflag"))
+          .agg(qc(1, 2).as("p50"), qc(19, 20).as("p95"),
+            min(col("v")).as("min_price"), max(col("v")).as("max_price"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag,
+               SUM(CASE WHEN rn = ((n-1)*1) // 2 + 1 THEN v * (1.0 - CAST(((n-1)*1) % 2 AS DOUBLE) / 2)
+                        WHEN rn = ((n-1)*1) // 2 + 2 THEN v * (CAST(((n-1)*1) % 2 AS DOUBLE) / 2) END) AS p50,
+               SUM(CASE WHEN rn = ((n-1)*19) // 20 + 1 THEN v * (1.0 - CAST(((n-1)*19) % 20 AS DOUBLE) / 20)
+                        WHEN rn = ((n-1)*19) // 20 + 2 THEN v * (CAST(((n-1)*19) % 20 AS DOUBLE) / 20) END) AS p95,
+               MIN(v) AS min_price,
+               MAX(v) AS max_price
+        FROM ranked GROUP BY l_returnflag
+      """.trim)
+    )
+  }
+
   /** Semi + anti join: customers with vs without orders (EXISTS / NOT
     * EXISTS as joins — no row multiplication, early out per match). */
   val semiAnti: Q = Q(
@@ -173,6 +227,6 @@ object CoverageQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(rollup1, cube1, topk, countDistinct1, semiAnti, outer,
-    setOps, pivot1, wordcount)
+  def all: Seq[Q] = Seq(rollup1, cube1, topk, countDistinct1, percentiles,
+    semiAnti, outer, setOps, pivot1, wordcount)
 }

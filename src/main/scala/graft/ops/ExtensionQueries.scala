@@ -153,6 +153,39 @@ object ExtensionQueries {
     )
   }
 
+  /** IVF-style ANN probe (see Similarity.annIvf) — centroids from
+    * exact-decimal means of rounded components, nearest list probed
+    * with the fixed-order dot product; the oracle rebuilds centroids
+    * and the probe with the identical arithmetic. */
+  val annIvf: Q = Q(
+    "x_ann_ivf",
+    (s, d) => Similarity.annIvf(Tables.embeddings(s, d), queryId = 0L, dim = 64, k = 20),
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      comps AS (SELECT label, i AS pos, round(v[i], 6) AS x
+                FROM e, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      cent AS (SELECT label, pos,
+                      CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+               FROM comps GROUP BY label, pos),
+      cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      nearest AS (SELECT label AS probe_list, qv FROM cv, q
+                  ORDER BY list_dot_product(cv, qv) /
+                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                           label
+                  LIMIT 1),
+      sc AS (SELECT vec_id,
+                    list_dot_product(v, qv) /
+                      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+             FROM e JOIN nearest ON e.label = nearest.probe_list
+             WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT vec_id, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM sc) t
+      WHERE rn <= 20
+    """.trim)
+  )
+
   /** Embedding-cosine near-dup pairs above 0.5 (oracle-checked brute
     * force; the LSH-prefiltered variant is the scale path). */
   val cosineNearDups: Q = Q(
@@ -344,6 +377,6 @@ object ExtensionQueries {
   )
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
-    knnCosine, annLsh, cosineNearDups, mmMetadata, mmFeatures, asofJoin,
+    knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, asofJoin,
     rangeJoin, tumblingWindow, corpusPipeline)
 }

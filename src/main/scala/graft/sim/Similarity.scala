@@ -103,6 +103,41 @@ object Similarity {
     topKRanked(scored, k, idCol)
   }
 
+  /** IVF-style ANN: a coarse partition (inverted list) per vector, a
+    * centroid per list, probe = exact top-k within the nearest
+    * centroid's list only. Here the list assignment comes from the
+    * `listCol` column (a real IVF runs k-means first — the probe-side
+    * dataflow is identical); at scale the list id is the partition/
+    * bucket key, so a probe touches one partition instead of the full
+    * corpus, and centroids are a tiny broadcast table.
+    *
+    * Determinism: centroid components are means of the vector
+    * components rounded to 6 decimals and summed in DECIMAL (exact,
+    * order-independent), then divided in double — reproducible in any
+    * engine; all similarity scores go through the fixed-order dot
+    * product. */
+  def annIvf(emb: DataFrame, queryId: Long, dim: Int, k: Int = 20,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             listCol: String = "label"): DataFrame = {
+    val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"), col(listCol))
+    val comps = v.select(col(listCol), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = comps.groupBy(col(listCol), col("pos"))
+      .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("c"))
+    val centArr = cent.groupBy(col(listCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p("c")).as("cv"))
+    val q = v.filter(col(idCol) === queryId).select(col("v").as("qv"))
+    val nearest = centArr.crossJoin(broadcast(q))
+      .orderBy(cosine(col("cv"), col("qv")).desc, col(listCol))
+      .limit(1)
+      .select(col(listCol).as("probe_list"), col("qv"))
+    val scored = v.filter(col(idCol) =!= queryId)
+      .join(broadcast(nearest), col(listCol) === col("probe_list"))
+      .select(col(idCol), cosine(col("v"), col("qv")).as("cos_sim"))
+    topKRanked(scored, k, idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Brute-force O(n²) self-join here; the LSH bucket variant
     * (join on bucket equality first) is the scale path. */
