@@ -28,6 +28,9 @@ object Scratch {
     val docs = Tables.documents(spark, sfDir)
     import graft.dedup.Dedup
     import org.apache.spark.sql.graftext.VectorExpressions
+    time("SparkEntry.entry smoke") {
+      SparkEntry.entry(spark).queryExecution.toRdd.count()
+    }
     time("warmup pass2") {
       graft.SparkEntry.queries("a6_percentiles")(spark, sfDir).queryExecution.toRdd.count()
     }

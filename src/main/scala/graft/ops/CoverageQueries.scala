@@ -12,12 +12,21 @@ object CoverageQueries {
 
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** ROLLUP aggregation (hierarchy totals in one pass). */
+  /** ROLLUP aggregation (hierarchy totals in one pass). The grouping
+    * sets are computed over the FINEST-GRAIN pre-aggregate, not the
+    * fact table: Expand would otherwise multiply every input row by
+    * the number of grouping sets before aggregating — at 100 TB that's
+    * 3× the scan shuffled; here it's 3× six rows. Decimal partial sums
+    * re-aggregate exactly (associative), so results are unchanged. */
   val rollup1: Q = Q(
     "g1_rollup",
     (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sd"),
+        count(lit(1)).as("cnt"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      .agg(sum(col("sd")).cast("double").as("sum_qty"),
+        sum(col("cnt")).cast("bigint").as("n")),
     Some("""
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -26,12 +35,15 @@ object CoverageQueries {
     """.trim)
   )
 
-  /** CUBE aggregation (all grouping-set combinations). */
+  /** CUBE aggregation (all grouping-set combinations) — same
+    * pre-aggregate-then-expand shape as g1_rollup. */
   val cube1: Q = Q(
     "g2_cube",
     (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n")),
+      .agg(sum(col("cnt")).cast("bigint").as("n")),
     Some("""
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
