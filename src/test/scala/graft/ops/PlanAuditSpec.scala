@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan audits: the scale-critical plan properties (pushdown,
+  * pruning, broadcast choice, no cartesian products) asserted as tests,
+  * so a refactor that silently loses one fails CI instead of surfacing
+  * in a 100 TB run. Plans are built against the sf0.001 data.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to the parquet scan, schema pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [LessThanOrEqual(l_shipdate"), p)
+    // only the 7 needed columns read, not all 11
+    assert(!p.contains("l_orderkey"), "q1 must not read join keys it doesn't use")
+  }
+
+  test("p3_filter_isin: IN-list pushed to the scan") {
+    val p = plan("p3_filter_isin")
+    assert(p.contains("PushedFilters") && p.contains("In("), p)
+  }
+
+  test("q3_join_agg: dimension joins broadcast, no sort-merge") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "small dims must broadcast:\n" + p)
+  }
+
+  test("q5_multi_join: all five joins broadcast at this dim scale") {
+    val p = plan("q5_multi_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j1_u4_a1_enrich: category enrichment is a broadcast join") {
+    val p = plan("j1_u4_a1_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("a4_orderby_limit: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("a4_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x_knn_cosine: query vector broadcast; scan side stays narrow") {
+    val p = plan("x_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k before the rank window:\n" + p)
+  }
+
+  test("whole-stage codegen covers the q1_agg aggregation") {
+    // codegen spans only materialize in the FINAL adaptive plan
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the "*(stageId)" prefix in plan strings
+    assert(p.contains("*(1)"), p)
+    assert(p.contains("*(2) HashAggregate") || p.contains("*(1) HashAggregate"), p)
+  }
+}
