@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based parity: every native expression must agree with its
+  * column-function (HOF) reference form on adversarial random text —
+  * whitespace runs at either end, tabs/newlines, quotes, unicode,
+  * empty strings. Each property batches its samples into one DataFrame
+  * so a run costs one Spark job. */
+object NativeExpressionProperties extends Properties("graft.native") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  private val V = org.apache.spark.sql.graftext.VectorExpressions
+
+  private val genChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    3 -> Gen.const(' '),
+    1 -> Gen.oneOf('\t', '\n', '\r'),
+    1 -> Gen.oneOf('"', ',', '.', '!', '[', ']'),
+    1 -> Gen.oneOf('é', '中', '文'))
+
+  private val genText: Gen[String] = Gen.frequency(
+    9 -> Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, genChar).map(_.mkString)),
+    1 -> Gen.const(""))
+
+  private val genBatch: Gen[List[String]] = Gen.listOfN(6, genText)
+
+  private def df(texts: List[String]) = {
+    import spark.implicits._
+    texts.map(Tuple1(_)).toDF("text")
+  }
+
+  private def agree(texts: List[String], fast: org.apache.spark.sql.Column,
+                    ref: org.apache.spark.sql.Column): Boolean =
+    df(texts).select(fast.as("a"), ref.as("b")).collect()
+      .forall { r: Row => r.get(0) == r.get(1) }
+
+  private val toks = TextAnalysis.tokens(col("text"))
+
+  property("RollingNgrams == HOF shingles") = forAll(genBatch) { ts =>
+    agree(ts, Dedup.shingles(col("text")), Dedup.shinglesHof(col("text")))
+  }
+
+  property("RollingHashes == HOF rolling fingerprints") = forAll(genBatch) { ts =>
+    agree(ts, TextAnalysis.rollingFingerprints(col("text")),
+      TextAnalysis.rollingFingerprintsHof(col("text")))
+  }
+
+  property("NormalizeWs == regexp_replace(lower)") = forAll(genBatch) { ts =>
+    agree(ts, V.normalizeWs(col("text")),
+      regexp_replace(lower(col("text")), "\\s+", " "))
+  }
+
+  property("Md5Hashes60 == conv(substr(md5)) per token") = forAll(genBatch) { ts =>
+    agree(ts, V.md5Hashes60(toks), transform(toks, t => Dedup.md5Hash60(t)))
+  }
+
+  property("SimHashFrom == aggregate/zip_with fold") = forAll(genBatch) { ts =>
+    agree(ts, V.simhashFrom(V.md5Hashes60(toks), 60),
+      Dedup.simhashFrom(V.md5Hashes60(toks), 60))
+  }
+
+  property("Md5Min == array_min(transform(md5))") = forAll(genBatch) { ts =>
+    agree(ts, V.md5Min(Dedup.shingles(col("text"))),
+      array_min(transform(Dedup.shingles(col("text")), g => md5(g.cast("binary")))))
+  }
+
+  property("Md5MinHash == double-hashing HOF") = forAll(genBatch) { ts =>
+    val sh = Dedup.shingles(col("text"))
+    agree(ts, V.md5MinHash(sh, 8),
+      transform(sequence(lit(0), lit(7)), j => array_min(transform(sh,
+        g => conv(substring(md5(g.cast("binary")), 1, 14), 16, 10).cast("long")
+          + j * conv(substring(md5(g.cast("binary")), 17, 14), 16, 10).cast("long")))))
+  }
+
+  property("TextStats fields == per-counter column functions") = forAll(genBatch) { ts =>
+    val t = col("text")
+    df(ts).select(
+      TextAnalysis.textStats(t).as("st"),
+      TextAnalysis.tokenCount(t).as("c1"),
+      TextAnalysis.maxTokenLen(t).as("c2"),
+      TextAnalysis.punctCount(t).as("c3"),
+      TextAnalysis.stopwordCount(t).as("c4")).collect()
+      .forall { r =>
+        val st = r.getStruct(0)
+        st.getInt(0) == r.getInt(1) && st.getInt(1) == r.getInt(2) &&
+          st.getInt(2) == r.getInt(3) && st.getInt(3) == r.getInt(4)
+      }
+  }
+}
