@@ -15,6 +15,30 @@ object TpchQueries {
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
   private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Q6 shape: pure filter-scan global aggregation — the pushdown
+    * showcase: every predicate reaches the parquet scan (row-group
+    * min/max skipping at scale), the agg is a map-side partial into a
+    * 1-row reduce. Products of two 2-decimal columns have at most four
+    * decimals, so the decimal cast is exact in both engines. */
+  val q6: Q = Q(
+    "q6_filter_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n")),
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """.trim)
+  )
+
   /** Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, revenue
     * per order. customer/orders filter early (pushdown), lineitem joins
     * on the shuffled orderkey; at 100 TB lineitem⋈orders is the one
@@ -206,5 +230,5 @@ object TpchQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(q3, q5, w1, j1TwoKey, w2Lag, w3Running, w4Session)
+  def all: Seq[Q] = Seq(q3, q5, q6, w1, j1TwoKey, w2Lag, w3Running, w4Session)
 }
