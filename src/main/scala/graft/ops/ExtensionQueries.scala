@@ -242,6 +242,37 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Binary frame-sampling (every 4th 64-byte chunk of the payload via
+    * pure column ops — the video-pipeline slicing idiom): chunk count
+    * and sampled-byte totals are oracle-checked with DuckDB blob
+    * arithmetic. Note the oracle uses floor() explicitly — DuckDB's
+    * double→int CAST rounds where Spark's truncates. */
+  val mmChunks: Q = Q(
+    "x_mm_chunks",
+    (s, d) => Multimodal.sampleChunks(
+      Multimodal.mediaTable(Tables.documents(s, d)), chunk = 64, stride = 4)
+      .select(
+        col("media_id"), col("media_type"),
+        size(col("chunks")).as("n_chunks"),
+        aggregate(transform(col("chunks"), c => length(c)),
+          lit(0), (a, b) => a + b).as("chunk_bytes")),
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id,
+                        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                        CAST(text AS BLOB) AS payload,
+                        octet_length(CAST(text AS BLOB)) AS n
+                 FROM documents),
+      c AS (SELECT media_id, media_type, n,
+                   greatest(CAST(floor(n / 256.0) AS INT) - 1, 0) AS hi
+            FROM m)
+      SELECT media_id, media_type,
+             CAST(hi + 1 AS INT) AS n_chunks,
+             CAST(list_sum(list_transform(generate_series(0, hi),
+               i -> least(greatest(n - i*256, 0), 64))) AS INT) AS chunk_bytes
+      FROM c
+    """.trim)
+  )
+
   /** As-of join: each purchase event enriched with the user's most
     * recent signup at-or-before it (union+window implementation, see
     * AsOf). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a fully
@@ -377,6 +408,6 @@ object ExtensionQueries {
   )
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
-    knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, asofJoin,
-    rangeJoin, tumblingWindow, corpusPipeline)
+    knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
+    asofJoin, rangeJoin, tumblingWindow, corpusPipeline)
 }
