@@ -221,6 +221,71 @@ object CoverageQueries {
     """.trim)
   )
 
+  /** Ranking-function family over a unique total order per user:
+    * rank/dense_rank/ntile/percent_rank/cume_dist. percent_rank's
+    * (rank-1)/(n-1) double division is the same formula in both
+    * engines. */
+  val rankFamily: Q = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "w5_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cdist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      """.trim)
+    )
+  }
+
+  /** Explicit window frames: a 4-row moving average (decimal sum /
+    * frame count, so the float value is engine-identical), first_value
+    * and nth_value over a running frame. */
+  val frames: Q = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "w6_frames",
+      (s, d) => {
+        val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val moving = order.rowsBetween(-3, Window.currentRow)
+        val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"),
+          (sum(col("value").cast("decimal(18,4)")).over(moving).cast("double") /
+            count(lit(1)).over(moving)).as("moving_avg4"),
+          first(col("event_id")).over(running).as("first_event"),
+          nth_value(col("event_id"), 2).over(running).as("second_event"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER mw AS DOUBLE)
+                 / COUNT(*) OVER mw AS moving_avg4,
+               FIRST_VALUE(event_id) OVER rw AS first_event,
+               NTH_VALUE(event_id, 2) OVER rw AS second_event
+        FROM events
+        WINDOW
+          mw AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+          rw AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      """.trim)
+    )
+  }
+
   /** Corpus wordcount: explode tokens, count by token — the canonical
     * map-side-combine aggregation (partial counts per task, one shuffle
     * of (token, n) pairs). */
@@ -240,5 +305,5 @@ object CoverageQueries {
   )
 
   def all: Seq[Q] = Seq(rollup1, cube1, topk, countDistinct1, percentiles,
-    semiAnti, outer, setOps, pivot1, wordcount)
+    semiAnti, outer, setOps, pivot1, rankFamily, frames, wordcount)
 }
