@@ -133,6 +133,52 @@ object CoverageQueries {
     )
   }
 
+  /** Explicit GROUPING SETS (not derivable from rollup/cube) with
+    * grouping() null-vs-group markers — over the finest-grain
+    * pre-aggregate, like g1/g2. */
+  val groupingSets1: Q = Q(
+    "g4_grouping_sets",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """.trim)
+  )
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    * match each other instead of vanishing — the semantic corner plain
+    * equi-joins get wrong on nullable keys. */
+  val nullSafeJoin: Q = Q(
+    "j4_nullsafe_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def side(t: String, n: String) = ev.filter(col("event_type") === t)
+        .groupBy(expr("nullif(user_id % 10, 0)").as(s"k_$n"))
+        .agg(count(lit(1)).as(n))
+      side("click", "n_clicks").join(side("view", "n_views"),
+          col("k_n_clicks") <=> col("k_n_views"))
+        .select(col("k_n_clicks").as("k"), col("n_clicks"), col("n_views"))
+    },
+    Some("""
+      SELECT a.k, a.n_clicks, b.n_views
+      FROM (SELECT nullif(user_id % 10, 0) AS k, COUNT(*) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1) a
+      JOIN (SELECT nullif(user_id % 10, 0) AS k, COUNT(*) AS n_views
+            FROM events WHERE event_type = 'view' GROUP BY 1) b
+        ON a.k IS NOT DISTINCT FROM b.k
+    """.trim)
+  )
+
   /** Semi + anti join: customers with vs without orders (EXISTS / NOT
     * EXISTS as joins — no row multiplication, early out per match). */
   val semiAnti: Q = Q(
@@ -304,6 +350,7 @@ object CoverageQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(rollup1, cube1, topk, countDistinct1, percentiles,
-    semiAnti, outer, setOps, pivot1, rankFamily, frames, wordcount)
+  def all: Seq[Q] = Seq(rollup1, cube1, groupingSets1, topk, countDistinct1,
+    percentiles, semiAnti, nullSafeJoin, outer, setOps, pivot1, rankFamily,
+    frames, wordcount)
 }
