@@ -339,7 +339,93 @@ object EventOps {
     """.trim)
   )
 
+  /** U6: unpivot/melt — the four lineitem measures stacked into
+    * (measure, value) rows; the oracle expresses the identical relation
+    * as a stacked UNION ALL (the portable definition of UNPIVOT). */
+  val u6Unpivot: Q = Q(
+    "u6_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """.trim)
+  )
+
+  /** F12: string-function breadth on documents metadata — pads, case,
+    * reverse, position, replace, repeat, edit distance. */
+  val f12Strings: Q = Q(
+    "f12_string_funcs",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      upper(col("lang")).as("up"),
+      reverse(col("source")).as("rev"),
+      lpad(col("lang"), 5, "_").as("padded"),
+      regexp_replace(col("source"), "a", "@").as("replaced"),
+      instr(col("source"), "a").as("pos_a"),
+      repeat(col("lang"), 3).as("tripled"),
+      levenshtein(col("lang"), col("source")).as("edit_dist"),
+      ascii(col("lang")).as("first_code"),
+      substring(col("source"), 2, 3).as("mid")),
+    Some("""
+      SELECT doc_id,
+             upper(lang) AS up,
+             reverse(source) AS rev,
+             lpad(lang, 5, '_') AS padded,
+             regexp_replace(source, 'a', '@', 'g') AS replaced,
+             CAST(strpos(source, 'a') AS INT) AS pos_a,
+             repeat(lang, 3) AS tripled,
+             CAST(levenshtein(lang, source) AS INT) AS edit_dist,
+             CAST(ascii(lang) AS INT) AS first_code,
+             substring(source, 2, 3) AS mid
+      FROM documents
+    """.trim)
+  )
+
+  /** F13: datetime-function breadth on the event timestamps — field
+    * extraction, truncation, month arithmetic, ISO weekday. Dates
+    * surface as formatted strings for a type-stable compare. */
+  val f13Datetime: Q = Q(
+    "f13_datetime_funcs",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("m"),
+      dayofmonth(col("ts")).as("dom"),
+      hour(col("ts")).as("h"),
+      minute(col("ts")).as("mi"),
+      weekday(col("ts")).as("iso_wd"),
+      dayofyear(col("ts")).as("doy"),
+      date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month_start"),
+      date_format(last_day(col("ts")), "yyyy-MM-dd").as("month_end"),
+      date_format(add_months(col("ts"), 2), "yyyy-MM-dd").as("plus2m")),
+    Some("""
+      SELECT event_id,
+             CAST(year(ts) AS INT) AS y,
+             CAST(month(ts) AS INT) AS m,
+             CAST(day(ts) AS INT) AS dom,
+             CAST(hour(ts) AS INT) AS h,
+             CAST(minute(ts) AS INT) AS mi,
+             CAST(isodow(ts) - 1 AS INT) AS iso_wd,
+             CAST(dayofyear(ts) AS INT) AS doy,
+             strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start,
+             strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+             strftime(CAST(ts AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m
+      FROM events
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(p1Project, p3Filter, p4Fallback, f2Regex, f3Timezone,
-    f5Comma, f6Split, f7Zip, f9Last, f10Substr, u1Union, j1Enrich,
-    a1Distinct, a2Stats, cPipeline)
+    f5Comma, f6Split, f7Zip, f9Last, f10Substr, f12Strings, f13Datetime,
+    u1Union, u6Unpivot, j1Enrich, a1Distinct, a2Stats, cPipeline)
 }
