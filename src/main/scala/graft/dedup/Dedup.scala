@@ -101,13 +101,23 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))).as(Seq("band", "bucket")))
   }
 
-  /** Expand each per-key doc-id list into its i<j pairs. Replaces a
-    * bucket self-join: the upstream plan is consumed ONCE (a self-join
-    * would execute it per side), and the only shuffle is the groupBy on
-    * the key. O(f²) per key stays in one task — acceptable while key
-    * frequency f is bounded (LSH bucket / shingle doc-frequency); see
-    * maxKeyFreq below for the unbounded-skew escape hatch. */
-  private def pairsFromIdLists(grouped: DataFrame, idsCol: String): DataFrame =
+  /** Expand each per-key doc-id list into its i<j pairs via the native
+    * IdPairs generator. Replaces a bucket self-join: the upstream plan
+    * is consumed ONCE (a self-join would execute it per side), and the
+    * only shuffle is the groupBy on the key. The generator STREAMS the
+    * O(f²) pairs per key — constant memory even for a hot key, unlike
+    * the HOF form, which materializes the full f²-element array before
+    * exploding (that form remains in the spec as the semantic oracle);
+    * the maxShingleDocFreq cap below remains the CPU-skew escape
+    * hatch. */
+  private[dedup] def pairsFromIdLists(grouped: DataFrame, idsCol: String): DataFrame =
+    grouped
+      .filter(size(col(idsCol)) > 1)
+      .select(org.apache.spark.sql.graftext.VectorExpressions.idPairs(col(idsCol)))
+
+  /** The column-function form of pairsFromIdLists (test oracle for the
+    * IdPairs generator). */
+  private[dedup] def pairsFromIdListsHof(grouped: DataFrame, idsCol: String): DataFrame =
     grouped
       .filter(size(col(idsCol)) > 1)
       .select(explode(filter(

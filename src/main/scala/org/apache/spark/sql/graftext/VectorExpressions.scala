@@ -99,6 +99,9 @@ object VectorExpressions {
   def textStats(s: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(s), stopwords))
 
+  def idPairs(ids: Column): Column =
+    ExpressionUtils.column(IdPairs(ExpressionUtils.expression(ids)))
+
   /** Register graft's native expressions for SQL use on an existing
     * session (the SparkSessionExtensions path is GraftExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -44,6 +44,20 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(0L), sig(2L)) > 12, s"unrelated hamming ${ham(sig(0L), sig(2L))}")
   }
 
+  test("IdPairs generator matches the HOF pair expansion (incl. duplicate ids)") {
+    val rnd = new scala.util.Random(11)
+    val lists = (1 to 30).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(8) + 1)(rnd.nextInt(6).toLong))
+    }
+    val df = lists.toDF("key", "ids")
+    def pairs(f: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame) =
+      f(df, "ids").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val fast = pairs(Dedup.pairsFromIdLists)
+    val hof = pairs(Dedup.pairsFromIdListsHof)
+    assert(fast == hof)
+  }
+
   test("ngram jaccard: planted pair scores high, unrelated absent") {
     val out = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("id1", "id2", "jaccard").collect()
