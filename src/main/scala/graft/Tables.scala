@@ -22,14 +22,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects at
-    * scan time. Read nanos as raw longs (legacy conf) and surface a
-    * proper µs TimestampType column; integer DIV avoids the double
-    * round-trip (ns epoch ≈ 1.7e18 > 2^53). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * scan time. The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (done once in every
+    * entry-point builder: Bench, Verify, Explain, SessionFactory, test
+    * session) so the scan reads nanos as raw longs; this loader then
+    * surfaces a proper µs TimestampType column. Integer DIV avoids the
+    * double round-trip (ns epoch ≈ 1.7e18 > 2^53). The loader itself is
+    * side-effect-free — mutating shared-session conf inside a reader
+    * would race concurrent queries on the same session. */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

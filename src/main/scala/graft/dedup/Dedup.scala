@@ -134,11 +134,17 @@ object Dedup {
     * for verification. */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", threshold: Double = 0.7,
-                      k: Int = 64, rowsPerBand: Int = 8, shingleW: Int = 3): DataFrame = {
+                      k: Int = 64, rowsPerBand: Int = 8, shingleW: Int = 3,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val buckets = lshBuckets(docs, idCol, textCol, k, rowsPerBand, shingleW)
-    val candidates = pairsFromIdLists(
-      buckets.groupBy(col("band"), col("bucket"))
-        .agg(collect_list(col(idCol)).as("ids")), "ids")
+    val grouped = buckets.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+    // A band bucket of f docs expands to f²/2 pairs in one task; a
+    // degenerate corpus (all-identical docs) puts the WHOLE corpus in
+    // one bucket per band. The cap drops buckets above it — same skew
+    // escape hatch as maxShingleDocFreq below; None keeps it exact.
+    val capped = maxBucketSize.fold(grouped)(m => grouped.filter(size(col("ids")) <= m))
+    val candidates = pairsFromIdLists(capped, "ids")
       .dropDuplicates()
     // exact Jaccard over hashed shingle SETS — same value as over the
     // shingle strings modulo 64-bit collisions, at a fraction of the
@@ -170,7 +176,8 @@ object Dedup {
   def minhashNearDupsMd5(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", threshold: Double = 0.7,
                          k: Int = 16, rowsPerBand: Int = 2,
-                         shingleW: Int = 3): DataFrame = {
+                         shingleW: Int = 3,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
     val nBands = k / rowsPerBand
     val sig = docs.select(col(idCol),
       org.apache.spark.sql.graftext.VectorExpressions.md5MinHash(
@@ -179,8 +186,11 @@ object Dedup {
       transform(sequence(lit(0), lit(nBands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .as(Seq("band", "s")))
-    val candidates = pairsFromIdLists(
-      sigs.groupBy(col("band"), col("s")).agg(collect_list(col(idCol)).as("ids")), "ids")
+    val grouped = sigs.groupBy(col("band"), col("s"))
+      .agg(collect_list(col(idCol)).as("ids"))
+    // same degenerate-bucket cap as minhashNearDups (see there)
+    val capped = maxBucketSize.fold(grouped)(m => grouped.filter(size(col("ids")) <= m))
+    val candidates = pairsFromIdLists(capped, "ids")
       .dropDuplicates()
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
     candidates

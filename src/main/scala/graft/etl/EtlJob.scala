@@ -21,6 +21,10 @@ object SessionFactory {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // nano-precision parquet timestamps read as raw longs (see
+      // Tables.events) — a session-level decision, set once here rather
+      // than mutated per-read on a shared session
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }

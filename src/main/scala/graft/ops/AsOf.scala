@@ -29,6 +29,15 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // __side/__rv are internal working columns; a left input already
+    // carrying either would silently corrupt the union/window below.
+    // Same for a right value whose name collides with a left column —
+    // the final select would be ambiguous.
+    require(!leftCols.contains("__side") && !leftCols.contains("__rv"),
+      "asofJoin: left input must not contain reserved columns __side/__rv")
+    rightVals.filter(leftCols.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"asofJoin: right value column '$c' collides with a left column; rename one side"))
     val rvType = StructType(rightVals.map(c => right.schema(c).copy(name = c)))
     val leftTagged = left
       .withColumn("__side", lit(1))

@@ -120,13 +120,18 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding",
              listCol: String = "label"): DataFrame = {
     val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"), col(listCol))
-    val comps = v.select(col(listCol), posexplode(col("v")).as(Seq("pos", "x")))
-    val cent = comps.groupBy(col(listCol), col("pos"))
-      .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
-        count(lit(1))).as("c"))
-    val centArr = cent.groupBy(col(listCol))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p("c")).as("cv"))
+    // Centroids in ONE aggregation: dim decimal sums per list (partial
+    // map-side combine, a single shuffle of ~dim·16 bytes per list) —
+    // not a posexplode (dim× the scan rows) followed by two groupBys
+    // and a collect_list re-assembly. Arithmetic is unchanged: exact
+    // decimal sums of 6-decimal-rounded components, divided in double.
+    val sumCols = (0 until dim).map(i =>
+      sum(round(element_at(col("v"), i + 1), 6).cast("decimal(18,6)")).as(s"_s$i"))
+    val centArr = v.groupBy(col(listCol))
+      .agg(count(lit(1)).as("_n"), sumCols: _*)
+      .select(col(listCol),
+        array((0 until dim).map(i =>
+          col(s"_s$i").cast("double") / col("_n")): _*).as("cv"))
     val q = v.filter(col(idCol) === queryId).select(col("v").as("qv"))
     val nearest = centArr.crossJoin(broadcast(q))
       .orderBy(cosine(col("cv"), col("qv")).desc, col(listCol))
@@ -138,23 +143,58 @@ object Similarity {
     topKRanked(scored, k, idCol)
   }
 
+  /** Per-band LSH bucket ids: `nBands` buckets of `bitsPerBand` sign
+    * bits each, over nBands·bitsPerBand deterministic hyperplanes. A
+    * pair matching in ANY band becomes a candidate — the multi-table
+    * construction that keeps recall high (miss probability decays
+    * exponentially in nBands) while each band's buckets stay selective. */
+  def lshBandBuckets(vec: Column, dim: Int, nBands: Int, bitsPerBand: Int,
+                     seed: Long = 42L): Seq[Column] = {
+    val planes = hyperplanes(dim, nBands * bitsPerBand, seed)
+    (0 until nBands).map { bnd =>
+      (0 until bitsPerBand).map { i =>
+        when(dot(vec, array(planes(bnd * bitsPerBand + i).map(lit): _*)) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
-    * Brute-force O(n²) self-join here; the LSH bucket variant
-    * (join on bucket equality first) is the scale path. */
+    *
+    * Default is the banded-LSH prefilter — the 100 TB path: vectors
+    * land in nBands bucket tables (sign-bit buckets of the
+    * deterministic hyperplanes), candidate pairs come from grouping
+    * each (band, bucket) and streaming i<j pairs through the IdPairs
+    * generator (single shuffle on the bucket key; the corpus is scanned
+    * once), and only candidates are verified with the exact cosine.
+    * Recall for a truly-near pair (angle θ) is
+    * 1 − (1 − (1 − θ/π)^bitsPerBand)^nBands → ≈1 for near-duplicates.
+    * The O(n²) crossJoin survives behind `bruteForce = true` for small
+    * inputs and recall audits only. */
   def cosineNearDups(emb: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     useLshPrefilter: Boolean = false, dim: Int = 64): DataFrame = {
+                     bruteForce: Boolean = false, dim: Int = 64,
+                     nBands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
     // norms precomputed once per vector (O(n)), not once per pair (O(n²))
     val v = emb.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
       .withColumn("nrm1", norm(col("v1")))
     val u = emb.select(col(idCol).as("id2"), asDouble(col(vecCol)).as("v2"))
       .withColumn("nrm2", norm(col("v2")))
     val pairs =
-      if (useLshPrefilter) {
-        val vb = v.withColumn("b1", lshBucket(col("v1"), dim, 6))
-        val ub = u.withColumn("b2", lshBucket(col("v2"), dim, 6))
-        vb.join(ub, col("b1") === col("b2") && col("id1") < col("id2"))
-      } else v.crossJoin(u).filter(col("id1") < col("id2"))
+      if (bruteForce) v.crossJoin(u).filter(col("id1") < col("id2"))
+      else {
+        val banded = emb
+          .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .select(col("id"), posexplode(
+            array(lshBandBuckets(col("v"), dim, nBands, bitsPerBand): _*))
+            .as(Seq("band", "bucket")))
+        val cand = banded.groupBy(col("band"), col("bucket"))
+          .agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(org.apache.spark.sql.graftext.VectorExpressions.idPairs(col("ids")))
+          .dropDuplicates()
+        cand.join(v, "id1").join(u, "id2")
+      }
     pairs
       .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos_sim") >= threshold)

@@ -79,11 +79,23 @@ object EventStream {
               val t = e.ts.getTime
               open = open match {
                 case null => SessionState(t, t, 1L, e.value)
+                case s if t < s.start - gapMillis =>
+                  // Out-of-order arrival (earlier microbatch state) more
+                  // than `gap` BEFORE the open session: a session of its
+                  // own, provably already over — the open session's first
+                  // event is beyond the gap after it. Emit it closed and
+                  // keep the (later) open session as-is.
+                  closed += ClosedSession(uid, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1L, e.value)
+                  s
                 case s if t - s.last > gapMillis =>
                   closed += close(s)
                   SessionState(t, t, 1L, e.value)
                 case s =>
-                  SessionState(s.start, math.max(s.last, t), s.n + 1, s.value + e.value)
+                  // merge; an out-of-order event inside the gap window can
+                  // legitimately EXTEND the session backwards
+                  SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.value + e.value)
               }
             }
             if (open != null) {

@@ -55,6 +55,11 @@ private[graftext] object Md5Support {
 case class Md5MinHash(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
+  // j ranges over [0, k); a + j·b with 56-bit a,b stays inside a signed
+  // 64-bit integer only for j ≤ 127 — beyond that the sum silently
+  // wraps and diverges from any overflow-checking engine's replay.
+  require(k >= 1 && k <= 128, s"md5_minhash k must be in [1, 128], got $k")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_minhash"
@@ -88,8 +93,11 @@ case class Md5MinHash(child: Expression, k: Int)
 
 /** Per-element 60-bit md5 hashes of a string array: element i →
   * hex60(md5(arr[i])) (hex chars 1-15), i.e. the same value SQL gets
-  * from `('0x' || substr(md5(x), 1, 15))::BIGINT`. Null elements hash
-  * to null slots skipped by downstream folds.
+  * from `('0x' || substr(md5(x), 1, 15))::BIGINT`. Null elements are
+  * DROPPED (the output array is shorter than the input and keeps
+  * containsNull = false) — fine for the order-insensitive consumers
+  * here (simhash bit counts, min-folds), but positions do NOT line up
+  * with the input when nulls are present.
   */
 case class Md5Hashes60(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {

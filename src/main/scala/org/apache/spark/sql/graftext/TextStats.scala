@@ -52,24 +52,32 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     var nPunct = 0
     var nStop = 0
     var tokenStart = 0
+    var tokenCp = 0 // code points in the current token
     var i = 0
+    // Lengths count CODE POINTS, not UTF-16 units: `length()` and Java
+    // regex char classes (the column functions this expression pins
+    // parity with) treat a surrogate pair as one character, so a
+    // supplementary-plane char (emoji, rare CJK) must count 1 here too.
     def closeToken(end: Int): Unit = {
-      val len = end - tokenStart
       nTokens += 1
-      if (len > maxLen) maxLen = len
-      if (len > 0 && len <= 5 && stopSet.contains(s.substring(tokenStart, end))) nStop += 1
+      if (tokenCp > maxLen) maxLen = tokenCp
+      if (tokenCp > 0 && tokenCp <= 5 && stopSet.contains(s.substring(tokenStart, end))) nStop += 1
+      tokenCp = 0
     }
     while (i < n) {
       val c = s.charAt(i)
       if (isWs(c)) {
         closeToken(i)
-        // skip the whole whitespace run
+        // skip the whole whitespace run (\s is ASCII-only → BMP-only,
+        // so a per-char test is exact)
         i += 1
         while (i < n && isWs(s.charAt(i))) i += 1
         tokenStart = i
       } else {
-        if (!isAlnum(c)) nPunct += 1
-        i += 1
+        val cp = s.codePointAt(i)
+        if (!(cp < 128 && isAlnum(cp.toChar))) nPunct += 1
+        tokenCp += 1
+        i += Character.charCount(cp)
       }
     }
     closeToken(n)

@@ -35,6 +35,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
   }
 
+  test("bucket cap bounds a degenerate all-identical corpus (no O(n²) blowup)") {
+    // 10k identical docs: every band bucket holds all 10k ids, so the
+    // uncapped candidate stage would expand ~50M pairs per band. The
+    // cap drops those buckets outright; the two distinct near-dups
+    // (sharing buckets of size 2) still pair up.
+    val clones = (0L until 10000L).map(i => (i, base))
+    val distinctPair = Seq((20001L, unrelated), (20002L, unrelated + " extras"))
+    val df = (clones ++ distinctPair).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, threshold = 0.5, maxBucketSize = Some(64))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 < 10000L), "capped clone buckets must expand no pairs")
+    assert(pairs.contains((20001L, 20002L)), s"small buckets must survive the cap: $pairs")
+  }
+
   test("simhash: near-dups differ in few bits, unrelated in many") {
     val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

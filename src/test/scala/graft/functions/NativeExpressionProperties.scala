@@ -21,15 +21,20 @@ object NativeExpressionProperties extends Properties("graft.native") {
   private lazy val spark = TestSpark.spark
   private val V = org.apache.spark.sql.graftext.VectorExpressions
 
-  private val genChar: Gen[Char] = Gen.frequency(
-    8 -> Gen.alphaNumChar,
-    3 -> Gen.const(' '),
-    1 -> Gen.oneOf('\t', '\n', '\r'),
-    1 -> Gen.oneOf('"', ',', '.', '!', '[', ']'),
-    1 -> Gen.oneOf('é', '中', '文'))
+  // Piece-wise (not per-char) so supplementary-plane characters — which
+  // are surrogate PAIRS in UTF-16 — can appear; they are where
+  // code-unit vs code-point counting diverges, so the generator must
+  // produce them for the parity properties to mean anything.
+  private val genPiece: Gen[String] = Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.const(" "),
+    1 -> Gen.oneOf('\t', '\n', '\r').map(_.toString),
+    1 -> Gen.oneOf('"', ',', '.', '!', '[', ']').map(_.toString),
+    1 -> Gen.oneOf('é', '中', '文').map(_.toString),
+    1 -> Gen.oneOf("😀", "🚀", "𝕏", "𠀀")) // astral: U+1F600, U+1F680, U+1D54F, U+20000
 
   private val genText: Gen[String] = Gen.frequency(
-    9 -> Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, genChar).map(_.mkString)),
+    9 -> Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, genPiece).map(_.mkString)),
     1 -> Gen.const(""))
 
   private val genBatch: Gen[List[String]] = Gen.listOfN(6, genText)

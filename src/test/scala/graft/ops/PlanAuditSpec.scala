@@ -55,6 +55,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k before the rank window:\n" + p)
   }
 
+  test("x_cosine_neardups: banded-LSH default has no cartesian product in the plan") {
+    val p = plan("x_cosine_neardups")
+    assert(!p.contains("CartesianProduct"),
+      "near-dup catalog entry must use the LSH prefilter, not an O(n²) cross join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on (band, bucket):\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -32,17 +32,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L)
   }
 
-  test("cosine near-dup pairs: finds the planted pair above threshold") {
-    val out = Similarity.cosineNearDups(emb, threshold = 0.99)
+  test("cosine near-dup pairs (banded-LSH default): finds the planted pair above threshold") {
+    val out = Similarity.cosineNearDups(emb, threshold = 0.99, dim = 8)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L)))
   }
 
-  test("lsh prefilter variant returns a subset of brute-force pairs") {
-    val brute = Similarity.cosineNearDups(emb, threshold = 0.9)
+  test("banded-LSH default returns a subset of brute-force pairs, keeping the near-identical one") {
+    val brute = Similarity.cosineNearDups(emb, threshold = 0.9, bruteForce = true)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.cosineNearDups(emb, threshold = 0.9, useLshPrefilter = true, dim = 8)
+    val lsh = Similarity.cosineNearDups(emb, threshold = 0.9, dim = 8)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(brute))
+    // a near-identical pair (angle ≈ 0) survives every band with
+    // probability ≈ 1 — the recall property the default relies on
+    assert(lsh.contains((0L, 1L)))
   }
 }

@@ -85,6 +85,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows handles cross-batch out-of-order events (backward extend + pre-gap singleton)") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-sess-ooo").toString
+    // batch 1 opens a session for user 1: [10:40, 10:45]
+    Seq(
+      (1L, ts(40), 1L, "view", 1.0), (2L, ts(45), 1L, "view", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/batch1")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      .as[EventStream.Event](org.apache.spark.sql.Encoders.product[EventStream.Event])
+    val q = EventStream.sessionWindows(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 arrives out of order (within the 1h watermark):
+      //  - 10:00 is > gap BEFORE session start -> its own closed session
+      //  - 10:30 is within the gap before start -> merges, lowering start
+      Seq(
+        (3L, ts(0), 1L, "view", 7.0), (4L, ts(30), 1L, "view", 3.0)
+      ).toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(s"$dir/batch2")
+      q.processAllAvailable()
+      // advance the watermark so the open session timeout-closes
+      Seq((99L, Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(s"$dir/batch3")
+      q.processAllAvailable()
+      q.processAllAvailable() // one more microbatch so the timeout fires
+      val rows = spark.sql(
+        "SELECT session_start, session_end, n_events, total_value FROM sess_ooo_out WHERE user_id = 1")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((ts(0), ts(0), 1L, 7.0)),
+        s"pre-gap out-of-order event should close as its own session: $rows")
+      assert(rows.contains((ts(30), ts(45), 3L, 6.0)),
+        s"in-gap out-of-order event should extend the session backwards: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize aggregates per-user state (batch execution of the stateful op)") {
     val events = Seq(
       EventStream.Event(1L, ts(0), 1L, "view", 1.0),
