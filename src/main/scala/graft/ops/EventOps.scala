@@ -175,6 +175,60 @@ object EventOps {
     """.trim)
   )
 
+  /** F8 proper: explode_outer's OUTER semantics under the oracle — rows
+    * with null or empty arrays survive with a null element (reference
+    * jobs/etl_job.py:336-350 relies on exactly this row-keeping). The
+    * null/empty cases are synthesized by user_id residue so all three
+    * branches (null array, empty array, 3-element array) appear. The
+    * oracle expresses outer-unnest portably as inner-unnest ∪ the
+    * null/empty rows null-padded. */
+  val f8ExplodeOuter: Q = Q(
+    "f8_explode_outer",
+    (s, d) => {
+      val k = get_json_object(col("props"), "$.k")
+      val parts =
+        when(pmod(col("user_id"), lit(7)) === 0, lit(null).cast("array<string>"))
+          .when(pmod(col("user_id"), lit(7)) === 1, array().cast("array<string>"))
+          .otherwise(split(concat(k, lit("-"), col("event_type"), lit("-"), k), "-"))
+      Tables.events(s, d)
+        .select(col("event_id"), parts.as("parts"))
+        .select(col("event_id"), explode_outer(col("parts")).as("part"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_id,
+               CASE WHEN user_id % 7 = 0 THEN NULL
+                    WHEN user_id % 7 = 1 THEN CAST([] AS VARCHAR[])
+                    ELSE string_split(json_extract_string(props, '$.k') || '-' ||
+                                      event_type || '-' ||
+                                      json_extract_string(props, '$.k'), '-') END AS parts
+        FROM events)
+      SELECT event_id, unnest(parts) AS part
+      FROM t WHERE parts IS NOT NULL AND len(parts) > 0
+      UNION ALL
+      SELECT event_id, CAST(NULL AS VARCHAR) AS part
+      FROM t WHERE parts IS NULL OR len(parts) = 0
+    """.trim)
+  )
+
+  /** F1 proper: json_tuple — the multi-key Generator the reference uses
+    * for every site family (jobs/etl_job.py:175) — under the oracle.
+    * Extracts an existing key and a missing one (null column) in one
+    * generator call; the oracle replays it as two json_extract_string
+    * projections. */
+  val f1JsonTuple: Q = Q(
+    "f1_json_tuple",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"), json_tuple(col("props"), "k", "missing"))
+      .toDF("event_id", "k", "m"),
+    Some("""
+      SELECT event_id,
+             json_extract_string(props, '$.k') AS k,
+             json_extract_string(props, '$.missing') AS m
+      FROM events
+    """.trim)
+  )
+
   /** F9: element_at(split, -1) — last path segment (jobs/etl_job.py:225). */
   val f9Last: Q = Q(
     "f9_element_at",
@@ -425,7 +479,8 @@ object EventOps {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(p1Project, p3Filter, p4Fallback, f2Regex, f3Timezone,
-    f5Comma, f6Split, f7Zip, f9Last, f10Substr, f12Strings, f13Datetime,
-    u1Union, u6Unpivot, j1Enrich, a1Distinct, a2Stats, cPipeline)
+  def all: Seq[Q] = Seq(p1Project, p3Filter, p4Fallback, f1JsonTuple, f2Regex,
+    f3Timezone, f5Comma, f6Split, f7Zip, f8ExplodeOuter, f9Last, f10Substr,
+    f12Strings, f13Datetime, u1Union, u6Unpivot, j1Enrich, a1Distinct, a2Stats,
+    cPipeline)
 }

@@ -30,10 +30,10 @@ object TextAnalysis {
     length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
 
   /** Fraction of tokens that are stopwords, in exact decimal so the
-    * value is engine-independent. */
-  val stopwords: Seq[String] = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "for",
-    "on", "with", "as", "at", "by", "it", "this", "that")
+    * value is engine-independent. (Canonical list lives with the native
+    * expression so the SQL-surface `text_stats` binds the same one.) */
+  val stopwords: Seq[String] =
+    org.apache.spark.sql.graftext.TextStats.defaultStopwords
 
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))

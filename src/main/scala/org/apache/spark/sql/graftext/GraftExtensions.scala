@@ -11,18 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * (For an already-running session use VectorExpressions.register.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      exprs => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("rolling_hashes"),
-      new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
-      exprs => RollingHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
-    e.injectFunction((
-      FunctionIdentifier("rolling_ngrams"),
-      new ExpressionInfo(classOf[RollingNgrams].getName, "rolling_ngrams"),
-      exprs => RollingNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int])))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.functions.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }

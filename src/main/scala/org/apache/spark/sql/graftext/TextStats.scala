@@ -21,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * The four separate column functions each re-split the text; this
   * walks it once.
   */
+object TextStats {
+  /** The canonical stopword list (re-exported as
+    * graft.text.TextAnalysis.stopwords; also the list the SQL-surface
+    * `text_stats` function binds). */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "for",
+    "on", "with", "as", "at", "by", "it", "this", "that")
+}
+
 case class TextStats(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 

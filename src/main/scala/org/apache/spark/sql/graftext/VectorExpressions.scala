@@ -106,13 +106,45 @@ object VectorExpressions {
     * session (the SparkSessionExtensions path is GraftExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("rolling_hashes",
-      exprs => RollingHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("rolling_ngrams",
-      exprs => RollingNgrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    GraftFunctionRegistry.functions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
+}
+
+/** The single source of truth for graft's SQL function surface: every
+  * native expression, its SQL name, and its builder. Both registration
+  * paths (VectorExpressions.register on a live session,
+  * GraftExtensions at builder time) iterate this list, so the two
+  * surfaces can't drift.
+  */
+private[graftext] object GraftFunctionRegistry {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Integer literal argument (k / width / bits parameters): these are
+    * constructor params of the expression, so they must be foldable. */
+  private def intArg(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: size argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_product", classOf[DotProduct],
+      es => DotProduct(es(0), es(1))),
+    ("rolling_hashes", classOf[RollingHashes],
+      es => RollingHashes(es(0), intArg("rolling_hashes", es(1)))),
+    ("rolling_ngrams", classOf[RollingNgrams],
+      es => RollingNgrams(es(0), intArg("rolling_ngrams", es(1)))),
+    ("minhash_signature", classOf[MinHashSignature],
+      es => MinHashSignature(es(0), intArg("minhash_signature", es(1)))),
+    ("md5_minhash", classOf[Md5MinHash],
+      es => Md5MinHash(es(0), intArg("md5_minhash", es(1)))),
+    ("md5_min", classOf[Md5Min], es => Md5Min(es(0))),
+    ("md5_hashes60", classOf[Md5Hashes60], es => Md5Hashes60(es(0))),
+    ("simhash_from", classOf[SimHashFrom],
+      es => SimHashFrom(es(0), intArg("simhash_from", es(1)))),
+    ("normalize_ws", classOf[NormalizeWs], es => NormalizeWs(es(0))),
+    ("text_stats", classOf[TextStats],
+      es => TextStats(es(0), TextStats.defaultStopwords)),
+    ("id_pairs", classOf[IdPairs], es => IdPairs(es(0))))
 }

@@ -132,16 +132,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
-  test("native expressions callable from SQL after registration") {
+  test("every native function is callable from SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
-    val r = spark.sql(
-      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "size(rolling_hashes(array('a','b','c'), 2)) AS n").collect().head
+    val r = spark.sql("""
+      SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+             size(rolling_hashes(array('a','b','c'), 2)) AS rh,
+             rolling_ngrams(array('a','b','c'), 2) AS rn,
+             size(minhash_signature(rolling_hashes(array('a','b','c'), 2), 4)) AS ms,
+             size(md5_minhash(array('a','b'), 4)) AS mh,
+             md5_min(array('b','a')) AS mm,
+             md5_hashes60(array('a'))[0] AS h60,
+             CAST(conv(substr(md5('a'), 1, 15), 16, 10) AS BIGINT) AS h60_expect,
+             simhash_from(array(1L, 3L), 4) AS sh,
+             normalize_ws('  A  b ') AS nw,
+             text_stats('the cat!') AS st
+    """).collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getInt(3) == 4)
+    assert(r.getInt(4) == 4)
+    assert(r.getString(5) == "0cc175b9c0f1b6a831c399e269772661") // md5('a') < md5('b')
+    assert(r.getLong(6) == r.getLong(7))
+    assert(r.getLong(8) == 1L) // bit 0 shared by both, bit 1 split 1-1
+    assert(r.getString(9) == " a b ")
+    val st = r.getStruct(10)
+    assert((st.getInt(0), st.getInt(1), st.getInt(2), st.getInt(3)) == ((2, 4, 1, 1)))
+    // the generator registers too: one call expands the i<j pairs
+    val pairs = spark.sql("SELECT id_pairs(array(1L, 2L, 3L))").collect()
+      .map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
-  test("GraftExtensions injects both functions into a SparkSessionExtensions") {
+  test("GraftExtensions injects the full function surface into a SparkSessionExtensions") {
     // builder-time path can't be exercised against the shared session
     // (getOrCreate returns it), so verify the injection hook directly
     val e = new org.apache.spark.sql.SparkSessionExtensions
