@@ -1,0 +1,102 @@
+package graft.corpus
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators for a pretraining-data pipeline: benchmark
+  * decontamination, deterministic stratified sampling, and TF-IDF term
+  * weighting. All three follow the library's scale discipline —
+  * candidate generation via equi-joins on small keys, narrow per-row
+  * signature work, no driver-side loops, no UDFs — and keep their
+  * arithmetic engine-portable so the DuckDB oracle replays them
+  * exactly.
+  */
+object Corpus {
+
+  /** Benchmark decontamination: for each corpus document, how many of
+    * its distinct w-token shingles appear in ANY benchmark document,
+    * plus the contamination ratio. The canonical pre-training hygiene
+    * step (drop or flag training docs that overlap an eval set).
+    *
+    * Scale shape: the benchmark shingle set is small by construction
+    * (eval sets are ~10⁴-10⁶ docs) → distinct + broadcast; the corpus
+    * side is one narrow shingle explode joined against the broadcast
+    * and one groupBy(doc_id). The 100 TB corpus is never shuffled on
+    * text — only (doc_id, matched-shingle) pairs aggregate.
+    * Returns only contaminated docs (n_shared ≥ 1).
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleW: Int = 3): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(Dedup.shingles(col(textCol), shingleW)).as("g"))
+      .distinct()
+    val corpusSh = corpus.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), shingleW)).as("g"))
+    // shingles() is distinct per doc, so this counts DISTINCT shared
+    // shingles without a second dedup
+    val shared = corpusSh.join(broadcast(benchSh), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    val sizes = corpus.select(col(idCol),
+      size(Dedup.shingles(col(textCol), shingleW)).as("n_total"))
+    sizes.join(shared, Seq(idCol))
+      .select(col(idCol), col("n_shared"), col("n_total"),
+        round(col("n_shared").cast("double") / col("n_total"), 6)
+          .as("contamination"))
+  }
+
+  /** Deterministic keep/drop decision for stratified sampling: keep a
+    * row iff its 60-bit md5 draw (uniform on [0, 2^60)) falls below the
+    * stratum's threshold. Pure integer compare — no float, no RNG
+    * state, reproducible on any engine and any cluster topology, and
+    * stable under retries/speculative execution (the property
+    * `rand()`-based sampling does NOT have). */
+  def sampleKeep(keyCol: Column, thresholdCol: Column): Column =
+    Dedup.md5Hash60(keyCol.cast("string")) < thresholdCol
+
+  /** Per-stratum deterministic sampling of a corpus: rates are given as
+    * fractions of 2^60 (e.g. 1L << 59 = 50%). At 100 TB this is a
+    * narrow filter over the scan — zero shuffle, and the kept set is
+    * identical no matter how the corpus is partitioned. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       thresholds: Map[String, Long], defaultThreshold: Long,
+                       idCol: String = "doc_id"): DataFrame = {
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(sampleKeep(col(idCol), thr))
+  }
+
+  /** TF-IDF term weights, top-k terms per document.
+    *
+    * The idf is the log-free rational form score = tf · (N / df),
+    * computed in double: IEEE division/multiplication are exactly
+    * rounded, so the score — and therefore the ranking — is
+    * bit-identical across engines, unlike ln() (libm implementations
+    * differ in the last ulp). Monotone in the classic tf·ln(N/df) for
+    * fixed tf, and the standard raw-idf variant.
+    *
+    * Scale shape: one shuffle to (doc, term) counts, one to the term
+    * dictionary (df), a dictionary join back on the term key, and a
+    * per-doc top-k window. The dictionary is orders of magnitude
+    * smaller than the corpus; nothing re-shuffles document text.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"),
+        (col("tf").cast("double") / col("df") * col("n")).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(idCol), col("tok"), round(col("score"), 6).as("score"), col("rn"))
+  }
+}

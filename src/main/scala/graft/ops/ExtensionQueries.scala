@@ -432,7 +432,83 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Benchmark decontamination: corpus docs sharing 3-gram shingles
+    * with the benchmark set (doc_id ≡ 0 mod 97 stands in for the eval
+    * set). Broadcast benchmark-shingle join — the corpus never
+    * shuffles on text. */
+  val contamination: Q = Q(
+    "x_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.corpus.Corpus.contamination(
+        corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        benchmark = docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      bench AS (SELECT DISTINCT unnest(shl) AS g FROM sh0 WHERE doc_id % 97 = 0),
+      corpus AS (SELECT doc_id, shl FROM sh0 WHERE doc_id % 97 <> 0),
+      cs AS (SELECT doc_id, unnest(shl) AS g FROM corpus),
+      shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM cs JOIN bench USING (g) GROUP BY 1)
+      SELECT c.doc_id, CAST(s.n_shared AS BIGINT) AS n_shared,
+             CAST(len(c.shl) AS INT) AS n_total,
+             ROUND(CAST(s.n_shared AS DOUBLE) / len(c.shl), 6) AS contamination
+      FROM corpus c JOIN shared s USING (doc_id)
+    """.trim)
+  )
+
+  /** Deterministic stratified sampling: keep 50% of English docs and
+    * 25% of every other language by an md5 integer draw — reproducible
+    * on any engine/partitioning (verified per-stratum via counts and
+    * an id checksum). */
+  val stratifiedSample: Q = Q(
+    "x_stratified_sample",
+    (s, d) => graft.corpus.Corpus.stratifiedSample(
+      Tables.documents(s, d), strataCol = "lang",
+      thresholds = Map("en" -> (1L << 59)), defaultThreshold = 1L << 58)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).as("id_sum")),
+    Some("""
+      SELECT lang, COUNT(*) AS n_sampled,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+            CASE WHEN lang = 'en' THEN 576460752303423488 ELSE 288230376151711744 END
+      GROUP BY lang
+    """.trim)
+  )
+
+  /** TF-IDF top-3 terms per document (rational log-free idf — exact
+    * IEEE division keeps scores and ranking bit-identical across
+    * engines; see Corpus.tfidfTopTerms). */
+  val tfidf: Q = Q(
+    "x_tfidf",
+    (s, d) => graft.corpus.Corpus.tfidfTopTerms(Tables.documents(s, d), k = 3),
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                    FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (SELECT doc_id, tok, CAST(tf AS DOUBLE) / df * n AS score
+                 FROM tf JOIN df USING (tok), n)
+      SELECT doc_id, tok, ROUND(score, 6) AS score, rn
+      FROM (SELECT doc_id, tok, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+            FROM scored) t
+      WHERE rn <= 3
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
-    asofJoin, rangeJoin, tumblingWindow, corpusPipeline)
+    asofJoin, rangeJoin, tumblingWindow, corpusPipeline, contamination,
+    stratifiedSample, tfidf)
 }
