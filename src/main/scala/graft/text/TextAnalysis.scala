@@ -94,6 +94,37 @@ object TextAnalysis {
     }
   }
 
+  /** PII patterns, ordered for redaction (emails first — they contain
+    * digits a later pattern could half-match). Restricted to the regex
+    * subset Java and RE2 evaluate identically (char classes, bounded
+    * repetition, \b), so redaction is engine-portable. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\b[0-9]{3}-[0-9]{4}\\b")
+
+  /** Redact PII spans with typed placeholders (<EMAIL>, <IP>, <PHONE>)
+    * — the standard pretraining-corpus hygiene pass. Pure
+    * regexp_replace chain: narrow, codegen'd, scales with the scan. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, p)) =>
+      regexp_replace(c, p, s"<${kind.toUpperCase}>")
+    }
+
+  /** Matches of one PII pattern (pre-redaction audit count). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Intra-document repetition: 1 − distinct/total 3-token windows.
+    * Boilerplate and looped generations repeat shingles internally, so
+    * a high ratio flags low-quality docs (the Gopher-style repetition
+    * rule). Integer counts + one exact IEEE division — engine-portable. */
+  def selfRepetition(text: Column): Column = {
+    val nWin = greatest(size(tokens(text)) - 2, lit(1))
+    val nDist = size(graft.dedup.Dedup.shingles(text))
+    round(lit(1.0) - nDist.cast("double") / nWin, 6)
+  }
+
   /** 64-bit document fingerprint: xxhash64 of the normalized text
     * (lowercased, whitespace collapsed) — exact-dedup key that is
     * robust to trivial whitespace/case edits. */

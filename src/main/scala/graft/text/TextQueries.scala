@@ -105,5 +105,78 @@ object TextQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(stats, langid, fingerprints)
+  /** PII redaction over text with planted synthetic PII (the corpus
+    * text carries none, so an email/phone/IP derived from doc fields is
+    * appended): audit counts per kind plus the redacted tail. Patterns
+    * stay in the Java∩RE2 regex subset so DuckDB replays the exact
+    * spans. */
+  val piiScrub: Q = {
+    val emailP = TextAnalysis.piiPatterns(0)._2
+    val ipP = TextAnalysis.piiPatterns(1)._2
+    val phoneP = TextAnalysis.piiPatterns(2)._2
+    Q(
+      "x_pii_scrub",
+      (s, d) => {
+        val raw = concat(
+          col("text"), lit(" contact "), col("lang"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), raw.as("s"))
+          .select(
+            col("doc_id"),
+            TextAnalysis.piiCount(col("s"), emailP).as("n_emails"),
+            TextAnalysis.piiCount(col("s"), ipP).as("n_ips"),
+            TextAnalysis.piiCount(col("s"), phoneP).as("n_phones"),
+            TextAnalysis.redactPii(expr("right(s, 60)")).as("redacted_tail"))
+      },
+      Some(s"""
+        WITH raw AS (SELECT doc_id,
+                            text || ' contact ' || lang || CAST(doc_id AS VARCHAR) ||
+                            '@example.com or 555-' ||
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                            ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS s
+                     FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(s, '$emailP')) AS n_emails,
+               len(regexp_extract_all(s, '$ipP')) AS n_ips,
+               len(regexp_extract_all(s, '$phoneP')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(right(s, 60),
+                   '$emailP', '<EMAIL>', 'g'),
+                   '$ipP', '<IP>', 'g'),
+                   '$phoneP', '<PHONE>', 'g') AS redacted_tail
+        FROM raw
+      """.trim)
+    )
+  }
+
+  /** Intra-document repetition ratio (Gopher-style quality rule):
+    * 1 − distinct/total 3-token windows. */
+  val selfRepetition: Q = Q(
+    "x_self_repetition",
+    (s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        greatest(size(TextAnalysis.tokens(t)) - 2, lit(1)).as("n_windows"),
+        size(graft.dedup.Dedup.shingles(t)).as("n_distinct"),
+        TextAnalysis.selfRepetition(t).as("rep_ratio"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+      SELECT doc_id,
+             CAST(greatest(len(toks) - 2, 1) AS INT) AS n_windows,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS INT) AS n_distinct,
+             ROUND(1.0 - CAST(len(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+               / greatest(len(toks) - 2, 1), 6) AS rep_ratio
+      FROM w
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(stats, langid, fingerprints, piiScrub, selfRepetition)
 }
