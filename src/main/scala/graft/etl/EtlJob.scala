@@ -10,6 +10,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the caller, UTC session tz for deterministic timestamp rendering).
   */
 object SessionFactory {
+
+  /** Defaults a large-cluster deployment wants on from day one:
+    *   - AQE + skew-join splitting + post-shuffle coalescing: runtime
+    *     re-planning is what absorbs the stats errors and key skew that
+    *     only appear at the 100 TB operating point;
+    *   - 256 MiB scan splits: at 10⁵-10⁶ input files the default 128 MiB
+    *     doubles the task count for no benefit once AQE coalesces
+    *     downstream stages;
+    *   - UTC session timezone: deterministic timestamp rendering
+    *     regardless of driver locale;
+    *   - nanosAsLong: nano-precision parquet timestamps read as raw
+    *     longs (see Tables.events) — a session-level decision made once
+    *     here, never mutated per-read on a shared session.
+    * Everything is overridable via `extra`. */
+  val clusterDefaults: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def build(appName: String,
             master: Option[String] = None,
             shufflePartitions: Int = 32,
@@ -19,13 +41,7 @@ object SessionFactory {
       if (sys.env.contains("DEBUG")) Some("local[*]") else None)
     resolved.foreach(b.master)
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // nano-precision parquet timestamps read as raw longs (see
-      // Tables.events) — a session-level decision, set once here rather
-      // than mutated per-read on a shared session
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    extra.foreach { case (k, v) => b.config(k, v) }
+    (clusterDefaults ++ extra).foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }
 }

@@ -26,8 +26,17 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOf {
 
+  /** `direction = "backward"` (default): latest right row with
+    * right.ts <= left.ts — trade→last-quote. `direction = "forward"`:
+    * earliest right row with right.ts >= left.ts — event→next-action.
+    * Both directions are the same one-shuffle union+window plan; only
+    * the traversal order flips (forward walks each key partition in
+    * descending ts, so "last right seen" is the minimal right.ts at or
+    * after the left row). Ties match in both directions. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightVals: Seq[String]): DataFrame = {
+               rightVals: Seq[String], direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     // __side/__rv are internal working columns; a left input already
     // carrying either would silently corrupt the union/window below.
@@ -45,8 +54,9 @@ object AsOf {
     val rightTagged = right.select(
       col(key), col(ts), lit(0).as("__side"),
       struct(rightVals.map(col): _*).as("__rv"))
+    val tsOrd = if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(tsOrd, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     leftTagged.unionByName(rightTagged, allowMissingColumns = true)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))

@@ -338,6 +338,46 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Forward as-of join: each purchase enriched with the user's NEXT
+    * signup at-or-after it (direction = "forward") — same union+window
+    * plan walked in descending ts. Oracle is DuckDB's native ASOF with
+    * the inequality flipped (p.ts <= s.ts), an independent
+    * implementation of forward semantics. */
+  val asofForward: Q = Q(
+    "x_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+        .select(col("user_id"), col("signup_ts").as("ts"),
+          col("signup_ts"), col("signup_value"))
+      AsOf.asofJoin(purchases, signups, "user_id", "ts",
+        Seq("signup_ts", "signup_value"), direction = "forward")
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+          col("signup_value"),
+          (unix_timestamp(col("signup_ts")) - unix_timestamp(col("ts")))
+            .as("secs_until_signup"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, ts AS signup_ts, MAX(value) AS signup_value
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+             s.signup_value,
+             CAST(epoch(date_trunc('second', s.signup_ts)) AS BIGINT)
+               - CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS secs_until_signup
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.signup_ts
+    """.trim)
+  )
+
   /** Range join: per purchase, how many clicks the same user made in
     * the preceding 30 minutes — bucketed-equi-join implementation (see
     * RangeJoin); the oracle is DuckDB's inequality join, an independent
@@ -509,6 +549,6 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
-    asofJoin, rangeJoin, tumblingWindow, corpusPipeline, contamination,
-    stratifiedSample, tfidf)
+    asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
+    contamination, stratifiedSample, tfidf)
 }

@@ -116,24 +116,38 @@ object Similarity {
     * order-independent), then divided in double — reproducible in any
     * engine; all similarity scores go through the fixed-order dot
     * product. */
-  def annIvf(emb: DataFrame, queryId: Long, dim: Int, k: Int = 20,
-             idCol: String = "vec_id", vecCol: String = "embedding",
-             listCol: String = "label"): DataFrame = {
-    val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"), col(listCol))
-    // Centroids in ONE aggregation: dim decimal sums per list (partial
-    // map-side combine, a single shuffle of ~dim·16 bytes per list) —
-    // not a posexplode (dim× the scan rows) followed by two groupBys
-    // and a collect_list re-assembly. Arithmetic is unchanged: exact
-    // decimal sums of 6-decimal-rounded components, divided in double.
+  /** The IVF centroid table: one row per inverted list, built in ONE
+    * aggregation — dim decimal sums per list (partial map-side combine,
+    * a single shuffle of ~dim·16 bytes per list), not a posexplode
+    * (dim× the scan rows) followed by two groupBys and a collect_list
+    * re-assembly. Arithmetic: exact decimal sums of 6-decimal-rounded
+    * components, divided in double — order-independent and replayable
+    * in any engine. A real deployment materializes this once (it is
+    * tiny — one row per list) and probes it millions of times; see
+    * annIvfWithCentroids. */
+  def ivfCentroids(emb: DataFrame, dim: Int,
+                   vecCol: String = "embedding",
+                   listCol: String = "label"): DataFrame = {
+    val v = emb.select(asDouble(col(vecCol)).as("v"), col(listCol))
     val sumCols = (0 until dim).map(i =>
       sum(round(element_at(col("v"), i + 1), 6).cast("decimal(18,6)")).as(s"_s$i"))
-    val centArr = v.groupBy(col(listCol))
+    v.groupBy(col(listCol))
       .agg(count(lit(1)).as("_n"), sumCols: _*)
       .select(col(listCol),
         array((0 until dim).map(i =>
           col(s"_s$i").cast("double") / col("_n")): _*).as("cv"))
+  }
+
+  /** IVF probe against a prebuilt centroid table (ivfCentroids, read
+    * back from wherever it was materialized): broadcast the centroids,
+    * pick the nearest list, scan only that list. */
+  def annIvfWithCentroids(emb: DataFrame, centroids: DataFrame, queryId: Long,
+                          k: Int = 20, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          listCol: String = "label"): DataFrame = {
+    val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"), col(listCol))
     val q = v.filter(col(idCol) === queryId).select(col("v").as("qv"))
-    val nearest = centArr.crossJoin(broadcast(q))
+    val nearest = centroids.crossJoin(broadcast(q))
       .orderBy(cosine(col("cv"), col("qv")).desc, col(listCol))
       .limit(1)
       .select(col(listCol).as("probe_list"), col("qv"))
@@ -142,6 +156,12 @@ object Similarity {
       .select(col(idCol), cosine(col("v"), col("qv")).as("cos_sim"))
     topKRanked(scored, k, idCol)
   }
+
+  def annIvf(emb: DataFrame, queryId: Long, dim: Int, k: Int = 20,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             listCol: String = "label"): DataFrame =
+    annIvfWithCentroids(emb, ivfCentroids(emb, dim, vecCol, listCol),
+      queryId, k, idCol, vecCol, listCol)
 
   /** Per-band LSH bucket ids: `nBands` buckets of `bitsPerBand` sign
     * bits each, over nBands·bitsPerBand deterministic hyperplanes. A

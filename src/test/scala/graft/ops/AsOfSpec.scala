@@ -31,6 +31,28 @@ class AsOfSpec extends SparkSpec {
     assert(out(5L) == null)
   }
 
+  test("asofJoin forward picks the earliest right row at-or-after each left row") {
+    val left = Seq(
+      (1L, 10L, ts(5)),   // before q1 -> next is q1 (100)
+      (2L, 10L, ts(10)),  // tie with q1 -> 100 (>= semantics)
+      (3L, 10L, ts(15)),  // between -> q2 (200)
+      (4L, 10L, ts(45)),  // after all quotes -> null
+      (5L, 99L, ts(5))    // other key, no quotes -> null
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      (10L, ts(10), 100.0), // q1
+      (10L, ts(30), 200.0)  // q2
+    ).toDF("key", "t", "px")
+    val out = AsOf.asofJoin(left, right, "key", "t", Seq("px"), direction = "forward")
+      .select(col("id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == 100.0)
+    assert(out(2L) == 100.0)
+    assert(out(3L) == 200.0)
+    assert(out(4L) == null)
+    assert(out(5L) == null)
+  }
+
   test("bucketed range join matches the naive theta join exactly") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 200).map(i =>

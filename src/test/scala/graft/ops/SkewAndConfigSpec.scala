@@ -26,6 +26,15 @@ class SkewAndConfigSpec extends SparkSpec {
     assert(a.toSet.size > 1) // actually spreads
   }
 
+  test("SessionFactory applies cluster defaults, extra overrides win") {
+    val s = graft.etl.SessionFactory.build("graft-test", shufflePartitions = 4,
+      extra = Map("spark.sql.files.maxPartitionBytes" -> "134217728"))
+    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(s.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(s.conf.get("spark.sql.files.maxPartitionBytes") == "134217728")
+  }
+
   test("ConfigLoader parses the reference JSON shape") {
     val cfg = ConfigLoader.fromString("""
       {

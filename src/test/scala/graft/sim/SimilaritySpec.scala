@@ -32,6 +32,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L)
   }
 
+  test("ivf: probe against a materialized centroid table equals the one-shot form") {
+    val withList = emb.withColumn("label", pmod(col("vec_id"), lit(2)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-cent").toString
+    Similarity.ivfCentroids(withList, dim = 8).write.mode("overwrite").parquet(dir)
+    val centroids = spark.read.parquet(dir)
+    val viaIndex = Similarity.annIvfWithCentroids(withList, centroids, queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val oneShot = Similarity.annIvf(withList, queryId = 0L, dim = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(viaIndex == oneShot && viaIndex.nonEmpty)
+  }
+
   test("cosine near-dup pairs (banded-LSH default): finds the planted pair above threshold") {
     val out = Similarity.cosineNearDups(emb, threshold = 0.99, dim = 8)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
