@@ -69,6 +69,49 @@ object Corpus {
     docs.filter(sampleKeep(col(idCol), thr))
   }
 
+  /** Proportional corpus mixing: given target SHARES of the output mix
+    * per stratum, derive each stratum's keep-rate
+    * (min(1, share · total / n_stratum)) and apply it with the
+    * deterministic md5 draw — over-represented strata are downsampled
+    * toward the target mix, under-represented ones keep everything.
+    * Two passes: one tiny count aggregate broadcast back, then a narrow
+    * filter over the scan. The threshold arithmetic stays in exactly-
+    * rounded IEEE ops (multiply, divide, floor) so the kept set is
+    * engine- and partitioning-independent. */
+  def mixCorpus(docs: DataFrame, strataCol: String,
+                targetShares: Map[String, Double], defaultShare: Double,
+                idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("_cnt"))
+    val total = docs.agg(count(lit(1)).as("_tot"))
+    val share = targetShares.foldLeft(lit(defaultShare)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val rate = least(lit(1.0), share * col("_tot") / col("_cnt"))
+    val thr = floor(rate * lit((1L << 60).toDouble)).cast("long")
+    docs.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(total))
+      .filter(sampleKeep(col(idCol), thr))
+      .drop("_cnt", "_tot")
+  }
+
+  /** Token-budget shard packing: assign each document to a shard so
+    * every shard holds ~budgetTokens tokens, per stratum, in a
+    * deterministic id order — the document-granularity form of sequence
+    * packing (shard_id = tokens-before-this-doc DIV budget). One
+    * shuffle on the stratum key; the running sum is exact integer
+    * arithmetic, so shard assignment is reproducible anywhere. */
+  def packShards(docs: DataFrame, budgetTokens: Long, strataCol: String,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(strataCol),
+      size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"cum_before DIV $budgetTokens"))
+      .drop("cum_before")
+  }
+
   /** TF-IDF term weights, top-k terms per document.
     *
     * The idf is the log-free rational form score = tf · (N / df),

@@ -525,6 +525,54 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Proportional mixing toward a target language distribution (en 40%,
+    * zh 30%, rest 10% each), checked per-stratum via counts and an id
+    * checksum — the md5 draw and the threshold arithmetic replay
+    * exactly in DuckDB. */
+  val corpusMix: Q = Q(
+    "x_corpus_mix",
+    (s, d) => graft.corpus.Corpus.mixCorpus(
+      Tables.documents(s, d), strataCol = "lang",
+      targetShares = Map("en" -> 0.4, "zh" -> 0.3), defaultShare = 0.1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum")),
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      t AS (SELECT COUNT(*) AS tot FROM documents),
+      r AS (SELECT lang,
+                   LEAST(CAST(1.0 AS DOUBLE),
+                         CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.3 ELSE 0.1 END
+                           * tot / cnt) AS rate
+            FROM c, t)
+      SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+            CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+      GROUP BY d.lang
+    """.trim)
+  )
+
+  /** Token-budget shard packing (1000-token shards per language):
+    * exact integer running sums, so the assignment is identical in any
+    * engine. */
+  val shardPack: Q = Q(
+    "x_shard_pack",
+    (s, d) => graft.corpus.Corpus.packShards(
+      Tables.documents(s, d), budgetTokens = 1000L, strataCol = "lang"),
+    Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        len(regexp_split_to_array(text, '\s+')) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM t)
+      SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(cum_before // 1000 AS BIGINT) AS shard_id
+      FROM c
+    """.trim)
+  )
+
   /** TF-IDF top-3 terms per document (rational log-free idf — exact
     * IEEE division keeps scores and ranking bit-identical across
     * engines; see Corpus.tfidfTopTerms). */
@@ -550,5 +598,5 @@ object ExtensionQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
-    contamination, stratifiedSample, tfidf)
+    contamination, stratifiedSample, corpusMix, shardPack, tfidf)
 }

@@ -41,6 +41,32 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.stratifiedSample(docs, "lang", Map.empty, 1L << 60).count() == 400)
   }
 
+  test("mixCorpus downsamples over-represented strata toward the target share") {
+    // 900 en / 100 de, target mix 50/50 → en rate 0.5·1000/900 ≈ 0.56,
+    // de rate 0.5·1000/100 = 5 → capped at 1 (keep all)
+    val docs = ((0L until 900L).map(i => (i, "en")) ++
+      (900L until 1000L).map(i => (i, "de"))).toDF("doc_id", "lang")
+    val kept = Corpus.mixCorpus(docs, "lang", Map("en" -> 0.5, "de" -> 0.5), 0.0)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("de") == 100L, "under-represented stratum keeps everything")
+    assert(kept("en") > 400 && kept("en") < 600,
+      s"en should land near 900·0.56 ≈ 500: ${kept("en")}")
+    // unmapped strata fall back to defaultShare 0 → dropped entirely
+    val withFr = docs.union(Seq((2000L, "fr")).toDF("doc_id", "lang"))
+    val kept2 = Corpus.mixCorpus(withFr, "lang", Map("en" -> 0.5, "de" -> 0.5), 0.0)
+    assert(kept2.filter(col("lang") === "fr").count() == 0)
+  }
+
+  test("packShards fills each shard to the token budget in id order") {
+    val docs = (1L to 10L).map(i => (i, "en", "a " * 39 + "a")) // 40 tokens each
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.packShards(docs, budgetTokens = 100L, strataCol = "lang")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // cumulative-before: 0,40,80,120,... → shard 0,0,0,1,1,2,2,2,3,3
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L), out.toString)
+  }
+
   test("tfidfTopTerms ranks a doc's distinctive term above corpus-wide terms") {
     val docs = Seq(
       (1L, "shared shared shared zebra"),
