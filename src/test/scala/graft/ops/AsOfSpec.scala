@@ -71,6 +71,20 @@ class AsOfSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("asofJoin rejects reserved/colliding column names and bad directions") {
+    val left = Seq((1L, 1L, ts(1))).toDF("id", "key", "t")
+    val right = Seq((1L, ts(1), 1.0)).toDF("key", "t", "px")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left.withColumn("__rv", col("id")), right, "key", "t", Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right.withColumnRenamed("px", "id"), "key", "t", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, "key", "t", Seq("px"), direction = "sideways")
+    }
+  }
+
   test("asofJoin carries multi-column right values atomically") {
     val left = Seq((1L, 1L, ts(20))).toDF("id", "key", "t")
     val right = Seq(

@@ -63,6 +63,21 @@ class PlanAuditSpec extends SparkSpec {
       "candidate generation must be an equi-join on (band, bucket):\n" + p)
   }
 
+  test("x_contamination: benchmark shingles broadcast; corpus side never shuffles text") {
+    val p = plan("x_contamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "benchmark shingle set must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_corpus_mix and x_tfidf: dictionary/count sides broadcast, no cartesian") {
+    for (name <- Seq("x_corpus_mix", "x_tfidf")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$name must broadcast its tiny side:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private val schema = StructType(Seq(
+    StructField("ingest_ts", TimestampType), StructField("doc_id", LongType),
+    StructField("lang", StringType), StructField("text", StringType)))
+
+  private val good = "the quick brown fox jumps over the lazy dog and runs away today"
+  private val junk = "x" // fails the min-token quality gate
+
+  test("streaming ingest quality-gates, dedups across batches, counts per window") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus-stream").toString
+    Seq(
+      (ts(10, 5), 1L, "en", good),
+      (ts(10, 10), 2L, "en", junk),              // filtered by quality
+      (ts(10, 15), 3L, "de", good + " extra de") // distinct fingerprint
+    ).toDF("ingest_ts", "doc_id", "lang", "text").write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val q = CorpusStream.ingest(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corpus_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a same-fingerprint duplicate (case/whitespace noise)
+      // within the watermark, plus a far-future doc to close the window
+      Seq(
+        (ts(10, 20), 4L, "en", good.toUpperCase.replace(" ", "   ")),
+        (ts(14, 0), 99L, "en", good + " closes the watermark window")
+      ).toDF("ingest_ts", "doc_id", "lang", "text")
+        .write.mode("append").parquet(s"$dir/b2")
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, lang, n_docs, total_tokens FROM corpus_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      // en: doc 1 kept; doc 2 quality-filtered; doc 4 deduped (same
+      // fingerprint as doc 1 modulo case/whitespace)
+      assert(rows.contains(("2024-01-01 10:00:00", "en", 1L, 13L)), rows.toString)
+      assert(rows.contains(("2024-01-01 10:00:00", "de", 1L, 15L)), rows.toString)
+    } finally q.stop()
+  }
+}
