@@ -250,6 +250,63 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---------------------------------------------------------- clustering
+
+  /** Connected components over near-dup pairs: every doc in a duplicate
+    * cluster gets the cluster's minimum doc id as `cluster_id` — the
+    * step that turns pairwise similarity into keep/drop decisions (keep
+    * the canonical member, drop the rest).
+    *
+    * Min-label propagation with pointer jumping: each round takes the
+    * minimum label across the symmetrized edges (one hop) AND follows
+    * the label's own label (label(label(id)) — pointer doubling), so a
+    * component of diameter D converges in O(log D) rounds instead of
+    * O(D); `maxIter` bounds the pathological case. Each round is two
+    * joins + a groupBy, all shuffling on the id key only;
+    * `localCheckpoint` truncates the growing lineage so round N doesn't
+    * re-execute rounds 1..N-1. The driver loop iterates ROUNDS (the
+    * standard Pregel/large-star shape), never rows.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) pair source ONCE — ids,
+    // self-loops, and every round's join all read this leaf instead of
+    // re-executing the candidate-generation pipeline
+    val sym = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint()
+    val ids = sym.select(col("id1").as("id")).distinct()
+    // self-loops make "min over neighbors" include the node's own label,
+    // so each round is ONE join + ONE groupBy — no union in the loop
+    val edges = sym
+      .union(ids.select(col("id").as("id1"), col("id").as("id2")))
+    var labels = ids.withColumn("cluster_id", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    // ONE materialization per round (hop + pointer-jump + previous label
+    // carried in a single plan): the convergence test then reads the
+    // materialized leaf instead of scheduling extra jobs — on a
+    // 1000-executor cluster per-job overhead is noise, but the same
+    // shape also keeps small-corpus runs cheap
+    while (!converged && i < maxIter) {
+      val hop = edges.join(labels, edges("id1") === labels("id"))
+        .select(col("id2"), col("cluster_id"))
+        .groupBy(col("id2")).agg(min(col("cluster_id")).as("cluster_id"))
+        .select(col("id2").as("id"), col("cluster_id"))
+      val jumped = hop.as("a")
+        .join(hop.as("b"), col("a.cluster_id") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster_id"),
+            coalesce(col("b.cluster_id"), col("a.cluster_id"))).as("cluster_id"))
+      val next = jumped
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .localCheckpoint()
+      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("cluster_id"))
+      i += 1
+    }
+    labels.select(col("cluster_id"), col("id").as("doc_id"))
+  }
+
   // ------------------------------------------------------- ngram jaccard
 
   /** Exact n-gram Jaccard near-dup pairs: candidates = docs sharing at

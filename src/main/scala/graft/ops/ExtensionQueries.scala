@@ -63,6 +63,54 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Duplicate clusters from the MinHash near-dup pairs (jaccard ≥ 0.5,
+    * the dedup-grade threshold): connected components via
+    * pointer-jumping min-label propagation (Dedup.dedupClusters), each
+    * member labeled with its cluster's canonical (minimum) doc id —
+    * the step that turns pairwise similarity into keep/drop decisions.
+    * The oracle computes components INDEPENDENTLY — a recursive-CTE
+    * transitive closure over the same pair set — so this checks the
+    * clustering semantics, not just the arithmetic. */
+  val dedupClusters: Q = Q(
+    "x_dedup_clusters",
+    (s, d) => Dedup.dedupClusters(
+      Dedup.minhashNearDupsMd5(Tables.documents(s, d), threshold = 0.5,
+        maxBucketSize = Some(64))),
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      ab AS (SELECT doc_id, shl, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+      bc AS (SELECT b, s FROM bands GROUP BY b, s HAVING COUNT(*) BETWEEN 2 AND 64),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+               FROM bc JOIN bands x ON x.b = bc.b AND x.s = bc.s
+                       JOIN bands y ON y.b = bc.b AND y.s = bc.s
+                                   AND x.doc_id < y.doc_id),
+      pairs AS (SELECT id1, id2
+                FROM (SELECT id1, id2,
+                             len(list_intersect(x.shl, y.shl)) AS nc,
+                             len(x.shl) AS n1, len(y.shl) AS n2
+                      FROM cand
+                      JOIN sh0 x ON id1 = x.doc_id
+                      JOIN sh0 y ON id2 = y.doc_id) t
+                WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT LEAST(a, MIN(b)) AS cluster_id, a AS doc_id FROM reach GROUP BY a
+    """.trim)
+  )
+
   /** SimHash signatures on the md5-derived 60-bit token hash —
     * oracle-checked bit-for-bit (the xxhash64 simhash is the in-engine
     * fast path, spec-pinned). */
@@ -595,7 +643,8 @@ object ExtensionQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
+  def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
+    ngramJaccard,
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, tfidf)

@@ -72,6 +72,23 @@ class DedupSpec extends SparkSpec {
     assert(fast == hof)
   }
 
+  test("dedupClusters: chains merge into one component labeled by the min id") {
+    // components: {1,2,3,8,9} (via the 1-9 bridge) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (1L, 9L))
+      .toDF("id1", "id2")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L), out.toString)
+  }
+
+  test("dedupClusters converges on a long chain (diameter > 1 round)") {
+    val n = 30L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = Dedup.dedupClusters(chain).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"all chain members must label 1: $out")
+  }
+
   test("ngram jaccard: planted pair scores high, unrelated absent") {
     val out = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("id1", "id2", "jaccard").collect()
