@@ -112,6 +112,27 @@ object Corpus {
       .drop("cum_before")
   }
 
+  /** Adaptive per-stratum filtering: keep the top num/den fraction of
+    * each stratum by score (floor(n·num/den) rows, ties broken by id
+    * for determinism). The "keep the best X% per language" step — an
+    * absolute score cutoff misbehaves when strata have different score
+    * distributions; a per-stratum rank cutoff doesn't. Rank test is
+    * pure integer arithmetic (rn·den ≤ n·num), engine-exact. One
+    * shuffle on the stratum key. */
+  def topFractionByScore(df: DataFrame, strataCol: String, scoreCol: String,
+                         num: Int, den: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num >= 0 && den > 0, "fraction must be num>=0, den>0")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val cw = Window.partitionBy(col(strataCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("_rn") * den <= col("_n") * num)
+      .drop("_rn", "_n")
+  }
+
   /** TF-IDF term weights, top-k terms per document.
     *
     * The idf is the log-free rational form score = tf · (N / df),

@@ -621,6 +621,50 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Adaptive quality filtering: keep the top half of each language by
+    * quality score (per-stratum rank cutoff, not an absolute
+    * threshold), verified via per-language counts, the kept-quality
+    * floor, and an id checksum. */
+  val adaptiveFilter: Q = Q(
+    "x_adaptive_filter",
+    (s, d) => {
+      import graft.text.TextAnalysis
+      val t = col("text")
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), t,
+        TextAnalysis.textStats(t).as("st"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScoreFrom(col("st"), t).as("quality"))
+      graft.corpus.Corpus.topFractionByScore(scored, "lang", "quality",
+        num = 1, den = 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("quality")).as("min_quality"),
+          sum(col("doc_id")).as("id_sum"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               100
+                 - CASE WHEN len(regexp_split_to_array(text, '\s+')) < 10 THEN 40 ELSE 0 END
+                 - CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is','was','for','on','with','as','at','by','it','this','that'], x))) = 0 THEN 25 ELSE 0 END
+                 - CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 5 > length(text) THEN 20 ELSE 0 END
+                 - CASE WHEN list_max(list_transform(regexp_split_to_array(text, '\s+'), x -> length(x))) > 30 THEN 15 ELSE 0 END
+                 AS quality
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, lang, quality,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scored)
+      SELECT lang, COUNT(*) AS n_kept,
+             MIN(quality) AS min_quality,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM ranked WHERE rn * 2 <= n GROUP BY lang
+    """.trim)
+  )
+
   /** TF-IDF top-3 terms per document (rational log-free idf — exact
     * IEEE division keeps scores and ranking bit-identical across
     * engines; see Corpus.tfidfTopTerms). */
@@ -647,5 +691,6 @@ object ExtensionQueries {
     ngramJaccard,
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
-    contamination, stratifiedSample, corpusMix, shardPack, tfidf)
+    contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
+    tfidf)
 }

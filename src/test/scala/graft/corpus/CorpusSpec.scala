@@ -67,6 +67,20 @@ class CorpusSpec extends SparkSpec {
       6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L), out.toString)
   }
 
+  test("topFractionByScore keeps floor(n*frac) per stratum, ties by id") {
+    // en: 5 docs scores 50,40,30,20,10 → keep floor(5/2)=2 (50,40)
+    // de: 2 docs equal scores → keep 1, the LOWER id (deterministic tie)
+    val df = (Seq((1L, "en", 50), (2L, "en", 40), (3L, "en", 30),
+      (4L, "en", 20), (5L, "en", 10), (10L, "de", 7), (11L, "de", 7)))
+      .toDF("doc_id", "lang", "score")
+    val kept = Corpus.topFractionByScore(df, "lang", "score", num = 1, den = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 10L), kept.toString)
+    // num=0 keeps nothing; num=den keeps everything
+    assert(Corpus.topFractionByScore(df, "lang", "score", 0, 2).count() == 0)
+    assert(Corpus.topFractionByScore(df, "lang", "score", 2, 2).count() == 7)
+  }
+
   test("tfidfTopTerms ranks a doc's distinctive term above corpus-wide terms") {
     val docs = Seq(
       (1L, "shared shared shared zebra"),
