@@ -33,15 +33,19 @@ object Corpus {
     val benchSh = benchmark
       .select(explode(Dedup.shingles(col(textCol), shingleW)).as("g"))
       .distinct()
-    val corpusSh = corpus.select(col(idCol),
+      .withColumn("_hit", lit(1))
+    // ONE shingle pass over the corpus: left-join the exploded shingles
+    // against the broadcast benchmark set and count total + matched in
+    // the same aggregation (shingles() is distinct per doc, so both
+    // counts are distinct-shingle counts). Shingling dominates per-row
+    // cost — a separate sizes subtree would do it all a second time.
+    corpus.select(col(idCol),
       explode(Dedup.shingles(col(textCol), shingleW)).as("g"))
-    // shingles() is distinct per doc, so this counts DISTINCT shared
-    // shingles without a second dedup
-    val shared = corpusSh.join(broadcast(benchSh), "g")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
-    val sizes = corpus.select(col(idCol),
-      size(Dedup.shingles(col(textCol), shingleW)).as("n_total"))
-    sizes.join(shared, Seq(idCol))
+      .join(broadcast(benchSh), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_total"),
+        count(col("_hit")).as("n_shared"))
+      .filter(col("n_shared") >= 1)
       .select(col(idCol), col("n_shared"), col("n_total"),
         round(col("n_shared").cast("double") / col("n_total"), 6)
           .as("contamination"))
@@ -82,7 +86,9 @@ object Corpus {
                 targetShares: Map[String, Double], defaultShare: Double,
                 idCol: String = "doc_id"): DataFrame = {
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("_cnt"))
-    val total = docs.agg(count(lit(1)).as("_tot"))
+    // total derives from the tiny per-stratum aggregate — NOT a second
+    // scan of the corpus
+    val total = counts.agg(sum(col("_cnt")).as("_tot"))
     val share = targetShares.foldLeft(lit(defaultShare)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
@@ -103,6 +109,7 @@ object Corpus {
   def packShards(docs: DataFrame, budgetTokens: Long, strataCol: String,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"packShards: budgetTokens must be > 0, got $budgetTokens")
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol), col(strataCol),
@@ -127,9 +134,11 @@ object Corpus {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col(scoreCol).desc, col(idCol))
     val cw = Window.partitionBy(col(strataCol))
+    // _rn is IntegerType — widen before multiplying, or a stratum past
+    // 2^31/den rows wraps the product negative and keeps its bottom tail
     df.withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(cw))
-      .filter(col("_rn") * den <= col("_n") * num)
+      .filter(col("_rn").cast("long") * den <= col("_n") * num)
       .drop("_rn", "_n")
   }
 

@@ -304,6 +304,12 @@ object Dedup {
       labels = next.select(col("id"), col("cluster_id"))
       i += 1
     }
+    // Partially-propagated labels would silently split one duplicate
+    // cluster into several — downstream dedup then KEEPS duplicates.
+    // Fail loudly instead; the caller raises maxIter (log₂(diameter)
+    // rounds suffice, so 20 covers any realistic component).
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIter rounds; raise maxIter")
     labels.select(col("cluster_id"), col("id").as("doc_id"))
   }
 

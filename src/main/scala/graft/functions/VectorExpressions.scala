@@ -13,7 +13,12 @@ object VectorFunctions {
   def rollingHashes(tokens: Column, w: Int): Column =
     org.apache.spark.sql.graftext.VectorExpressions.rollingHashes(tokens, w)
 
-  /** Expose both as SQL functions (dot_product, rolling_hashes). */
+  /** Register the FULL native-function surface for SQL use on a live
+    * session (dot_product, rolling_hashes, rolling_ngrams,
+    * minhash_signature, md5_minhash, md5_min, md5_hashes60,
+    * simhash_from, normalize_ws, text_stats, id_pairs) — the same list
+    * GraftExtensions injects at builder time; both iterate
+    * GraftFunctionRegistry so the surfaces cannot drift. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     org.apache.spark.sql.graftext.VectorExpressions.register(spark)
 }

@@ -75,18 +75,28 @@ object EventStream {
             val sorted = rows.toArray.sortBy(_.ts.getTime)
             val closed = Seq.newBuilder[ClosedSession]
             var open = state.getOption.orNull
+            // Out-of-order events (earlier microbatch state) more than
+            // `gap` BEFORE the open session form their own sessions,
+            // provably already over — the open session's first event is
+            // beyond the gap after them. CONSECUTIVE such events within
+            // `gap` of each other must merge into ONE old session, so
+            // they fold through this accumulator, not straight to the
+            // output (the batch is sorted, so they arrive in ts order).
+            var oldOpen: SessionState = null
             sorted.foreach { e =>
               val t = e.ts.getTime
               open = open match {
                 case null => SessionState(t, t, 1L, e.value)
                 case s if t < s.start - gapMillis =>
-                  // Out-of-order arrival (earlier microbatch state) more
-                  // than `gap` BEFORE the open session: a session of its
-                  // own, provably already over — the open session's first
-                  // event is beyond the gap after it. Emit it closed and
-                  // keep the (later) open session as-is.
-                  closed += ClosedSession(uid, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1L, e.value)
+                  oldOpen = oldOpen match {
+                    case null => SessionState(t, t, 1L, e.value)
+                    case o if t - o.last > gapMillis =>
+                      closed += close(o)
+                      SessionState(t, t, 1L, e.value)
+                    case o =>
+                      SessionState(o.start, math.max(o.last, t),
+                        o.n + 1, o.value + e.value)
+                  }
                   s
                 case s if t - s.last > gapMillis =>
                   closed += close(s)
@@ -98,6 +108,7 @@ object EventStream {
                     s.n + 1, s.value + e.value)
               }
             }
+            if (oldOpen != null) closed += close(oldOpen)
             if (open != null) {
               state.update(open)
               state.setTimeoutTimestamp(open.last + gapMillis)

@@ -100,10 +100,12 @@ class EventStreamSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // batch 2 arrives out of order (within the 1h watermark):
-      //  - 10:00 is > gap BEFORE session start -> its own closed session
+      //  - 10:00 and 10:05 are > gap BEFORE session start AND within the
+      //    gap of each other -> they merge into ONE closed old session
       //  - 10:30 is within the gap before start -> merges, lowering start
       Seq(
-        (3L, ts(0), 1L, "view", 7.0), (4L, ts(30), 1L, "view", 3.0)
+        (3L, ts(0), 1L, "view", 7.0), (4L, ts(5), 1L, "view", 2.0),
+        (5L, ts(30), 1L, "view", 3.0)
       ).toDF("event_id", "ts", "user_id", "event_type", "value")
         .write.mode("append").parquet(s"$dir/batch2")
       q.processAllAvailable()
@@ -118,8 +120,8 @@ class EventStreamSpec extends SparkSpec {
         .collect()
         .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
         .toSet
-      assert(rows.contains((ts(0), ts(0), 1L, 7.0)),
-        s"pre-gap out-of-order event should close as its own session: $rows")
+      assert(rows.contains((ts(0), ts(5), 2L, 9.0)),
+        s"consecutive pre-gap out-of-order events should merge into one closed session: $rows")
       assert(rows.contains((ts(30), ts(45), 3L, 6.0)),
         s"in-gap out-of-order event should extend the session backwards: $rows")
     } finally q.stop()
