@@ -119,6 +119,37 @@ object Corpus {
       .drop("cum_before")
   }
 
+  /** Deterministic dataset split assignment (train/val/test…): the
+    * [0, 2^60) md5 draw is cut into contiguous ranges sized by the
+    * requested fractions, and each row gets the name of the range its
+    * draw falls in. Pure integer compares against driver-computed
+    * literal thresholds — the assignment is stable across engines,
+    * partitionings, reruns, and retries, and a given id NEVER migrates
+    * between splits when unrelated rows are added (the property
+    * rand()-based splitting lacks). Zero shuffle. */
+  def assignSplit(docs: DataFrame, splits: Seq[(String, Double)],
+                  idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit: at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"assignSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => math.floor(f * (1L << 60).toDouble).toLong)
+    val h = Dedup.md5Hash60(col(idCol).cast("string"))
+    val assigned = splits.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, (name, cut)) =>
+        when(h < cut, lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", assigned)
+  }
+
+  /** The literal thresholds assignSplit compares against — exposed so
+    * an external replay (e.g. an oracle SQL string) can inline the
+    * identical integers. */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] =
+    splits.map(_._1).zip(
+      splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+        .map(f => math.floor(f * (1L << 60).toDouble).toLong))
+
   /** Adaptive per-stratum filtering: keep the top num/den fraction of
     * each stratum by score (floor(n·num/den) rows, ties broken by id
     * for determinism). The "keep the best X% per language" step — an

@@ -621,6 +621,29 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Deterministic 80/10/10 train/val/test assignment over documents,
+    * verified per (split, lang) via counts and id checksums — the
+    * thresholds are driver-computed integers inlined into both
+    * engines. */
+  val splitAssign: Q = {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val thr = graft.corpus.Corpus.splitThresholds(splits)
+    val caseSql = thr.init.map { case (name, cut) =>
+      s"WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT < $cut THEN '$name'"
+    }.mkString("CASE ", " ", s" ELSE '${thr.last._1}' END")
+    Q(
+      "x_split_assign",
+      (s, d) => graft.corpus.Corpus.assignSplit(Tables.documents(s, d), splits)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum")),
+      Some(s"""
+        SELECT $caseSql AS split, lang,
+               COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY 1, 2
+      """.trim)
+    )
+  }
+
   /** Adaptive quality filtering: keep the top half of each language by
     * quality score (per-stratum rank cutoff, not an absolute
     * threshold), verified via per-language counts, the kept-quality
@@ -692,5 +715,5 @@ object ExtensionQueries {
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
-    tfidf)
+    splitAssign, tfidf)
 }

@@ -67,6 +67,28 @@ class CorpusSpec extends SparkSpec {
       6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L), out.toString)
   }
 
+  test("assignSplit partitions every row deterministically near the requested fractions") {
+    val docs = (0L until 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def run() = Corpus.assignSplit(docs, splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(run() == a, "assignment must be deterministic")
+    assert(a.values.sum == 2000L, "every row gets exactly one split")
+    assert(a("train") > 1500 && a("train") < 1700, s"train far from 80%: $a")
+    assert(a("val") > 130 && a("val") < 270, s"val far from 10%: $a")
+    // stability: adding rows never migrates an existing id's split
+    val before = Corpus.assignSplit(docs, splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Corpus.assignSplit(
+      (0L until 4000L).map(Tuple1(_)).toDF("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.forall { case (id, s) => after(id) == s })
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(docs, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("topFractionByScore keeps floor(n*frac) per stratum, ties by id") {
     // en: 5 docs scores 50,40,30,20,10 → keep floor(5/2)=2 (50,40)
     // de: 2 docs equal scores → keep 1, the LOWER id (deterministic tie)
