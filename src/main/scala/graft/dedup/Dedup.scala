@@ -250,6 +250,27 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Incremental (cross-corpus) dedup: drop incoming docs whose
+    * fingerprint already exists in the corpus — the daily-ingest shape.
+    * The existing side reduces to a distinct fingerprint set before the
+    * anti-join (at 100 TB that set is a materialized/bucketed table or
+    * bloom filter, not a re-scan), so the shuffle carries fingerprint
+    * keys only, never text. `fp` defaults to the whitespace/case-robust
+    * xxhash64 fingerprint; pass `md5Fingerprint` where an engine-
+    * portable key matters. */
+  def dedupAgainstCorpus(incoming: DataFrame, existing: DataFrame,
+                         textCol: String = "text",
+                         fp: Column => Column = TextAnalysis.fingerprint): DataFrame = {
+    val seen = existing.select(fp(col(textCol)).as("_fp")).distinct()
+    incoming.join(seen, fp(col(textCol)) === col("_fp"), "left_anti")
+  }
+
+  /** Engine-portable fingerprint: md5 of the normalized text (the
+    * oracle-checkable twin of TextAnalysis.fingerprint). */
+  def md5Fingerprint(text: Column): Column =
+    md5(org.apache.spark.sql.graftext.VectorExpressions.normalizeWs(text)
+      .cast("binary"))
+
   // ---------------------------------------------------------- clustering
 
   /** Connected components over near-dup pairs: every doc in a duplicate

@@ -111,6 +111,30 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Incremental dedup: new docs (doc_id ≡ 0 mod 5 stands in for
+    * today's ingest) anti-joined against the existing corpus by the
+    * md5 normalized-text fingerprint — only genuinely new content
+    * survives. */
+  val dedupIncremental: Q = Q(
+    "x_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstCorpus(
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        fp = Dedup.md5Fingerprint)
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""
+      WITH fp AS (SELECT doc_id, lang,
+                         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+                  FROM documents)
+      SELECT i.doc_id, i.lang FROM fp i
+      WHERE i.doc_id % 5 = 0
+        AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 5 <> 0 AND e.f = i.f)
+    """.trim)
+  )
+
   /** SimHash signatures on the md5-derived 60-bit token hash —
     * oracle-checked bit-for-bit (the xxhash64 simhash is the in-engine
     * fast path, spec-pinned). */
@@ -711,7 +735,7 @@ object ExtensionQueries {
   )
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
-    ngramJaccard,
+    dedupIncremental, ngramJaccard,
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,

@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(fast == hof)
   }
 
+  test("dedupAgainstCorpus drops incoming docs already in the corpus (modulo whitespace/case)") {
+    val existing = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base.toUpperCase.replace(" ", "  ")), // dup of existing 1 after normalization
+      (11L, nearDup),                             // near-dup but different fingerprint -> kept
+      (12L, "brand new content never seen before in any corpus at all")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(incoming, existing)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), kept.toString)
+  }
+
   test("dedupClusters: chains merge into one component labeled by the min id") {
     // components: {1,2,3,8,9} (via the 1-9 bridge) and {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (1L, 9L))
