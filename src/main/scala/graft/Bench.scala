@@ -21,9 +21,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one tiny warmup action so JVM/session startup isn't billed to the
-    // first query in the map
-    spark.range(1).count()
+    // Warmup that exercises the codepaths the catalog actually uses —
+    // parquet scan, broadcast join, hash agg, window, explode — so JIT /
+    // codegen compilation of those operators isn't billed to whichever
+    // query happens to run first (min-of-2 doesn't save it when both
+    // runs land inside the warmup window). region/nation are a few KB.
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("r_name"))))
+        .select(explode(split(col("r_name"), "")).as("ch"))
+        .queryExecution.toRdd.count()
+    }
 
     // Optional local-iteration filter (regex); the driver sets no filter.
     val nameFilter: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {

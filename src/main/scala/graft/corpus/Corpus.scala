@@ -173,6 +173,41 @@ object Corpus {
       .drop("_rn", "_n")
   }
 
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb cleanup
+    * step): a line that occurs in more than `maxDocFreq` distinct
+    * documents is boilerplate — navigation bars, cookie banners,
+    * footers — and is dropped from EVERY document; the surviving lines
+    * are reassembled in their original order. Documents left with zero
+    * lines disappear from the output (the CCNet convention).
+    *
+    * Scale shape: the line dictionary is built by shuffling the 60-bit
+    * line hash (8 bytes/line), not line text; the corpus-side explode
+    * is narrow; the only text shuffle is the final reassembly groupBy
+    * on the document id — unavoidable (reassembly is a per-doc fold)
+    * and proportional to output size. Line-hash collisions can merge a
+    * rare line's count into another's (md5-60: ~n²/2⁶¹ expected — zero
+    * in practice at corpus line counts).
+    */
+  def dropBoilerplateLines(docs: DataFrame, maxDocFreq: Long = 1,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("_lh", Dedup.md5Hash60(col("line")))
+    val freq = lines.groupBy(col("_lh"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    lines.join(freq, "_lh")
+      .filter(col("line_df") <= maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as(textCol),
+        count(lit(1)).cast("int").as("n_lines"))
+  }
+
   /** TF-IDF term weights, top-k terms per document.
     *
     * The idf is the log-free rational form score = tf · (N / df),

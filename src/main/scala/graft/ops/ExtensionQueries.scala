@@ -712,6 +712,34 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Line-level boilerplate removal. The synthetic documents are
+    * single-line, so the entry first folds every 5th word break into a
+    * newline (a deterministic, engine-portable regex) and then drops
+    * every line that occurs in more than one document — the CCNet /
+    * RefinedWeb cleanup that strips nav bars / cookie banners /
+    * footers. Duplicate documents lose all their lines and vanish. */
+  val lineDedup: Q = Q(
+    "x_line_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1\n").as("text"))
+      graft.corpus.Corpus.dropBoilerplateLines(docs, maxDocFreq = 1)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        regexp_replace(text, '((\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS text
+                 FROM documents),
+      lines AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d)),
+      freq AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             CAST(count(*) AS INT) AS n_lines
+      FROM lines JOIN freq USING (line)
+      WHERE line_df <= 1
+      GROUP BY doc_id
+    """.trim)
+  )
+
   /** TF-IDF top-3 terms per document (rational log-free idf — exact
     * IEEE division keeps scores and ranking bit-identical across
     * engines; see Corpus.tfidfTopTerms). */
@@ -739,5 +767,5 @@ object ExtensionQueries {
     knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
-    splitAssign, tfidf)
+    splitAssign, tfidf, lineDedup)
 }

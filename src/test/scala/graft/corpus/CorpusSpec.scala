@@ -123,4 +123,24 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(top2(1L) == "zebra", s"rare term must outrank the corpus-wide one: $top2")
   }
+
+  test("dropBoilerplateLines strips shared lines, keeps order, drops emptied docs") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique first line\nall rights reserved\nanother unique line"),
+      (2L, "cookie banner\nall rights reserved\nsecond doc body\nshared pair line"),
+      (3L, "cookie banner\nall rights reserved\nshared pair line") // nothing unique — vanishes
+    ).toDF("doc_id", "text")
+    val out = Corpus.dropBoilerplateLines(docs, maxDocFreq = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), s"emptied doc must vanish: ${out.keySet}")
+    assert(out(1L) == (("unique first line\nanother unique line", 2)),
+      s"order must survive reassembly: ${out(1L)}")
+    assert(out(2L) == (("second doc body", 1)))
+    // maxDocFreq=2 keeps lines shared by exactly 2 docs but still drops
+    // the 3-doc banner
+    val loose = Corpus.dropBoilerplateLines(docs, maxDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(3L) == "shared pair line", s"2-doc line survives at maxDocFreq=2: $loose")
+    assert(!loose.values.exists(_.contains("cookie banner")), "3-doc banner still dropped")
+  }
 }
