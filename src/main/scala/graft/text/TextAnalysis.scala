@@ -38,11 +38,22 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
 
-  /** All four token counters in ONE native pass:
-    * struct(n_tokens, max_token_len, n_punct, n_stopwords). Project it
-    * once and reference the fields — each column function above
-    * re-splits the text per use. Semantics are identical (the spec pins
-    * field-for-field parity). */
+  /** Total word mass: non-whitespace character count (the
+    * mean-word-length numerator, kept as an integer so length rules
+    * never divide). */
+  def wordCharCount(text: Column): Column =
+    length(regexp_replace(text, "\\s+", ""))
+
+  /** Tokens containing at least one ASCII letter (the Gopher
+    * alphabetic-word-fraction numerator). */
+  def alphaTokenCount(text: Column): Column =
+    size(filter(tokens(text), t => t.rlike("[a-zA-Z]")))
+
+  /** All six token counters in ONE native pass:
+    * struct(n_tokens, max_token_len, n_punct, n_stopwords,
+    * n_word_chars, n_alpha_tokens). Project it once and reference the
+    * fields — each column function above re-splits the text per use.
+    * Semantics are identical (the spec pins field-for-field parity). */
   def textStats(text: Column): Column =
     org.apache.spark.sql.graftext.VectorExpressions.textStats(text, stopwords)
 
@@ -67,6 +78,36 @@ object TextAnalysis {
     val punctPenalty = when(st("n_punct") * 5 > length(text), 20).otherwise(0)
     val longTokPenalty = when(st("max_token_len") > 30, 15).otherwise(0)
     lit(100) - shortPenalty - stopPenalty - punctPenalty - longTokPenalty
+  }
+
+  /** Gopher-style quality rule flags (Rae et al. 2021 §A1.1, adapted to
+    * whitespace tokens), computed from one projected textStats struct.
+    * Every test is integer arithmetic — ratio thresholds are expressed
+    * by cross-multiplication (e.g. mean word length in [lo, hi] ⇔
+    * lo·n_tokens ≤ n_word_chars ≤ hi·n_tokens) — so the flags are
+    * bit-identical on any engine and never touch a float. Returns the
+    * per-rule booleans plus the composite keep; callers select the
+    * fields they report on.
+    */
+  def gopherRules(st: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                  maxSymbolPct: Int = 10, minAlphaPct: Int = 80,
+                  minStopwords: Int = 2): Column = {
+    val nTok = st("n_tokens")
+    val rWords = nTok >= minWords && nTok <= maxWords
+    val rMeanLen = st("n_word_chars") >= nTok * minMeanLen &&
+      st("n_word_chars") <= nTok * maxMeanLen
+    val rSymbol = st("n_punct") * 100 <= nTok * maxSymbolPct
+    val rAlpha = st("n_alpha_tokens") * 100 >= nTok * minAlphaPct
+    val rStop = st("n_stopwords") >= minStopwords
+    struct(
+      rWords.as("r_word_count"),
+      rMeanLen.as("r_mean_word_len"),
+      rSymbol.as("r_symbol_ratio"),
+      rAlpha.as("r_alpha_words"),
+      rStop.as("r_stopwords"),
+      (rWords && rMeanLen && rSymbol && rAlpha && rStop).as("keep"))
   }
 
   /** Language-ID by marker-word counting — an n-gram-free heuristic with

@@ -178,5 +178,55 @@ object TextQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(stats, langid, fingerprints, piiScrub, selfRepetition)
+  /** Gopher-style quality rules (word-count range, mean word length,
+    * symbol ratio, alphabetic-word fraction, stopword floor) — each
+    * rule an integer cross-multiplication test on the one-pass
+    * text_stats struct, so the booleans replay exactly in any engine.
+    * minWords=40 splits the synthetic corpus ~2:1 so both outcomes are
+    * exercised. */
+  val gopherRules: Q = Q(
+    "x_gopher_rules",
+    (s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.textStats(t).as("st"))
+        .withColumn("r", TextAnalysis.gopherRules(col("st"), minWords = 40))
+        .select(
+          col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("r.r_word_count").as("r_word_count"),
+          col("r.r_mean_word_len").as("r_mean_word_len"),
+          col("r.r_symbol_ratio").as("r_symbol_ratio"),
+          col("r.r_alpha_words").as("r_alpha_words"),
+          col("r.r_stopwords").as("r_stopwords"),
+          col("r.keep").as("keep"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','was','for','on','with','as','at','by','it','this','that'], x))) AS n_stopwords,
+               length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_tokens
+        FROM documents)
+      SELECT doc_id, n_tokens,
+             (n_tokens >= 40 AND n_tokens <= 100000) AS r_word_count,
+             (n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10) AS r_mean_word_len,
+             (n_punct * 100 <= n_tokens * 10) AS r_symbol_ratio,
+             (n_alpha_tokens * 100 >= n_tokens * 80) AS r_alpha_words,
+             (n_stopwords >= 2) AS r_stopwords,
+             (n_tokens >= 40 AND n_tokens <= 100000
+              AND n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10
+              AND n_punct * 100 <= n_tokens * 10
+              AND n_alpha_tokens * 100 >= n_tokens * 80
+              AND n_stopwords >= 2) AS keep
+      FROM st
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(stats, langid, fingerprints, piiScrub, selfRepetition,
+    gopherRules)
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, Stri
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass token statistics of a text column:
-  * struct(n_tokens, max_token_len, n_punct, n_stopwords).
+  * struct(n_tokens, max_token_len, n_punct, n_stopwords, n_word_chars,
+  * n_alpha_tokens).
   *
   * Reproduces exactly the column-function arithmetic used by
   * graft.text.TextAnalysis (and replayed by the SQL oracles):
@@ -17,9 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - token/char lengths count UTF-16 units of ASCII text and regex
   *     char-class units generally (\s is the six ASCII whitespace
   *     chars, punct = anything outside [a-zA-Z0-9\s]);
-  *   - n_stopwords counts tokens in the fixed stopword list.
-  * The four separate column functions each re-split the text; this
-  * walks it once.
+  *   - n_stopwords counts tokens in the fixed stopword list;
+  *   - n_word_chars counts non-whitespace code points (the
+  *     length(regexp_replace(text, "\s+", "")) arithmetic) — total
+  *     word mass, so mean-word-length rules stay in integers;
+  *   - n_alpha_tokens counts tokens containing at least one ASCII
+  *     letter (the rlike("[a-zA-Z]") per-token test) — the Gopher
+  *     "fraction of words with an alphabetic character" numerator.
+  * The separate column functions each re-split the text; this walks it
+  * once.
   */
 object TextStats {
   /** The canonical stopword list (re-exported as
@@ -38,7 +45,9 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("max_token_len", IntegerType, nullable = false),
     StructField("n_punct", IntegerType, nullable = false),
-    StructField("n_stopwords", IntegerType, nullable = false)))
+    StructField("n_stopwords", IntegerType, nullable = false),
+    StructField("n_word_chars", IntegerType, nullable = false),
+    StructField("n_alpha_tokens", IntegerType, nullable = false)))
   override def prettyName: String = "text_stats"
 
   @transient private lazy val stopSet: java.util.HashSet[String] = {
@@ -60,8 +69,11 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     var maxLen = 0
     var nPunct = 0
     var nStop = 0
+    var nWordChars = 0
+    var nAlphaTokens = 0
     var tokenStart = 0
     var tokenCp = 0 // code points in the current token
+    var tokenHasAlpha = false
     var i = 0
     // Lengths count CODE POINTS, not UTF-16 units: `length()` and Java
     // regex char classes (the column functions this expression pins
@@ -71,7 +83,9 @@ case class TextStats(child: Expression, stopwords: Seq[String])
       nTokens += 1
       if (tokenCp > maxLen) maxLen = tokenCp
       if (tokenCp > 0 && tokenCp <= 5 && stopSet.contains(s.substring(tokenStart, end))) nStop += 1
+      if (tokenHasAlpha) nAlphaTokens += 1
       tokenCp = 0
+      tokenHasAlpha = false
     }
     while (i < n) {
       val c = s.charAt(i)
@@ -85,12 +99,14 @@ case class TextStats(child: Expression, stopwords: Seq[String])
       } else {
         val cp = s.codePointAt(i)
         if (!(cp < 128 && isAlnum(cp.toChar))) nPunct += 1
+        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) tokenHasAlpha = true
         tokenCp += 1
+        nWordChars += 1
         i += Character.charCount(cp)
       }
     }
     closeToken(n)
-    InternalRow(nTokens, maxLen, nPunct, nStop)
+    InternalRow(nTokens, maxLen, nPunct, nStop, nWordChars, nAlphaTokens)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextStats =

@@ -94,11 +94,14 @@ object NativeExpressionProperties extends Properties("graft.native") {
       TextAnalysis.tokenCount(t).as("c1"),
       TextAnalysis.maxTokenLen(t).as("c2"),
       TextAnalysis.punctCount(t).as("c3"),
-      TextAnalysis.stopwordCount(t).as("c4")).collect()
+      TextAnalysis.stopwordCount(t).as("c4"),
+      TextAnalysis.wordCharCount(t).as("c5"),
+      TextAnalysis.alphaTokenCount(t).as("c6")).collect()
       .forall { r =>
         val st = r.getStruct(0)
         st.getInt(0) == r.getInt(1) && st.getInt(1) == r.getInt(2) &&
-          st.getInt(2) == r.getInt(3) && st.getInt(3) == r.getInt(4)
+          st.getInt(2) == r.getInt(3) && st.getInt(3) == r.getInt(4) &&
+          st.getInt(4) == r.getInt(5) && st.getInt(5) == r.getInt(6)
       }
   }
 }

@@ -78,6 +78,8 @@ class VectorExpressionsSpec extends SparkSpec {
       TextAnalysis.maxTokenLen(t).as("c2"),
       TextAnalysis.punctCount(t).as("c3"),
       TextAnalysis.stopwordCount(t).as("c4"),
+      TextAnalysis.wordCharCount(t).as("c5"),
+      TextAnalysis.alphaTokenCount(t).as("c6"),
       TextAnalysis.qualityScoreFrom(col("st"), t).as("q1"),
       TextAnalysis.qualityScore(t).as("q2")).collect()
     rows.foreach { r =>
@@ -86,7 +88,9 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(st.getInt(1) == r.getInt(2), s"max_token_len: $r")
       assert(st.getInt(2) == r.getInt(3), s"n_punct: $r")
       assert(st.getInt(3) == r.getInt(4), s"n_stopwords: $r")
-      assert(r.getInt(5) == r.getInt(6), s"quality: $r")
+      assert(st.getInt(4) == r.getInt(5), s"n_word_chars: $r")
+      assert(st.getInt(5) == r.getInt(6), s"n_alpha_tokens: $r")
+      assert(r.getInt(7) == r.getInt(8), s"quality: $r")
     }
   }
 
@@ -157,7 +161,8 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getLong(8) == 1L) // bit 0 shared by both, bit 1 split 1-1
     assert(r.getString(9) == " a b ")
     val st = r.getStruct(10)
-    assert((st.getInt(0), st.getInt(1), st.getInt(2), st.getInt(3)) == ((2, 4, 1, 1)))
+    assert((st.getInt(0), st.getInt(1), st.getInt(2), st.getInt(3),
+      st.getInt(4), st.getInt(5)) == ((2, 4, 1, 1, 7, 2)))
     // the generator registers too: one call expands the i<j pairs
     val pairs = spark.sql("SELECT id_pairs(array(1L, 2L, 3L))").collect()
       .map(p => (p.getLong(0), p.getLong(1))).toSet

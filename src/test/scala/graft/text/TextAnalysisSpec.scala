@@ -40,4 +40,25 @@ class TextAnalysisSpec extends SparkSpec {
     // 58 windows, only 3 distinct shingles → ratio ≈ 0.948
     assert(r(2L) > 0.9, s"looped text must score high: ${r(2L)}")
   }
+
+  test("gopherRules flags each failure mode independently") {
+    import org.apache.spark.sql.functions._
+    val good = (1 to 12).map(_ => "the quick brown fox ran").mkString(" ") // 60 tokens, stopwords, alpha
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short to keep"),                                // fails word count
+      (3L, (1 to 60).map(_ => "#### $$$$").mkString(" ")),      // symbols, no alpha, no stopwords
+      (4L, (1 to 60).map(_ => "a b").mkString(" "))             // mean word len 1 < 3
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.gopherRules(TextAnalysis.textStats(col("text")), minWords = 20).as("r"))
+      .select(col("doc_id"), col("r.*")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)), s"clean doc keeps: ${out(1L)}")
+    assert(!out(2L)._1 && !out(2L)._6, "short doc fails word count and keep")
+    assert(!out(3L)._3 && !out(3L)._4 && !out(3L)._5 && !out(3L)._6,
+      s"symbol doc fails symbol/alpha/stopword rules: ${out(3L)}")
+    assert(!out(4L)._2 && !out(4L)._6, s"tiny words fail mean length: ${out(4L)}")
+  }
 }
