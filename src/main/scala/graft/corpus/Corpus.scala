@@ -173,6 +173,30 @@ object Corpus {
       .drop("_rn", "_n")
   }
 
+  /** Per-source document cap (the web-curation domain cap: no single
+    * domain may contribute more than `maxPerSource` documents). The
+    * kept subset is chosen by the deterministic 60-bit md5 draw on the
+    * id — a uniform per-source sample that is stable across engines,
+    * reruns and ingestion order — with the id as tiebreak.
+    *
+    * Scale shape: one shuffle on the source key, then a per-source
+    * sort. A zipfian head domain concentrates its rows in one
+    * partition; if a head domain outgrows a task's memory the cheap
+    * escape is a pre-filter with stratifiedSample at a rate that
+    * brings it near the cap before the exact rank test — semantics
+    * preserved because both order by the same draw. */
+  def capPerSource(docs: DataFrame, maxPerSource: Int,
+                   sourceCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerSource > 0, s"capPerSource: cap must be > 0, got $maxPerSource")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerSource)
+      .drop("_rn")
+  }
+
   /** Line-level boilerplate removal (the CCNet / RefinedWeb cleanup
     * step): a line that occurs in more than `maxDocFreq` distinct
     * documents is boilerplate — navigation bars, cookie banners,

@@ -299,6 +299,40 @@ object ExtensionQueries {
     )
   }
 
+  /** Int8 embedding quantization, projected to scalar invariants (the
+    * hash gate can't compare arrays): the micro-scaled factor and the
+    * sum/min/max of the quantized codes pin every byte's arithmetic —
+    * a single diverging code would shift q_sum. floor-based rounding
+    * and exactly-rounded IEEE steps keep both engines bit-identical. */
+  val embedQuantize: Q = Q(
+    "x_embed_quantize",
+    (s, d) => {
+      val q = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), q.getField("scale").as("scale"), q.getField("q").as("q"))
+        .select(col("vec_id"),
+          floor(col("scale") * 1e6).cast("long").as("scale_micro"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+          array_min(col("q")).cast("int").as("q_min"),
+          array_max(col("q")).cast("int").as("q_max"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s AS (SELECT vec_id, e,
+                   CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 0.0
+                        ELSE 127.0 / list_max(list_transform(e, x -> abs(x))) END AS scale
+            FROM v),
+      q AS (SELECT vec_id, scale,
+                   list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+            FROM s)
+      SELECT vec_id, CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro,
+             CAST(list_sum(q) AS BIGINT) AS q_sum,
+             CAST(list_min(q) AS INT) AS q_min,
+             CAST(list_max(q) AS INT) AS q_max
+      FROM q
+    """.trim)
+  )
+
   /** Multimodal metadata: binary payload size per modality — the
     * column-plumbing part is oracle-checkable via octet_length. */
   val mmMetadata: Q = Q(
@@ -712,6 +746,24 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Per-source cap at 15 (20 synthetic sources × 25 docs → every
+    * source loses 10): the web-curation domain cap, keeping a
+    * deterministic uniform md5-draw sample per source. The oracle
+    * replays the identical 60-bit draw and rank test. */
+  val sourceCap: Q = Q(
+    "x_source_cap",
+    (s, d) => graft.corpus.Corpus.capPerSource(Tables.documents(s, d), maxPerSource = 15)
+      .select(col("doc_id"), col("source"), col("lang")),
+    Some("""
+      WITH ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source, lang FROM ranked WHERE rn <= 15
+    """.trim)
+  )
+
   /** Line-level boilerplate removal. The synthetic documents are
     * single-line, so the entry first folds every 5th word break into a
     * newline (a deterministic, engine-portable regex) and then drops
@@ -764,8 +816,9 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard,
-    knnCosine, annLsh, annIvf, cosineNearDups, mmMetadata, mmFeatures, mmChunks,
+    knnCosine, annLsh, annIvf, cosineNearDups, embedQuantize,
+    mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
-    splitAssign, tfidf, lineDedup)
+    splitAssign, tfidf, lineDedup, sourceCap)
 }

@@ -163,6 +163,25 @@ object Similarity {
     annIvfWithCentroids(emb, ivfCentroids(emb, dim, vecCol, listCol),
       queryId, k, idCol, vecCol, listCol)
 
+  /** Symmetric int8 quantization of an embedding — the 4× storage cut
+    * that makes a 100 TB vector corpus shippable (full-precision floats
+    * stay in cold storage; ANN shortlists rescore against them).
+    * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5).
+    *
+    * floor-plus-half stands in for round() deliberately: HALF_UP vs
+    * HALF_EVEN conventions differ between engines, while abs, max,
+    * divide, multiply, add and floor are all exactly-rounded IEEE ops —
+    * so the quantized codes are bit-identical anywhere. A zero vector
+    * gets scale 0 and all-zero codes. Narrow per-row work, no shuffle.
+    * Returns struct(scale DOUBLE, q ARRAY<TINYINT>). */
+  def quantizeInt8(vec: Column): Column = {
+    val v = asDouble(vec)
+    val m = array_max(transform(v, x => abs(x)))
+    val scale = when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
+    struct(scale.as("scale"),
+      transform(v, x => floor(x * scale + lit(0.5)).cast("tinyint")).as("q"))
+  }
+
   /** Per-band LSH bucket ids: `nBands` buckets of `bitsPerBand` sign
     * bits each, over nBands·bitsPerBand deterministic hyperplanes. A
     * pair matching in ANY band becomes a candidate — the multi-table

@@ -124,6 +124,17 @@ class CorpusSpec extends SparkSpec {
     assert(top2(1L) == "zebra", s"rare term must outrank the corpus-wide one: $top2")
   }
 
+  test("capPerSource keeps at most N per source, deterministically") {
+    val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def run() = Corpus.capPerSource(docs, 10, sourceCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = run()
+    assert(a.groupBy(_._2).forall(_._2.length == 10), "every source capped at exactly 10 of 25")
+    assert(run().toSet == a.toSet, "kept subset is deterministic")
+    // a cap above the source size keeps everything
+    assert(Corpus.capPerSource(docs, 100).count() == 100)
+  }
+
   test("dropBoilerplateLines strips shared lines, keeps order, drops emptied docs") {
     val docs = Seq(
       (1L, "cookie banner\nunique first line\nall rights reserved\nanother unique line"),

@@ -60,4 +60,28 @@ class SimilaritySpec extends SparkSpec {
     // probability ≈ 1 — the recall property the default relies on
     assert(lsh.contains((0L, 1L)))
   }
+
+  test("quantizeInt8: codes in [-127,127], max-abs element hits ±127, round-trip error ≤ half a step") {
+    import org.apache.spark.sql.functions._
+    val withZero = emb.union(Seq((99L, Array.fill(8)(0f))).toDF("vec_id", "embedding"))
+    val rows = withZero.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("qz")).collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1).map(_.toDouble)
+      val qz = r.getStruct(2)
+      val scale = qz.getDouble(0)
+      val q = qz.getSeq[Byte](1)
+      if (orig.forall(_ == 0.0)) {
+        assert(scale == 0.0 && q.forall(_ == 0), "zero vector → scale 0, zero codes")
+      } else {
+        assert(q.forall(b => b >= -127 && b <= 127), s"codes out of range: $q")
+        assert(q.map(_.toInt.abs).max == 127, "the max-abs element must map to ±127")
+        val step = 1.0 / scale
+        orig.zip(q).foreach { case (x, b) =>
+          assert(math.abs(x - b / scale) <= step / 2 + 1e-12,
+            s"round-trip error beyond half a step: x=$x q=$b scale=$scale")
+        }
+      }
+    }
+  }
 }
