@@ -51,6 +51,12 @@ object Bench {
     // behavior — while failures still surface on the first attempt.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
+      // Pay down the previous queries' GC debt OUTSIDE the timed window
+      // — otherwise a major collection triggered by accumulated garbage
+      // lands mid-query and bills 1-4s to whichever query runs next
+      // (observed: the same query swings 0.2s ↔ 5.9s across bench runs
+      // with no plan change).
+      System.gc()
       def once(): Double = {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)

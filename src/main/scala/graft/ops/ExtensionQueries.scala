@@ -306,16 +306,13 @@ object ExtensionQueries {
     * and exactly-rounded IEEE steps keep both engines bit-identical. */
   val embedQuantize: Q = Q(
     "x_embed_quantize",
-    (s, d) => {
-      val q = Similarity.quantizeInt8(col("embedding"))
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), q.getField("scale").as("scale"), q.getField("q").as("q"))
-        .select(col("vec_id"),
-          floor(col("scale") * 1e6).cast("long").as("scale_micro"),
-          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
-          array_min(col("q")).cast("int").as("q_min"),
-          array_max(col("q")).cast("int").as("q_max"))
-    },
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"),
+        floor(col("qz.scale") * 1e6).cast("long").as("scale_micro"),
+        col("qz.q_sum").as("q_sum"),
+        col("qz.q_min").as("q_min"),
+        col("qz.q_max").as("q_max")),
     Some("""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       s AS (SELECT vec_id, e,

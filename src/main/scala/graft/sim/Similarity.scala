@@ -172,11 +172,22 @@ object Similarity {
     * HALF_EVEN conventions differ between engines, while abs, max,
     * divide, multiply, add and floor are all exactly-rounded IEEE ops —
     * so the quantized codes are bit-identical anywhere. A zero vector
-    * gets scale 0 and all-zero codes. Narrow per-row work, no shuffle.
-    * Returns struct(scale DOUBLE, q ARRAY<TINYINT>). */
-  def quantizeInt8(vec: Column): Column = {
+    * gets scale 0 and all-zero codes. Narrow per-row work, no shuffle;
+    * the native expression walks the vector twice in primitive
+    * arithmetic (the HOF form below pays 4 interpreted lambda passes).
+    * Returns struct(scale DOUBLE, q ARRAY<TINYINT>, q_sum BIGINT,
+    * q_min INT, q_max INT) — the scalars are free checksum by-products
+    * of the code loop. */
+  def quantizeInt8(vec: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.quantizeInt8(asDouble(vec))
+
+  /** The pure column-function form of quantizeInt8's (scale, q) fields
+    * (kept as the parity oracle for the native expression). */
+  def quantizeInt8Hof(vec: Column): Column = {
     val v = asDouble(vec)
-    val m = array_max(transform(v, x => abs(x)))
+    // coalesce: array_max of an EMPTY vector is null; the native form
+    // gives scale 0 there, so the reference must too
+    val m = coalesce(array_max(transform(v, x => abs(x))), lit(0.0))
     val scale = when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
     struct(scale.as("scale"),
       transform(v, x => floor(x * scale + lit(0.5)).cast("tinyint")).as("q"))

@@ -102,6 +102,9 @@ object VectorExpressions {
   def idPairs(ids: Column): Column =
     ExpressionUtils.column(IdPairs(ExpressionUtils.expression(ids)))
 
+  def quantizeInt8(vec: Column): Column =
+    ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
+
   /** Register graft's native expressions for SQL use on an existing
     * session (the SparkSessionExtensions path is GraftExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -146,5 +149,6 @@ private[graftext] object GraftFunctionRegistry {
     ("normalize_ws", classOf[NormalizeWs], es => NormalizeWs(es(0))),
     ("text_stats", classOf[TextStats],
       es => TextStats(es(0), TextStats.defaultStopwords)),
-    ("id_pairs", classOf[IdPairs], es => IdPairs(es(0))))
+    ("id_pairs", classOf[IdPairs], es => IdPairs(es(0))),
+    ("int8_quantize", classOf[QuantizeInt8], es => QuantizeInt8(es(0))))
 }

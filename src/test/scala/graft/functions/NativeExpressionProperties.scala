@@ -87,6 +87,31 @@ object NativeExpressionProperties extends Properties("graft.native") {
           + j * conv(substring(md5(g.cast("binary")), 17, 14), 16, 10).cast("long")))))
   }
 
+  private val genVec: Gen[Array[Float]] = for {
+    n <- Gen.frequency(8 -> Gen.chooseNum(1, 16), 1 -> Gen.const(0))
+    xs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.chooseNum(-1000000, 1000000).map(_ / 1000f),
+      1 -> Gen.const(0f)))
+  } yield xs.toArray
+
+  property("QuantizeInt8 (scale, q) == HOF form") =
+    forAll(Gen.listOfN(6, genVec)) { vecs =>
+      import spark.implicits._
+      vecs.map(Tuple1(_)).toDF("v")
+        .select(graft.sim.Similarity.quantizeInt8(col("v")).as("a"),
+          graft.sim.Similarity.quantizeInt8Hof(col("v")).as("b"))
+        .collect().forall { r =>
+          val a = r.getStruct(0); val b = r.getStruct(1)
+          a.getDouble(0) == b.getDouble(0) &&
+            a.getSeq[Byte](1) == b.getSeq[Byte](1) &&
+            // the checksum fields must agree with the codes they summarize
+            a.getLong(2) == a.getSeq[Byte](1).map(_.toLong).sum &&
+            (a.getSeq[Byte](1).isEmpty ||
+              (a.getInt(3) == a.getSeq[Byte](1).map(_.toInt).min &&
+               a.getInt(4) == a.getSeq[Byte](1).map(_.toInt).max))
+        }
+    }
+
   property("TextStats fields == per-counter column functions") = forAll(genBatch) { ts =>
     val t = col("text")
     df(ts).select(
