@@ -69,4 +69,21 @@ object Sinks {
       .option("header", "true")
       .mode(SaveMode.Overwrite)
       .csv(path)
+
+  /** JSONL export — the lingua franca of training-data interchange
+    * (one JSON object per line, gzip-friendly, streamable). Parallel
+    * writers, one file per task; pair with repartition(n) upstream to
+    * control shard count/size. maxRecordsPerFile bounds shard size so
+    * a skewed partition can't produce a monster file. */
+  def jsonl(df: DataFrame, path: String, maxRecordsPerFile: Long = 0L): Unit =
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .json(path)
+
+  /** JSONL sharded by a column (e.g. split=train/val/test or language)
+    * — each shard value becomes a directory, so downstream loaders pick
+    * shards by path without reading footers. */
+  def jsonlPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(SaveMode.Overwrite).json(path)
 }

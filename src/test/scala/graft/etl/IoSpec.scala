@@ -49,4 +49,24 @@ class IoSpec extends SparkSpec {
     assert(back.schema == Schemas.logEvent)
     assert(back.count() == 4)
   }
+
+  test("jsonl sink: one JSON object per line, round-trips; partitioned variant shards by column") {
+    import spark.implicits._
+    val df = Seq((1L, "train", "alpha"), (2L, "val", "beta"), (3L, "train", "gamma"))
+      .toDF("doc_id", "split", "text")
+    val dir = Files.createTempDirectory("jsonl").toString + "/out"
+    Sinks.jsonl(df, dir)
+    // each line parses standalone (the property JSONL consumers rely on)
+    val lines = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines.length == 3 && lines.forall(l => l.startsWith("{") && l.endsWith("}")), lines.mkString("\n"))
+    assert(spark.read.json(dir).count() == 3)
+
+    val pdir = Files.createTempDirectory("jsonlp").toString + "/out"
+    Sinks.jsonlPartitioned(df, pdir, Seq("split"))
+    assert(new java.io.File(pdir, "split=train").isDirectory, "shard dirs by split value")
+    val back = spark.read.json(pdir)
+    assert(back.count() == 3 && back.columns.toSet == Set("doc_id", "split", "text"))
+  }
 }

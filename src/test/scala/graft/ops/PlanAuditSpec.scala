@@ -78,6 +78,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x_line_dedup: no cartesian; line dictionary joins on the hash key") {
+    val p = plan("x_line_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "frequency join must be an equi-join on the line hash:\n" + p)
+  }
+
+  test("x_source_cap: one shuffle on the source key, no join") {
+    val p = plan("x_source_cap")
+    assert(!p.contains("Join"), "a per-source rank cap needs no join:\n" + p)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      "exactly one shuffle (on source):\n" + p)
+  }
+
+  test("x_embed_quantize: narrow scan-side pipeline — no shuffle, no join") {
+    val p = plan("x_embed_quantize")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "quantization is per-row; any shuffle is a bug:\n" + p)
+  }
+
+  test("x_gopher_rules: single scan, schema pruned to doc_id+text") {
+    val p = plan("x_gopher_rules")
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("n_chars"), "rules must not read unused columns:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
