@@ -18,6 +18,12 @@ object SessionFactory {
     *   - 256 MiB scan splits: at 10⁵-10⁶ input files the default 128 MiB
     *     doubles the task count for no benefit once AQE coalesces
     *     downstream stages;
+    *   - runtime row-level bloom filters: a selective join (the
+    *     incremental-dedup anti-join, a filtered dim join) plants a
+    *     bloom filter of the small side's keys into the big side's
+    *     scan, cutting shuffle volume to the possibly-matching rows —
+    *     at 100 TB that is the difference between shuffling the corpus
+    *     and shuffling the candidates;
     *   - UTC session timezone: deterministic timestamp rendering
     *     regardless of driver locale;
     *   - nanosAsLong: nano-precision parquet timestamps read as raw
@@ -28,6 +34,7 @@ object SessionFactory {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")

@@ -118,6 +118,37 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's most recent preceding view-like event within `horizon`
+    * (the classic click→conversion attribution shape). Both sides carry
+    * watermarks and the join condition bounds event time on both ends —
+    * the two constraints Structured Streaming needs to evict state, so
+    * neither side's buffer grows without bound. Inner join: a purchase
+    * with no preceding view inside the horizon drops out (attribution
+    * fails, not the pipeline). State per key is bounded by
+    * watermark + horizon.
+    *
+    * At scale the join key (user_id) shuffles both streams once;
+    * per-user event rates bound the state — the same discipline as the
+    * batch as-of join (AsOf.scala), of which this is the streaming
+    * twin restricted to the watermark horizon. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("p_ts"), col("v_ts"), col("value"))
+  }
+
   /** Custom state: per-user session aggregation with a processing-time
     * timeout (mapGroupsWithState — the arbitrary-state operator). */
   def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {

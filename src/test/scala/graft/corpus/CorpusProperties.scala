@@ -63,6 +63,28 @@ object CorpusProperties extends Properties("graft.corpus") {
     }
   }
 
+  property("dropBoilerplateLines == in-memory reference on random shared-line corpora") = {
+    val genLine = Gen.frequency(
+      3 -> Gen.oneOf("banner", "footer", "nav bar", "cookie notice"), // shared pool → real collisions
+      2 -> Gen.chooseNum(0, 10000).map(i => s"unique line $i"))
+    val genCorpus = for {
+      n <- Gen.chooseNum(1, 12)
+      docs <- Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(Gen.listOfN(_, genLine)))
+    } yield docs.zipWithIndex.map { case (ls, i) => (i.toLong, ls) }
+    forAll(genCorpus, Gen.chooseNum(1, 3)) { (docs, k) =>
+      val dfIn = docs.map { case (id, ls) => (id, ls.mkString("\n")) }.toDF("doc_id", "text")
+      val got = Corpus.dropBoilerplateLines(dfIn, maxDocFreq = k)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      val lineDf = docs.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val want = docs.flatMap { case (id, ls) =>
+        val kept = ls.filter(l => lineDf(l) <= k)
+        if (kept.isEmpty) None else Some(id -> ((kept.mkString("\n"), kept.size)))
+      }.toMap
+      got == want
+    }
+  }
+
   property("assignSplit: partitions every row, insensitive to row order") = {
     forAll(genDocs) { rows =>
       val splits = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1)

@@ -82,6 +82,22 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.dedupAgainstCorpus(incoming, existing)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(11L, 12L), kept.toString)
+
+    // same answer with the runtime bloom-filter optimizer on (the
+    // cluster default — a planted filter must only prune, never drop)
+    val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val kept2 = Dedup.dedupAgainstCorpus(incoming, existing)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(11L, 12L), s"bloom-filtered plan diverged: $kept2")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("dedupClusters: chains merge into one component labeled by the min id") {

@@ -31,6 +31,7 @@ class SkewAndConfigSpec extends SparkSpec {
       extra = Map("spark.sql.files.maxPartitionBytes" -> "134217728"))
     assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
     assert(s.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    assert(s.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
     assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
     assert(s.conf.get("spark.sql.files.maxPartitionBytes") == "134217728")
   }

@@ -137,4 +137,30 @@ class EventStreamSpec extends SparkSpec {
     assert(out(1L) == ((2L, 3.0)))
     assert(out(2L) == ((1L, 10.0)))
   }
+
+  test("attributionJoin: stream-stream interval join attributes purchases within the horizon") {
+    val vdir = java.nio.file.Files.createTempDirectory("stream-views").toString
+    val pdir = java.nio.file.Files.createTempDirectory("stream-purch").toString
+    // user 1: view at :05, purchases at :10 (inside horizon) — view at
+    // :05 is the only candidate. user 2: purchase at :30 with NO view
+    // inside [:30-10min, :30] (its view is at :02) — dropped.
+    Seq((1L, ts(5), 1L, "view", 0.0), (4L, ts(2), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$vdir/b1")
+    Seq((2L, ts(10), 1L, "purchase", 9.0), (3L, ts(30), 2L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$pdir/b1")
+    val views = spark.readStream.schema(schema).parquet(s"$vdir/*")
+    val purchases = spark.readStream.schema(schema).parquet(s"$pdir/*")
+    val q = EventStream.attributionJoin(views, purchases, horizon = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, purchase_id, view_id, value FROM attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq((1L, 2L, 1L, 9.0)),
+        s"only the in-horizon purchase attributes: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
