@@ -198,6 +198,38 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** SQ8 retrieve-and-rescore: quantized-cosine shortlist (50), exact
+    * rescore to top-20. The oracle replays both stages — int8 codes
+    * via the same floor arithmetic, shortlist rank with id tiebreak,
+    * full-precision rescore. */
+  val knnQuantized: Q = Q(
+    "x_knn_quantized",
+    (s, d) => Similarity.knnQuantizedRescore(Tables.embeddings(s, d),
+      queryId = 0L, k = 20, shortlist = 50),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      enc AS (SELECT vec_id, v,
+                     list_transform(v, x -> floor(x * (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0
+                                                           THEN 0.0
+                                                           ELSE 127.0 / list_max(list_transform(v, y -> abs(y))) END) + 0.5)) AS qd
+              FROM e),
+      q AS (SELECT v AS qv, qd AS qqd FROM enc WHERE vec_id = 0),
+      short AS (SELECT vec_id, v, qv,
+                       ROW_NUMBER() OVER (ORDER BY list_dot_product(qd, qqd) /
+                         (sqrt(list_dot_product(qd, qd)) * sqrt(list_dot_product(qqd, qqd))) DESC,
+                         vec_id) AS srn
+                FROM enc, q WHERE vec_id <> 0),
+      rescored AS (SELECT vec_id,
+                          list_dot_product(v, qv) /
+                            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+                   FROM short WHERE srn <= 50)
+      SELECT vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT vec_id, c, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn
+            FROM rescored) t
+      WHERE rn <= 20
+    """.trim)
+  )
+
   /** LSH-bucketed ANN, fully oracle-checked: the hyperplanes are
     * deterministic driver-side constants, inlined as literal arrays
     * into BOTH the Spark plan and this SQL — so DuckDB computes the
@@ -743,6 +775,30 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Salted skew join under the oracle: the salt is an internal
+    * implementation detail (deterministic xxhash64 fan-out + dim
+    * replication), so the result must equal — and the oracle IS — the
+    * plain equi-join. Closes the r2 gap where salting was only
+    * equivalence-spec-tested. */
+  val skewSaltedJoin: Q = Q(
+    "x_skew_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey", nSalts = 8,
+        factSaltBy = Seq("l_orderkey", "l_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+    """.trim)
+  )
+
   /** Per-source cap at 15 (20 synthetic sources × 25 docs → every
     * source loses 10): the web-curation domain cap, keeping a
     * deterministic uniform md5-draw sample per source. The oracle
@@ -813,9 +869,9 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard,
-    knnCosine, annLsh, annIvf, cosineNearDups, embedQuantize,
+    knnCosine, knnQuantized, annLsh, annIvf, cosineNearDups, embedQuantize,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
-    splitAssign, tfidf, lineDedup, sourceCap)
+    splitAssign, tfidf, lineDedup, sourceCap, skewSaltedJoin)
 }

@@ -193,6 +193,37 @@ object Similarity {
       transform(v, x => floor(x * scale + lit(0.5)).cast("tinyint")).as("q"))
   }
 
+  /** Two-stage retrieve-and-rescore kNN over int8 codes (the SQ8
+    * pattern): stage 1 ranks the WHOLE corpus by the cosine of the
+    * quantized codes — on a real deployment the codes are a
+    * materialized 64-byte column, so this scan reads 4× less than
+    * full precision (here they're derived on the fly to keep the
+    * operator self-contained) — and keeps a `shortlist` of
+    * candidates via TakeOrderedAndProject; stage 2 rescores only the
+    * shortlist with full-precision cosine and returns the exact-scored
+    * top-k. Per-vector scale factors cancel inside cosine, so stage 1
+    * needs no dequantization. Both stages are deterministic
+    * (fixed-order dot products, id tiebreaks) and replay in any
+    * engine. */
+  def knnQuantizedRescore(emb: DataFrame, queryId: Long, k: Int = 20,
+                          shortlist: Int = 100,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val enc = emb.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      quantizeInt8(col(vecCol)).getField("q").cast("array<double>").as("qd"))
+    val q = enc.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("qd").as("qqd"))
+    val short = enc.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("v"), col("qv"),
+        cosine(col("qd"), col("qqd")).as("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol)).limit(shortlist)
+    topKRanked(
+      short.select(col(idCol), cosine(col("v"), col("qv")).as("cos_sim")),
+      k, idCol)
+  }
+
   /** Per-band LSH bucket ids: `nBands` buckets of `bitsPerBand` sign
     * bits each, over nBands·bitsPerBand deterministic hyperplanes. A
     * pair matching in ANY band becomes a candidate — the multi-table

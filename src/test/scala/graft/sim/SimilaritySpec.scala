@@ -61,6 +61,19 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("knnQuantizedRescore: shortlist covers the true top-k here; rescored scores are exact") {
+    val brute = Similarity.knnBruteForce(emb, queryId = 0L, k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val quant = Similarity.knnQuantizedRescore(emb, queryId = 0L, k = 3, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // shortlist 5 of population 5 → stage 1 cannot lose anyone: result
+    // must equal brute force exactly, including the rescored values
+    assert(quant.map(t => t._1 -> t._2).toMap == brute,
+      s"rescore must be full-precision: ${quant.toSeq} vs $brute")
+    assert(quant.find(_._3 == 1).map(_._1).contains(1L),
+      "planted near-identical vector is rank 1")
+  }
+
   test("quantizeInt8: codes in [-127,127], max-abs element hits ±127, round-trip error ≤ half a step") {
     import org.apache.spark.sql.functions._
     val withZero = emb.union(Seq((99L, Array.fill(8)(0f))).toDF("vec_id", "embedding"))
