@@ -352,10 +352,40 @@ object Dedup {
                         textCol: String = "text", threshold: Double = 0.05,
                         shingleW: Int = 3,
                         maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    // Group by shingle and expand i<j id pairs per shingle: the corpus
-    // is shingled once for the pair stream (plus one cheap narrow pass
-    // for the per-doc set sizes), and the only wide ops are the two
-    // groupBys and the final small joins.
+    commonShinglePairs(docs, idCol, textCol, shingleW, maxShingleDocFreq)
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
+  }
+
+  /** Near-containment pairs: |A∩B| / min(|A|, |B|) ≥ threshold — the
+    * asymmetric twin of Jaccard that catches a short document embedded
+    * in a long one (quoted articles, mirror pages with added chrome),
+    * where Jaccard stays low because the union is dominated by the big
+    * doc. Same candidate machinery and skew cap as ngramJaccardPairs;
+    * same scale shape. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", threshold: Double = 0.8,
+                       shingleW: Int = 3,
+                       maxShingleDocFreq: Option[Int] = None): DataFrame =
+    commonShinglePairs(docs, idCol, textCol, shingleW, maxShingleDocFreq)
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("n_common"), col("containment"))
+
+  /** Candidate (id1 < id2) pairs sharing ≥1 distinct shingle, with the
+    * shared-shingle count and both docs' distinct-shingle sizes.
+    * Group-by-shingle + streamed pair expansion: the corpus is shingled
+    * once for the pair stream (plus one cheap narrow pass for the
+    * per-doc set sizes); the only wide ops are the two groupBys and the
+    * final small joins. `maxShingleDocFreq` is the skew escape hatch —
+    * a stop-shingle shared by half the corpus would otherwise expand
+    * n²/2 candidate pairs. */
+  private def commonShinglePairs(docs: DataFrame, idCol: String, textCol: String,
+                                 shingleW: Int,
+                                 maxShingleDocFreq: Option[Int]): DataFrame = {
     val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleW)).as("g"))
     val grouped = sh.groupBy(col("g")).agg(collect_list(col(idCol)).as("ids"))
     val capped = maxShingleDocFreq.fold(grouped)(f => grouped.filter(size(col("ids")) <= f))
@@ -364,9 +394,5 @@ object Dedup {
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n", "n1"), "id1")
       .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n", "n2"), "id2")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
   }
 }

@@ -178,6 +178,31 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Near-containment pairs: |A∩B| / min(|A|,|B|) — catches a short
+    * doc swallowed by a long one, where Jaccard stays low. Shares the
+    * candidate machinery (and its skew cap) with x_ngram_jaccard. */
+  val containmentPairs: Q = Q(
+    "x_containment_pairs",
+    (s, d) => Dedup.containmentPairs(Tables.documents(s, d), threshold = 0.5),
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      sh AS (SELECT doc_id, unnest(shl) AS g FROM sh0),
+      sizes AS (SELECT doc_id, len(shl) AS n FROM sh0),
+      common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT id1, id2, n_common,
+             CAST(n_common AS DOUBLE) / LEAST(n1, n2) AS containment
+      FROM common
+      JOIN (SELECT doc_id AS id1j, n AS n1 FROM sizes) s1 ON id1 = id1j
+      JOIN (SELECT doc_id AS id2j, n AS n2 FROM sizes) s2 ON id2 = id2j
+      WHERE CAST(n_common AS DOUBLE) / LEAST(n1, n2) >= 0.5
+    """.trim)
+  )
+
   /** Brute-force cosine top-20 against vec_id 0 — the ANN baseline.
     * Double-cast before arithmetic + sequential fold keeps the score
     * bit-identical to DuckDB's list_dot_product. */
@@ -868,7 +893,7 @@ object ExtensionQueries {
   )
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
-    dedupIncremental, ngramJaccard,
+    dedupIncremental, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, cosineNearDups, embedQuantize,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,

@@ -100,6 +100,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs flags a short doc swallowed by a long one that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "totally different words everywhere here now")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.8 },
+      s"short-in-long must exceed containment 0.8: ${cont.toSeq}")
+    // the same pair fails a Jaccard 0.8 test — the union is dominated
+    // by the long doc
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.8).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "Jaccard at the same threshold must miss it (that asymmetry is the point)")
+    assert(!cont.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
   test("dedupClusters: chains merge into one component labeled by the min id") {
     // components: {1,2,3,8,9} (via the 1-9 bridge) and {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (1L, 9L))
