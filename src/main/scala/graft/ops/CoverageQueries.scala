@@ -350,7 +350,50 @@ object CoverageQueries {
     """.trim)
   )
 
+  /** Winsorization: clip each value at its group's exact p95 — the
+    * "global stats → tiny broadcast → narrow row transform" shape every
+    * outlier/normalization pass at 100 TB wants (the corpus is scanned,
+    * never shuffled; only the per-group stat rows move). p95 uses the
+    * same rank-interpolation arithmetic as a6_percentiles (exact IEEE,
+    * engine-replayable); the clip is a pure comparison. */
+  val winsorize: Q = Q(
+    "x_winsorize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val wRn = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val counts = base.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranked = base.withColumn("rn", row_number().over(wRn))
+        .join(broadcast(counts), "event_type")
+      val idx = (col("n") - 1) * 19
+      val lo = floor(idx / 20).cast("long") + 1
+      val frac = (idx % 20).cast("double") / 20
+      val p95s = ranked.groupBy(col("event_type"))
+        .agg(sum(when(col("rn") === lo, col("value") * (lit(1.0) - frac))
+          .when(col("rn") === lo + 1, col("value") * frac)).as("p95"))
+      base.join(broadcast(p95s), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("value") > col("p95"), col("p95")).otherwise(col("value"))
+            .as("value_winsorized"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      p95 AS (
+        SELECT event_type,
+               SUM(CASE WHEN rn = ((n-1)*19) // 20 + 1 THEN value * (1.0 - CAST(((n-1)*19) % 20 AS DOUBLE) / 20)
+                        WHEN rn = ((n-1)*19) // 20 + 2 THEN value * (CAST(((n-1)*19) % 20 AS DOUBLE) / 20) END) AS p95
+        FROM ranked GROUP BY event_type)
+      SELECT event_id, event_type, value,
+             CASE WHEN value > p95 THEN p95 ELSE value END AS value_winsorized
+      FROM events JOIN p95 USING (event_type)
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(rollup1, cube1, groupingSets1, topk, countDistinct1,
     percentiles, semiAnti, nullSafeJoin, outer, setOps, pivot1, rankFamily,
-    frames, wordcount)
+    frames, wordcount, winsorize)
 }
