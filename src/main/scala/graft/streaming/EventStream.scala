@@ -118,9 +118,11 @@ object EventStream {
       }
   }
 
-  /** Stream-stream interval join: attribute each purchase to the same
-    * user's most recent preceding view-like event within `horizon`
-    * (the classic click→conversion attribution shape). Both sides carry
+  /** Stream-stream interval join: attribute each purchase to EVERY
+    * preceding view-like event of the same user within `horizon` —
+    * multi-touch attribution, one output row per (purchase, view) pair.
+    * For single-row last-touch semantics use [[lastTouchAttribution]],
+    * which chains a windowed reduction onto this join. Both sides carry
     * watermarks and the join condition bounds event time on both ends —
     * the two constraints Structured Streaming needs to evict state, so
     * neither side's buffer grows without bound. Inner join: a purchase
@@ -148,6 +150,35 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("view_id"), col("p_ts"), col("v_ts"), col("value"))
   }
+
+  /** Last-touch attribution: exactly ONE row per attributed purchase,
+    * carrying the MOST RECENT in-horizon view (ties on v_ts broken by
+    * the larger view_id). Chains a time-windowed aggregation onto the
+    * multi-touch [[attributionJoin]] — Structured Streaming permits a
+    * stateful agg after a stream-stream join in append mode when the
+    * grouping includes an event-time window; every join row for one
+    * purchase shares its p_ts, so a tumbling window on p_ts keeps the
+    * purchase's candidates in a single group, which finalizes (and
+    * emits once) when the watermark passes the window end.
+    *
+    * At scale: the join shuffles on user_id, the reduction re-shuffles
+    * only the already-horizon-filtered (purchase, view) pairs on the
+    * purchase key — output-sized, not input-sized. */
+  def lastTouchAttribution(views: DataFrame, purchases: DataFrame,
+                           horizon: String = "1 hour",
+                           watermark: String = "1 hour"): DataFrame =
+    attributionJoin(views, purchases, horizon, watermark)
+      .groupBy(window(col("p_ts"), horizon), col("user_id"),
+        col("purchase_id"))
+      // p_ts/value are constant within a group (they belong to the one
+      // purchase) but can't sit in the groupBy: the raw p_ts still
+      // carries the event-time tag and a stateful op allows only one
+      .agg(max(col("p_ts")).as("p_ts"),
+        max(struct(col("v_ts"), col("view_id"))).as("_last"),
+        max(col("value")).as("value"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("_last.v_ts").as("v_ts"), col("_last.view_id").as("view_id"),
+        col("value"))
 
   /** Custom state: per-user session aggregation with a processing-time
     * timeout (mapGroupsWithState — the arbitrary-state operator). */

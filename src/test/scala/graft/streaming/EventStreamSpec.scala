@@ -163,4 +163,50 @@ class EventStreamSpec extends SparkSpec {
         s"only the in-horizon purchase attributes: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("attributionJoin emits one row per in-horizon view; lastTouchAttribution keeps only the latest") {
+    val vdir = java.nio.file.Files.createTempDirectory("stream-views-mt").toString
+    val pdir = java.nio.file.Files.createTempDirectory("stream-purch-mt").toString
+    // user 1 has THREE views before the :10 purchase: :01, :07 inside
+    // the 10-min horizon, :59 of the previous hour outside it.
+    Seq((1L, Timestamp.valueOf("2024-01-01 09:59:00"), 1L, "view", 0.0),
+      (2L, ts(1), 1L, "view", 0.0), (3L, ts(7), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$vdir/b1")
+    Seq((9L, ts(10), 1L, "purchase", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$pdir/b1")
+
+    def views = spark.readStream.schema(schema).parquet(s"$vdir/*")
+    def purchases = spark.readStream.schema(schema).parquet(s"$pdir/*")
+
+    val qm = EventStream.attributionJoin(views, purchases, horizon = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("attr_mt").start()
+    try {
+      qm.processAllAvailable()
+      val multi = spark.sql("SELECT view_id FROM attr_mt ORDER BY view_id")
+        .collect().map(_.getLong(0))
+      assert(multi.toSeq == Seq(2L, 3L),
+        s"multi-touch: one row per in-horizon view: ${multi.toSeq}")
+    } finally qm.stop()
+
+    val ql = EventStream.lastTouchAttribution(views, purchases, horizon = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("attr_lt").start()
+    try {
+      ql.processAllAvailable()
+      // the windowed agg needs the watermark to pass the window end
+      Seq((99L, Timestamp.valueOf("2024-01-01 13:00:00"), 2L, "purchase", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(s"$pdir/b2")
+      Seq((98L, Timestamp.valueOf("2024-01-01 13:00:00"), 2L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(s"$vdir/b2")
+      ql.processAllAvailable()
+      ql.processAllAvailable()
+      val last = spark.sql("SELECT purchase_id, view_id, value FROM attr_lt WHERE purchase_id = 9")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(last.toSeq == Seq((9L, 3L, 4.0)),
+        s"last-touch: exactly one row, the :07 view: ${last.toSeq}")
+    } finally ql.stop()
+  }
 }
