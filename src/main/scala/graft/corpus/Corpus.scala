@@ -51,14 +51,34 @@ object Corpus {
           .as("contamination"))
   }
 
+  /** Operator-salted deterministic draw: uniform on [0, 2^60), derived
+    * from md5(salt ‖ key). Every sampling/splitting/capping operator in
+    * this object folds a DISTINCT default salt into its draw — without
+    * one they would all read the SAME hash of the same id, and
+    * composing them correlates totally (e.g. a 50% sample followed by
+    * an unsalted 80/10/10 split would put every survivor in `train`
+    * and leave val/test empty, because surviving ids are exactly those
+    * with small draws). Distinct salts make the draws independent. */
+  def saltedDraw(keyCol: Column, salt: String): Column =
+    Dedup.md5Hash60(concat(lit(salt), keyCol.cast("string")))
+
+  /** Default salts, one per operator family (see [[saltedDraw]]). */
+  val SampleSalt = "sample:"
+  val MixSalt = "mix:"
+  val SplitSalt = "split:"
+  val CapSalt = "cap:"
+
   /** Deterministic keep/drop decision for stratified sampling: keep a
-    * row iff its 60-bit md5 draw (uniform on [0, 2^60)) falls below the
-    * stratum's threshold. Pure integer compare — no float, no RNG
-    * state, reproducible on any engine and any cluster topology, and
-    * stable under retries/speculative execution (the property
-    * `rand()`-based sampling does NOT have). */
-  def sampleKeep(keyCol: Column, thresholdCol: Column): Column =
-    Dedup.md5Hash60(keyCol.cast("string")) < thresholdCol
+    * row iff its salted 60-bit md5 draw (uniform on [0, 2^60)) falls
+    * below the stratum's threshold. Pure integer compare — no float,
+    * no RNG state, reproducible on any engine and any cluster
+    * topology, and stable under retries/speculative execution (the
+    * property `rand()`-based sampling does NOT have). Pass a custom
+    * salt to decorrelate repeated applications of the SAME operator
+    * (e.g. sampling twice at different rates). */
+  def sampleKeep(keyCol: Column, thresholdCol: Column,
+                 salt: String = SampleSalt): Column =
+    saltedDraw(keyCol, salt) < thresholdCol
 
   /** Per-stratum deterministic sampling of a corpus: rates are given as
     * fractions of 2^60 (e.g. 1L << 59 = 50%). At 100 TB this is a
@@ -66,11 +86,12 @@ object Corpus {
     * identical no matter how the corpus is partitioned. */
   def stratifiedSample(docs: DataFrame, strataCol: String,
                        thresholds: Map[String, Long], defaultThreshold: Long,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       salt: String = SampleSalt): DataFrame = {
     val thr = thresholds.foldLeft(lit(defaultThreshold)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    docs.filter(sampleKeep(col(idCol), thr))
+    docs.filter(sampleKeep(col(idCol), thr, salt))
   }
 
   /** Proportional corpus mixing: given target SHARES of the output mix
@@ -84,7 +105,8 @@ object Corpus {
     * engine- and partitioning-independent. */
   def mixCorpus(docs: DataFrame, strataCol: String,
                 targetShares: Map[String, Double], defaultShare: Double,
-                idCol: String = "doc_id"): DataFrame = {
+                idCol: String = "doc_id",
+                salt: String = MixSalt): DataFrame = {
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("_cnt"))
     // total derives from the tiny per-stratum aggregate — NOT a second
     // scan of the corpus
@@ -96,27 +118,92 @@ object Corpus {
     val thr = floor(rate * lit((1L << 60).toDouble)).cast("long")
     docs.join(broadcast(counts), strataCol)
       .crossJoin(broadcast(total))
-      .filter(sampleKeep(col(idCol), thr))
+      .filter(sampleKeep(col(idCol), thr, salt))
       .drop("_cnt", "_tot")
   }
 
   /** Token-budget shard packing: assign each document to a shard so
     * every shard holds ~budgetTokens tokens, per stratum, in a
     * deterministic id order — the document-granularity form of sequence
-    * packing (shard_id = tokens-before-this-doc DIV budget). One
-    * shuffle on the stratum key; the running sum is exact integer
-    * arithmetic, so shard assignment is reproducible anywhere. */
+    * packing (shard_id = tokens-before-this-doc DIV budget).
+    *
+    * Scale shape — a two-phase prefix sum, NOT a per-stratum window: a
+    * `Window.partitionBy(stratum)` running sum funnels an entire
+    * stratum (billions of rows in a ~10-language pretraining corpus)
+    * through ONE task's sort — the definitive straggler. Instead:
+    *   1. range-partition the narrow (id, stratum, n_tokens) projection
+    *      on (stratum, id), so each partition holds a contiguous slice
+    *      of the global order and every stratum splits across as many
+    *      partitions as its size demands;
+    *   2. aggregate per-(partition, stratum) token subtotals — a few
+    *      thousand rows — and turn them into per-(partition, stratum)
+    *      starting offsets on the driver;
+    *   3. a narrow per-partition pass adds the broadcast offset to an
+    *      in-partition running sum. No task ever sorts more than one
+    *      partition's rows.
+    * The projection is persisted between pass 2 and 3 so both passes
+    * see the identical partitioning even if the input's own row order
+    * is nondeterministic (e.g. downstream of a shuffle); the running
+    * sum itself is exact integer arithmetic, so shard assignment is
+    * reproducible anywhere. mapPartitions is justified here: Catalyst
+    * has no narrow running-sum operator (SPARK windows always
+    * re-shuffle on the partition spec).
+    */
   def packShards(docs: DataFrame, budgetTokens: Long, strataCol: String,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                 idCol: String = "doc_id", textCol: String = "text",
+                 numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
     require(budgetTokens > 0, s"packShards: budgetTokens must be > 0, got $budgetTokens")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), col(strataCol),
+    val spark = docs.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // the partition id is BAKED INTO the cached rows (not read from
+    // TaskContext at run time): a downstream coalesce/repartition may
+    // collapse the mapPartitions stage into differently-numbered tasks,
+    // but the data-carried pid still names the range partition the row
+    // was materialized in, which is what the offsets are keyed by
+    val ranged = docs.select(col(idCol), col(strataCol),
       size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("shard_id", expr(s"cum_before DIV $budgetTokens"))
-      .drop("cum_before")
+      .repartitionByRange(nPart, col(strataCol), col(idCol))
+      .sortWithinPartitions(col(strataCol), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // tiny: #partitions × #strata rows
+    val subs = ranged
+      .groupBy(col("_pid"), col(strataCol).as("_stratum"))
+      .agg(sum(coalesce(col("n_tokens"), lit(0))).as("_sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offsets: Map[(Int, Any), Long] = subs.groupBy(_._2).flatMap {
+      case (stratum, rows) =>
+        val inOrder = rows.sortBy(_._1)
+        val starts = inOrder.map(_._3).scanLeft(0L)(_ + _).init
+        inOrder.map(_._1).zip(starts).map { case (pid, off) => ((pid, stratum), off) }
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema
+      .add("shard_id", LongType)
+    ranged.mapPartitions { it =>
+      var pid = -1
+      var stratum: Any = null
+      var first = true
+      var cum = 0L
+      it.map { r =>
+        val p = r.getInt(3)
+        val s = r.get(1)
+        if (first || p != pid || s != stratum) {
+          pid = p
+          stratum = s
+          first = false
+          cum = bcOffsets.value.getOrElse((p, s), 0L)
+        }
+        val shard = cum / budgetTokens
+        if (!r.isNullAt(2)) cum += r.getInt(2)
+        Row.fromSeq(r.toSeq :+ shard)
+      }
+    }(Encoders.row(outSchema)).toDF()
+      .drop("_pid")
   }
 
   /** Deterministic dataset split assignment (train/val/test…): the
@@ -128,13 +215,14 @@ object Corpus {
     * between splits when unrelated rows are added (the property
     * rand()-based splitting lacks). Zero shuffle. */
   def assignSplit(docs: DataFrame, splits: Seq[(String, Double)],
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  salt: String = SplitSalt): DataFrame = {
     require(splits.nonEmpty, "assignSplit: at least one split required")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"assignSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
     val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(f => math.floor(f * (1L << 60).toDouble).toLong)
-    val h = Dedup.md5Hash60(col(idCol).cast("string"))
+    val h = saltedDraw(col(idCol), salt)
     val assigned = splits.map(_._1).zip(cuts).reverse
       .foldLeft(lit(splits.last._1): Column) { case (acc, (name, cut)) =>
         when(h < cut, lit(name)).otherwise(acc)
@@ -151,26 +239,57 @@ object Corpus {
         .map(f => math.floor(f * (1L << 60).toDouble).toLong))
 
   /** Adaptive per-stratum filtering: keep the top num/den fraction of
-    * each stratum by score (floor(n·num/den) rows, ties broken by id
-    * for determinism). The "keep the best X% per language" step — an
-    * absolute score cutoff misbehaves when strata have different score
-    * distributions; a per-stratum rank cutoff doesn't. Rank test is
-    * pure integer arithmetic (rn·den ≤ n·num), engine-exact. One
-    * shuffle on the stratum key. */
+    * each stratum by score (exactly floor(n·num/den) rows, ties broken
+    * by id for determinism). The "keep the best X% per language" step —
+    * an absolute score cutoff misbehaves when strata have different
+    * score distributions; a per-stratum rank cutoff doesn't.
+    *
+    * Scale shape — broadcast threshold, NOT a full per-stratum rank: a
+    * `row_number` over the stratum sorts billions of rows through one
+    * task. Instead the exact rank-k cutoff comes from the per-(stratum,
+    * score) HISTOGRAM (tiny: strata × distinct scores), whose running
+    * sum locates the crossing score s* and how many of its ties are
+    * still needed; the corpus side is then one broadcast join + narrow
+    * filter (score > s*), plus an id-ordered row_number over ONLY the
+    * tie band (score == s*). With a continuous score the tie band is a
+    * handful of rows; with heavily quantized scores it can grow toward
+    * the stratum size — still strictly smaller than the full-rank sort,
+    * and the histogram keeps all heavy lifting in aggregates. All
+    * arithmetic is integer counts — engine-exact.
+    *
+    * Rows with a NULL score are never kept (a null quality score is
+    * unmeasurable, not excellent). */
   def topFractionByScore(df: DataFrame, strataCol: String, scoreCol: String,
                          num: Int, den: Int,
                          idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(num >= 0 && den > 0, "fraction must be num>=0, den>0")
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
+    val hw = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cw = Window.partitionBy(col(strataCol))
-    // _rn is IntegerType — widen before multiplying, or a stratum past
-    // 2^31/den rows wraps the product negative and keeps its bottom tail
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(cw))
-      .filter(col("_rn").cast("long") * den <= col("_n") * num)
-      .drop("_rn", "_n")
+    // per-(stratum, score) histogram: the only full-input aggregation;
+    // the windows below run over this tiny relation, not the corpus
+    val cuts = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(strataCol), col(scoreCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(hw))
+      .withColumn("_n", sum(col("_c")).over(cw))
+      .withColumn("_k", least(expr(s"(_n * $num) DIV $den"), col("_n")))
+      .filter(col("_cum") - col("_c") < col("_k") && col("_cum") >= col("_k"))
+      .select(col(strataCol), col(scoreCol).as("_cut"),
+        (col("_k") - (col("_cum") - col("_c"))).as("_need"))
+    val outCols = df.columns.map(col)
+    val joined = df.join(broadcast(cuts), Seq(strataCol))
+    val above = joined.filter(col(scoreCol) > col("_cut")).select(outCols: _*)
+    // rank only the tie band at the cutoff score, ordered by id
+    val tieW = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    val ties = joined.filter(col(scoreCol) === col("_cut"))
+      .withColumn("_rn", row_number().over(tieW))
+      // _rn is IntegerType — widen before comparing, or a tie band past
+      // 2^31 rows wraps negative
+      .filter(col("_rn").cast("long") <= col("_need"))
+      .select(outCols: _*)
+    above.unionByName(ties)
   }
 
   /** Per-source document cap (the web-curation domain cap: no single
@@ -187,11 +306,12 @@ object Corpus {
     * preserved because both order by the same draw. */
   def capPerSource(docs: DataFrame, maxPerSource: Int,
                    sourceCol: String = "source",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   salt: String = CapSalt): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerSource > 0, s"capPerSource: cap must be > 0, got $maxPerSource")
     val w = Window.partitionBy(col(sourceCol))
-      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")), col(idCol))
+      .orderBy(saltedDraw(col(idCol), salt), col(idCol))
     docs.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxPerSource)
       .drop("_rn")

@@ -679,7 +679,7 @@ object ExtensionQueries {
              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
              CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM documents
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+      WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
             CASE WHEN lang = 'en' THEN 576460752303423488 ELSE 288230376151711744 END
       GROUP BY lang
     """.trim)
@@ -706,7 +706,7 @@ object ExtensionQueries {
             FROM c, t)
       SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM documents d JOIN r ON d.lang = r.lang
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+      WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
             CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
       GROUP BY d.lang
     """.trim)
@@ -741,7 +741,7 @@ object ExtensionQueries {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val thr = graft.corpus.Corpus.splitThresholds(splits)
     val caseSql = thr.init.map { case (name, cut) =>
-      s"WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT < $cut THEN '$name'"
+      s"WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT < $cut THEN '$name'"
     }.mkString("CASE ", " ", s" ELSE '${thr.last._1}' END")
     Q(
       "x_split_assign",
@@ -836,7 +836,7 @@ object ExtensionQueries {
       WITH ranked AS (
         SELECT doc_id, source, lang,
                ROW_NUMBER() OVER (PARTITION BY source
-                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+                 ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
         FROM documents)
       SELECT doc_id, source, lang FROM ranked WHERE rn <= 15
     """.trim)

@@ -41,6 +41,25 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.stratifiedSample(docs, "lang", Map.empty, 1L << 60).count() == 400)
   }
 
+  test("operator salts decorrelate composed sampling decisions") {
+    // unsalted, sample(50%) ∘ split(80/10/10) would put EVERY survivor
+    // in train (survivors are exactly the ids with small draws); with
+    // distinct per-operator salts the draws are independent
+    val docs = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+      .withColumn("lang", lit("en"))
+    val sampled = Corpus.stratifiedSample(docs, "lang", Map.empty, 1L << 59)
+    val splits = Corpus.assignSplit(sampled, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.getOrElse("val", 0L) > 0 && splits.getOrElse("test", 0L) > 0,
+      s"salted composition must populate every split: $splits")
+    // and capPerSource's kept subset is not simply the sampled prefix
+    val capped = Corpus.capPerSource(
+      docs.withColumn("source", lit("s")), maxPerSource = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampledIds = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped != sampledIds, "cap and sample draws must differ")
+  }
+
   test("mixCorpus downsamples over-represented strata toward the target share") {
     // 900 en / 100 de, target mix 50/50 → en rate 0.5·1000/900 ≈ 0.56,
     // de rate 0.5·1000/100 = 5 → capped at 1 (keep all)

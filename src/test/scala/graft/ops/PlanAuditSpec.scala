@@ -105,6 +105,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("n_chars"), "rules must not read unused columns:\n" + p)
   }
 
+  test("x_shard_pack: two-phase prefix sum — no Window, range partitioning present") {
+    val p = plan("x_shard_pack")
+    assert(!p.contains("Window"),
+      "packShards must not sort a whole stratum through one window task:\n" + p)
+    assert(p.contains("rangepartitioning"),
+      "the prefix sum rides a range partition on (stratum, id):\n" + p)
+  }
+
+  test("x_adaptive_filter: every Window runs on the tiny histogram or the tie band") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("x_adaptive_filter")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the histogram + tie-band windows")
+    wins.foreach { w =>
+      val overAggregate = w.child.collectFirst {
+        case a: logical.Aggregate => a
+      }.isDefined
+      val overTieBand = w.child.collectFirst {
+        case f: logical.Filter if f.condition.toString.contains("_cut") => f
+      }.isDefined
+      assert(overAggregate || overTieBand,
+        "a Window over the raw corpus is the full-rank straggler:\n" + w)
+    }
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
