@@ -55,4 +55,20 @@ object ConfigLoader {
   def fromFile(path: String): EtlConfig =
     fromString(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Cluster-submit config discovery (dependencies/spark.py:92-112): a
+    * file shipped with `spark-submit --files` lands flat in
+    * `SparkFiles.getRootDirectory()`; the first filename ending in
+    * `config.json` (sorted, for determinism — the reference takes
+    * listdir order) is parsed. None when no config file was shipped —
+    * callers fall back to their defaults, as the reference does. */
+  def discover(rootDir: String = org.apache.spark.SparkFiles.getRootDirectory()): Option[EtlConfig] = {
+    val dir = new java.io.File(rootDir)
+    Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith("config.json"))
+      .sortBy(_.getName)
+      .headOption
+      .map(f => fromFile(f.getAbsolutePath))
+  }
 }

@@ -24,7 +24,7 @@ object Sources {
     spark.read.schema(Schemas.logEvent).parquet(path)
 
   /** S2: JDBC scan (jobs/etl_job.py:92-105). Single-partition read — the
-    * category dim is small; pass partitioning options for big tables. */
+    * category dim is small; use [[jdbcPartitioned]] for big tables. */
   def jdbc(spark: SparkSession, c: JdbcConfig): DataFrame =
     spark.read.format("jdbc")
       .option("url", c.url)
@@ -32,6 +32,30 @@ object Sources {
       .option("dbtable", c.table)
       .option("user", c.user)
       .option("password", c.password)
+      .load()
+
+  /** S2 at scale: partitioned JDBC scan. `numPartitions` concurrent
+    * connections each pull one stride of `partitionColumn` between the
+    * bounds (rows outside the bounds still load, into the first/last
+    * stride — Spark's documented semantics). Without this a big table
+    * arrives through ONE connection on one task; with it the read
+    * parallelizes and downstream stages start from a sane partition
+    * count. Bounds are caller-supplied (a SELECT min/max pre-query, or
+    * known domain) — Spark does not probe them itself. */
+  def jdbcPartitioned(spark: SparkSession, c: JdbcConfig,
+                      partitionColumn: String,
+                      lowerBound: Long, upperBound: Long,
+                      numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", c.url)
+      .option("driver", c.driver)
+      .option("dbtable", c.table)
+      .option("user", c.user)
+      .option("password", c.password)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
       .load()
 }
 

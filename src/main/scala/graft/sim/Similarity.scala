@@ -185,12 +185,16 @@ object Similarity {
     * (kept as the parity oracle for the native expression). */
   def quantizeInt8Hof(vec: Column): Column = {
     val v = asDouble(vec)
-    // coalesce: array_max of an EMPTY vector is null; the native form
-    // gives scale 0 there, so the reference must too
-    val m = coalesce(array_max(transform(v, x => abs(x))), lit(0.0))
+    // outer coalesce: array_max of an EMPTY vector is null; the native
+    // form gives scale 0 there, so the reference must too. Inner
+    // coalesce: a null ELEMENT quantizes to 0 in the native form, so
+    // it must contribute |0| to the max and produce code 0 here —
+    // transform would otherwise emit a null code that array_max skips
+    val elem = (x: Column) => coalesce(x, lit(0.0))
+    val m = coalesce(array_max(transform(v, x => abs(elem(x)))), lit(0.0))
     val scale = when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
     struct(scale.as("scale"),
-      transform(v, x => floor(x * scale + lit(0.5)).cast("tinyint")).as("q"))
+      transform(v, x => floor(elem(x) * scale + lit(0.5)).cast("tinyint")).as("q"))
   }
 
   /** Two-stage retrieve-and-rescore kNN over int8 codes (the SQ8
@@ -251,7 +255,14 @@ object Similarity {
     * Recall for a truly-near pair (angle θ) is
     * 1 − (1 − (1 − θ/π)^bitsPerBand)^nBands → ≈1 for near-duplicates.
     * The O(n²) crossJoin survives behind `bruteForce = true` for small
-    * inputs and recall audits only. */
+    * inputs and recall audits only.
+    *
+    * NOTE (default change, r3): this operator's default switched from
+    * exact brute force to the approximate LSH prefilter — callers that
+    * need the guaranteed-complete pair set must use
+    * [[cosineNearDupsExact]] (or pass bruteForce = true). The
+    * intent-explicit aliases [[cosineNearDupsLsh]] /
+    * [[cosineNearDupsExact]] exist so call sites read unambiguously. */
   def cosineNearDups(emb: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bruteForce: Boolean = false, dim: Int = 64,
@@ -281,4 +292,18 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** Intent-explicit alias: the approximate banded-LSH near-dup path
+    * (the 100 TB default of [[cosineNearDups]]). */
+  def cosineNearDupsLsh(emb: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        dim: Int = 64, nBands: Int = 8, bitsPerBand: Int = 4): DataFrame =
+    cosineNearDups(emb, threshold, idCol, vecCol, bruteForce = false,
+      dim, nBands, bitsPerBand)
+
+  /** Intent-explicit alias: the exact O(n²) pair set — complete recall,
+    * quadratic cost; small inputs and recall audits only. */
+  def cosineNearDupsExact(emb: DataFrame, threshold: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineNearDups(emb, threshold, idCol, vecCol, bruteForce = true)
 }

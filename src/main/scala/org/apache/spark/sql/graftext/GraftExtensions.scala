@@ -13,9 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctionRegistry.functions.foreach { case (name, cls, builder) =>
-      e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(cls.getName, name),
-        builder))
+      val info = GraftFunctionRegistry.usages.get(name) match {
+        case Some(usage) => new ExpressionInfo(cls.getName, null, name, usage, "")
+        case None => new ExpressionInfo(cls.getName, name)
+      }
+      e.injectFunction((FunctionIdentifier(name), info, builder))
     }
 }

@@ -151,4 +151,20 @@ private[graftext] object GraftFunctionRegistry {
       es => TextStats(es(0), TextStats.defaultStopwords)),
     ("id_pairs", classOf[IdPairs], es => IdPairs(es(0))),
     ("int8_quantize", classOf[QuantizeInt8], es => QuantizeInt8(es(0))))
+
+  /** SQL-surface usage notes (shown by `DESCRIBE FUNCTION`) for the
+    * functions whose behavior a SQL user could misread. Keyed by the
+    * registered name; functions without an entry get a bare
+    * ExpressionInfo. */
+  val usages: Map[String, String] = Map(
+    "md5_hashes60" ->
+      ("_FUNC_(arr) - Per-element 60-bit md5 hashes of a string array. " +
+        "NULL elements are DROPPED: the output array is shorter than the " +
+        "input and positions do NOT align with input indices when nulls " +
+        "are present. Use only with order-insensitive consumers " +
+        "(min-folds, bit counts)."),
+    "int8_quantize" ->
+      ("_FUNC_(vec) - Symmetric int8 quantization of a double array: " +
+        "struct(scale, q, q_sum, q_min, q_max). NULL elements quantize " +
+        "to code 0; an empty or all-zero vector gets scale 0."))
 }

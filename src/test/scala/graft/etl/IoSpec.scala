@@ -23,6 +23,23 @@ class IoSpec extends SparkSpec {
     assert(rowSet(back.select("USER_ID").distinct()) == Set("u1", "u2"))
   }
 
+  test("jdbcPartitioned reads through multiple partitions with identical results") {
+    val cfg = JdbcConfig(
+      url = "jdbc:derby:memory:graftiopart;create=true",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      user = "", password = "", table = "BIG_TABLE")
+    val df = (1L to 97L).map(i => (i, s"row$i")).toDF("ID", "PAYLOAD")
+    Sinks.jdbcAppend(df, cfg)
+    val back = Sources.jdbcPartitioned(spark, cfg, partitionColumn = "ID",
+      lowerBound = 1L, upperBound = 98L, numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4, "stride per partition")
+    assert(back.count() == 97)
+    // out-of-bounds rows still load (into the edge strides)
+    val back2 = Sources.jdbcPartitioned(spark, cfg, partitionColumn = "ID",
+      lowerBound = 40L, upperBound = 60L, numPartitions = 3)
+    assert(back2.count() == 97, "bounds stride the read; they do not filter")
+  }
+
   test("csvSingleFile: single part file, header, round-trips") {
     val dir = Files.createTempDirectory("csv-sink").toString + "/out"
     val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")

@@ -87,12 +87,15 @@ object NativeExpressionProperties extends Properties("graft.native") {
           + j * conv(substring(md5(g.cast("binary")), 17, 14), 16, 10).cast("long")))))
   }
 
-  private val genVec: Gen[Array[Float]] = for {
+  // null ELEMENTS included: the native form quantizes them to code 0,
+  // and the HOF parity form must agree (it coalesces them to 0.0)
+  private val genVec: Gen[Seq[Option[Float]]] = for {
     n <- Gen.frequency(8 -> Gen.chooseNum(1, 16), 1 -> Gen.const(0))
     xs <- Gen.listOfN(n, Gen.frequency(
-      8 -> Gen.chooseNum(-1000000, 1000000).map(_ / 1000f),
-      1 -> Gen.const(0f)))
-  } yield xs.toArray
+      8 -> Gen.chooseNum(-1000000, 1000000).map(i => Option(i / 1000f)),
+      1 -> Gen.const(Option(0f)),
+      1 -> Gen.const(Option.empty[Float])))
+  } yield xs
 
   property("QuantizeInt8 (scale, q) == HOF form") =
     forAll(Gen.listOfN(6, genVec)) { vecs =>

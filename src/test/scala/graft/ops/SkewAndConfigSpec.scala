@@ -56,4 +56,22 @@ class SkewAndConfigSpec extends SparkSpec {
     assert(cfg.saveDb.get.table == "ETL_RESULT")
     assert(cfg.loadPath == "/data/in")
   }
+
+  test("ConfigLoader.discover finds *config.json in a SparkFiles-style root dir") {
+    val dir = java.nio.file.Files.createTempDirectory("sparkfiles-root")
+    java.nio.file.Files.writeString(dir.resolve("unrelated.txt"), "noise")
+    java.nio.file.Files.writeString(dir.resolve("etl_config.json"),
+      """{"file": {"write": true, "load": {"path": "/discovered/in"},
+         "save": {"path": "/discovered/out"}}}""")
+    val cfg = ConfigLoader.discover(dir.toString)
+    assert(cfg.isDefined, "suffix scan must find etl_config.json")
+    assert(cfg.get.loadPath == "/discovered/in" && cfg.get.fileWrite)
+    // no config shipped → None, caller falls back to defaults
+    val empty = java.nio.file.Files.createTempDirectory("sparkfiles-empty")
+    assert(ConfigLoader.discover(empty.toString).isEmpty)
+    // deterministic choice when several match: lexicographically first
+    java.nio.file.Files.writeString(dir.resolve("aaa_config.json"),
+      """{"file": {"write": false, "load": {"path": "/first/in"}, "save": {"path": "/o"}}}""")
+    assert(ConfigLoader.discover(dir.toString).get.loadPath == "/first/in")
+  }
 }
