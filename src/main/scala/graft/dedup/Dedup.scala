@@ -283,31 +283,46 @@ object Dedup {
     * the label's own label (label(label(id)) — pointer doubling), so a
     * component of diameter D converges in O(log D) rounds instead of
     * O(D); `maxIter` bounds the pathological case. Each round is two
-    * joins + a groupBy, all shuffling on the id key only;
-    * `localCheckpoint` truncates the growing lineage so round N doesn't
-    * re-execute rounds 1..N-1. The driver loop iterates ROUNDS (the
-    * standard Pregel/large-star shape), never rows.
+    * joins + a groupBy, all shuffling on the id key only; checkpointing
+    * truncates the growing lineage so round N doesn't re-execute rounds
+    * 1..N-1. The driver loop iterates ROUNDS (the standard
+    * Pregel/large-star shape), never rows.
+    *
+    * `reliableCheckpoints = true` switches from `localCheckpoint`
+    * (blocks pinned in executor memory, LOST on executor death — fine
+    * locally and for short runs) to reliable `checkpoint` into
+    * `sc.setCheckpointDir` (HDFS/object store), which a long CC run
+    * over 10¹⁰ edges on a real cluster wants: an executor loss then
+    * costs re-reading a file, not recomputing every round since the
+    * start. The convergence test rides the SAME job as each round's
+    * materialization (an accumulator counts changed labels during the
+    * checkpoint write), so each round schedules exactly one job.
+    * Accumulator semantics are safe here: task retries can only
+    * over-count CHANGED labels, never turn a changed round into
+    * "converged".
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
+                    reliableCheckpoints: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
     // materialize the (possibly expensive) pair source ONCE — ids,
     // self-loops, and every round's join all read this leaf instead of
     // re-executing the candidate-generation pipeline
-    val sym = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint()
+    val sym = materialize(pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
     val ids = sym.select(col("id1").as("id")).distinct()
     // self-loops make "min over neighbors" include the node's own label,
     // so each round is ONE join + ONE groupBy — no union in the loop
     val edges = sym
       .union(ids.select(col("id").as("id1"), col("id").as("id2")))
-    var labels = ids.withColumn("cluster_id", col("id")).localCheckpoint()
+    var labels = materialize(ids.withColumn("cluster_id", col("id")))
     var converged = false
     var i = 0
-    // ONE materialization per round (hop + pointer-jump + previous label
-    // carried in a single plan): the convergence test then reads the
-    // materialized leaf instead of scheduling extra jobs — on a
-    // 1000-executor cluster per-job overhead is noise, but the same
-    // shape also keeps small-corpus runs cheap
+    // ONE job per round: the hop + pointer-jump + previous label are one
+    // plan, and the convergence count is an accumulator incremented
+    // while the eager checkpoint materializes that plan — no separate
+    // convergence job at all
     while (!converged && i < maxIter) {
       val hop = edges.join(labels, edges("id1") === labels("id"))
         .select(col("id2"), col("cluster_id"))
@@ -318,10 +333,17 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.cluster_id"),
             coalesce(col("b.cluster_id"), col("a.cluster_id"))).as("cluster_id"))
-      val next = jumped
+      val tagged = jumped
         .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .localCheckpoint()
-      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      val changed = spark.sparkContext.longAccumulator(s"graft.cc.changed.round$i")
+      val counted = tagged.mapPartitions { it =>
+        it.map { r =>
+          if (r.get(1) != r.get(2)) changed.add(1L) // (id, cluster_id, prev)
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(tagged.schema))
+      val next = materialize(counted.toDF())
+      converged = changed.value == 0L
       labels = next.select(col("id"), col("cluster_id"))
       i += 1
     }

@@ -128,19 +128,35 @@ object TpchQueries {
   )
 
   /** Two-key equi self-join (the C12 join shape, jobs/etl_job.py:392):
-    * lineitem enriched with per-(partkey,suppkey) aggregate — a
-    * composite-key join where both sides shuffle on the same key pair
-    * (co-partitioned, single exchange each). */
+    * per-(partkey,suppkey) stats joined against the same aggregate on
+    * the composite key. Shaped for exchange reuse: BOTH join inputs
+    * derive from ONE aggregation of lineitem (count and sum in the
+    * same pass), so the plan scans and shuffles lineitem once and the
+    * second branch is a ReusedExchange; the join itself inherits the
+    * aggregation's hash partitioning on the two keys — no further
+    * exchange (PlanAuditSpec asserts all three properties). The naive
+    * detail-side join (join the raw rows, then re-aggregate) computes
+    * the scan+agg subtree twice — Catalyst does not dedupe a
+    * self-referenced subplan unless the exchanges are canonically
+    * identical, and column pruning makes them differ the moment the
+    * two branches project different columns. The tautological
+    * n/total_qty equalities in the join condition exist exactly to
+    * keep both branches' column sets — and therefore their exchanges —
+    * identical (the values are deterministic: decimal sums are exact,
+    * so the self-equality always holds). */
   val j1TwoKey: Q = Q(
     "j1_twokey_join",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      val ps = li.groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
-        .agg(dsum(col("l_quantity")).as("total_qty"))
-      li.join(ps,
-          col("l_partkey") === col("partkey") && col("l_suppkey") === col("suppkey"))
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(count(lit(1)).as("n"), max(col("total_qty")).as("total_qty_max"))
+      val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      ps.join(ps.select(col("l_partkey").as("partkey"),
+            col("l_suppkey").as("suppkey"),
+            col("n").as("n2"), col("total_qty").as("total_qty2")),
+          col("l_partkey") === col("partkey") && col("l_suppkey") === col("suppkey") &&
+            col("n") === col("n2") && col("total_qty") === col("total_qty2"))
+        .select(col("l_partkey"), col("l_suppkey"), col("n"),
+          col("total_qty2").as("total_qty_max"))
     },
     Some("""
       SELECT l_partkey, l_suppkey, COUNT(*) AS n, MAX(total_qty) AS total_qty_max

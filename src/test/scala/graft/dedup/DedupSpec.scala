@@ -134,6 +134,32 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L), s"all chain members must label 1: $out")
   }
 
+  test("dedupClusters round count is logarithmic: 64-chain within 8 rounds, not 3") {
+    // pointer jumping: diameter-D chain needs ~log2(D) rounds (+1 to
+    // observe convergence). A linear-propagation regression would need
+    // ~64 rounds and trip the maxIter guard.
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = Dedup.dedupClusters(chain, maxIter = 8).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+    intercept[IllegalStateException] {
+      Dedup.dedupClusters(chain, maxIter = 3)
+    }
+  }
+
+  test("dedupClusters with reliable checkpoints matches localCheckpoint results") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (1L, 9L))
+      .toDF("id1", "id2")
+    val local = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val reliable = Dedup.dedupClusters(pairs, reliableCheckpoints = true).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(reliable == local, s"reliable=$reliable local=$local")
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "reliable run must have written checkpoint files")
+  }
+
   test("ngram jaccard: planted pair scores high, unrelated absent") {
     val out = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("id1", "id2", "jaccard").collect()

@@ -105,6 +105,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("n_chars"), "rules must not read unused columns:\n" + p)
   }
 
+  test("j1_twokey_join: one lineitem scan, exchange reused, no extra shuffle for the join") {
+    val df = SparkEntry.queries("j1_twokey_join")(spark, sf)
+    df.collect() // AQE: reuse only materializes in the final plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      "both join inputs must derive from the same aggregated exchange:\n" + p)
+    assert(p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1,
+      "one shuffle of lineitem; the join inherits its partitioning:\n" + p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "lineitem must scan once:\n" + p)
+  }
+
   test("x_shard_pack: two-phase prefix sum — no Window, range partitioning present") {
     val p = plan("x_shard_pack")
     assert(!p.contains("Window"),
