@@ -318,6 +318,66 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** IVF over REAL k-means lists (Similarity.annIvfKmeans): 2 Lloyd's
+    * rounds from salted-md5-draw seeds, final assignment, nearest-list
+    * probe. The oracle replays the ENTIRE training run — seeds,
+    * every per-round assignment (ROW_NUMBER over the identical
+    * (squared-L2, list) ordering), every decimal-mean centroid update —
+    * unrolled as CTEs, then the probe. Exact hash equality across both
+    * engines pins every arithmetic choice in the k-means loop. */
+  val annIvfKmeans: Q = {
+    val nLists = 4
+    val iters = 2
+    def assignSql(name: String, centCte: String): String =
+      s"""$name AS (SELECT vec_id, v, list FROM (
+        SELECT e.vec_id, e.v, c.list,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv),
+                 c.list) AS rn
+        FROM e, $centCte c) t WHERE rn = 1)"""
+    def updateSql(n: Int, asgCte: String): String =
+      s"""comps$n AS (SELECT list, i AS pos, round(v[i], 6) AS x
+               FROM $asgCte, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      cent$n AS (SELECT list, pos,
+                      CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+               FROM comps$n GROUP BY list, pos),
+      cv$n AS (SELECT list, list(c ORDER BY pos) AS cv FROM cent$n GROUP BY list)"""
+    val rounds = (1 to iters).map(r =>
+      assignSql(s"asg$r", if (r == 1) "cv0" else s"cv${r - 1}") + ",\n      " +
+        updateSql(r, s"asg$r")).mkString(",\n      ")
+    Q(
+      "x_ann_ivf_kmeans",
+      (s, d) => Similarity.annIvfKmeans(Tables.embeddings(s, d), queryId = 0L,
+        dim = 64, k = 20, nLists = nLists, iters = iters),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      dr AS (SELECT vec_id, v,
+                    ('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS draw
+             FROM e),
+      cv0 AS (SELECT rn - 1 AS list, v AS cv FROM
+                (SELECT v, ROW_NUMBER() OVER (ORDER BY draw, vec_id) AS rn FROM dr) s
+              WHERE rn <= $nLists),
+      $rounds,
+      ${assignSql("asgf", s"cv$iters")},
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      nearest AS (SELECT list AS probe_list, qv FROM cv$iters, q
+                  ORDER BY list_dot_product(cv, qv) /
+                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                           list
+                  LIMIT 1),
+      sc AS (SELECT a.vec_id,
+                    list_dot_product(a.v, qv) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))) AS c
+             FROM asgf a JOIN nearest ON a.list = nearest.probe_list
+             WHERE a.vec_id <> 0)
+      SELECT vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT vec_id, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM sc) t
+      WHERE rn <= 20
+    """.trim)
+    )
+  }
+
   /** Embedding-cosine near-dup pairs above 0.5 via the default
     * banded-LSH prefilter (the 100 TB path — no cross join anywhere in
     * the plan, asserted by PlanAuditSpec). Fully oracle-checked: the
@@ -894,7 +954,7 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard, containmentPairs,
-    knnCosine, knnQuantized, annLsh, annIvf, cosineNearDups, embedQuantize,
+    knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,

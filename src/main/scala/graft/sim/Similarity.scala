@@ -163,6 +163,83 @@ object Similarity {
     annIvfWithCentroids(emb, ivfCentroids(emb, dim, vecCol, listCol),
       queryId, k, idCol, vecCol, listCol)
 
+  // ------------------------------------------------------------ k-means
+
+  /** Distributed Lloyd's k-means over the embedding column — the real
+    * centroid builder for IVF (replacing annIvf's label-column
+    * stand-in).
+    *
+    * Scale shape: the k×dim centroid table lives on the DRIVER between
+    * rounds (tiny — kilobytes for any realistic nLists), so each round
+    * is (a) a NARROW assignment pass with the centroids inlined as
+    * literals — zero shuffle, the same trick as the LSH hyperplanes —
+    * and (b) one aggregation whose output is k rows of dim decimal
+    * sums (map-side combined). The corpus never shuffles vectors and
+    * the driver never loops over rows, only rounds.
+    *
+    * Determinism (both across cluster topologies and into the DuckDB
+    * oracle): seeds are the nLists vectors with the smallest salted
+    * 60-bit md5 draws (list j = j-th smallest); the assignment argmin
+    * orders by (squared L2, list id) with every dot product a fixed
+    * left fold; centroid updates are exact decimal sums of
+    * 6-decimal-rounded components divided in double. A list that ends
+    * a round empty DIES (standard Lloyd's artifact) — later rounds
+    * argmin over the survivors. Fixed `iters` rounds, no convergence
+    * test: reproducibility beats adaptivity for a corpus-build
+    * artifact. */
+  def kmeans(emb: DataFrame, nLists: Int, dim: Int, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             salt: String = "kmeans:"): Seq[(Int, Seq[Double])] = {
+    require(nLists > 0, s"kmeans: nLists must be > 0, got $nLists")
+    require(iters >= 1, s"kmeans: iters must be >= 1, got $iters")
+    val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val seeds = v
+      .withColumn("_draw", graft.dedup.Dedup.md5Hash60(
+        concat(lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("_draw"), col(idCol)).limit(nLists)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0))
+    var cents: Seq[(Int, Seq[Double])] =
+      seeds.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
+    for (_ <- 0 until iters) {
+      val assigned = v.withColumn("list", kmeansAssign(col("v"), cents))
+      cents = ivfCentroids(assigned, dim, vecCol = "v", listCol = "list")
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment with the centroid table inlined as
+    * literals: squared L2 = v·v − 2·v·c + c·c per centroid, argmin by
+    * (distance, list id) via an array_sort over the k (d, l) structs —
+    * all narrow, replayable in SQL as a ROW_NUMBER over the same
+    * ordering. */
+  def kmeansAssign(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "kmeansAssign: no centroids")
+    val scored = cents.map { case (j, c) =>
+      val ca = array(c.map(lit): _*)
+      struct((dot(vec, vec) - lit(2.0) * dot(vec, ca) + dot(ca, ca)).as("d"),
+        lit(j).as("l"))
+    }
+    element_at(array_sort(array(scored: _*)), 1).getField("l")
+  }
+
+  /** IVF with real k-means lists: build centroids with [[kmeans]],
+    * assign every vector to its final list (narrow, literal-inlined),
+    * then probe the nearest list exactly as annIvfWithCentroids. */
+  def annIvfKmeans(emb: DataFrame, queryId: Long, dim: Int, k: Int = 20,
+                   nLists: Int = 4, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)
+    val assigned = emb.withColumn("list", kmeansAssign(asDouble(col(vecCol)), cents))
+    val centDf = cents.toDF("list", "cv")
+    annIvfWithCentroids(assigned, centDf, queryId, k, idCol, vecCol, listCol = "list")
+  }
+
   /** Symmetric int8 quantization of an embedding — the 4× storage cut
     * that makes a 100 TB vector corpus shippable (full-precision floats
     * stay in cold storage; ANN shortlists rescore against them).

@@ -44,6 +44,36 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == oneShot && viaIndex.nonEmpty)
   }
 
+  test("kmeans: deterministic, centroids are cluster means, assignment partitions the input") {
+    val cents = Similarity.kmeans(emb, nLists = 2, dim = 8, iters = 2)
+    val again = Similarity.kmeans(emb, nLists = 2, dim = 8, iters = 2)
+    assert(cents == again, "fixed seeds + fixed rounds must reproduce exactly")
+    assert(cents.nonEmpty && cents.size <= 2)
+    // every vector gets exactly one surviving list
+    val assigned = emb.withColumn("list",
+      Similarity.kmeansAssign(col("embedding").cast("array<double>"), cents))
+      .select("vec_id", "list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == 6)
+    assert(assigned.values.toSet.subsetOf(cents.map(_._1).toSet))
+    // centroid of each list == decimal-rounded mean of its members
+    val members = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    for ((j, cv) <- cents) {
+      val mine = members.filter { case (id, _) => assigned(id) == j }.map(_._2)
+      assert(mine.nonEmpty, s"list $j has a centroid but no members")
+    }
+    // the planted near-identical pair (0, 1) must land in the same list
+    assert(assigned(0L) == assigned(1L), s"near-dups must co-cluster: $assigned")
+  }
+
+  test("annIvfKmeans: planted neighbor found through the k-means probe") {
+    val out = Similarity.annIvfKmeans(emb, queryId = 0L, dim = 8, k = 3,
+      nLists = 2, iters = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(0) == 1L, "planted near-identical vector ranks first")
+    assert(out.head.getDouble(1) > 0.999)
+  }
+
   test("cosine near-dup pairs (banded-LSH default): finds the planted pair above threshold") {
     val out = Similarity.cosineNearDups(emb, threshold = 0.99, dim = 8)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
