@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns plus typed metadata, with decode/feature-extraction running
   * distributed via `mapPartitions` over a typed Dataset.
   *
-  * The decode step is a STUB — no image/audio codecs exist in this
-  * container — but it is a *deterministic* stub, so the Spark-side
-  * plumbing (schema, encoders, partition-wise batching, null-safety) is
-  * real and fully tested. Swap `decodeStub` for a JNI/codec call and
-  * nothing else changes.
+  * The IMAGE modality decodes for real: `javax.imageio` ships in the
+  * JDK, so PNG/BMP/GIF/JPEG payloads yield their true width/height
+  * (header-only read — no pixel decode, the right cost at corpus
+  * scale). Payloads that no installed reader recognizes fall back to
+  * the deterministic stub, as do audio/video (no codecs in the JDK);
+  * swap `decodeStub` for an ffmpeg JNI call and nothing else changes —
+  * the schema, encoders, partition-wise batching and null-safety are
+  * the real contract and are fully tested.
   */
 object Multimodal {
 
@@ -40,9 +43,9 @@ object Multimodal {
         array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
 
-  /** STUB decoder: a real implementation calls the codec here (e.g.
-    * javax.imageio / ffmpeg JNI). Deterministic fake features derived
-    * from the payload keep the pipeline testable end-to-end. */
+  /** STUB decoder for the codec-less modalities: a real implementation
+    * calls ffmpeg/JNI here. Deterministic fake features derived from
+    * the payload keep the pipeline testable end-to-end. */
   private[mm] def decodeStub(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
     val n = payload.length
     mediaType match {
@@ -52,6 +55,42 @@ object Multimodal {
       case _       => (0, 0, 0)
     }
   }
+
+  /** Real image-header decode: width/height from whichever installed
+    * ImageIO reader recognizes the payload (PNG/BMP/GIF/JPEG in a
+    * stock JDK). Header-only — `reader.getWidth/getHeight` parse the
+    * metadata block, never the pixel data, so cost per 100 TB of
+    * payloads is a few bytes' read each. None for unrecognized or
+    * corrupt payloads. */
+  private[mm] def decodeImageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      } else None
+    } catch {
+      case _: Exception => None // corrupt header → stub fallback
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Modality dispatch: real header decode for images (stub only when
+    * no reader recognizes the bytes), stub for audio/video. */
+  private[mm] def decode(payload: Array[Byte], mediaType: String): (Int, Int, Int) =
+    mediaType match {
+      case "image" =>
+        decodeImageDims(payload) match {
+          case Some((w, h)) => (w, h, 1)
+          case None => decodeStub(payload, "image")
+        }
+      case other => decodeStub(payload, other)
+    }
 
   /** Distributed feature extraction: one decode call per row, executed
     * partition-wise (the iterator shape lets a real decoder batch or
@@ -63,7 +102,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val payload = Option(r.payload).getOrElse(Array.emptyByteArray)
-        val (w, h, frames) = decodeStub(payload, r.media_type)
+        val (w, h, frames) = decode(payload, r.media_type)
         val checksum = payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
         MediaFeatures(r.media_id, r.media_type, payload.length.toLong, w, h, frames, checksum)
       }

@@ -28,6 +28,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map { case (k, v) => k -> v.checksum } == again)
   }
 
+  test("extractFeatures decodes REAL image payloads (PNG + BMP) to true dimensions") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer in JDK")
+      bos.toByteArray
+    }
+    val media = Seq(
+      (10L, encode("png", 17, 9), "image"),
+      (11L, encode("bmp", 33, 21), "image"),
+      (12L, "not an image".getBytes("UTF-8"), "image") // stub fallback
+    ).toDF("media_id", "payload", "media_type")
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(10L).width == 17 && f(10L).height == 9 && f(10L).n_frames == 1,
+      s"PNG dims must be real: ${f(10L)}")
+    assert(f(11L).width == 33 && f(11L).height == 21, s"BMP dims must be real: ${f(11L)}")
+    val n = "not an image".getBytes("UTF-8").length
+    assert(f(12L).width == n % 1024 && f(12L).height == (n / 7) % 1024,
+      "unrecognized payloads keep the deterministic stub features")
+  }
+
   test("sampleChunks: strided binary slicing") {
     val out = Multimodal.sampleChunks(Multimodal.mediaTable(docs), chunk = 10, stride = 2)
       .filter(col("media_id") === 0L)
