@@ -1,0 +1,304 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row kernels shared by the interpreted (`nullSafeEval`) and
+  * code-generated (`doGenCode`) paths of the graftext expressions.
+  *
+  * Generated Java calls these through the Scala object's static
+  * forwarders, so each expression sits INSIDE whole-stage codegen —
+  * no interpreted-eval dispatch, no boxed `InternalRow` per call, no
+  * codegen break at the call site — while the loop bodies stay
+  * ordinary JVM methods the JIT compiles once. Semantics are pinned
+  * per-expression (see each case class's Scaladoc) and by
+  * NativeExpressionProperties.
+  */
+object GraftKernels {
+
+  private val space = UTF8String.fromString(" ")
+  private val GOLDEN = 0x9e3779b97f4a7c15L
+
+  @inline private def mix(x: Long): Long = {
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** RollingHashes: xxhash64 (seed 42) of every w-token window. */
+  def rollingHashes(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val windows = math.max(n - w + 1, 1)
+    val out = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      val len = math.min(w, n - i)
+      // nulls are SKIPPED (concat_ws semantics): ["a", null, "b"] → "a b"
+      val parts = new Array[UTF8String](len)
+      var m = 0
+      var j = 0
+      while (j < len) {
+        if (!toks.isNullAt(i + j)) {
+          parts(m) = toks.getUTF8String(i + j)
+          m += 1
+        }
+        j += 1
+      }
+      val joined = UTF8String.concatWs(space, parts.take(m): _*)
+      out(i) = XXH64.hashUnsafeBytes(joined.getBaseObject, joined.getBaseOffset,
+        joined.numBytes(), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** RollingNgrams: distinct space-joined w-token windows, first-occurrence order. */
+  def rollingNgrams(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val windows = math.max(n - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](windows * 2)
+    val parts = new Array[UTF8String](w)
+    var i = 0
+    while (i < windows) {
+      val len = math.min(w, n - i)
+      var m = 0
+      var j = 0
+      while (j < len) {
+        if (!toks.isNullAt(i + j)) {
+          parts(m) = toks.getUTF8String(i + j)
+          m += 1
+        }
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(space, parts.take(m): _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** MinHashSignature: sig[j] = min over hashes g of splitmix64(g + GOLDEN·(j+1)). */
+  def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val seed = GOLDEN * (j + 1)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!hashes.isNullAt(i)) {
+          val h = mix(hashes.getLong(i) + seed)
+          if (h < best) best = h
+        }
+        i += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Md5MinHash: sig[j] = min over shingles of (a + j·b), a/b the 56-bit
+    * md5 halves. Null for an empty array. */
+  def md5MinHash(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = Md5Support.digest(arr.getUTF8String(i))
+        val a = Md5Support.hex56(d, 0)
+        val b = Md5Support.hex56(d, 8)
+        var j = 0
+        while (j < k) {
+          val h = a + j * b
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Md5Hashes60: element i → hex60(md5(arr[i])); null elements dropped. */
+  def md5Hashes60(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        out(m) = Md5Support.hex60(Md5Support.digest(arr.getUTF8String(i)), 0)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else out.take(m))
+  }
+
+  /** SimHashFrom: bit b set iff strict majority of elements have bit b set. */
+  def simhashFrom(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Md5Min: lexicographic-min md5 hex over the array; null if no
+    * non-null element. */
+  def md5Min(arr: ArrayData): UTF8String = {
+    def unsignedLess(x: Array[Byte], y: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < 16) {
+        val xi = x(i) & 0xff
+        val yi = y(i) & 0xff
+        if (xi != yi) return xi < yi
+        i += 1
+      }
+      false
+    }
+    val n = arr.numElements()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = Md5Support.digest(arr.getUTF8String(i))
+        if (best == null || unsignedLess(d, best)) best = d
+      }
+      i += 1
+    }
+    if (best == null) null
+    else {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < 16) {
+        sb.append(Character.forDigit((best(j) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(best(j) & 0xf, 16))
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  /** NormalizeWs: lowercase + collapse \s+ runs to single spaces. */
+  def normalizeWs(u: UTF8String): UTF8String = {
+    val s = u.toLowerCase.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        if (!inRun) { sb.append(' '); inRun = true }
+      } else {
+        sb.append(c)
+        inRun = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** TextStats: one-pass token statistics (see TextStats's Scaladoc for
+    * the exact parity contract; lengths count code points). */
+  def textStats(u: UTF8String, stopSet: java.util.HashSet[String]): InternalRow = {
+    val s = u.toString
+    val n = s.length
+    var nTokens = 0
+    var maxLen = 0
+    var nPunct = 0
+    var nStop = 0
+    var nWordChars = 0
+    var nAlphaTokens = 0
+    var tokenStart = 0
+    var tokenCp = 0
+    var tokenHasAlpha = false
+    var i = 0
+    def closeToken(end: Int): Unit = {
+      nTokens += 1
+      if (tokenCp > maxLen) maxLen = tokenCp
+      if (tokenCp > 0 && tokenCp <= 5 && stopSet.contains(s.substring(tokenStart, end))) nStop += 1
+      if (tokenHasAlpha) nAlphaTokens += 1
+      tokenCp = 0
+      tokenHasAlpha = false
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        closeToken(i)
+        i += 1
+        while (i < n && isWs(s.charAt(i))) i += 1
+        tokenStart = i
+      } else {
+        val cp = s.codePointAt(i)
+        if (!(cp < 128 && isAlnum(cp.toChar))) nPunct += 1
+        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) tokenHasAlpha = true
+        tokenCp += 1
+        nWordChars += 1
+        i += Character.charCount(cp)
+      }
+    }
+    closeToken(n)
+    InternalRow(nTokens, maxLen, nPunct, nStop, nWordChars, nAlphaTokens)
+  }
+
+  /** QuantizeInt8: struct(scale, q, q_sum, q_min, q_max); null elements
+    * quantize to 0. */
+  def quantizeInt8(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = math.abs(arr.getDouble(i))
+        if (v > m) m = v
+      }
+      i += 1
+    }
+    val scale = if (m == 0.0) 0.0 else 127.0 / m
+    val q = new Array[Byte](n)
+    var sum = 0L
+    var mn = if (n == 0) 0 else Int.MaxValue
+    var mx = if (n == 0) 0 else Int.MinValue
+    i = 0
+    while (i < n) {
+      val x = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i)
+      val b = math.floor(x * scale + 0.5).toInt // in [-127, 127] by construction
+      q(i) = b.toByte
+      sum += b
+      if (b < mn) mn = b
+      if (b > mx) mx = b
+      i += 1
+    }
+    InternalRow(scale, UnsafeArrayData.fromPrimitiveArray(q), sum, mn, mx)
+  }
+}

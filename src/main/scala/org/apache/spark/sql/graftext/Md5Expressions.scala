@@ -3,8 +3,8 @@ package org.apache.spark.sql.graftext
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -53,7 +53,7 @@ private[graftext] object Md5Support {
   * and the whole construction is replayable in portable SQL.
   */
 case class Md5MinHash(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   // j ranges over [0, k); a + j·b with 56-bit a,b stays inside a signed
   // 64-bit integer only for j ≤ 127 — beyond that the sum silently
@@ -63,29 +63,17 @@ case class Md5MinHash(child: Expression, k: Int)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_minhash"
+  // an EMPTY shingle array yields null even when the child can't
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val d = Md5Support.digest(arr.getUTF8String(i))
-        val a = Md5Support.hex56(d, 0)
-        val b = Md5Support.hex56(d, 8)
-        var j = 0
-        while (j < k) {
-          val h = a + j * b
-          if (h < sig(j)) sig(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.md5MinHash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graftext.GraftKernels.md5MinHash($c, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Md5MinHash =
     copy(child = newChild)
@@ -100,27 +88,18 @@ case class Md5MinHash(child: Expression, k: Int)
   * with the input when nulls are present.
   */
 case class Md5Hashes60(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_hashes60"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    var m = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        out(m) = Md5Support.hex60(Md5Support.digest(arr.getUTF8String(i)), 0)
-        m += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(if (m == n) out else out.take(m))
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.md5Hashes60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.md5Hashes60($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hashes60 =
     copy(child = newChild)
@@ -132,36 +111,18 @@ case class Md5Hashes60(child: Expression)
   * graft.dedup.Dedup.simhashFrom.
   */
 case class SimHashFrom(child: Expression, bits: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_from"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sums = new Array[Int](bits)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
-        var b = 0
-        while (b < bits) {
-          sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < bits) {
-      if (sums(b) > 0) sig |= (1L << b)
-      b += 1
-    }
-    sig
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.simhashFrom(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.simhashFrom($c, $bits);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashFrom =
     copy(child = newChild)
@@ -172,47 +133,22 @@ case class SimHashFrom(child: Expression, bits: Int)
   * the hex renderings), hex-encoded once at the end.
   */
 case class Md5Min(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StringType
   override def prettyName: String = "md5_min"
+  // an empty/all-null array yields null even when the child can't
+  override def nullable: Boolean = true
 
-  private def unsignedLess(x: Array[Byte], y: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < 16) {
-      val xi = x(i) & 0xff
-      val yi = y(i) & 0xff
-      if (xi != yi) return xi < yi
-      i += 1
-    }
-    false
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.md5Min(input.asInstanceOf[ArrayData])
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    var best: Array[Byte] = null
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val d = Md5Support.digest(arr.getUTF8String(i))
-        if (best == null || unsignedLess(d, best)) best = d
-      }
-      i += 1
-    }
-    if (best == null) null
-    else {
-      val sb = new java.lang.StringBuilder(32)
-      var j = 0
-      while (j < 16) {
-        sb.append(Character.forDigit((best(j) >> 4) & 0xf, 16))
-        sb.append(Character.forDigit(best(j) & 0xf, 16))
-        j += 1
-      }
-      UTF8String.fromString(sb.toString)
-    }
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graftext.GraftKernels.md5Min($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Md5Min =
     copy(child = newChild)

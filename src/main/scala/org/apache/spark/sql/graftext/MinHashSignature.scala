@@ -1,8 +1,8 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
 
 /** k-wide MinHash signature of a shingle-hash array, per row.
@@ -16,45 +16,23 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * shuffle (the aggregation formulation — explode shingles, k min
   * aggregates — pays a 64-column hash-aggregate plus an exchange for
   * what is per-row arithmetic). At cluster scale the map stage emits
-  * (id, k×8 bytes) straight into LSH banding.
+  * (id, k×8 bytes) straight into LSH banding. Codegen emits a static
+  * call into [[GraftKernels]], keeping the minhash pipeline inside
+  * whole-stage codegen.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  private val GOLDEN = 0x9e3779b97f4a7c15L
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
 
-  @inline private def mix(x: Long): Long = {
-    var z = x
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = input.asInstanceOf[ArrayData]
-    val n = hashes.numElements()
-    val sig = new Array[Long](k)
-    var j = 0
-    while (j < k) {
-      val seed = GOLDEN * (j + 1)
-      var best = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        if (!hashes.isNullAt(i)) {
-          val h = mix(hashes.getLong(i) + seed)
-          if (h < best) best = h
-        }
-        i += 1
-      }
-      sig(j) = best
-      j += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.minhashSignature($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,35 +12,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * \r), but without the java.util.regex machinery, which dominates the
   * document-fingerprint hot path. Lowercasing delegates to
   * UTF8String.toLowerCase, the exact implementation behind lower().
+  * Codegen emits a static call into [[GraftKernels]].
   */
 case class NormalizeWs(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "normalize_ws"
 
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.normalizeWs(input.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val n = s.length
-    val sb = new java.lang.StringBuilder(n)
-    var i = 0
-    var inRun = false
-    while (i < n) {
-      val c = s.charAt(i)
-      if (isWs(c)) {
-        if (!inRun) { sb.append(' '); inRun = true }
-      } else {
-        sb.append(c)
-        inRun = false
-      }
-      i += 1
-    }
-    UTF8String.fromString(sb.toString)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.normalizeWs($c);")
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeWs =
     copy(child = newChild)

@@ -1,10 +1,8 @@
 package org.apache.spark.sql.graftext
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 
 /** One-pass symmetric int8 quantization of an array<double> vector:
@@ -24,10 +22,11 @@ import org.apache.spark.sql.types._
   * everywhere — codes are bit-identical on any engine.
   *
   * Null array → null; null elements quantize as 0 and count into
-  * q_sum/q_min/q_max like an explicit zero.
+  * q_sum/q_min/q_max like an explicit zero. Codegen emits a static
+  * call into [[GraftKernels]].
   */
 case class QuantizeInt8(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = StructType(Seq(
@@ -38,35 +37,12 @@ case class QuantizeInt8(child: Expression)
     StructField("q_max", IntegerType, nullable = false)))
   override def prettyName: String = "int8_quantize"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    var m = 0.0
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val v = math.abs(arr.getDouble(i))
-        if (v > m) m = v
-      }
-      i += 1
-    }
-    val scale = if (m == 0.0) 0.0 else 127.0 / m
-    val q = new Array[Byte](n)
-    var sum = 0L
-    var mn = if (n == 0) 0 else Int.MaxValue
-    var mx = if (n == 0) 0 else Int.MinValue
-    i = 0
-    while (i < n) {
-      val x = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i)
-      val b = math.floor(x * scale + 0.5).toInt // in [-127, 127] by construction
-      q(i) = b.toByte
-      sum += b
-      if (b < mn) mn = b
-      if (b > mx) mx = b
-      i += 1
-    }
-    InternalRow(scale, UnsafeArrayData.fromPrimitiveArray(q), sum, mn, mx)
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.quantizeInt8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.quantizeInt8($c);")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)

@@ -1,10 +1,9 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct space-joined w-token windows (shingles) of a token array, in
   * one tight JVM loop.
@@ -17,40 +16,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - null tokens are skipped, as concat_ws does;
   *   - distinct keeps first-occurrence order, as array_distinct does.
   * The chain interprets five nested higher-order expressions and copies
-  * a w-element slice per window; this walks the array once.
+  * a w-element slice per window; this walks the array once. Codegen
+  * emits a static call into [[GraftKernels]].
   */
 case class RollingNgrams(child: Expression, w: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "rolling_ngrams"
 
-  private val space = UTF8String.fromString(" ")
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.rollingNgrams(input.asInstanceOf[ArrayData], w)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val windows = math.max(n - w + 1, 1)
-    val seen = new java.util.LinkedHashSet[UTF8String](windows * 2)
-    val parts = new Array[UTF8String](w)
-    var i = 0
-    while (i < windows) {
-      val len = math.min(w, n - i)
-      var m = 0
-      var j = 0
-      while (j < len) {
-        if (!toks.isNullAt(i + j)) {
-          parts(m) = toks.getUTF8String(i + j)
-          m += 1
-        }
-        j += 1
-      }
-      seen.add(UTF8String.concatWs(space, parts.take(m): _*))
-      i += 1
-    }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.rollingNgrams($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): RollingNgrams =
     copy(child = newChild)

@@ -1,8 +1,7 @@
 package org.apache.spark.sql.graftext
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,7 +37,7 @@ object TextStats {
 }
 
 case class TextStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -56,57 +55,15 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     s
   }
 
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.textStats(input.asInstanceOf[UTF8String], stopSet)
 
-  @inline private def isAlnum(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
-    var nTokens = 0
-    var maxLen = 0
-    var nPunct = 0
-    var nStop = 0
-    var nWordChars = 0
-    var nAlphaTokens = 0
-    var tokenStart = 0
-    var tokenCp = 0 // code points in the current token
-    var tokenHasAlpha = false
-    var i = 0
-    // Lengths count CODE POINTS, not UTF-16 units: `length()` and Java
-    // regex char classes (the column functions this expression pins
-    // parity with) treat a surrogate pair as one character, so a
-    // supplementary-plane char (emoji, rare CJK) must count 1 here too.
-    def closeToken(end: Int): Unit = {
-      nTokens += 1
-      if (tokenCp > maxLen) maxLen = tokenCp
-      if (tokenCp > 0 && tokenCp <= 5 && stopSet.contains(s.substring(tokenStart, end))) nStop += 1
-      if (tokenHasAlpha) nAlphaTokens += 1
-      tokenCp = 0
-      tokenHasAlpha = false
-    }
-    while (i < n) {
-      val c = s.charAt(i)
-      if (isWs(c)) {
-        closeToken(i)
-        // skip the whole whitespace run (\s is ASCII-only → BMP-only,
-        // so a per-char test is exact)
-        i += 1
-        while (i < n && isWs(s.charAt(i))) i += 1
-        tokenStart = i
-      } else {
-        val cp = s.codePointAt(i)
-        if (!(cp < 128 && isAlnum(cp.toChar))) nPunct += 1
-        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) tokenHasAlpha = true
-        tokenCp += 1
-        nWordChars += 1
-        i += Character.charCount(cp)
-      }
-    }
-    closeToken(n)
-    InternalRow(nTokens, maxLen, nPunct, nStop, nWordChars, nAlphaTokens)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the stopword set rides along as a referenced object so generated
+    // code reads the SAME HashSet instance the interpreted path uses
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.textStats($c, $setRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextStats =
