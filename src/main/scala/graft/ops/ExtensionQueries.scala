@@ -380,32 +380,48 @@ object ExtensionQueries {
 
   /** Embedding-cosine near-dup pairs above 0.5 via the default
     * banded-LSH prefilter (the 100 TB path — no cross join anywhere in
-    * the plan, asserted by PlanAuditSpec). Fully oracle-checked: the
-    * hyperplanes are deterministic literals inlined into both engines,
-    * so DuckDB rebuilds the identical band buckets, the identical
-    * candidate set, and the identical verified pairs. */
+    * the plan, asserted by PlanAuditSpec). Fully oracle-checked even
+    * though the band width is ADAPTIVE: the width depends only on
+    * COUNT(*) through pure integer threshold comparisons, and planes
+    * are laid out at a fixed stride per band, so the static SQL below
+    * recomputes the same width from its own count and masks the same
+    * plane prefix — identical buckets, candidates, and verified pairs
+    * at every scale factor. (A fixed width is the n²/2^b trap: the sf1
+    * scale run measured 231× cost for 10× rows at b=4; adaptive width
+    * keeps candidates ≈ nBands·8·n.) Oversized buckets — degenerate
+    * near-identical corpora, exact dedup's job — are dropped by the
+    * maxBucketSize guard on both sides. */
   val cosineNearDups: Q = {
     val nBands = 8
-    val bits = 4
-    val planes = Similarity.hyperplanes(dim = 64, nBits = nBands * bits)
-    def bucketSql(bnd: Int): String = (0 until bits).map { i =>
-      s"(CASE WHEN list_dot_product(v, ${planes(bnd * bits + i).mkString("[", ", ", "]")}::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val stride = Similarity.MaxBitsPerBand
+    val maxBucket = 4096
+    val planes = Similarity.hyperplanes(dim = 64, nBits = nBands * stride)
+    // b bits iff n <= 8·2^b (ascending first-match), the exact integer
+    // form of Similarity.adaptiveBitsPerBand.
+    val bitsSql = "CASE " + (4 until stride)
+      .map(b => s"WHEN n <= ${8L << b} THEN $b").mkString(" ") + s" ELSE $stride END"
+    def bucketSql(bnd: Int): String = (0 until stride).map { i =>
+      s"(CASE WHEN $i < p.bits AND list_dot_product(v, ${planes(bnd * stride + i).mkString("[", ", ", "]")}::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n        + ")
     val bandsSql = (0 until nBands)
-      .map(b => s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e")
+      .map(b => s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e, p")
       .mkString("\n      UNION ALL\n      ")
     Q(
       "x_cosine_neardups",
       (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.5,
-        nBands = nBands, bitsPerBand = bits),
+        nBands = nBands, maxBucketSize = maxBucket),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT $bitsSql AS bits FROM (SELECT COUNT(*) AS n FROM e)),
       bands AS (
       $bandsSql
       ),
+      keep AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+               HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
       cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
                FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+               JOIN keep k ON a.band = k.band AND a.bucket = k.bucket)
       SELECT id1, id2,
              ROUND(list_dot_product(x.v, y.v) /
                    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim

@@ -306,19 +306,52 @@ object Similarity {
   }
 
   /** Per-band LSH bucket ids: `nBands` buckets of `bitsPerBand` sign
-    * bits each, over nBands·bitsPerBand deterministic hyperplanes. A
-    * pair matching in ANY band becomes a candidate — the multi-table
-    * construction that keeps recall high (miss probability decays
-    * exponentially in nBands) while each band's buckets stay selective. */
+    * bits each, over deterministic hyperplanes. A pair matching in ANY
+    * band becomes a candidate — the multi-table construction that keeps
+    * recall high (miss probability decays exponentially in nBands)
+    * while each band's buckets stay selective.
+    *
+    * `planeStride` fixes each band's plane block at a stride
+    * independent of `bitsPerBand` (band b bit i reads plane
+    * b·stride+i), so raising or lowering bitsPerBand — e.g. the
+    * adaptive choice below — reuses prefixes of the SAME plane family
+    * instead of reshuffling every band's planes. That is what lets a
+    * static SQL oracle replay an adaptively-chosen bit width. */
   def lshBandBuckets(vec: Column, dim: Int, nBands: Int, bitsPerBand: Int,
-                     seed: Long = 42L): Seq[Column] = {
-    val planes = hyperplanes(dim, nBands * bitsPerBand, seed)
+                     seed: Long = 42L, planeStride: Int = 0): Seq[Column] = {
+    val stride = if (planeStride > 0) planeStride else bitsPerBand
+    require(bitsPerBand <= stride, s"bitsPerBand $bitsPerBand > stride $stride")
+    val planes = hyperplanes(dim, nBands * stride, seed)
     (0 until nBands).map { bnd =>
       (0 until bitsPerBand).map { i =>
-        when(dot(vec, array(planes(bnd * bitsPerBand + i).map(lit): _*)) > 0,
+        when(dot(vec, array(planes(bnd * stride + i).map(lit): _*)) > 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
+  }
+
+  /** Max plane block per band for the adaptive bit choice (the SQL
+    * oracle inlines nBands·MaxBitsPerBand plane literals). 2^20 buckets
+    * per band saturates at n ≈ 8M vectors per band table; beyond that
+    * bucket occupancy grows, but by then per-band candidate volume is
+    * still ~n·occupancy, not n². */
+  val MaxBitsPerBand = 20
+
+  /** Corpus-size-adaptive LSH band width: the smallest b in
+    * [4, MaxBitsPerBand] with n ≤ target·2^b, so expected bucket
+    * occupancy stays ≈`target` and candidate volume stays ≈
+    * nBands·target·n — LINEAR in n. Any FIXED bucket count makes
+    * banded-LSH candidates grow as n²/2^b (the sf1 scale test measured
+    * exactly that: 231× cost for 10× rows at b=4); scaling the bucket
+    * count with the corpus is what keeps the 100 TB plan linear. The
+    * price is per-band recall p^b shrinking as n grows — the standard
+    * LSH cost/recall dial; hold recall by raising nBands alongside
+    * (miss prob = (1−p^b)^nBands). Pure integer comparisons, so any
+    * engine that can COUNT(*) replays the same choice bit-for-bit. */
+  def adaptiveBitsPerBand(n: Long, targetBucketSize: Int = 8): Int = {
+    var b = 4
+    while (b < MaxBitsPerBand && n > (targetBucketSize.toLong << b)) b += 1
+    b
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.
@@ -334,6 +367,15 @@ object Similarity {
     * The O(n²) crossJoin survives behind `bruteForce = true` for small
     * inputs and recall audits only.
     *
+    * `bitsPerBand = 0` (the default) picks the band width ADAPTIVELY
+    * from the corpus count via [[adaptiveBitsPerBand]] — one cheap
+    * count job, then candidate volume stays linear in n at every scale
+    * (a fixed width is n²/2^b: the sf1 scale run measured 231× cost
+    * for 10× rows at b=4). `maxBucketSize` is the skew guard: a bucket
+    * larger than it (a degenerate corpus of near-identical vectors —
+    * exact dedup's job, not ANN's) is dropped rather than allowed to
+    * emit occupancy² pairs, same contract as minhash's cap.
+    *
     * NOTE (default change, r3): this operator's default switched from
     * exact brute force to the approximate LSH prefilter — callers that
     * need the guaranteed-complete pair set must use
@@ -343,7 +385,8 @@ object Similarity {
   def cosineNearDups(emb: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bruteForce: Boolean = false, dim: Int = 64,
-                     nBands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+                     nBands: Int = 8, bitsPerBand: Int = 0,
+                     maxBucketSize: Int = 4096): DataFrame = {
     // norms precomputed once per vector (O(n)), not once per pair (O(n²))
     val v = emb.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
       .withColumn("nrm1", norm(col("v1")))
@@ -352,14 +395,17 @@ object Similarity {
     val pairs =
       if (bruteForce) v.crossJoin(u).filter(col("id1") < col("id2"))
       else {
+        val bits =
+          if (bitsPerBand > 0) bitsPerBand else adaptiveBitsPerBand(emb.count())
         val banded = emb
           .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
           .select(col("id"), posexplode(
-            array(lshBandBuckets(col("v"), dim, nBands, bitsPerBand): _*))
+            array(lshBandBuckets(col("v"), dim, nBands, bits,
+              planeStride = MaxBitsPerBand): _*))
             .as(Seq("band", "bucket")))
         val cand = banded.groupBy(col("band"), col("bucket"))
           .agg(collect_list(col("id")).as("ids"))
-          .filter(size(col("ids")) > 1)
+          .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
           .select(org.apache.spark.sql.graftext.VectorExpressions.idPairs(col("ids")))
           .dropDuplicates()
         cand.join(v, "id1").join(u, "id2")
@@ -374,9 +420,10 @@ object Similarity {
     * (the 100 TB default of [[cosineNearDups]]). */
   def cosineNearDupsLsh(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        dim: Int = 64, nBands: Int = 8, bitsPerBand: Int = 4): DataFrame =
+                        dim: Int = 64, nBands: Int = 8, bitsPerBand: Int = 0,
+                        maxBucketSize: Int = 4096): DataFrame =
     cosineNearDups(emb, threshold, idCol, vecCol, bruteForce = false,
-      dim, nBands, bitsPerBand)
+      dim, nBands, bitsPerBand, maxBucketSize)
 
   /** Intent-explicit alias: the exact O(n²) pair set — complete recall,
     * quadratic cost; small inputs and recall audits only. */
