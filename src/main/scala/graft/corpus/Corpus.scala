@@ -352,6 +352,42 @@ object Corpus {
         count(lit(1)).cast("int").as("n_lines"))
   }
 
+  /** Fixed-size token-window chunking — the pretraining-prep step that
+    * turns variable-length documents into overlapping training windows:
+    * chunk j of a doc covers whitespace tokens [j·stride, j·stride +
+    * chunkSize); `stride < chunkSize` gives the usual overlap so no
+    * boundary context is lost. Every doc yields ≥ 1 chunk (short docs
+    * yield themselves), the last chunk always reaches the final token,
+    * and chunks carry (doc_id, chunk_idx, chunk_text, n_tokens).
+    *
+    * Scale shape: entirely narrow — split, per-row `sequence` of chunk
+    * starts, `transform`+`slice`, one `posexplode`. No shuffle at all;
+    * output size is input·(1/stride overlap factor) and each row's
+    * work is linear in its own length. All functions are codegen'd
+    * builtins and replay exactly in SQL (integer chunk-count
+    * arithmetic, 1-based slice). */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkTokens: chunkSize must be > 0, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"chunkTokens: stride must be in [1, chunkSize], got $stride")
+    val toks = split(col(textCol), "\\s+")
+    // chunks = 1 + ceil((n - chunkSize) / stride) when n > chunkSize:
+    // integer form (n - chunkSize + stride - 1) div stride + 1
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - lit(chunkSize) + lit(stride - 1)) / lit(stride))
+        .cast("int") + lit(1))
+    docs.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          j => slice(col("_toks"), j * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "_chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("_chunk"), " ").as("chunk_text"),
+        size(col("_chunk")).as("n_tokens"))
+  }
+
   /** TF-IDF term weights, top-k terms per document.
     *
     * The idf is the log-free rational form score = tf · (N / df),

@@ -356,6 +356,39 @@ object Dedup {
     labels.select(col("cluster_id"), col("id").as("doc_id"))
   }
 
+  /** Canonical-document selection per duplicate cluster — the step that
+    * turns [[dedupClusters]] labels into keep/drop decisions. Every doc
+    * joins its cluster label (docs with no near-dup are their own
+    * singleton cluster), then each cluster keeps its best-scoring
+    * member: max (`score`, then SMALLEST doc id on ties). The default
+    * score is `octet_length(text)` — UTF-8 byte length, exactly equal
+    * in any engine — i.e. "keep the longest copy", the usual near-dup
+    * policy (truncated mirrors lose to the full page).
+    *
+    * Scale shape: one equi-join on the doc id plus ONE aggregation
+    * whose per-cluster state is a constant-size (score, negid) struct —
+    * partial map-side combine, no window, no per-cluster sort. A
+    * window-rank formulation would put each cluster through one task
+    * (harmless here, a straggler for the degenerate giant cluster);
+    * the max-struct aggregation cannot straggle. */
+  def clusterRepresentatives(docs: DataFrame, clusters: DataFrame,
+                             idCol: String = "doc_id",
+                             score: Column = octet_length(col("text"))): DataFrame = {
+    val labeled = docs
+      .select(col(idCol), score.cast("bigint").as("_score"))
+      .join(clusters.select(col("cluster_id"), col("doc_id").as(idCol)),
+        Seq(idCol), "left")
+      .select(coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col(idCol), col("_score"))
+    // argmax by (score asc-in-max, -id): struct max is lexicographic, so
+    // the winner has the highest score and, among ties, the smallest id
+    labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("_score"), (-col(idCol)).as("_negid"))).as("_m"))
+      .select(col("cluster_id"), (-col("_m._negid")).as("keep_id"),
+        col("_m._score").as("keep_score"), col("n_members"))
+  }
+
   // ------------------------------------------------------- ngram jaccard
 
   /** Exact n-gram Jaccard near-dup pairs: candidates = docs sharing at

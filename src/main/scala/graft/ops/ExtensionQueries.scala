@@ -968,9 +968,155 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Batch kNN join — top-5 cosine neighbors for EVERY query in an
+    * eval-style query set (vec_id ≡ 0 mod 100), exact brute force with
+    * the two-stage distributed top-k (see Similarity.knnJoin). The
+    * oracle replays the per-query rank directly; the two-stage Spark
+    * plan is provably equal to the single global rank. */
+  val knnJoinBatch: Q = Q(
+    "x_knn_join",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.knnJoin(emb, queries, k = 5)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+      sc AS (SELECT qid, vec_id,
+                    list_dot_product(v, qv) /
+                      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+             FROM e, q WHERE vec_id <> qid)
+      SELECT qid, vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT qid, vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+            FROM sc) t
+      WHERE rn <= 5
+    """.trim)
+  )
+
+  /** LSH-bucketed batch kNN join: each query probes only its sign-bit
+    * hyperplane bucket (identical literal planes in both engines, as
+    * x_ann_lsh), then the same per-query top-k. */
+  val knnJoinLshBatch: Q = {
+    val planeSql = Similarity.hyperplanes(dim = 64, nBits = 6).zipWithIndex
+      .map { case (p, b) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}::DOUBLE[]) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+    Q(
+      "x_knn_join_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.knnJoinLsh(emb, queries, dim = 64, k = 5, nBits = 6)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id % 100 = 0),
+        sc AS (SELECT qid, vec_id,
+                      list_dot_product(v, qv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+               FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid)
+        SELECT qid, vec_id, ROUND(c, 6) AS cos_sim, rn
+        FROM (SELECT qid, vec_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+              FROM sc) t
+        WHERE rn <= 5
+      """.trim)
+    )
+  }
+
+  /** Canonical representative per duplicate cluster: minhash pairs →
+    * connected components → keep the longest (UTF-8 bytes) member,
+    * smallest id on ties; singletons keep themselves. The oracle
+    * recomputes the clusters via the independent recursive-CTE closure
+    * (as x_dedup_clusters) and the winner via a rank — checking the
+    * whole pairs→clusters→keep decision chain, against a different
+    * clustering algorithm AND a different argmax mechanism (Spark side
+    * is a map-side-combinable max-struct aggregation, no window). */
+  val clusterReps: Q = Q(
+    "x_cluster_reps",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterRepresentatives(docs,
+        Dedup.dedupClusters(Dedup.minhashNearDupsMd5(docs, threshold = 0.5,
+          maxBucketSize = Some(64))))
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      ab AS (SELECT doc_id, shl, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+      bc AS (SELECT b, s FROM bands GROUP BY b, s HAVING COUNT(*) BETWEEN 2 AND 64),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+               FROM bc JOIN bands x ON x.b = bc.b AND x.s = bc.s
+                       JOIN bands y ON y.b = bc.b AND y.s = bc.s
+                                   AND x.doc_id < y.doc_id),
+      pairs AS (SELECT id1, id2
+                FROM (SELECT id1, id2,
+                             len(list_intersect(x.shl, y.shl)) AS nc,
+                             len(x.shl) AS n1, len(y.shl) AS n2
+                      FROM cand
+                      JOIN sh0 x ON id1 = x.doc_id
+                      JOIN sh0 y ON id2 = y.doc_id) t
+                WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labs AS (SELECT LEAST(a, MIN(b)) AS cluster_id, a AS doc_id FROM reach GROUP BY a),
+      mem AS (SELECT COALESCE(l.cluster_id, dd.doc_id) AS cluster_id, dd.doc_id,
+                     CAST(strlen(dd.text) AS BIGINT) AS score
+              FROM documents dd LEFT JOIN labs l ON dd.doc_id = l.doc_id)
+      SELECT cluster_id, keep_id, keep_score, n_members
+      FROM (SELECT cluster_id, doc_id AS keep_id, score AS keep_score,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY score DESC, doc_id) AS rn
+            FROM mem) t
+      WHERE rn = 1
+    """.trim)
+  )
+
+  /** Token-window chunking into overlapping training windows (64-token
+    * chunks, stride 48); every doc yields ≥ 1 chunk and the last chunk
+    * reaches the final token. Entirely narrow (see Corpus.chunkTokens);
+    * the oracle replays the integer chunk-count arithmetic and 1-based
+    * slices exactly. */
+  val textChunks: Q = Q(
+    "x_text_chunks",
+    (s, d) => graft.corpus.Corpus.chunkTokens(Tables.documents(s, d),
+      chunkSize = 64, stride = 48),
+    Some("""
+      WITH w0 AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      c AS (SELECT doc_id, w,
+                   CASE WHEN len(w) <= 64 THEN 1
+                        ELSE CAST(floor((len(w) - 64 + 47) / 48.0) AS BIGINT) + 1 END AS nc
+            FROM w0),
+      ch AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS j FROM c)
+      SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+             array_to_string(w[j*48+1 : j*48+64], ' ') AS chunk_text,
+             CAST(len(w[j*48+1 : j*48+64]) AS INT) AS n_tokens
+      FROM ch
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
+    knnJoinBatch, knnJoinLshBatch, clusterReps, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,

@@ -173,4 +173,26 @@ class CorpusSpec extends SparkSpec {
     assert(loose(3L) == "shared pair line", s"2-doc line survives at maxDocFreq=2: $loose")
     assert(!loose.values.exists(_.contains("cookie banner")), "3-doc banner still dropped")
   }
+
+  test("chunkTokens windows with overlap, last chunk reaches the final token, short docs pass through") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "a b c d")                                 // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(docs, chunkSize = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3)))).toMap
+    // doc 1: starts 0,3,6 → [t1..t4] [t4..t7] [t7..t10]
+    assert(out((1L, 0)) == (("t1 t2 t3 t4", 4)))
+    assert(out((1L, 1)) == (("t4 t5 t6 t7", 4)))
+    assert(out((1L, 2)) == (("t7 t8 t9 t10", 4)))
+    assert(out((2L, 0)) == (("a b c", 3)))
+    assert(out((3L, 0)) == (("a b c d", 4)))
+    assert(out.size == 5)
+    // a partial final chunk still reaches the last token
+    val nine = Seq((9L, (1 to 9).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val tail9 = Corpus.chunkTokens(nine, chunkSize = 4, stride = 3).collect()
+      .map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(tail9(2) == "t7 t8 t9")
+  }
 }

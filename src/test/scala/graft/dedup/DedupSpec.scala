@@ -160,6 +160,24 @@ class DedupSpec extends SparkSpec {
       "reliable run must have written checkpoint files")
   }
 
+  test("clusterRepresentatives keeps the longest member, ties to smallest id, singletons keep themselves") {
+    val d = Seq(
+      (1L, "short text"),          // cluster {1,2,3}: 2 is longest
+      (2L, "much longer text kept"),
+      (3L, "short text"),
+      (4L, "alone"),               // singleton
+      (5L, "tie"), (6L, "tie")     // cluster {5,6}: equal length → keep 5
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.dedupClusters(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2"))
+    val out = Dedup.clusterRepresentatives(d, clusters).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, "much longer text kept".getBytes("UTF-8").length.toLong, 3L)))
+    assert(out(4L) == ((4L, 5L, 1L)))
+    assert(out(5L) == ((5L, 3L, 2L)))
+    assert(out.size == 3)
+  }
+
   test("ngram jaccard: planted pair scores high, unrelated absent") {
     val out = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("id1", "id2", "jaccard").collect()

@@ -146,6 +146,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x_text_chunks: chunking is entirely narrow — no shuffle, no join") {
+    val p = plan("x_text_chunks")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking is per-row; any shuffle is a bug:\n" + p)
+  }
+
+  test("x_knn_join: query set broadcast; top-k is the two-stage fanout window") {
+    val p = plan("x_knn_join")
+    assert(p.contains("BroadcastExchange"),
+      "the query table must broadcast, never shuffle the corpus:\n" + p)
+    assert(p.contains("pmod"),
+      "stage-1 rank must partition by (qid, id mod fanout) — a per-qid-only " +
+        "window sorts the whole corpus in one task per query:\n" + p)
+  }
+
+  test("x_cluster_reps: representative choice is an aggregation, not a per-cluster window") {
+    val p = plan("x_cluster_reps")
+    assert(!p.contains("Window"),
+      "argmax must be the max-struct aggregation (map-side combinable); a " +
+        "window rank puts each cluster through one task:\n" + p)
+    // struct-max lowers to SortAggregate — what matters is the partial
+    // (map-side) phase before the exchange, so no cluster ever funnels
+    // through one task unreduced
+    assert(p.contains("partial_max"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

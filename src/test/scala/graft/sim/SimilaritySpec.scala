@@ -32,6 +32,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L)
   }
 
+  test("knnJoin: per-query results equal the single-query brute force, any fanout") {
+    val queries = emb.filter(col("vec_id").isin(0L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    for (fanout <- Seq(1, 4, 32)) {
+      val out = Similarity.knnJoin(emb, queries, k = 3, fanout = fanout).collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(out.size == 6, s"2 queries x k=3 at fanout=$fanout")
+      for (qid <- Seq(0L, 3L)) {
+        val single = Similarity.knnBruteForce(emb, queryId = qid, k = 3).collect()
+          .map(r => (qid, r.getInt(2)) -> ((r.getLong(0), r.getDouble(1)))).toMap
+        assert(single.forall { case (k2, v) => out(k2) == v },
+          s"qid=$qid fanout=$fanout: batch join must equal single-query knn")
+      }
+    }
+  }
+
+  test("knnJoinLsh: planted near-identical vector shares the query bucket and ranks first") {
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = Similarity.knnJoinLsh(emb, queries, dim = 8, k = 3, nBits = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(1) == 1L, "identical-direction vector must rank first")
+    assert(out.forall(_.getLong(0) == 0L))
+  }
+
   test("ivf: probe against a materialized centroid table equals the one-shot form") {
     val withList = emb.withColumn("label", pmod(col("vec_id"), lit(2)))
     val dir = java.nio.file.Files.createTempDirectory("ivf-cent").toString
