@@ -163,8 +163,15 @@ object Corpus {
     // collapse the mapPartitions stage into differently-numbered tasks,
     // but the data-carried pid still names the range partition the row
     // was materialized in, which is what the offsets are keyed by
-    val ranged = docs.select(col(idCol), col(strataCol),
+    // persist the narrow projection BEFORE range-partitioning: the
+    // range sampler evaluates its child in full to draw bounds, so an
+    // unpersisted projection would pay the tokenize pass twice (the
+    // sampling pass alone cost more than the whole r3 window plan);
+    // cached, tokenize runs once and the sampler + shuffle read ints
+    val proj = docs.select(col(idCol), col(strataCol),
       size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .persist()
+    val ranged = proj
       .repartitionByRange(nPart, col(strataCol), col(idCol))
       .sortWithinPartitions(col(strataCol), col(idCol))
       .withColumn("_pid", spark_partition_id())
@@ -175,6 +182,9 @@ object Corpus {
       .agg(sum(coalesce(col("n_tokens"), lit(0))).as("_sub"))
       .collect()
       .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // ranged is materialized by the collect above; the projection cache
+    // has served both its readers (sampler + shuffle) and can go now
+    proj.unpersist(false)
     val offsets: Map[(Int, Any), Long] = subs.groupBy(_._2).flatMap {
       case (stratum, rows) =>
         val inOrder = rows.sortBy(_._1)

@@ -150,11 +150,25 @@ object TpchQueries {
       val li = Tables.lineitem(s, d)
       val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      // merge hint: at sf0.1 AQE otherwise flips this to a broadcast
+      // join of the ~input-sized aggregate — losing the ReusedExchange
+      // (the agg branch computes twice) and building a 600k-row hash
+      // table; at 100 TB that flip is impossible anyway (the agg side
+      // is near table-sized), so pinning SMJ keeps the measured plan
+      // THE scale plan: one lineitem shuffle, both join inputs reading
+      // the same exchange, sorts only over the already-partitioned agg.
+      // The extra predicates are tautological (decimal sums are exact,
+      // so a key always >= its own stats) and exist to keep BOTH
+      // branches' column sets — and therefore their exchanges —
+      // canonically identical for the reuse; they are INEQUALITIES
+      // deliberately: an equality would be extracted as a join KEY
+      // (ExtractEquiJoinKeys), forcing SMJ to co-partition on all four
+      // columns and re-shuffle both sides on top of the agg's exchange
       ps.join(ps.select(col("l_partkey").as("partkey"),
             col("l_suppkey").as("suppkey"),
-            col("n").as("n2"), col("total_qty").as("total_qty2")),
+            col("n").as("n2"), col("total_qty").as("total_qty2")).hint("merge"),
           col("l_partkey") === col("partkey") && col("l_suppkey") === col("suppkey") &&
-            col("n") === col("n2") && col("total_qty") === col("total_qty2"))
+            col("n") >= col("n2") && col("total_qty") >= col("total_qty2"))
         .select(col("l_partkey"), col("l_suppkey"), col("n"),
           col("total_qty2").as("total_qty_max"))
     },
