@@ -56,6 +56,15 @@ object Bench {
       // lands mid-query and bills 1-4s to whichever query runs next
       // (observed: the same query swings 0.2s ↔ 5.9s across bench runs
       // with no plan change).
+      // Also drop every persisted/localCheckpointed RDD the previous
+      // query left behind (iterative operators checkpoint rounds):
+      // ContextCleaner only reclaims them after a GC notices the weak
+      // refs, ASYNCHRONOUSLY — meanwhile the pinned blocks squeeze the
+      // unified memory's execution half and later queries spill
+      // (observed at sf1: a 6.5s aggregation measured 56s when run
+      // after the checkpoint-heavy dedup queries).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       def once(): Double = {
         val t0 = System.nanoTime()

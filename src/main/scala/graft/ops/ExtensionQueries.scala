@@ -969,21 +969,26 @@ object ExtensionQueries {
   )
 
   /** Batch kNN join — top-5 cosine neighbors for EVERY query in an
-    * eval-style query set (vec_id ≡ 0 mod 100), exact brute force with
-    * the two-stage distributed top-k (see Similarity.knnJoin). The
+    * eval-style query set, exact brute force with the two-stage
+    * distributed top-k (see Similarity.knnJoin). The query set is a
+    * FIXED 40 ids (vec_id < 40), deliberately not corpus-proportional:
+    * an eval/probe set stays constant as the corpus grows, so the
+    * brute-force cost is eval_size x corpus — linear at 100 TB (a
+    * %-of-corpus query set would make this quadratic by construction;
+    * the sf1 scale run measured exactly that, 26x for 10x rows). The
     * oracle replays the per-query rank directly; the two-stage Spark
     * plan is provably equal to the single global rank. */
   val knnJoinBatch: Q = Q(
     "x_knn_join",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val queries = emb.filter(col("vec_id") < 40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.knnJoin(emb, queries, k = 5)
     },
     Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 40),
       sc AS (SELECT qid, vec_id,
                     list_dot_product(v, qv) /
                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
@@ -1008,14 +1013,14 @@ object ExtensionQueries {
       "x_knn_join_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+        val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         Similarity.knnJoinLsh(emb, queries, dim = 64, k = 5, nBits = 6)
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
-        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id % 100 = 0),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 40),
         sc AS (SELECT qid, vec_id,
                       list_dot_product(v, qv) /
                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
