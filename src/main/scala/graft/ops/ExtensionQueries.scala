@@ -158,7 +158,8 @@ object ExtensionQueries {
     * candidates via shingle equi-join, verified with set arithmetic. */
   val ngramJaccard: Q = Q(
     "x_ngram_jaccard",
-    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.05),
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.05,
+      maxShingleDocFreq = Some(64)),
     Some("""
       WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
       sh0 AS (SELECT doc_id, list_distinct(list_transform(
@@ -166,8 +167,10 @@ object ExtensionQueries {
                 i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
       sh AS (SELECT doc_id, unnest(shl) AS g FROM sh0),
       sizes AS (SELECT doc_id, len(shl) AS n FROM sh0),
+      capped AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 64),
       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 JOIN capped c ON a.g = c.g
                  GROUP BY 1, 2)
       SELECT id1, id2, n_common,
              CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) AS jaccard
@@ -180,10 +183,12 @@ object ExtensionQueries {
 
   /** Near-containment pairs: |A∩B| / min(|A|,|B|) — catches a short
     * doc swallowed by a long one, where Jaccard stays low. Shares the
-    * candidate machinery (and its skew cap) with x_ngram_jaccard. */
+    * candidate machinery with x_ngram_jaccard, including the
+    * oracle-replayed doc-frequency cap. */
   val containmentPairs: Q = Q(
     "x_containment_pairs",
-    (s, d) => Dedup.containmentPairs(Tables.documents(s, d), threshold = 0.5),
+    (s, d) => Dedup.containmentPairs(Tables.documents(s, d), threshold = 0.5,
+      maxShingleDocFreq = Some(64)),
     Some("""
       WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
       sh0 AS (SELECT doc_id, list_distinct(list_transform(
@@ -191,8 +196,10 @@ object ExtensionQueries {
                 i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
       sh AS (SELECT doc_id, unnest(shl) AS g FROM sh0),
       sizes AS (SELECT doc_id, len(shl) AS n FROM sh0),
+      capped AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 64),
       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 JOIN capped c ON a.g = c.g
                  GROUP BY 1, 2)
       SELECT id1, id2, n_common,
              CAST(n_common AS DOUBLE) / LEAST(n1, n2) AS containment
@@ -325,9 +332,11 @@ object ExtensionQueries {
     * (squared-L2, list) ordering), every decimal-mean centroid update —
     * unrolled as CTEs, then the probe. Exact hash equality across both
     * engines pins every arithmetic choice in the k-means loop. */
-  val annIvfKmeans: Q = {
-    val nLists = 4
-    val iters = 2
+  /** The k-means training run (seeds -> `iters` assign/update rounds ->
+    * final assignment `asgf` over centroid CTE `cv<iters>`) unrolled as
+    * DuckDB CTEs — shared by every IVF-kmeans oracle. Expects an `e`
+    * CTE (vec_id, v) to precede it. */
+  private def kmeansCtesSql(nLists: Int, iters: Int): String = {
     def assignSql(name: String, centCte: String): String =
       s"""$name AS (SELECT vec_id, v, list FROM (
         SELECT e.vec_id, e.v, c.list,
@@ -345,20 +354,26 @@ object ExtensionQueries {
     val rounds = (1 to iters).map(r =>
       assignSql(s"asg$r", if (r == 1) "cv0" else s"cv${r - 1}") + ",\n      " +
         updateSql(r, s"asg$r")).mkString(",\n      ")
-    Q(
-      "x_ann_ivf_kmeans",
-      (s, d) => Similarity.annIvfKmeans(Tables.embeddings(s, d), queryId = 0L,
-        dim = 64, k = 20, nLists = nLists, iters = iters),
-      Some(s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      dr AS (SELECT vec_id, v,
+    s"""dr AS (SELECT vec_id, v,
                     ('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS draw
              FROM e),
       cv0 AS (SELECT rn - 1 AS list, v AS cv FROM
                 (SELECT v, ROW_NUMBER() OVER (ORDER BY draw, vec_id) AS rn FROM dr) s
               WHERE rn <= $nLists),
       $rounds,
-      ${assignSql("asgf", s"cv$iters")},
+      ${assignSql("asgf", s"cv$iters")}"""
+  }
+
+  val annIvfKmeans: Q = {
+    val nLists = 4
+    val iters = 2
+    Q(
+      "x_ann_ivf_kmeans",
+      (s, d) => Similarity.annIvfKmeans(Tables.embeddings(s, d), queryId = 0L,
+        dim = 64, k = 20, nLists = nLists, iters = iters),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nLists, iters)},
       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
       nearest AS (SELECT list AS probe_list, qv FROM cv$iters, q
                   ORDER BY list_dot_product(cv, qv) /
@@ -374,6 +389,49 @@ object ExtensionQueries {
       FROM (SELECT vec_id, c,
                    ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM sc) t
       WHERE rn <= 20
+    """.trim)
+    )
+  }
+
+  /** IVF-backed batch kNN join: the fixed 40-query eval set of
+    * x_knn_join, but each query probes only its cosine-nearest k-means
+    * list instead of the whole corpus — the index-backed retrieval
+    * shape a 100 TB deployment actually runs (probes read a partition,
+    * not the corpus). The oracle replays the ENTIRE pipeline: the
+    * unrolled Lloyd's run (shared kmeansCtesSql), the per-query
+    * nearest-centroid choice, and the per-query rank. */
+  val knnJoinIvfBatch: Q = {
+    val nLists = 4
+    val iters = 2
+    Q(
+      "x_knn_join_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.knnJoinIvf(emb, queries, dim = 64, k = 5,
+          nLists = nLists, iters = iters)
+      },
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nLists, iters)},
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 40),
+      near AS (SELECT qid, qv, list AS probe_list FROM (
+                 SELECT q.qid, q.qv, c.list,
+                        ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                          list_dot_product(q.qv, c.cv) /
+                            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.list) AS rn
+                 FROM q, cv$iters c) t WHERE rn = 1),
+      sc AS (SELECT near.qid, a.vec_id,
+                    list_dot_product(a.v, near.qv) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(near.qv, near.qv))) AS c
+             FROM asgf a JOIN near ON a.list = near.probe_list AND a.vec_id <> near.qid)
+      SELECT qid, vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT qid, vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+            FROM sc) t
+      WHERE rn <= 5
     """.trim)
     )
   }
@@ -1121,7 +1179,7 @@ object ExtensionQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
-    knnJoinBatch, knnJoinLshBatch, clusterReps, textChunks,
+    knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, clusterReps, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,

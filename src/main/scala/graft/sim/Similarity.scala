@@ -364,6 +364,46 @@ object Similarity {
     topKPerQuery(scored, k, fanout, qidCol, idCol)
   }
 
+  /** IVF batch kNN join — the index-backed form of [[knnJoin]]: k-means
+    * centroids are built once ([[kmeans]]), every corpus vector gets
+    * its final list (narrow, centroid literals inlined), and each query
+    * probes ONLY its cosine-nearest list. At rest the list id is the
+    * partition/bucket key, so a batch of probes reads the few
+    * partitions their lists live in instead of the corpus; the
+    * centroid table is driver-held kilobytes. Same exact two-stage
+    * per-query top-k as knnJoin. */
+  def knnJoinIvf(emb: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
+                 nLists: Int = 4, iters: Int = 2, fanout: Int = 32,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)
+    val assigned = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("list", kmeansAssign(col("v"), cents))
+    val q = queries.select(col(qidCol), asDouble(col(qvecCol)).as("_qv"))
+      .withColumn("qlist", nearestListByCosine(col("_qv"), cents))
+    val scored = assigned
+      .join(broadcast(q), col("list") === col("qlist") &&
+        col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        cosine(col("v"), col("_qv")).as("cos_sim"))
+    topKPerQuery(scored, k, fanout, qidCol, idCol)
+  }
+
+  /** Cosine-nearest centroid id with the centroids inlined as literals
+    * (the probe-side twin of [[kmeansAssign]], which argmins squared
+    * L2): argmax cosine via an array_sort over (-cosine, list) structs —
+    * ties to the smallest list id, matching `ORDER BY cos DESC, list`
+    * in SQL. */
+  def nearestListByCosine(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "nearestListByCosine: no centroids")
+    val scored = cents.map { case (j, c) =>
+      val ca = array(c.map(lit): _*)
+      struct((lit(-1.0) * (dot(vec, ca) / (norm(vec) * norm(ca)))).as("d"),
+        lit(j).as("l"))
+    }
+    element_at(array_sort(array(scored: _*)), 1).getField("l")
+  }
+
   /** Exact distributed per-query top-k (see [[knnJoin]] scale note):
     * stage-1 partial rank within (qid, id mod fanout), stage-2 final
     * rank over the ≤ fanout·k survivors per qid. Deterministic

@@ -57,6 +57,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getLong(0) == 0L))
   }
 
+  test("knnJoinIvf: single-query batch equals the one-shot annIvfKmeans probe") {
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Similarity.knnJoinIvf(emb, queries, dim = 8, k = 3,
+      nLists = 2, iters = 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val single = Similarity.annIvfKmeans(emb, queryId = 0L, dim = 8, k = 3,
+      nLists = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(batch == single && batch.nonEmpty,
+      s"batch=$batch single=$single")
+  }
+
   test("ivf: probe against a materialized centroid table equals the one-shot form") {
     val withList = emb.withColumn("label", pmod(col("vec_id"), lit(2)))
     val dir = java.nio.file.Files.createTempDirectory("ivf-cent").toString
