@@ -162,6 +162,13 @@ class PlanAuditSpec extends SparkSpec {
         "window sorts the whole corpus in one task per query:\n" + p)
   }
 
+  test("x_knn_join_ivf: probes broadcast against the list-assigned corpus, no corpus shuffle") {
+    val p = plan("x_knn_join_ivf")
+    assert(p.contains("BroadcastExchange"),
+      "the query set must broadcast; the corpus joins on its list id:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_cluster_reps: representative choice is an aggregation, not a per-cluster window") {
     val p = plan("x_cluster_reps")
     assert(!p.contains("Window"),
