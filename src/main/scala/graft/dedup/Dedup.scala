@@ -389,6 +389,14 @@ object Dedup {
         col("_m._score").as("keep_score"), col("n_members"))
   }
 
+  /** The final dedup step: keep only each cluster's representative.
+    * A LEFT SEMI join against the keeper ids — at scale both sides
+    * shuffle on the doc id (or the keeper set broadcasts when small);
+    * no row of text moves unless it survives. */
+  def applyDedup(docs: DataFrame, reps: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    docs.join(reps.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
   // ------------------------------------------------------- ngram jaccard
 
   /** Exact n-gram Jaccard near-dup pairs: candidates = docs sharing at

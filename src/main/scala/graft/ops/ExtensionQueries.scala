@@ -1153,6 +1153,66 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** The end of the dedup pipeline: the corpus AFTER near-dup removal —
+    * pairs -> clusters -> representatives -> left-semi keep. Emits the
+    * surviving (doc_id, n_bytes); the oracle recomputes the whole chain
+    * independently (recursive-CTE clustering + window argmax) and keeps
+    * docs whose id is a keeper. */
+  val dedupApply: Q = Q(
+    "x_dedup_apply",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val reps = Dedup.clusterRepresentatives(docs,
+        Dedup.dedupClusters(Dedup.minhashNearDupsMd5(docs, threshold = 0.5,
+          maxBucketSize = Some(64))))
+      Dedup.applyDedup(docs, reps)
+        .select(col("doc_id"), octet_length(col("text")).cast("bigint").as("n_bytes"))
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      ab AS (SELECT doc_id, shl, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+      bc AS (SELECT b, s FROM bands GROUP BY b, s HAVING COUNT(*) BETWEEN 2 AND 64),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+               FROM bc JOIN bands x ON x.b = bc.b AND x.s = bc.s
+                       JOIN bands y ON y.b = bc.b AND y.s = bc.s
+                                   AND x.doc_id < y.doc_id),
+      pairs AS (SELECT id1, id2
+                FROM (SELECT id1, id2,
+                             len(list_intersect(x.shl, y.shl)) AS nc,
+                             len(x.shl) AS n1, len(y.shl) AS n2
+                      FROM cand
+                      JOIN sh0 x ON id1 = x.doc_id
+                      JOIN sh0 y ON id2 = y.doc_id) t
+                WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labs AS (SELECT LEAST(a, MIN(b)) AS cluster_id, a AS doc_id FROM reach GROUP BY a),
+      mem AS (SELECT COALESCE(l.cluster_id, dd.doc_id) AS cluster_id, dd.doc_id,
+                     CAST(strlen(dd.text) AS BIGINT) AS score
+              FROM documents dd LEFT JOIN labs l ON dd.doc_id = l.doc_id),
+      keep AS (SELECT keep_id FROM (
+                 SELECT doc_id AS keep_id,
+                        ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                           ORDER BY score DESC, doc_id) AS rn
+                 FROM mem) t WHERE rn = 1)
+      SELECT d2.doc_id, CAST(strlen(d2.text) AS BIGINT) AS n_bytes
+      FROM documents d2 WHERE d2.doc_id IN (SELECT keep_id FROM keep)
+    """.trim)
+  )
+
   /** Token-window chunking into overlapping training windows (64-token
     * chunks, stride 48); every doc yields ≥ 1 chunk and the last chunk
     * reaches the final token. Entirely narrow (see Corpus.chunkTokens);
@@ -1179,7 +1239,7 @@ object ExtensionQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
-    knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, clusterReps, textChunks,
+    knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, clusterReps, dedupApply, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,

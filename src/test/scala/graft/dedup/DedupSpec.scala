@@ -178,6 +178,18 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("applyDedup keeps exactly the representatives") {
+    val d = Seq(
+      (1L, "short text"), (2L, "much longer text kept"), (3L, "short text"),
+      (4L, "alone"), (5L, "tie"), (6L, "tie")
+    ).toDF("doc_id", "text")
+    val reps = Dedup.clusterRepresentatives(d, Dedup.dedupClusters(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")))
+    val kept = Dedup.applyDedup(d, reps).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
   test("ngram jaccard: planted pair scores high, unrelated absent") {
     val out = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("id1", "id2", "jaccard").collect()
