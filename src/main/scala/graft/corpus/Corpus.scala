@@ -308,23 +308,59 @@ object Corpus {
     * id — a uniform per-source sample that is stable across engines,
     * reruns and ingestion order — with the id as tiebreak.
     *
-    * Scale shape: one shuffle on the source key, then a per-source
-    * sort. A zipfian head domain concentrates its rows in one
-    * partition; if a head domain outgrows a task's memory the cheap
-    * escape is a pre-filter with stratifiedSample at a rate that
-    * brings it near the cap before the exact rank test — semantics
-    * preserved because both order by the same draw. */
+    * Scale shape — two-phase, NOT a bare per-source window: a
+    * `row_number` over the source key funnels a zipfian head domain
+    * (easily 10⁹ rows of a web corpus) through ONE task's sort. Phase 1
+    * counts per source (tiny aggregate, broadcast back) and derives a
+    * per-source pre-filter threshold on the SAME salted draw at rate
+    * ≈ (2·cap + 64)/n — over-cap sources shed all but ~2·cap + 64 rows
+    * BEFORE the exchange, so the window sorts ~that many rows per
+    * source regardless of the domain's true size. The exact rank then
+    * runs on the survivors. Exactness is deterministic, not
+    * probabilistic: the cap smallest draws all survive the pre-filter
+    * iff a source keeps ≥ min(cap, n) rows, which phase 2 verifies with
+    * a second tiny count — a source failing it (probability
+    * ≈ e^(-(cap+64)²/(4·cap+128)), astronomically small, but data-
+    * dependent) is routed around the pre-filter entirely. Both phases
+    * order by the same draw, so the result is row-identical to the
+    * single-window form at any scale. */
   def capPerSource(docs: DataFrame, maxPerSource: Int,
                    sourceCol: String = "source",
                    idCol: String = "doc_id",
                    salt: String = CapSalt): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerSource > 0, s"capPerSource: cap must be > 0, got $maxPerSource")
+    val draw = saltedDraw(col(idCol), salt)
+    // phase 1: per-source counts → pre-filter threshold as a fraction
+    // of 2^60 (rate 1 ⇒ threshold 2^60 ⇒ the filter keeps everything,
+    // since draws live in [0, 2^60))
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val rate = least(lit(1.0), lit(2.0 * maxPerSource + 64.0) / col("_n"))
+    val thrs = counts.select(col(sourceCol), col("_n"),
+      floor(rate * lit((1L << 60).toDouble)).cast("long").as("_thr"))
+    // null-safe join keys: a NULL source is a legal stratum for the
+    // window form, so the two-phase form must cap it identically
+    val pre = docs.join(
+        broadcast(thrs.select(col(sourceCol).as("_src"), col("_thr"))),
+        col(sourceCol) <=> col("_src"))
+      .filter(draw < col("_thr"))
+    // phase 2: deterministic exactness check — a source whose survivor
+    // count fell below min(cap, n) (≈ never) bypasses the pre-filter
+    val surv = pre.groupBy(col(sourceCol)).agg(count(lit(1)).as("_m"))
+    val fallback = thrs.join(surv,
+        thrs(sourceCol) <=> surv(sourceCol), "left")
+      .filter(coalesce(col("_m"), lit(0L)) <
+        least(col("_n"), lit(maxPerSource.toLong)))
+      .select(thrs(sourceCol).as("_fb"))
+    val candidates = pre.drop("_src", "_thr")
+      .unionByName(docs.join(broadcast(fallback),
+        col(sourceCol) <=> col("_fb"), "left_semi"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(saltedDraw(col(idCol), salt), col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
+    candidates.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxPerSource)
       .drop("_rn")
+      .select(docs.columns.map(col): _*)
   }
 
   /** Line-level boilerplate removal (the CCNet / RefinedWeb cleanup

@@ -414,8 +414,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", threshold: Double = 0.05,
                         shingleW: Int = 3,
-                        maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    commonShinglePairs(docs, idCol, textCol, shingleW, maxShingleDocFreq)
+                        maxShingleDocFreq: Option[Int] = None,
+                        exact: Boolean = false): DataFrame = {
+    commonShinglePairs(docs, idCol, textCol, shingleW, maxShingleDocFreq, exact)
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -431,8 +432,9 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", threshold: Double = 0.8,
                        shingleW: Int = 3,
-                       maxShingleDocFreq: Option[Int] = None): DataFrame =
-    commonShinglePairs(docs, idCol, textCol, shingleW, maxShingleDocFreq)
+                       maxShingleDocFreq: Option[Int] = None,
+                       exact: Boolean = false): DataFrame =
+    commonShinglePairs(docs, idCol, textCol, shingleW, maxShingleDocFreq, exact)
       .withColumn("containment",
         col("n_common").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= threshold)
@@ -445,14 +447,30 @@ object Dedup {
     * per-doc set sizes); the only wide ops are the two groupBys and the
     * final small joins. `maxShingleDocFreq` is the skew escape hatch —
     * a stop-shingle shared by half the corpus would otherwise expand
-    * n²/2 candidate pairs. */
+    * n²/2 candidate pairs.
+    *
+    * By default (`exact = false`) the dictionary key is the 60-bit md5
+    * of the shingle, NOT the shingle text: the doc-frequency groupBy is
+    * the widest exchange of this family, and hashing shrinks its key
+    * from a w-token string (~20-40 bytes + comparison cost) to an
+    * 8-byte long — the same discipline the minhash path applies via
+    * shingleHashes. Set arithmetic then runs over the hashed shingle
+    * universe (two shingles colliding in 60 bits would count as one —
+    * ~n²/2⁶¹ expected, zero in practice, and the md5 construction
+    * replays exactly in the SQL oracle). `exact = true` keeps the
+    * original string-keyed path for audits. */
   private def commonShinglePairs(docs: DataFrame, idCol: String, textCol: String,
                                  shingleW: Int,
-                                 maxShingleDocFreq: Option[Int]): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleW)).as("g"))
+                                 maxShingleDocFreq: Option[Int],
+                                 exact: Boolean = false): DataFrame = {
+    val keyed: Column =
+      if (exact) shingles(col(textCol), shingleW)
+      else array_distinct(org.apache.spark.sql.graftext.VectorExpressions
+        .md5Hashes60(shingles(col(textCol), shingleW)))
+    val sh = docs.select(col(idCol), explode(keyed).as("g"))
     val grouped = sh.groupBy(col("g")).agg(collect_list(col(idCol)).as("ids"))
     val capped = maxShingleDocFreq.fold(grouped)(f => grouped.filter(size(col("ids")) <= f))
-    val sizes = docs.select(col(idCol), size(shingles(col(textCol), shingleW)).as("n"))
+    val sizes = docs.select(col(idCol), size(keyed).as("n"))
     pairsFromIdLists(capped, "ids")
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n", "n1"), "id1")

@@ -154,8 +154,11 @@ object ExtensionQueries {
     """.trim)
   )
 
-  /** Exact n-gram Jaccard pairs — hash-free, so fully oracle-checked:
-    * candidates via shingle equi-join, verified with set arithmetic. */
+  /** n-gram Jaccard pairs: candidates via an equi-join on the 60-bit
+    * md5 shingle key (8-byte longs through the dictionary exchange, not
+    * shingle text — see commonShinglePairs), verified with set
+    * arithmetic over the hashed shingle universe. Fully oracle-checked:
+    * DuckDB replays the identical md5-60 keys. */
   val ngramJaccard: Q = Q(
     "x_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.05,
@@ -165,8 +168,10 @@ object ExtensionQueries {
       sh0 AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(w) - 2, 1)),
                 i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
-      sh AS (SELECT doc_id, unnest(shl) AS g FROM sh0),
-      sizes AS (SELECT doc_id, len(shl) AS n FROM sh0),
+      hh AS (SELECT doc_id, list_distinct(list_transform(shl,
+                g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS hl FROM sh0),
+      sh AS (SELECT doc_id, unnest(hl) AS g FROM hh),
+      sizes AS (SELECT doc_id, len(hl) AS n FROM hh),
       capped AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 64),
       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -183,8 +188,8 @@ object ExtensionQueries {
 
   /** Near-containment pairs: |A∩B| / min(|A|,|B|) — catches a short
     * doc swallowed by a long one, where Jaccard stays low. Shares the
-    * candidate machinery with x_ngram_jaccard, including the
-    * oracle-replayed doc-frequency cap. */
+    * candidate machinery with x_ngram_jaccard — md5-60 hashed dictionary
+    * keys and the oracle-replayed doc-frequency cap. */
   val containmentPairs: Q = Q(
     "x_containment_pairs",
     (s, d) => Dedup.containmentPairs(Tables.documents(s, d), threshold = 0.5,
@@ -194,8 +199,10 @@ object ExtensionQueries {
       sh0 AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(w) - 2, 1)),
                 i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
-      sh AS (SELECT doc_id, unnest(shl) AS g FROM sh0),
-      sizes AS (SELECT doc_id, len(shl) AS n FROM sh0),
+      hh AS (SELECT doc_id, list_distinct(list_transform(shl,
+                g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS hl FROM sh0),
+      sh AS (SELECT doc_id, unnest(hl) AS g FROM hh),
+      sizes AS (SELECT doc_id, len(hl) AS n FROM hh),
       capped AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 64),
       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id

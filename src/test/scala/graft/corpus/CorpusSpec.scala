@@ -154,6 +154,24 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.capPerSource(docs, 100).count() == 100)
   }
 
+  test("capPerSource two-phase path equals the single-window form on a head domain") {
+    import org.apache.spark.sql.expressions.Window
+    // one zipfian head source (5000 rows) where the pre-filter rate
+    // (2·cap+64)/n ≈ 0.014 is active, plus small sources it must not touch
+    val docs = ((0L until 5000L).map(i => (i, "head")) ++
+      (5000L until 5040L).map(i => (i, s"tail${i % 4}"))).toDF("doc_id", "source")
+    val twoPhase = Corpus.capPerSource(docs, maxPerSource = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the reference semantics: a bare per-source rank over the same draw
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Corpus.saltedDraw(col("doc_id"), Corpus.CapSalt), col("doc_id"))
+    val naive = docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5).drop("_rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twoPhase == naive, "pre-filtered rank must be row-identical to the window form")
+    assert(twoPhase.count(_._2 == "head") == 5)
+  }
+
   test("dropBoilerplateLines strips shared lines, keeps order, drops emptied docs") {
     val docs = Seq(
       (1L, "cookie banner\nunique first line\nall rights reserved\nanother unique line"),

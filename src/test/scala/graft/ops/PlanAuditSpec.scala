@@ -85,11 +85,33 @@ class PlanAuditSpec extends SparkSpec {
       "frequency join must be an equi-join on the line hash:\n" + p)
   }
 
-  test("x_source_cap: one shuffle on the source key, no join") {
+  test("x_source_cap: rank window sorts only the draw-prefiltered candidates") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = graft.SparkEntry.queries("x_source_cap")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty, "expected the per-source rank window")
+    wins.foreach { w =>
+      val preFiltered = w.child.collectFirst {
+        case f: logical.Filter if f.condition.toString.contains("_thr") => f
+      }.isDefined
+      assert(preFiltered,
+        "the window must rank only rows below the per-source draw threshold — " +
+          "an unfiltered per-source window sorts a head domain through one task:\n" + w)
+    }
     val p = plan("x_source_cap")
-    assert(!p.contains("Join"), "a per-source rank cap needs no join:\n" + p)
-    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
-      "exactly one shuffle (on source):\n" + p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the per-source thresholds must broadcast:\n" + p)
+  }
+
+  test("x_ngram_jaccard: candidate exchanges carry hashed longs, never shingle text") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.types.StringType
+    val df = graft.SparkEntry.queries("x_ngram_jaccard")(spark, sf)
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: logical.Aggregate => a }
+    assert(aggs.nonEmpty)
+    for (a <- aggs; g <- a.groupingExpressions)
+      assert(g.dataType != StringType,
+        s"string grouping key in the shingle dictionary exchange: $g")
   }
 
   test("x_embed_quantize: narrow scan-side pipeline — no shuffle, no join") {
@@ -117,6 +139,19 @@ class PlanAuditSpec extends SparkSpec {
       "one shuffle of lineitem; the join inherits its partitioning:\n" + p)
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
       "lineitem must scan once:\n" + p)
+  }
+
+  test("j1_twokey_join: the tautological >= predicates drop no rows (self-join stays 1:1)") {
+    // The join condition uses n >= n2 / total_qty >= total_qty2 as
+    // deliberately-inequality tautologies (see TpchQueries.j1TwoKey).
+    // If the two branches ever diverge, >= would silently keep rows an
+    // equality would drop — this pins output rows == aggregate groups.
+    import org.apache.spark.sql.functions.col
+    val joined = SparkEntry.queries("j1_twokey_join")(spark, sf).count()
+    val groups = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().count()
+    assert(joined == groups,
+      s"self-join must be 1:1 with the aggregate ($joined rows vs $groups groups)")
   }
 
   test("x_shard_pack: two-phase prefix sum — no Window, range partitioning present") {
