@@ -443,6 +443,48 @@ object ExtensionQueries {
     )
   }
 
+  /** Multi-probe IVF batch kNN join (nprobe = 2): each query probes its
+    * TWO cosine-nearest k-means lists — the standard IVF recall dial
+    * for queries near a Voronoi boundary. The fan-out multiplies only
+    * the broadcast query side (lists are disjoint, so no candidate
+    * scores twice); the oracle replays the unrolled Lloyd's run and
+    * takes centroid ranks ≤ 2 per query. */
+  val knnJoinIvfMultiProbe: Q = {
+    val nLists = 4
+    val iters = 2
+    Q(
+      "x_knn_join_ivf_mp",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.knnJoinIvf(emb, queries, dim = 64, k = 5,
+          nLists = nLists, iters = iters, nprobe = 2)
+      },
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nLists, iters)},
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 40),
+      near AS (SELECT qid, qv, list AS probe_list FROM (
+                 SELECT q.qid, q.qv, c.list,
+                        ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                          list_dot_product(q.qv, c.cv) /
+                            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.list) AS rn
+                 FROM q, cv$iters c) t WHERE rn <= 2),
+      sc AS (SELECT near.qid, a.vec_id,
+                    list_dot_product(a.v, near.qv) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(near.qv, near.qv))) AS c
+             FROM asgf a JOIN near ON a.list = near.probe_list AND a.vec_id <> near.qid)
+      SELECT qid, vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT qid, vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+            FROM sc) t
+      WHERE rn <= 5
+    """.trim)
+    )
+  }
+
   /** Embedding-cosine near-dup pairs above 0.5 via the default
     * banded-LSH prefilter (the 100 TB path — no cross join anywhere in
     * the plan, asserted by PlanAuditSpec). Fully oracle-checked even
@@ -1246,7 +1288,8 @@ object ExtensionQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
-    knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, clusterReps, dedupApply, textChunks,
+    knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, knnJoinIvfMultiProbe,
+    clusterReps, dedupApply, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,

@@ -373,14 +373,22 @@ object Similarity {
     * centroid table is driver-held kilobytes. Same exact two-stage
     * per-query top-k as knnJoin. */
   def knnJoinIvf(emb: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
-                 nLists: Int = 4, iters: Int = 2, fanout: Int = 32,
+                 nLists: Int = 4, iters: Int = 2, nprobe: Int = 1,
+                 fanout: Int = 32,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
     val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)
     val assigned = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("list", kmeansAssign(col("v"), cents))
+    // multi-probe: each query fans out to its `nprobe` nearest lists —
+    // the standard IVF recall dial (a query near a Voronoi boundary has
+    // true neighbors in the runner-up list). The fan-out multiplies the
+    // BROADCAST side only (queries × nprobe rows, still kilobytes); the
+    // corpus side is untouched, lists are disjoint so no candidate is
+    // scored twice, and probe cost grows linearly in nprobe.
     val q = queries.select(col(qidCol), asDouble(col(qvecCol)).as("_qv"))
-      .withColumn("qlist", nearestListByCosine(col("_qv"), cents))
+      .withColumn("qlist",
+        explode(nearestListsByCosine(col("_qv"), cents, nprobe)))
     val scored = assigned
       .join(broadcast(q), col("list") === col("qlist") &&
         col(idCol) =!= col(qidCol))
@@ -394,14 +402,25 @@ object Similarity {
     * L2): argmax cosine via an array_sort over (-cosine, list) structs —
     * ties to the smallest list id, matching `ORDER BY cos DESC, list`
     * in SQL. */
-  def nearestListByCosine(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-    require(cents.nonEmpty, "nearestListByCosine: no centroids")
+  def nearestListByCosine(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    element_at(nearestListsByCosine(vec, cents, 1), 1)
+
+  /** The top-`nprobe` cosine-nearest centroid ids (multi-probe IVF):
+    * same (-cosine, list) ordering as [[nearestListByCosine]], sliced
+    * to the first `nprobe` — replayable in SQL as `ROW_NUMBER() ...
+    * ORDER BY cos DESC, list` with `rn <= nprobe`. Asking for more
+    * probes than lists returns them all. */
+  def nearestListsByCosine(vec: Column, cents: Seq[(Int, Seq[Double])],
+                           nprobe: Int): Column = {
+    require(cents.nonEmpty, "nearestListsByCosine: no centroids")
+    require(nprobe >= 1, s"nearestListsByCosine: nprobe must be >= 1, got $nprobe")
     val scored = cents.map { case (j, c) =>
       val ca = array(c.map(lit): _*)
       struct((lit(-1.0) * (dot(vec, ca) / (norm(vec) * norm(ca)))).as("d"),
         lit(j).as("l"))
     }
-    element_at(array_sort(array(scored: _*)), 1).getField("l")
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("l"))
   }
 
   /** Exact distributed per-query top-k (see [[knnJoin]] scale note):

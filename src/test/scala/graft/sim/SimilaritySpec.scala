@@ -70,6 +70,42 @@ class SimilaritySpec extends SparkSpec {
       s"batch=$batch single=$single")
   }
 
+  test("knnJoinIvf multi-probe: nprobe=2 recovers the cross-boundary neighbor nprobe=1 misses") {
+    // Two orthogonal clusters (A along e0, B along e1) and a planted
+    // boundary pair: query q = (0.8, 0.6, …) lands in A's Voronoi cell
+    // while its TRUE nearest neighbor p = (0.6, 0.8, …), cos(q,p) = 0.96,
+    // lands in B's — the textbook case single-probe IVF misses.
+    def member(dir: Int, i: Int): Array[Float] = {
+      val a = new Array[Float](8)
+      a(dir) = 1f
+      (2 until 8).foreach(j => a(j) = (((i * 31 + j * 17) % 7) - 3).toFloat / 40f)
+      a
+    }
+    val corpus = (
+      (0 until 20).map(i => (i.toLong, member(0, i))) ++
+      (20 until 40).map(i => (i.toLong, member(1, i))) :+
+      (40L, Array(0.6f, 0.8f, 0f, 0f, 0f, 0f, 0f, 0f)) :+
+      (41L, Array(0.8f, 0.6f, 0f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 41L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val truth = Similarity.knnJoin(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.contains((41L, 40L)), "the planted pair must be a true top-5 neighbor")
+    def hits(nprobe: Int): Set[(Long, Long)] =
+      Similarity.knnJoinIvf(corpus, queries, dim = 8, k = 5,
+        nLists = 2, iters = 3, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .filter(truth.contains)
+    val single = hits(1)
+    val multi = hits(2)
+    assert(multi.size >= single.size,
+      s"multi-probe must not lose recall: ${multi.size} vs ${single.size} of ${truth.size}")
+    assert(multi.contains((41L, 40L)) && !single.contains((41L, 40L)),
+      s"nprobe=2 must recover the cross-boundary neighbor nprobe=1 misses " +
+        s"(single=$single multi=$multi)")
+  }
+
   test("ivf: probe against a materialized centroid table equals the one-shot form") {
     val withList = emb.withColumn("label", pmod(col("vec_id"), lit(2)))
     val dir = java.nio.file.Files.createTempDirectory("ivf-cent").toString
