@@ -25,13 +25,37 @@ object Dedup {
 
   /** Exact dedup at scale: hash first, shuffle the hash. 64-bit
     * birthday bound n²/2^65: ~3e-4 expected collisions at 10^8 docs,
-    * but ~270 at 10^11 — at that scale use exact() or a 128-bit
-    * fingerprint (e.g. md5 halves) so distinct docs aren't silently
+    * but ~270 at 10^11 — at that scale use exact() or
+    * [[exactByFingerprint128]] so distinct docs aren't silently
     * merged. */
   def exactByFingerprint(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** 120-bit engine-portable fingerprint: both md5 halves of the
+    * normalized text (first/second 15 hex chars) as 60-bit longs in a
+    * struct — a 16-byte shuffle key with a birthday bound of
+    * n²/2^121 ≈ 4e-15 expected collisions even at 10^11 docs, the
+    * design point where the 64-bit key's ~270 expected collisions start
+    * silently merging distinct documents. DuckDB replays both halves
+    * exactly (same md5-hex-prefix construction as [[md5Hash60]]). */
+  def fingerprint128(text: Column): Column = {
+    val h = md5Fingerprint(text)
+    struct(
+      conv(substring(h, 1, 15), 16, 10).cast("long").as("f1"),
+      conv(substring(h, 17, 15), 16, 10).cast("long").as("f2"))
+  }
+
+  /** [[exactByFingerprint]] on the collision-hardened 120-bit md5-pair
+    * key — the default for corpus-scale (≥ 10^10 docs) exact dedup.
+    * Same shape: one hash-keyed groupBy, 16 bytes per row through the
+    * exchange instead of the document body. */
+  def exactByFingerprint128(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), fingerprint128(col(textCol)).as("fp"))
+      .groupBy(col("fp.f1").as("f1"), col("fp.f2").as("f2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   // ------------------------------------------------------------- shingles
@@ -255,12 +279,15 @@ object Dedup {
     * The existing side reduces to a distinct fingerprint set before the
     * anti-join (at 100 TB that set is a materialized/bucketed table or
     * bloom filter, not a re-scan), so the shuffle carries fingerprint
-    * keys only, never text. `fp` defaults to the whitespace/case-robust
-    * xxhash64 fingerprint; pass `md5Fingerprint` where an engine-
-    * portable key matters. */
+    * keys only, never text. `fp` defaults to the 120-bit md5-pair
+    * [[fingerprint128]] — engine-portable AND collision-safe at the
+    * 10^11-doc design point where a 64-bit key expects ~270 collisions
+    * (each one silently DROPPING a genuinely new document here); pass
+    * `TextAnalysis.fingerprint` for the cheapest in-engine 64-bit key
+    * when the corpus is small enough to tolerate it. */
   def dedupAgainstCorpus(incoming: DataFrame, existing: DataFrame,
                          textCol: String = "text",
-                         fp: Column => Column = TextAnalysis.fingerprint): DataFrame = {
+                         fp: Column => Column = fingerprint128): DataFrame = {
     val seen = existing.select(fp(col(textCol)).as("_fp")).distinct()
     incoming.join(seen, fp(col(textCol)) === col("_fp"), "left_anti")
   }

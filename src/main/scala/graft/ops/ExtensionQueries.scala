@@ -113,16 +113,17 @@ object ExtensionQueries {
 
   /** Incremental dedup: new docs (doc_id ≡ 0 mod 5 stands in for
     * today's ingest) anti-joined against the existing corpus by the
-    * md5 normalized-text fingerprint — only genuinely new content
-    * survives. */
+    * default 120-bit md5-pair fingerprint (collision-safe at the
+    * 10^11-doc design point — a 64-bit key's ~270 expected collisions
+    * would each silently DROP a new document here) — only genuinely
+    * new content survives. The oracle replays both 60-bit halves. */
   val dedupIncremental: Q = Q(
     "x_dedup_incremental",
     (s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.dedupAgainstCorpus(
         incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-        existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-        fp = Dedup.md5Fingerprint)
+        existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
         .select(col("doc_id"), col("lang"))
     },
     Some("""
@@ -131,7 +132,27 @@ object ExtensionQueries {
                   FROM documents)
       SELECT i.doc_id, i.lang FROM fp i
       WHERE i.doc_id % 5 = 0
-        AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 5 <> 0 AND e.f = i.f)
+        AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 5 <> 0
+          AND ('0x' || substr(e.f, 1, 15))::BIGINT = ('0x' || substr(i.f, 1, 15))::BIGINT
+          AND ('0x' || substr(e.f, 17, 15))::BIGINT = ('0x' || substr(i.f, 17, 15))::BIGINT)
+    """.trim)
+  )
+
+  /** Exact dedup on the 120-bit md5-pair fingerprint: the 16-byte
+    * shuffle key that stays collision-free at 10^11 docs (where the
+    * 64-bit key expects ~270 silent merges). Both 60-bit halves replay
+    * in DuckDB via the same hex-prefix construction. */
+  val dedupExact128: Q = Q(
+    "x_dedup_exact128",
+    (s, d) => Dedup.exactByFingerprint128(Tables.documents(s, d)),
+    Some("""
+      WITH f AS (SELECT doc_id,
+                        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+                 FROM documents)
+      SELECT ('0x' || substr(h, 1, 15))::BIGINT AS f1,
+             ('0x' || substr(h, 17, 15))::BIGINT AS f2,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM f GROUP BY 1, 2
     """.trim)
   )
 
@@ -1285,7 +1306,7 @@ object ExtensionQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupClusters,
+  def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, knnJoinIvfMultiProbe,
