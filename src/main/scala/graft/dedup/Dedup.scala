@@ -397,10 +397,24 @@ object Dedup {
     * partial map-side combine, no window, no per-cluster sort. A
     * window-rank formulation would put each cluster through one task
     * (harmless here, a straggler for the degenerate giant cluster);
-    * the max-struct aggregation cannot straggle. */
+    * the max-struct aggregation cannot straggle.
+    *
+    * REQUIRES a signed-integral `idCol` with values > Long.MinValue:
+    * the smallest-id-on-ties encoding is max(struct(score, -id)), and
+    * negation is the order inversion only for signed numerics (it fails
+    * analysis for string ids and overflows for Long.MinValue itself —
+    * which no real id space emits). The id type is checked eagerly so a
+    * string-keyed corpus fails with this message, not an analysis
+    * error deep in the plan. */
   def clusterRepresentatives(docs: DataFrame, clusters: DataFrame,
                              idCol: String = "doc_id",
                              score: Column = octet_length(col("text"))): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"clusterRepresentatives: idCol '$idCol' must be a signed integral type " +
+        s"(the tie-break negates it to invert its order), got $idType; " +
+        "map string/unsigned ids to longs first")
     val labeled = docs
       .select(col(idCol), score.cast("bigint").as("_score"))
       .join(clusters.select(col("cluster_id"), col("doc_id").as(idCol)),

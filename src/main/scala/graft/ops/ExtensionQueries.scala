@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
+  /** The CC chain's checkpoint mode, read from session conf so a bench
+    * or deployment can flip to reliable checkpoint files (the cluster
+    * configuration — see Dedup.dedupClusters) without a code change:
+    * `spark.graft.cc.reliableCheckpoints=true` + a checkpoint dir. */
+  private def ccReliable(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption("spark.graft.cc.reliableCheckpoints").exists(_.toBoolean)
+
   /** Exact dedup by full text. */
   val dedupExact: Q = Q(
     "x_dedup_exact",
@@ -75,7 +82,8 @@ object ExtensionQueries {
     "x_dedup_clusters",
     (s, d) => Dedup.dedupClusters(
       Dedup.minhashNearDupsMd5(Tables.documents(s, d), threshold = 0.5,
-        maxBucketSize = Some(64))),
+        maxBucketSize = Some(64)),
+      reliableCheckpoints = ccReliable(s)),
     Some("""
       WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
       sh0 AS (SELECT doc_id, list_distinct(list_transform(
@@ -1176,7 +1184,7 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       Dedup.clusterRepresentatives(docs,
         Dedup.dedupClusters(Dedup.minhashNearDupsMd5(docs, threshold = 0.5,
-          maxBucketSize = Some(64))))
+          maxBucketSize = Some(64)), reliableCheckpoints = ccReliable(s)))
     },
     Some("""
       WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
@@ -1234,7 +1242,7 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       val reps = Dedup.clusterRepresentatives(docs,
         Dedup.dedupClusters(Dedup.minhashNearDupsMd5(docs, threshold = 0.5,
-          maxBucketSize = Some(64))))
+          maxBucketSize = Some(64)), reliableCheckpoints = ccReliable(s)))
       Dedup.applyDedup(docs, reps)
         .select(col("doc_id"), octet_length(col("text")).cast("bigint").as("n_bytes"))
     },

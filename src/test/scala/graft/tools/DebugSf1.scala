@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.Tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
