@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Executable correctness gate for the streaming tier: the SAME
+  * out-of-order / late / duplicate event set goes through the streaming
+  * operator via MemoryStream (multiple microbatches, so state,
+  * watermarks and timeouts really engage) AND through an independent
+  * batch formulation (the oracle-checked x_tumbling_window shape, the
+  * built-in session_window aggregation, a plain join+argmax), and the
+  * outputs must be row-identical. This is the streaming analogue of the
+  * DuckDB oracle: not a property check, an equality on rows.
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStream.Event
+
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private implicit val eventEnc: org.apache.spark.sql.Encoder[Event] =
+    Encoders.product[Event]
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s:00")
+
+  private def ev(id: Long, t: String, uid: Long, typ: String, v: Double): Event =
+    Event(id, ts(t), uid, typ, v)
+
+  // flush event: far enough ahead that the 1h watermark passes every
+  // real window/session end, forcing append-mode emission + timeouts
+  private val flush = ev(99L, "23:00", 9L, "view", 0.0)
+
+  test("windowedCounts: stream over out-of-order microbatches equals the batch twin") {
+    val b1 = Seq(ev(1, "10:20", 1, "view", 1.0), ev(2, "10:45", 2, "purchase", 5.0),
+      ev(3, "11:05", 1, "view", 2.0))
+    // late (10:10 arrives after the stream saw 11:05), an exact
+    // duplicate of event 2, and a new in-order row — all inside the 1h
+    // watermark, so batch and stream must agree row-for-row
+    val b2 = Seq(ev(4, "10:10", 2, "view", 3.0), ev(2, "10:45", 2, "purchase", 5.0),
+      ev(5, "11:20", 3, "view", 1.5))
+
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eq_win").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(Seq(flush)); q.processAllAvailable(); q.processAllAvailable()
+      val streamed = rowSet(spark.table("eq_win"))
+
+      // batch twin: the oracle-checked tumbling-window shape over the
+      // SAME rows (flush included on both sides; its window stays open
+      // in the stream, so it is filtered from the batch side too)
+      val batch = (b1 ++ b2 :+ flush).toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .filter(col("window.start") < ts("22:00"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      assert(streamed == rowSet(batch) && streamed.nonEmpty,
+        s"stream=$streamed\nbatch=${rowSet(batch)}")
+    } finally q.stop()
+  }
+
+  test("sessionWindows: stream (late + duplicate + backward-extending events) equals session_window") {
+    val b1 = Seq(ev(11, "10:20", 1, "view", 1.0), ev(12, "10:25", 1, "view", 2.0),
+      ev(13, "10:00", 2, "view", 4.0))
+    // 10:10 extends user 1's open session BACKWARD (inside the gap),
+    // the duplicate of event 12 must count twice, 10:50 extends it
+    // forward, and user 2's 11:30 gap-closes the 10:00 singleton
+    val b2 = Seq(ev(14, "10:10", 1, "view", 0.5), ev(12, "10:25", 1, "view", 2.0),
+      ev(15, "10:50", 1, "view", 3.0), ev(16, "11:30", 2, "view", 1.0))
+
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindows(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eq_sess").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(Seq(flush)); q.processAllAvailable(); q.processAllAvailable()
+      val streamed = rowSet(spark.table("eq_sess")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value")))
+
+      // batch twin: the BUILT-IN session_window aggregation — a fully
+      // independent implementation of gap-session semantics (its window
+      // end is last_event + gap; ClosedSession carries the last event
+      // itself, so shift by the gap before comparing). The flush user
+      // never closes in the stream, so it is excluded on the batch side.
+      val batch = (b1 ++ b2 :+ flush).toDF()
+        .filter(col("user_id") =!= flush.user_id)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+          col("n_events"), col("total_value"))
+      assert(streamed == rowSet(batch) && streamed.size == 3,
+        s"stream=$streamed\nbatch=${rowSet(batch)}")
+    } finally q.stop()
+  }
+
+  test("lastTouchAttribution: stream with late views equals the batch join + argmax") {
+    val views1 = Seq(ev(21, "10:07", 1, "view", 0.0), ev(22, "09:59", 1, "view", 0.0))
+    // 10:00 is LATE (the stream saw 10:07 first) and sits exactly at
+    // p_ts - horizon — the inclusive boundary both sides must agree on
+    val views2 = Seq(ev(23, "10:00", 1, "view", 0.0), ev(24, "10:05", 2, "view", 0.0))
+    val purch1 = Seq(ev(31, "10:10", 1, "purchase", 4.0))
+    val purch2 = Seq(ev(32, "10:06", 2, "purchase", 7.0))
+    val vFlush = ev(98, "23:00", 8, "view", 0.0)
+    val pFlush = ev(97, "23:00", 8, "purchase", 0.0)
+
+    val vin = MemoryStream[Event]
+    val pin = MemoryStream[Event]
+    val q = EventStream.lastTouchAttribution(vin.toDF(), pin.toDF(),
+      horizon = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eq_lt").start()
+    try {
+      vin.addData(views1); pin.addData(purch1); q.processAllAvailable()
+      vin.addData(views2); pin.addData(purch2); q.processAllAvailable()
+      vin.addData(Seq(vFlush)); pin.addData(Seq(pFlush))
+      q.processAllAvailable(); q.processAllAvailable()
+      val streamed = rowSet(spark.table("eq_lt"))
+
+      // batch twin: plain interval join + per-purchase argmax over the
+      // same rows (flush pair's window never closes in the stream —
+      // excluded from the batch side)
+      val v = (views1 ++ views2 :+ vFlush).toDF()
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val batch = (purch1 ++ purch2 :+ pFlush).toDF()
+        .filter(col("user_id") =!= pFlush.user_id)
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+        .join(v, col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("user_id"), col("purchase_id"))
+        .agg(max(col("p_ts")).as("p_ts"),
+          max(struct(col("v_ts"), col("view_id"))).as("_last"),
+          max(col("value")).as("value"))
+        .select(col("user_id"), col("purchase_id"), col("p_ts"),
+          col("_last.v_ts").as("v_ts"), col("_last.view_id").as("view_id"),
+          col("value"))
+      assert(streamed == rowSet(batch) && streamed.size == 2,
+        s"stream=$streamed\nbatch=${rowSet(batch)}")
+      // and the late boundary view really was a candidate: the winner
+      // for purchase 31 is 10:07 (not the late 10:00, not the 09:59
+      // outside the horizon)
+      assert(spark.table("eq_lt").filter(col("purchase_id") === 31)
+        .select("view_id").as[Long].head() == 21L)
+    } finally q.stop()
+  }
+}
