@@ -204,6 +204,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_knn_join_ivf_mp: multi-probe fans out the BROADCAST side only") {
+    val p = plan("x_knn_join_ivf_mp")
+    assert(p.contains("BroadcastExchange"),
+      "the nprobe-exploded query set must still broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the explode must sit on the query (broadcast) side, never the corpus:
+    // a corpus-side generate would multiply the scan by nprobe
+    val generateLines = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(generateLines.nonEmpty && generateLines.forall(!_.contains("embedding")),
+      "explode must expand query probe lists, not corpus vectors:\n" + p)
+  }
+
   test("x_cluster_reps: representative choice is an aggregation, not a per-cluster window") {
     val p = plan("x_cluster_reps")
     assert(!p.contains("Window"),
