@@ -146,6 +146,33 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Bloom-prefiltered incremental dedup: the corpus fingerprints build
+    * a bloom filter once; ingest rows failing might_contain skip the
+    * anti-join entirely (no false negatives), rows passing it resolve
+    * against the exact fingerprint set — so the result is row-identical
+    * to x_dedup_incremental and the oracle IS the plain anti-join,
+    * while the join shuffle shrinks to fpp·|new| + |true dups|. */
+  val dedupIncrementalBloom: Q = Q(
+    "x_dedup_incremental_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstCorpusBloom(
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""
+      WITH fp AS (SELECT doc_id, lang,
+                         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+                  FROM documents)
+      SELECT i.doc_id, i.lang FROM fp i
+      WHERE i.doc_id % 5 = 0
+        AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 5 <> 0
+          AND ('0x' || substr(e.f, 1, 15))::BIGINT = ('0x' || substr(i.f, 1, 15))::BIGINT
+          AND ('0x' || substr(e.f, 17, 15))::BIGINT = ('0x' || substr(i.f, 17, 15))::BIGINT)
+    """.trim)
+  )
+
   /** Exact dedup on the 120-bit md5-pair fingerprint: the 16-byte
     * shuffle key that stays collision-free at 10^11 docs (where the
     * 64-bit key expects ~270 silent merges). Both 60-bit halves replay
@@ -1315,7 +1342,7 @@ object ExtensionQueries {
   )
 
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
-    dedupIncremental, ngramJaccard, containmentPairs,
+    dedupIncremental, dedupIncrementalBloom, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, knnJoinIvfMultiProbe,
     clusterReps, dedupApply, textChunks,

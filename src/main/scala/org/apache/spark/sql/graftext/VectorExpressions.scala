@@ -105,6 +105,26 @@ object VectorExpressions {
   def quantizeInt8(vec: Column): Column =
     ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
 
+  /** Spark's own bloom-filter aggregate (the runtime-filter machinery,
+    * exposed for explicit use): aggregates a LONG key column into a
+    * serialized org.apache.spark.util.sketch.BloomFilter. */
+  def bloomFilterAgg(key: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(key),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** might_contain(bloom, key) with the driver-held bloom inlined as a
+    * binary literal — the probe side of [[bloomFilterAgg]]. */
+  def bloomMightContain(bloom: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      ExpressionUtils.expression(key)))
+  }
+
   /** Register graft's native expressions for SQL use on an existing
     * session (the SparkSessionExtensions path is GraftExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -100,6 +100,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainstCorpusBloom is row-identical to the plain anti-join") {
+    val existing = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base.toUpperCase.replace(" ", "  ")), // dup after normalization
+      (11L, nearDup),
+      (12L, "brand new content never seen before in any corpus at all")
+    ).toDF("doc_id", "text")
+    val plain = Dedup.dedupAgainstCorpus(incoming, existing)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.dedupAgainstCorpusBloom(incoming, existing)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == plain && plain == Set(11L, 12L), s"bloom=$bloom plain=$plain")
+    // empty corpus: the bloom is degenerate and everything is new
+    assert(Dedup.dedupAgainstCorpusBloom(incoming, existing.limit(0)).count() == 3)
+    // a tiny over-tight bloom (worst-case fpp) must still be exact —
+    // false positives route through the anti-join, never drop rows
+    val tight = Dedup.dedupAgainstCorpusBloom(incoming, existing, fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == plain, s"high-fpp bloom diverged: $tight")
+  }
+
   test("containmentPairs flags a short doc swallowed by a long one that Jaccard misses") {
     val short = "alpha beta gamma delta epsilon zeta"
     val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")

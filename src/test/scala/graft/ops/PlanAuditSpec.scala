@@ -103,6 +103,13 @@ class PlanAuditSpec extends SparkSpec {
       "the per-source thresholds must broadcast:\n" + p)
   }
 
+  test("x_dedup_incremental_bloom: bloom prefilter guards the anti-join") {
+    val p = plan("x_dedup_incremental_bloom")
+    assert(p.contains("might_contain"),
+      "ingest rows must split on the bloom before the join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_ngram_jaccard: candidate exchanges carry hashed longs, never shingle text") {
     import org.apache.spark.sql.catalyst.plans.logical
     import org.apache.spark.sql.types.StringType
