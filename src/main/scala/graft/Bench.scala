@@ -25,10 +25,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.cc.reliableCheckpoints", reliableCkpt.toString)
+      // read at ContextCleaner construction — must be a builder conf;
+      // lets the cleaner delete checkpoint trees of GC'd RDDs mid-run
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (reliableCkpt) spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // reliable-ckpt runs write one file tree per CC round per query per
+    // run; without cleanCheckpoints Spark never deletes out-of-scope
+    // ones, and the dir itself must go on exit (belt and braces: the
+    // cleaner only fires when a GC collects the RDD reference)
+    val ckptDir: Option[java.nio.file.Path] =
+      if (!reliableCkpt) None
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        spark.sparkContext.setCheckpointDir(d.toString)
+        Some(d)
+      }
 
     // Warmup that exercises the codepaths the catalog actually uses —
     // parquet scan, broadcast join, hash agg, window, explode — so JIT /
@@ -103,8 +115,33 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Self-describing noise check: this box's in-driver bench runs keep
+    // recording phantom regressions (cold-I/O contamination migrating
+    // between heavy queries — see BENCH_SCALE.md) that the committed
+    // solo records disprove. Compare each time against the rolling solo
+    // record (BENCH_SOLO_REF.json, refreshed from each round's full solo
+    // run) and embed the exceedances, so one file tells the reader which
+    // rows are environment, not plan.
+    val soloRefPath = sys.env.getOrElse("SPARK_GRAFT_SOLO_REF", "BENCH_SOLO_REF.json")
+    val soloRef: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(soloRefPath))
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty // ref is for another SF
+      else {
+        val start = txt.indexOf("\"queries\":{")
+        val body = txt.substring(start + 11, txt.indexOf("}", start))
+        """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val contaminated = results.toSeq.collect {
+      case (n, v) if v >= 0 && soloRef.get(n).exists(r => r > 0 && v > r * 1.5 && v - r > 0.3) =>
+        s""""$n":{"sec":$v,"solo_ref":${soloRef(n)}}"""
+    }
+    val contJson =
+      if (soloRef.isEmpty) "" // no ref for this SF: flag nothing, say so
+      else s""","contaminated":${contaminated.mkString("{", ",", "}")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$contJson}"""
     println(json)
     // Belt-and-braces for the driver's stdout parse: also leave the line
     // on disk, so a logger-prefixed (or truncated) stdout can't lose the
@@ -114,5 +151,14 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
+    // the cleaner deletes per-RDD trees it noticed; the dir itself (and
+    // any trees whose refs never got GC'd) goes here
+    ckptDir.foreach { d =>
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(d)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }

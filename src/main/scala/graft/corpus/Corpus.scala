@@ -327,15 +327,27 @@ object Corpus {
   def capPerSource(docs: DataFrame, maxPerSource: Int,
                    sourceCol: String = "source",
                    idCol: String = "doc_id",
-                   salt: String = CapSalt): DataFrame = {
+                   salt: String = CapSalt): DataFrame =
+    capPerSourceImpl(docs, maxPerSource, sourceCol, idCol, salt, preSlack = 2.0)
+
+  /** [[capPerSource]] with the pre-filter survivor budget exposed:
+    * expected survivors per over-cap source ≈ preSlack·cap + 64. The
+    * public default (2.0) makes the fallback probability astronomically
+    * small; tests set preSlack = 0 to force the fallback path
+    * deterministically (≈64 expected survivors ≪ cap). */
+  private[graft] def capPerSourceImpl(docs: DataFrame, maxPerSource: Int,
+                                      sourceCol: String, idCol: String,
+                                      salt: String,
+                                      preSlack: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerSource > 0, s"capPerSource: cap must be > 0, got $maxPerSource")
+    require(preSlack >= 0.0, s"capPerSource: preSlack must be >= 0, got $preSlack")
     val draw = saltedDraw(col(idCol), salt)
     // phase 1: per-source counts → pre-filter threshold as a fraction
     // of 2^60 (rate 1 ⇒ threshold 2^60 ⇒ the filter keeps everything,
     // since draws live in [0, 2^60))
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
-    val rate = least(lit(1.0), lit(2.0 * maxPerSource + 64.0) / col("_n"))
+    val rate = least(lit(1.0), lit(preSlack * maxPerSource + 64.0) / col("_n"))
     val thrs = counts.select(col(sourceCol), col("_n"),
       floor(rate * lit((1L << 60).toDouble)).cast("long").as("_thr"))
     // null-safe join keys: a NULL source is a legal stratum for the
@@ -352,7 +364,12 @@ object Corpus {
       .filter(coalesce(col("_m"), lit(0L)) <
         least(col("_n"), lit(maxPerSource.toLong)))
       .select(thrs(sourceCol).as("_fb"))
+    // a fallback source contributes ALL its rows via the semi-join, so
+    // its pre-filter survivors must be EXCLUDED from the union — keeping
+    // them would rank duplicated rows and crowd out docs the true
+    // top-cap keeps (both broadcast sides share one tiny exchange)
     val candidates = pre.drop("_src", "_thr")
+      .join(broadcast(fallback), col(sourceCol) <=> col("_fb"), "left_anti")
       .unionByName(docs.join(broadcast(fallback),
         col(sourceCol) <=> col("_fb"), "left_semi"))
     val w = Window.partitionBy(col(sourceCol))

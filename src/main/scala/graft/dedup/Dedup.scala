@@ -300,37 +300,74 @@ object Dedup {
 
   /** [[dedupAgainstCorpus]] with a bloom-filter pre-filter — the shape
     * a DAILY ingest against a 100 TB corpus actually runs. The corpus
-    * fingerprints aggregate once into a bloom filter (Spark's own
-    * runtime-filter sketch; ~1.2 GB at 10⁹ distinct fingerprints and
-    * 1% fpp — a broadcast artifact, rebuilt only when the corpus
-    * grows); the ingest then splits NARROWLY: rows failing
-    * might_contain are DEFINITELY new (bloom filters have no false
-    * negatives) and skip the join entirely, so the expensive anti-join
-    * shuffle processes only fpp·|new| + |true dups| rows instead of
-    * the whole ingest — for a mostly-new ingest, ~1% of it. False
-    * positives are resolved by the exact anti-join on the full
-    * fingerprint, so the result is ROW-IDENTICAL to
-    * [[dedupAgainstCorpus]] on any input (the oracle replays the plain
-    * anti-join). Beyond ~10⁹ corpus fingerprints, shard the bloom by
-    * fingerprint prefix or fall back to the plain anti-join. */
+    * fingerprints fold once into a bloom filter (~1.2 GB at 10⁹
+    * distinct fingerprints and 1% fpp — rebuilt only when the corpus
+    * grows) shipped to executors by TORRENT BROADCAST, never as a plan
+    * literal: Spark caps plan-embedded blooms at ~8 MB because the
+    * serialized plan travels with every task, and the broadcast
+    * transport is what makes the 10⁹ design point runnable. The ingest
+    * then splits NARROWLY: rows failing might_contain are DEFINITELY
+    * new (bloom filters have no false negatives) and skip the join
+    * entirely, so the expensive anti-join shuffle processes only
+    * fpp·|new| + |true dups| rows instead of the whole ingest — for a
+    * mostly-new ingest, ~1% of it. False positives are resolved by the
+    * exact anti-join on the full fingerprint, so the result is
+    * ROW-IDENTICAL to [[dedupAgainstCorpus]] on any input (the oracle
+    * replays the plain anti-join).
+    *
+    * Sketch build cost: ONE narrow pass over `existing` — per-partition
+    * local filters merged with a `treeReduce` at the RDD layer. NOT
+    * `stat.bloomFilter`/`bloom_filter_agg`: both route through
+    * catalyst's BloomFilterAggregate, which hard-caps the sketch at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M) /
+    * `maxNumBits` (8 MB) because ITS result lands in a plan literal —
+    * the very coupling this operator exists to avoid. No distinct
+    * shuffle either: bloom insertion is idempotent, so duplicates cost
+    * nothing and the filter is sized from an item-count UPPER bound,
+    * which only lowers the realized fpp. Pass `expectedItems` (≥ the
+    * corpus's distinct-fingerprint count; any deployment tracks this)
+    * to skip even the sizing count — at 100 TB the count job, though
+    * metadata-only for parquet sources, is still a job. Past
+    * `maxBloomBytes` (default 2 GiB) the build fails LOUDLY: shard the
+    * sketch by fingerprint prefix or fall back to the plain anti-join
+    * rather than silently building a filter the executors can't hold.
+    */
   def dedupAgainstCorpusBloom(incoming: DataFrame, existing: DataFrame,
                               textCol: String = "text",
                               fp: Column => Column = fingerprint128,
                               fpp: Double = 0.01,
-                              expectedItems: Long = 0L): DataFrame = {
+                              expectedItems: Long = 0L,
+                              maxBloomBytes: Long = 2L << 30): DataFrame = {
     val V = org.apache.spark.sql.graftext.VectorExpressions
-    val seen = existing.select(fp(col(textCol)).as("_fp")).distinct()
-    // bloom keys are the xxhash64 of the fingerprint (the aggregate
-    // wants a long); exactness does not depend on this hash — every
-    // corpus fingerprint is inserted through the same mapping, so a
+    // bloom keys are the xxhash64 of the fingerprint (the sketch wants
+    // a long); exactness does not depend on this hash — every corpus
+    // fingerprint is inserted through the same mapping, so a
     // might_contain MISS still proves the fingerprint is new
-    val n = math.max(if (expectedItems > 0) expectedItems else seen.count(), 1L)
+    val keys = existing.select(xxhash64(fp(col(textCol))).as("_k"))
+    val n = math.max(
+      if (expectedItems > 0) expectedItems else keys.count(), 1L)
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
-    val bloom = seen
-      .select(V.bloomFilterAgg(xxhash64(col("_fp")), n, numBits).as("_bloom"))
-      .head().getAs[Array[Byte]](0)
-    if (bloom == null) return incoming // empty corpus: everything is new
-    val hit = V.bloomMightContain(bloom, xxhash64(fp(col(textCol))))
+    require(numBits / 8 <= maxBloomBytes,
+      s"dedupAgainstCorpusBloom: ~$n items at fpp=$fpp needs a ${numBits / 8 >> 20} MiB " +
+        s"sketch, past maxBloomBytes=${maxBloomBytes >> 20} MiB. Shard the bloom by " +
+        "fingerprint prefix (one dedupAgainstCorpusBloom per shard) or use the " +
+        "plain dedupAgainstCorpus anti-join.")
+    // per-partition local filters (created executor-side from the two
+    // longs, never shipped as a closure zero-value) merged pairwise —
+    // one job, bounded intermediates, works on an empty corpus
+    val partials = keys.queryExecution.toRdd.mapPartitions { it =>
+      val f = org.apache.spark.util.sketch.BloomFilter.create(n, numBits)
+      it.foreach(r => f.putLong(r.getLong(0)))
+      Iterator(f)
+    }
+    val filter = try partials.treeReduce((a, b) => a.mergeInPlace(b))
+      catch { // zero-partition RDD (e.g. a literally empty relation)
+        case _: UnsupportedOperationException =>
+          org.apache.spark.util.sketch.BloomFilter.create(n, numBits)
+      }
+    val bloom = incoming.sparkSession.sparkContext.broadcast(filter)
+    val hit = V.bloomMightContainBcast(bloom, xxhash64(fp(col(textCol))))
+    val seen = existing.select(fp(col(textCol)).as("_fp")).distinct()
     val definitelyNew = incoming.filter(!hit)
     val resolved = incoming.filter(hit)
       .join(seen, fp(col(textCol)) === col("_fp"), "left_anti")

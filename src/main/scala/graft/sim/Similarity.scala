@@ -373,8 +373,8 @@ object Similarity {
     * centroid table is driver-held kilobytes. Same exact two-stage
     * per-query top-k as knnJoin. */
   def knnJoinIvf(emb: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
-                 nLists: Int = 4, iters: Int = 2, nprobe: Int = 1,
-                 fanout: Int = 32,
+                 nLists: Int = 4, iters: Int = 2, fanout: Int = 32,
+                 nprobe: Int = 1,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
     val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)

@@ -5,12 +5,14 @@
   */
 package org.apache.spark.sql.graftext
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expression for the embedding hot loop.
   *
@@ -67,6 +69,44 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `might_contain` probe against a BROADCAST bloom filter — the scale
+  * transport for sketches too big to inline in the plan. Spark's own
+  * runtime-filter machinery caps its plan-literal blooms at tens of MB
+  * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, default 8 MB)
+  * because a serialized plan travels with EVERY task and lives in the
+  * driver's plan cache; a torrent broadcast ships the filter to each
+  * executor exactly once and the task carries only the handle. This is
+  * what lets the ingest-dedup bloom reach its ~10⁹-fingerprint /
+  * ~1.2 GB design point (see graft.dedup.Dedup.dedupAgainstCorpusBloom).
+  *
+  * The task deserializes only the broadcast HANDLE; `bloom.value` reads
+  * the executor-local broadcast cache (fetched once per executor), and
+  * the transient lazy val pins the resolved filter per expression
+  * instance so the per-row cost is one virtual call + the bloom probe.
+  */
+case class BloomMightContainBcast(bloom: Broadcast[BloomFilter], child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "might_contain_bcast"
+
+  @transient lazy val filterValue: BloomFilter = bloom.value
+
+  override def nullSafeEval(v: Any): Any =
+    filterValue.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContain", this,
+      classOf[BloomMightContainBcast].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.filterValue().mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -107,23 +147,51 @@ object VectorExpressions {
 
   /** Spark's own bloom-filter aggregate (the runtime-filter machinery,
     * exposed for explicit use): aggregates a LONG key column into a
-    * serialized org.apache.spark.util.sketch.BloomFilter. */
+    * serialized org.apache.spark.util.sketch.BloomFilter.
+    *
+    * Spark's analyzer HARD-CAPS this aggregate at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M)
+    * and `...maxNumBits` (default 2²⁶ ≈ 8 MB) because the result lands
+    * in the serialized plan; the require below surfaces that limit as a
+    * readable error instead of a deep AnalysisException. Past the caps,
+    * either raise both confs (small overshoots) or — the scale path —
+    * build the sketch with `Dataset.stat.bloomFilter` and probe it via
+    * [[bloomMightContainBcast]], which has no plan-size coupling. */
   def bloomFilterAgg(key: Column, estimatedItems: Long, numBits: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = conf.getConf(org.apache.spark.sql.internal.SQLConf
+      .RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(org.apache.spark.sql.internal.SQLConf
+      .RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    require(estimatedItems <= maxItems && numBits <= maxBits,
+      s"bloomFilterAgg: requested items=$estimatedItems bits=$numBits exceed " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems / " +
+        s"maxNumBits=$maxBits. Raise the confs, or use stat.bloomFilter + " +
+        "bloomMightContainBcast (the broadcast transport) past plan-literal scale.")
     ExpressionUtils.column(new BloomFilterAggregate(
       ExpressionUtils.expression(key),
       Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
   }
 
   /** might_contain(bloom, key) with the driver-held bloom inlined as a
-    * binary literal — the probe side of [[bloomFilterAgg]]. */
+    * binary literal — the probe side of [[bloomFilterAgg]]. Same
+    * plan-size coupling as the aggregate: fine for sketches of at most
+    * a few MB, wrong past that — use [[bloomMightContainBcast]]. */
   def bloomMightContain(bloom: Array[Byte], key: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     ExpressionUtils.column(BloomFilterMightContain(
       Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
       ExpressionUtils.expression(key)))
   }
+
+  /** might_contain(bloom, key) against a broadcast sketch — the probe
+    * for blooms built with `Dataset.stat.bloomFilter` (no catalyst size
+    * caps, no plan literal; see [[BloomMightContainBcast]]). */
+  def bloomMightContainBcast(bloom: Broadcast[BloomFilter], key: Column): Column =
+    ExpressionUtils.column(
+      BloomMightContainBcast(bloom, ExpressionUtils.expression(key)))
 
   /** Register graft's native expressions for SQL use on an existing
     * session (the SparkSessionExtensions path is GraftExtensions). */

@@ -172,6 +172,29 @@ class CorpusSpec extends SparkSpec {
     assert(twoPhase.count(_._2 == "head") == 5)
   }
 
+  test("capPerSource fallback path: a starved pre-filter still yields the exact top-cap") {
+    import org.apache.spark.sql.expressions.Window
+    // preSlack = 0 starves the pre-filter to ~64 expected survivors per
+    // over-cap source, far below cap = 500 → the phase-2 exactness check
+    // FIRES for `big` and routes it around the pre-filter. `small`
+    // (50 rows < 64 expected) keeps everything and must not fall back.
+    // Regression for the r5 bug where fallback rows were unioned on TOP
+    // of their own pre-filter survivors and got ranked twice.
+    val docs = ((0L until 2000L).map(i => (i, "big")) ++
+      (2000L until 2050L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val got = Corpus.capPerSourceImpl(docs, 500, "source", "doc_id",
+        Corpus.CapSalt, preSlack = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.toSet.size, "fallback must not duplicate rows")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Corpus.saltedDraw(col("doc_id"), Corpus.CapSalt), col("doc_id"))
+    val naive = docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 500).drop("_rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet == naive, "starved pre-filter must still match the window form")
+    assert(got.count(_._2 == "big") == 500 && got.count(_._2 == "small") == 50)
+  }
+
   test("dropBoilerplateLines strips shared lines, keeps order, drops emptied docs") {
     val docs = Seq(
       (1L, "cookie banner\nunique first line\nall rights reserved\nanother unique line"),

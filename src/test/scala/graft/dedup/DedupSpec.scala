@@ -119,6 +119,42 @@ class DedupSpec extends SparkSpec {
     val tight = Dedup.dedupAgainstCorpusBloom(incoming, existing, fpp = 0.5)
       .collect().map(_.getLong(0)).toSet
     assert(tight == plain, s"high-fpp bloom diverged: $tight")
+    // past the sketch budget the build must fail loudly, pointing at
+    // the sharded path — not silently build an executor-crushing filter
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstCorpusBloom(incoming, existing,
+        expectedItems = 1L << 40, maxBloomBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("Shard the bloom"), e.getMessage)
+  }
+
+  test("dedupAgainstCorpusBloom sketch build job count is pinned") {
+    import org.apache.spark.graft.ListenerDrain
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val existing = (0L until 200L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((900L, "a new document")).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    ListenerDrain.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // with expectedItems the sketch builds in EXACTLY one narrow job
+      // (stat.bloomFilter's treeAggregate); no sizing count, no distinct
+      Dedup.dedupAgainstCorpusBloom(incoming, existing, expectedItems = 200L)
+      ListenerDrain.drain(spark.sparkContext)
+      assert(jobs.get() == 1,
+        s"expectedItems path must build the sketch in one job, ran ${jobs.get()}")
+      jobs.set(0)
+      // the default path adds only the sizing count over the raw rows —
+      // 2 jobs as AQE runs it (shuffle stage + result) + the 1 build job
+      Dedup.dedupAgainstCorpusBloom(incoming, existing)
+      ListenerDrain.drain(spark.sparkContext)
+      assert(jobs.get() == 3,
+        s"default path = sizing count (2 AQE jobs) + sketch build, ran ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("containmentPairs flags a short doc swallowed by a long one that Jaccard misses") {

@@ -110,6 +110,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_dedup_incremental_bloom: sketch ships by broadcast, never as a plan literal") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftext.BloomMightContainBcast
+    import org.apache.spark.sql.types.BinaryType
+    val qe = SparkEntry.queries("x_dedup_incremental_bloom")(spark, sf).queryExecution
+    // the r5 shape inlined the serialized filter via Literal.create —
+    // a gigabyte-scale plan literal at the 10⁹-fingerprint design point
+    // (optimizedPlan: AdaptiveSparkPlanExec is a leaf and hides the
+    // physical tree from TreeNode traversal before execution)
+    val bigLits = qe.optimizedPlan.flatMap(n => n.expressions.flatMap(_.collect {
+      case Literal(v: Array[Byte], BinaryType) if v.length > 1024 => v.length
+    }))
+    assert(bigLits.isEmpty,
+      s"plan embeds binary literal(s) of ${bigLits.mkString(",")} bytes — " +
+        "the sketch must travel by broadcast")
+    val probes = qe.optimizedPlan.flatMap(n => n.expressions.flatMap(_.collect {
+      case b: BloomMightContainBcast => b
+    }))
+    assert(probes.nonEmpty, "the broadcast might_contain probe must be in the plan:\n" +
+      qe.optimizedPlan.toString)
+  }
+
   test("x_ngram_jaccard: candidate exchanges carry hashed longs, never shingle text") {
     import org.apache.spark.sql.catalyst.plans.logical
     import org.apache.spark.sql.types.StringType
