@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * columns plus typed metadata, with decode/feature-extraction running
   * distributed via `mapPartitions` over a typed Dataset.
   *
-  * The IMAGE modality decodes for real: `javax.imageio` ships in the
-  * JDK, so PNG/BMP/GIF/JPEG payloads yield their true width/height
-  * (header-only read — no pixel decode, the right cost at corpus
-  * scale). Payloads that no installed reader recognizes fall back to
-  * the deterministic stub, as do audio/video (no codecs in the JDK);
-  * swap `decodeStub` for an ffmpeg JNI call and nothing else changes —
-  * the schema, encoders, partition-wise batching and null-safety are
-  * the real contract and are fully tested.
+  * The IMAGE and AUDIO modalities decode for real: `javax.imageio`
+  * ships in the JDK (PNG/BMP/GIF/JPEG → true width/height) and so does
+  * `javax.sound.sampled` (WAV/AIFF/AU → true sample rate, channels,
+  * frame count). Both are header-only reads — no pixel/sample decode,
+  * the right cost at corpus scale. Payloads no installed reader
+  * recognizes fall back to the deterministic stub, as does video (the
+  * one modality with no JDK codec); swap `decodeStub` for an ffmpeg
+  * JNI call and nothing else changes — the schema, encoders,
+  * partition-wise batching and null-safety are the real contract and
+  * are fully tested.
   */
 object Multimodal {
 
@@ -43,9 +45,10 @@ object Multimodal {
         array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
 
-  /** STUB decoder for the codec-less modalities: a real implementation
-    * calls ffmpeg/JNI here. Deterministic fake features derived from
-    * the payload keep the pipeline testable end-to-end. */
+  /** STUB decoder for the codec-less modality (video) and for payloads
+    * no installed reader recognizes: a real implementation calls
+    * ffmpeg/JNI here. Deterministic fake features derived from the
+    * payload keep the pipeline testable end-to-end. */
   private[mm] def decodeStub(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
     val n = payload.length
     mediaType match {
@@ -80,14 +83,41 @@ object Multimodal {
     } finally if (iis != null) iis.close()
   }
 
-  /** Modality dispatch: real header decode for images (stub only when
-    * no reader recognizes the bytes), stub for audio/video. */
+  /** Real audio-header decode: sample rate / channels / frame count
+    * from `javax.sound.sampled` (WAV, AIFF, AU in a stock JDK).
+    * `getAudioFileFormat(InputStream)` parses ONLY the header — never
+    * the sample data. A container that doesn't declare its frame count
+    * reports 0 rather than the API's NOT_SPECIFIED sentinel (-1). None
+    * for unrecognized or corrupt payloads. */
+  private[mm] def decodeAudioMeta(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload.isEmpty) return None
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      Some((fmt.getFormat.getSampleRate.toInt,
+        fmt.getFormat.getChannels,
+        math.max(fmt.getFrameLength, 0)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Modality dispatch: real header decode for images (width, height,
+    * 1) and audio (sample rate, channels, frame count — packed into the
+    * same three feature slots); stub when no reader recognizes the
+    * bytes, and for video. */
   private[mm] def decode(payload: Array[Byte], mediaType: String): (Int, Int, Int) =
     mediaType match {
       case "image" =>
         decodeImageDims(payload) match {
           case Some((w, h)) => (w, h, 1)
           case None => decodeStub(payload, "image")
+        }
+      case "audio" =>
+        decodeAudioMeta(payload) match {
+          case Some(meta) => meta
+          case None => decodeStub(payload, "audio")
         }
       case other => decodeStub(payload, other)
     }

@@ -51,6 +51,34 @@ class MultimodalSpec extends SparkSpec {
       "unrecognized payloads keep the deterministic stub features")
   }
 
+  test("extractFeatures decodes REAL audio payloads (WAV + AIFF) to true header metadata") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def encode(tpe: AudioFileFormat.Type, rate: Float, channels: Int,
+               frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val data = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (20L, encode(AudioFileFormat.Type.WAVE, 16000f, 1, 800), "audio"),
+      (21L, encode(AudioFileFormat.Type.AIFF, 44100f, 2, 1234), "audio"),
+      (22L, "not audio at all".getBytes("UTF-8"), "audio") // stub fallback
+    ).toDF("media_id", "payload", "media_type")
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    // feature slots carry (sample rate, channels, frame count)
+    assert(f(20L).width == 16000 && f(20L).height == 1 && f(20L).n_frames == 800,
+      s"WAV header metadata must be real: ${f(20L)}")
+    assert(f(21L).width == 44100 && f(21L).height == 2 && f(21L).n_frames == 1234,
+      s"AIFF header metadata must be real: ${f(21L)}")
+    val n = "not audio at all".getBytes("UTF-8").length
+    assert(f(22L).width == 0 && f(22L).height == 0 && f(22L).n_frames == n % 4096,
+      "unrecognized payloads keep the deterministic stub features")
+  }
+
   test("sampleChunks: strided binary slicing") {
     val out = Multimodal.sampleChunks(Multimodal.mediaTable(docs), chunk = 10, stride = 2)
       .filter(col("media_id") === 0L)
