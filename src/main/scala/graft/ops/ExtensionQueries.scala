@@ -499,6 +499,61 @@ object ExtensionQueries {
     )
   }
 
+  /** Build-once cache for the persisted IVF index: one index per
+    * (JVM, dataset dir), built on first use under a temp dir. Run 2
+    * onward of a bench (and every later query batch in a deployment)
+    * pays ONLY the probe — which is the point of persisting. */
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ivfIndexCache.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      Similarity.saveIndexIvf(Tables.embeddings(s, d), dim = 64, path,
+        nLists = 4, iters = 2)
+      path
+    })
+
+  /** Probe-only batch kNN join over the PERSISTED IVF index: the
+    * centroids + list-partitioned corpus materialize once
+    * ([[Similarity.saveIndexIvf]]); each batch then reads only the
+    * probed list partitions (LayoutSpec asserts the partition pruning).
+    * Same parameters as x_knn_join_ivf, so results — and the oracle,
+    * which replays the unrolled Lloyd's run — are identical; what
+    * changes is WHERE the k-means cost is paid: once at index-build,
+    * not per query batch. */
+  val knnJoinIvfPersistedQ: Q = {
+    val nLists = 4
+    val iters = 2
+    Q(
+      "x_knn_join_ivf_persisted",
+      (s, d) => {
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.knnJoinIvfPersisted(s, ivfIndexFor(s, d), queries, k = 5)
+      },
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nLists, iters)},
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 40),
+      near AS (SELECT qid, qv, list AS probe_list FROM (
+                 SELECT q.qid, q.qv, c.list,
+                        ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                          list_dot_product(q.qv, c.cv) /
+                            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.list) AS rn
+                 FROM q, cv$iters c) t WHERE rn = 1),
+      sc AS (SELECT near.qid, a.vec_id,
+                    list_dot_product(a.v, near.qv) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(near.qv, near.qv))) AS c
+             FROM asgf a JOIN near ON a.list = near.probe_list AND a.vec_id <> near.qid)
+      SELECT qid, vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT qid, vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+            FROM sc) t
+      WHERE rn <= 5
+    """.trim)
+    )
+  }
+
   /** Multi-probe IVF batch kNN join (nprobe = 2): each query probes its
     * TWO cosine-nearest k-means lists — the standard IVF recall dial
     * for queries near a Voronoi boundary. The fan-out multiplies only
@@ -1345,6 +1400,7 @@ object ExtensionQueries {
     dedupIncremental, dedupIncrementalBloom, ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, knnJoinIvfMultiProbe,
+    knnJoinIvfPersistedQ,
     clusterReps, dedupApply, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,

@@ -30,6 +30,30 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("persisted IVF index: a probe scans only its list partitions") {
+    import graft.sim.Similarity
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 13) - 6).toFloat / 6f)
+    val emb = (0 until 64).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("ivf-layout").toString
+    Similarity.saveIndexIvf(emb, dim = 8, dir, nLists = 4, iters = 2)
+    // the at-rest layout IS list-directories
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .map(_.getName).filter(_.startsWith("list=")).toSet
+    assert(listDirs.size >= 2, s"expected list=<j> partition dirs, got $listDirs")
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probe = Similarity.knnJoinIvfPersisted(spark, dir, queries, k = 3)
+    // single query, nprobe=1 → exactly one list partition reaches the scan
+    val scans = probe.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val listScan = scans.find(s => s.contains(s"$dir/lists") || s.contains("list#"))
+      .getOrElse(fail(s"no scan over the list partitions in:\n${scans.mkString("\n")}"))
+    val pfIdx = listScan.indexOf("PartitionFilters: [")
+    assert(pfIdx >= 0 && !listScan.substring(pfIdx + 19).trim.startsWith("]"),
+      s"probe must push a NON-EMPTY filter on the partition column:\n$listScan")
+    assert(probe.count() == 3)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val n = 1000
     val a = spark.range(n).select(col("id").as("k"), (col("id") * 2).as("va"))

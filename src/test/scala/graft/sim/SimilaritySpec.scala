@@ -106,6 +106,20 @@ class SimilaritySpec extends SparkSpec {
         s"(single=$single multi=$multi)")
   }
 
+  test("knnJoinIvfPersisted: probe over the saved index equals the in-flight knnJoinIvf") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.saveIndexIvf(emb, dim = 8, dir, nLists = 2, iters = 2)
+    val queries = emb.filter(col("vec_id").isin(0L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val persisted = Similarity.knnJoinIvfPersisted(spark, dir, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val inFlight = Similarity.knnJoinIvf(emb, queries, dim = 8, k = 3,
+      nLists = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(persisted.nonEmpty && persisted == inFlight,
+      s"persisted=$persisted inFlight=$inFlight")
+  }
+
   test("ivf: probe against a materialized centroid table equals the one-shot form") {
     val withList = emb.withColumn("label", pmod(col("vec_id"), lit(2)))
     val dir = java.nio.file.Files.createTempDirectory("ivf-cent").toString
