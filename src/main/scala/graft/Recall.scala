@@ -1,0 +1,87 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall measurement for the approximate retrieval family against
+  * their exact twins, at the CATALOG's own parameters — the committed
+  * numbers live in RECALL.md. Run per scale factor:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Recall"
+  *
+  * - kNN joins: recall@k = |approx ∩ exact top-k| / |exact top-k| over
+  *   the fixed 40-query eval set (ties broken by id on both sides, so
+  *   the intersection is well-defined).
+  * - near-dup pairs: pair recall = |LSH pairs ∩ exact pairs| / |exact
+  *   pairs| for the O(n²) brute-force pair set at the same threshold.
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val k = 5
+    val queries = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    def knnSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactKnn = knnSet(Similarity.knnJoin(emb, queries, k = k))
+    def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    rows += (("knnJoinLsh nBits=6 (x_knn_join_lsh)", k,
+      recall(knnSet(Similarity.knnJoinLsh(emb, queries, dim = 64, k = k, nBits = 6)),
+        exactKnn)))
+    for (np <- Seq(1, 2, 4))
+      rows += ((s"knnJoinIvf nLists=4 nprobe=$np" +
+        (if (np == 1) " (x_knn_join_ivf)" else if (np == 2) " (x_knn_join_ivf_mp)" else ""), k,
+        recall(knnSet(Similarity.knnJoinIvf(emb, queries, dim = 64, k = k,
+          nLists = 4, iters = 2, nprobe = np)), exactKnn)))
+    val idx = java.nio.file.Files.createTempDirectory("recall-ivf").toString
+    Similarity.saveIndexIvf(emb, dim = 64, idx, nLists = 4, iters = 2)
+    rows += (("knnJoinIvfPersisted nprobe=1 (x_knn_join_ivf_persisted)", k,
+      recall(knnSet(Similarity.knnJoinIvfPersisted(spark, idx, queries, k = k)), exactKnn)))
+
+    // pair recall bucketed by the exact cosine: banded LSH's collision
+    // probability rises steeply with similarity (1−(1−(1−θ/π)^b)^nBands),
+    // so "recall at the threshold" mixes the operator's TARGET (near
+    // duplicates, cos → 1) with borderline pairs it is designed to let
+    // go — report both, separately
+    val exactPairsSim = Similarity.cosineNearDupsExact(emb, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshPairs = Similarity.cosineNearDupsLsh(emb, threshold = 0.5,
+      nBands = 8, maxBucketSize = 4096)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((lo, hi, label) <- Seq((0.9, 1.01, "cos>=0.9 (the near-dup target)"),
+                                (0.7, 0.9, "0.7<=cos<0.9"),
+                                (0.5, 0.7, "0.5<=cos<0.7"))) {
+      val band = exactPairsSim.collect { case (p, s) if s >= lo && s < hi => p }.toSet
+      if (band.nonEmpty)
+        rows += ((s"cosineNearDupsLsh t=0.5 nBands=8 adaptive-b, $label", band.size,
+          recall(lshPairs, band)))
+    }
+    rows += (("cosineNearDupsLsh t=0.5 nBands=8 adaptive-b, ALL pairs (x_cosine_neardups)",
+      exactPairsSim.size, recall(lshPairs, exactPairsSim.keySet)))
+
+    println(s"## $sfDir (n=$n embeddings, ${exactPairsSim.size} exact pairs at t=0.5)")
+    println("| operator (catalog entry) | k / |exact| | recall |")
+    println("|---|---|---|")
+    rows.foreach { case (name, kk, r) => println(f"| $name | $kk | $r%.4f |") }
+    spark.stop()
+  }
+}

@@ -385,7 +385,9 @@ object Similarity {
     // true neighbors in the runner-up list). The fan-out multiplies the
     // BROADCAST side only (queries × nprobe rows, still kilobytes); the
     // corpus side is untouched, lists are disjoint so no candidate is
-    // scored twice, and probe cost grows linearly in nprobe.
+    // scored twice, and probe cost grows linearly in nprobe. Measured
+    // dial (graft.Recall → RECALL.md): recall@5 = 0.42 / 0.75 / 1.00
+    // at nprobe = 1 / 2 / 4 of nLists = 4 at sf1.
     val q = queries.select(col(qidCol), asDouble(col(qvecCol)).as("_qv"))
       .withColumn("qlist",
         explode(nearestListsByCosine(col("_qv"), cents, nprobe)))
@@ -559,8 +561,11 @@ object Similarity {
     * once), and only candidates are verified with the exact cosine.
     * Recall for a truly-near pair (angle θ) is
     * 1 − (1 − (1 − θ/π)^bitsPerBand)^nBands → ≈1 for near-duplicates.
-    * The O(n²) crossJoin survives behind `bruteForce = true` for small
-    * inputs and recall audits only.
+    * MEASURED (graft.Recall → RECALL.md): 0.83 at cos ≥ 0.9 (the
+    * near-dup target) at sf1's adaptive b = 11, falling steeply for
+    * borderline pairs — the designed S-curve. The O(n²) crossJoin
+    * survives behind `bruteForce = true` for small inputs and recall
+    * audits only.
     *
     * `bitsPerBand = 0` (the default) picks the band width ADAPTIVELY
     * from the corpus count via [[adaptiveBitsPerBand]] — one cheap
