@@ -66,16 +66,11 @@ object Similarity {
     * into both the Spark plan and a SQL oracle — data-independent,
     * reproducible across runs/executors with zero driver state. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): IndexedSeq[IndexedSeq[Double]] = {
-    def mix(x: Long): Long = {
-      var z = x + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    IndexedSeq.tabulate(nBits, dim) { (b, i) =>
-      // top 53 bits → uniform double in [0,1) → shift to [-0.5, 0.5)
-      (mix(seed + b.toLong * dim + i) >>> 11) * 1.1102230246251565e-16 - 0.5
-    }
+    // single source of the constants: the flat array the native
+    // LshBandBuckets expression holds — this view re-shapes it, so the
+    // literal/SQL form and the native kernel can never drift
+    val flat = org.apache.spark.sql.graftext.LshBandBuckets.flatPlanes(dim, nBits, seed)
+    IndexedSeq.tabulate(nBits, dim)((b, i) => flat(b * dim + i))
   }
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
@@ -597,11 +592,20 @@ object Similarity {
       else {
         val bits =
           if (bitsPerBand > 0) bitsPerBand else adaptiveBitsPerBand(emb.count())
+        // native all-bands bucket kernel, NOT the literal CASE-chain
+        // column form: at these widths (8 bands × 10-20 bits × dim 64)
+        // the inlined form's codegen method passes HotSpot's 8 KB JIT
+        // ceiling and runs interpreted — measured 13 s of the operator's
+        // 12.3 s sf1 cost in the bucket computation alone; the kernel
+        // (identical arithmetic, spec-pinned) runs it in ~0.3 s
         val banded = emb
           .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
           .select(col("id"), posexplode(
-            array(lshBandBuckets(col("v"), dim, nBands, bits,
-              planeStride = MaxBitsPerBand): _*))
+            org.apache.spark.sql.graftext.VectorExpressions.lshBandBuckets(
+              col("v"),
+              org.apache.spark.sql.graftext.LshBandBuckets
+                .flatPlanes(dim, nBands * MaxBitsPerBand),
+              dim, nBands, bits, MaxBitsPerBand))
             .as(Seq("band", "bucket")))
         val cand = banded.groupBy(col("band"), col("bucket"))
           .agg(collect_list(col("id")).as("ids"))

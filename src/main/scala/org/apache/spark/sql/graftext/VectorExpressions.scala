@@ -145,6 +145,18 @@ object VectorExpressions {
   def quantizeInt8(vec: Column): Column =
     ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
 
+  /** All nBands LSH band buckets at once (see [[LshBandBuckets]]);
+    * null vectors coalesce to all-zero buckets, matching the literal
+    * CASE-chain form this replaces. `planes` flattened plane-major. */
+  def lshBandBuckets(vec: Column, planes: Array[Double], dim: Int,
+                     nBands: Int, bitsPerBand: Int, stride: Int): Column = {
+    import org.apache.spark.sql.functions.{array, coalesce, lit}
+    coalesce(
+      ExpressionUtils.column(LshBandBuckets(ExpressionUtils.expression(vec),
+        planes, dim, nBands, bitsPerBand, stride)),
+      array(Seq.fill(nBands)(lit(0L)): _*))
+  }
+
   /** Spark's own bloom-filter aggregate (the runtime-filter machinery,
     * exposed for explicit use): aggregates a LONG key column into a
     * serialized org.apache.spark.util.sketch.BloomFilter.
@@ -238,7 +250,16 @@ private[graftext] object GraftFunctionRegistry {
     ("text_stats", classOf[TextStats],
       es => TextStats(es(0), TextStats.defaultStopwords)),
     ("id_pairs", classOf[IdPairs], es => IdPairs(es(0))),
-    ("int8_quantize", classOf[QuantizeInt8], es => QuantizeInt8(es(0))))
+    ("int8_quantize", classOf[QuantizeInt8], es => QuantizeInt8(es(0))),
+    ("lsh_band_buckets", classOf[LshBandBuckets],
+      es => {
+        val dim = intArg("lsh_band_buckets", es(1))
+        val nBands = intArg("lsh_band_buckets", es(2))
+        val bits = intArg("lsh_band_buckets", es(3))
+        val stride = intArg("lsh_band_buckets", es(4))
+        LshBandBuckets(es(0),
+          LshBandBuckets.flatPlanes(dim, nBands * stride), dim, nBands, bits, stride)
+      }))
 
   /** SQL-surface usage notes (shown by `DESCRIBE FUNCTION`) for the
     * functions whose behavior a SQL user could misread. Keyed by the

@@ -106,6 +106,27 @@ class SimilaritySpec extends SparkSpec {
         s"(single=$single multi=$multi)")
   }
 
+  test("LshBandBuckets native kernel equals the literal CASE-chain form (incl. null/short vectors)") {
+    import org.apache.spark.sql.graftext.{LshBandBuckets, VectorExpressions => V}
+    val stride = Similarity.MaxBitsPerBand
+    val rows = Seq(
+      (0L, Array.tabulate(8)(i => i.toDouble / 3 - 1)),
+      (1L, Array.tabulate(8)(i => math.sin(i * 2.7))),
+      (2L, Array[Double](0.5, -0.25)), // shorter than dim
+      (3L, null.asInstanceOf[Array[Double]])
+    ).toDF("vec_id", "v")
+    val flat = LshBandBuckets.flatPlanes(8, 8 * stride)
+    val native = rows.select(col("vec_id"),
+      V.lshBandBuckets(col("v"), flat, 8, 8, 5, stride).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val literal = rows.select(col("vec_id"),
+      array(Similarity.lshBandBuckets(col("v"), 8, 8, 5, planeStride = stride): _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == literal, s"native=$native literal=$literal")
+    assert(native(3L).forall(_ == 0L), "null vector must coalesce to all-zero buckets")
+    assert(native.values.flatten.exists(_ != 0L), "buckets must not be degenerate")
+  }
+
   test("knnJoinIvfPersisted: probe over the saved index equals the in-flight knnJoinIvf") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
     Similarity.saveIndexIvf(emb, dim = 8, dir, nLists = 2, iters = 2)
