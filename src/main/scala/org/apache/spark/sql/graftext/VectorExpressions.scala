@@ -275,5 +275,11 @@ private[graftext] object GraftFunctionRegistry {
     "int8_quantize" ->
       ("_FUNC_(vec) - Symmetric int8 quantization of a double array: " +
         "struct(scale, q, q_sum, q_min, q_max). NULL elements quantize " +
-        "to code 0; an empty or all-zero vector gets scale 0."))
+        "to code 0; an empty or all-zero vector gets scale 0."),
+    "lsh_band_buckets" ->
+      ("_FUNC_(vec, dim, nBands, bitsPerBand, stride) - All nBands " +
+        "sign-bit LSH band buckets of a double array as ARRAY<BIGINT>, " +
+        "over the deterministic splitmix64 hyperplane family (seed 42). " +
+        "Band b bit i tests vec . plane[b*stride+i] > 0. A NULL vector " +
+        "yields NULL (the library wrapper coalesces to all-zero buckets)."))
 }
