@@ -128,6 +128,25 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("LshBandBuckets matches the literal CASE-chain buckets on random vectors") {
+    import org.apache.spark.sql.graftext.{LshBandBuckets, VectorExpressions => V}
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val nBands = 6
+    val bits = 9
+    val stride = Similarity.MaxBitsPerBand
+    val cases = Seq.fill(200)(Array.fill(dim)(rnd.nextDouble() * 20 - 10)).map(Tuple1(_))
+    val df = cases.toDF("v")
+    val flat = LshBandBuckets.flatPlanes(dim, nBands * stride)
+    val rows = df.select(
+      V.lshBandBuckets(col("v"), flat, dim, nBands, bits, stride).as("fast"),
+      array(Similarity.lshBandBuckets(col("v"), dim, nBands, bits,
+        planeStride = stride): _*).as("lit")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // the family is non-degenerate on this data
+    assert(rows.flatMap(_.getSeq[Long](0)).distinct.length > 10)
+  }
+
   test("RollingHashes skips null elements like concat_ws does") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
@@ -167,6 +186,16 @@ class VectorExpressionsSpec extends SparkSpec {
     val pairs = spark.sql("SELECT id_pairs(array(1L, 2L, 3L))").collect()
       .map(p => (p.getLong(0), p.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the banded-bucket kernel registers with literal size args and
+    // matches the library wrapper exactly
+    val lbb = spark.sql(
+      "SELECT lsh_band_buckets(array(0.5d, -0.25d, 0.125d), 3, 2, 4, 20) AS b")
+      .collect().head.getSeq[Long](0)
+    val wrapped = Seq(Tuple1(Array(0.5, -0.25, 0.125))).toDF("v").select(
+      org.apache.spark.sql.graftext.VectorExpressions.lshBandBuckets(col("v"),
+        org.apache.spark.sql.graftext.LshBandBuckets.flatPlanes(3, 2 * 20),
+        3, 2, 4, 20)).collect().head.getSeq[Long](0)
+    assert(lbb.length == 2 && lbb == wrapped, s"sql=$lbb wrapper=$wrapped")
   }
 
   test("GraftExtensions injects the full function surface into a SparkSessionExtensions") {
