@@ -206,13 +206,62 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment with the centroid table inlined as
-    * literals: squared L2 = v·v − 2·v·c + c·c per centroid, argmin by
-    * (distance, list id) via an array_sort over the k (d, l) structs —
-    * all narrow, replayable in SQL as a ROW_NUMBER over the same
-    * ordering. */
+  /** Centroid matrices up to this many bytes ride inside the plan as a
+    * reference array (the LshBandBuckets transport); past it they ship
+    * by torrent broadcast (the BloomMightContainBcast transport) — one
+    * executor-local fetch instead of a copy in every serialized task,
+    * and no plan bloat through the optimizer's tree copies. 4 MB ≈
+    * nLists 8192 × dim 64, or nLists 1024 × dim 512. */
+  val PlanComfortableCentroidBytes: Long = 4L << 20
+
+  /** Flatten a centroid table for the native kernel, sorted by list id
+    * (kmeans already emits them sorted; sort defensively). */
+  private def centroidMatrix(cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.graftext.CentroidMatrix = {
+    require(cents.nonEmpty, "centroidMatrix: no centroids")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"centroidMatrix: ragged centroid lengths (expected $dim)")
+    val sorted = cents.sortBy(_._1)
+    org.apache.spark.sql.graftext.CentroidMatrix(
+      sorted.map(_._1).toArray, sorted.flatMap(_._2).toArray, dim)
+  }
+
+  /** Pick the centroid transport by size: in-plan reference array below
+    * [[PlanComfortableCentroidBytes]], torrent broadcast above. The
+    * broadcast handle is released by Spark's ContextCleaner when the
+    * plan is collected; long-lived applications assigning against many
+    * large centroid tables can pass their own broadcast to the
+    * graftext.VectorExpressions.kmeansNearestLists API and destroy() it
+    * explicitly. */
+  private def centroidTransport(cents: Seq[(Int, Seq[Double])])
+      : Either[org.apache.spark.sql.graftext.CentroidMatrix,
+               org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graftext.CentroidMatrix]] = {
+    val m = centroidMatrix(cents)
+    if (m.flat.length * 8L <= PlanComfortableCentroidBytes) Left(m)
+    else Right(SparkSession.active.sparkContext.broadcast(m))
+  }
+
+  /** Nearest-centroid assignment (squared L2 = (v·v − 2·v·c) + c·c,
+    * argmin by (distance, list id)) via the native KmeansNearestLists
+    * kernel — the centroid matrix rides as a reference array or a
+    * broadcast, never as plan literals, so assignment stays
+    * JIT-compiled at any nLists×dim (the literal CASE/array_sort form
+    * crossed HotSpot's 8 KB ceiling past toy list counts — the same
+    * failure LshBandBuckets fixed for LSH bands). Bit-identical to
+    * [[kmeansAssignLiteral]] and replayable in SQL as a ROW_NUMBER over
+    * the same (distance, list) ordering. */
   def kmeansAssign(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     require(cents.nonEmpty, "kmeansAssign: no centroids")
+    element_at(org.apache.spark.sql.graftext.VectorExpressions
+      .kmeansNearestLists(vec, centroidTransport(cents), byCosine = false, nprobe = 1), 1)
+  }
+
+  /** The literal-inlined column form of [[kmeansAssign]] (kept as the
+    * parity oracle for the native kernel — NOT the scale path: it
+    * embeds the whole centroid matrix in the plan and its generated
+    * method crosses the JIT ceiling past toy list counts). */
+  def kmeansAssignLiteral(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "kmeansAssignLiteral: no centroids")
     val scored = cents.map { case (j, c) =>
       val ca = array(c.map(lit): _*)
       struct((dot(vec, vec) - lit(2.0) * dot(vec, ca) + dot(ca, ca)).as("d"),
@@ -368,8 +417,8 @@ object Similarity {
     * centroid table is driver-held kilobytes. Same exact two-stage
     * per-query top-k as knnJoin. */
   def knnJoinIvf(emb: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
-                 nLists: Int = 4, iters: Int = 2, fanout: Int = 32,
-                 nprobe: Int = 1,
+                 nLists: Int = 4, iters: Int = 2, nprobe: Int = 1,
+                 fanout: Int = 32,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
     val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)
@@ -454,23 +503,33 @@ object Similarity {
     topKPerQuery(scored, k, fanout, qidCol, idCol)
   }
 
-  /** Cosine-nearest centroid id with the centroids inlined as literals
-    * (the probe-side twin of [[kmeansAssign]], which argmins squared
-    * L2): argmax cosine via an array_sort over (-cosine, list) structs —
-    * ties to the smallest list id, matching `ORDER BY cos DESC, list`
-    * in SQL. */
+  /** Cosine-nearest centroid id (the probe-side twin of
+    * [[kmeansAssign]], which argmins squared L2): argmax cosine, ties
+    * to the smallest list id, matching `ORDER BY cos DESC, list` in
+    * SQL. Same native-kernel transport as kmeansAssign. */
   def nearestListByCosine(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
     element_at(nearestListsByCosine(vec, cents, 1), 1)
 
-  /** The top-`nprobe` cosine-nearest centroid ids (multi-probe IVF):
-    * same (-cosine, list) ordering as [[nearestListByCosine]], sliced
-    * to the first `nprobe` — replayable in SQL as `ROW_NUMBER() ...
-    * ORDER BY cos DESC, list` with `rn <= nprobe`. Asking for more
-    * probes than lists returns them all. */
+  /** The top-`nprobe` cosine-nearest centroid ids (multi-probe IVF) via
+    * the native KmeansNearestLists kernel — ordering (−cosine, list),
+    * replayable in SQL as `ROW_NUMBER() ... ORDER BY cos DESC, list`
+    * with `rn <= nprobe`. Asking for more probes than lists returns
+    * them all. The centroid matrix ships as a reference array or a
+    * broadcast, never as plan literals (see [[kmeansAssign]]). */
   def nearestListsByCosine(vec: Column, cents: Seq[(Int, Seq[Double])],
                            nprobe: Int): Column = {
     require(cents.nonEmpty, "nearestListsByCosine: no centroids")
     require(nprobe >= 1, s"nearestListsByCosine: nprobe must be >= 1, got $nprobe")
+    org.apache.spark.sql.graftext.VectorExpressions
+      .kmeansNearestLists(vec, centroidTransport(cents), byCosine = true, nprobe)
+  }
+
+  /** The literal-inlined column form of [[nearestListsByCosine]] (kept
+    * as the parity oracle for the native kernel — not the scale path). */
+  def nearestListsByCosineLiteral(vec: Column, cents: Seq[(Int, Seq[Double])],
+                                  nprobe: Int): Column = {
+    require(cents.nonEmpty, "nearestListsByCosineLiteral: no centroids")
+    require(nprobe >= 1, s"nearestListsByCosineLiteral: nprobe must be >= 1, got $nprobe")
     val scored = cents.map { case (j, c) =>
       val ca = array(c.map(lit): _*)
       struct((lit(-1.0) * (dot(vec, ca) / (norm(vec) * norm(ca)))).as("d"),

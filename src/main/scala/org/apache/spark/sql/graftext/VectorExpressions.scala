@@ -157,6 +157,24 @@ object VectorExpressions {
       array(Seq.fill(nBands)(lit(0L)): _*))
   }
 
+  /** The top-`nprobe` nearest centroid list ids via the native kernel
+    * (see [[KmeansNearestLists]]): `cents` rides either in-plan
+    * (Left, plan-comfortable sizes) or by broadcast (Right, the scale
+    * transport). Null vectors coalesce to the ascending-list-id prefix,
+    * matching the literal `array_sort`-over-null-distances form this
+    * replaces. */
+  def kmeansNearestLists(vec: Column,
+                         cents: Either[CentroidMatrix, Broadcast[CentroidMatrix]],
+                         byCosine: Boolean, nprobe: Int): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    val ids = cents.fold(identity, _.value).listIds
+    val nullFallback = array(ids.sorted.take(nprobe).map(lit).toSeq: _*)
+    org.apache.spark.sql.functions.coalesce(
+      ExpressionUtils.column(KmeansNearestLists(ExpressionUtils.expression(vec),
+        cents, byCosine, nprobe)),
+      nullFallback)
+  }
+
   /** Spark's own bloom-filter aggregate (the runtime-filter machinery,
     * exposed for explicit use): aggregates a LONG key column into a
     * serialized org.apache.spark.util.sketch.BloomFilter.

@@ -245,6 +245,31 @@ class PlanAuditSpec extends SparkSpec {
       "explode must expand query probe lists, not corpus vectors:\n" + p)
   }
 
+  test("IVF family: centroids ride the native kernel, never as plan literals") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.graftext.KmeansNearestLists
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    for (name <- Seq("x_ann_ivf_kmeans", "x_knn_join_ivf", "x_knn_join_ivf_mp")) {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      // the r6 shape inlined the nLists×dim matrix as array literals —
+      // megabytes of plan and an interpreted assignment at real nLists
+      val doubleArrayLits = qe.optimizedPlan.flatMap(n => n.expressions.flatMap(_.collect {
+        case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v.numElements() >= 8 =>
+          v.numElements()
+      }))
+      assert(doubleArrayLits.isEmpty,
+        s"$name: plan embeds double-array literal(s) of ${doubleArrayLits.mkString(",")} " +
+          "elements — centroids must ride the KmeansNearestLists kernel")
+      val kernels = qe.optimizedPlan.flatMap(n => n.expressions.flatMap(_.collect {
+        case e: KmeansNearestLists => e
+      }))
+      assert(kernels.nonEmpty,
+        s"$name: the native centroid-assignment kernel must be in the plan:\n" +
+          qe.optimizedPlan.toString)
+    }
+  }
+
   test("x_cluster_reps: representative choice is an aggregation, not a per-cluster window") {
     val p = plan("x_cluster_reps")
     assert(!p.contains("Window"),
