@@ -8,6 +8,42 @@ import org.apache.spark.sql.SparkSession
   * projected columns and measure an empty scan for narrow queries.
   */
 object Bench {
+
+  /** Parse a solo-ref JSON (written by tools/update_solo_ref.py) into
+    * per-query times, IF its "sf" matches this run's. Whitespace-
+    * tolerant: python's json.dump writes `"sf": "..."` with a space, so
+    * a literal `"sf":"..."` match silently no-ops the whole
+    * contamination check (r6 shipped exactly that bug — no committed
+    * BENCH_*.json ever carried a `contaminated` field). */
+  def parseSoloRef(txt: String, sfDir: String): Map[String, Double] = {
+    val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+    if (!sfOk) Map.empty // ref is for another SF
+    else """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        val body = txt.substring(m.end, txt.indexOf("}", m.end).max(m.end))
+        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r.findAllMatchIn(body)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+    }
+  }
+
+  /** Ref files to try: an explicit SPARK_GRAFT_SOLO_REF wins; otherwise
+    * every BENCH_SOLO_REF*.json in the working directory — the per-SF
+    * convention (BENCH_SOLO_REF.json = sf0.1, BENCH_SOLO_REF_SF1.json =
+    * sf1), so sf1 sweeps self-describe their noise too instead of
+    * silently skipping the check because the lone ref was sf0.1. */
+  def soloRefCandidates(explicit: Option[String]): Seq[String] =
+    explicit match {
+      case Some(p) => Seq(p)
+      case None =>
+        Option(new java.io.File(".").listFiles())
+          .map(_.toSeq.map(_.getName)
+            .filter(n => n.startsWith("BENCH_SOLO_REF") && n.endsWith(".json"))
+            .sorted)
+          .getOrElse(Seq.empty)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -122,17 +158,12 @@ object Bench {
     // record (BENCH_SOLO_REF.json, refreshed from each round's full solo
     // run) and embed the exceedances, so one file tells the reader which
     // rows are environment, not plan.
-    val soloRefPath = sys.env.getOrElse("SPARK_GRAFT_SOLO_REF", "BENCH_SOLO_REF.json")
-    val soloRef: Map[String, Double] = try {
-      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(soloRefPath))
-      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty // ref is for another SF
-      else {
-        val start = txt.indexOf("\"queries\":{")
-        val body = txt.substring(start + 11, txt.indexOf("}", start))
-        """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+    val soloRef: Map[String, Double] =
+      soloRefCandidates(sys.env.get("SPARK_GRAFT_SOLO_REF")).iterator.map { p =>
+        try parseSoloRef(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(p)), sfDir)
+        catch { case _: Throwable => Map.empty[String, Double] }
+      }.find(_.nonEmpty).getOrElse(Map.empty)
     val contaminated = results.toSeq.collect {
       case (n, v) if v >= 0 && soloRef.get(n).exists(r => r > 0 && v > r * 1.5 && v - r > 0.3) =>
         s""""$n":{"sec":$v,"solo_ref":${soloRef(n)}}"""

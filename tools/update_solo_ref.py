@@ -32,7 +32,9 @@ def main(new_path, ref_path="BENCH_SOLO_REF.json"):
             qref[q] = t
     out = {"metric": "solo_ref", "value": sum(qref.values()), "unit": "sec",
            "queries": qref, "failed": 0, "sf": new["sf"]}
-    json.dump(out, open(ref_path, "w"))
+    # compact separators: graft.Bench's ref parser is whitespace-tolerant
+    # since r7, but keep the on-disk form matching Bench's own output
+    json.dump(out, open(ref_path, "w"), separators=(",", ":"))
     print(f"{ref_path}: {len(qref)} queries, {len(changed)} improved/added")
     for q, old, t in sorted(changed, key=lambda c: c[2] - (c[1] or c[2])):
         print(f"  {q}: {old if old is not None else '—'} -> {t:.3f}")
