@@ -316,28 +316,56 @@ object Dedup {
     * replays the plain anti-join).
     *
     * Sketch build cost: ONE narrow pass over `existing` — per-partition
-    * local filters merged with a `treeReduce` at the RDD layer. NOT
-    * `stat.bloomFilter`/`bloom_filter_agg`: both route through
-    * catalyst's BloomFilterAggregate, which hard-caps the sketch at
+    * local filters merged with a CUSTOM `treeReduce` at the RDD layer
+    * (this file, below — the single source of the build story). Not
+    * catalyst's `bloom_filter_agg`: that lands its result in a plan
+    * literal and is hard-capped at
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M) /
-    * `maxNumBits` (8 MB) because ITS result lands in a plan literal —
-    * the very coupling this operator exists to avoid. No distinct
+    * `maxNumBits` (8 MB) — the very coupling this operator exists to
+    * avoid. Not `Dataset.stat.bloomFilter` either: it is an uncapped
+    * RDD-layer aggregate too, but sizes the filter only from its own
+    * arguments and hands back a driver-held object — the custom
+    * treeReduce lets this operator size from `expectedItems`, create
+    * the zero filter executor-side (never a closure-captured zero
+    * value), and keep the one-job guarantee DedupSpec pins. No distinct
     * shuffle either: bloom insertion is idempotent, so duplicates cost
     * nothing and the filter is sized from an item-count UPPER bound,
     * which only lowers the realized fpp. Pass `expectedItems` (≥ the
     * corpus's distinct-fingerprint count; any deployment tracks this)
     * to skip even the sizing count — at 100 TB the count job, though
     * metadata-only for parquet sources, is still a job. Past
-    * `maxBloomBytes` (default 2 GiB) the build fails LOUDLY: shard the
-    * sketch by fingerprint prefix or fall back to the plain anti-join
-    * rather than silently building a filter the executors can't hold.
+    * `maxBloomBytes` (default 2 GiB) the build fails LOUDLY, pointing
+    * at [[dedupAgainstCorpusBloomSharded]] (one under-budget sketch per
+    * fingerprint shard) rather than silently building a filter the
+    * executors can't hold.
+    *
+    * Broadcast lifetime: the shipped sketch lives until Spark's
+    * GC-driven ContextCleaner collects the handle. A long-lived
+    * application running many ingest batches against large sketches
+    * should use [[dedupAgainstCorpusBloomWithHandle]] and `destroy()`
+    * the handle once the result DataFrame is fully consumed.
     */
   def dedupAgainstCorpusBloom(incoming: DataFrame, existing: DataFrame,
                               textCol: String = "text",
                               fp: Column => Column = fingerprint128,
                               fpp: Double = 0.01,
                               expectedItems: Long = 0L,
-                              maxBloomBytes: Long = 2L << 30): DataFrame = {
+                              maxBloomBytes: Long = 2L << 30): DataFrame =
+    dedupAgainstCorpusBloomWithHandle(incoming, existing, textCol, fp, fpp,
+      expectedItems, maxBloomBytes)._1
+
+  /** [[dedupAgainstCorpusBloom]] exposing the sketch's Broadcast handle:
+    * callers running many ingest batches in one long-lived application
+    * should `handle.destroy()` after the result DataFrame is fully
+    * consumed — otherwise each batch's sketch (up to `maxBloomBytes`)
+    * stays resident until the GC-driven ContextCleaner collects it. */
+  def dedupAgainstCorpusBloomWithHandle(incoming: DataFrame, existing: DataFrame,
+                                        textCol: String = "text",
+                                        fp: Column => Column = fingerprint128,
+                                        fpp: Double = 0.01,
+                                        expectedItems: Long = 0L,
+                                        maxBloomBytes: Long = 2L << 30)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
     val V = org.apache.spark.sql.graftext.VectorExpressions
     // bloom keys are the xxhash64 of the fingerprint (the sketch wants
     // a long); exactness does not depend on this hash — every corpus
@@ -349,9 +377,9 @@ object Dedup {
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
     require(numBits / 8 <= maxBloomBytes,
       s"dedupAgainstCorpusBloom: ~$n items at fpp=$fpp needs a ${numBits / 8 >> 20} MiB " +
-        s"sketch, past maxBloomBytes=${maxBloomBytes >> 20} MiB. Shard the bloom by " +
-        "fingerprint prefix (one dedupAgainstCorpusBloom per shard) or use the " +
-        "plain dedupAgainstCorpus anti-join.")
+        s"sketch, past maxBloomBytes=${maxBloomBytes >> 20} MiB. Use " +
+        "dedupAgainstCorpusBloomSharded(nShards) (one under-budget sketch per " +
+        "fingerprint shard) or the plain dedupAgainstCorpus anti-join.")
     // per-partition local filters (created executor-side from the two
     // longs, never shipped as a closure zero-value) merged pairwise —
     // one job, bounded intermediates, works on an empty corpus
@@ -371,7 +399,50 @@ object Dedup {
     val definitelyNew = incoming.filter(!hit)
     val resolved = incoming.filter(hit)
       .join(seen, fp(col(textCol)) === col("_fp"), "left_anti")
-    definitelyNew.unionByName(resolved)
+    (definitelyNew.unionByName(resolved), bloom)
+  }
+
+  /** The sharded-sketch path [[dedupAgainstCorpusBloom]]'s budget error
+    * points at: the corpus's fingerprint space splits into `nShards`
+    * deterministic shards (`pmod(xxhash64(fp), nShards)` — a prefix of
+    * the same key the sketch hashes), each shard folds into its OWN
+    * bloom filter under `maxBloomBytes`, and each ingest row probes
+    * exactly its shard's sketch. Row-identical to
+    * [[dedupAgainstCorpus]] on any input, like the unsharded path: the
+    * per-shard split is a partition of both sides on the same key, so
+    * every (incoming, existing) fingerprint collision still meets in
+    * exactly one shard, and per-shard false positives still resolve
+    * through the exact anti-join.
+    *
+    * What sharding buys at the 10¹⁰⁺-fingerprint design point where
+    * ONE sketch would blow the byte budget: each build job, broadcast
+    * object, and rebuild-on-growth unit is a shard (an ingest that only
+    * touches some shards re-folds only those), and single-object
+    * serialization limits never bind. Total resident sketch bytes
+    * across executors are unchanged (total bits depend on n and fpp,
+    * not the shard count) — size executors for Σ shards, or consume
+    * shard results incrementally with [[dedupAgainstCorpusBloomWithHandle]]
+    * per shard and destroy each handle before the next.
+    *
+    * Build cost is one narrow pass over `existing` PER SHARD (nShards
+    * jobs); the scan prunes nothing — at scale, store the corpus
+    * partitioned by the shard key so each pass reads one partition. */
+  def dedupAgainstCorpusBloomSharded(incoming: DataFrame, existing: DataFrame,
+                                     nShards: Int,
+                                     textCol: String = "text",
+                                     fp: Column => Column = fingerprint128,
+                                     fpp: Double = 0.01,
+                                     expectedItemsPerShard: Long = 0L,
+                                     maxBloomBytes: Long = 2L << 30): DataFrame = {
+    require(nShards >= 1, s"dedupAgainstCorpusBloomSharded: nShards must be >= 1, got $nShards")
+    def shardOf(c: Column): Column =
+      pmod(xxhash64(fp(c)), lit(nShards.toLong))
+    (0 until nShards).map { s =>
+      dedupAgainstCorpusBloom(
+        incoming.filter(shardOf(incoming(textCol)) === s.toLong),
+        existing.filter(shardOf(existing(textCol)) === s.toLong),
+        textCol, fp, fpp, expectedItemsPerShard, maxBloomBytes)
+    }.reduce(_ unionByName _)
   }
 
   // ---------------------------------------------------------- clustering

@@ -173,6 +173,35 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Sharded-sketch incremental dedup: the corpus's fingerprint space
+    * splits into 4 deterministic shards, each folding into its OWN
+    * under-budget bloom — the path dedupAgainstCorpusBloom's byte-budget
+    * error points at for corpora whose single sketch would blow
+    * maxBloomBytes (10¹⁰⁺ fingerprints). Shard membership partitions
+    * both sides on the same key, so results stay row-identical to the
+    * plain anti-join and the oracle is unchanged. */
+  val dedupIncrementalBloomSharded: Q = Q(
+    "x_dedup_incremental_bloom_sharded",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstCorpusBloomSharded(
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        nShards = 4)
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""
+      WITH fp AS (SELECT doc_id, lang,
+                         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+                  FROM documents)
+      SELECT i.doc_id, i.lang FROM fp i
+      WHERE i.doc_id % 5 = 0
+        AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 5 <> 0
+          AND ('0x' || substr(e.f, 1, 15))::BIGINT = ('0x' || substr(i.f, 1, 15))::BIGINT
+          AND ('0x' || substr(e.f, 17, 15))::BIGINT = ('0x' || substr(i.f, 17, 15))::BIGINT)
+    """.trim)
+  )
+
   /** Exact dedup on the 120-bit md5-pair fingerprint: the 16-byte
     * shuffle key that stays collision-free at 10^11 docs (where the
     * 64-bit key expects ~270 silent merges). Both 60-bit halves replay
@@ -1397,7 +1426,8 @@ object ExtensionQueries {
   )
 
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
-    dedupIncremental, dedupIncrementalBloom, ngramJaccard, containmentPairs,
+    dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
+    ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,

@@ -185,7 +185,9 @@ object VectorExpressions {
     * in the serialized plan; the require below surfaces that limit as a
     * readable error instead of a deep AnalysisException. Past the caps,
     * either raise both confs (small overshoots) or — the scale path —
-    * build the sketch with `Dataset.stat.bloomFilter` and probe it via
+    * build the sketch at the RDD layer with the custom per-partition
+    * treeReduce (graft.dedup.Dedup.dedupAgainstCorpusBloom — uncapped,
+    * one job, sized from the caller's item bound) and probe it via
     * [[bloomMightContainBcast]], which has no plan-size coupling. */
   def bloomFilterAgg(key: Column, estimatedItems: Long, numBits: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -120,12 +120,39 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(tight == plain, s"high-fpp bloom diverged: $tight")
     // past the sketch budget the build must fail loudly, pointing at
-    // the sharded path — not silently build an executor-crushing filter
+    // the (real) sharded operator — not silently build an
+    // executor-crushing filter
     val e = intercept[IllegalArgumentException] {
       Dedup.dedupAgainstCorpusBloom(incoming, existing,
         expectedItems = 1L << 40, maxBloomBytes = 1L << 20)
     }
-    assert(e.getMessage.contains("Shard the bloom"), e.getMessage)
+    assert(e.getMessage.contains("dedupAgainstCorpusBloomSharded"), e.getMessage)
+  }
+
+  test("dedupAgainstCorpusBloomSharded is row-identical to the plain anti-join") {
+    val existing = (0L until 60L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val incoming = ((100L until 130L).map(i => (i, s"fresh document $i")) ++
+      (0L until 20L).map(i => (i + 500L, s"corpus document number $i")) // dups
+      ).toDF("doc_id", "text")
+    val plain = Dedup.dedupAgainstCorpus(incoming, existing)
+      .collect().map(_.getLong(0)).toSet
+    for (nShards <- Seq(1, 2, 5)) {
+      val sharded = Dedup.dedupAgainstCorpusBloomSharded(incoming, existing, nShards)
+        .collect().map(_.getLong(0)).toSet
+      assert(sharded == plain, s"nShards=$nShards: $sharded vs $plain")
+    }
+    // each shard's sketch honors the byte budget the unsharded build
+    // rejects: same items, same budget, but split 8 ways it fits
+    val perShard = 40L
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstCorpusBloom(incoming, existing,
+        expectedItems = perShard * 8, fpp = 0.01, maxBloomBytes = 64L)
+    }
+    val ok = Dedup.dedupAgainstCorpusBloomSharded(incoming, existing, nShards = 8,
+      expectedItemsPerShard = perShard, fpp = 0.01, maxBloomBytes = 64L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ok == plain, s"under-budget sharded run diverged: $ok")
   }
 
   test("dedupAgainstCorpusBloom sketch build job count is pinned") {
@@ -142,7 +169,8 @@ class DedupSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       // with expectedItems the sketch builds in EXACTLY one narrow job
-      // (stat.bloomFilter's treeAggregate); no sizing count, no distinct
+      // (Dedup's custom per-partition treeReduce); no sizing count, no
+      // distinct
       Dedup.dedupAgainstCorpusBloom(incoming, existing, expectedItems = 200L)
       ListenerDrain.drain(spark.sparkContext)
       assert(jobs.get() == 1,
