@@ -46,6 +46,9 @@ object Recall {
     rows += (("knnJoinLsh nBits=6 (x_knn_join_lsh)", k,
       recall(knnSet(Similarity.knnJoinLsh(emb, queries, dim = 64, k = k, nBits = 6)),
         exactKnn)))
+    rows += (("knnJoinLshMultiBand nBands=8 adaptive-b (x_knn_join_lsh_mb)", k,
+      recall(knnSet(Similarity.knnJoinLshMultiBand(emb, queries, dim = 64, k = k,
+        nBands = 8)), exactKnn)))
     for (np <- Seq(1, 2, 4))
       rows += ((s"knnJoinIvf nLists=4 nprobe=$np" +
         (if (np == 1) " (x_knn_join_ivf)" else if (np == 2) " (x_knn_join_ivf_mp)" else ""), k,
@@ -63,20 +66,29 @@ object Recall {
     // go — report both, separately
     val exactPairsSim = Similarity.cosineNearDupsExact(emb, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lshPairs = Similarity.cosineNearDupsLsh(emb, threshold = 0.5,
-      nBands = 8, maxBucketSize = 4096)
-      .select(col("id1"), col("id2")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    for ((lo, hi, label) <- Seq((0.9, 1.01, "cos>=0.9 (the near-dup target)"),
-                                (0.7, 0.9, "0.7<=cos<0.9"),
-                                (0.5, 0.7, "0.5<=cos<0.7"))) {
-      val band = exactPairsSim.collect { case (p, s) if s >= lo && s < hi => p }.toSet
-      if (band.nonEmpty)
-        rows += ((s"cosineNearDupsLsh t=0.5 nBands=8 adaptive-b, $label", band.size,
-          recall(lshPairs, band)))
+    // the nBands recall/cost curve (VERDICT r6 #5): the near-dup default
+    // should sit at the knee where cos>=0.9 recall crosses 0.95; wall
+    // time is the measured cost of each step (coarse — one run each,
+    // same JVM — but the RELATIVE cost across nBands is what the curve
+    // needs, and candidate volume scales linearly in nBands by design)
+    for (nb <- Seq(8, 12, 16)) {
+      val t0 = System.nanoTime()
+      val lshPairs = Similarity.cosineNearDupsLsh(emb, threshold = 0.5,
+        nBands = nb, maxBucketSize = 4096)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      for ((lo, hi, label) <- Seq((0.9, 1.01, "cos>=0.9 (the near-dup target)"),
+                                  (0.7, 0.9, "0.7<=cos<0.9"),
+                                  (0.5, 0.7, "0.5<=cos<0.7"))) {
+        val band = exactPairsSim.collect { case (p, s) if s >= lo && s < hi => p }.toSet
+        if (band.nonEmpty)
+          rows += ((f"cosineNearDupsLsh t=0.5 nBands=$nb adaptive-b ($sec%.1fs), $label",
+            band.size, recall(lshPairs, band)))
+      }
+      rows += ((f"cosineNearDupsLsh t=0.5 nBands=$nb adaptive-b ($sec%.1fs), ALL pairs",
+        exactPairsSim.size, recall(lshPairs, exactPairsSim.keySet)))
     }
-    rows += (("cosineNearDupsLsh t=0.5 nBands=8 adaptive-b, ALL pairs (x_cosine_neardups)",
-      exactPairsSim.size, recall(lshPairs, exactPairsSim.keySet)))
 
     println(s"## $sfDir (n=$n embeddings, ${exactPairsSim.size} exact pairs at t=0.5)")
     println("| operator (catalog entry) | k / |exact| | recall |")

@@ -625,6 +625,60 @@ object ExtensionQueries {
     )
   }
 
+  /** Multi-band LSH batch kNN join: the OR-construction recall fix for
+    * x_knn_join_lsh's single-band bucketing (recall@5 0.03-0.07 on the
+    * uniform synthetic corpus — RECALL.md). Each vector lands in 8 band
+    * tables at the adaptive bit width; a pair colliding in ANY band is
+    * a candidate, deduped before the exact rescore. The oracle replays
+    * the adaptive width from its own COUNT(*), all 8 band buckets from
+    * the shared plane family, the ANY-band DISTINCT, and the per-query
+    * rank. */
+  val knnJoinLshMultiBandQ: Q = {
+    val nBands = 8
+    val stride = Similarity.MaxBitsPerBand
+    val planes = Similarity.hyperplanes(dim = 64, nBits = nBands * stride)
+    val bitsSql = "CASE " + (4 until stride)
+      .map(b => s"WHEN n <= ${8L << b} THEN $b").mkString(" ") + s" ELSE $stride END"
+    def bucketSql(bnd: Int): String = (0 until stride).map { i =>
+      s"(CASE WHEN $i < p.bits AND list_dot_product(v, ${planes(bnd * stride + i).mkString("[", ", ", "]")}::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n        + ")
+    val bandsSql = (0 until nBands)
+      .map(b => s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e, p")
+      .mkString("\n      UNION ALL\n      ")
+    Q(
+      "x_knn_join_lsh_mb",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.knnJoinLshMultiBand(emb, queries, dim = 64, k = 5,
+          nBands = nBands)
+      },
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT $bitsSql AS bits FROM (SELECT COUNT(*) AS n FROM e)),
+      bands AS (
+      $bandsSql
+      ),
+      cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id
+               FROM bands q JOIN bands c
+                 ON q.band = c.band AND q.bucket = c.bucket
+                AND c.vec_id <> q.vec_id
+               WHERE q.vec_id < 40),
+      sc AS (SELECT cand.qid, cand.vec_id,
+                    list_dot_product(x.v, y.v) /
+                      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+             FROM cand JOIN e x ON cand.vec_id = x.vec_id
+                       JOIN e y ON cand.qid = y.vec_id)
+      SELECT qid, vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT qid, vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+            FROM sc) t
+      WHERE rn <= 5
+    """.trim)
+    )
+  }
+
   /** Embedding-cosine near-dup pairs above 0.5 via the default
     * banded-LSH prefilter (the 100 TB path — no cross join anywhere in
     * the plan, asserted by PlanAuditSpec). Fully oracle-checked even
@@ -1429,7 +1483,8 @@ object ExtensionQueries {
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
-    knnJoinBatch, knnJoinLshBatch, knnJoinIvfBatch, knnJoinIvfMultiProbe,
+    knnJoinBatch, knnJoinLshBatch, knnJoinLshMultiBandQ,
+    knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,
     clusterReps, dedupApply, textChunks,
     mmMetadata, mmFeatures, mmChunks,

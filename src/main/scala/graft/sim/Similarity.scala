@@ -408,6 +408,53 @@ object Similarity {
     topKPerQuery(scored, k, fanout, qidCol, idCol)
   }
 
+  /** Multi-band LSH batch kNN join — the OR-construction recall fix for
+    * [[knnJoinLsh]]: corpus and queries land in `nBands` independent
+    * band tables (the native all-bands kernel over the deterministic
+    * hyperplane family — same construction as [[cosineNearDupsLsh]]),
+    * a (query, corpus) pair becomes a candidate when it collides in ANY
+    * band, candidates dedup on (qid, id), and only candidates get the
+    * exact cosine + two-stage top-k. Single-band recall p^b decays fast
+    * on weakly-clustered data (RECALL.md measured 0.03-0.07 at the
+    * catalog's nBits=6 on uniform-random vectors); the OR over nBands
+    * bands lifts the miss probability to (1−p^b)^nBands — the same
+    * exponential decay that makes the near-dup prefilter work.
+    *
+    * Scale shape: the corpus scan emits nBands (band, bucket) rows per
+    * vector (the standard multi-table LSH storage cost; at rest each
+    * band table is partitioned by bucket), the query side stays a
+    * broadcast (|Q|·nBands rows — kilobytes), and the candidate dedup
+    * shuffles 3 scalars per candidate, never vectors. `bitsPerBand = 0`
+    * picks the width adaptively from the corpus count
+    * ([[adaptiveBitsPerBand]]) so candidate volume stays linear in n. */
+  def knnJoinLshMultiBand(emb: DataFrame, queries: DataFrame, dim: Int,
+                          k: Int = 10, nBands: Int = 8, bitsPerBand: Int = 0,
+                          fanout: Int = 32,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand else adaptiveBitsPerBand(emb.count())
+    val planes = org.apache.spark.sql.graftext.LshBandBuckets
+      .flatPlanes(dim, nBands * MaxBitsPerBand)
+    def withBands(df: DataFrame, vCol: String, bandCol: String, bucketCol: String) =
+      df.select(df.columns.map(col) :+ posexplode(
+        org.apache.spark.sql.graftext.VectorExpressions.lshBandBuckets(
+          col(vCol), planes, dim, nBands, bits, MaxBitsPerBand))
+        .as(Seq(bandCol, bucketCol)): _*)
+    val corpus = withBands(
+      emb.select(col(idCol), asDouble(col(vecCol)).as("v")), "v", "band", "bucket")
+    val q = withBands(
+      queries.select(col(qidCol), asDouble(col(qvecCol)).as("_qv")),
+      "_qv", "qband", "qbucket")
+    val scored = corpus
+      .join(broadcast(q), col("band") === col("qband") &&
+        col("bucket") === col("qbucket") && col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        cosine(col("v"), col("_qv")).as("cos_sim"))
+      .dropDuplicates(qidCol, idCol) // ANY-band match = ONE candidate
+    topKPerQuery(scored, k, fanout, qidCol, idCol)
+  }
+
   /** IVF batch kNN join — the index-backed form of [[knnJoin]]: k-means
     * centroids are built once ([[kmeans]]), every corpus vector gets
     * its final list (narrow, centroid literals inlined), and each query

@@ -57,6 +57,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getLong(0) == 0L))
   }
 
+  test("knnJoinLshMultiBand: finds the planted pair; candidates cover every single-band match") {
+    val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val mb = Similarity.knnJoinLshMultiBand(emb, queries, dim = 8, k = 3,
+      nBands = 6, bitsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the near-identical planted pair must surface in both directions
+    assert(mb.contains((0L, 1L)) && mb.contains((1L, 0L)), mb.toString)
+    // no (qid, id) appears twice per rank set (ANY-band dedup)
+    val all = Similarity.knnJoinLshMultiBand(emb, queries, dim = 8, k = 10,
+      nBands = 6, bitsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.distinct.length == all.length, "candidate dedup must collapse multi-band matches")
+    // ranks are contiguous from 1 per query
+    val byQ = Similarity.knnJoinLshMultiBand(emb, queries, dim = 8, k = 10,
+      nBands = 6, bitsPerBand = 4).collect()
+      .groupBy(_.getLong(0)).values
+    byQ.foreach { rows => assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length)) }
+  }
+
   test("knnJoinIvf: single-query batch equals the one-shot annIvfKmeans probe") {
     val queries = emb.filter(col("vec_id") === 0L)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
