@@ -42,6 +42,11 @@ object GenData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("testdata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // 4th arg "clustered" plants Gaussian-ish clusters + controlled-cos
+    // near-dup twins in the embeddings table (recall corpora; see
+    // clusterPlant). Plain runs keep the uniform driver distribution so
+    // scale ratios vs the driver's sf0.1 stay apples-to-apples.
+    val clustered = args.lift(3).contains("clustered")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,11 +55,12 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, copies)
+    generate(spark, src, out, copies, clustered)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, copies: Int,
+               clustered: Boolean = false): Unit = {
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -65,8 +71,7 @@ object GenData {
 
     /** One scan fanned out to `copies` rows per input row via a
       * broadcast 10-row cross join; `shifted` columns get +copy*stride. */
-    def scaled(name: String, shifted: Seq[String], extra: DataFrame => DataFrame = identity): DataFrame = {
-      val base = read(name)
+    def scaledDf(base: DataFrame, shifted: Seq[String], extra: DataFrame => DataFrame): DataFrame = {
       val idx = broadcast(spark.range(copies).toDF("gen_copy"))
       val fanned = base.crossJoin(idx)
       val withKeys = shifted.foldLeft(fanned) { (df, c) =>
@@ -74,6 +79,8 @@ object GenData {
       }
       extra(withKeys).select(base.columns.map(col).toIndexedSeq: _*)
     }
+    def scaled(name: String, shifted: Seq[String], extra: DataFrame => DataFrame = identity): DataFrame =
+      scaledDf(read(name), shifted, extra)
 
     write(scaled("customer", Seq("c_custkey")), "customer", 4)
     write(scaled("supplier", Seq("s_suppkey")), "supplier", 1)
@@ -108,8 +115,77 @@ object GenData {
         zip_with(col("embedding"), lit(signs(i)), (x, s) => (x * s).cast("float"))
       ).otherwise(acc)
     }
+    val embBase = if (clustered) clusterPlant(read("embeddings")) else read("embeddings")
     write(
-      scaled("embeddings", Seq("vec_id"), _.withColumn("embedding", flipVec)),
+      scaledDf(embBase, Seq("vec_id"), _.withColumn("embedding", flipVec)),
       "embeddings", 8)
+  }
+
+  /** Plant retrieval-shaped structure into the (uniform) embeddings
+    * table — the corpora the ANN/near-dup operators are FOR. Uniform
+    * random vectors are pairwise near-orthogonal at dim 64, which makes
+    * every recall number degenerate (RECALL.md r6 had to explain
+    * itself); real embedding corpora have cluster structure and true
+    * near-duplicates. Deterministic, no RNG state:
+    *
+    *  - CLUSTERS: vector i joins cluster `xxhash64(vec_id) % 64`; its
+    *    planted form is `4·(center_c + 0.8·v/|v|)` — the unit center
+    *    (splitmix family, seed 20260813) plus norm-0.8 noise taken from
+    *    the vector's OWN original direction, giving intra-cluster
+    *    cosines ≈ 1/(1+0.8²) ≈ 0.61 and cross-cluster ≈ 0.
+    *  - NEAR-DUP TWINS: ids ≡ 1 (mod 50) — 2% of the corpus — replace
+    *    their vector with an EXACT-cosine rotation of (id−1)'s planted
+    *    vector: w = |s|·(ŝ·cosθ + p̂·sinθ) with p̂ the unit component of
+    *    the twin's own vector orthogonal to the source s, so
+    *    cos(s, w) = cosθ up to float rounding. θ cycles through
+    *    cos ∈ {0.99, 0.95, 0.9, 0.8} by ⌊id/50⌋ mod 4 — three levels
+    *    inside the near-dup target (cos ≥ 0.9) and one designed-miss
+    *    borderline.
+    *
+    * Runs BEFORE the per-copy fan-out, so every copy carries the same
+    * planted geometry and the existing sign-flip still decorrelates
+    * copies without touching within-copy cosines. */
+  def clusterPlant(base: DataFrame, nClusters: Int = 64): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val dot = graft.sim.Similarity.dot _
+    val flat = org.apache.spark.sql.graftext.LshBandBuckets
+      .flatPlanes(dim, nClusters, seed = 20260813L)
+    val centers = (0 until nClusters).map { c =>
+      val v = flat.slice(c * dim, (c + 1) * dim)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (c, v.map(_ / n).toSeq)
+    }.toDF("_cl", "_ctr")
+    val vnorm = greatest(sqrt(dot(col("_vd"), col("_vd"))), lit(1e-9))
+    val planted = base
+      .withColumn("_vd", col("embedding").cast("array<double>"))
+      .withColumn("_cl", pmod(xxhash64(col("vec_id")), lit(nClusters.toLong)).cast("int"))
+      .join(broadcast(centers), "_cl")
+      .withColumn("_cvec",
+        zip_with(col("_ctr"), col("_vd"),
+          (c, x) => (c + x * lit(0.8) / vnorm) * lit(4.0)))
+    // twins: ids ≡ 1 (mod 50) re-point at (id−1)'s planted vector
+    val src = planted.select(col("vec_id").as("_src_id"), col("_cvec").as("_s"))
+    val cosT = element_at(
+      array(lit(0.99), lit(0.95), lit(0.9), lit(0.8)),
+      (pmod(floor(col("vec_id") / 50), lit(4)) + 1).cast("int"))
+    val sinT = sqrt(lit(1.0) - cosT * cosT)
+    val sNorm = greatest(sqrt(dot(col("_s"), col("_s"))), lit(1e-9))
+    // component of the twin's own planted vector orthogonal to the source
+    val perp = zip_with(col("_cvec"), col("_s"),
+      (u, s) => u - s * (dot(col("_cvec"), col("_s")) / (sNorm * sNorm)))
+    val perpNorm = greatest(sqrt(dot(perp, perp)), lit(1e-9))
+    val twins = planted.filter(pmod(col("vec_id"), lit(50)) === 1)
+      .withColumn("_src_id", col("vec_id") - 1)
+      .join(src, "_src_id")
+      .withColumn("_w", zip_with(col("_s"), perp,
+        (s, p) => (s / sNorm * cosT + p / perpNorm * sinT) * sNorm))
+      .select(col("vec_id"), col("_w").as("_out"), col("label"))
+    val plain = planted.filter(pmod(col("vec_id"), lit(50)) =!= 1)
+      .select(col("vec_id"), col("_cvec").as("_out"), col("label"))
+    plain.unionByName(twins)
+      .select(col("vec_id"),
+        col("_out").cast("array<float>").as("embedding"), col("label"))
   }
 }

@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * columns plus typed metadata, with decode/feature-extraction running
   * distributed via `mapPartitions` over a typed Dataset.
   *
-  * The IMAGE and AUDIO modalities decode for real: `javax.imageio`
-  * ships in the JDK (PNG/BMP/GIF/JPEG → true width/height) and so does
+  * All THREE modalities decode for real: `javax.imageio` ships in the
+  * JDK (PNG/BMP/GIF/JPEG → true width/height), so does
   * `javax.sound.sampled` (WAV/AIFF/AU → true sample rate, channels,
-  * frame count). Both are header-only reads — no pixel/sample decode,
-  * the right cost at corpus scale. Payloads no installed reader
-  * recognizes fall back to the deterministic stub, as does video (the
-  * one modality with no JDK codec); swap `decodeStub` for an ffmpeg
-  * JNI call and nothing else changes — the schema, encoders,
-  * partition-wise batching and null-safety are the real contract and
-  * are fully tested.
+  * frame count), and MP4/QuickTime video headers are a pure public
+  * byte format (ISO/IEC 14496-12 box structure) parsed by hand here —
+  * `mvhd` duration/timescale and the video `tkhd` width/height, no
+  * codec needed. All are header-only reads — no pixel/sample/frame
+  * decode, the right cost at corpus scale. Payloads no reader
+  * recognizes fall back to the deterministic stub (sample decode of
+  * actual frames would be the ffmpeg/JNI swap-in point); the schema,
+  * encoders, partition-wise batching and null-safety are the real
+  * contract and are fully tested.
   */
 object Multimodal {
 
@@ -45,10 +47,10 @@ object Multimodal {
         array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
 
-  /** STUB decoder for the codec-less modality (video) and for payloads
-    * no installed reader recognizes: a real implementation calls
-    * ffmpeg/JNI here. Deterministic fake features derived from the
-    * payload keep the pipeline testable end-to-end. */
+  /** STUB decoder for payloads no reader recognizes (and non-MP4 video
+    * containers): a real implementation calls ffmpeg/JNI here.
+    * Deterministic fake features derived from the payload keep the
+    * pipeline testable end-to-end. */
   private[mm] def decodeStub(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
     val n = payload.length
     mediaType match {
@@ -132,10 +134,79 @@ object Multimodal {
     }
   }
 
+  /** MP4/QuickTime magic: every ISO-BMFF file is a box sequence and in
+    * practice starts with `ftyp` (or bare `moov` for ancient QuickTime)
+    * at byte 4. Same hot-path contract as the other sniffs: a non-MP4
+    * payload costs four byte compares. */
+  private[mm] def sniffVideo(p: Array[Byte]): Boolean =
+    p.length >= 16 && {
+      (p(4) == 'f'.toByte && p(5) == 't'.toByte && p(6) == 'y'.toByte && p(7) == 'p'.toByte) ||
+      (p(4) == 'm'.toByte && p(5) == 'o'.toByte && p(6) == 'o'.toByte && p(7) == 'v'.toByte)
+    }
+
+  /** Real MP4/QuickTime header decode — a hand parse of the public
+    * ISO/IEC 14496-12 box structure, zero dependencies (the byte-format
+    * twin of the WAV work): walk the top-level boxes to `moov`, read
+    * `mvhd`'s timescale/duration (v0 and v1 layouts), and scan the
+    * `trak` children for the first `tkhd` with a nonzero 16.16-fixed
+    * width/height (audio tracks carry 0×0). Returns (width, height,
+    * duration in ms); None for truncated/corrupt structures, which fall
+    * to the stub like any other unrecognized payload. Header-only: the
+    * walk never enters `mdat`, so cost is independent of payload size.
+    */
+  private[mm] def decodeVideoMeta(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val end = p.length.toLong
+    def u32(off: Long): Long = {
+      val i = off.toInt
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    }
+    def u64(off: Long): Long = (u32(off) << 32) | u32(off + 4)
+    def typ(off: Long): String = new String(p, off.toInt + 4, 4, "ISO-8859-1")
+    /** (payloadStart, boxEnd) of every child box of [start, stop). */
+    def boxes(start: Long, stop: Long): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      var off = start
+      while (off + 8 <= stop) {
+        val size0 = u32(off)
+        val (hdr, size) =
+          if (size0 == 1L && off + 16 <= stop) (16L, u64(off + 8))
+          else if (size0 == 0L) (8L, stop - off) // "to end of file"
+          else (8L, size0)
+        if (size < hdr || off + size > stop) return out.toSeq // corrupt tail
+        out += ((typ(off), off + hdr, off + size))
+        off += size
+      }
+      out.toSeq
+    }
+    try {
+      val moov = boxes(0L, end).collectFirst { case ("moov", s, e) => (s, e) }
+      moov.flatMap { case (ms, me) =>
+        val children = boxes(ms, me)
+        val durMs = children.collectFirst { case ("mvhd", s, _) => s }.map { s =>
+          val v = p(s.toInt) & 0xff
+          val (timescale, duration) =
+            if (v == 1) (u32(s + 20), u64(s + 24)) else (u32(s + 12), u32(s + 16))
+          if (timescale > 0) duration * 1000L / timescale else 0L
+        }.getOrElse(0L)
+        val dims = children.collect { case ("trak", s, e) => boxes(s, e) }
+          .flatMap(_.collectFirst { case ("tkhd", s, _) => s })
+          .iterator.map { s =>
+            val v = p(s.toInt) & 0xff
+            val base = if (v == 1) s + 88 else s + 76
+            ((u32(base) >> 16).toInt, (u32(base + 4) >> 16).toInt)
+          }.collectFirst { case (w, h) if w > 0 && h > 0 => (w, h) }
+        val (w, h) = dims.getOrElse((0, 0))
+        if (dims.isEmpty && durMs == 0L) None // a moov that told us nothing
+        else Some((w, h, math.min(durMs, Int.MaxValue).toInt))
+      }
+    } catch { case _: IndexOutOfBoundsException => None } // truncated header
+  }
+
   /** Modality dispatch: real header decode for images (width, height,
-    * 1) and audio (sample rate, channels, frame count — packed into the
-    * same three feature slots); stub when no reader recognizes the
-    * bytes, and for video. */
+    * 1), audio (sample rate, channels, frame count) and MP4/QuickTime
+    * video (width, height, duration ms) — packed into the same three
+    * feature slots; stub when no reader recognizes the bytes. */
   private[mm] def decode(payload: Array[Byte], mediaType: String): (Int, Int, Int) =
     mediaType match {
       case "image" if sniffImage(payload) =>
@@ -147,6 +218,11 @@ object Multimodal {
         decodeAudioMeta(payload) match {
           case Some(meta) => meta
           case None => decodeStub(payload, "audio")
+        }
+      case "video" if sniffVideo(payload) =>
+        decodeVideoMeta(payload) match {
+          case Some(meta) => meta
+          case None => decodeStub(payload, "video")
         }
       case other => decodeStub(payload, other)
     }

@@ -79,6 +79,59 @@ class MultimodalSpec extends SparkSpec {
       "unrecognized payloads keep the deterministic stub features")
   }
 
+  test("extractFeatures decodes REAL MP4 payloads (minimal generated boxes) to true metadata") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    // mvhd v0: version+flags, creation, modification, timescale, duration
+    def mvhd(timescale: Int, duration: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    // mvhd v1: 64-bit creation/modification/duration
+    def mvhdV1(timescale: Int, duration: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000).putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+      box("mvhd", b.array())
+    }
+    // tkhd v0: 20 bytes of ids/duration, 16 bytes layer/volume, 36-byte
+    // matrix, then 16.16-fixed width and height
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.position(76)
+      b.putInt(w << 16).putInt(h << 16)
+      box("tkhd", b.array())
+    }
+    def trak(w: Int, h: Int): Array[Byte] = box("trak", tkhd(w, h))
+    val ftyp = box("ftyp", "isom0000isom".getBytes("ISO-8859-1"))
+    // 90s at timescale 600 = 54000 ticks; audio track first (0x0), the
+    // video track's dims must still be found
+    val mp4 = ftyp ++ box("moov",
+      mvhd(600, 54000) ++ trak(0, 0) ++ trak(640, 360))
+    val mp4v1 = ftyp ++ box("moov", mvhdV1(1000, 2500L) ++ trak(1920, 1080))
+    val truncated = mp4.take(40) // header cut mid-moov
+    val media = Seq(
+      (30L, mp4, "video"),
+      (31L, mp4v1, "video"),
+      (32L, truncated, "video"),
+      (33L, "definitely not a movie".getBytes("UTF-8"), "video")
+    ).toDF("media_id", "payload", "media_type")
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(30L).width == 640 && f(30L).height == 360 && f(30L).n_frames == 90000,
+      s"v0 mp4 must decode dims + duration ms: ${f(30L)}")
+    assert(f(31L).width == 1920 && f(31L).height == 1080 && f(31L).n_frames == 2500,
+      s"v1 mp4 must decode 64-bit duration: ${f(31L)}")
+    val nT = truncated.length
+    assert(f(32L).width == nT % 1920 && f(32L).n_frames == nT % 300,
+      s"truncated header falls to the stub: ${f(32L)}")
+    val n = "definitely not a movie".getBytes("UTF-8").length
+    assert(f(33L).width == n % 1920 && f(33L).height == n % 1080,
+      "non-MP4 payloads keep the deterministic stub features")
+  }
+
   test("sampleChunks: strided binary slicing") {
     val out = Multimodal.sampleChunks(Multimodal.mediaTable(docs), chunk = 10, stride = 2)
       .filter(col("media_id") === 0L)
