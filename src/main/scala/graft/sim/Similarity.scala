@@ -505,15 +505,44 @@ object Similarity {
     * in-flight ones. */
   def saveIndexIvf(emb: DataFrame, dim: Int, path: String,
                    nLists: Int = 4, iters: Int = 2,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    saveIndexIvfWithCentroids(emb,
+      kmeans(emb, nLists, dim, iters, idCol, vecCol), path, idCol, vecCol)
+
+  /** [[saveIndexIvf]] with a caller-supplied centroid table — the
+    * building block shared by the from-scratch build and tests that pin
+    * append/rebuild equivalence under identical centroids. */
+  def saveIndexIvfWithCentroids(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
+                                path: String,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)
     cents.toDF("list", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("list", kmeansAssign(col("v"), cents))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** Incremental index append — the daily-ingest twin of the bloom
+    * path, for retrieval: new vectors are assigned with the index's
+    * LOADED centroids (no k-means rerun, no existing-corpus rescan) and
+    * appended into the list partition directories, so the build cost of
+    * a growing corpus is one narrow assignment pass over the NEW rows
+    * per batch. Probes over the appended index are row-identical to an
+    * index whose lists were assigned with the same centroids over the
+    * union (SimilaritySpec pins this) — the standard IVF trade being
+    * accepted is that centroids go stale as the corpus drifts (recall
+    * decays, monitor it); re-train with [[saveIndexIvf]] when RECALL-
+    * style audits say so, exactly like the bloom sketch's
+    * rebuild-on-growth contract. */
+  def appendToIndexIvf(spark: SparkSession, path: String, newEmb: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (cents, _) = loadIndexIvf(spark, path)
+    newEmb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("list", kmeansAssign(col("v"), cents))
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
 
   /** Load a [[saveIndexIvf]] index: the driver-held centroid table

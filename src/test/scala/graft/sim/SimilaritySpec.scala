@@ -172,6 +172,32 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == oneShot && viaIndex.nonEmpty)
   }
 
+  test("appendToIndexIvf: probes over an appended index equal the same-centroid full build") {
+    val dirA = java.nio.file.Files.createTempDirectory("ivf-full").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    // centroids trained on the OLD corpus only, shared by both indexes -
+    // the append contract is "assign new rows with the LOADED centroids",
+    // so equivalence must hold under identical centroids by construction
+    val old = emb.filter(col("vec_id") < 4)
+    val fresh = emb.filter(col("vec_id") >= 4)
+    val cents = Similarity.kmeans(old, nLists = 2, dim = 8, iters = 2)
+    Similarity.saveIndexIvfWithCentroids(emb, cents, dirA)      // all rows at once
+    Similarity.saveIndexIvfWithCentroids(old, cents, dirB)      // old...
+    Similarity.appendToIndexIvf(spark, dirB, fresh)             // ...plus appended new
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def probe(dir: String) =
+      Similarity.knnJoinIvfPersisted(spark, dir, queries, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val full = probe(dirA)
+    val appended = probe(dirB)
+    assert(appended == full && full.nonEmpty, s"full=$full appended=$appended")
+    // the appended rows really landed in list partition directories
+    val lists = new java.io.File(s"$dirB/lists").listFiles()
+      .filter(_.getName.startsWith("list=")).map(_.getName).sorted
+    assert(lists.nonEmpty, "append must preserve the list=<j> partition layout")
+  }
+
   test("kmeans: deterministic, centroids are cluster means, assignment partitions the input") {
     val cents = Similarity.kmeans(emb, nLists = 2, dim = 8, iters = 2)
     val again = Similarity.kmeans(emb, nLists = 2, dim = 8, iters = 2)
