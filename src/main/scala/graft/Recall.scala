@@ -46,7 +46,7 @@ object Recall {
     rows += (("knnJoinLsh nBits=6 (x_knn_join_lsh)", k,
       recall(knnSet(Similarity.knnJoinLsh(emb, queries, dim = 64, k = k, nBits = 6)),
         exactKnn)))
-    rows += (("knnJoinLshMultiBand nBands=8 adaptive-b (x_knn_join_lsh_mb)", k,
+    rows += (("knnJoinLshMultiBand nBands=8 adaptive-b@target64 (x_knn_join_lsh_mb)", k,
       recall(knnSet(Similarity.knnJoinLshMultiBand(emb, queries, dim = 64, k = k,
         nBands = 8)), exactKnn)))
     for (np <- Seq(1, 2, 4))

@@ -635,10 +635,11 @@ object ExtensionQueries {
     * rank. */
   val knnJoinLshMultiBandQ: Q = {
     val nBands = 8
+    val target = 64L // top-k probe width, not the near-dup prefilter's 8
     val stride = Similarity.MaxBitsPerBand
     val planes = Similarity.hyperplanes(dim = 64, nBits = nBands * stride)
     val bitsSql = "CASE " + (4 until stride)
-      .map(b => s"WHEN n <= ${8L << b} THEN $b").mkString(" ") + s" ELSE $stride END"
+      .map(b => s"WHEN n <= ${target << b} THEN $b").mkString(" ") + s" ELSE $stride END"
     def bucketSql(bnd: Int): String = (0 until stride).map { i =>
       s"(CASE WHEN $i < p.bits AND list_dot_product(v, ${planes(bnd * stride + i).mkString("[", ", ", "]")}::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n        + ")
@@ -693,7 +694,7 @@ object ExtensionQueries {
     * near-identical corpora, exact dedup's job — are dropped by the
     * maxBucketSize guard on both sides. */
   val cosineNearDups: Q = {
-    val nBands = 8
+    val nBands = 16 // the measured >=0.95-recall knee (RECALL.md r7 sweep)
     val stride = Similarity.MaxBitsPerBand
     val maxBucket = 4096
     val planes = Similarity.hyperplanes(dim = 64, nBits = nBands * stride)

@@ -426,14 +426,20 @@ object Similarity {
     * broadcast (|Q|·nBands rows — kilobytes), and the candidate dedup
     * shuffles 3 scalars per candidate, never vectors. `bitsPerBand = 0`
     * picks the width adaptively from the corpus count
-    * ([[adaptiveBitsPerBand]]) so candidate volume stays linear in n. */
+    * ([[adaptiveBitsPerBand]]) at `targetBucketSize` — 64 here, not the
+    * near-dup prefilter's 8: a top-k probe WANTS ~nBands·target
+    * candidates per query (a few hundred — still ~n/2^b of the corpus),
+    * where the near-dup width would leave too few collisions to fill
+    * k on weakly-clustered data (measured: recall@5 stalls at the
+    * single-band level with target 8, doubles at 64). */
   def knnJoinLshMultiBand(emb: DataFrame, queries: DataFrame, dim: Int,
                           k: Int = 10, nBands: Int = 8, bitsPerBand: Int = 0,
-                          fanout: Int = 32,
+                          targetBucketSize: Int = 64, fanout: Int = 32,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
     val bits =
-      if (bitsPerBand > 0) bitsPerBand else adaptiveBitsPerBand(emb.count())
+      if (bitsPerBand > 0) bitsPerBand
+      else adaptiveBitsPerBand(emb.count(), targetBucketSize)
     val planes = org.apache.spark.sql.graftext.LshBandBuckets
       .flatPlanes(dim, nBands * MaxBitsPerBand)
     def withBands(df: DataFrame, vCol: String, bandCol: String, bucketCol: String) =
@@ -691,11 +697,13 @@ object Similarity {
     * once), and only candidates are verified with the exact cosine.
     * Recall for a truly-near pair (angle θ) is
     * 1 − (1 − (1 − θ/π)^bitsPerBand)^nBands → ≈1 for near-duplicates.
-    * MEASURED (graft.Recall → RECALL.md): 0.83 at cos ≥ 0.9 (the
-    * near-dup target) at sf1's adaptive b = 11, falling steeply for
-    * borderline pairs — the designed S-curve. The O(n²) crossJoin
-    * survives behind `bruteForce = true` for small inputs and recall
-    * audits only.
+    * MEASURED (graft.Recall → RECALL.md): the r7 nBands sweep on the
+    * clustered sf1c corpus put the ≥0.95 knee at nBands = 16 — 0.97 at
+    * cos ≥ 0.9 (the near-dup target) vs 0.86 at the old 8-band default,
+    * falling steeply for borderline pairs (the designed S-curve) —
+    * which is why 16 is the default; candidate volume is linear in
+    * nBands. The O(n²) crossJoin survives behind `bruteForce = true`
+    * for small inputs and recall audits only.
     *
     * `bitsPerBand = 0` (the default) picks the band width ADAPTIVELY
     * from the corpus count via [[adaptiveBitsPerBand]] — one cheap
@@ -715,7 +723,7 @@ object Similarity {
   def cosineNearDups(emb: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bruteForce: Boolean = false, dim: Int = 64,
-                     nBands: Int = 8, bitsPerBand: Int = 0,
+                     nBands: Int = 16, bitsPerBand: Int = 0,
                      maxBucketSize: Int = 4096): DataFrame = {
     // norms precomputed once per vector (O(n)), not once per pair (O(n²))
     val v = emb.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
@@ -759,7 +767,7 @@ object Similarity {
     * (the 100 TB default of [[cosineNearDups]]). */
   def cosineNearDupsLsh(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        dim: Int = 64, nBands: Int = 8, bitsPerBand: Int = 0,
+                        dim: Int = 64, nBands: Int = 16, bitsPerBand: Int = 0,
                         maxBucketSize: Int = 4096): DataFrame =
     cosineNearDups(emb, threshold, idCol, vecCol, bruteForce = false,
       dim, nBands, bitsPerBand, maxBucketSize)
