@@ -80,30 +80,60 @@ object CoverageQueries {
   )
 
   /** EXACT percentiles (linear interpolation, quantile_cont
-    * definition) per group, computed SORT-BASED: rank with a window,
-    * pick the two bracketing rows per quantile, interpolate with
-    * rational arithmetic ((n-1)·num/den split into integer index +
-    * exact fraction). Spark's percentile() aggregate instead buffers
-    * every group value in one in-memory map — this form only sorts
-    * (spillable; upgrade path for giant single groups is a two-pass
-    * histogram-then-select over a range-partitioned sort). The oracle
-    * replays the identical formulation, so results are bit-identical.
+    * definition) per group, computed HISTOGRAM-THEN-SELECT so the
+    * heavy passes parallelize by DATA, not by group count. A
+    * rank-window formulation (`row_number over partitionBy(group)`)
+    * caps parallelism at the number of groups — lineitem has 3 return
+    * flags, so 1000 executors would leave 997 idle while 3 tasks each
+    * sort a third of 100 TB. Here instead:
+    *   1. one parallel agg for per-group (n, min, max);
+    *   2. each row gets a value bucket (B equal-width slots) — a
+    *      parallel `groupBy(group, bucket)` histogram of ≤ B·groups
+    *      rows;
+    *   3. cumulative counts over that TINY histogram locate the one
+    *      bucket holding each target rank (lo and lo+1 per quantile,
+    *      from (n-1)·num/den split into integer index + exact
+    *      fraction);
+    *   4. only the ~n/B rows of the needed buckets are sorted
+    *      (row_number within (group, bucket)); global rank = bucket
+    *      offset + local rank, then the same interpolation.
+    * Equal values land in the same bucket, so rank→value selection is
+    * unaffected by tie order; the arithmetic is identical to the
+    * rank-window form, so the oracle (which replays that form) is
+    * bit-identical. Pathological value skew (one bucket ≫ n/B) would
+    * recurse the same trick inside the bucket; not needed here.
     */
   val percentiles: Q = {
     import org.apache.spark.sql.expressions.Window
     Q(
       "a6_percentiles",
       (s, d) => {
-        val wRn = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        val nBuckets = 1024
         val base = Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        // group sizes via a tiny broadcast-joined aggregate — an
-        // unbounded COUNT(*) window frame would buffer each whole
-        // partition a second time
-        val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-        val ranked = base
-          .withColumn("rn", row_number().over(wRn))
-          .join(broadcast(counts), "l_returnflag")
+        val stats = base.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        val bucketed = base.join(broadcast(stats), "l_returnflag")
+          .withColumn("b",
+            when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+              least(floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * nBuckets),
+                lit(nBuckets - 1L)).cast("long")))
+        val hist = bucketed.groupBy(col("l_returnflag"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = hist.withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        def loRank(num: Int, den: Int): Column =
+          floor((col("n") - 1) * num / den).cast("long") + 1
+        val targets = stats.select(col("l_returnflag"),
+            explode(array(loRank(1, 2), loRank(1, 2) + 1, loRank(19, 20), loRank(19, 20) + 1))
+              .as("r"))
+        val needed = targets.join(offs, "l_returnflag")
+          .where(col("r") > col("off") && col("r") <= col("off") + col("cnt"))
+          .select(col("l_returnflag"), col("b"), col("off")).distinct()
+        val wLocal = Window.partitionBy(col("l_returnflag"), col("b")).orderBy(col("v"))
+        val sel = bucketed.join(broadcast(needed), Seq("l_returnflag", "b"))
+          .withColumn("rn", col("off") + row_number().over(wLocal))
         def qc(num: Int, den: Int): Column = {
           val idx = (col("n") - 1) * num
           val lo = floor(idx / den).cast("long") + 1
@@ -111,9 +141,12 @@ object CoverageQueries {
           sum(when(col("rn") === lo, col("v") * (lit(1.0) - frac))
             .when(col("rn") === lo + 1, col("v") * frac))
         }
-        ranked.groupBy(col("l_returnflag"))
-          .agg(qc(1, 2).as("p50"), qc(19, 20).as("p95"),
-            min(col("v")).as("min_price"), max(col("v")).as("max_price"))
+        sel.groupBy(col("l_returnflag"))
+          .agg(qc(1, 2).as("p50"), qc(19, 20).as("p95"))
+          .join(stats.select(col("l_returnflag"),
+            col("vmin").as("min_price"), col("vmax").as("max_price")), "l_returnflag")
+          .select(col("l_returnflag"), col("p50"), col("p95"),
+            col("min_price"), col("max_price"))
       },
       Some("""
         WITH ranked AS (
