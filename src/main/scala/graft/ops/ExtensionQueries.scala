@@ -734,6 +734,41 @@ object ExtensionQueries {
     )
   }
 
+  /** SemDeDup-style semantic dedup (Similarity.semanticDedup): k-means
+    * clusters, within-cluster cosine pairs, drop rows with a lower-id
+    * clustermate at cos ≥ t. The oracle replays the ENTIRE chain — the
+    * unrolled Lloyd's run (shared kmeansCtesSql), the cluster-size fuse,
+    * the within-cluster pair filter, and the anti-join — so the hash
+    * pins the drop SET, not just its size. t = 0.3 because the driver's
+    * sf0.01 embeddings are uniform (near-orthogonal at dim 64): a
+    * near-dup-level threshold would make the drop set empty and the
+    * query vacuous; 0.3 exercises every stage on that corpus. */
+  val dedupSemantic: Q = {
+    val nClusters = 4
+    val iters = 2
+    val threshold = 0.3
+    val maxClusterSize = 1 << 20
+    Q(
+      "x_dedup_semantic",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+          threshold = threshold, dim = 64, nClusters = nClusters, iters = iters,
+          maxClusterSize = maxClusterSize)
+        .select(col("vec_id")),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nClusters, iters)},
+      sizes AS (SELECT list, COUNT(*) AS csz FROM asgf GROUP BY list),
+      drops AS (SELECT DISTINCT b.vec_id AS vid
+                FROM asgf a
+                JOIN asgf b ON a.list = b.list AND a.vec_id < b.vec_id
+                JOIN sizes s ON s.list = a.list AND s.csz <= $maxClusterSize
+                WHERE list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $threshold)
+      SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vid FROM drops)
+    """.trim)
+    )
+  }
+
   /** Int8 embedding quantization, projected to scalar invariants (the
     * hash gate can't compare arrays): the micro-scaled factor and the
     * sum/min/max of the quantized codes pin every byte's arithmetic —
@@ -1483,7 +1518,8 @@ object ExtensionQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     ngramJaccard, containmentPairs,
-    knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups, embedQuantize,
+    knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
+    dedupSemantic, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinLshMultiBandQ,
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,

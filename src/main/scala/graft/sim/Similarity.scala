@@ -777,4 +777,51 @@ object Similarity {
   def cosineNearDupsExact(emb: DataFrame, threshold: Double,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     cosineNearDups(emb, threshold, idCol, vecCol, bruteForce = true)
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): k-means-partition the embedding space,
+    * compare pairs only WITHIN a cluster, and drop every row that has a
+    * lower-id clustermate at cosine ≥ `threshold`. Returns the kept
+    * rows of `emb`, all original columns.
+    *
+    * The clustering IS the scale trick: pair generation is quadratic
+    * only in cluster occupancy, so with nClusters grown ∝ n (SemDeDup
+    * used 11k clusters for 100M docs) the total pair volume stays
+    * n·(n/k) ≈ linear. The plan is one shuffle of each side on the
+    * cluster id into a sort-merge self-join; assignment rides the
+    * native KmeansNearestLists kernel (reference-array/broadcast
+    * centroid transport — JIT-safe at any nLists×dim, see
+    * [[kmeansAssign]]).
+    *
+    * Deterministic drop rule: j is dropped iff SOME i < j in its
+    * cluster has cos(i,j) ≥ threshold — i's own survival doesn't matter
+    * (the rule is "an earlier near-twin exists", not the sequential
+    * greedy scan; both appear in public dedup pipelines, this one is
+    * order-free and exactly SQL-replayable).
+    *
+    * `maxClusterSize` is the same skew fuse as minhash's bucket cap: a
+    * degenerate clustering (everything in one list) would otherwise
+    * emit occupancy² pairs; clusters above the cap SKIP dedup (all
+    * members kept — the conservative failure: never drop on an
+    * unverified pair). Re-cluster with larger nClusters instead of
+    * raising the cap. */
+  def semanticDedup(emb: DataFrame, threshold: Double, dim: Int,
+                    nClusters: Int = 4, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxClusterSize: Int = 1 << 20): DataFrame = {
+    require(nClusters > 0, s"semanticDedup: nClusters must be > 0, got $nClusters")
+    val cents = kmeans(emb, nClusters, dim, iters, idCol, vecCol)
+    val v = emb
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("list", kmeansAssign(col("v"), cents))
+      .withColumn("nrm", norm(col("v")))
+    val sizes = v.groupBy(col("list")).agg(count(lit(1)).as("_csz"))
+    val vc = v.join(broadcast(sizes), "list").filter(col("_csz") <= maxClusterSize)
+    val drops = vc.select(col("list"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"))
+      .join(vc.select(col("list"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2")), "list")
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")) >= threshold)
+      .select(col("id2").as("_drop_id")).distinct()
+    emb.join(drops, emb(idCol) === drops("_drop_id"), "left_anti")
+  }
 }
