@@ -227,6 +227,39 @@ object TextQueries {
     """.trim)
   )
 
+  /** Model-based quality gate (QualityClassifier.score) under the
+    * deterministic synthetic weight table — the oracle regenerates the
+    * same model from md5 and replays grams → buckets → decimal-exact
+    * weight mean → sigmoid. dim = 4096 keeps the weight broadcast and
+    * the generate_series replay small while leaving buckets sparse
+    * enough that collisions actually occur (the hashing trick's
+    * defining behavior). */
+  val qualityClassifier: Q = {
+    val dim = 4096
+    Q(
+      "x_quality_classifier",
+      (s, d) => QualityClassifier.score(Tables.documents(s, d),
+        QualityClassifier.syntheticWeights(s, dim), dim = dim),
+      Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+      g0 AS (SELECT doc_id, list_concat(tk, list_transform(
+               generate_series(1, greatest(len(tk) - 1, 1)),
+               i -> array_to_string(tk[i:i+1], ' '))) AS grams FROM t),
+      gx AS (SELECT doc_id,
+                    ('0x' || substr(md5(g), 1, 15))::BIGINT % $dim AS bucket
+             FROM (SELECT doc_id, unnest(grams) AS g FROM g0)),
+      wt AS (SELECT i AS bucket,
+                    CAST(CAST((('0x' || substr(md5('qw:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE) / 1000.0 AS DECIMAL(28,10)) AS wv
+             FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS i)),
+      sc AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(wv) AS sw
+             FROM gx JOIN wt USING (bucket) GROUP BY doc_id)
+      SELECT doc_id, n_grams,
+             ROUND(1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / n_grams))), 6) AS quality_prob
+      FROM sc
+    """.trim)
+    )
+  }
+
   def all: Seq[Q] = Seq(stats, langid, fingerprints, piiScrub, selfRepetition,
-    gopherRules)
+    gopherRules, qualityClassifier)
 }
