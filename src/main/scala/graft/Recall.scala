@@ -90,6 +90,27 @@ object Recall {
         exactPairsSim.size, recall(lshPairs, exactPairsSim.keySet)))
     }
 
+    // SemDeDup-style semantic dedup: a true near-dup pair (exact
+    // cos >= 0.9) is RESOLVED iff at least one member was dropped.
+    // Coverage requires both twins to land in the same k-means cluster
+    // — the SemDeDup approximation — so resolution climbs as clusters
+    // get finer ONLY while twins stay co-clustered; the measured curve
+    // is that tradeoff.
+    val target = exactPairsSim.collect { case (p, s) if s >= 0.9 => p }.toSet
+    if (target.nonEmpty) {
+      for (nc <- Seq(4, 16, 64)) {
+        val t0 = System.nanoTime()
+        val kept = Similarity.semanticDedup(emb, threshold = 0.9, dim = 64,
+            nClusters = nc)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val resolved = target.count { case (i, j) => !(kept(i) && kept(j)) }
+        rows += ((f"semanticDedup t=0.9 nClusters=$nc ($sec%.1fs), pair resolved" +
+          (if (nc == 4) " (x_dedup_semantic)" else ""),
+          target.size, resolved.toDouble / target.size))
+      }
+    }
+
     println(s"## $sfDir (n=$n embeddings, ${exactPairsSim.size} exact pairs at t=0.5)")
     println("| operator (catalog entry) | k / |exact| | recall |")
     println("|---|---|---|")
