@@ -769,6 +769,33 @@ object ExtensionQueries {
     )
   }
 
+  /** Semantic coverage sampling (Similarity.semanticSample): up to
+    * `perCluster` deterministic md5-draw picks per k-means cluster.
+    * The oracle replays the Lloyd's run, the draw, and the per-cluster
+    * rank — the hash pins exactly WHICH rows the sample keeps. */
+  val sampleSemantic: Q = {
+    val nClusters = 4
+    val iters = 2
+    val perCluster = 16
+    Q(
+      "x_sample_semantic",
+      (s, d) => Similarity.semanticSample(Tables.embeddings(s, d),
+          perCluster = perCluster, dim = 64, nClusters = nClusters, iters = iters)
+        .select(col("vec_id"), col("list")),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nClusters, iters)},
+      drawn AS (SELECT vec_id, list,
+                       ('0x' || substr(md5('ssample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS draw
+                FROM asgf),
+      ranked AS (SELECT vec_id, list,
+                        ROW_NUMBER() OVER (PARTITION BY list ORDER BY draw, vec_id) AS rn
+                 FROM drawn)
+      SELECT vec_id, list FROM ranked WHERE rn <= $perCluster
+    """.trim)
+    )
+  }
+
   /** Int8 embedding quantization, projected to scalar invariants (the
     * hash gate can't compare arrays): the micro-scaled factor and the
     * sum/min/max of the quantized codes pin every byte's arithmetic —
@@ -1519,7 +1546,7 @@ object ExtensionQueries {
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
-    dedupSemantic, embedQuantize,
+    dedupSemantic, sampleSemantic, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinLshMultiBandQ,
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,

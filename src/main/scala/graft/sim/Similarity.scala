@@ -824,4 +824,39 @@ object Similarity {
       .select(col("id2").as("_drop_id")).distinct()
     emb.join(drops, emb(idCol) === drops("_drop_id"), "left_anti")
   }
+
+  /** Semantic COVERAGE sampling: k-means the embedding space, keep (up
+    * to) `perCluster` rows per cluster by a deterministic salted md5-60
+    * draw. Uniform sampling preserves the corpus DENSITY — dense
+    * regions dominate the sample; per-cluster sampling preserves its
+    * COVERAGE — every region of embedding space is represented, which
+    * is what eval-set and coreset construction want. Returns the kept
+    * rows of `emb` with the assigned `list` (cluster id) appended.
+    *
+    * Scale shape: assignment is the broadcast-transport native kernel
+    * ([[kmeansAssign]]); the per-cluster top-`perCluster` is a
+    * rank-window over the cluster key — parallelism = nClusters, which
+    * in a real deployment is large (nClusters grows with n to bound
+    * occupancy, the same sizing rule as [[semanticDedup]]). The draw is
+    * salted md5 of the id — deterministic across runs and engines, no
+    * RNG state. */
+  def semanticSample(emb: DataFrame, perCluster: Int, dim: Int,
+                     nClusters: Int = 4, iters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     salt: String = "ssample:"): DataFrame = {
+    require(perCluster > 0, s"semanticSample: perCluster must be > 0, got $perCluster")
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeans(emb, nClusters, dim, iters, idCol, vecCol)
+    val assigned = emb
+      .select(col(idCol).as("_sid"), asDouble(col(vecCol)).as("_v"))
+      .withColumn("list", kmeansAssign(col("_v"), cents))
+      .withColumn("_draw", graft.dedup.Dedup.md5Hash60(
+        concat(lit(salt), col("_sid").cast("string"))))
+    val kept = assigned
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("list")).orderBy(col("_draw"), col("_sid"))))
+      .filter(col("_rn") <= perCluster)
+      .select(col("_sid"), col("list"))
+    emb.join(kept, emb(idCol) === kept("_sid")).drop("_sid")
+  }
 }
