@@ -45,9 +45,14 @@ object QualityClassifier {
   def score(docs: DataFrame, weights: DataFrame, dim: Int, bias: Double = 0.0,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim > 0, s"QualityClassifier.score: dim must be > 0, got $dim")
+    // hash the whole gram array in ONE native pass (Md5Hashes60 — a
+    // digest per gram with no per-row expression overhead), then
+    // explode 8-byte longs, not gram strings
     val exploded = docs
-      .select(col(idCol), explode(grams(col(textCol))).as("_gram"))
-      .select(col(idCol), pmod(Dedup.md5Hash60(col("_gram")), lit(dim.toLong)).as("_bucket"))
+      .select(col(idCol), explode(
+        org.apache.spark.sql.graftext.VectorExpressions.md5Hashes60(
+          grams(col(textCol)))).as("_h"))
+      .select(col(idCol), pmod(col("_h"), lit(dim.toLong)).as("_bucket"))
     val wt = weights.select(col("bucket").as("_bucket"),
       col("weight").cast("decimal(28,10)").as("_w"))
     exploded
