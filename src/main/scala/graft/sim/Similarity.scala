@@ -793,11 +793,14 @@ object Similarity {
     * centroid transport — JIT-safe at any nLists×dim, see
     * [[kmeansAssign]]).
     *
-    * Deterministic drop rule: j is dropped iff SOME i < j in its
-    * cluster has cos(i,j) ≥ threshold — i's own survival doesn't matter
-    * (the rule is "an earlier near-twin exists", not the sequential
-    * greedy scan; both appear in public dedup pipelines, this one is
-    * order-free and exactly SQL-replayable).
+    * Deterministic drop rule: x is dropped iff SOME clustermate y with
+    * cos(x,y) ≥ threshold PRECEDES it — by id when `scoreCol` is None
+    * ("an earlier near-twin exists"), or by (score DESC, id) when a
+    * keep-preference column is given (keep the longest / highest
+    * quality / earliest crawl of a twin set — the same contract as
+    * clusterRepresentatives' score). The survivor's own survival never
+    * matters, so the rule is order-free and exactly SQL-replayable —
+    * not the sequential greedy scan (both appear in public pipelines).
     *
     * `maxClusterSize` is the same skew fuse as minhash's bucket cap: a
     * degenerate clustering (everything in one list) would otherwise
@@ -808,20 +811,34 @@ object Similarity {
   def semanticDedup(emb: DataFrame, threshold: Double, dim: Int,
                     nClusters: Int = 4, iters: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    maxClusterSize: Int = 1 << 20): DataFrame = {
+                    maxClusterSize: Int = 1 << 20,
+                    scoreCol: Option[String] = None): DataFrame = {
     require(nClusters > 0, s"semanticDedup: nClusters must be > 0, got $nClusters")
     val cents = kmeans(emb, nClusters, dim, iters, idCol, vecCol)
-    val v = emb
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val base = emb.select(
+      (col(idCol).as("id") +: asDouble(col(vecCol)).as("v") +:
+        scoreCol.map(c => col(c).as("sc")).toSeq): _*)
+    val v = base
       .withColumn("list", kmeansAssign(col("v"), cents))
       .withColumn("nrm", norm(col("v")))
     val sizes = v.groupBy(col("list")).agg(count(lit(1)).as("_csz"))
     val vc = v.join(broadcast(sizes), "list").filter(col("_csz") <= maxClusterSize)
-    val drops = vc.select(col("list"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"))
-      .join(vc.select(col("list"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2")), "list")
-      .filter(col("id1") < col("id2"))
-      .filter(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")) >= threshold)
-      .select(col("id2").as("_drop_id")).distinct()
+    def side(n: Int) = {
+      val cols = Seq(col("list"), col("id").as(s"_id$n"), col("v").as(s"_v$n"),
+        col("nrm").as(s"_nrm$n")) ++ scoreCol.map(_ => col("sc").as(s"_sc$n"))
+      vc.select(cols: _*)
+    }
+    // y (side 1) precedes x (side 2) ⇒ x drops: by id alone, or by
+    // (score DESC, id) when a keep-preference column is given
+    val precedes = scoreCol match {
+      case None => col("_id1") < col("_id2")
+      case Some(_) =>
+        struct(-col("_sc1"), col("_id1")) < struct(-col("_sc2"), col("_id2"))
+    }
+    val drops = side(1).join(side(2), "list")
+      .filter(col("_id1") =!= col("_id2")).filter(precedes)
+      .filter(dot(col("_v1"), col("_v2")) / (col("_nrm1") * col("_nrm2")) >= threshold)
+      .select(col("_id2").as("_drop_id")).distinct()
     emb.join(drops, emb(idCol) === drops("_drop_id"), "left_anti")
   }
 

@@ -47,6 +47,18 @@ class SemanticDedupSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("scoreCol keep policy: the highest-score twin survives, not the lowest id") {
+    val scored = dupEmb.withColumn("quality",
+      // give the HIGHEST id of each dup group the best score
+      col("vec_id").cast("double"))
+    val kept = keptIds(Similarity.semanticDedup(scored, threshold = 0.999,
+      dim = 8, nClusters = 2, iters = 1, scoreCol = Some("quality")))
+    // dup groups {0,1,7} and {2,5}: score = id, so 7 and 5 survive
+    assert(kept.contains(7L) && !kept.contains(0L) && !kept.contains(1L))
+    assert(kept.contains(5L) && !kept.contains(2L))
+    assert(Set(3L, 4L, 6L).subsetOf(kept))
+  }
+
   test("agrees with a brute-force replay of the drop rule on sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
