@@ -250,7 +250,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.graftext.KmeansNearestLists
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    for (name <- Seq("x_ann_ivf_kmeans", "x_knn_join_ivf", "x_knn_join_ivf_mp")) {
+    for (name <- Seq("x_ann_ivf_kmeans", "x_knn_join_ivf", "x_knn_join_ivf_mp",
+        "x_dedup_semantic", "x_sample_semantic")) {
       val qe = SparkEntry.queries(name)(spark, sf).queryExecution
       // the r6 shape inlined the nLists×dim matrix as array literals —
       // megabytes of plan and an interpreted assignment at real nLists
