@@ -166,6 +166,59 @@ object CoverageQueries {
     )
   }
 
+  /** EXACT distributional moments (mean / variance / stddev / skewness)
+    * per group via DECIMAL POWER SUMS: one pass accumulates n, Σx, Σx²,
+    * Σx³ as exact decimals (map-side combinable, associative, and —
+    * unlike a double accumulator or Welford merging — DETERMINISTIC
+    * under any partition merge order), then the moments are closed-form
+    * double arithmetic on four scalars:
+    *   var  = (n·Σx² − (Σx)²) / n²            (population)
+    *   skew = (n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³) / (n³·var^{3/2})
+    * l_quantity ∈ [1,50] so Σx³ ≤ 1.25e5·n — decimal(38,6) holds it to
+    * ~10³² rows. The oracle replays the same power sums, so results are
+    * bit-identical; Spark's own stddev/skewness would hash-flake run to
+    * run (double partial merges in shuffle order). */
+  val moments: Q = {
+    def psum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+    Q(
+      "a7_moments",
+      (s, d) => {
+        val x = col("l_quantity")
+        val agg = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), psum(x).as("s1"),
+            psum(x * x).as("s2"), psum(x * x * x).as("s3"))
+        val (n, s1, s2, s3) = (col("n").cast("double"),
+          col("s1").cast("double"), col("s2").cast("double"), col("s3").cast("double"))
+        val variance = (n * s2 - s1 * s1) / (n * n)
+        val skew = (n * n * s3 - lit(3.0) * n * s1 * s2 + lit(2.0) * s1 * s1 * s1) /
+          (n * n * n * pow(variance, 1.5))
+        agg.select(col("l_returnflag"), col("n"),
+          round((s1 / n), 6).as("mean_qty"),
+          round(variance, 6).as("var_qty"),
+          round(sqrt(variance), 6).as("std_qty"),
+          round(skew, 6).as("skew_qty"))
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(38,6))) AS s1,
+                 SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS s2,
+                 SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS s3
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_qty,
+               ROUND((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * n), 6) AS var_qty,
+               ROUND(sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * n)), 6) AS std_qty,
+               ROUND((CAST(n AS DOUBLE) * n * CAST(s3 AS DOUBLE)
+                      - 3 * n * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * n * n * pow((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * n), 1.5)), 6) AS skew_qty
+        FROM ps
+      """.trim)
+    )
+  }
+
   /** Explicit GROUPING SETS (not derivable from rollup/cube) with
     * grouping() null-vs-group markers — over the finest-grain
     * pre-aggregate, like g1/g2. */
@@ -426,7 +479,7 @@ object CoverageQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(rollup1, cube1, groupingSets1, topk, countDistinct1,
+  def all: Seq[Q] = Seq(rollup1, cube1, groupingSets1, topk, countDistinct1, moments,
     percentiles, semiAnti, nullSafeJoin, outer, setOps, pivot1, rankFamily,
     frames, wordcount, winsorize)
 }

@@ -58,4 +58,21 @@ class PercentilesSpec extends SparkSpec {
       ("C", 5.0), ("C", 5.0), ("C", 5.0)) ++ ties
     assertAgree(rows)
   }
+
+  test("a7_moments power-sum formulas match Spark's stddev_pop/skewness") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
+    val got = CoverageQueries.moments.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(r.fieldIndex("std_qty")),
+        r.getDouble(r.fieldIndex("skew_qty")))).toMap
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(stddev_pop(col("l_quantity")).as("sd"), skewness(col("l_quantity")).as("sk"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet) {
+      assert(math.abs(got(g)._1 - want(g)._1) < 1e-5, s"$g stddev: ${got(g)} vs ${want(g)}")
+      assert(math.abs(got(g)._2 - want(g)._2) < 1e-5, s"$g skewness: ${got(g)} vs ${want(g)}")
+    }
+  }
 }
