@@ -14,10 +14,16 @@ object Bench {
     * tolerant: python's json.dump writes `"sf": "..."` with a space, so
     * a literal `"sf":"..."` match silently no-ops the whole
     * contamination check (r6 shipped exactly that bug — no committed
-    * BENCH_*.json ever carried a `contaminated` field). */
+    * BENCH_*.json ever carried a `contaminated` field). The SF match is
+    * by CANONICAL path: refs record the sbt-cwd-relative `testdata/sf1`
+    * while callers may pass the absolute dir, and a raw string compare
+    * silently skips the check for the same directory — the same
+    * no-op-by-formatting class as the r6 whitespace bug. */
   def parseSoloRef(txt: String, sfDir: String): Map[String, Double] = {
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: java.io.IOException => p }
     val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      .findFirstMatchIn(txt).exists(m => canon(m.group(1)) == canon(sfDir))
     if (!sfOk) Map.empty // ref is for another SF
     else """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
       case None => Map.empty

@@ -27,6 +27,14 @@ class BenchSoloRefSpec extends AnyFunSuite {
     assert(parseSoloRef(spaced, "testdata/sf1") == Map.empty)
   }
 
+  test("relative and absolute spellings of the same sf dir match") {
+    // refs record the sbt-cwd-relative path; callers may pass absolute
+    val rel = compact.replace("/root/testdata/sf0.1", "testdata/sf1")
+    val abs = new java.io.File("testdata/sf1").getCanonicalPath
+    assert(parseSoloRef(rel, abs) == Map("q1_agg" -> 0.5, "x_tfidf" -> 3.0))
+    assert(parseSoloRef(compact, "/root/testdata/sf0.1").nonEmpty)
+  }
+
   test("malformed / empty refs parse to empty, never throw") {
     for (txt <- Seq("", "{}", """{"sf": "/root/testdata/sf0.1"}""",
         """{"sf": "/root/testdata/sf0.1", "queries": 3}""",

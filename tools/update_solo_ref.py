@@ -10,7 +10,13 @@ Usage: python3 tools/update_solo_ref.py <new_bench.json> [ref_path]
 New queries are added; existing ones keep min(old, new); queries absent
 from the new run are kept. Refuses a run whose sf differs from the ref's.
 """
-import json, sys
+import json, os, sys
+
+def canon(p):
+    # refs record the sbt-cwd-relative sf dir, runs may record the
+    # absolute one; a raw string compare would refuse the same directory
+    # (the Scala-side parser canonicalizes identically since r7)
+    return os.path.realpath(p) if p else p
 
 def main(new_path, ref_path="BENCH_SOLO_REF.json"):
     new = json.load(open(new_path))
@@ -18,7 +24,7 @@ def main(new_path, ref_path="BENCH_SOLO_REF.json"):
         ref = json.load(open(ref_path))
     except FileNotFoundError:
         ref = None
-    if ref and ref.get("sf") != new.get("sf"):
+    if ref and canon(ref.get("sf")) != canon(new.get("sf")):
         sys.exit(f"error: ref sf {ref.get('sf')} != new run sf {new.get('sf')}")
     if not new.get("value") or new.get("failed"):
         sys.exit(f"error: {new_path} is empty or has failures — not a clean solo run")
