@@ -185,6 +185,26 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Per-band LSH signatures on the md5 hash family: one row per
+    * (doc, band) with the band's signature slice rendered as a compact
+    * string key. This is the EXCHANGEABLE near-dup artifact — for an
+    * ingest pipeline, build it once over the corpus and persist it
+    * (bucket by (band, s) so the incremental probe join in
+    * [[dedupAgainstCorpusNearDupMd5]] is co-located); the text column
+    * never leaves the map side. */
+  def bandSignaturesMd5(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 16,
+                        rowsPerBand: Int = 2, shingleW: Int = 3): DataFrame = {
+    val nBands = k / rowsPerBand
+    docs.select(col(idCol),
+        org.apache.spark.sql.graftext.VectorExpressions.md5MinHash(
+          shingles(col(textCol), shingleW), k).as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "s")))
+  }
+
   /** MinHash+LSH near-dups on the md5 hash family — the engine-portable
     * construction the DuckDB oracle can replay hash-for-hash (md5 is
     * identical everywhere; xxhash64 is Spark-only). One digest per
@@ -202,14 +222,7 @@ object Dedup {
                          k: Int = 16, rowsPerBand: Int = 2,
                          shingleW: Int = 3,
                          maxBucketSize: Option[Int] = None): DataFrame = {
-    val nBands = k / rowsPerBand
-    val sig = docs.select(col(idCol),
-      org.apache.spark.sql.graftext.VectorExpressions.md5MinHash(
-        shingles(col(textCol), shingleW), k).as("sig"))
-    val sigs = sig.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(nBands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .as(Seq("band", "s")))
+    val sigs = bandSignaturesMd5(docs, idCol, textCol, k, rowsPerBand, shingleW)
     val grouped = sigs.groupBy(col("band"), col("s"))
       .agg(collect_list(col(idCol)).as("ids"))
     // same degenerate-bucket cap as minhashNearDups (see there)
@@ -443,6 +456,60 @@ object Dedup {
         existing.filter(shardOf(existing(textCol)) === s.toLong),
         textCol, fp, fpp, expectedItemsPerShard, maxBloomBytes)
     }.reduce(_ unionByName _)
+  }
+
+  /** Incremental NEAR-dup dedup: drop incoming docs whose Jaccard
+    * similarity to ANY existing-corpus doc reaches `threshold` — the
+    * MinHash/LSH twin of [[dedupAgainstCorpus]] (which only catches
+    * exact-normalized-text twins). A daily ingest composes both: exact
+    * anti-join first (cheap), then this for the reworded/near-copy tail.
+    *
+    * Shape: both sides map to per-band signature keys
+    * ([[bandSignaturesMd5]] — narrow, text never shuffles), the corpus
+    * side pre-groups ids per (band, s) key, and candidates come from
+    * ONE equi-join of incoming band rows against those groups — never
+    * an all-pairs compare. Exact Jaccard verification per candidate
+    * keeps precision (LSH alone admits false candidates); only verified
+    * matches suppress an incoming row, via left_anti on the id.
+    *
+    * At the 100 TB design point the corpus group table is built ONCE
+    * and persisted bucketed by (band, s) (see [[bandSignaturesMd5]]),
+    * so an ingest batch costs: narrow signature pass over the batch +
+    * one co-located probe join + per-candidate verify joins — the
+    * near-dup analogue of the persisted-IVF probe path. `maxBucketSize`
+    * drops degenerate corpus buckets (a bucket of f docs fans every
+    * colliding incoming row out f ways), same escape hatch as
+    * [[minhashNearDupsMd5]]; None keeps it exact.
+    *
+    * Incoming docs that are near-dups of EACH OTHER but not of the
+    * corpus all survive (same contract as the exact incremental
+    * family); run [[minhashNearDupsMd5]] + [[dedupClusters]] within the
+    * batch first when that matters. */
+  def dedupAgainstCorpusNearDupMd5(incoming: DataFrame, existing: DataFrame,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text",
+                                   threshold: Double = 0.7, k: Int = 16,
+                                   rowsPerBand: Int = 2, shingleW: Int = 3,
+                                   maxBucketSize: Option[Int] = None): DataFrame = {
+    val exGrouped = bandSignaturesMd5(existing, idCol, textCol, k, rowsPerBand, shingleW)
+      .groupBy(col("band"), col("s")).agg(collect_list(col(idCol)).as("ex_ids"))
+    val capped = maxBucketSize.fold(exGrouped)(m => exGrouped.filter(size(col("ex_ids")) <= m))
+    val candidates = bandSignaturesMd5(incoming, idCol, textCol, k, rowsPerBand, shingleW)
+      .join(capped, Seq("band", "s"))
+      .select(col(idCol).as("_in_id"), explode(col("ex_ids")).as("_ex_id"))
+      .dropDuplicates()
+    val shIn = incoming.select(col(idCol).as("_in_id"),
+      shingles(col(textCol), shingleW).as("_sh1"))
+    val shEx = existing.select(col(idCol).as("_ex_id"),
+      shingles(col(textCol), shingleW).as("_sh2"))
+    val matched = candidates
+      .join(shIn, "_in_id").join(shEx, "_ex_id")
+      .select(col("_in_id"),
+        size(array_intersect(col("_sh1"), col("_sh2"))).as("_nc"),
+        size(col("_sh1")).as("_n1"), size(col("_sh2")).as("_n2"))
+      .filter(col("_nc").cast("double") / (col("_n1") + col("_n2") - col("_nc")) >= threshold)
+      .select(col("_in_id")).distinct()
+    incoming.join(matched, incoming(idCol) === col("_in_id"), "left_anti")
   }
 
   // ---------------------------------------------------------- clustering

@@ -202,6 +202,61 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Incremental NEAR-dup dedup: today's ingest (doc_id ≡ 0 mod 5)
+    * keeps only rows that are not a Jaccard-0.5 near-duplicate of ANY
+    * existing-corpus doc — the MinHash/LSH twin of the exact
+    * incremental family above (which only catches byte-identical
+    * normalized text). Candidates come from one equi-join of the
+    * batch's band signatures against the corpus's pre-grouped band
+    * table (persistable, bucketed — the near-dup analogue of the
+    * persisted-IVF probe path); exact Jaccard verification per
+    * candidate keeps precision. The oracle replays the identical
+    * banding + verification construction across the same split. */
+  val dedupIncrementalNearDup: Q = Q(
+    "x_dedup_incremental_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstCorpusNearDupMd5(
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        threshold = 0.5, maxBucketSize = Some(64))
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      ab AS (SELECT doc_id, shl, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+      exg AS (SELECT b, s FROM bands WHERE doc_id % 5 <> 0
+              GROUP BY b, s HAVING COUNT(*) <= 64),
+      cand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+               FROM exg g JOIN bands i ON i.b = g.b AND i.s = g.s
+                          JOIN bands e ON e.b = g.b AND e.s = g.s
+                                      AND e.doc_id % 5 <> 0
+               WHERE i.doc_id % 5 = 0),
+      matched AS (SELECT DISTINCT in_id FROM (
+                  SELECT in_id,
+                         len(list_intersect(x.shl, y.shl)) AS nc,
+                         len(x.shl) AS n1, len(y.shl) AS n2
+                  FROM cand
+                  JOIN sh0 x ON in_id = x.doc_id
+                  JOIN sh0 y ON ex_id = y.doc_id) t
+                  WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5)
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id % 5 = 0
+        AND d.doc_id NOT IN (SELECT in_id FROM matched)
+    """.trim)
+  )
+
   /** Exact dedup on the 120-bit md5-pair fingerprint: the 16-byte
     * shuffle key that stays collision-free at 10^11 docs (where the
     * 64-bit key expects ~270 silent merges). Both 60-bit halves replay
@@ -1544,6 +1599,7 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
+    dedupIncrementalNearDup,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
     dedupSemantic, sampleSemantic, embedQuantize,
