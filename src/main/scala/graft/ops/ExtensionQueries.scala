@@ -1295,6 +1295,32 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Z-order (Morton) layout values under the oracle: the native
+    * codegen'd interleave (graftext.ZOrderLong, surfaced as
+    * Layout.zorderValue — the clustering key writeZOrdered range-
+    * partitions files by) must agree bit-for-bit with DuckDB's replay
+    * of the same interleave as explicit shift/mask arithmetic. The
+    * curve's file-pruning effect is asserted separately in ZOrderSpec;
+    * this row pins the VALUE, which is what makes the layout
+    * reproducible across writers. */
+  val zorderValues: Q = Q(
+    "x_zorder",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.layout.Layout.zorderValue(
+          Seq(col("l_partkey"), col("l_suppkey")), 21).as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(list_sum(list_transform(generate_series(0, 20), j ->
+               (((l_partkey >> j) & 1) << (2*j)) +
+               (((l_suppkey >> j) & 1) << (2*j + 1)))) AS BIGINT) AS zval
+      FROM lineitem
+      ORDER BY zval, l_orderkey, l_linenumber LIMIT 200
+    """.trim)
+  )
+
   /** Salted skew join under the oracle: the salt is an internal
     * implementation detail (deterministic xxhash64 fan-out + dim
     * replication), so the result must equal — and the oracle IS — the
@@ -1610,5 +1636,5 @@ object ExtensionQueries {
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
-    splitAssign, tfidf, lineDedup, sourceCap, skewSaltedJoin)
+    splitAssign, tfidf, lineDedup, sourceCap, skewSaltedJoin, zorderValues)
 }

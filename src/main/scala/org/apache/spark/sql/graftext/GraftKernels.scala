@@ -301,4 +301,24 @@ object GraftKernels {
     }
     InternalRow(scale, UnsafeArrayData.fromPrimitiveArray(q), sum, mn, mx)
   }
+
+  /** Morton interleave: bit j of dimension k → bit j·D + k. Values are
+    * masked to `bitsPerDim` bits (see [[ZOrderLong]]'s contract). */
+  def zorderLong(dims: ArrayData, bitsPerDim: Int): Long = {
+    val d = dims.numElements()
+    require(d >= 1 && d * bitsPerDim <= 63,
+      s"zorder_long: need 1 <= nDims * bitsPerDim <= 63, got $d * $bitsPerDim")
+    var z = 0L
+    var j = 0
+    while (j < bitsPerDim) {
+      var k = 0
+      while (k < d) {
+        val v = if (dims.isNullAt(k)) 0L else dims.getLong(k)
+        z |= ((v >>> j) & 1L) << (j * d + k)
+        k += 1
+      }
+      j += 1
+    }
+    z
+  }
 }

@@ -124,6 +124,11 @@ object VectorExpressions {
   def md5MinHash(shingles: Column, k: Int): Column =
     ExpressionUtils.column(Md5MinHash(ExpressionUtils.expression(shingles), k))
 
+  /** Z-order (Morton) value of an array of long dimensions — see
+    * [[ZOrderLong]]. */
+  def zorderLong(dims: Column, bitsPerDim: Int): Column =
+    ExpressionUtils.column(ZOrderLong(ExpressionUtils.expression(dims), bitsPerDim))
+
   def md5Min(shingles: Column): Column =
     ExpressionUtils.column(Md5Min(ExpressionUtils.expression(shingles)))
 
@@ -271,6 +276,8 @@ private[graftext] object GraftFunctionRegistry {
       es => TextStats(es(0), TextStats.defaultStopwords)),
     ("id_pairs", classOf[IdPairs], es => IdPairs(es(0))),
     ("int8_quantize", classOf[QuantizeInt8], es => QuantizeInt8(es(0))),
+    ("zorder_long", classOf[ZOrderLong],
+      es => ZOrderLong(es(0), intArg("zorder_long", es(1)))),
     ("lsh_band_buckets", classOf[LshBandBuckets],
       es => {
         val dim = intArg("lsh_band_buckets", es(1))
@@ -286,6 +293,14 @@ private[graftext] object GraftFunctionRegistry {
     * registered name; functions without an entry get a bare
     * ExpressionInfo. */
   val usages: Map[String, String] = Map(
+    "zorder_long" ->
+      ("_FUNC_(dims, bitsPerDim) - Z-order (Morton) interleave of an " +
+        "ARRAY<BIGINT>: bit j of dims[k] lands at position j*D + k. " +
+        "Dimensions must be non-negative; values are MASKED to " +
+        "bitsPerDim bits (normalize/bucket first), and D*bitsPerDim " +
+        "must be <= 63. Sort or range-partition by the result before a " +
+        "columnar write to bound every file's min/max box in all " +
+        "interleaved dimensions at once."),
     "md5_hashes60" ->
       ("_FUNC_(arr) - Per-element 60-bit md5 hashes of a string array. " +
         "NULL elements are DROPPED: the output array is shorter than the " +
