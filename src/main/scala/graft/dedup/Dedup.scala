@@ -490,20 +490,52 @@ object Dedup {
                                    textCol: String = "text",
                                    threshold: Double = 0.7, k: Int = 16,
                                    rowsPerBand: Int = 2, shingleW: Int = 3,
-                                   maxBucketSize: Option[Int] = None): DataFrame = {
-    val exGrouped = bandSignaturesMd5(existing, idCol, textCol, k, rowsPerBand, shingleW)
+                                   maxBucketSize: Option[Int] = None): DataFrame =
+    dedupAgainstCorpusNearDupIndexed(incoming,
+      corpusNearDupIndex(existing, idCol, textCol, k, rowsPerBand, shingleW, maxBucketSize),
+      idCol, textCol, threshold, k, rowsPerBand, shingleW)
+
+  /** The reusable corpus half of [[dedupAgainstCorpusNearDupMd5]]:
+    * per-(band, s) id groups (bucket-capped) + per-doc shingle sets.
+    * Build ONCE, persist/cache, and probe with every ingest batch —
+    * per-batch cost then excludes the corpus passes entirely. This is
+    * the object a deployment writes bucketed by (band, s) / `_ex_id`
+    * next to the corpus, and what the streaming twin holds static
+    * across micro-batches. */
+  case class CorpusNearDupIndex(bands: DataFrame, shingles: DataFrame) {
+    def cache(): this.type = { bands.cache(); shingles.cache(); this }
+    def unpersist(): Unit = { bands.unpersist(); shingles.unpersist() }
+  }
+
+  def corpusNearDupIndex(existing: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", k: Int = 16,
+                         rowsPerBand: Int = 2, shingleW: Int = 3,
+                         maxBucketSize: Option[Int] = None): CorpusNearDupIndex = {
+    val grouped = bandSignaturesMd5(existing, idCol, textCol, k, rowsPerBand, shingleW)
       .groupBy(col("band"), col("s")).agg(collect_list(col(idCol)).as("ex_ids"))
-    val capped = maxBucketSize.fold(exGrouped)(m => exGrouped.filter(size(col("ex_ids")) <= m))
+    val capped = maxBucketSize.fold(grouped)(m => grouped.filter(size(col("ex_ids")) <= m))
+    val sh = existing.select(col(idCol).as("_ex_id"),
+      shingles(col(textCol), shingleW).as("_sh2"))
+    CorpusNearDupIndex(capped, sh)
+  }
+
+  /** [[dedupAgainstCorpusNearDupMd5]] against a prebuilt
+    * [[CorpusNearDupIndex]]. `k`/`rowsPerBand`/`shingleW` must match
+    * the index's build parameters (band keys are compared verbatim). */
+  def dedupAgainstCorpusNearDupIndexed(incoming: DataFrame, index: CorpusNearDupIndex,
+                                       idCol: String = "doc_id",
+                                       textCol: String = "text",
+                                       threshold: Double = 0.7, k: Int = 16,
+                                       rowsPerBand: Int = 2,
+                                       shingleW: Int = 3): DataFrame = {
     val candidates = bandSignaturesMd5(incoming, idCol, textCol, k, rowsPerBand, shingleW)
-      .join(capped, Seq("band", "s"))
+      .join(index.bands, Seq("band", "s"))
       .select(col(idCol).as("_in_id"), explode(col("ex_ids")).as("_ex_id"))
       .dropDuplicates()
     val shIn = incoming.select(col(idCol).as("_in_id"),
       shingles(col(textCol), shingleW).as("_sh1"))
-    val shEx = existing.select(col(idCol).as("_ex_id"),
-      shingles(col(textCol), shingleW).as("_sh2"))
     val matched = candidates
-      .join(shIn, "_in_id").join(shEx, "_ex_id")
+      .join(shIn, "_in_id").join(index.shingles, "_ex_id")
       .select(col("_in_id"),
         size(array_intersect(col("_sh1"), col("_sh2"))).as("_nc"),
         size(col("_sh1")).as("_n1"), size(col("_sh2")).as("_n2"))

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import graft.dedup.Dedup
 import graft.text.TextAnalysis
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming corpus ingest: the pretraining-data preparation flow
   * (quality gate → dedup → per-language accounting) as a continuous
@@ -46,4 +48,35 @@ object CorpusStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("lang"), col("n_docs"), col("total_tokens"))
   }
+
+  /** Streaming NEAR-dup ingest dedup: each arriving micro-batch keeps
+    * only docs that are not Jaccard near-duplicates of the existing
+    * corpus, appending survivors to `outPath` — the continuous twin of
+    * `Dedup.dedupAgainstCorpusNearDupMd5`.
+    *
+    * Shape: `foreachBatch` applying the BATCH operator against a
+    * prebuilt (cached/persisted) [[Dedup.CorpusNearDupIndex]]. The
+    * per-row keep decision needs a NOT-EXISTS over the row's band
+    * fan-out — an aggregation back to the row — which Structured
+    * Streaming cannot express stream-side without unsupported
+    * stream-stream anti-join state; `foreachBatch` is the supported
+    * pattern for exactly this (the micro-batch IS a batch), and keeps
+    * stream and batch semantics IDENTICAL by construction — the spec
+    * pins stream==batch output equality. Exactly-once comes from the
+    * checkpoint + idempotent parquet append; the corpus index is
+    * static across micro-batches (refresh it on corpus growth by
+    * restarting the query — same contract as the bloom ingest path's
+    * rebuild-on-growth). */
+  def ingestNearDupDedup(docs: DataFrame, index: Dedup.CorpusNearDupIndex,
+                         outPath: String, checkpoint: String,
+                         threshold: Double = 0.7, k: Int = 16,
+                         rowsPerBand: Int = 2, shingleW: Int = 3): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.dedupAgainstCorpusNearDupIndexed(batch, index,
+            threshold = threshold, k = k, rowsPerBand = rowsPerBand, shingleW = shingleW)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -49,4 +49,41 @@ class CorpusStreamSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 10:00:00", "de", 1L, 15L)), rows.toString)
     } finally q.stop()
   }
+
+  test("streaming near-dup ingest == batch operator, across micro-batches") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "through fields of green grass under a bright blue summer sky today"
+    val fresh = "a short story about mountains rivers forests and the many " +
+      "animals that wander between them during the long cold winter months"
+    val corpus = Seq((100L, base), (101L, "unrelated corpus text about engines " +
+      "and query optimization with columnar storage and vectorized execution"))
+      .toDF("doc_id", "text")
+    val index = Dedup.corpusNearDupIndex(corpus).cache()
+
+    val dir = java.nio.file.Files.createTempDirectory("neardup-stream").toString
+    val b1 = Seq((1L, base.replace("today", "tonight")), (2L, fresh)) // near-dup + new
+    val b2 = Seq((3L, base), (4L, fresh + " second batch variant entirely new"))
+    b1.toDF("doc_id", "text").write.parquet(s"$dir/in/b1")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema).parquet(s"$dir/in/*")
+    val q = CorpusStream.ingestNearDupDedup(stream, index,
+      s"$dir/out", s"$dir/ckpt", threshold = 0.5)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = Dedup.dedupAgainstCorpusNearDupMd5(
+      (b1 ++ b2).toDF("doc_id", "text"), corpus, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    index.unpersist()
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set(2L, 4L)) // near-dups of the corpus dropped, new kept
+  }
 }
