@@ -282,6 +282,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_max"), p)
   }
 
+  test("x_zorder: pruned scan + codegen'd interleave + distributed top-k") {
+    val p = plan("x_zorder")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ordered limit must be distributed top-k, not a global sort:\n" + p)
+    assert(p.contains("zorder_long"), p)
+    assert(!p.contains("l_quantity"), "only the 4 needed columns read:\n" + p)
+  }
+
+  test("x_dedup_incremental_neardup: no cartesian; text stays out of the exchanges") {
+    val name = "x_dedup_incremental_neardup"
+    val p = plan(name)
+    assert(!p.contains("CartesianProduct"), p)
+    // every Exchange carries band/id/shingle-hash columns, never raw text
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      "raw text must not be a shuffle key/payload:\n" + exchanges.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
