@@ -216,6 +216,75 @@ object Corpus {
       .drop("_pid")
   }
 
+  /** Sequence packing for training-data preparation: concatenate the
+    * corpus in global `idCol` order and cut it into fixed `seqLen`-token
+    * windows, emitting one row per (doc, window) overlap — `seq_id`,
+    * plus the doc-relative token span `[tok_start, tok_start+tok_len)`
+    * that lands in that window. Docs longer than `seqLen` split across
+    * consecutive windows; short docs share windows — zero padding waste,
+    * the standard GPT-style pretraining pack.
+    *
+    * This emits the ASSIGNMENT, not materialized text: the downstream
+    * writer joins spans back to the token arrays and concatenates —
+    * so every exchange here carries (id, n_tokens) ints, never text.
+    * Same two-phase exact prefix-sum as [[packShards]] (range-partition
+    * by id → per-partition token subtotals → broadcast offsets → narrow
+    * per-partition walk): deterministic on any cluster/partitioning,
+    * one tiny collect of #partitions longs, no single-task global
+    * window. */
+  def packSequences(docs: DataFrame, seqLen: Int, idCol: String = "doc_id",
+                    textCol: String = "text", numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    require(seqLen > 0, s"packSequences: seqLen must be > 0, got $seqLen")
+    val spark = docs.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // persist the narrow projection before range-partitioning — the
+    // range sampler evaluates its child to draw bounds (see packShards)
+    val proj = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .persist()
+    val ranged = proj
+      .repartitionByRange(nPart, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val subs = ranged.groupBy(col("_pid"))
+      .agg(sum(coalesce(col("n_tokens"), lit(0))).as("_sub"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    proj.unpersist(false)
+    val inOrder = subs.sortBy(_._1)
+    val offsets = inOrder.map(_._1)
+      .zip(inOrder.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = new StructType()
+      .add(ranged.schema(idCol))
+      .add("seq_id", LongType).add("tok_start", IntegerType).add("tok_len", IntegerType)
+    val L = seqLen.toLong
+    ranged.mapPartitions { it =>
+      var pid = -1
+      var first = true
+      var cum = 0L
+      it.flatMap { r =>
+        val p = r.getInt(2)
+        if (first || p != pid) {
+          pid = p; first = false
+          cum = bcOffsets.value.getOrElse(p, 0L)
+        }
+        val n = if (r.isNullAt(1)) 0 else r.getInt(1)
+        val gStart = cum
+        cum += n
+        if (n <= 0) Iterator.empty
+        else (gStart / L to (gStart + n - 1) / L).iterator.map { s =>
+          val tokStart = math.max(s * L - gStart, 0L).toInt
+          val tokEnd = math.min((s + 1) * L - gStart, n.toLong).toInt
+          Row(r.get(0), s, tokStart, tokEnd - tokStart)
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   /** Deterministic dataset split assignment (train/val/test…): the
     * [0, 2^60) md5 draw is cut into contiguous ranges sized by the
     * requested fractions, and each row gets the name of the range its

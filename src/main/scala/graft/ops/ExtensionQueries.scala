@@ -1623,9 +1623,36 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Sequence packing: the corpus concatenated in doc-id order and cut
+    * into fixed 256-token training windows — one row per (doc, window)
+    * overlap with the doc-relative token span. The Spark side computes
+    * the global prefix sum with the two-phase range-partition pattern
+    * (no single-task window); the oracle IS a single-task window (fine
+    * for DuckDB), so matching hashes prove the distributed prefix
+    * arithmetic is exact. */
+  val seqPack: Q = Q(
+    "x_seq_pack",
+    (s, d) => graft.corpus.Corpus.packSequences(Tables.documents(s, d), seqLen = 256),
+    Some("""
+      WITH t AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+      c AS (SELECT doc_id, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gstart
+            FROM t),
+      s AS (SELECT doc_id, n, gstart,
+                   unnest(generate_series(gstart // 256, (gstart + n - 1) // 256)) AS seq_id
+            FROM c WHERE n > 0)
+      SELECT doc_id, seq_id,
+             CAST(GREATEST(seq_id * 256 - gstart, 0) AS INT) AS tok_start,
+             CAST(LEAST((seq_id + 1) * 256 - gstart, n)
+                  - GREATEST(seq_id * 256 - gstart, 0) AS INT) AS tok_len
+      FROM s
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
-    dedupIncrementalNearDup,
+    dedupIncrementalNearDup, seqPack,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
     dedupSemantic, sampleSemantic, embedQuantize,

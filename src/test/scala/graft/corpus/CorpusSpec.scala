@@ -86,6 +86,38 @@ class CorpusSpec extends SparkSpec {
       6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L), out.toString)
   }
 
+  test("packSequences tiles every doc exactly and fills every window but the last") {
+    // 7 docs of 30 tokens, seqLen 64: windows hold 64 tokens each,
+    // docs split across window boundaries with no padding waste
+    val docs = (1L to 7L).map(i => (i, ("w " * 29 + "w")))
+      .toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, seqLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // per doc: spans start at 0, are contiguous, and sum to 30
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      val s = spans.sortBy(_._3)
+      assert(s.head._3 == 0 && s.map(_._4).sum == 30, s"$id: ${s.mkString(",")}")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"$id not contiguous")
+        case _ =>
+      }
+    }
+    // per window: exactly 64 tokens except the final partial (210 = 3*64 + 18)
+    val perSeq = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(perSeq == Map(0L -> 64, 1L -> 64, 2L -> 64, 3L -> 18), perSeq.toString)
+    // doc 3 (tokens 60..89) straddles windows 0 and 1
+    assert(out.filter(_._1 == 3L).map(_._2).sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("packSequences is partitioning-invariant (distributed prefix sum is exact)") {
+    val docs = (1L to 50L).map(i => (i, "t " * (i.toInt % 13 + 1))).toDF("doc_id", "text")
+    val a = Corpus.packSequences(docs, seqLen = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val b = Corpus.packSequences(docs.repartition(7), seqLen = 32, numPartitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("assignSplit partitions every row deterministically near the requested fractions") {
     val docs = (0L until 2000L).map(i => Tuple1(i)).toDF("doc_id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
