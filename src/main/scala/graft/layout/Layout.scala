@@ -40,4 +40,37 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a table into ~`targetRecordsPerFile`
+    * files, preserving (optional) hive partitioning and (optional) sort
+    * order. Streaming ingest and fine-grained incremental jobs leave
+    * thousands of KB-scale files per partition; at 100 TB that is
+    * millions of scan tasks, per-file open/footer costs dominating, and
+    * a straggling driver listing — compaction is the standing
+    * maintenance job every lakehouse runs.
+    *
+    * Shape: one exact count (cheap, columnar metadata), then ONE
+    * shuffle — `repartitionByRange` over the sort keys when given
+    * (keeps min/max file statistics tight for pruning; this is how a
+    * z-ordered table is re-compacted without losing the curve: pass the
+    * z-value column), plain `repartition` otherwise — and a partitioned
+    * write. `maxRecordsPerFile` bounds the worst file when partition
+    * skew concentrates rows; target file COUNT comes from the row
+    * count, so the operator needs no byte-size estimation pass. */
+  def compact(df: DataFrame, targetRecordsPerFile: Long, outPath: String,
+              sortCols: Seq[Column] = Nil,
+              partitionCols: Seq[String] = Nil): Unit = {
+    require(targetRecordsPerFile > 0,
+      s"compact: targetRecordsPerFile must be > 0, got $targetRecordsPerFile")
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val clustered =
+      if (sortCols.nonEmpty) df.repartitionByRange(nFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+      else df.repartition(nFiles)
+    val writer = clustered.write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outPath)
+  }
 }

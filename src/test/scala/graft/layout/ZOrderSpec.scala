@@ -47,6 +47,41 @@ class ZOrderSpec extends SparkSpec {
     assert(z == 57L)
   }
 
+  test("compact collapses a small-file table, preserves rows, bounds file sizes") {
+    val srcDir = Files.createTempDirectory("frag").toString + "/t"
+    val df = spark.range(1000).select(col("id"), pmod(col("id"), lit(4)).as("p"))
+    df.repartition(50).write.parquet(srcDir) // 50 tiny files
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files(srcDir).size == 50)
+
+    val outDir = Files.createTempDirectory("compacted").toString + "/t"
+    Layout.compact(spark.read.parquet(srcDir), targetRecordsPerFile = 300L, outDir,
+      sortCols = Seq(col("id")))
+    assert(files(outDir).size == 4, files(outDir).map(_.getName).toString) // ceil(1000/300)
+    // contents identical
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 1000L).toSeq)
+    // sorted compaction keeps file min/max ranges disjoint (pruning stays tight)
+    val ranges = spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("f")).agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlapping file ranges: $a $b")
+      case _ =>
+    }
+
+    // hive-partitioned compaction: partition dirs survive, each compacted
+    val partDir = Files.createTempDirectory("compacted-part").toString + "/t"
+    Layout.compact(spark.read.parquet(srcDir), targetRecordsPerFile = 300L, partDir,
+      partitionCols = Seq("p"))
+    val partDirs = new java.io.File(partDir).listFiles().filter(_.getName.startsWith("p="))
+    assert(partDirs.map(_.getName).sorted.toSeq == Seq("p=0", "p=1", "p=2", "p=3"))
+    assert(spark.read.parquet(partDir).count() == 1000L)
+    // no partition dir explodes past a handful of files
+    partDirs.foreach(d => assert(files(d.toString).size <= 4, d.toString))
+  }
+
   test("z-ordered files have bounded boxes in BOTH dims; linear sort only in its own") {
     // 64×64 uniform grid, 16 files each way. Under z-order every file's
     // (x, y) box is a contiguous curve chunk — both extents bounded;
