@@ -21,6 +21,27 @@ class ApproxSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("hll sketches are mergeable: per-batch sketches union to the whole-corpus answer") {
+    // the 100 TB pattern approx_count_distinct can't do: each ingest
+    // batch persists a BINARY Datasketches-HLL column; later unions
+    // answer corpus-wide distinct counts with NO rescan of the batches.
+    // Same lgK ⇒ merged state ≡ single-pass state ⇒ identical estimate.
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
+    val li = Tables.lineitem(spark, sfDir)
+    val (a, b) = (li.filter(col("l_orderkey") % 2 === 0), li.filter(col("l_orderkey") % 2 =!= 0))
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    a.agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk")).write.parquet(s"$dir/day1")
+    b.agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk")).write.parquet(s"$dir/day2")
+    val merged = spark.read.parquet(s"$dir/*")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val direct = li.agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14))))
+      .collect().head.getLong(0)
+    val exact = li.agg(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(merged == direct, s"union-of-sketches $merged != single-pass $direct")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05, s"$merged vs exact $exact")
+  }
+
   test("approx percentiles bracket the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val Array(p25, p50, p75) = li
