@@ -285,6 +285,32 @@ object Corpus {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** Materialize the [[packSequences]] assignment into actual training
+    * sequences: join the spans back to the token arrays, slice each
+    * doc's contribution, and concatenate pieces in doc order per
+    * window. Text enters exactly ONE shuffle here (the groupBy on
+    * seq_id, carrying only the sliced pieces a window actually needs —
+    * bounded by seqLen tokens per output row regardless of doc length);
+    * in-window order is pinned by sort_array over (id, piece) structs,
+    * so the result is deterministic on any partitioning. */
+  def materializeSequences(docs: DataFrame, seqLen: Int, idCol: String = "doc_id",
+                           textCol: String = "text", numPartitions: Int = 0): DataFrame = {
+    val asg = packSequences(docs, seqLen, idCol, textCol, numPartitions)
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    asg.join(toks, idCol)
+      .select(col("seq_id"), col(idCol),
+        concat_ws(" ",
+          slice(col("_toks"), col("tok_start") + 1, col("tok_len"))).as("_piece"),
+        col("tok_len"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_len")).cast("bigint").as("n_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col(idCol), col("_piece")))),
+          p => p("_piece")), " ").as("seq_text"))
+  }
+
   /** Deterministic dataset split assignment (train/val/test…): the
     * [0, 2^60) md5 draw is cut into contiguous ranges sized by the
     * requested fractions, and each row gets the name of the range its

@@ -287,6 +287,31 @@ object CoverageQueries {
     """.trim)
   )
 
+  /** Correlated scalar subquery through `spark.sql` — the TPC-H-Q2/Q17
+    * shape. Catalyst DECORRELATES it (RewriteCorrelatedScalarSubquery):
+    * the per-row subquery becomes one aggregate + one equi-join, so at
+    * 100 TB this costs one shuffle, not |orders| subquery executions.
+    * The oracle runs the identical correlated SQL in DuckDB, which
+    * decorrelates independently — matching hashes check the REWRITE's
+    * semantics, not shared arithmetic. PlanAuditSpec pins the plan
+    * (aggregate + join, no per-row subquery artifacts). */
+  val correlatedMin: Q = Q(
+    "q7_correlated_min",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_q7")
+      s.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders_q7 o
+        WHERE o_totalprice = (SELECT MIN(o2.o_totalprice)
+                              FROM orders_q7 o2 WHERE o2.o_custkey = o.o_custkey)
+      """)
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+      WHERE o_totalprice = (SELECT MIN(o2.o_totalprice)
+                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """.trim)
+  )
+
   /** Left outer join preserving unmatched rows with null padding. */
   val outer: Q = Q(
     "j3_left_outer",
@@ -480,6 +505,6 @@ object CoverageQueries {
   )
 
   def all: Seq[Q] = Seq(rollup1, cube1, groupingSets1, topk, countDistinct1, moments,
-    percentiles, semiAnti, nullSafeJoin, outer, setOps, pivot1, rankFamily,
-    frames, wordcount, winsorize)
+    percentiles, semiAnti, nullSafeJoin, outer, correlatedMin, setOps, pivot1,
+    rankFamily, frames, wordcount, winsorize)
 }

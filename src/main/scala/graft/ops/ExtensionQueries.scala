@@ -1650,9 +1650,38 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** The materialized pack: actual 256-token training sequences, each
+    * window's doc pieces sliced and concatenated in doc order. Oracle
+    * replays span arithmetic + list slicing + ordered string_agg. */
+  val seqMaterialize: Q = Q(
+    "x_seq_materialize",
+    (s, d) => graft.corpus.Corpus.materializeSequences(Tables.documents(s, d), seqLen = 256),
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w,
+                        len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+      c AS (SELECT doc_id, w, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gstart
+            FROM t),
+      s AS (SELECT doc_id, w, n, gstart,
+                   unnest(generate_series(gstart // 256, (gstart + n - 1) // 256)) AS seq_id
+            FROM c WHERE n > 0),
+      pieces AS (SELECT seq_id, doc_id,
+                        CAST(GREATEST(seq_id * 256 - gstart, 0) AS BIGINT) AS tok_start,
+                        CAST(LEAST((seq_id + 1) * 256 - gstart, n)
+                             - GREATEST(seq_id * 256 - gstart, 0) AS BIGINT) AS tok_len,
+                        w FROM s)
+      SELECT seq_id, COUNT(*) AS n_docs,
+             CAST(SUM(tok_len) AS BIGINT) AS n_tokens,
+             string_agg(array_to_string(w[tok_start+1 : tok_start+tok_len], ' '), ' '
+                        ORDER BY doc_id) AS seq_text
+      FROM pieces GROUP BY seq_id
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
-    dedupIncrementalNearDup, seqPack,
+    dedupIncrementalNearDup, seqPack, seqMaterialize,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
     dedupSemantic, sampleSemantic, embedQuantize,

@@ -109,6 +109,18 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).map(_._2).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("materializeSequences reconstructs the corpus token stream exactly") {
+    // distinct single-char tokens make reassembly errors visible
+    val docs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, "i j"), (4L, "k l m n"))
+      .toDF("doc_id", "text") // 14 tokens, seqLen 6 → seqs of 6/6/2
+    val out = Corpus.materializeSequences(docs, seqLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.map(_._4).mkString(" ") == "a b c d e f g h i j k l m n")
+    assert(out.map(_._3).toSeq == Seq(6L, 6L, 2L)) // window fills
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 1L)) // docs contributing per window
+  }
+
   test("packSequences is partitioning-invariant (distributed prefix sum is exact)") {
     val docs = (1L to 50L).map(i => (i, "t " * (i.toInt % 13 + 1))).toDF("doc_id", "text")
     val a = Corpus.packSequences(docs, seqLen = 32).collect()

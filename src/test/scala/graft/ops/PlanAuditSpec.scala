@@ -301,6 +301,17 @@ class PlanAuditSpec extends SparkSpec {
       "raw text must not be a shuffle key/payload:\n" + exchanges.mkString("\n"))
   }
 
+  test("q7_correlated_min: the scalar subquery is decorrelated to aggregate + join") {
+    val p = plan("q7_correlated_min")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+    // a non-decorrelated plan would re-run the subquery per row
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      "correlated subquery must be rewritten, not executed per row:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
