@@ -1295,6 +1295,43 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** True interval-overlap (theta) join under the oracle: error windows
+    * (10 min) × purchase windows (floor(value) min) per user, paired
+    * when the intervals overlap. The engine uses bucket decomposition
+    * (RangeJoin.overlapJoin — equi-join on covered buckets + exact
+    * filter, never a per-key cross product); the oracle is the plain
+    * theta join DuckDB can afford at this SF, so matching hashes prove
+    * the decomposition loses/duplicates nothing. */
+  val overlapJoinQ: Q = Q(
+    "x_overlap_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ss", unix_timestamp(col("ts")))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("l_id"), col("user_id"),
+          col("ss").as("ls"), (col("ss") + 600L).as("le"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_id"), col("user_id"),
+          col("ss").as("rs"), (col("ss") + floor(col("value")).cast("long") * 60L).as("re"))
+      RangeJoin.overlapJoin(errs, purch, "user_id",
+        "l_id", "ls", "le", "r_id", "rs", "re", bucketSec = 1800L)
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, value,
+                        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ss
+                 FROM events),
+      l AS (SELECT event_id AS l_id, user_id, ss AS ls, ss + 600 AS le
+            FROM e WHERE event_type = 'error'),
+      r AS (SELECT event_id AS r_id, user_id,
+                   ss AS rs, ss + CAST(floor(value) AS BIGINT) * 60 AS re
+            FROM e WHERE event_type = 'purchase')
+      SELECT l.l_id, r.r_id, l.user_id,
+             LEAST(le, re) - GREATEST(ls, rs) AS overlap_s
+      FROM l JOIN r ON l.user_id = r.user_id
+                   AND ls < re AND rs < le AND re > rs
+    """.trim)
+  )
+
   /** Z-order (Morton) layout values under the oracle: the native
     * codegen'd interleave (graftext.ZOrderLong, surfaced as
     * Layout.zorderValue — the clustering key writeZOrdered range-
@@ -1692,5 +1729,6 @@ object ExtensionQueries {
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
-    splitAssign, tfidf, lineDedup, sourceCap, skewSaltedJoin, zorderValues)
+    splitAssign, tfidf, lineDedup, sourceCap, skewSaltedJoin, zorderValues,
+    overlapJoinQ)
 }

@@ -40,4 +40,47 @@ object RangeJoin {
       .groupBy(left.columns.map(lb(_)): _*)
       .agg(count(col("__rs")).as(countAs))
   }
+
+  /** True interval-OVERLAP (theta) join: pairs where
+    * [lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅, per `key` — the shape the
+    * bucketed point-in-window join above cannot express (both sides are
+    * intervals of arbitrary length).
+    *
+    * A naive theta join is a per-key cross product with a range filter
+    * — BroadcastNestedLoop/cartesian at cluster scale. Here each
+    * interval explodes into the `bucketSec` buckets it COVERS
+    * (`sequence(start/B, (end-1)/B)` — cost len/B + 1 rows), the join
+    * becomes an equi-join on (key, bucket) whose per-task work is
+    * bounded by bucket population, candidates are deduped on the id
+    * pair (overlapping intervals share up to len/B buckets), and the
+    * exact overlap predicate filters the rest. Pick `bucketSec` near
+    * the typical interval length: much smaller multiplies the explode,
+    * much larger multiplies false candidates per bucket.
+    *
+    * Inputs carry integer-second bounds (engine-portable boundary
+    * arithmetic, like slidingCount); EMPTY intervals (end <= start) are
+    * dropped on both sides — `sequence` would otherwise descend and
+    * emit phantom buckets. Output: both id columns, the key, and the
+    * exact overlap seconds (> 0 ⟺ genuine overlap; touching intervals
+    * never pair because the predicate is strict). */
+  def overlapJoin(left: DataFrame, right: DataFrame, key: String,
+                  lId: String, lStart: String, lEnd: String,
+                  rId: String, rStart: String, rEnd: String,
+                  bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"overlapJoin: bucketSec must be > 0, got $bucketSec")
+    val lb = left.filter(col(lEnd) > col(lStart))
+      .select(col(lId), col(key).as("__lk"), col(lStart), col(lEnd),
+        explode(sequence(floor(col(lStart) / bucketSec),
+          floor((col(lEnd) - 1) / bucketSec))).as("__b"))
+    val rb = right.filter(col(rEnd) > col(rStart))
+      .select(col(rId), col(key).as("__rk"), col(rStart), col(rEnd),
+        explode(sequence(floor(col(rStart) / bucketSec),
+          floor((col(rEnd) - 1) / bucketSec))).as("__b"))
+    lb.join(rb, col("__lk") === col("__rk") && lb("__b") === rb("__b") &&
+        col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .select(col(lId), col(rId), col("__lk").as(key),
+        (least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
+          .as("overlap_s"))
+      .dropDuplicates(lId, rId)
+  }
 }

@@ -71,6 +71,34 @@ class AsOfSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("overlapJoin matches the naive theta join; drops empties; excludes touching") {
+    val rnd = new scala.util.Random(11)
+    // intervals of wildly mixed lengths (0..5000s) across bucket spans
+    def mk(n: Int, pfx: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      (pfx + i, (i % 4).toLong, s, s + rnd.nextInt(5000).toLong) // len 0 ⇒ empty
+    }
+    val left = mk(150, 1000L).toDF("l_id", "k", "ls", "le")
+    val right = mk(250, 2000L).toDF("r_id", "k", "rs", "re")
+    val fast = RangeJoin.overlapJoin(left, right, "k",
+      "l_id", "ls", "le", "r_id", "rs", "re", bucketSec = 700L)
+      .select("l_id", "r_id", "overlap_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val naive = left.filter(col("le") > col("ls"))
+      .join(right.filter(col("re") > col("rs")).withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("ls") < col("re") && col("rs") < col("le"))
+      .select(col("l_id"), col("r_id"),
+        (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fast == naive)
+    assert(naive.nonEmpty && naive.values.forall(_ > 0)) // strict: touching never pairs
+    // touching intervals explicitly: [0,10) vs [10,20) must not pair
+    val a = Seq((1L, 0L, 0L, 10L)).toDF("l_id", "k", "ls", "le")
+    val b = Seq((2L, 0L, 10L, 20L)).toDF("r_id", "k", "rs", "re")
+    assert(RangeJoin.overlapJoin(a, b, "k", "l_id", "ls", "le",
+      "r_id", "rs", "re", 7L).count() == 0L)
+  }
+
   test("asofJoin rejects reserved/colliding column names and bad directions") {
     val left = Seq((1L, 1L, ts(1))).toDF("id", "key", "t")
     val right = Seq((1L, ts(1), 1.0)).toDF("key", "t", "px")
