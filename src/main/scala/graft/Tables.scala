@@ -21,18 +21,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects at
-    * scan time. The session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (done once in every
-    * entry-point builder: Bench, Verify, Explain, SessionFactory, test
-    * session) so the scan reads nanos as raw longs; this loader then
-    * surfaces a proper µs TimestampType column. Integer DIV avoids the
-    * double round-trip (ns epoch ≈ 1.7e18 > 2^53). The loader itself is
-    * side-effect-free — mutating shared-session conf inside a reader
-    * would race concurrent queries on the same session. */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations — TIMESTAMP(NANOS) (readable only as a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    * entry-point builder still sets) vs TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ since the file carries no UTC flag). Dispatch on the
+    * SCANNED type so the same build runs against either generation, and
+    * always surface the session-TZ TimestampType every downstream
+    * operator (windows, session_window, streaming) expects. All
+    * sessions here run UTC, so the NTZ cast is value-preserving. Integer
+    * DIV on the nanos path avoids the double round-trip (ns epoch ≈
+    * 1.7e18 > 2^53). The loader is side-effect-free — mutating
+    * shared-session conf inside a reader would race concurrent queries
+    * on the same session. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
