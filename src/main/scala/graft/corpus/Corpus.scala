@@ -65,6 +65,7 @@ object Corpus {
   /** Default salts, one per operator family (see [[saltedDraw]]). */
   val SampleSalt = "sample:"
   val MixSalt = "mix:"
+  val TempSalt = "mixt:"
   val SplitSalt = "split:"
   val CapSalt = "cap:"
 
@@ -120,6 +121,73 @@ object Corpus {
       .crossJoin(broadcast(total))
       .filter(sampleKeep(col(idCol), thr, salt))
       .drop("_cnt", "_tot")
+  }
+
+  /** Temperature-scaled corpus mixing (multilingual-pretraining
+    * sampling): with per-stratum counts c_i, the target mix follows
+    * p_i ∝ c_i^α — α = 1 keeps the natural distribution, α = 0 gives a
+    * uniform mix, and the 0 < α < 1 middle upweights low-resource
+    * strata without flattening the corpus. The largest such mix
+    * reachable by downsampling alone keeps stratum i at rate
+    * (c_min / c_i)^(1-α): the smallest stratum keeps everything and
+    * every other stratum downsamples toward it, so no row is ever
+    * duplicated (oversampling is a training-loop concern, not a
+    * corpus-materialization one).
+    *
+    * α is fixed at 1/2 because that exponent evaluates as `sqrt`,
+    * which IEEE 754 requires to be CORRECTLY ROUNDED in every engine —
+    * the kept set replays bit-identically in Spark and the DuckDB
+    * oracle. A general α needs `pow`, which carries no such guarantee
+    * (the JVM intrinsic and C libm may differ in the last ulp), and a
+    * 1-ulp threshold shift moves a row across the keep boundary with
+    * probability ~n/2^60 per corpus — rare, but this library's
+    * determinism contract is exact, not probabilistic. Callers needing
+    * another α can pre-scale counts upstream.
+    *
+    * Scale shape: identical to [[mixCorpus]] — one tiny count
+    * aggregate broadcast back, then a narrow deterministic filter over
+    * the scan; the 100 TB corpus is read once and never shuffled. */
+  def mixCorpusTemperatureHalf(docs: DataFrame, strataCol: String,
+                               idCol: String = "doc_id",
+                               salt: String = TempSalt): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("_cnt"))
+    val mn = counts.agg(min(col("_cnt")).as("_mn"))
+    val rate = sqrt(col("_mn").cast("double") / col("_cnt"))
+    val thr = floor(rate * lit((1L << 60).toDouble)).cast("long")
+    docs.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(mn))
+      .filter(sampleKeep(col(idCol), thr, salt))
+      .drop("_cnt", "_mn")
+  }
+
+  /** Leakage-free train/val/test assignment: every member of a
+    * duplicate cluster receives the split of the cluster's canonical
+    * id, so near-duplicate pairs can never straddle the train/test
+    * boundary — the standard eval-contamination hole in per-document
+    * hash splitting (a doc's near-twin lands in test while the doc
+    * trains; the eval measures memorization, not generalization).
+    *
+    * `clusters` is [[graft.dedup.Dedup.dedupClusters]] output
+    * (cluster_id = min member id, doc_id) — or any (cluster_id,
+    * doc_id) labeling. Docs absent from it are singletons and draw on
+    * their own id, which matches [[assignSplit]] exactly, so adding
+    * dedup-awareness only ever MOVES whole clusters, never reshuffles
+    * the singleton majority.
+    *
+    * Scale shape: one equi-join of the corpus against the cluster
+    * labeling on the id key (AQE broadcasts it when small — clusters
+    * hold only docs that HAVE a near-dup — and shuffles on 8-byte ids
+    * otherwise), then the same zero-shuffle literal-threshold draw as
+    * [[assignSplit]], keyed on the representative. */
+  def assignSplitByCluster(docs: DataFrame, clusters: DataFrame,
+                           splits: Seq[(String, Double)],
+                           idCol: String = "doc_id",
+                           salt: String = SplitSalt): DataFrame = {
+    val withRep = docs
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("_rep", coalesce(col("cluster_id"), col(idCol)))
+    assignSplit(withRep, splits, idCol = "_rep", salt = salt)
+      .drop("cluster_id", "_rep")
   }
 
   /** Token-budget shard packing: assign each document to a shard so

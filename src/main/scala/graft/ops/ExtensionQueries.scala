@@ -1207,6 +1207,95 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Temperature-scaled mixing at α = 1/2: per-language keep-rate
+    * sqrt(c_min/c_i) — the low-resource upweighting used by
+    * multilingual pretraining mixes. sqrt is correctly rounded in both
+    * engines (IEEE 754 mandate), so the kept set hash-matches exactly;
+    * a general-α pow would not carry that guarantee. */
+  val corpusMixTemperature: Q = Q(
+    "x_mix_temperature",
+    (s, d) => graft.corpus.Corpus.mixCorpusTemperatureHalf(
+      Tables.documents(s, d), strataCol = "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum")),
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      m AS (SELECT MIN(cnt) AS mn FROM c),
+      r AS (SELECT lang, sqrt(CAST(mn AS DOUBLE) / cnt) AS rate FROM c, m)
+      SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+            CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+      GROUP BY d.lang
+    """.trim)
+  )
+
+  /** Leakage-free 80/10/10 split: every near-dup cluster (the
+    * x_dedup_clusters labeling) lands wholly in ONE split — its
+    * members draw on the cluster's canonical id, singletons on their
+    * own id. The oracle recomputes the clusters INDEPENDENTLY (the
+    * same recursive-CTE transitive closure as the x_dedup_clusters
+    * oracle) and replays the rep-keyed draw, so both the clustering
+    * and the split arithmetic are checked end to end. */
+  val splitLeakageFree: Q = {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val thr = graft.corpus.Corpus.splitThresholds(splits)
+    val caseSql = thr.init.map { case (name, cut) =>
+      s"WHEN ('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT < $cut THEN '$name'"
+    }.mkString("CASE ", " ", s" ELSE '${thr.last._1}' END")
+    Q(
+      "x_split_leakage_free",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.dedupClusters(
+          Dedup.minhashNearDupsMd5(docs, threshold = 0.5,
+            maxBucketSize = Some(64)),
+          reliableCheckpoints = ccReliable(s))
+        graft.corpus.Corpus.assignSplitByCluster(docs, clusters, splits)
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      },
+      Some(s"""
+      WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      ab AS (SELECT doc_id, shl, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+      bc AS (SELECT b, s FROM bands GROUP BY b, s HAVING COUNT(*) BETWEEN 2 AND 64),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+               FROM bc JOIN bands x ON x.b = bc.b AND x.s = bc.s
+                       JOIN bands y ON y.b = bc.b AND y.s = bc.s
+                                   AND x.doc_id < y.doc_id),
+      pairs AS (SELECT id1, id2
+                FROM (SELECT id1, id2,
+                             len(list_intersect(x.shl, y.shl)) AS nc,
+                             len(x.shl) AS n1, len(y.shl) AS n2
+                      FROM cand
+                      JOIN sh0 x ON id1 = x.doc_id
+                      JOIN sh0 y ON id2 = y.doc_id) t
+                WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT LEAST(a, MIN(b)) AS cluster_id, a AS doc_id FROM reach GROUP BY a),
+      rep AS (SELECT d.doc_id, d.lang, COALESCE(c.cluster_id, d.doc_id) AS rep
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      SELECT $caseSql AS split, lang,
+             COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM rep GROUP BY 1, 2
+      """.trim)
+    )
+  }
+
   /** Token-budget shard packing (1000-token shards per language):
     * exact integer running sums, so the assignment is identical in any
     * engine. */
@@ -1728,7 +1817,8 @@ object ExtensionQueries {
     clusterReps, dedupApply, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
-    contamination, stratifiedSample, corpusMix, shardPack, adaptiveFilter,
-    splitAssign, tfidf, lineDedup, sourceCap, skewSaltedJoin, zorderValues,
-    overlapJoinQ)
+    contamination, stratifiedSample, corpusMix, corpusMixTemperature,
+    shardPack, adaptiveFilter,
+    splitAssign, splitLeakageFree, tfidf, lineDedup, sourceCap,
+    skewSaltedJoin, zorderValues, overlapJoinQ)
 }

@@ -152,6 +152,47 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mixCorpusTemperatureHalf keeps the smallest stratum whole, downsamples the rest by sqrt") {
+    // 1600 en / 400 de / 100 fr → rates 0.25 / 0.5 / 1.0
+    val docs = ((0L until 1600L).map(i => (i, "en")) ++
+      (1600L until 2000L).map(i => (i, "de")) ++
+      (2000L until 2100L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    val kept = Corpus.mixCorpusTemperatureHalf(docs, "lang")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 100L, s"smallest stratum must keep everything: $kept")
+    assert(kept("en") > 320 && kept("en") < 480, s"en far from sqrt rate 0.25: $kept")
+    assert(kept("de") > 150 && kept("de") < 250, s"de far from sqrt rate 0.5: $kept")
+    // determinism
+    val again = Corpus.mixCorpusTemperatureHalf(docs, "lang")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
+  test("assignSplitByCluster never lets a cluster straddle splits; singletons match assignSplit") {
+    val docs = (0L until 300L).map(Tuple1(_)).toDF("doc_id")
+    // three clusters, each spanning ids whose independent draws would disagree
+    val clusters = Seq((0L, 0L), (0L, 7L), (0L, 250L),
+      (13L, 13L), (13L, 99L), (42L, 42L), (42L, 43L), (42L, 44L))
+      .toDF("cluster_id", "doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Corpus.assignSplitByCluster(docs, clusters, splits)
+    assert(assigned.columns.toSeq == Seq("doc_id", "split"))
+    val bySplit = assigned.join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct(col("split")).as("ns"))
+      .collect().map(_.getLong(1))
+    assert(bySplit.forall(_ == 1L), "every cluster must land in exactly one split")
+    // singletons (not in any cluster) match the plain per-doc assignment
+    val plain = Corpus.assignSplit(docs, splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val members = clusters.collect().map(_.getLong(1)).toSet
+    assert((0L until 300L).filterNot(members).forall(id => clustered(id) == plain(id)),
+      "dedup-awareness must not move singleton assignments")
+    // cluster members follow their representative's draw
+    assert(clustered(7L) == plain(0L) && clustered(250L) == plain(0L)
+      && clustered(99L) == plain(13L) && clustered(44L) == plain(42L))
+  }
+
   test("topFractionByScore keeps floor(n*frac) per stratum, ties by id") {
     // en: 5 docs scores 50,40,30,20,10 → keep floor(5/2)=2 (50,40)
     // de: 2 docs equal scores → keep 1, the LOWER id (deterministic tie)
