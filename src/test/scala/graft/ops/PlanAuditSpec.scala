@@ -191,6 +191,32 @@ class PlanAuditSpec extends SparkSpec {
       "the prefix sum rides a range partition on (stratum, id):\n" + p)
   }
 
+  test("x_mix_temperature: tiny count aggregate broadcasts back; corpus scan stays narrow") {
+    val p = plan("x_mix_temperature")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "per-stratum rates must broadcast, not shuffle the corpus:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "joining the corpus to a <#strata>-row table must never sort-merge:\n" + p)
+  }
+
+  test("x_split_leakage_free: the corpus joins clusters on 8-byte ids; no text in the split join") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("x_split_leakage_free")(spark, sf)
+    // every exchange below the final agg carries ids/longs or band
+    // hashes — never the documents' text column
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"shuffle carries raw text (cols=$cols) — near-dup plumbing must exchange hashes only")
+    }
+    // the split assignment itself adds no shuffle beyond the cluster join
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: logical.Aggregate => a }
+    assert(aggs.nonEmpty)
+  }
+
   test("x_adaptive_filter: every Window runs on the tiny histogram or the tie band") {
     import org.apache.spark.sql.catalyst.plans.logical
     val df = SparkEntry.queries("x_adaptive_filter")(spark, sf)
