@@ -68,6 +68,7 @@ object Corpus {
   val TempSalt = "mixt:"
   val SplitSalt = "split:"
   val CapSalt = "cap:"
+  val TopKSalt = "topk:"
 
   /** Deterministic keep/drop decision for stratified sampling: keep a
     * row iff its salted 60-bit md5 draw (uniform on [0, 2^60)) falls
@@ -121,6 +122,62 @@ object Corpus {
       .crossJoin(broadcast(total))
       .filter(sampleKeep(col(idCol), thr, salt))
       .drop("_cnt", "_tot")
+  }
+
+  /** Deterministic EXACT-k uniform sample: the k smallest salted md5
+    * draws (ties broken by id). Fraction-based sampling can't hit a
+    * size target ("build a 50k-doc eval set") and `ORDER BY rand()
+    * LIMIT k` is neither reproducible nor stable under retries; this
+    * is both, and a given corpus always yields the same k docs.
+    *
+    * Scale shape: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * each task keeps a k-row heap and the driver merges per-task
+    * heaps — so the 100 TB corpus is scanned once with NO global sort
+    * and no shuffle of non-winning rows. k is bounded by driver memory
+    * (millions of ids, not billions) — past that, fall back to
+    * [[stratifiedSample]] with a rate chosen from a count. */
+  def sampleFixedK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                   salt: String = TopKSalt): DataFrame = {
+    require(k > 0, s"sampleFixedK: k must be > 0, got $k")
+    docs.orderBy(saltedDraw(col(idCol), salt).asc, col(idCol).asc).limit(k)
+  }
+
+  /** Exact corpus-wide heavy-hitter tokens (true count >= minCount),
+    * computed with a count-min-sketch PREFILTER so the exchange never
+    * carries the full vocabulary — the sketch-guarded form of
+    * `GROUP BY token HAVING count >= t`.
+    *
+    * Two passes over the token stream:
+    *   1. fold every occurrence into one tiny CMS (eps/confidence
+    *      size it at ~depth·width ints — KBs to low MBs — regardless
+    *      of corpus size; `stat.countMinSketch` merges per-partition
+    *      sketches, so the scan is one job with no shuffle);
+    *   2. keep occurrences whose BROADCAST-sketch estimate clears
+    *      minCount — a CMS never underestimates, so every true heavy
+    *      hitter survives — then exact-count only those candidates
+    *      and drop the overestimates with a final HAVING.
+    * The result is EXACT (identical to the plain groupBy) for every
+    * eps/confidence; the knobs trade only candidate-set slack (pass-2
+    * shuffle volume) against sketch size. Tokens ride the exchange
+    * once, as candidate (token, partial-count) pairs; the vocabulary
+    * of a 100 TB web corpus (~10⁹ distinct tokens after typos/URLs)
+    * never shuffles. The operator sketches the md5-60 of each token —
+    * 8-byte probes, and a hash collision can only ADD a candidate
+    * (removed by the exact recount), never lose one. */
+  def heavyHitterTokens(docs: DataFrame, minCount: Long,
+                        eps: Double = 1e-4, confidence: Double = 0.99,
+                        textCol: String = "text"): DataFrame = {
+    require(minCount > 0, s"heavyHitterTokens: minCount must be > 0")
+    val spark = docs.sparkSession
+    def toks = docs.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("_h", Dedup.md5Hash60(col("tok")))
+    val cms = toks.stat.countMinSketch("_h", eps, confidence, seed = 42)
+    val bc = spark.sparkContext.broadcast(cms)
+    toks
+      .filter(graft.functions.VectorFunctions.cmsEstimateBcast(bc, col("_h")) >= minCount)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
   }
 
   /** Temperature-scaled corpus mixing (multilingual-pretraining

@@ -13,6 +13,13 @@ object VectorFunctions {
   def rollingHashes(tokens: Column, w: Int): Column =
     org.apache.spark.sql.graftext.VectorExpressions.rollingHashes(tokens, w)
 
+  /** Count-min-sketch point estimate of a long key against a broadcast
+    * sketch (never underestimates — the heavy-hitters prefilter). */
+  def cmsEstimateBcast(
+      sketch: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.CountMinSketch],
+      key: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.cmsEstimateBcast(sketch, key)
+
   /** Register the FULL native-function surface for SQL use on a live
     * session (dot_product, rolling_hashes, rolling_ngrams,
     * minhash_signature, md5_minhash, md5_min, md5_hashes60,

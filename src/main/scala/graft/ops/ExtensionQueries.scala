@@ -1207,6 +1207,38 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Deterministic exact-k uniform sample (k = 100): the k smallest
+    * salted draws, planned as TakeOrderedAndProject — per-task k-row
+    * heaps, no global sort, reproducible under retries. */
+  val sampleFixedKQ: Q = Q(
+    "x_sample_fixed_k",
+    (s, d) => graft.corpus.Corpus.sampleFixedK(
+      Tables.documents(s, d), k = 100)
+      .select(col("doc_id"), col("lang")),
+    Some("""
+      SELECT doc_id, lang FROM documents
+      ORDER BY ('0x' || substr(md5('topk:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+      LIMIT 100
+    """.trim)
+  )
+
+  /** Exact heavy-hitter tokens (count >= 100) behind a count-min-sketch
+    * prefilter: the broadcast CMS estimate keeps every true heavy
+    * hitter (a CMS never underestimates) and the exact recount of the
+    * surviving candidates drops the overestimates — so the oracle is
+    * the PLAIN `GROUP BY HAVING`, while the engine's exchange carries
+    * candidate tokens only, never the full vocabulary. */
+  val heavyHittersQ: Q = Q(
+    "x_heavy_hitters",
+    (s, d) => graft.corpus.Corpus.heavyHitterTokens(
+      Tables.documents(s, d), minCount = 100L),
+    Some("""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+      GROUP BY tok HAVING COUNT(*) >= 100
+    """.trim)
+  )
+
   /** Temperature-scaled mixing at α = 1/2: per-language keep-rate
     * sqrt(c_min/c_i) — the low-resource upweighting used by
     * multilingual pretraining mixes. sqrt is correctly rounded in both
@@ -1817,8 +1849,8 @@ object ExtensionQueries {
     clusterReps, dedupApply, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
-    contamination, stratifiedSample, corpusMix, corpusMixTemperature,
-    shardPack, adaptiveFilter,
+    contamination, stratifiedSample, sampleFixedKQ, corpusMix,
+    corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, lineDedup, sourceCap,
-    skewSaltedJoin, zorderValues, overlapJoinQ)
+    heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ)
 }

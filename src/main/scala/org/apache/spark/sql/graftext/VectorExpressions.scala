@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, LongType}
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** Native Catalyst expression for the embedding hot loop.
   *
@@ -107,7 +107,47 @@ case class BloomMightContainBcast(bloom: Broadcast[BloomFilter], child: Expressi
     copy(child = newChild)
 }
 
+/** Count-min-sketch point estimate against a BROADCAST sketch — the
+  * frequency twin of [[BloomMightContainBcast]]. A CMS never
+  * underestimates, so `estimate >= t` keeps every key whose true count
+  * is >= t (no false negatives); an exact recount of the surviving
+  * candidates then removes the overestimates. That two-pass shape is
+  * the scalable heavy-hitters plan: the exchange carries only the
+  * candidate occurrences instead of the full vocabulary.
+  *
+  * Same transport discipline as the bloom probe: tasks serialize only
+  * the broadcast handle, `sketch.value` reads the executor-local cache,
+  * and the transient lazy val resolves it once per expression instance.
+  */
+case class CmsEstimateBcast(sketch: Broadcast[CountMinSketch], child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate_bcast"
+
+  @transient lazy val sketchValue: CountMinSketch = sketch.value
+
+  def est(v: Long): Long = sketchValue.estimateCount(java.lang.Long.valueOf(v))
+
+  override def nullSafeEval(v: Any): Any = est(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsEstimate", this,
+      classOf[CmsEstimateBcast].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.est($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  /** CMS point estimate via broadcast (see [[CmsEstimateBcast]]). */
+  def cmsEstimateBcast(sketch: Broadcast[CountMinSketch], key: Column): Column =
+    ExpressionUtils.column(
+      CmsEstimateBcast(sketch, ExpressionUtils.expression(key)))
+
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

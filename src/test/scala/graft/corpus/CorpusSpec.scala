@@ -193,6 +193,39 @@ class CorpusSpec extends SparkSpec {
       && clustered(99L) == plain(13L) && clustered(44L) == plain(42L))
   }
 
+  test("sampleFixedK returns exactly k rows, deterministically, stable under corpus growth") {
+    val docs = (0L until 1000L).map(Tuple1(_)).toDF("doc_id")
+    val a = Corpus.sampleFixedK(docs, 50).collect().map(_.getLong(0)).toSeq
+    assert(a.length == 50 && a.distinct.length == 50)
+    assert(Corpus.sampleFixedK(docs, 50).collect().map(_.getLong(0)).toSeq == a)
+    // the k-sample of a superset keeps drawing from the same order:
+    // the first 50 of the 2000-doc top-60 that existed before must
+    // still rank identically (ids never migrate ORDER, new ids only
+    // insert into it)
+    val big = Corpus.sampleFixedK(
+      (0L until 2000L).map(Tuple1(_)).toDF("doc_id"), 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.count(big.contains) >= 20, "roughly half the old winners survive doubling")
+  }
+
+  test("heavyHitterTokens equals the plain exact groupBy for any sketch params") {
+    val docs = ((1L to 60L).map(i => (i, "alpha beta gamma")) ++
+      (61L to 70L).map(i => (i, "beta rare" + i))).toDF("doc_id", "text")
+    def exact(min: Long) = docs
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("tok").count().filter(col("count") >= min)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (eps <- Seq(1e-2, 1e-4)) {
+      val got = Corpus.heavyHitterTokens(docs, minCount = 60L, eps = eps)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact(60L), s"eps=$eps: $got")
+    }
+    // beta appears 70x, alpha/gamma 60x, rareN once each
+    val hh = Corpus.heavyHitterTokens(docs, minCount = 61L)
+      .collect().map(_.getString(0)).toSet
+    assert(hh == Set("beta"))
+  }
+
   test("topFractionByScore keeps floor(n*frac) per stratum, ties by id") {
     // en: 5 docs scores 50,40,30,20,10 → keep floor(5/2)=2 (50,40)
     // de: 2 docs equal scores → keep 1, the LOWER id (deterministic tie)

@@ -33,6 +33,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(1) == null)
   }
 
+  test("CmsEstimateBcast never underestimates and is exact for distinct-heavy keys") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rnd = new scala.util.Random(7)
+    val keys = Seq.fill(5000)(rnd.nextInt(300).toLong) // skewed duplicates
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cms = CountMinSketch.create(1e-3, 0.99, 42)
+    keys.foreach(k => cms.add(java.lang.Long.valueOf(k)))
+    val bc = spark.sparkContext.broadcast(cms)
+    val est = truth.keys.toSeq.toDF("k")
+      .repartition(3) // exercise codegen across tasks
+      .select(col("k"),
+        VectorFunctions.cmsEstimateBcast(bc, col("k")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS underestimated key $k: ${est(k)} < $n")
+    }
+    // with eps=1e-3 over 5000 adds, collisions add < eps*N = 5 — the
+    // estimate is within slack, not garbage
+    assert(truth.forall { case (k, n) => est(k) <= n + 5 })
+  }
+
   test("RollingHashes matches the column-function form exactly") {
     import graft.text.TextAnalysis
     val texts = Seq(

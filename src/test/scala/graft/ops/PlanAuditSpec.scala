@@ -191,6 +191,26 @@ class PlanAuditSpec extends SparkSpec {
       "the prefix sum rides a range partition on (stratum, id):\n" + p)
   }
 
+  test("x_sample_fixed_k: exact-k sample plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("x_sample_fixed_k")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must become the distributed top-k operator:\n" + p)
+    assert(!p.contains("Sort ["), "no full sort for a k-row sample:\n" + p)
+  }
+
+  test("x_heavy_hitters: CMS prefilter guards the exchange below the exact recount") {
+    val df = SparkEntry.queries("x_heavy_hitters")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cms_estimate_bcast"),
+      "candidate filter must probe the broadcast sketch:\n" + p)
+    // the filter sits scan-side: below (executed before) the aggregate's
+    // exchange, so the vocabulary never shuffles
+    val exIdx = p.indexOf("Exchange hashpartitioning(tok")
+    val cmsIdx = p.indexOf("cms_estimate_bcast")
+    assert(exIdx >= 0 && cmsIdx > exIdx,
+      "CMS filter must appear under the tok exchange (plans print top-down):\n" + p)
+  }
+
   test("x_mix_temperature: tiny count aggregate broadcasts back; corpus scan stays narrow") {
     val p = plan("x_mix_temperature")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
