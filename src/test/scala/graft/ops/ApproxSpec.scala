@@ -42,6 +42,31 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(merged - exact).toDouble / exact < 0.05, s"$merged vs exact $exact")
   }
 
+  test("count-min sketches are mergeable: per-batch sketches answer corpus-wide frequencies") {
+    // the frequency twin of the HLL lifecycle: each ingest batch folds
+    // its token stream into a tiny CMS; mergeInPlace unions the batch
+    // sketches into a corpus sketch with NO rescan, and estimates over
+    // the union obey the same never-underestimate contract the
+    // heavy-hitters prefilter relies on (Corpus.heavyHitterTokens).
+    import graft.dedup.Dedup
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("h", Dedup.md5Hash60(col("tok")))
+    val (a, b) = (toks.filter(col("h") % 2 === 0), toks.filter(col("h") % 2 =!= 0))
+    val skA = a.stat.countMinSketch("h", 1e-3, 0.99, 42)
+    val skB = b.stat.countMinSketch("h", 1e-3, 0.99, 42)
+    skA.mergeInPlace(skB)
+    val truth = toks.groupBy("h").count().orderBy(desc("count")).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    truth.foreach { case (h, n) =>
+      val est = skA.estimateCount(java.lang.Long.valueOf(h))
+      assert(est >= n, s"merged CMS underestimated $h: $est < $n")
+      assert(est <= n + (1e-3 * skA.totalCount()).toLong + 1,
+        s"merged CMS estimate for $h way over: $est vs $n")
+    }
+  }
+
   test("approx percentiles bracket the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val Array(p25, p50, p75) = li
