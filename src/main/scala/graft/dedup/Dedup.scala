@@ -274,6 +274,16 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side scalar twin of [[md5Hash60]] (same first-15-hex-chars
+    * construction), for probing broadcast/driver-held sketches keyed on
+    * the column form's output. */
+  def md5Hash60Value(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** SimHash on the md5 basis — used by the oracle-checked catalog
     * query; same algorithm as simhash, different hash family. Native
     * end-to-end (one digest per token + a tight bit-count loop); the

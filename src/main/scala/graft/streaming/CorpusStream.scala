@@ -67,6 +67,57 @@ object CorpusStream {
     * static across micro-batches (refresh it on corpus growth by
     * restarting the query — same contract as the bloom ingest path's
     * rebuild-on-growth). */
+  /** Driver-held running count-min sketch for the streaming frequency
+    * monitor: micro-batches fold their token streams into per-batch
+    * sketches (distributed, map-side merged) and `merge` unions them
+    * here. CMS union with identical (eps, confidence, seed) is exact —
+    * the running sketch equals the one a single pass over all batches
+    * would build — so estimates keep the never-underestimate contract
+    * the heavy-hitters prefilter relies on.
+    *
+    * Failure semantics, stated honestly: foreachBatch is at-least-once
+    * for side effects, and a re-run batch merges TWICE — counts can
+    * only inflate, so `estimate >= true` survives retries but tight
+    * accounting does not. That is the right contract for a MONITOR
+    * (alerting on hot tokens / emerging spam); durable exact
+    * accounting is the batch per-shard sketch lifecycle (ApproxSpec),
+    * where each shard's sketch is written idempotently. */
+  final class RunningCms(val eps: Double = 1e-4,
+                         val confidence: Double = 0.99,
+                         val seed: Int = 42) extends Serializable {
+    import org.apache.spark.util.sketch.CountMinSketch
+    private var sketch: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
+    def merge(batchSketch: CountMinSketch): Unit = synchronized {
+      sketch.mergeInPlace(batchSketch)
+    }
+    def estimate(tokenHash: Long): Long = synchronized {
+      sketch.estimateCount(java.lang.Long.valueOf(tokenHash))
+    }
+    def estimateToken(token: String): Long =
+      estimate(Dedup.md5Hash60Value(token))
+    def totalCount: Long = synchronized(sketch.totalCount())
+  }
+
+  /** Continuous token-frequency monitor: every arriving micro-batch
+    * folds its whitespace tokens (hashed md5-60, the same probe keys
+    * as `Corpus.heavyHitterTokens`) into `monitor`. The stream never
+    * shuffles — each batch's sketch build is one narrow aggregate —
+    * and the monitor answers point estimates at any time while the
+    * query runs. */
+  def monitorTokenFrequencies(docs: DataFrame, monitor: RunningCms,
+                              checkpoint: String,
+                              textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hashed = batch
+          .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+          .select(Dedup.md5Hash60(col("tok")).as("_h"))
+        monitor.merge(hashed.stat.countMinSketch("_h",
+          monitor.eps, monitor.confidence, monitor.seed))
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   def ingestNearDupDedup(docs: DataFrame, index: Dedup.CorpusNearDupIndex,
                          outPath: String, checkpoint: String,
                          threshold: Double = 0.7, k: Int = 16,

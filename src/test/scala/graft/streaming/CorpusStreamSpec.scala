@@ -50,6 +50,49 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frequency monitor: merged per-batch sketches never underestimate, match single-pass") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val dir = java.nio.file.Files.createTempDirectory("cms-stream").toString
+    val b1 = Seq.tabulate(40)(i => (i.toLong, "hot common tail" + i))
+    val b2 = Seq.tabulate(40)(i => (100L + i, "hot spike spike tail" + i))
+    b1.toDF("doc_id", "text").write.parquet(s"$dir/in/b1")
+
+    val monitor = new CorpusStream.RunningCms(eps = 1e-3)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(s"$dir/in/*")
+    val q = CorpusStream.monitorTokenFrequencies(stream, monitor, s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      val hotAfterB1 = monitor.estimateToken("hot")
+      assert(hotAfterB1 >= 40L, s"hot after b1: $hotAfterB1")
+      b2.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+      // exact counts over both batches
+      val all = (b1 ++ b2).toDF("doc_id", "text")
+      val truth = all.select(explode(split(col("text"), "\\s+")).as("tok"))
+        .groupBy("tok").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(monitor.estimateToken("hot") >= truth("hot"))   // 80
+      assert(monitor.estimateToken("spike") >= truth("spike")) // 80
+      assert(monitor.estimateToken("common") >= truth("common")) // 40
+      // merged running sketch == one sketch built over the union (same
+      // eps/conf/seed => merge is exact)
+      val single = all
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .select(Dedup.md5Hash60(col("tok")).as("_h"))
+        .stat.countMinSketch("_h", monitor.eps, monitor.confidence, monitor.seed)
+      Seq("hot", "spike", "common", "tail3").foreach { t =>
+        assert(monitor.estimateToken(t) ==
+          single.estimateCount(java.lang.Long.valueOf(Dedup.md5Hash60Value(t))),
+          s"merged vs single-pass drift for '$t'")
+      }
+      assert(monitor.totalCount == single.totalCount)
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest == batch operator, across micro-batches") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.functions.col
