@@ -124,6 +124,41 @@ object Corpus {
       .drop("_cnt", "_tot")
   }
 
+  /** Deterministic global corpus shuffle for training order: every doc
+    * gets a (shard, pos) address in a pseudo-random total order —
+    * shard = its salted draw's hash-range bucket (pure arithmetic on
+    * the draw, so the boundary is REPRODUCIBLE, unlike
+    * repartitionByRange whose sampled boundaries differ run to run),
+    * pos = its rank within the shard. Training loops read shards in
+    * number order and rows in pos order and see the same
+    * well-mixed permutation on every engine, rerun, and retry; docs
+    * never migrate shards when unrelated docs are added.
+    *
+    * Scale shape: one hash-partitioned exchange on the 8-byte draw and
+    * a per-shard sort of ~n/nShards rows — there is NO global sort;
+    * each shard's rank window sorts only its own bounded slice. Size
+    * nShards so a shard fits one task (the same rule as file sizing). */
+  def shuffleOrder(docs: DataFrame, nShards: Int,
+                   idCol: String = "doc_id",
+                   salt: String = ShuffleSalt): DataFrame = {
+    require(nShards > 0, s"shuffleOrder: nShards must be > 0, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val draw = saltedDraw(col(idCol), salt)
+    val width = (1L << 60) / nShards + (if (((1L << 60) % nShards) > 0) 1L else 0L)
+    // integer `div`, NOT `/`: Column./ is double division, and a
+    // 60-bit draw doesn't fit a double's 53-bit mantissa — boundary
+    // draws would round across shards
+    val withShard = docs
+      .withColumn("_draw", draw)
+      .withColumn("shard", expr(s"_draw div ${width}L").cast("int"))
+    withShard
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_draw"), col(idCol))) - 1)
+      .drop("_draw")
+  }
+
+  val ShuffleSalt = "shuf:"
+
   /** Deterministic EXACT-k uniform sample: the k smallest salted md5
     * draws (ties broken by id). Fraction-based sampling can't hit a
     * size target ("build a 50k-doc eval set") and `ORDER BY rand()

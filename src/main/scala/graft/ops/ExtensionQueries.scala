@@ -1207,6 +1207,29 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Deterministic global training-order shuffle (8 shards): each doc's
+    * (shard, pos) address in a pseudo-random total order — hash-range
+    * shard from the salted draw (reproducible, unlike sampled
+    * repartitionByRange boundaries), rank within shard. No global
+    * sort; each shard sorts its own bounded slice. */
+  val corpusShuffleQ: Q = Q(
+    "x_corpus_shuffle",
+    (s, d) => graft.corpus.Corpus.shuffleOrder(
+      Tables.documents(s, d), nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos")),
+    Some(s"""
+      WITH drawn AS (SELECT doc_id,
+        ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS draw
+        FROM documents)
+      SELECT doc_id,
+             CAST(draw // ${(1L << 60) / 8} AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY draw // ${(1L << 60) / 8}
+               ORDER BY draw, doc_id) - 1 AS INT) AS pos
+      FROM drawn
+    """.trim)
+  )
+
   /** Deterministic exact-k uniform sample (k = 100): the k smallest
     * salted draws, planned as TakeOrderedAndProject — per-task k-row
     * heaps, no global sort, reproducible under retries. */
@@ -1849,7 +1872,7 @@ object ExtensionQueries {
     clusterReps, dedupApply, textChunks,
     mmMetadata, mmFeatures, mmChunks,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
-    contamination, stratifiedSample, sampleFixedKQ, corpusMix,
+    contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ)

@@ -208,6 +208,27 @@ class CorpusSpec extends SparkSpec {
     assert(a.count(big.contains) >= 20, "roughly half the old winners survive doubling")
   }
 
+  test("shuffleOrder: every doc gets one (shard, pos) address; order is a stable permutation") {
+    val docs = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
+    val out = Corpus.shuffleOrder(docs, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == 500)
+    assert(out.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 4))
+    // pos is dense 0..n_s-1 within each shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length), s"shard $s pos not dense")
+    }
+    // deterministic across runs and partitionings
+    val again = Corpus.shuffleOrder(docs.repartition(7), nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // growth stability: existing docs keep their shard (pos may shift)
+    val grown = Corpus.shuffleOrder(
+      (0L until 1000L).map(Tuple1(_)).toDF("doc_id"), nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall { case (id, s, _) => grown(id) == s })
+  }
+
   test("heavyHitterTokens equals the plain exact groupBy for any sketch params") {
     val docs = ((1L to 60L).map(i => (i, "alpha beta gamma")) ++
       (61L to 70L).map(i => (i, "beta rare" + i))).toDF("doc_id", "text")
