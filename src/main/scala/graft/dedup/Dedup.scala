@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a 100 TB training-data pipeline.
@@ -528,6 +528,30 @@ object Dedup {
       shingles(col(textCol), shingleW).as("_sh2"))
     CorpusNearDupIndex(capped, sh)
   }
+
+  /** Materialize the corpus near-dup index to parquet — the daily-
+    * ingest amortization twin of `Similarity.saveIndexIvf`: the
+    * corpus-side shingling, signatures, and band grouping (the part of
+    * incremental near-dup dedup that grows with the CORPUS, not the
+    * batch) are paid once at build; every batch then reads two parquet
+    * tables and pays only batch-proportional work. Rebuild on corpus
+    * growth — the same contract as the bloom ingest path. */
+  def saveNearDupIndex(existing: DataFrame, path: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       k: Int = 16, rowsPerBand: Int = 2, shingleW: Int = 3,
+                       maxBucketSize: Option[Int] = None): Unit = {
+    val idx = corpusNearDupIndex(existing, idCol, textCol, k, rowsPerBand,
+      shingleW, maxBucketSize)
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Load a [[saveNearDupIndex]] index for [[dedupAgainstCorpusNearDupIndexed]].
+    * Probe parameters must match the build's. */
+  def loadNearDupIndex(spark: SparkSession, path: String): CorpusNearDupIndex =
+    CorpusNearDupIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"))
 
   /** [[dedupAgainstCorpusNearDupMd5]] against a prebuilt
     * [[CorpusNearDupIndex]]. `k`/`rowsPerBand`/`shingleW` must match

@@ -257,6 +257,37 @@ object ExtensionQueries {
     """.trim)
   )
 
+  private val ndIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ndIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ndIndexCache.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-nd-index").toString
+      Dedup.saveNearDupIndex(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0), path,
+        maxBucketSize = Some(64))
+      path
+    })
+
+  /** Probe-only incremental near-dup dedup over the PERSISTED corpus
+    * index: the corpus-side shingling/signatures/band grouping — the
+    * part that grows with the corpus, and the reason the in-flight form
+    * scales with |corpus| per batch — materializes once
+    * ([[Dedup.saveNearDupIndex]]); each ingest batch then pays only
+    * batch-proportional work. Identical parameters and result as
+    * x_dedup_incremental_neardup, so the oracle is the same replay —
+    * what changes is WHERE the corpus cost is paid. */
+  val dedupIncrementalNearDupPersisted: Q = Q(
+    "x_dedup_incremental_neardup_persisted",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstCorpusNearDupIndexed(
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        index = Dedup.loadNearDupIndex(s, ndIndexFor(s, d)),
+        threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+    },
+    dedupIncrementalNearDup.oracle
+  )
+
   /** Exact dedup on the 120-bit md5-pair fingerprint: the 16-byte
     * shuffle key that stays collision-free at 10^11 docs (where the
     * 64-bit key expects ~270 silent merges). Both 60-bit halves replay
@@ -1862,7 +1893,8 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
-    dedupIncrementalNearDup, seqPack, seqMaterialize,
+    dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
+    seqPack, seqMaterialize,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
     dedupSemantic, sampleSemantic, embedQuantize,

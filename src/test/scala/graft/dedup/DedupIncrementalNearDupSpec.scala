@@ -36,6 +36,24 @@ class DedupIncrementalNearDupSpec extends SparkSpec {
     assert(kept == Set(0L, 1L)) // against-corpus contract: batch-internal twins pass
   }
 
+  test("persisted index probe is row-identical to the in-flight form") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val inflight = Dedup.dedupAgainstCorpusNearDupMd5(
+      incoming, existing, threshold = 0.5, maxBucketSize = Some(64))
+      .select("doc_id").as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("nd-index").toString
+    Dedup.saveNearDupIndex(existing, dir, maxBucketSize = Some(64))
+    val probed = Dedup.dedupAgainstCorpusNearDupIndexed(
+      incoming, Dedup.loadNearDupIndex(spark, dir), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(probed == inflight,
+      s"persisted-index probe diverges: only-inflight=${inflight -- probed} only-probed=${probed -- inflight}")
+  }
+
   test("agrees with the symmetric pair operator on the same split (uncapped)") {
     // dropped(incoming) must equal the incoming ids that appear in any
     // cross-side minhashNearDupsMd5 pair over the union — the pair
