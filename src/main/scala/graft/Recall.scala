@@ -49,6 +49,12 @@ object Recall {
     rows += (("knnJoinLshMultiBand nBands=8 adaptive-b@target64 (x_knn_join_lsh_mb)", k,
       recall(knnSet(Similarity.knnJoinLshMultiBand(emb, queries, dim = 64, k = k,
         nBands = 8)), exactKnn)))
+    // the adaptive band count (nBands=0): holds recall as n grows by
+    // growing the OR-construction ≈ √n (adaptiveNBands scaladoc)
+    val adaptiveBands = Similarity.adaptiveNBands(n)
+    rows += ((s"knnJoinLshMultiBand ADAPTIVE nBands=$adaptiveBands (nBands=0)", k,
+      recall(knnSet(Similarity.knnJoinLshMultiBand(emb, queries, dim = 64, k = k)),
+        exactKnn)))
     for (np <- Seq(1, 2, 4))
       rows += ((s"knnJoinIvf nLists=4 nprobe=$np" +
         (if (np == 1) " (x_knn_join_ivf)" else if (np == 2) " (x_knn_join_ivf_mp)" else ""), k,
@@ -107,6 +113,22 @@ object Recall {
         val resolved = target.count { case (i, j) => !(kept(i) && kept(j)) }
         rows += ((f"semanticDedup t=0.9 nClusters=$nc ($sec%.1fs), pair resolved" +
           (if (nc == 4) " (x_dedup_semantic)" else ""),
+          target.size, resolved.toDouble / target.size))
+      }
+      // the LSH backstop (r7 verdict #4): within-cluster drops UNION
+      // banded-LSH candidate drops — cluster-straddling twins now need
+      // to also dodge all 16 bands to survive unresolved
+      for (nc <- Seq(0, 4)) {
+        val t0 = System.nanoTime()
+        val kept = Similarity.semanticDedupLshBackstop(emb, threshold = 0.9,
+            dim = 64, nClusters = nc)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val resolved = target.count { case (i, j) => !(kept(i) && kept(j)) }
+        val label = if (nc == 0)
+          s"ADAPTIVE nClusters=${Similarity.adaptiveNClusters(n)}" else s"nClusters=$nc"
+        rows += ((f"semanticDedupLshBackstop t=0.9 $label nBands=16 ($sec%.1fs), pair resolved" +
+          (if (nc == 4) " (x_dedup_semantic_lsh)" else ""),
           target.size, resolved.toDouble / target.size))
       }
     }

@@ -142,8 +142,18 @@ object Corpus {
                    idCol: String = "doc_id",
                    salt: String = ShuffleSalt): DataFrame = {
     require(nShards > 0, s"shuffleOrder: nShards must be > 0, got $nShards")
+    Seq("shard", "pos", "_draw").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"shuffleOrder: docs already has a '$c' column — it would be " +
+          "clobbered (shard/pos are the outputs, _draw is the temp)"))
     import org.apache.spark.sql.expressions.Window
     val draw = saltedDraw(col(idCol), salt)
+    // CEILING division (floor + round-up), so nShards × width always
+    // covers the full 2^60 draw range. A floor-division oracle (the
+    // committed x_corpus_shuffle SQL uses `div`) matches ONLY when
+    // nShards divides 2^60 — i.e. any power of two. An oracle for a
+    // non-power-of-two nShards must replicate the ceiling, not copy
+    // the committed floor form.
     val width = (1L << 60) / nShards + (if (((1L << 60) % nShards) > 0) 1L else 0L)
     // integer `div`, NOT `/`: Column./ is double division, and a
     // 60-bit draw doesn't fit a double's 53-bit mantissa — boundary
@@ -198,10 +208,28 @@ object Corpus {
     * of a 100 TB web corpus (~10⁹ distinct tokens after typos/URLs)
     * never shuffles. The operator sketches the md5-60 of each token —
     * 8-byte probes, and a hash collision can only ADD a candidate
-    * (removed by the exact recount), never lose one. */
+    * (removed by the exact recount), never lose one.
+    *
+    * NOTE: pass 1 (the sketch build) is an EAGER Spark action that
+    * runs at CALL time, not when the returned DataFrame executes, and
+    * the sketch stays broadcast until the GC-driven ContextCleaner
+    * collects it. Long-lived applications calling this repeatedly
+    * should use [[heavyHitterTokensWithHandle]] and `destroy()` the
+    * handle once the result is fully consumed. */
   def heavyHitterTokens(docs: DataFrame, minCount: Long,
                         eps: Double = 1e-4, confidence: Double = 0.99,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    heavyHitterTokensWithHandle(docs, minCount, eps, confidence, textCol)._1
+
+  /** [[heavyHitterTokens]] exposing the count-min sketch's Broadcast
+    * handle, so callers that invoke it per ingest batch can
+    * `handle.destroy()` after consuming the result instead of
+    * accumulating broadcast blocks until GC notices. Same contract as
+    * [[graft.dedup.Dedup.dedupAgainstCorpusBloomWithHandle]]. */
+  def heavyHitterTokensWithHandle(docs: DataFrame, minCount: Long,
+                                  eps: Double = 1e-4, confidence: Double = 0.99,
+                                  textCol: String = "text")
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.CountMinSketch]) = {
     require(minCount > 0, s"heavyHitterTokens: minCount must be > 0")
     val spark = docs.sparkSession
     def toks = docs.select(
@@ -209,10 +237,11 @@ object Corpus {
       .withColumn("_h", Dedup.md5Hash60(col("tok")))
     val cms = toks.stat.countMinSketch("_h", eps, confidence, seed = 42)
     val bc = spark.sparkContext.broadcast(cms)
-    toks
+    val out = toks
       .filter(graft.functions.VectorFunctions.cmsEstimateBcast(bc, col("_h")) >= minCount)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+    (out, bc)
   }
 
   /** Temperature-scaled corpus mixing (multilingual-pretraining
@@ -275,8 +304,14 @@ object Corpus {
                            splits: Seq[(String, Double)],
                            idCol: String = "doc_id",
                            salt: String = SplitSalt): DataFrame = {
+    // project the labeling to exactly (id, cluster_id): any extra
+    // columns a caller's clustering carries (e.g. a cluster size)
+    // must not leak into the returned schema
+    val labeling = clusters
+      .withColumnRenamed("doc_id", idCol)
+      .select(col(idCol), col("cluster_id"))
     val withRep = docs
-      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .join(labeling, Seq(idCol), "left")
       .withColumn("_rep", coalesce(col("cluster_id"), col(idCol)))
     assignSplit(withRep, splits, idCol = "_rep", salt = salt)
       .drop("cluster_id", "_rep")

@@ -456,16 +456,32 @@ object Dedup {
                                      fp: Column => Column = fingerprint128,
                                      fpp: Double = 0.01,
                                      expectedItemsPerShard: Long = 0L,
-                                     maxBloomBytes: Long = 2L << 30): DataFrame = {
+                                     maxBloomBytes: Long = 2L << 30): DataFrame =
+    dedupAgainstCorpusBloomShardedWithHandles(incoming, existing, nShards,
+      textCol, fp, fpp, expectedItemsPerShard, maxBloomBytes)._1
+
+  /** [[dedupAgainstCorpusBloomSharded]] exposing every shard sketch's
+    * Broadcast handle — the per-batch lifecycle contract of
+    * [[dedupAgainstCorpusBloomWithHandle]], extended to the sharded
+    * path: destroy all nShards handles once the result is consumed. */
+  def dedupAgainstCorpusBloomShardedWithHandles(incoming: DataFrame, existing: DataFrame,
+                                                nShards: Int,
+                                                textCol: String = "text",
+                                                fp: Column => Column = fingerprint128,
+                                                fpp: Double = 0.01,
+                                                expectedItemsPerShard: Long = 0L,
+                                                maxBloomBytes: Long = 2L << 30)
+      : (DataFrame, Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]) = {
     require(nShards >= 1, s"dedupAgainstCorpusBloomSharded: nShards must be >= 1, got $nShards")
     def shardOf(c: Column): Column =
       pmod(xxhash64(fp(c)), lit(nShards.toLong))
-    (0 until nShards).map { s =>
-      dedupAgainstCorpusBloom(
+    val parts = (0 until nShards).map { s =>
+      dedupAgainstCorpusBloomWithHandle(
         incoming.filter(shardOf(incoming(textCol)) === s.toLong),
         existing.filter(shardOf(existing(textCol)) === s.toLong),
         textCol, fp, fpp, expectedItemsPerShard, maxBloomBytes)
-    }.reduce(_ unionByName _)
+    }
+    (parts.map(_._1).reduce(_ unionByName _), parts.map(_._2))
   }
 
   /** Incremental NEAR-dup dedup: drop incoming docs whose Jaccard

@@ -257,10 +257,44 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Cache key for the per-dataset build-once indexes below: the
+    * dataset dir PLUS the newest mtime under the source table, so a
+    * dataset REGENERATED at the same path in the same JVM (the driver
+    * does this between rounds) gets a fresh index instead of a
+    * silently stale one. */
+  private def datasetSignature(d: String, table: String): String = {
+    val p = java.nio.file.Paths.get(d, table)
+    val mtime =
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.mapToLong { f =>
+          try java.nio.file.Files.getLastModifiedTime(f).toMillis
+          catch { case _: java.io.IOException => 0L }
+        }.max.orElse(0L)
+        finally walk.close()
+      } else 0L
+    s"$d@$mtime"
+  }
+
+  /** The index temp dirs are rebuild-on-demand caches, not durable
+    * artifacts — delete them recursively at JVM exit. */
+  private def deleteOnExitRecursively(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
+          try { java.nio.file.Files.deleteIfExists(p); () }
+          catch { case _: java.io.IOException => () }
+        }
+        finally walk.close()
+      } catch { case _: java.io.IOException => () }
+    }))
+
   private val ndIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ndIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
-    ndIndexCache.computeIfAbsent(d, _ => {
+    ndIndexCache.computeIfAbsent(datasetSignature(d, "documents.parquet"), _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-nd-index").toString
+      deleteOnExitRecursively(path)
       Dedup.saveNearDupIndex(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0), path,
         maxBucketSize = Some(64))
@@ -615,13 +649,15 @@ object ExtensionQueries {
   }
 
   /** Build-once cache for the persisted IVF index: one index per
-    * (JVM, dataset dir), built on first use under a temp dir. Run 2
+    * (JVM, dataset dir, data mtime), built on first use under a temp
+    * dir (deleted at JVM exit). Run 2
     * onward of a bench (and every later query batch in a deployment)
     * pays ONLY the probe — which is the point of persisting. */
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
-    ivfIndexCache.computeIfAbsent(d, _ => {
+    ivfIndexCache.computeIfAbsent(datasetSignature(d, "embeddings.parquet"), _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      deleteOnExitRecursively(path)
       Similarity.saveIndexIvf(Tables.embeddings(s, d), dim = 64, path,
         nLists = 4, iters = 2)
       path
@@ -779,13 +815,16 @@ object ExtensionQueries {
     * keeps candidates ≈ nBands·8·n.) Oversized buckets — degenerate
     * near-identical corpora, exact dedup's job — are dropped by the
     * maxBucketSize guard on both sides. */
-  val cosineNearDups: Q = {
-    val nBands = 16 // the measured >=0.95-recall knee (RECALL.md r7 sweep)
+  /** DuckDB replay of the adaptive banded-LSH construction over the
+    * `e` CTE (vec_id, v): CTEs `p` (adaptive band width from the
+    * corpus's own count — `b` bits iff n <= 8·2^b, ascending
+    * first-match, the exact integer form of
+    * Similarity.adaptiveBitsPerBand) and `bands` (vec_id, v, band,
+    * bucket — hyperplane sign bits at a fixed stride per band).
+    * Shared by x_cosine_neardups and x_dedup_semantic_lsh. */
+  private def lshBandCtesSql(nBands: Int): String = {
     val stride = Similarity.MaxBitsPerBand
-    val maxBucket = 4096
     val planes = Similarity.hyperplanes(dim = 64, nBits = nBands * stride)
-    // b bits iff n <= 8·2^b (ascending first-match), the exact integer
-    // form of Similarity.adaptiveBitsPerBand.
     val bitsSql = "CASE " + (4 until stride)
       .map(b => s"WHEN n <= ${8L << b} THEN $b").mkString(" ") + s" ELSE $stride END"
     def bucketSql(bnd: Int): String = (0 until stride).map { i =>
@@ -794,16 +833,22 @@ object ExtensionQueries {
     val bandsSql = (0 until nBands)
       .map(b => s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e, p")
       .mkString("\n      UNION ALL\n      ")
+    s"""p AS (SELECT $bitsSql AS bits FROM (SELECT COUNT(*) AS n FROM e)),
+      bands AS (
+      $bandsSql
+      )"""
+  }
+
+  val cosineNearDups: Q = {
+    val nBands = 16 // the measured >=0.95-recall knee (RECALL.md r7 sweep)
+    val maxBucket = 4096
     Q(
       "x_cosine_neardups",
       (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.5,
         nBands = nBands, maxBucketSize = maxBucket),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      p AS (SELECT $bitsSql AS bits FROM (SELECT COUNT(*) AS n FROM e)),
-      bands AS (
-      $bandsSql
-      ),
+      ${lshBandCtesSql(nBands)},
       keep AS (SELECT band, bucket FROM bands GROUP BY band, bucket
                HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
       cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -851,6 +896,53 @@ object ExtensionQueries {
                 WHERE list_dot_product(a.v, b.v) /
                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $threshold)
       SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vid FROM drops)
+    """.trim)
+    )
+  }
+
+  /** SemDeDup with the banded-LSH backstop
+    * (Similarity.semanticDedupLshBackstop): the within-cluster drop set
+    * UNION the LSH-candidate drop set at the same threshold — the
+    * coverage fix for twin pairs that straddle a k-means boundary
+    * (RECALL.md: SemDeDup alone resolves 0.73–0.87 of true twins; the
+    * union is measured ≥ 0.95). The oracle replays BOTH sources: the
+    * unrolled Lloyd's run for the cluster pairs, and the shared
+    * hyperplane-band CTEs for the LSH pairs — the hash pins the unioned
+    * drop SET exactly. Same t = 0.3 rationale as x_dedup_semantic. */
+  val dedupSemanticLsh: Q = {
+    val nClusters = 4
+    val iters = 2
+    val threshold = 0.3
+    val maxClusterSize = 1 << 20
+    val nBands = 16
+    val maxBucket = 4096
+    Q(
+      "x_dedup_semantic_lsh",
+      (s, d) => Similarity.semanticDedupLshBackstop(Tables.embeddings(s, d),
+          threshold = threshold, dim = 64, nClusters = nClusters, iters = iters,
+          maxClusterSize = maxClusterSize, nBands = nBands, maxBucketSize = maxBucket)
+        .select(col("vec_id")),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nClusters, iters)},
+      sizes AS (SELECT list, COUNT(*) AS csz FROM asgf GROUP BY list),
+      cdrops AS (SELECT DISTINCT b.vec_id AS vid
+                 FROM asgf a
+                 JOIN asgf b ON a.list = b.list AND a.vec_id < b.vec_id
+                 JOIN sizes s ON s.list = a.list AND s.csz <= $maxClusterSize
+                 WHERE list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $threshold),
+      ${lshBandCtesSql(nBands)},
+      lkeep AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+                HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+      ldrops AS (SELECT DISTINCT b.vec_id AS vid
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                 JOIN lkeep k ON a.band = k.band AND a.bucket = k.bucket
+                 WHERE list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $threshold)
+      SELECT vec_id FROM e
+      WHERE vec_id NOT IN (SELECT vid FROM cdrops UNION SELECT vid FROM ldrops)
     """.trim)
     )
   }
@@ -1897,7 +1989,7 @@ object ExtensionQueries {
     seqPack, seqMaterialize,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
-    dedupSemantic, sampleSemantic, embedQuantize,
+    dedupSemantic, dedupSemanticLsh, sampleSemantic, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinLshMultiBandQ,
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,

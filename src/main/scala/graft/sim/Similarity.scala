@@ -433,19 +433,21 @@ object Similarity {
     * k on weakly-clustered data (measured: recall@5 stalls at the
     * single-band level with target 8, doubles at 64). */
   def knnJoinLshMultiBand(emb: DataFrame, queries: DataFrame, dim: Int,
-                          k: Int = 10, nBands: Int = 8, bitsPerBand: Int = 0,
+                          k: Int = 10, nBands: Int = 0, bitsPerBand: Int = 0,
                           targetBucketSize: Int = 64, fanout: Int = 32,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    val n = if (nBands > 0 && bitsPerBand > 0) 0L else emb.count()
+    val bands = if (nBands > 0) nBands else adaptiveNBands(n, targetBucketSize)
     val bits =
       if (bitsPerBand > 0) bitsPerBand
-      else adaptiveBitsPerBand(emb.count(), targetBucketSize)
+      else adaptiveBitsPerBand(n, targetBucketSize)
     val planes = org.apache.spark.sql.graftext.LshBandBuckets
-      .flatPlanes(dim, nBands * MaxBitsPerBand)
+      .flatPlanes(dim, bands * MaxBitsPerBand)
     def withBands(df: DataFrame, vCol: String, bandCol: String, bucketCol: String) =
       df.select(df.columns.map(col) :+ posexplode(
         org.apache.spark.sql.graftext.VectorExpressions.lshBandBuckets(
-          col(vCol), planes, dim, nBands, bits, MaxBitsPerBand))
+          col(vCol), planes, dim, bands, bits, MaxBitsPerBand))
         .as(Seq(bandCol, bucketCol)): _*)
     val corpus = withBands(
       emb.select(col(idCol), asDouble(col(vecCol)).as("v")), "v", "band", "bucket")
@@ -567,7 +569,7 @@ object Similarity {
     * column and the scan reads only those list directories. Results are
     * row-identical to knnJoinIvf at the same parameters. */
   def knnJoinIvfPersisted(spark: SparkSession, path: String, queries: DataFrame,
-                          k: Int = 5, fanout: Int = 32, nprobe: Int = 1,
+                          k: Int = 5, nprobe: Int = 1, fanout: Int = 32,
                           idCol: String = "vec_id",
                           qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
     val (cents, assigned) = loadIndexIvf(spark, path)
@@ -685,6 +687,38 @@ object Similarity {
     var b = 4
     while (b < MaxBitsPerBand && n > (targetBucketSize.toLong << b)) b += 1
     b
+  }
+
+  /** Band count that HOLDS multi-band OR-construction recall as the
+    * corpus grows — the second half of the LSH cost/recall dial
+    * [[adaptiveBitsPerBand]]'s scaladoc names. With adaptive width the
+    * per-band match probability for a pair at hyperplane-agreement
+    * rate q is p = q^bits, shrinking as n grows (bits ∝ log₂ n); a
+    * FIXED nBands therefore decays in recall — measured at
+    * [[knnJoinLshMultiBand]]'s 8-band default: 0.845 recall@5 at n=2k
+    * falling to 0.395 at n=20k (RECALL.md, clustered corpora). Solving
+    * (1 − p^bits)^nBands ≤ missTarget for nBands restores it:
+    * nBands = ⌈ln missTarget / ln(1 − q^bits)⌉ at the design point
+    * q = 0.7 (the agreement rate of pairs at the top-k boundary on
+    * clustered corpora — cos ≈ 0.59 ⇒ q = 1 − θ/π ≈ 0.7).
+    *
+    * nBands grows ≈ (n/target)^(−log₂ q) ≈ √n at q = 0.7: candidate
+    * volume nBands·target·n stays the cost driver and the corpus-side
+    * band table gets nBands rows per vector, so the clamp caps cost at
+    * 64 bands (≈ n = 10⁵ at target 64). PAST the clamp — any truly
+    * large corpus — band-LSH cannot hold top-k recall at bounded cost;
+    * use [[knnJoinIvf]] with the nprobe dial (the recommended kNN
+    * path); this rule makes the small/mid-corpus tool honest rather
+    * than competitive at 100 TB. */
+  def adaptiveNBands(n: Long, targetBucketSize: Int = 64,
+                     missTarget: Double = 0.15,
+                     agreementRate: Double = 0.7): Int = {
+    require(missTarget > 0 && missTarget < 1 && agreementRate > 0 && agreementRate < 1,
+      s"adaptiveNBands: missTarget/agreementRate must be in (0,1)")
+    val bits = adaptiveBitsPerBand(n, targetBucketSize)
+    val p = math.pow(agreementRate, bits)
+    val raw = math.ceil(math.log(missTarget) / math.log1p(-p))
+    math.min(64, math.max(8, raw.toInt))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.
@@ -813,8 +847,36 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     maxClusterSize: Int = 1 << 20,
                     scoreCol: Option[String] = None): DataFrame = {
-    require(nClusters > 0, s"semanticDedup: nClusters must be > 0, got $nClusters")
-    val cents = kmeans(emb, nClusters, dim, iters, idCol, vecCol)
+    val drops = semanticDedupDrops(emb, threshold, dim, nClusters, iters,
+      idCol, vecCol, maxClusterSize, scoreCol)
+    emb.join(drops, emb(idCol) === drops("_drop_id"), "left_anti")
+  }
+
+  /** The sizing rule [[semanticDedup]]'s scaladoc states, as code:
+    * nClusters = ⌈n / targetOccupancy⌉, so mean cluster occupancy — and
+    * with it the per-cluster quadratic pair cost — stays bounded as the
+    * corpus grows (SemDeDup's own 11k clusters for 100M docs is
+    * occupancy ≈ 9k). Pass `nClusters = 0` to [[semanticDedup]] /
+    * [[semanticDedupLshBackstop]] to apply it from a corpus count. */
+  def adaptiveNClusters(n: Long, targetOccupancy: Int = 4096): Int = {
+    require(targetOccupancy > 0,
+      s"adaptiveNClusters: targetOccupancy must be > 0, got $targetOccupancy")
+    math.max(1L, (n + targetOccupancy - 1) / targetOccupancy).toInt
+  }
+
+  /** The within-cluster drop-id set of [[semanticDedup]] (one column
+    * `_drop_id`): every id with a PRECEDING clustermate at cosine ≥
+    * threshold. `nClusters = 0` sizes the clustering adaptively
+    * ([[adaptiveNClusters]] on a corpus count). */
+  private def semanticDedupDrops(emb: DataFrame, threshold: Double, dim: Int,
+                                 nClusters: Int, iters: Int,
+                                 idCol: String, vecCol: String,
+                                 maxClusterSize: Int,
+                                 scoreCol: Option[String]): DataFrame = {
+    require(nClusters >= 0,
+      s"semanticDedup: nClusters must be > 0 (or 0 = adaptive), got $nClusters")
+    val k = if (nClusters > 0) nClusters else adaptiveNClusters(emb.count())
+    val cents = kmeans(emb, k, dim, iters, idCol, vecCol)
     val base = emb.select(
       (col(idCol).as("id") +: asDouble(col(vecCol)).as("v") +:
         scoreCol.map(c => col(c).as("sc")).toSeq): _*)
@@ -835,10 +897,55 @@ object Similarity {
       case Some(_) =>
         struct(-col("_sc1"), col("_id1")) < struct(-col("_sc2"), col("_id2"))
     }
-    val drops = side(1).join(side(2), "list")
+    side(1).join(side(2), "list")
       .filter(col("_id1") =!= col("_id2")).filter(precedes)
       .filter(dot(col("_v1"), col("_v2")) / (col("_nrm1") * col("_nrm2")) >= threshold)
       .select(col("_id2").as("_drop_id")).distinct()
+  }
+
+  /** [[semanticDedup]] with a banded-LSH BACKSTOP for the method's
+    * defining blind spot: a true near-twin pair whose members land in
+    * DIFFERENT k-means clusters is never compared, so SemDeDup alone
+    * resolves only 0.73–0.87 of exact-cosine twins (RECALL.md, r7).
+    * This variant additionally feeds the [[cosineNearDupsLsh]]
+    * candidate pairs (collision in ANY of `nBands` hyperplane bands —
+    * recall 0.97 at cos ≥ 0.9 with the 16-band default, independent of
+    * the clustering) through the SAME precedence drop rule, and drops
+    * the union. Misses now need a pair to straddle clusters AND dodge
+    * all 16 bands — roughly independent failure modes, so coverage
+    * multiplies: measured ≥ 0.95 where either component alone sits at
+    * 0.73–0.97 (RECALL.md, r8).
+    *
+    * Cost adds the near-dup prefilter's linear band pass (candidates ≈
+    * nBands·bucketTarget·n — the same bound as `x_cosine_neardups`);
+    * the plan stays join-based with no cross join and vectors never
+    * ride an exchange they didn't already ride in the components. */
+  def semanticDedupLshBackstop(emb: DataFrame, threshold: Double, dim: Int,
+                               nClusters: Int = 0, iters: Int = 2,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               maxClusterSize: Int = 1 << 20,
+                               scoreCol: Option[String] = None,
+                               nBands: Int = 16, bitsPerBand: Int = 0,
+                               maxBucketSize: Int = 4096): DataFrame = {
+    val clusterDrops = semanticDedupDrops(emb, threshold, dim, nClusters, iters,
+      idCol, vecCol, maxClusterSize, scoreCol)
+    // (id1, id2) verified pairs at the same threshold, id1 < id2
+    val pairs = cosineNearDupsLsh(emb, threshold, idCol, vecCol, dim,
+      nBands, bitsPerBand, maxBucketSize)
+    val lshDrops = scoreCol match {
+      case None => pairs.select(col("id2").as("_drop_id"))
+      case Some(c) =>
+        val scores = emb.select(col(idCol).as("_sid"), col(c).as("_s"))
+        pairs
+          .join(scores, col("id1") === col("_sid"))
+          .select(col("id1"), col("id2"), col("_s").as("_s1"))
+          .join(scores, col("id2") === col("_sid"))
+          .select(col("id1"), col("id2"), col("_s1"), col("_s").as("_s2"))
+          .select(when(
+            struct(-col("_s1"), col("id1")) < struct(-col("_s2"), col("id2")),
+            col("id2")).otherwise(col("id1")).as("_drop_id"))
+    }
+    val drops = clusterDrops.unionByName(lshDrops).distinct()
     emb.join(drops, emb(idCol) === drops("_drop_id"), "left_anti")
   }
 

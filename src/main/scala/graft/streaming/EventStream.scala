@@ -40,18 +40,40 @@ object EventStream {
 
   final case class SessionState(start: Long, last: Long, n: Long, value: Double)
 
+  /** flatMapGroupsWithState state for [[sessionWindows]]: the user's
+    * gap-disjoint in-flight sessions (every pair separated by more than
+    * the gap), sorted by start. More than one session is live exactly
+    * when out-of-order arrival has opened an earlier session that the
+    * watermark has not yet sealed — so the list length is bounded by
+    * the watermark delay / gap ratio, and state stays small. */
+  final case class SessionBuffer(sessions: List[SessionState])
+
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                                  session_end: java.sql.Timestamp, n_events: Long,
                                  total_value: Double)
 
   /** Gap-based session windows via flatMapGroupsWithState (append mode,
-    * event-time timeout): events within `gap` of each other merge into
-    * one session; a session closes — and emits exactly one row — when a
-    * later event arrives past the gap, or when the watermark passes
-    * last_event + gap (the timeout path). State per user is one open
-    * session; the watermark bounds it. This is the arbitrary-state
-    * upgrade of the built-in session_window aggregation (w4): use it
-    * when the per-session result needs logic an agg can't express. */
+    * event-time timeout), with the SAME semantics as the built-in
+    * `session_window` aggregation: two events share a session iff they
+    * are chained by steps of at most `gap`. Implemented as an
+    * order-independent interval merge — each incoming event is a
+    * singleton [ts, ts] interval, folded with the buffered sessions by
+    * the usual sort-and-merge (adjacent intervals coalesce when
+    * separated by ≤ gap) — so out-of-order and cross-micro-batch
+    * arrival cannot change the result: an event that lands between two
+    * buffered sessions and bridges them merges them into one.
+    *
+    * A session emits exactly one row, and only once it is provably
+    * final: when the watermark passes last_event + gap (no event that
+    * could extend or bridge it can still be admitted). Sessions are
+    * NEVER closed at micro-batch boundaries — a gap-exceeding later
+    * event leaves the earlier session buffered, because a not-yet-late
+    * out-of-order event could still extend it. The event-time timeout
+    * is registered at the earliest pending last_event + gap, so every
+    * buffered session eventually seals even if the group goes quiet.
+    * This is the arbitrary-state upgrade of the built-in session_window
+    * aggregation (w4): use it when the per-session result needs logic
+    * an agg can't express. */
   def sessionWindows(events: Dataset[Event],
                      gap: java.time.Duration = java.time.Duration.ofMinutes(30),
                      watermark: String = "1 hour"): Dataset[ClosedSession] = {
@@ -61,60 +83,46 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[SessionBuffer, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, rows, state: GroupState[SessionState]) =>
+        case (uid, rows, state: GroupState[SessionBuffer]) =>
           def close(s: SessionState): ClosedSession =
             ClosedSession(uid, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.last), s.n, s.value)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(close(s))
-          } else {
-            val sorted = rows.toArray.sortBy(_.ts.getTime)
-            val closed = Seq.newBuilder[ClosedSession]
-            var open = state.getOption.orNull
-            // Out-of-order events (earlier microbatch state) more than
-            // `gap` BEFORE the open session form their own sessions,
-            // provably already over — the open session's first event is
-            // beyond the gap after them. CONSECUTIVE such events within
-            // `gap` of each other must merge into ONE old session, so
-            // they fold through this accumulator, not straight to the
-            // output (the batch is sorted, so they arrive in ts order).
-            var oldOpen: SessionState = null
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open = open match {
-                case null => SessionState(t, t, 1L, e.value)
-                case s if t < s.start - gapMillis =>
-                  oldOpen = oldOpen match {
-                    case null => SessionState(t, t, 1L, e.value)
-                    case o if t - o.last > gapMillis =>
-                      closed += close(o)
-                      SessionState(t, t, 1L, e.value)
-                    case o =>
-                      SessionState(o.start, math.max(o.last, t),
-                        o.n + 1, o.value + e.value)
-                  }
-                  s
-                case s if t - s.last > gapMillis =>
-                  closed += close(s)
-                  SessionState(t, t, 1L, e.value)
-                case s =>
-                  // merge; an out-of-order event inside the gap window can
-                  // legitimately EXTEND the session backwards
-                  SessionState(math.min(s.start, t), math.max(s.last, t),
-                    s.n + 1, s.value + e.value)
+          val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) prior
+            else {
+              val all = (prior.iterator ++ rows.map(e =>
+                SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+                .toArray.sortBy(s => (s.start, s.last))
+              val out = List.newBuilder[SessionState]
+              var cur: SessionState = null
+              all.foreach { s =>
+                cur =
+                  if (cur == null) s
+                  else if (s.start - cur.last <= gapMillis)
+                    SessionState(cur.start, math.max(cur.last, s.last),
+                      cur.n + s.n, cur.value + s.value)
+                  else { out += cur; s }
               }
+              if (cur != null) out += cur
+              out.result()
             }
-            if (oldOpen != null) closed += close(oldOpen)
-            if (open != null) {
-              state.update(open)
-              state.setTimeoutTimestamp(open.last + gapMillis)
-            }
-            closed.result().iterator
+          // Seal strictly: an event AT ts == watermark is still admitted
+          // by the watermark filter, so last + gap == watermark could in
+          // principle still be extended.
+          val wm = state.getCurrentWatermarkMs()
+          val (sealed_, live) = merged.partition(_.last + gapMillis < wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionBuffer(live))
+            // must be > current watermark; the max() guards the fire-at-
+            // equality edge so re-registration never throws
+            state.setTimeoutTimestamp(
+              math.max(live.map(_.last).min + gapMillis, wm + 1L))
           }
+          sealed_.iterator.map(close)
       }
   }
 

@@ -282,4 +282,53 @@ class DedupSpec extends SparkSpec {
     assert(out.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.7 })
     assert(!out.exists { case (a, b, _) => a == 2L || b == 2L })
   }
+
+  test("bloom handle lifecycle: consecutive ingest batches destroy their sketches (unsharded + sharded)") {
+    import org.apache.spark.SparkEnv
+    import org.apache.spark.storage.BroadcastBlockId
+
+    def sketchBlocks(id: Long) =
+      SparkEnv.get.blockManager.getMatchingBlockIds {
+        case BroadcastBlockId(bid, _) => bid == id
+        case _ => false
+      }
+    // Broadcast.destroy() is non-blocking: block removal is async, so
+    // give it a bounded moment before asserting
+    def awaitGone(id: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (sketchBlocks(id).nonEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    }
+
+    val existing = (0L until 40L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batchHandleIds = scala.collection.mutable.ArrayBuffer[Long]()
+    for (b <- 0 until 3) {
+      val incoming = (100L + 10 * b until 110L + 10 * b)
+        .map(i => (i, s"fresh doc $i of batch $b")).toDF("doc_id", "text")
+      val (out, handle) = Dedup.dedupAgainstCorpusBloomWithHandle(incoming, existing)
+      assert(out.count() == 10, s"batch $b rows")
+      assert(sketchBlocks(handle.id).nonEmpty,
+        s"batch $b: the sketch's broadcast blocks should be resident while live")
+      handle.destroy()
+      awaitGone(handle.id)
+      assert(sketchBlocks(handle.id).isEmpty,
+        s"batch $b: destroy() must remove the sketch's broadcast blocks")
+      batchHandleIds += handle.id
+    }
+    // sharded path: the same per-batch contract, one handle per shard
+    val incoming = (200L until 220L).map(i => (i, s"fresh sharded doc $i"))
+      .toDF("doc_id", "text")
+    val (outS, handles) =
+      Dedup.dedupAgainstCorpusBloomShardedWithHandles(incoming, existing, nShards = 3)
+    assert(outS.count() == 20)
+    assert(handles.size == 3)
+    handles.foreach(_.destroy())
+    handles.foreach(h => awaitGone(h.id))
+    handles.foreach(h => assert(sketchBlocks(h.id).isEmpty,
+      s"shard sketch ${h.id} blocks must be gone after destroy()"))
+    // no batch's sketch survives: nothing accumulates across batches
+    (batchHandleIds ++ handles.map(_.id)).foreach(id =>
+      assert(sketchBlocks(id).isEmpty, s"sketch $id leaked past its batch"))
+  }
 }

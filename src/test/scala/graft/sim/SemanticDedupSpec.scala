@@ -59,6 +59,42 @@ class SemanticDedupSpec extends SparkSpec {
     assert(Set(3L, 4L, 6L).subsetOf(kept))
   }
 
+  test("adaptiveNClusters: ceil(n / targetOccupancy), floored at 1") {
+    assert(Similarity.adaptiveNClusters(0L) == 1)
+    assert(Similarity.adaptiveNClusters(4096L) == 1)
+    assert(Similarity.adaptiveNClusters(4097L) == 2)
+    assert(Similarity.adaptiveNClusters(100_000_000L, targetOccupancy = 9000) == 11112)
+    intercept[IllegalArgumentException](Similarity.adaptiveNClusters(10L, 0))
+  }
+
+  test("semanticDedupLshBackstop with scoreCol: the highest-score twin survives") {
+    val scored = dupEmb.withColumn("quality", col("vec_id").cast("double"))
+    val kept = keptIds(Similarity.semanticDedupLshBackstop(scored,
+      threshold = 0.999, dim = 8, nClusters = 2, iters = 1,
+      scoreCol = Some("quality")))
+    assert(kept.contains(7L) && !kept.contains(0L) && !kept.contains(1L))
+    assert(kept.contains(5L) && !kept.contains(2L))
+    assert(Set(3L, 4L, 6L).subsetOf(kept))
+  }
+
+  test("semanticDedupLshBackstop = semanticDedup drops ∪ LSH-pair drops on sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val t = 0.3
+    val semKept = keptIds(Similarity.semanticDedup(emb, threshold = t, dim = 64,
+      nClusters = 4, iters = 2))
+    // independent union replay: the LSH verified pairs drop their id2
+    val lshDrops = Similarity.cosineNearDupsLsh(emb, threshold = t)
+      .select(col("id2")).collect().map(_.getLong(0)).toSet
+    val kept = keptIds(Similarity.semanticDedupLshBackstop(emb, threshold = t,
+      dim = 64, nClusters = 4, iters = 2))
+    assert(kept == (semKept -- lshDrops))
+    assert(kept.size < semKept.size || lshDrops.subsetOf(
+      emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet -- semKept),
+      "backstop added nothing on this corpus AND lsh drops were not already dropped — vacuous")
+  }
+
   test("agrees with a brute-force replay of the drop rule on sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())

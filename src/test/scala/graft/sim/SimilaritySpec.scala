@@ -76,6 +76,17 @@ class SimilaritySpec extends SparkSpec {
     byQ.foreach { rows => assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length)) }
   }
 
+  test("adaptiveNBands: grows with n, anchored to the measured operating points") {
+    // n=2k/target 64 -> 5 bits -> 11 bands (8-band default measured
+    // 0.845 there); n=20k -> 9 bits -> ~46 bands; clamp [8, 64]
+    assert(Similarity.adaptiveNBands(100L) == 8)
+    assert(Similarity.adaptiveNBands(2000L) == 11)
+    val nb20k = Similarity.adaptiveNBands(20000L)
+    assert(nb20k > 11 && nb20k <= 64, s"20k bands = $nb20k")
+    assert(Similarity.adaptiveNBands(100_000_000L) == 64, "clamped at the cost cap")
+    intercept[IllegalArgumentException](Similarity.adaptiveNBands(10L, missTarget = 0.0))
+  }
+
   test("knnJoinIvf: single-query batch equals the one-shot annIvfKmeans probe") {
     val queries = emb.filter(col("vec_id") === 0L)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -106,6 +106,42 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows: out-of-order events that BRIDGE two buffered sessions equal session_window") {
+    // b1 opens [10:40, 10:45]; b2's 10:00/10:05 open a pre-gap old
+    // session AND its 10:30 bridges it into the open one (10:05→10:30 is
+    // 25 min ≤ gap, 10:30→10:40 is 10 min ≤ gap): the CORRECT result is
+    // ONE session of all five events — exactly the case where closing
+    // the old session at micro-batch end (the round-7 semantics) would
+    // emit a spurious split.
+    val b1 = Seq(ev(41, "10:40", 4, "view", 1.0), ev(42, "10:45", 4, "view", 2.0))
+    val b2 = Seq(ev(43, "10:00", 4, "view", 7.0), ev(44, "10:05", 4, "view", 2.0),
+      ev(45, "10:30", 4, "view", 3.0))
+
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindows(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eq_sess_bridge").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(Seq(flush)); q.processAllAvailable(); q.processAllAvailable()
+      val streamed = rowSet(spark.table("eq_sess_bridge")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value")))
+      val batch = (b1 ++ b2 :+ flush).toDF()
+        .filter(col("user_id") =!= flush.user_id)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+          col("n_events"), col("total_value"))
+      assert(streamed == rowSet(batch) && streamed.size == 1,
+        s"stream=$streamed\nbatch=${rowSet(batch)}")
+    } finally q.stop()
+  }
+
   test("lastTouchAttribution: stream with late views equals the batch join + argmax") {
     val views1 = Seq(ev(21, "10:07", 1, "view", 0.0), ev(22, "09:59", 1, "view", 0.0))
     // 10:00 is LATE (the stream saw 10:07 first) and sits exactly at
