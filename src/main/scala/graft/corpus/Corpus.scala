@@ -771,4 +771,51 @@ object Corpus {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col(idCol), col("tok"), round(col("score"), 6).as("score"), col("rn"))
   }
+
+  /** BM25 top-k document retrieval for a fixed query-term set — the
+    * classic sparse-retrieval ranking (quality-ranked data selection,
+    * eval-set retrieval, RAG-ish corpus probes).
+    *
+    * score(doc) = Σ_{t ∈ query} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the Robertson idf in its LOG-FREE rational form
+    * idf(t) = (N − df + 0.5)/(df + 0.5) — same house determinism rule
+    * as [[tfidfTopTerms]]: ln() differs in the last ulp across libm
+    * implementations, while this rational is built from exactly-rounded
+    * IEEE ops only, so scores are bit-identical across engines (it is a
+    * monotone transform of the classic ln-idf per term). Per-term
+    * scores are rounded to 6 dp and summed in DECIMAL, making the
+    * per-doc total independent of addend order.
+    *
+    * Scale shape: tokens are exploded ONCE and immediately filtered to
+    * the query terms (a handful of literals → codegen'd isin on the
+    * scan side), so the full vocabulary never reaches an exchange; df
+    * and the (N, avgdl) stats are tiny aggregates broadcast back; the
+    * final top-k plans as TakeOrderedAndProject (no global sort, no
+    * single-partition window over the corpus). */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25TopDocs: queryTerms must be non-empty")
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).as("dl"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base.select(col(idCol), col("dl"), explode(col("_toks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfT), "tok").crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(
+          ((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+          6).cast("decimal(18,6)").as("s"))
+    val agg = scored.groupBy(col(idCol)).agg(sum(col("s")).cast("double").as("score"))
+    val top = agg.orderBy(col("score").desc, col(idCol)).limit(k)
+    top.withColumn("rn",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
 }

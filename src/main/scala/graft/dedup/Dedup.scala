@@ -297,6 +297,45 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Duplicate-span detection: for every w-token window (stride 1) of
+    * every document, hash the window text ([[md5Hash60]]) and count
+    * global occurrences; a window whose hash occurs ≥ 2 times anywhere
+    * in the corpus (another doc OR a self-repeat) is a duplicate span.
+    * Returns per-doc (n_windows, n_dup, dup_ratio) for docs with ≥ 1
+    * duplicate span — the exact-substring-dedup signal (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better") that
+    * MinHash's whole-doc granularity misses: boilerplate headers,
+    * quoted passages, licence blocks repeated across otherwise-unique
+    * docs. Docs shorter than w tokens have no window and never appear.
+    *
+    * Scale shape: the exchange carries only (8-byte hash, doc_id) —
+    * never window text; global counts are one hash-keyed groupBy whose
+    * output partitioning is reused by the count-back join; the per-doc
+    * rollup is the third and last shuffle. Per-row work is O(tokens·w)
+    * md5 (w is a small constant; a rolling hash would be O(tokens) but
+    * md5 is the engine-portable choice the oracle can replay — swap in
+    * a rolling-hash Expression if profiles ever show window hashing
+    * dominating). */
+  def dupSpans(docs: DataFrame, w: Int = 16,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"dupSpans: window must be >= 2 tokens, got $w")
+    val keys = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= w)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("_toks")) - w),
+          j => md5Hash60(array_join(slice(col("_toks"), j + 1, lit(w)), " "))))
+          .as("k"))
+    val dupKeys = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("k"), lit(1).as("_dup"))
+    keys.join(dupKeys, Seq("k"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"), count(col("_dup")).as("n_dup"))
+      .filter(col("n_dup") >= 1)
+      .select(col(idCol), col("n_windows"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_windows"), 6).as("dup_ratio"))
+  }
+
   /** Incremental (cross-corpus) dedup: drop incoming docs whose
     * fingerprint already exists in the corpus — the daily-ingest shape.
     * The existing side reduces to a distinct fingerprint set before the

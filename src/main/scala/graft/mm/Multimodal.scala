@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * All THREE modalities decode for real: `javax.imageio` ships in the
   * JDK (PNG/BMP/GIF/JPEG → true width/height), so does
   * `javax.sound.sampled` (WAV/AIFF/AU → true sample rate, channels,
-  * frame count), and MP4/QuickTime video headers are a pure public
-  * byte format (ISO/IEC 14496-12 box structure) parsed by hand here —
-  * `mvhd` duration/timescale and the video `tkhd` width/height, no
-  * codec needed. All are header-only reads — no pixel/sample/frame
+  * frame count), and video container headers are pure public byte
+  * formats parsed by hand here — MP4/QuickTime (ISO/IEC 14496-12 box
+  * walk: `mvhd` duration/timescale, video `tkhd` 16.16-fixed dims) and
+  * Matroska/WebM (RFC 8794 EBML walk: Info TimestampScale/Duration,
+  * Video PixelWidth/PixelHeight), no codec needed. All are
+  * header-only reads — no pixel/sample/frame
   * decode, the right cost at corpus scale. Payloads no reader
   * recognizes fall back to the deterministic stub (sample decode of
   * actual frames would be the ffmpeg/JNI swap-in point); the schema,
@@ -144,6 +146,13 @@ object Multimodal {
       (p(4) == 'm'.toByte && p(5) == 'o'.toByte && p(6) == 'o'.toByte && p(7) == 'v'.toByte)
     }
 
+  /** EBML (Matroska/WebM) magic: the EBML header element ID
+    * `0x1A45DFA3` at byte 0 — four byte compares, same hot-path
+    * contract as the other sniffs. */
+  private[mm] def sniffEbml(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(0) == 0x1A.toByte && p(1) == 0x45.toByte &&
+      p(2) == 0xDF.toByte && p(3) == 0xA3.toByte
+
   /** Real MP4/QuickTime header decode — a hand parse of the public
     * ISO/IEC 14496-12 box structure, zero dependencies (the byte-format
     * twin of the WAV work): walk the top-level boxes to `moov`, read
@@ -203,10 +212,105 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None } // truncated header
   }
 
+  /** Real Matroska/WebM header decode — the EBML twin of
+    * [[decodeVideoMeta]]'s ISO-BMFF box walk, zero dependencies. EBML
+    * (RFC 8794) frames every element as a variable-width element ID
+    * (1–4 bytes, marker bit kept) + a variable-width size (1–8 bytes,
+    * marker bit stripped; all-ones = "unknown size", which Matroska
+    * permits for master elements like Segment in streamed files — read
+    * to the parent's end). The walk descends Segment `0x18538067` →
+    * Info `0x1549A966` (TimestampScale `0x2AD7B1`, default 1,000,000
+    * ns/tick; Duration `0x4489`, an IEEE float in ticks) and Segment →
+    * Tracks `0x1654AE6B` → TrackEntry `0xAE` → Video `0xE0`
+    * (PixelWidth `0xB0`, PixelHeight `0xBA`) — the first track with
+    * nonzero dims wins (audio TrackEntries carry no Video element).
+    * Returns (width, height, duration ms); None for truncated/corrupt
+    * structures, which fall to the stub. Header-only: Cluster payloads
+    * are skipped by size, never entered, so cost is independent of
+    * media length. */
+  private[mm] def decodeWebmMeta(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val end = p.length
+    /** (elementId, payloadStart, payloadEnd) of each child of [start, stop). */
+    def elems(start: Int, stop: Int): Seq[(Long, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+      var off = start
+      while (off < stop) {
+        val b0 = p(off) & 0xff
+        val idW =
+          if ((b0 & 0x80) != 0) 1 else if ((b0 & 0x40) != 0) 2
+          else if ((b0 & 0x20) != 0) 3 else if ((b0 & 0x10) != 0) 4
+          else return out.toSeq // invalid ID lead byte → corrupt tail
+        if (off + idW >= stop) return out.toSeq
+        var id = 0L
+        var i = 0
+        while (i < idW) { id = (id << 8) | (p(off + i) & 0xffL); i += 1 }
+        var o = off + idW
+        val s0 = p(o) & 0xff
+        val szW = Integer.numberOfLeadingZeros(s0) - 23 // 0x80→1 … 0x01→8
+        if (szW < 1 || szW > 8 || o + szW > stop) return out.toSeq
+        var size = (s0 & (0xff >>> szW)).toLong
+        var allOnes = size == (0xffL >>> szW)
+        i = 1
+        while (i < szW) {
+          val b = p(o + i) & 0xffL
+          size = (size << 8) | b; allOnes &&= b == 0xffL; i += 1
+        }
+        o += szW
+        val pe = if (allOnes) stop.toLong else o + size // unknown size → parent end
+        if (pe < o || pe > stop) return out.toSeq
+        out += ((id, o, pe.toInt))
+        off = pe.toInt
+      }
+      out.toSeq
+    }
+    def uint(s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e) { v = (v << 8) | (p(i) & 0xffL); i += 1 }
+      v
+    }
+    def flt(s: Int, e: Int): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(s, e))
+      case _ => 0.0
+    }
+    try {
+      elems(0, end).collectFirst { case (0x18538067L, s, e) => (s, e) }.flatMap {
+        case (ss, se) =>
+          val children = elems(ss, se)
+          var scaleNs = 1000000L
+          var durTicks = 0.0
+          children.collectFirst { case (0x1549A966L, s, e) => (s, e) }.foreach {
+            case (is, ie) => elems(is, ie).foreach {
+              case (0x2AD7B1L, s, e) => scaleNs = uint(s, e)
+              case (0x4489L, s, e)   => durTicks = flt(s, e)
+              case _                 => ()
+            }
+          }
+          val durMs = (durTicks * scaleNs / 1e6).toLong
+          val dims = children.collect { case (0x1654AE6BL, s, e) => elems(s, e) }
+            .flatten.collect { case (0xAEL, s, e) => elems(s, e) }
+            .flatMap(_.collectFirst { case (0xE0L, s, e) => (s, e) })
+            .iterator.map { case (vs, ve) =>
+              var w = 0L; var h = 0L
+              elems(vs, ve).foreach {
+                case (0xB0L, s, e) => w = uint(s, e)
+                case (0xBAL, s, e) => h = uint(s, e)
+                case _             => ()
+              }
+              (w.toInt, h.toInt)
+            }.collectFirst { case (w, h) if w > 0 && h > 0 => (w, h) }
+          val (w, h) = dims.getOrElse((0, 0))
+          if (dims.isEmpty && durMs == 0L) None // a Segment that told us nothing
+          else Some((w, h, math.min(durMs, Int.MaxValue).toInt))
+      }
+    } catch { case _: IndexOutOfBoundsException => None } // truncated header
+  }
+
   /** Modality dispatch: real header decode for images (width, height,
     * 1), audio (sample rate, channels, frame count) and MP4/QuickTime
-    * video (width, height, duration ms) — packed into the same three
-    * feature slots; stub when no reader recognizes the bytes. */
+    * or Matroska/WebM video (width, height, duration ms) — packed into
+    * the same three feature slots; stub when no reader recognizes the
+    * bytes. */
   private[mm] def decode(payload: Array[Byte], mediaType: String): (Int, Int, Int) =
     mediaType match {
       case "image" if sniffImage(payload) =>
@@ -218,6 +322,11 @@ object Multimodal {
         decodeAudioMeta(payload) match {
           case Some(meta) => meta
           case None => decodeStub(payload, "audio")
+        }
+      case "video" if sniffEbml(payload) =>
+        decodeWebmMeta(payload) match {
+          case Some(meta) => meta
+          case None => decodeStub(payload, "video")
         }
       case "video" if sniffVideo(payload) =>
         decodeVideoMeta(payload) match {

@@ -548,32 +548,34 @@ object ExtensionQueries {
     * final assignment `asgf` over centroid CTE `cv<iters>`) unrolled as
     * DuckDB CTEs — shared by every IVF-kmeans oracle. Expects an `e`
     * CTE (vec_id, v) to precede it. */
-  private def kmeansCtesSql(nLists: Int, iters: Int): String = {
+  private def kmeansCtesSql(nLists: Int, iters: Int, dim: Int = 64,
+                            salt: String = "kmeans:", e: String = "e",
+                            sfx: String = ""): String = {
     def assignSql(name: String, centCte: String): String =
       s"""$name AS (SELECT vec_id, v, list FROM (
         SELECT e.vec_id, e.v, c.list,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                  list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv),
                  c.list) AS rn
-        FROM e, $centCte c) t WHERE rn = 1)"""
+        FROM $e e, $centCte c) t WHERE rn = 1)"""
     def updateSql(n: Int, asgCte: String): String =
-      s"""comps$n AS (SELECT list, i AS pos, round(v[i], 6) AS x
-               FROM $asgCte, (SELECT unnest(generate_series(1, 64)) AS i) idx),
-      cent$n AS (SELECT list, pos,
+      s"""comps$n$sfx AS (SELECT list, i AS pos, round(v[i], 6) AS x
+               FROM $asgCte, (SELECT unnest(generate_series(1, $dim)) AS i) idx),
+      cent$n$sfx AS (SELECT list, pos,
                       CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
-               FROM comps$n GROUP BY list, pos),
-      cv$n AS (SELECT list, list(c ORDER BY pos) AS cv FROM cent$n GROUP BY list)"""
+               FROM comps$n$sfx GROUP BY list, pos),
+      cv$n$sfx AS (SELECT list, list(c ORDER BY pos) AS cv FROM cent$n$sfx GROUP BY list)"""
     val rounds = (1 to iters).map(r =>
-      assignSql(s"asg$r", if (r == 1) "cv0" else s"cv${r - 1}") + ",\n      " +
-        updateSql(r, s"asg$r")).mkString(",\n      ")
-    s"""dr AS (SELECT vec_id, v,
-                    ('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS draw
-             FROM e),
-      cv0 AS (SELECT rn - 1 AS list, v AS cv FROM
-                (SELECT v, ROW_NUMBER() OVER (ORDER BY draw, vec_id) AS rn FROM dr) s
+      assignSql(s"asg$r$sfx", if (r == 1) s"cv0$sfx" else s"cv${r - 1}$sfx") + ",\n      " +
+        updateSql(r, s"asg$r$sfx")).mkString(",\n      ")
+    s"""dr$sfx AS (SELECT vec_id, v,
+                    ('0x' || substr(md5('$salt' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS draw
+             FROM $e),
+      cv0$sfx AS (SELECT rn - 1 AS list, v AS cv FROM
+                (SELECT v, ROW_NUMBER() OVER (ORDER BY draw, vec_id) AS rn FROM dr$sfx) s
               WHERE rn <= $nLists),
       $rounds,
-      ${assignSql("asgf", s"cv$iters")}"""
+      ${assignSql(s"asgf$sfx", s"cv$iters$sfx")}"""
   }
 
   val annIvfKmeans: Q = {
@@ -601,6 +603,45 @@ object ExtensionQueries {
       FROM (SELECT vec_id, c,
                    ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM sc) t
       WHERE rn <= 20
+    """.trim)
+    )
+  }
+
+  /** Product-quantization ANN (Similarity.annPq scaladoc has the
+    * compression/ADC scale story). The oracle replays all m=8
+    * per-subspace unrolled Lloyd's runs (kmeansCtesSql with per-
+    * subspace salt/suffix/slice), the per-vector code assignment, and
+    * the ADC distance A − 2.0·B + C summed in subspace order — so the
+    * approximate distances, and therefore the retrieved set, are
+    * hash-pinned, not just "close". */
+  val annPqQ: Q = {
+    val m = 8; val sub = 8; val nCents = 16; val iters = 2
+    val subCtes = (0 until m).map { s =>
+      s"""e$s AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM e),
+      ${kmeansCtesSql(nCents, iters, dim = sub, salt = s"pq$s:", e = s"e$s", sfx = s"_$s")}"""
+    }.mkString(",\n      ")
+    val terms = (0 until m).map { s =>
+      s"""term$s AS (SELECT a.vec_id,
+             list_dot_product(q.qs, q.qs) - 2.0*list_dot_product(q.qs, c.cv) + list_dot_product(c.cv, c.cv) AS t
+           FROM asgf_$s a JOIN cv${iters}_$s c ON a.list = c.list,
+                (SELECT qv[${s * sub + 1}:${(s + 1) * sub}] AS qs FROM q) q)"""
+    }.mkString(",\n      ")
+    val sumExpr = (0 until m).map(s => s"term$s.t").mkString(" + ")
+    val joins = (1 until m).map(s => s"JOIN term$s ON term0.vec_id = term$s.vec_id").mkString("\n             ")
+    Q(
+      "x_ann_pq",
+      (s, d) => Similarity.annPq(Tables.embeddings(s, d), queryId = 0L, dim = 64, k = 20,
+        m = m, nCents = nCents, iters = iters),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      $subCtes,
+      $terms,
+      sc AS (SELECT term0.vec_id, ROUND($sumExpr, 6) AS adc_dist
+             FROM term0 $joins
+             WHERE term0.vec_id <> 0)
+      SELECT vec_id, adc_dist, ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS rn
+      FROM sc ORDER BY adc_dist, vec_id LIMIT 20
     """.trim)
     )
   }
@@ -1717,6 +1758,67 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Duplicate-span detection (exact-substring dedup signal) — every
+    * 16-token stride-1 window hashed to 60 bits, globally counted, per
+    * doc the share of windows whose hash repeats anywhere in the
+    * corpus. Dedup.dupSpans scaladoc has the scale story (8-byte keys
+    * in every exchange, groupBy partitioning reused by the count-back
+    * join). The oracle replays window slicing + the md5-prefix hash
+    * construction verbatim. */
+  val dupSpansQ: Q = Q(
+    "x_dup_spans",
+    (s, d) => Dedup.dupSpans(Tables.documents(s, d), w = 16),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                    FROM documents
+                    WHERE len(regexp_split_to_array(text, '\s+')) >= 16),
+      keys AS (SELECT doc_id,
+                    ('0x' || substr(md5(array_to_string(list_slice(toks, j + 1, j + 16), ' ')), 1, 15))::BIGINT AS k
+               FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 16 + 1)) AS j FROM base)),
+      cnt AS (SELECT k, COUNT(*) AS c FROM keys GROUP BY 1),
+      dup AS (SELECT k, 1 AS _dup FROM cnt WHERE c >= 2)
+      SELECT doc_id, COUNT(*) AS n_windows, COUNT(_dup) AS n_dup,
+             ROUND(CAST(COUNT(_dup) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+      FROM keys LEFT JOIN dup USING (k)
+      GROUP BY 1 HAVING COUNT(_dup) >= 1
+    """.trim)
+  )
+
+  /** BM25 sparse retrieval — top-10 documents for a fixed query-term
+    * set over the corpus (Corpus.bm25TopDocs scaladoc has the scale
+    * story: one token explode filtered to the query terms at the scan,
+    * tiny broadcast df/avgdl stats, TakeOrderedAndProject top-k). The
+    * oracle replays the exact log-free rational-idf arithmetic; every
+    * fractional literal is cast to DOUBLE because DuckDB otherwise
+    * parses them as DECIMAL and the promotion order would change the
+    * last-ulp story. */
+  val bm25: Q = Q(
+    "x_bm25",
+    (s, d) => graft.corpus.Corpus.bm25TopDocs(
+      Tables.documents(s, d), Seq("spark", "merge", "vector"), k = 10),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+                           len(regexp_split_to_array(text, '\s+')) AS dl
+                    FROM documents),
+      stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM base),
+      tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+             WHERE tok IN ('spark', 'merge', 'vector') GROUP BY 1, 2, 3),
+      dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT doc_id,
+        CAST(ROUND(
+          ((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+            (tf * CAST(2.2 AS DOUBLE)) /
+            (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+          6) AS DECIMAL(18,6)) AS s
+        FROM tf JOIN dfx USING (tok), stats),
+      agg AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY 1)
+      SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM agg ORDER BY score DESC, doc_id LIMIT 10
+    """.trim)
+  )
+
   /** Batch kNN join — top-5 cosine neighbors for EVERY query in an
     * eval-style query set, exact brute force with the two-stage
     * distributed top-k (see Similarity.knnJoin). The query set is a
@@ -1988,7 +2090,7 @@ object ExtensionQueries {
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
     seqPack, seqMaterialize,
     ngramJaccard, containmentPairs,
-    knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, cosineNearDups,
+    knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, annPqQ, cosineNearDups,
     dedupSemantic, dedupSemanticLsh, sampleSemantic, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinLshMultiBandQ,
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
@@ -1998,6 +2100,6 @@ object ExtensionQueries {
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,
-    splitAssign, splitLeakageFree, tfidf, lineDedup, sourceCap,
+    splitAssign, splitLeakageFree, tfidf, bm25, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ)
 }

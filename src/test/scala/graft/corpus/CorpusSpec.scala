@@ -282,6 +282,27 @@ class CorpusSpec extends SparkSpec {
     assert(top2(1L) == "zebra", s"rare term must outrank the corpus-wide one: $top2")
   }
 
+  test("bm25TopDocs ranks rare-term matches above common-term matches, length-normalized") {
+    val docs = Seq(
+      (1L, "zebra apple apple apple apple apple apple apple"), // rare term, long doc
+      (2L, "zebra apple"),                                     // rare term, short doc
+      (3L, "apple apple apple"),                               // common term only
+      (4L, "banana banana banana")                             // no query term
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25TopDocs(docs, Seq("zebra", "apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val byId = out.map(x => x._1 -> x).toMap
+    assert(!byId.contains(4L), "doc with no query term must not score")
+    // zebra (df 2) outweighs apple (df 3); the short zebra doc's tf part
+    // is larger than the long one's (length normalization)
+    assert(byId(2L)._2 > byId(3L)._2, s"rare-term doc must beat common-term doc: $out")
+    assert(byId(2L)._2 > byId(1L)._2, s"short doc must beat long doc on same terms: $out")
+    // ranks are 1..n dense by (score desc, id)
+    assert(out.map(_._3).sorted.toSeq == (1 to out.length).toSeq)
+    // k truncates
+    assert(Corpus.bm25TopDocs(docs, Seq("zebra", "apple"), k = 2).count() == 2)
+  }
+
   test("capPerSource keeps at most N per source, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def run() = Corpus.capPerSource(docs, 10, sourceCol = "source")

@@ -331,4 +331,32 @@ class DedupSpec extends SparkSpec {
     (batchHandleIds ++ handles.map(_.id)).foreach(id =>
       assert(sketchBlocks(id).isEmpty, s"sketch $id leaked past its batch"))
   }
+
+  test("dupSpans flags shared and self-repeated windows, skips short and unique docs") {
+    import spark.implicits._
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ") // 6-token boilerplate
+    val docs = Seq(
+      // docs 1+2 share the boilerplate prefix, differ afterwards
+      (1L, boiler + " u1 u2 u3 u4 u5 u6"),
+      (2L, boiler + " v1 v2 v3 v4 v5 v6"),
+      // doc 3: self-repeat — the same 6 tokens twice
+      (3L, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6"),
+      // doc 4: unique content, no dup spans
+      (4L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      // doc 5: shorter than the window — never appears
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, w = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"only docs with dup spans: $out")
+    // docs 1/2: 12 tokens → 7 windows; only the boilerplate window (pos 0)
+    // is shared
+    assert(out(1L) == ((7L, 1L, math.rint(1.0 / 7 * 1e6) / 1e6)), s"doc1: ${out.get(1L)}")
+    assert(out(2L)._1 == 7L && out(2L)._2 == 1L)
+    // doc 3: 12 tokens → 7 windows; window 0 (r1..r6) == window 6 → both
+    // positions count as dups
+    assert(out(3L)._1 == 7L && out(3L)._2 == 2L, s"self-repeat: ${out.get(3L)}")
+    // a doc below the window size yields no windows at all
+    assert(!out.contains(5L))
+  }
 }

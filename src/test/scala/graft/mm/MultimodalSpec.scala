@@ -132,6 +132,55 @@ class MultimodalSpec extends SparkSpec {
       "non-MP4 payloads keep the deterministic stub features")
   }
 
+  test("extractFeatures decodes REAL WebM/Matroska payloads (minimal generated EBML) to true metadata") {
+    // EBML element: raw ID bytes + 8-byte-VINT size (0x01 then 7 bytes
+    // big-endian — always legal, never the all-ones unknown marker for
+    // our small payloads) + payload
+    def el(id: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(id.length + 8 + payload.length)
+      id.foreach(i => b.put(i.toByte))
+      b.put(0x01.toByte)
+      val n = payload.length.toLong
+      (6 to 0 by -1).foreach(i => b.put(((n >> (8 * i)) & 0xff).toByte))
+      b.put(payload)
+      b.array()
+    }
+    def be(v: Long, w: Int): Array[Byte] =
+      ((w - 1) to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val ebmlHeader = el(Array(0x1A, 0x45, 0xDF, 0xA3), "webm".getBytes("ISO-8859-1"))
+    // Info: TimestampScale 1,000,000 ns/tick, Duration 12345.0 ticks → 12345 ms
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      el(Array(0x2A, 0xD7, 0xB1), be(1000000L, 3)) ++
+      el(Array(0x44, 0x89), be(java.lang.Float.floatToIntBits(12345f).toLong, 4)))
+    val videoEl = el(Array(0xE0),
+      el(Array(0xB0), be(640L, 2)) ++ el(Array(0xBA), be(360L, 2)))
+    // audio TrackEntry first (TrackNumber only, no Video child) — the
+    // video track's dims must still be found
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B),
+      el(Array(0xAE), el(Array(0xD7), be(1L, 1))) ++ el(Array(0xAE), videoEl))
+    val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    val webm = ebmlHeader ++ segment
+    // unknown-size Segment (size VINT 0xFF = all ones): streamed-file
+    // shape, children read to end of payload
+    val segBody = info ++ tracks
+    val streamed = ebmlHeader ++
+      Array(0x18, 0x53, 0x80, 0x67, 0xFF).map(_.toByte) ++ segBody
+    val truncated = webm.take(ebmlHeader.length + 20) // cut mid-Segment
+    val media = Seq(
+      (40L, webm, "video"),
+      (41L, streamed, "video"),
+      (42L, truncated, "video")
+    ).toDF("media_id", "payload", "media_type")
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(40L).width == 640 && f(40L).height == 360 && f(40L).n_frames == 12345,
+      s"webm must decode dims + duration ms: ${f(40L)}")
+    assert(f(41L).width == 640 && f(41L).height == 360 && f(41L).n_frames == 12345,
+      s"unknown-size Segment must read to end: ${f(41L)}")
+    val nT = truncated.length
+    assert(f(42L).width == nT % 1920 && f(42L).n_frames == nT % 300,
+      s"truncated EBML falls to the stub: ${f(42L)}")
+  }
+
   test("sampleChunks: strided binary slicing") {
     val out = Multimodal.sampleChunks(Multimodal.mediaTable(docs), chunk = 10, stride = 2)
       .filter(col("media_id") === 0L)

@@ -87,6 +87,28 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.adaptiveNBands(10L, missTarget = 0.0))
   }
 
+  test("annPq: ADC retrieval ranks an exact duplicate of the query first, deterministically") {
+    // 12 vectors in two far-apart clusters; vec 11 is an exact copy of
+    // vec 0 (the query) and the only other member of its cluster, so it
+    // alone shares all PQ codes with the query — its ADC distance is
+    // the minimum possible (the query's own quantization error)
+    val ones = Array.fill(8)(1f)
+    val rows = Seq((0L, ones), (11L, ones)) ++
+      (1 to 10).map(i => (i.toLong,
+        Array.tabulate(8)(j => -1f + 0.01f * ((i * 7 + j) % 5))))
+    val e = rows.toDF("vec_id", "embedding")
+    def run() = Similarity.annPq(e, queryId = 0L, dim = 8, k = 5,
+      m = 2, nCents = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val out = run()
+    assert(out.length == 5, s"k rows expected: $out")
+    assert(out.map(_._3) == Seq(1, 2, 3, 4, 5), s"dense ranks: $out")
+    assert(out.head._1 == 11L, s"exact duplicate must rank first: $out")
+    assert(out.head._2 == out.filter(_._1 == 11L).head._2 &&
+      out.head._2 <= out.last._2, s"distances ascend: $out")
+    assert(run() == out, "PQ retrieval is deterministic")
+  }
+
   test("knnJoinIvf: single-query batch equals the one-shot annIvfKmeans probe") {
     val queries = emb.filter(col("vec_id") === 0L)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
