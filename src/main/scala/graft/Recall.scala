@@ -65,6 +65,46 @@ object Recall {
     rows += (("knnJoinIvfPersisted nprobe=1 (x_knn_join_ivf_persisted)", k,
       recall(knnSet(Similarity.knnJoinIvfPersisted(spark, idx, queries, k = k)), exactKnn)))
 
+    // PQ-ADC retrieval vs its OWN objective (exact L2 top-k — PQ
+    // approximates squared euclidean, not cosine; on unnormalized
+    // vectors the two top-k sets differ, so grading ADC against the
+    // cosine eval set would conflate quantization error with metric
+    // mismatch). Exact L2 ranks are computed driver-side from the
+    // collected vectors — measurement-only, like the O(n²) pair maps
+    // above. 10 queries: annPq builds one codebook+LUT per call.
+    {
+      val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      def l2(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val pqQids = (0L until 10L).filter(vecs.contains)
+      val exactL2 = pqQids.flatMap { qid =>
+        vecs.iterator.filter(_._1 != qid).toSeq
+          .sortBy { case (id, v) => (l2(vecs(qid), v), id) }.take(k)
+          .map { case (id, _) => (qid, id) }
+      }.toSet
+      val pqSet = pqQids.flatMap { qid =>
+        Similarity.annPq(emb, qid, dim = 64, k = k, m = 8, nCents = 16, iters = 2)
+          .collect().map(r => (qid, r.getLong(0)))
+      }.toSet
+      rows += ((s"annPq m=8 nCents=16 vs exact-L2 (x_ann_pq), ${pqQids.size} queries", k,
+        recall(pqSet, exactL2)))
+      // the deployment shape: ADC produces a SHORTLIST (8·k here), the
+      // exact vectors rescore it — recall = how often the true top-k
+      // survives into the shortlist, i.e. the retrieve-and-rescore
+      // pipeline's end-to-end recall (rescoring never loses a
+      // shortlisted true neighbor)
+      val pqShort = pqQids.flatMap { qid =>
+        Similarity.annPq(emb, qid, dim = 64, k = 8 * k, m = 8, nCents = 16, iters = 2)
+          .collect().map(r => (qid, r.getLong(0)))
+      }.toSet
+      rows += ((s"annPq shortlist@${8 * k}+exact rescore vs exact-L2, ${pqQids.size} queries", k,
+        recall(pqShort, exactL2)))
+    }
+
     // pair recall bucketed by the exact cosine: banded LSH's collision
     // probability rises steeply with similarity (1−(1−(1−θ/π)^b)^nBands),
     // so "recall at the threshold" mixes the operator's TARGET (near
@@ -102,7 +142,15 @@ object Recall {
     // — the SemDeDup approximation — so resolution climbs as clusters
     // get finer ONLY while twins stay co-clustered; the measured curve
     // is that tradeoff.
-    val target = exactPairsSim.collect { case (p, s) if s >= 0.9 => p }.toSet
+    //
+    // The target is the operator's OWN exact definition — a dedicated
+    // cosineNearDupsExact run at t=0.9 — NOT the t=0.5 map filtered by
+    // its reported cosine: that column is rounded to 6 dp, so pairs at
+    // true cos 0.899999x report as 0.9 and land in the denominator as
+    // phantom "unresolved" pairs no t=0.9 operator is even allowed to
+    // drop (r7's 0.73-0.87 coverage readings included exactly these).
+    val target = Similarity.cosineNearDupsExact(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     if (target.nonEmpty) {
       for (nc <- Seq(4, 16, 64)) {
         val t0 = System.nanoTime()

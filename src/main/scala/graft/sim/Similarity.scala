@@ -308,7 +308,16 @@ object Similarity {
     * Determinism: centroids come from kmeans' decimal-mean arithmetic;
     * LUT entries and the ADC sum use the exact left-fold form the
     * oracle replays (A − 2.0·B + C per subspace, summed in fixed
-    * subspace order, rounded at 6 dp). */
+    * subspace order, rounded at 6 dp).
+    *
+    * MEASURED CONTRACT (graft.Recall → RECALL.md): PQ is a SHORTLIST
+    * stage, not a ranker — pure ADC top-5 reads 0.26–0.34 recall on
+    * clustered corpora (quantization blurs fine ranks by design), but
+    * the deployment shape — call with k = 8·(wanted k) for the ADC
+    * shortlist, then rescore the k rows against the exact vectors —
+    * measures 0.96 / 0.80 at n=2k / 20k. Uniform-random corpora floor
+    * lower (no codebook structure); raise nCents toward the
+    * literature's 256 as n grows. */
   def annPq(emb: DataFrame, queryId: Long, dim: Int = 64, k: Int = 20,
             m: Int = 8, nCents: Int = 16, iters: Int = 2,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -774,7 +783,15 @@ object Similarity {
     * large corpus — band-LSH cannot hold top-k recall at bounded cost;
     * use [[knnJoinIvf]] with the nprobe dial (the recommended kNN
     * path); this rule makes the small/mid-corpus tool honest rather
-    * than competitive at 100 TB. */
+    * than competitive at 100 TB.
+    *
+    * MEASURED (r8, graft.Recall → RECALL.md): this rule picks 11
+    * bands at n=2k → recall@5 0.93 (vs 0.845 fixed-8) and 47 bands at
+    * n=20k → 0.98 on the clustered sf1c corpus (vs 0.395 fixed-8 —
+    * the r7 decay the rule was built to fix). On UNIFORM-random
+    * corpora (near-orthogonal vectors, no bucket structure to find)
+    * it reaches only 0.55-0.71 — that floor is the data, not the
+    * dial: IVF nprobe≥2 is the right tool there. */
   def adaptiveNBands(n: Long, targetBucketSize: Int = 64,
                      missTarget: Double = 0.15,
                      agreementRate: Double = 0.7): Int = {
@@ -971,15 +988,17 @@ object Similarity {
   /** [[semanticDedup]] with a banded-LSH BACKSTOP for the method's
     * defining blind spot: a true near-twin pair whose members land in
     * DIFFERENT k-means clusters is never compared, so SemDeDup alone
-    * resolves only 0.73–0.87 of exact-cosine twins (RECALL.md, r7).
-    * This variant additionally feeds the [[cosineNearDupsLsh]]
-    * candidate pairs (collision in ANY of `nBands` hyperplane bands —
-    * recall 0.97 at cos ≥ 0.9 with the 16-band default, independent of
-    * the clustering) through the SAME precedence drop rule, and drops
-    * the union. Misses now need a pair to straddle clusters AND dodge
-    * all 16 bands — roughly independent failure modes, so coverage
-    * multiplies: measured ≥ 0.95 where either component alone sits at
-    * 0.73–0.97 (RECALL.md, r8).
+    * resolves only 0.60–0.96 of exact-cosine twins depending on
+    * nClusters (RECALL.md, r8 — measured against the operator's own
+    * exact t=0.9 pair set). This variant additionally feeds the
+    * [[cosineNearDupsLsh]] candidate pairs (collision in ANY of
+    * `nBands` hyperplane bands — recall 0.97 at cos ≥ 0.9 with the
+    * 16-band default, independent of the clustering) through the SAME
+    * precedence drop rule, and drops the union. Misses now need a pair
+    * to straddle clusters AND dodge all 16 bands — roughly independent
+    * failure modes, so coverage multiplies: MEASURED 0.9955–1.0000
+    * across all four corpora at n=2k and n=20k (RECALL.md, r8), vs the
+    * r7 verdict's ≥ 0.95 target.
     *
     * Cost adds the near-dup prefilter's linear band pass (candidates ≈
     * nBands·bucketTarget·n — the same bound as `x_cosine_neardups`);

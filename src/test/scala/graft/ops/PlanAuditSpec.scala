@@ -358,6 +358,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_bm25: query-term IN filter applied before any exchange; stats broadcast; top-k no global sort") {
+    val p = plan("x_bm25")
+    // the vocabulary must never reach a shuffle: the isin filter sits
+    // scan-side, so exchanges only carry query-term rows
+    assert(p.contains("tok") && (p.contains(" IN (") || p.contains("isin")),
+      "query-term filter missing from the physical plan:\n" + p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "df/avgdl stats must broadcast, not shuffle-join:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "doc top-k must not be a global sort or corpus-wide window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_dup_spans: exchanges carry the 60-bit window hash, never window text") {
+    val p = plan("x_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(e => e.contains("text#") || e.contains("_toks#")),
+      "window text/token arrays must not be shuffled — only the md5-60 hash:\n" +
+        exchanges.mkString("\n"))
+  }
+
+  test("x_ann_pq: ADC scan is lookups into plan-literal LUTs — no join, no vector math, top-k no sort") {
+    val p = plan("x_ann_pq")
+    // the corpus scan scores via element_at on literal arrays + the
+    // native nearest-centroid kernels; there must be NO join between
+    // the corpus and any centroid/LUT table in the probe
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "PQ top-k must be TakeOrderedAndProject:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
