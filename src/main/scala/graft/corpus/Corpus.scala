@@ -818,4 +818,54 @@ object Corpus {
     top.withColumn("rn",
       row_number().over(Window.orderBy(col("score").desc, col(idCol))))
   }
+
+  /** Bigram-LM fluency score — the language-model quality filter of
+    * CCNet/Wikipedia-LM pipelines (docs whose token transitions are
+    * improbable under a corpus-trained LM are gibberish/boilerplate),
+    * with the n-gram LM trained on the corpus itself in the same job.
+    *
+    * score(doc) = mean over its bigrams of P(cur | prev), with
+    * Laplace smoothing: P = (c2(prev,cur) + 1) / (c1(prev) + V),
+    * where c2/c1 are corpus bigram/prefix counts and V the distinct
+    * prefix-token count. A real deployment swaps in a KenLM trained
+    * elsewhere; the dataflow — n-gram dictionary build, count join-back,
+    * per-doc aggregate — is identical and is the part that has to
+    * scale.
+    *
+    * Determinism: every probability is a ratio of integers evaluated
+    * in double (exactly-rounded IEEE division — no ln/exp perplexity,
+    * which would differ in the last ulp across libm implementations;
+    * the mean of per-bigram probabilities is a monotone-equivalent
+    * quality signal for fixed doc length). Per-bigram scores are
+    * rounded to 6 dp and summed in DECIMAL so the per-doc mean is
+    * independent of addend order.
+    *
+    * Scale shape: tokens explode ONCE into 8-byte (h1, h2) md5-60
+    * hashes — text never rides an exchange; the c2/c1 dictionaries are
+    * groupBys on those hashes (corpus-vocabulary-sized, far smaller
+    * than the corpus); the join-back reuses the hash partitioning; one
+    * final per-doc rollup. */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+    val big = base.select(col(idCol),
+      explode(transform(sequence(lit(1), size(col("_toks")) - 1),
+        i => struct(
+          Dedup.md5Hash60(element_at(col("_toks"), i)).as("h1"),
+          Dedup.md5Hash60(concat(element_at(col("_toks"), i), lit(" "),
+            element_at(col("_toks"), i + 1))).as("h2")))).as("bg"))
+      .select(col(idCol), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+    val c2 = big.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val v = big.select(col("h1")).distinct().agg(count(lit(1)).as("v"))
+    big.join(c2, "h2").join(c1, "h1").crossJoin(broadcast(v))
+      .select(col(idCol),
+        round((col("c2") + lit(1.0)) / (col("c1") + col("v")), 6)
+          .cast("decimal(18,6)").as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("lm_score"))
+  }
 }

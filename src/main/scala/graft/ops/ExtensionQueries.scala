@@ -646,6 +646,34 @@ object ExtensionQueries {
     )
   }
 
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    pqIndexCache.computeIfAbsent(datasetSignature(d, "embeddings.parquet"), _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+      deleteOnExitRecursively(path)
+      Similarity.savePqIndex(Tables.embeddings(s, d), dim = 64, path,
+        m = 8, nCents = 16, iters = 2)
+      path
+    })
+
+  /** Probe-only PQ ANN over the PERSISTED index: codebooks + coded
+    * corpus materialize once ([[Similarity.savePqIndex]]); each probe
+    * pays one driver-side LUT build + a scan of the 64×-compressed
+    * codes table — the full-precision vectors are never read. Same
+    * parameters as x_ann_pq, so results — and the oracle — are
+    * identical; what changes is WHERE the train+encode cost is paid. */
+  val annPqPersistedQ: Q = Q(
+    "x_ann_pq_persisted",
+    (s, d) => {
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      Similarity.annPqPersisted(s, pqIndexFor(s, d), qv, k = 20,
+        excludeId = Some(0L))
+    },
+    annPqQ.oracle
+  )
+
   /** IVF-backed batch kNN join: the fixed 40-query eval set of
     * x_knn_join, but each query probes only its cosine-nearest k-means
     * list instead of the whole corpus — the index-backed retrieval
@@ -1758,6 +1786,34 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Bigram-LM fluency scoring (Corpus.bigramLmScore scaladoc has the
+    * semantics + scale story: 8-byte hashed bigrams in every exchange,
+    * dictionary-sized count tables, one per-doc rollup). The oracle
+    * replays the md5-60 bigram hashing, Laplace arithmetic with
+    * DOUBLE-cast literals, and the decimal-exact mean. */
+  val bigramLm: Q = Q(
+    "x_lm_bigram",
+    (s, d) => graft.corpus.Corpus.bigramLmScore(Tables.documents(s, d)),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                    FROM documents
+                    WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
+      big AS (SELECT doc_id,
+                   ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT AS h2
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)),
+      c2 AS (SELECT h2, COUNT(*) AS c2 FROM big GROUP BY 1),
+      c1 AS (SELECT h1, COUNT(*) AS c1 FROM big GROUP BY 1),
+      vv AS (SELECT COUNT(*) AS v FROM (SELECT DISTINCT h1 FROM big)),
+      p AS (SELECT doc_id,
+                  CAST(ROUND((c2 + CAST(1.0 AS DOUBLE)) / (c1 + v), 6) AS DECIMAL(18,6)) AS s
+            FROM big JOIN c2 USING (h2) JOIN c1 USING (h1), vv)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS lm_score
+      FROM p GROUP BY 1
+    """.trim)
+  )
+
   /** Duplicate-span detection (exact-substring dedup signal) — every
     * 16-token stride-1 window hashed to 60 bits, globally counted, per
     * doc the share of windows whose hash repeats anywhere in the
@@ -2090,7 +2146,8 @@ object ExtensionQueries {
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
     seqPack, seqMaterialize,
     ngramJaccard, containmentPairs,
-    knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, annPqQ, cosineNearDups,
+    knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, annPqQ, annPqPersistedQ,
+    cosineNearDups,
     dedupSemantic, dedupSemanticLsh, sampleSemantic, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinLshMultiBandQ,
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
@@ -2100,6 +2157,6 @@ object ExtensionQueries {
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,
-    splitAssign, splitLeakageFree, tfidf, bm25, dupSpansQ, lineDedup, sourceCap,
+    splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ)
 }

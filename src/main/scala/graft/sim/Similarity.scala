@@ -334,28 +334,95 @@ object Similarity {
     val qRows = v.filter(col(idCol) === queryId).select(col("v")).collect()
     require(qRows.nonEmpty, s"annPq: query id $queryId not found")
     val qv = qRows.head.getSeq[Double](0)
-    // left-fold dot — the scalar twin of the DotProduct expression /
-    // DuckDB's list_dot_product, so LUT entries replay exactly
-    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
-      acc
-    }
+    pqAdcTopK(codes.filter(col(idCol) =!= queryId), qv, cents, sub, k,
+      idCol, codePrefix = "_c")
+  }
+
+  /** Left-fold dot — the scalar twin of the DotProduct expression /
+    * DuckDB's list_dot_product, so driver-computed LUT entries replay
+    * exactly. */
+  private def dotLeftFold(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The ADC scan shared by [[annPq]] and [[annPqPersisted]]: build the
+    * m×nCents lookup table ‖q_s − C_s[j]‖² on the driver (the oracle's
+    * A − 2.0·B + C form, per subspace), score each coded row by m
+    * literal-array lookups summed in subspace order, return the top-k
+    * by (rounded dist, id). */
+  private def pqAdcTopK(codes: DataFrame, qv: Seq[Double],
+                        cents: Seq[Seq[(Int, Seq[Double])]], sub: Int, k: Int,
+                        idCol: String, codePrefix: String): DataFrame = {
+    val m = cents.length
     val lut: Seq[Seq[Double]] = (0 until m).map { s =>
       val qs = qv.slice(s * sub, s * sub + sub)
       cents(s).sortBy(_._1).map { case (_, c) =>
-        dotSeq(qs, qs) - 2.0 * dotSeq(qs, c) + dotSeq(c, c)
+        dotLeftFold(qs, qs) - 2.0 * dotLeftFold(qs, c) + dotLeftFold(c, c)
       }
     }
     val dist = (0 until m).map(s =>
-      element_at(array(lut(s).map(lit): _*), col(s"_c$s") + 1))
+      element_at(array(lut(s).map(lit): _*), col(s"$codePrefix$s") + 1))
       .reduceLeft(_ + _)
     import org.apache.spark.sql.expressions.Window
-    val top = codes.filter(col(idCol) =!= queryId)
+    val top = codes
       .select(col(idCol), round(dist, 6).as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol)).limit(k)
     top.withColumn("rn",
       row_number().over(Window.orderBy(col("adc_dist"), col(idCol))))
+  }
+
+  /** Materialize a PQ index: per-subspace codebooks + the m-code rows.
+    * The codes table is the 64×-compressed corpus (m small ints per
+    * vector); the codebook is m·nCents rows — kilobytes. Training and
+    * encoding are paid ONCE here; [[annPqPersisted]] probes then cost
+    * one LUT build + a codes scan each, the retrieve-and-rescore
+    * deployment shape (see annPq's measured contract). */
+  def savePqIndex(emb: DataFrame, dim: Int, path: String, m: Int = 8,
+                  nCents: Int = 16, iters: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(m > 0 && dim % m == 0, s"savePqIndex: m=$m must divide dim=$dim")
+    val sub = dim / m
+    val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val cents: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      val sliced = v.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
+      kmeans(sliced, nCents, sub, iters, idCol, "v", salt = s"pq$s:")
+    }
+    val codes = (0 until m).foldLeft(v) { (df, s) =>
+      df.withColumn(s"c$s", kmeansAssign(slice(col("v"), s * sub + 1, sub), cents(s)))
+    }.drop("v")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .flatMap { case (cs, s) => cs.map { case (l, c) => (s, l, c) } }
+      .toDF("sub", "list", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+  }
+
+  /** Probe-only PQ ANN over a [[savePqIndex]] index: load the
+    * kilobyte codebook, build the query's ADC LUT on the driver, scan
+    * the codes table — the full-precision vectors are never read.
+    * Identical arithmetic (and result) to the in-flight [[annPq]] at
+    * the same parameters; what changes is WHERE the train+encode cost
+    * is paid. */
+  def annPqPersisted(spark: SparkSession, path: String, queryVec: Seq[Double],
+                     k: Int = 20, excludeId: Option[Long] = None,
+                     idCol: String = "vec_id"): DataFrame = {
+    val centRows = spark.read.parquet(s"$path/cents").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(centRows.nonEmpty, s"annPqPersisted: empty codebook at $path/cents")
+    val m = centRows.map(_._1).max + 1
+    val sub = centRows.head._3.length
+    val cents: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      centRows.collect { case (`s`, l, c) => (l, c) }.toSeq
+    }
+    require(queryVec.length == m * sub,
+      s"annPqPersisted: query dim ${queryVec.length} != index dim ${m * sub}")
+    val codes0 = spark.read.parquet(s"$path/codes")
+    val codes = excludeId.map(q => codes0.filter(col(idCol) =!= q)).getOrElse(codes0)
+    pqAdcTopK(codes, queryVec, cents, sub, k, idCol, codePrefix = "c")
   }
 
   /** Symmetric int8 quantization of an embedding — the 4× storage cut

@@ -303,6 +303,30 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.bm25TopDocs(docs, Seq("zebra", "apple"), k = 2).count() == 2)
   }
 
+  test("bigramLmScore: corpus-frequent transitions score higher; hand-computed Laplace means") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "z") // single token — no bigram, excluded
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L), "a doc without bigrams must not appear")
+    // corpus: c2(ab)=3, c2(ba)=1; prefixes a×3, b×1; V=2
+    // P(ab)=(3+1)/(3+2)=0.8, P(ba)=(1+1)/(1+2)=0.666667
+    assert(out(2L) == ((1L, 0.8)), s"doc2: ${out.get(2L)}")
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 0.755556) < 1e-9,
+      s"doc1 mean(0.8, 0.666667, 0.8): ${out.get(1L)}")
+    // a doc of corpus-unique transitions scores below the fluent one
+    val docs2 = Seq(
+      (1L, "x y x y x y"),
+      (2L, "p q r s")
+    ).toDF("doc_id", "text")
+    val o2 = Corpus.bigramLmScore(docs2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(o2(1L) > o2(2L), s"fluent doc must outscore unique-bigram doc: $o2")
+  }
+
   test("capPerSource keeps at most N per source, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def run() = Corpus.capPerSource(docs, 10, sourceCol = "source")

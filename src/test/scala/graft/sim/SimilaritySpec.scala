@@ -109,6 +109,25 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == out, "PQ retrieval is deterministic")
   }
 
+  test("annPqPersisted: probe over the saved index equals the in-flight annPq bit-for-bit") {
+    val ones = Array.fill(8)(1f)
+    val rows = Seq((0L, ones), (11L, ones)) ++
+      (1 to 10).map(i => (i.toLong,
+        Array.tabulate(8)(j => -1f + 0.01f * ((i * 7 + j) % 5))))
+    val e = rows.toDF("vec_id", "embedding")
+    val inFlight = Similarity.annPq(e, queryId = 0L, dim = 8, k = 5,
+      m = 2, nCents = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("pq-index-spec").toString
+    Similarity.savePqIndex(e, dim = 8, dir, m = 2, nCents = 3, iters = 2)
+    val qv = ones.map(_.toDouble).toSeq
+    val persisted = Similarity.annPqPersisted(spark, dir, qv, k = 5,
+      excludeId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(persisted == inFlight && persisted.nonEmpty,
+      s"persisted=$persisted inFlight=$inFlight")
+  }
+
   test("knnJoinIvf: single-query batch equals the one-shot annIvfKmeans probe") {
     val queries = emb.filter(col("vec_id") === 0L)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
