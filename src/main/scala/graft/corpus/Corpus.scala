@@ -868,4 +868,86 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("s")).cast("double") / count(lit(1)), 6).as("lm_score"))
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-unigram distribution looks like a
+    * TARGET corpus (the high-quality domain you want more of) versus
+    * the raw corpus itself. Features are md5-hashed token buckets
+    * (`nBuckets`, paper's hashed n-grams); both distributions are
+    * Laplace-smoothed; a document's score is the mean per-token
+    * likelihood ratio p_target(bucket)/p_raw(bucket). DSIR proper sums
+    * LOG ratios — a log-free mean ratio is used here under the house
+    * determinism rule (ln differs in the last ulp across libm
+    * implementations; every term here is built from exactly-rounded
+    * IEEE ops, rounded to 6 dp and summed in DECIMAL so the per-doc
+    * mean is independent of addend order). Selection = feed the score
+    * to [[topFractionByScore]] or threshold it.
+    *
+    * Scale shape: both corpora explode to 8-byte bucket ids only (text
+    * never rides an exchange); bucket counts are two tiny groupBys
+    * (≤ nBuckets rows) and the per-bucket ratio table broadcasts back
+    * to the per-token stream; one final per-doc rollup. The target
+    * corpus is typically tiny (a curated seed set) — its pass is
+    * negligible next to the raw scan. */
+  def dsirScore(docs: DataFrame, target: DataFrame, nBuckets: Int = 512,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"dsirScore: nBuckets must be > 0, got $nBuckets")
+    val b = nBuckets.toLong
+    def buckets(df: DataFrame, cols: Column*) = df
+      .select((cols :+ explode(TextAnalysis.tokens(col(textCol))).as("_tok")): _*)
+      .select((cols :+ pmod(Dedup.md5Hash60(col("_tok")), lit(b)).as("b")): _*)
+    val rawToks = buckets(docs, col(idCol))
+    val tgtToks = buckets(target)
+    val cr = rawToks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ct = tgtToks.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val nr = rawToks.agg(count(lit(1)).as("nr"))
+    val nt = tgtToks.agg(count(lit(1)).as("nt"))
+    val ratios = cr.join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        round(((col("ct") + lit(1.0)) / (col("nt") + lit(b))) *
+              ((col("nr") + lit(b)) / (col("cr") + lit(1.0))), 6)
+          .cast("decimal(18,6)").as("s"))
+    rawToks.join(broadcast(ratios), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("dsir_score"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
+    * — the standard way to combine a sparse/BM25 ranker with a dense/
+    * embedding ranker without score calibration): each ranker
+    * contributes 1/(rrfK + rank) for its top `kCand` candidates, a
+    * document's fused score is the sum of its contributions (0 when a
+    * ranker didn't retrieve it), and the top `k` by fused score win.
+    * Sparse side = [[bm25TopDocs]] over the corpus for `queryTerms`;
+    * dense side = exact-cosine top-kCand around the `queryVecId`
+    * embedding (ids are shared between documents and embeddings).
+    *
+    * Scale shape: both sides are already distributed top-k plans
+    * (TakeOrderedAndProject — see their scaladocs); the fusion itself
+    * joins two ≤ kCand-row DataFrames — driver-trivial at any corpus
+    * size. Per-term RRF contributions are rounded to 6 dp and summed
+    * in DECIMAL (order-free). */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                queryVecId: Long = 0L, k: Int = 10, kCand: Int = 20,
+                rrfK: Int = 60, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def contrib(rank: Column): Column =
+      round(lit(1.0) / (lit(rrfK) + rank), 6).cast("decimal(18,6)")
+    val sparse = bm25TopDocs(docs, queryTerms, kCand, idCol = idCol)
+      .select(col(idCol).as("_bid"), contrib(col("rn")).as("_bs"))
+    val dense = graft.sim.Similarity.knnBruteForce(emb, queryVecId, kCand)
+      .select(col("vec_id").as("_vid"), contrib(col("rn")).as("_vs"))
+    val fused = sparse.join(dense, col("_bid") === col("_vid"), "full_outer")
+      .select(coalesce(col("_bid"), col("_vid")).as(idCol),
+        (coalesce(col("_bs"), lit(0).cast("decimal(18,6)")) +
+          coalesce(col("_vs"), lit(0).cast("decimal(18,6)"))).cast("double")
+          .as("rrf_score"))
+    fused.orderBy(col("rrf_score").desc, col(idCol)).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pmod(col(idCol), lit(1)))
+          .orderBy(col("rrf_score").desc, col(idCol))))
+  }
 }

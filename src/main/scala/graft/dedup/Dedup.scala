@@ -336,6 +336,52 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_windows"), 6).as("dup_ratio"))
   }
 
+  /** Exact-substring dedup APPLICATION — the removal step [[dupSpans]]
+    * only detects (Lee et al. 2022 cut the repeated spans out of the
+    * corpus, not just flag them). Deterministic ownership rule: every
+    * duplicated window hash is owned by the smallest doc_id containing
+    * it; in every OTHER doc, all w tokens covered by that window are
+    * removed. The owner keeps its copy (doc granularity — a hash that
+    * repeats inside its owner survives there), so one copy of every
+    * repeated passage survives corpus-wide. Emits per doc the original
+    * and kept token counts plus an md5 fingerprint of the cleaned token
+    * stream — the downstream-verifiable contract of the rewrite (the
+    * DuckDB oracle reconstructs the cleaned stream independently and
+    * must land on the same digest).
+    *
+    * Scale shape: same hash-keyed shuffles as [[dupSpans]] — the
+    * exchange carries (8-byte hash, doc_id, window start), never text;
+    * removed-start sets come back as one small int array per AFFECTED
+    * doc (bounded by that doc's token count) joined LEFT to the corpus,
+    * so untouched docs stream through with a null; the final rewrite is
+    * a per-row array filter over (token index, removed starts) — no
+    * second explode of the corpus, no window function. */
+  def removeDupSpans(docs: DataFrame, w: Int = 16,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"removeDupSpans: window must be >= 2 tokens, got $w")
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val wins = base.filter(size(col("_toks")) >= w)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - w),
+          j => md5Hash60(array_join(slice(col("_toks"), j + 1, lit(w)), " "))))
+          .as(Seq("j", "k")))
+    val owners = wins.groupBy(col("k"))
+      .agg(count(lit(1)).as("c"), min(col(idCol)).as("_owner"))
+      .filter(col("c") >= 2).select(col("k"), col("_owner"))
+    val removed = wins.join(owners, Seq("k"))
+      .filter(col(idCol) =!= col("_owner"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("j"))).as("_rem"))
+    base.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("_toks"),
+        coalesce(col("_rem"), array().cast("array<int>")).as("_rem"))
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_toks"),
+        filter(col("_toks"), (t, i) =>
+          !exists(col("_rem"), p => p <= i && p >= i - (w - 1))).as("_kept"))
+      .select(col(idCol), col("n_toks"), size(col("_kept")).cast("long").as("n_kept"),
+        md5(array_join(col("_kept"), " ").cast("binary")).as("clean_fp"))
+  }
+
   /** Incremental (cross-corpus) dedup: drop incoming docs whose
     * fingerprint already exists in the corpus — the daily-ingest shape.
     * The existing side reduces to a distinct fingerprint set before the

@@ -23,6 +23,13 @@ object Sources {
   def logs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.logEvent).parquet(path)
 
+  /** ORC source — the other columnar lake format (Hive-ecosystem
+    * interchange). Same pushdown/pruning story as parquet: Spark's
+    * native ORC reader serves PushedFilters and ReadSchema from file/
+    * stripe statistics. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S2: JDBC scan (jobs/etl_job.py:92-105). Single-partition read — the
     * category dim is small; use [[jdbcPartitioned]] for big tables. */
   def jdbc(spark: SparkSession, c: JdbcConfig): DataFrame =
@@ -110,4 +117,9 @@ object Sinks {
     * shards by path without reading footers. */
   def jsonlPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode(SaveMode.Overwrite).json(path)
+
+  /** ORC append sink — parallel writers, one file per task, same
+    * contract as [[parquetAppend]]. */
+  def orcAppend(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).orc(path)
 }

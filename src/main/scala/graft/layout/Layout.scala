@@ -73,4 +73,26 @@ object Layout {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(outPath)
   }
+
+  /** Write `df` as a BUCKETED (and per-bucket sorted) managed table —
+    * the co-located-join layout. Two fact tables bucketed on their join
+    * key with the same bucket count join with ZERO exchange: each task
+    * reads bucket i of both sides, so the 100 TB fact-to-fact join that
+    * would otherwise shuffle both inputs every run pays its shuffle
+    * ONCE at write time and never again (the classic hash-clustered
+    * warehouse layout; Spark reads the bucket spec from the catalog and
+    * plans a shuffle-free SortMergeJoin — with `sortCols` = the join
+    * key, the per-task sort disappears too). Bucket count is fixed at
+    * write: pick it so one bucket of the LARGER table fits an executor
+    * core's scan appetite (≈ table_bytes / 128–512 MB), and give both
+    * sides the SAME count — Spark 3+ can coalesce mismatched counts
+    * when one divides the other, but equal counts hit the fast path. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, s"writeBucketed: nBuckets must be > 0, got $nBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -2141,6 +2141,155 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** DSIR-style importance weighting (Corpus.dsirScore scaladoc has the
+    * method + scale story). Target corpus = the src0 documents (a stand
+    * -in for a curated seed set); raw = the whole table. The oracle
+    * replays hashed buckets, Laplace smoothing, and the mean
+    * likelihood ratio with identical arithmetic order. */
+  val dsirWeights: Q = Q(
+    "x_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.corpus.Corpus.dsirScore(docs, docs.filter(col("source") === "src0"))
+    },
+    Some("""
+      WITH rb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS b
+                  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                        FROM documents)),
+      tb AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS b
+             FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+                   FROM documents WHERE source = 'src0')),
+      cr AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY 1),
+      ct AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY 1),
+      nr AS (SELECT COUNT(*) AS nr FROM rb),
+      nt AS (SELECT COUNT(*) AS nt FROM tb),
+      r AS (SELECT cr.b,
+                   CAST(ROUND(((COALESCE(ct.ct, 0) + CAST(1.0 AS DOUBLE)) / (nt + 512)) *
+                              ((nr + 512) / (cr.cr + CAST(1.0 AS DOUBLE))), 6)
+                        AS DECIMAL(18,6)) AS s
+            FROM cr LEFT JOIN ct USING (b), nr, nt)
+      SELECT doc_id, COUNT(*) AS n_toks,
+             ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS dsir_score
+      FROM rb JOIN r USING (b) GROUP BY 1
+    """.trim)
+  )
+
+  /** kNN majority-vote labeling over the fixed 40-query eval set
+    * (Similarity.knnClassify scaladoc). The oracle recomputes the
+    * exact neighbor ranks and the vote argmax via a window — a
+    * different argmax mechanism than the Spark side's max-struct. */
+  val knnLabel: Q = Q(
+    "x_knn_label",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.knnClassify(emb, queries, k = 5)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 40),
+      sc AS (SELECT qid, vec_id,
+                    list_dot_product(v, qv) /
+                      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+             FROM e, q WHERE vec_id <> qid),
+      nn AS (SELECT qid, vec_id
+             FROM (SELECT qid, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+                   FROM sc) t
+             WHERE rn <= 5),
+      v2 AS (SELECT qid, label, COUNT(*) AS votes
+             FROM nn JOIN e USING (vec_id) GROUP BY 1, 2)
+      SELECT qid, label AS pred_label, votes
+      FROM (SELECT qid, label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY votes DESC, label) AS rn
+            FROM v2) t
+      WHERE rn = 1
+    """.trim)
+  )
+
+  /** Exact-substring dedup APPLICATION (Dedup.removeDupSpans scaladoc
+    * has the ownership rule + scale story). The oracle reconstructs
+    * every cleaned token stream independently (correlated NOT EXISTS
+    * over the removed-window set vs the Spark side's array filter) and
+    * must land on the same md5 digest per doc. */
+  val dupSpansApply: Q = Q(
+    "x_dup_spans_apply",
+    (s, d) => Dedup.removeDupSpans(Tables.documents(s, d), w = 16),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      wins AS (SELECT doc_id, j,
+                      ('0x' || substr(md5(array_to_string(list_slice(toks, j + 1, j + 16), ' ')), 1, 15))::BIGINT AS k
+               FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 16 + 1)) AS j
+                     FROM base WHERE len(toks) >= 16)),
+      own AS (SELECT k, MIN(doc_id) AS owner FROM wins GROUP BY 1 HAVING COUNT(*) >= 2),
+      rem AS (SELECT DISTINCT doc_id, j FROM wins JOIN own USING (k) WHERE doc_id <> owner),
+      tok AS (SELECT doc_id, i, toks[i + 1] AS t
+              FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM base)),
+      keep AS (SELECT t.doc_id, t.i, t.t FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM rem r
+                                 WHERE r.doc_id = t.doc_id
+                                   AND r.j <= t.i AND r.j >= t.i - 15))
+      SELECT b.doc_id, len(b.toks) AS n_toks, COUNT(k.i) AS n_kept,
+             md5(COALESCE(string_agg(k.t, ' ' ORDER BY k.i), '')) AS clean_fp
+      FROM base b LEFT JOIN keep k USING (doc_id)
+      GROUP BY b.doc_id, len(b.toks)
+    """.trim)
+  )
+
+  /** Hybrid sparse+dense retrieval fused by reciprocal rank
+    * (Corpus.hybridRrf scaladoc): BM25 top-20 for the fixed term set ∪
+    * exact-cosine top-20 around vec 0, fused 1/(60+rank) scores, top
+    * 10. The oracle replays both rankers and the fusion. */
+  val hybridRrfQ: Q = Q(
+    "x_hybrid_rrf",
+    (s, d) => graft.corpus.Corpus.hybridRrf(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      Seq("spark", "merge", "vector"), queryVecId = 0L, k = 10, kCand = 20),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+                           len(regexp_split_to_array(text, '\s+')) AS dl
+                    FROM documents),
+      stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM base),
+      tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+             WHERE tok IN ('spark', 'merge', 'vector') GROUP BY 1, 2, 3),
+      dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT doc_id,
+        CAST(ROUND(
+          ((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+            (tf * CAST(2.2 AS DOUBLE)) /
+            (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+          6) AS DECIMAL(18,6)) AS s
+        FROM tf JOIN dfx USING (tok), stats),
+      agg AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY 1),
+      bm AS (SELECT doc_id, brn
+             FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS brn
+                   FROM agg) t
+             WHERE brn <= 20),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      sc2 AS (SELECT vec_id,
+                     list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+              FROM e, q WHERE vec_id <> 0),
+      vn AS (SELECT vec_id AS doc_id, vrn
+             FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS vrn
+                   FROM sc2) t
+             WHERE vrn <= 20),
+      f AS (SELECT doc_id,
+                   CAST(COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE) / (60 + brn), 6) AS DECIMAL(18,6)), 0) +
+                        COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE) / (60 + vrn), 6) AS DECIMAL(18,6)), 0)
+                        AS DOUBLE) AS rrf_score
+            FROM bm FULL JOIN vn USING (doc_id))
+      SELECT doc_id, rrf_score,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -2158,5 +2307,6 @@ object ExtensionQueries {
     contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
-    heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ)
+    heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ,
+    dsirWeights, knnLabel, dupSpansApply, hybridRrfQ)
 }

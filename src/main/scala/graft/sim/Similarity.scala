@@ -525,6 +525,34 @@ object Similarity {
     topKPerQuery(scored, k, fanout, qidCol, idCol)
   }
 
+  /** kNN majority-vote classifier over the embedding space — the
+    * model-based labeling step of classifier-filtered curation
+    * (FineWeb-Edu-style quality labels, topic tags): each query vector
+    * gets the plurality label of its k exact-cosine nearest neighbors
+    * (ties break toward the smaller label id, neighbors tie-break by
+    * id inside [[knnJoin]], so the prediction is deterministic).
+    * Returns (qid, pred_label, votes).
+    *
+    * Scale shape: the neighbor search is [[knnJoin]]'s two-stage exact
+    * top-k (broadcast query side, per-slice top-k, never a global
+    * sort); the label join touches k rows per query; the vote argmax
+    * is a map-side-combinable max-struct aggregation — no window over
+    * the corpus. */
+  def knnClassify(emb: DataFrame, queries: DataFrame, k: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label",
+                  qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    val nn = knnJoin(emb, queries, k, idCol = idCol, vecCol = vecCol,
+      qidCol = qidCol, qvecCol = qvecCol)
+    val votes = nn.join(emb.select(col(idCol), col(labelCol)), idCol)
+      .groupBy(col(qidCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col(qidCol))
+      .agg(max(struct(col("votes"), (-col(labelCol)).as("_nl"))).as("_w"))
+      .select(col(qidCol), (-col("_w._nl")).as("pred_label"),
+        col("_w.votes").as("votes"))
+  }
+
   /** LSH-bucketed batch kNN join — the approximate scale path of
     * [[knnJoin]]: corpus and queries are bucketed by the deterministic
     * sign-bit hyperplanes ([[lshBucket]]) and each query probes only

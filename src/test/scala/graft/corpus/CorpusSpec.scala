@@ -420,4 +420,44 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getInt(1) -> r.getString(2)).toMap
     assert(tail9(2) == "t7 t8 t9")
   }
+
+  test("dsirScore ranks target-like docs above off-target docs") {
+    import spark.implicits._
+    val raw = Seq(
+      (0L, "apple apple apple apple"),  // pure target vocabulary
+      (1L, "apple apple zebra zebra"),  // mixed
+      (2L, "zebra zebra zebra zebra")   // pure off-target vocabulary
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "apple apple apple apple apple apple")).toDF("doc_id", "text")
+    val out = Corpus.dsirScore(raw, target, nBuckets = 64).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out.values.forall(_._1 == 4L), s"token counts: $out")
+    assert(out(0L)._2 > out(1L)._2 && out(1L)._2 > out(2L)._2,
+      s"likelihood-ratio order must follow target overlap: $out")
+  }
+
+  test("hybridRrf: a doc that both rankers retrieve outranks single-ranker docs") {
+    import spark.implicits._
+    def v(x: Float, y: Float): Array[Float] = Array(x, y, 0.01f, 0.01f)
+    // doc 1 dominates BM25 (only doc with the query terms) AND is the
+    // nearest vector to the query embedding (vec 0); doc 2 is dense-only
+    // close, doc 3 sparse-free and far.
+    val docs = Seq(
+      (1L, "spark spark merge vector noise"),
+      (2L, "plain words without query terms"),
+      (3L, "other filler text entirely")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, v(1f, 0f)), (1L, v(0.99f, 0.01f)), (2L, v(0.9f, 0.1f)), (3L, v(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Corpus.hybridRrf(docs, emb, Seq("spark", "merge", "vector"),
+      queryVecId = 0L, k = 3, kCand = 2).collect()
+    assert(out.head.getLong(0) == 1L, s"doc in both rankers must fuse first: ${out.toSeq}")
+    // doc 3 is retrieved by neither ranker — the fused candidate pool is {1, 2}
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L), s"candidate union: ${out.toSeq}")
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2), "fused ranks contiguous")
+    // fused score of the double-retrieved doc = both contributions
+    assert(out.head.getDouble(1) > out(1).getDouble(1))
+  }
 }

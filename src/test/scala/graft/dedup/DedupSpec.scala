@@ -359,4 +359,31 @@ class DedupSpec extends SparkSpec {
     // a doc below the window size yields no windows at all
     assert(!out.contains(5L))
   }
+
+  test("removeDupSpans cuts duplicated windows everywhere but the owning doc") {
+    import spark.implicits._
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ")
+    val doc1 = boiler + " u1 u2 u3 u4 u5 u6"
+    val doc2 = boiler + " v1 v2 v3 v4 v5 v6"
+    val selfRep = "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6"
+    val unique = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, selfRep), (4L, unique), (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, w = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // every doc appears, touched or not
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // doc 1 owns the boilerplate window (smallest id) — untouched
+    assert(out(1L) == ((12L, 12L, md5Of(doc1))), s"owner: ${out(1L)}")
+    // doc 2 loses exactly the 6 boilerplate tokens
+    assert(out(2L) == ((12L, 6L, md5Of("v1 v2 v3 v4 v5 v6"))), s"cut: ${out(2L)}")
+    // doc 3's self-repeat is doc-granular ownership — it keeps both copies
+    assert(out(3L) == ((12L, 12L, md5Of(selfRep))), s"self: ${out(3L)}")
+    // untouched docs stream through with identity fingerprints
+    assert(out(4L) == ((12L, 12L, md5Of(unique))))
+    assert(out(5L) == ((2L, 2L, md5Of("tiny doc"))))
+  }
 }

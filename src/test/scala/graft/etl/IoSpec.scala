@@ -86,4 +86,20 @@ class IoSpec extends SparkSpec {
     val back = spark.read.json(pdir)
     assert(back.count() == 3 && back.columns.toSet == Set("doc_id", "split", "text"))
   }
+
+  test("orc sink + source round-trip; filter pushed to the orc scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 100L).map(i => (i, s"doc$i", i % 7)).toDF("doc_id", "text", "grp")
+    val dir = Files.createTempDirectory("orcio").toString + "/t"
+    Sinks.orcAppend(df, dir)
+    Sinks.orcAppend(df.filter(col("doc_id") <= 10), dir) // append accumulates
+    val back = Sources.orc(spark, dir)
+    assert(back.count() == 110)
+    assert(back.schema("doc_id").dataType.typeName == "long")
+    // predicate reaches the ORC scan (same contract as parquet pushdown)
+    val p = back.filter(col("doc_id") === 5L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(doc_id,5"), p)
+    assert(back.filter(col("doc_id") === 5L).count() == 2)
+  }
 }

@@ -110,4 +110,36 @@ class ZOrderSpec extends SparkSpec {
       .select(avg("span")).as[Double].head()
     assert(zxSpan <= 40.0, s"z-order x-span $zxSpan should be bounded too")
   }
+
+  test("bucketed tables join with ZERO exchange (write-once shuffle, co-located reads)") {
+    val n = 10000L
+    val facts = spark.range(n).select(col("id").as("k"), (col("id") * 2).as("a"))
+    val dims = spark.range(n).select(col("id").as("k"), (col("id") * 3).as("b"))
+    Layout.writeBucketed(facts, "graft_bkt_facts", "k", 8, sortCols = Seq("k"))
+    Layout.writeBucketed(dims, "graft_bkt_dims", "k", 8, sortCols = Seq("k"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join down the sort-merge path so the exchange question
+      // is actually asked (a broadcast would dodge it)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_facts")
+        .join(spark.table("graft_bkt_dims"), "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not re-shuffle either side:\n" + p)
+      assert(joined.count() == n)
+      // same join WITHOUT bucketing shuffles both sides — the cost the
+      // bucketed layout paid once at write time
+      val unbucketed = facts.join(dims, "k")
+      unbucketed.collect()
+      val up = unbucketed.queryExecution.executedPlan.toString
+      assert(up.contains("Exchange hashpartitioning"), up)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
+    }
+  }
 }

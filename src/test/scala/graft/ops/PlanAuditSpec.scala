@@ -391,6 +391,44 @@ class PlanAuditSpec extends SparkSpec {
       "PQ top-k must be TakeOrderedAndProject:\n" + p)
   }
 
+  test("x_dsir_weights: per-bucket ratio table broadcasts back to the token stream") {
+    val p = plan("x_dsir_weights")
+    // the ≤nBuckets-row ratio table must ride a broadcast join — a
+    // shuffle join here would re-exchange the full token stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_dup_spans_apply: rewrite is joins + array filter — no window, no second explode") {
+    val p = plan("x_dup_spans_apply")
+    assert(!p.contains("Window"), "token rewrite must not use a window function:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly two Generate nodes: the window-hash posexplode feeding
+    // owners and the one feeding removed-start collection — the final
+    // rewrite must NOT explode the corpus a third time
+    val generates = "(?m)^\\W*[+:-]*\\s*\\*?\\(?\\d*\\)?\\s*Generate ".r
+      .findAllIn(p).size
+    assert(generates <= 2, s"expected <=2 Generate nodes, got $generates:\n" + p)
+  }
+
+  test("x_hybrid_rrf: both rankers end in TakeOrderedAndProject; fusion has no shuffle-sized join") {
+    val p = plan("x_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_knn_label: neighbor search broadcasts the query side; vote argmax is a combinable aggregate") {
+    val p = plan("x_knn_label")
+    assert(p.contains("BroadcastExchange"), p)
+    // the label argmax must be a map-side-combinable max-struct
+    // aggregate (the only windows allowed are knnJoin's per-query
+    // WindowGroupLimit top-k, which is bounded per group)
+    assert(p.contains("partial_max(struct(votes"),
+      "vote argmax must be a partial-aggregated max-struct:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must use the group-limit path, not a full rank:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

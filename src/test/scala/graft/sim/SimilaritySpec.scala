@@ -333,4 +333,28 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("knnClassify: plurality label of the k nearest, smaller label on vote ties") {
+    import spark.implicits._
+    // two planted clusters on the axes of a 4-dim space
+    def v(x: Float, y: Float): Array[Float] = Array(x, y, 0.01f, 0.01f)
+    val labeled = Seq(
+      (0L, v(1f, 0.02f), 0),    // query A: sits inside the label-0 cluster
+      (1L, v(1f, 0f), 0), (2L, v(0.9f, 0.1f), 0), (3L, v(0.95f, 0.05f), 0),
+      (4L, v(0f, 1f), 1), (5L, v(0.1f, 0.9f), 1), (6L, v(0.05f, 0.95f), 1),
+      (10L, v(0.02f, 1f), 1)    // query B: sits inside the label-1 cluster
+    ).toDF("vec_id", "embedding", "label")
+    val queries = labeled.filter(col("vec_id").isin(0L, 10L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = Similarity.knnClassify(labeled, queries, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((0, 3L)), s"query in cluster 0: ${out.get(0L)}")
+    assert(out(10L) == ((1, 3L)), s"query in cluster 1: ${out.get(10L)}")
+    // k=2 from a point between the clusters: one vote each → label 0 wins the tie
+    val mid = Seq((100L, v(0.7f, 0.7f))).toDF("qid", "qv")
+    val tie = Similarity.knnClassify(labeled.filter(col("vec_id").isin(1L, 4L)),
+      mid, k = 2).collect()
+    assert(tie.length == 1 && tie.head.getInt(1) == 0 && tie.head.getLong(2) == 1L,
+      s"tie must break to the smaller label: ${tie.toSeq}")
+  }
 }
