@@ -893,26 +893,43 @@ object Corpus {
   def dsirScore(docs: DataFrame, target: DataFrame, nBuckets: Int = 512,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nBuckets > 0, s"dsirScore: nBuckets must be > 0, got $nBuckets")
+    require(nBuckets <= (1 << 20),
+      s"dsirScore: bucket count tables are driver-collected — nBuckets must stay driver-tiny, got $nBuckets")
     val b = nBuckets.toLong
     def buckets(df: DataFrame, cols: Column*) = df
       .select((cols :+ explode(TextAnalysis.tokens(col(textCol))).as("_tok")): _*)
       .select((cols :+ pmod(Dedup.md5Hash60(col("_tok")), lit(b)).as("b")): _*)
     val rawToks = buckets(docs, col(idCol))
     val tgtToks = buckets(target)
-    val cr = rawToks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val ct = tgtToks.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val nr = rawToks.agg(count(lit(1)).as("nr"))
-    val nt = tgtToks.agg(count(lit(1)).as("nt"))
-    val ratios = cr.join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
-      .select(col("b"),
-        round(((col("ct") + lit(1.0)) / (col("nt") + lit(b))) *
-              ((col("nr") + lit(b)) / (col("cr") + lit(1.0))), 6)
-          .cast("decimal(18,6)").as("s"))
-    rawToks.join(broadcast(ratios), "b")
+    // Both count tables are bounded by nBuckets rows — driver-tiny by
+    // construction (the k-means-centroid precedent), so collect them
+    // once: leaving them as plan subtrees re-exploded each corpus per
+    // derived aggregate (cr/ct/nr/nt/final = 5 Generate subtrees,
+    // measured — Catalyst has no common-subplan reuse across these
+    // shapes). The integer counts become literals; every FLOAT op stays
+    // a Spark expression below, bit-identical to the all-in-plan form.
+    val crM = rawToks.groupBy(col("b")).agg(count(lit(1)).as("cr")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ctM = tgtToks.groupBy(col("b")).agg(count(lit(1)).as("ct")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nrV = crM.map(_._2).sum
+    val ntV = ctM.valuesIterator.sum
+    import docs.sparkSession.implicits._
+    val counts = crM.toSeq.map { case (bk, cr) => (bk, cr, ctM.getOrElse(bk, 0L)) }
+      .toDF("b", "cr", "ct")
+    val ratios = counts.select(col("b"),
+      round(((col("ct") + lit(1.0)) / (lit(ntV) + lit(b))) *
+            ((lit(nrV) + lit(b)) / (col("cr") + lit(1.0))), 6)
+        .cast("decimal(18,6)").as("s"))
+    // pre-aggregate (doc, bucket) so the rollup's shuffle carries one
+    // row per distinct bucket per doc with map-side combine; n·s in
+    // DECIMAL equals the per-token sum of s exactly
+    rawToks.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(ratios), "b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"),
-        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("dsir_score"))
+      .agg(sum(col("n")).as("n_toks"),
+        round(sum(col("n") * col("s")).cast("double") / sum(col("n")), 6)
+          .as("dsir_score"))
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009

@@ -360,11 +360,25 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w >= 2, s"removeDupSpans: window must be >= 2 tokens, got $w")
     val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // Materialize the window table ONCE: both consumers (the ownership
+    // aggregate and the count-back join's probe side) would otherwise
+    // re-explode and re-hash the corpus — the O(tokens·w) md5 pass is
+    // the operator's dominant per-row cost and Catalyst gives these two
+    // shapes no common-subplan reuse (measured: 2 Generate subtrees,
+    // ReuseExchange never fires even with an explicit shared
+    // repartition). localCheckpoint stores (id, j, 8-byte hash) rows —
+    // the same volume the shuffle already carries — and is the house
+    // pattern for reuse-across-jobs (see dedupClusters' CC rounds). The
+    // hash-keyed repartition also makes the count-back join co-located
+    // by partitioning instead of broadcasting the duplicated-window
+    // table, which at 100 TB is NOT small (billions of repeated spans).
     val wins = base.filter(size(col("_toks")) >= w)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("_toks")) - w),
           j => md5Hash60(array_join(slice(col("_toks"), j + 1, lit(w)), " "))))
           .as(Seq("j", "k")))
+      .repartition(col("k"))
+      .localCheckpoint()
     val owners = wins.groupBy(col("k"))
       .agg(count(lit(1)).as("c"), min(col(idCol)).as("_owner"))
       .filter(col("c") >= 2).select(col("k"), col("_owner"))
