@@ -760,12 +760,21 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    // tf aggregates with map-side combine first, then ONE tok-keyed
+    // exchange on the combined rows serves everything downstream: it
+    // already clusters the df aggregate and pre-keys the tf⋈df join, so
+    // neither consumer adds an exchange, and because both read the SAME
+    // exchange the reuse pass computes the tokenize+explode+aggregate
+    // once (the naive shape ran it twice and re-shuffled the probe —
+    // the measured 4.0x sf1 scale ratio). N is one exact integer — a
+    // collected literal instead of a cross-joined scalar plan.
     val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .repartition(col("tok"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+    val n = docs.count()
+    val scored = tf.join(df, "tok")
       .select(col(idCol), col("tok"),
-        (col("tf").cast("double") / col("df") * col("n")).as("score"))
+        (col("tf").cast("double") / col("df") * lit(n)).as("score"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("tok"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -850,6 +859,13 @@ object Corpus {
     val toks = TextAnalysis.tokens(col(textCol))
     val base = docs.select(col(idCol), toks.as("_toks"))
       .filter(size(col("_toks")) >= 2)
+    // Materialize the (id, h1, h2) bigram table ONCE: four consumers
+    // (c2, c1, the V scalar, the join-back) would otherwise each
+    // re-explode and re-md5 the corpus — the dominant per-row cost —
+    // and Catalyst gives these shapes no common-subplan reuse (the
+    // measured sf1 scale ratio was 4.5x, dominated by the repeated
+    // passes). Rows are 24 bytes — the same volume the count shuffles
+    // already carry.
     val big = base.select(col(idCol),
       explode(transform(sequence(lit(1), size(col("_toks")) - 1),
         i => struct(
@@ -857,12 +873,16 @@ object Corpus {
           Dedup.md5Hash60(concat(element_at(col("_toks"), i), lit(" "),
             element_at(col("_toks"), i + 1))).as("h2")))).as("bg"))
       .select(col(idCol), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+      .localCheckpoint()
     val c2 = big.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-    val v = big.select(col("h1")).distinct().agg(count(lit(1)).as("v"))
-    big.join(c2, "h2").join(c1, "h1").crossJoin(broadcast(v))
+    // V = distinct prefix-token count = c1's row count: a single exact
+    // scalar, collected once and fed back as a literal (integer — no
+    // float-determinism exposure; the oracle's arithmetic is unchanged)
+    val v = c1.count()
+    big.join(c2, "h2").join(c1, "h1")
       .select(col(idCol),
-        round((col("c2") + lit(1.0)) / (col("c1") + col("v")), 6)
+        round((col("c2") + lit(1.0)) / (col("c1") + lit(v)), 6)
           .cast("decimal(18,6)").as("s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
