@@ -69,6 +69,7 @@ object Corpus {
   val SplitSalt = "split:"
   val CapSalt = "cap:"
   val TopKSalt = "topk:"
+  val PrioritySalt = "prio:"
 
   /** Deterministic keep/drop decision for stratified sampling: keep a
     * row iff its salted 60-bit md5 draw (uniform on [0, 2^60)) falls
@@ -950,6 +951,38 @@ object Corpus {
       .agg(sum(col("n")).as("n_toks"),
         round(sum(col("n") * col("s")).cast("double") / sum(col("n")), 6)
           .as("dsir_score"))
+  }
+
+  /** Weighted PRIORITY sample (Duffield, Lund, Thorup 2007): draw
+    * u_i ∈ (0, 1] per doc, rank by priority q_i = w_i / u_i, keep the k
+    * largest. Higher-weight docs are proportionally likelier to
+    * survive, and the scheme's threshold estimator makes subset sums
+    * unbiased — the standard way to subsample a corpus by importance
+    * weight (length, quality score, DSIR weight) instead of uniformly.
+    * Deterministic twin of the randomized original: u comes from the
+    * salted md5 draw ([[saltedDraw]] + 1, scaled by 2^60), so reruns and
+    * the oracle agree bit-for-bit; priorities are exactly-rounded IEEE
+    * divisions (no ln/exp — the house determinism rule).
+    *
+    * Scale shape: one narrow scan pass computes priorities; the top-k
+    * plans as TakeOrderedAndProject (per-partition top-k, k-row merge
+    * — no global sort), same as [[sampleFixedK]]. */
+  def prioritySample(docs: DataFrame, k: Int, weightCol: String = "n_chars",
+                     idCol: String = "doc_id",
+                     salt: String = PrioritySalt): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"prioritySample: k must be > 0, got $k")
+    // 2^60 is exactly representable; draw+1 ∈ [1, 2^60] keeps u in (0,1]
+    val u = (saltedDraw(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0)
+    val q = col(weightCol).cast("double") / u
+    docs.select(col(idCol), col(weightCol)).withColumn("_q", q)
+      .orderBy(col("_q").desc, col(idCol)).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pmod(col(idCol), lit(1)))
+          .orderBy(col("_q").desc, col(idCol))))
+      .select(col(idCol), col(weightCol),
+        round(col("_q"), 6).as("priority"), col("rn"))
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009

@@ -396,6 +396,49 @@ object Dedup {
         md5(array_join(col("_kept"), " ").cast("binary")).as("clean_fp"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    * — the MOSS algorithm): hash every k-token gram, slide a window of
+    * `w` consecutive gram hashes, keep each window's MINIMUM, emit the
+    * distinct selected hashes as the doc's fingerprint set. The paper's
+    * guarantee: any shared run of ≥ w + k − 1 tokens between two docs
+    * surfaces as a shared fingerprint, while storage is ~2/(w+1) of the
+    * gram count — the storage/recall dial between [[dupSpans]] (every
+    * window) and a single whole-doc fingerprint. Docs shorter than one
+    * gram/window degrade gracefully (their shorter tail slices still
+    * hash). Returns exploded (id, fp) rows — groupable, joinable,
+    * indexable like any fingerprint table.
+    *
+    * Scale shape: fingerprint selection is one narrow per-row pass
+    * (array ops over the token list — nothing shuffles until the
+    * explode, which emits ~2/(w+1)·grams 8-byte rows); md5-60 gram
+    * hashes keep it engine-portable (the oracle replays the selection
+    * verbatim; swap the rolling-hash native kernel for the hash step if
+    * profiles demand — see TextAnalysis.rollingFingerprints). */
+  /** Evaluate `e` ONCE per row and hand it to `f` as a lambda-bound
+    * variable. Writing the intermediate as a projected alias does NOT
+    * give this guarantee: CollapseProject inlines single-use aliases
+    * into the consumer, and when the consumer is a per-element lambda
+    * the inlined expression re-executes per ELEMENT — winnowing's gram
+    * array rebuilt (with all its md5s) per window turned an O(n·w) row
+    * into O(n²·k) and measured 200s at sf0.1. A lambda variable is a
+    * true let-binding the optimizer cannot inline through. */
+  private def bound(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k and w must be >= 1, got k=$k w=$w")
+    val fps = bound(TextAnalysis.tokens(col(textCol))) { ts =>
+      bound(transform(sequence(lit(1), greatest(size(ts) - (k - 1), lit(1))),
+          i => md5Hash60(concat_ws(" ", slice(ts, i, lit(k)))))) { g =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+          j => array_min(slice(g, j, lit(w)))))
+      }
+    }
+    docs.select(col(idCol), explode(fps).as("fp"))
+  }
+
   /** Incremental (cross-corpus) dedup: drop incoming docs whose
     * fingerprint already exists in the corpus — the daily-ingest shape.
     * The existing side reduces to a distinct fingerprint set before the

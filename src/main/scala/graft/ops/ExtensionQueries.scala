@@ -2290,6 +2290,46 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Winnowing fingerprint selection (Dedup.winnowFingerprints
+    * scaladoc: MOSS's window-minimum k-gram selection). The oracle
+    * replays gram hashing and per-window minima with identical
+    * boundary clipping. */
+  val winnowingQ: Q = Q(
+    "x_winnowing",
+    (s, d) => Dedup.winnowFingerprints(Tables.documents(s, d), k = 4, w = 4),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      g AS (SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(toks) - 3, 1)), i ->
+                     ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT) AS grams
+            FROM base),
+      m AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len(grams) - 3, 1)), j ->
+                       list_min(grams[j:j+3]))) AS fps
+            FROM g)
+      SELECT doc_id, unnest(fps) AS fp FROM m
+    """.trim)
+  )
+
+  /** Deterministic weighted priority sample (Corpus.prioritySample
+    * scaladoc): q = weight / salted-uniform-draw, top 50. The oracle
+    * replays the draw scaling and both divisions in order. */
+  val prioritySampleQ: Q = Q(
+    "x_priority_sample",
+    (s, d) => graft.corpus.Corpus.prioritySample(Tables.documents(s, d), k = 50),
+    Some("""
+      WITH p AS (SELECT doc_id, n_chars,
+                        CAST(n_chars AS DOUBLE) /
+                          ((('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+                           / 1152921504606846976.0) AS q
+                 FROM documents)
+      SELECT doc_id, n_chars, ROUND(q, 6) AS priority,
+             ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn
+      FROM p ORDER BY q DESC, doc_id LIMIT 50
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -2308,5 +2348,5 @@ object ExtensionQueries {
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ,
-    dsirWeights, knnLabel, dupSpansApply, hybridRrfQ)
+    dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ)
 }

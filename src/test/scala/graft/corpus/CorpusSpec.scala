@@ -437,6 +437,23 @@ class CorpusSpec extends SparkSpec {
       s"likelihood-ratio order must follow target overlap: $out")
   }
 
+  test("prioritySample: deterministic, weight-biased, exact-k, rank-contiguous") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L))
+      .toDF("doc_id", "n_chars")
+    val out = Corpus.prioritySample(docs, k = 20).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getInt(3)).toSeq == (1 to 20), "ranks contiguous")
+    // the 100000x-weight doc has priority >= 100000x any unit draw's
+    // minimum — it must be in (in fact at the top isn't guaranteed, but
+    // membership effectively is: its priority >= 1e6 while a weight-10
+    // doc needs a draw < 1e-5 to compete)
+    assert(out.exists(_.getLong(0) == 7L), "heavy doc must survive")
+    // deterministic: a rerun is byte-identical
+    val again = Corpus.prioritySample(docs, k = 20).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("hybridRrf: a doc that both rankers retrieve outranks single-ranker docs") {
     import spark.implicits._
     def v(x: Float, y: Float): Array[Float] = Array(x, y, 0.01f, 0.01f)

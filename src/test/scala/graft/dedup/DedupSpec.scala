@@ -386,4 +386,24 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((12L, 12L, md5Of(unique))))
     assert(out(5L) == ((2L, 2L, md5Of("tiny doc"))))
   }
+
+  test("winnowing: shared run of >= w+k-1 tokens yields a shared fingerprint; storage shrinks") {
+    import spark.implicits._
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ") // w+k-1 = 7 tokens at k=4,w=4
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared a5 a6 a7 a8"),
+      (2L, s"b1 b2 b3 b4 b5 $shared b6 b7 b8"),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 4, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the paper's guarantee: the 7-token shared run must surface
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
+    // the unrelated doc shares nothing with either
+    assert((byDoc(3L) & byDoc(1L)).isEmpty && (byDoc(3L) & byDoc(2L)).isEmpty)
+    // selection stores fewer fingerprints than grams (the point of winnowing)
+    val nGrams1 = 15 - 4 + 1 // doc 1: 15 tokens -> 12 grams
+    assert(byDoc(1L).size < nGrams1, s"selected ${byDoc(1L).size} of $nGrams1 grams")
+  }
 }

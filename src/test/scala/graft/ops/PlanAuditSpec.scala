@@ -429,6 +429,17 @@ class PlanAuditSpec extends SparkSpec {
       "per-query top-k must use the group-limit path, not a full rank:\n" + p)
   }
 
+  test("x_priority_sample: weighted top-k is TakeOrderedAndProject, no global sort") {
+    val p = plan("x_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x_winnowing: selection is one narrow pass — no shuffle before the explode") {
+    val p = plan("x_winnowing")
+    assert(!p.contains("Exchange"),
+      "winnowing must not shuffle (per-row array ops + explode only):\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
