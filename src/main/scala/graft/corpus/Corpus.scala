@@ -742,6 +742,65 @@ object Corpus {
         size(col("_chunk")).as("n_tokens"))
   }
 
+  /** Tokenizer-vocabulary construction: rank tokens by corpus
+    * frequency, keep the top `vocabSize`, and report each entry's
+    * CUMULATIVE corpus coverage — the curve tokenizer training reads to
+    * pick a vocab size (coverage(V) = fraction of all token
+    * occurrences the top-V entries explain; the UNK rate is
+    * 1 − coverage). Ties rank lexicographically, so the table is
+    * deterministic.
+    *
+    * Scale shape: one tokenize+explode feeds a map-side-combined count
+    * aggregate; the count table (vocabulary-sized, far smaller than the
+    * corpus) is materialized once so the total-count scalar doesn't
+    * re-run the corpus pass; top-V plans as TakeOrderedAndProject and
+    * the running sum windows over just the V survivors. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 2000,
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize > 0, s"vocabCoverage: vocabSize must be > 0, got $vocabSize")
+    val counts = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val rankW = Window.partitionBy(pmod(length(col("tok")), lit(1)))
+      .orderBy(col("cnt").desc, col("tok"))
+    counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("coverage",
+        round(sum(col("cnt")).over(rankW).cast("double") / lit(total), 6))
+      .select(col("rank"), col("tok"), col("cnt"), col("coverage"))
+  }
+
+  /** Content-defined chunking (the rolling-boundary technique of
+    * dedup-storage systems, token-level): a token whose hash is ≡ 0
+    * mod `avgChunk` CLOSES a chunk, so boundaries are decided by
+    * content alone — insert or delete a token and every later chunk
+    * still re-aligns at the next content boundary, which is what makes
+    * chunk-fingerprint dedup robust to shifts where fixed-size
+    * [[chunkTokens]] windows all move. Emits (id, chunk_idx, n_toks,
+    * chunk md5) — the chunk-fingerprint table you exact-dedup against.
+    *
+    * Scale shape: one tokenize+posexplode, one per-doc running-sum
+    * window (bounded by tokens-per-doc), one (id, chunk) aggregate;
+    * 8-byte hashes decide boundaries, chunk text is re-joined only in
+    * the final per-chunk digest. */
+  def cdcChunks(docs: DataFrame, avgChunk: Int = 16,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(avgChunk > 0, s"cdcChunks: avgChunk must be > 0, got $avgChunk")
+    val toks = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("i", "t")))
+      .withColumn("b",
+        when(pmod(Dedup.md5Hash60(col("t")), lit(avgChunk.toLong)) === 0, 1).otherwise(0))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    toks.withColumn("chunk_idx", (sum(col("b")).over(w) - col("b")).cast("long"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          s => s.getField("t")), " ").cast("binary")).as("chunk_fp"))
+  }
+
   /** TF-IDF term weights, top-k terms per document.
     *
     * The idf is the log-free rational form score = tf · (N / df),

@@ -2330,6 +2330,47 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Tokenizer-vocabulary coverage table (Corpus.vocabCoverage
+    * scaladoc): top-V tokens by count with cumulative corpus coverage.
+    * The oracle replays the rank, tie order, and running sum. */
+  val vocabCoverageQ: Q = Q(
+    "x_vocab_coverage",
+    (s, d) => graft.corpus.Corpus.vocabCoverage(Tables.documents(s, d), vocabSize = 2000),
+    Some("""
+      WITH t AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
+      c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS total FROM c),
+      top AS (SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+              FROM c ORDER BY cnt DESC, tok LIMIT 2000)
+      SELECT rank, tok, cnt,
+             ROUND(CAST(SUM(cnt) OVER (ORDER BY rank) AS DOUBLE) / total, 6) AS coverage
+      FROM top, tot
+    """.trim)
+  )
+
+  /** Content-defined chunk fingerprints (Corpus.cdcChunks scaladoc):
+    * hash-boundary chunking, shift-robust by construction. The oracle
+    * replays boundary flags, the running-sum chunk ids, and every
+    * chunk digest. */
+  val cdcChunksQ: Q = Q(
+    "x_cdc_chunks",
+    (s, d) => graft.corpus.Corpus.cdcChunks(Tables.documents(s, d), avgChunk = 16),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      tok AS (SELECT doc_id, i, toks[i + 1] AS t
+              FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM base)),
+      f AS (SELECT doc_id, i, t,
+                   CASE WHEN ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = 0 THEN 1 ELSE 0 END AS b
+            FROM tok),
+      c AS (SELECT doc_id, i, t,
+                   CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY i) - b AS BIGINT) AS chunk_idx
+            FROM f)
+      SELECT doc_id, chunk_idx, COUNT(*) AS n_toks,
+             md5(string_agg(t, ' ' ORDER BY i)) AS chunk_fp
+      FROM c GROUP BY doc_id, chunk_idx
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -2348,5 +2389,6 @@ object ExtensionQueries {
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ,
-    dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ)
+    dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
+    vocabCoverageQ, cdcChunksQ)
 }

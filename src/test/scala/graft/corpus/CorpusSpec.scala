@@ -437,6 +437,39 @@ class CorpusSpec extends SparkSpec {
       s"likelihood-ratio order must follow target overlap: $out")
   }
 
+  test("vocabCoverage: frequency-ranked, lexicographic ties, coverage climbs to 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa aa bb bb cc"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverage(docs, vocabSize = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq == Seq("aa", "bb", "cc", "dd"), s"rank order: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(4L, 3L, 2L, 1L))
+    // cumulative coverage: 4/10, 7/10, 9/10, 10/10
+    assert(out.map(_._4).toSeq == Seq(0.4, 0.7, 0.9, 1.0))
+    // a smaller vocab truncates the same ranking
+    val top2 = Corpus.vocabCoverage(docs, vocabSize = 2).collect()
+    assert(top2.map(_.getString(1)).toSeq == Seq("aa", "bb"))
+  }
+
+  test("cdcChunks: boundaries are content-defined — chunks re-align after an insertion") {
+    import spark.implicits._
+    // find real boundary tokens under the operator's own hash rule
+    val words = (1 to 200).map(i => s"t$i")
+    val (boundary, plain) = words.partition(wd => graft.dedup.Dedup.md5Hash60Value(wd) % 16 == 0)
+    assert(boundary.size >= 2 && plain.size >= 8, "fixture needs both kinds")
+    val body = Seq(plain(0), plain(1), boundary(0), plain(2), plain(3),
+      boundary(1), plain(4), plain(5)) // chunks: [p0 p1 B0] [p2 p3 B1] [p4 p5]
+    val shifted = plain(6) +: body     // one token prepended
+    val docs = Seq((1L, body.mkString(" ")), (2L, shifted.mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.cdcChunks(docs, avgChunk = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out((1L, 0L))._1 == 3L && out((1L, 1L))._1 == 3L && out((1L, 2L))._1 == 2L)
+    // doc 2's first chunk absorbs the insertion; later chunks re-align
+    assert(out((2L, 0L))._1 == 4L)
+    assert(out((2L, 1L)) == out((1L, 1L)), "post-boundary chunks must be identical")
+    assert(out((2L, 2L)) == out((1L, 2L)), "tail chunk must be identical")
+  }
+
   test("prioritySample: deterministic, weight-biased, exact-k, rank-contiguous") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L))
