@@ -801,6 +801,39 @@ object Corpus {
           s => s.getField("t")), " ").cast("binary")).as("chunk_fp"))
   }
 
+  /** Chunk-level dedup savings — the estimator content-defined chunking
+    * exists to serve: store every distinct chunk once, and the corpus
+    * shrinks by the tokens of every NON-canonical chunk instance
+    * (canonical = the (doc, chunk) smallest pair per fingerprint, the
+    * same deterministic ownership rule as Dedup.removeDupSpans).
+    * Reported per `srcCol` stratum: chunk/token counts, duplicated
+    * tokens, and the dedup ratio — the number that says which sources
+    * are boilerplate-heavy before any removal is committed.
+    *
+    * Scale shape: the chunk table ([[cdcChunks]]) is materialized once
+    * (it feeds both the canonical-choice aggregate and the count-back
+    * join, and is chunk-count-sized — far smaller than the corpus);
+    * everything downstream shuffles (16-byte fp, ids, small ints)
+    * only. */
+  def cdcDedupStats(docs: DataFrame, avgChunk: Int = 16,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    srcCol: String = "source"): DataFrame = {
+    val chunks = cdcChunks(docs, avgChunk, idCol, textCol).localCheckpoint()
+    val canon = chunks.groupBy(col("chunk_fp"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_c"))
+    chunks.join(canon, "chunk_fp")
+      .withColumn("_dup",
+        col(idCol) =!= col("_c").getField(idCol) ||
+          col("chunk_idx") =!= col("_c").getField("chunk_idx"))
+      .join(docs.select(col(idCol), col(srcCol)), idCol)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("_dup"), col("n_toks")).otherwise(0L)).as("dup_tokens"),
+        round(sum(when(col("_dup"), col("n_toks")).otherwise(0L)).cast("double") /
+          sum(col("n_toks")), 6).as("dedup_ratio"))
+  }
+
   /** TF-IDF term weights, top-k terms per document.
     *
     * The idf is the log-free rational form score = tf · (N / df),

@@ -2371,6 +2371,38 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Chunk-level dedup savings per source (Corpus.cdcDedupStats
+    * scaladoc). The oracle recomputes the canonical choice with a
+    * window rank instead of the Spark side's min-struct aggregate —
+    * two independent argmin mechanisms must agree on every ratio. */
+  val cdcDedupStatsQ: Q = Q(
+    "x_cdc_dedup_ratio",
+    (s, d) => graft.corpus.Corpus.cdcDedupStats(Tables.documents(s, d), avgChunk = 16),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      tok AS (SELECT doc_id, i, toks[i + 1] AS t
+              FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM base)),
+      f AS (SELECT doc_id, i, t,
+                   CASE WHEN ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = 0 THEN 1 ELSE 0 END AS b
+            FROM tok),
+      c AS (SELECT doc_id, i, t,
+                   CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY i) - b AS BIGINT) AS chunk_idx
+            FROM f),
+      ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_toks,
+                    md5(string_agg(t, ' ' ORDER BY i)) AS fp
+             FROM c GROUP BY 1, 2),
+      mk AS (SELECT doc_id, chunk_idx, n_toks,
+                    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+             FROM ch)
+      SELECT source, COUNT(*) AS n_chunks,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+             ROUND(CAST(SUM(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+                   / SUM(n_toks), 6) AS dedup_ratio
+      FROM mk JOIN documents USING (doc_id) GROUP BY 1
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -2390,5 +2422,5 @@ object ExtensionQueries {
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
-    vocabCoverageQ, cdcChunksQ)
+    vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ)
 }

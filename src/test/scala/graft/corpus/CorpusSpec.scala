@@ -470,6 +470,21 @@ class CorpusSpec extends SparkSpec {
     assert(out((2L, 2L)) == out((1L, 2L)), "tail chunk must be identical")
   }
 
+  test("cdcDedupStats: non-canonical copies count as duplicated tokens, per source") {
+    import spark.implicits._
+    val text = (1 to 12).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "srcA"),                                  // canonical copy
+      (2L, text, "srcB"),                                  // exact dup -> all tokens dup
+      (3L, (1 to 8).map(i => s"u$i").mkString(" "), "srcB") // unique
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.cdcDedupStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("srcA") == ((12L, 0L, 0.0)), s"canonical source: ${out.get("srcA")}")
+    // srcB: doc 2's 12 tokens all duplicated, doc 3's 8 unique
+    assert(out("srcB") == ((20L, 12L, 0.6)), s"dup source: ${out.get("srcB")}")
+  }
+
   test("prioritySample: deterministic, weight-biased, exact-k, rank-contiguous") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L))

@@ -440,6 +440,21 @@ class PlanAuditSpec extends SparkSpec {
       "winnowing must not shuffle (per-row array ops + explode only):\n" + p)
   }
 
+  test("x_vocab_coverage: top-V is TakeOrderedAndProject; the running sum windows over V rows only") {
+    val p = plan("x_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the window must sit ABOVE the limit (V rows), not over the vocabulary
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "running-sum window must consume the top-V survivors:\n" + p)
+  }
+
+  test("x_cdc_chunks: one per-doc running-sum window, no cartesian, no second explode") {
+    val p = plan("x_cdc_chunks")
+    assert(!p.contains("CartesianProduct"), p)
+    val generates = "Generate".r.findAllIn(p).size
+    assert(generates == 1, s"expected exactly 1 Generate, got $generates:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
