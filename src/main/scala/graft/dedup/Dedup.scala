@@ -319,6 +319,11 @@ object Dedup {
   def dupSpans(docs: DataFrame, w: Int = 16,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w >= 2, s"dupSpans: window must be >= 2 tokens, got $w")
+    // materialized once for the same reason as [[removeDupSpans]]: the
+    // global-count aggregate and the count-back join would otherwise
+    // each re-run the O(tokens·w) md5 window pass (no common-subplan
+    // reuse), and the hash-keyed repartition makes the join co-located
+    // instead of broadcasting the dup-key table (not small at 100 TB)
     val keys = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= w)
@@ -326,6 +331,8 @@ object Dedup {
         explode(transform(sequence(lit(0), size(col("_toks")) - w),
           j => md5Hash60(array_join(slice(col("_toks"), j + 1, lit(w)), " "))))
           .as("k"))
+      .repartition(col("k"))
+      .localCheckpoint()
     val dupKeys = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("k"), lit(1).as("_dup"))
     keys.join(dupKeys, Seq("k"), "left")
