@@ -2403,6 +2403,36 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** CCNet head/middle/tail perplexity buckets (Corpus.pplBuckets
+    * scaladoc: exact distributed NTILE — range shuffle + per-partition
+    * rank + broadcast offsets, never a global window). The oracle IS
+    * DuckDB's NTILE over the same score/tie order. */
+  val pplBucketsQ: Q = Q(
+    "x_ppl_buckets",
+    (s, d) => graft.corpus.Corpus.pplBuckets(Tables.documents(s, d), nBuckets = 3),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                    FROM documents
+                    WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
+      big AS (SELECT doc_id,
+                   ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT AS h2
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)),
+      c2 AS (SELECT h2, COUNT(*) AS c2 FROM big GROUP BY 1),
+      c1 AS (SELECT h1, COUNT(*) AS c1 FROM big GROUP BY 1),
+      vv AS (SELECT COUNT(*) AS v FROM (SELECT DISTINCT h1 FROM big)),
+      p AS (SELECT doc_id,
+                  CAST(ROUND((c2 + CAST(1.0 AS DOUBLE)) / (c1 + v), 6) AS DECIMAL(18,6)) AS s
+            FROM big JOIN c2 USING (h2) JOIN c1 USING (h1), vv),
+      sc AS (SELECT doc_id,
+                    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS lm_score
+             FROM p GROUP BY 1)
+      SELECT doc_id, lm_score,
+             CAST(NTILE(3) OVER (ORDER BY lm_score, doc_id) AS BIGINT) AS ppl_bucket
+      FROM sc
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -2422,5 +2452,5 @@ object ExtensionQueries {
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
-    vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ)
+    vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ)
 }

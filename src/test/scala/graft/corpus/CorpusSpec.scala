@@ -485,6 +485,24 @@ class CorpusSpec extends SparkSpec {
     assert(out("srcB") == ((20L, 12L, 0.6)), s"dup source: ${out.get("srcB")}")
   }
 
+  test("pplBuckets: exact NTILE sizes, monotone in score, all docs covered") {
+    import spark.implicits._
+    // 7 docs of >= 2 tokens with distinct repetition structure
+    val docs = (1L to 7L).map { i =>
+      val tok = s"w$i"
+      (i, Seq.fill(4)(tok).mkString(" ") + " " + (1 to i.toInt).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Corpus.pplBuckets(docs, nBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length == 7)
+    // NTILE(3) over 7 rows: bucket sizes 3, 2, 2
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes == Map(1L -> 3, 2L -> 2, 3L -> 2), s"sizes: $sizes")
+    // buckets are monotone in (score, id) order
+    val sorted = out.sortBy(t => (t._2, t._1)).map(_._3)
+    assert(sorted.sameElements(sorted.sorted), s"bucket order: ${sorted.toSeq}")
+  }
+
   test("prioritySample: deterministic, weight-biased, exact-k, rank-contiguous") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L))
