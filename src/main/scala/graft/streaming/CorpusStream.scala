@@ -118,6 +118,45 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming chunk-store ingest — content-defined-chunking dedup
+    * across micro-batches (the dedup-storage shape, applied to corpus
+    * ingest): each batch's docs are cut into CDC chunks
+    * (`Corpus.cdcChunks` — boundaries survive edits, so a re-crawled
+    * page with one inserted paragraph re-uses every other chunk), new
+    * chunk fingerprints are appended to a persisted parquet index, and
+    * the per-doc manifest (chunk_idx → fp, is_new) lands in `outPath`.
+    * `is_new` = the fp was absent from the index BEFORE this batch;
+    * batch-internal repeats are all marked new but the index stays
+    * distinct. Storage saved = the manifest rows with is_new = false.
+    *
+    * Scale shape: the index is a distinct-fp parquet table (at rest:
+    * bucket it by fp so the anti-join prunes); per batch the exchange
+    * carries 16-byte fps only, and the chunk table is materialized
+    * once per batch (it feeds the index append AND the manifest). */
+  def ingestCdcChunkStore(docs: DataFrame, indexPath: String, outPath: String,
+                          checkpoint: String, avgChunk: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val chunks = graft.corpus.Corpus.cdcChunks(batch, avgChunk).localCheckpoint()
+        val known =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath)))
+            spark.read.parquet(indexPath)
+          else chunks.select(col("chunk_fp")).limit(0)
+        // the manifest MUST be written before the index append — both
+        // lazily re-scan indexPath at action time, and a pre-appended
+        // scan is what "absent from the index BEFORE this batch" means
+        chunks.join(known.select(col("chunk_fp"), lit(1).as("_seen")),
+            Seq("chunk_fp"), "left")
+          .withColumn("is_new", col("_seen").isNull).drop("_seen")
+          .write.mode("append").parquet(outPath)
+        chunks.select(col("chunk_fp")).distinct()
+          .join(known, Seq("chunk_fp"), "left_anti")
+          .write.mode("append").parquet(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   def ingestNearDupDedup(docs: DataFrame, index: Dedup.CorpusNearDupIndex,
                          outPath: String, checkpoint: String,
                          threshold: Double = 0.7, k: Int = 16,

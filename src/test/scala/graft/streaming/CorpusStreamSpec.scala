@@ -129,4 +129,46 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed != batch $batch")
     assert(streamed == Set(2L, 4L)) // near-dups of the corpus dropped, new kept
   }
+
+  test("cdc chunk-store ingest: re-crawled doc with an insertion re-uses post-boundary chunks") {
+    import org.apache.spark.sql.functions.col
+    // fixture built under the operator's own boundary rule (md5 % 16 == 0)
+    val words = (1 to 300).map(i => s"c$i")
+    val (bnd, plain) = words.partition(w => graft.dedup.Dedup.md5Hash60Value(w) % 16 == 0)
+    assert(bnd.size >= 3 && plain.size >= 12)
+    val body = Seq(plain(0), plain(1), bnd(0), plain(2), plain(3), bnd(1),
+      plain(4), plain(5), bnd(2), plain(6), plain(7))
+    val recrawl = plain(8) +: body // one token inserted up front
+
+    val dir = java.nio.file.Files.createTempDirectory("cdc-stream").toString
+    Seq((1L, body.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in/b1")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema).parquet(s"$dir/in/*")
+    val q = CorpusStream.ingestCdcChunkStore(stream,
+      s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      Seq((2L, recrawl.mkString(" "))).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val manifest = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "chunk_idx", "is_new")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    // batch 1: everything new (4 chunks: 3 closed + tail)
+    assert(manifest.filter(_._1._1 == 1L).values.forall(identity))
+    // batch 2: the first chunk absorbed the insertion (new); the three
+    // post-boundary chunks re-align and are ALREADY in the store
+    val d2 = manifest.filter(_._1._1 == 2L)
+    assert(d2((2L, 0L)), "mutated head chunk must be new")
+    assert(!d2((2L, 1L)) && !d2((2L, 2L)) && !d2((2L, 3L)),
+      s"re-aligned chunks must dedup against the store: $d2")
+    // the index holds exactly the distinct fingerprints, no re-appends
+    val idx = spark.read.parquet(s"$dir/idx").collect().map(_.getString(0))
+    assert(idx.length == idx.distinct.length, "index must stay distinct")
+    assert(idx.length == 5, s"4 chunks from doc 1 + 1 new head from doc 2: ${idx.length}")
+  }
 }
