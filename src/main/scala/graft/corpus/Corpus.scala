@@ -282,6 +282,44 @@ object Corpus {
       .drop("_cnt", "_mn")
   }
 
+  /** Data-constrained epoch allocation (the repeat-budgeting of
+    * Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"): given a total training-token budget, give each stratum
+    * a sqrt-temperature share of it and convert that share into a
+    * REPEAT factor (epochs = its share of the budget over its actual
+    * tokens, capped at `maxEpochs` — the point past which repeated
+    * data stops helping). The output table (stratum, n_tokens, share,
+    * epochs) is the sampling schedule a training loader consumes.
+    *
+    * Determinism: token counts are exact integers (collected once —
+    * the table is strata-sized); sqrt is correctly-rounded IEEE, each
+    * sqrt is rounded to 6 dp and the normalizer is summed in DECIMAL
+    * (order-free), and every downstream ratio is exactly-rounded
+    * division — the DuckDB oracle replays all of it.
+    *
+    * Scale shape: ONE tokenize pass with map-side partial aggregation
+    * into a strata-sized table; everything after is driver-trivial. */
+  def mixEpochs(docs: DataFrame, budgetTokens: Long, maxEpochs: Double = 4.0,
+                strataCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"mixEpochs: budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"mixEpochs: maxEpochs must be > 0, got $maxEpochs")
+    import docs.sparkSession.implicits._
+    val counts = docs.groupBy(col(strataCol))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol)))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF(strataCol, "n_tokens")
+    val t = counts.withColumn("_sq",
+      round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(18,6)"))
+    val z = t.agg(sum(col("_sq")).as("_z"))
+    t.crossJoin(broadcast(z))
+      .withColumn("share",
+        round(col("_sq").cast("double") / col("_z").cast("double"), 6))
+      .withColumn("epochs",
+        round(least(lit(maxEpochs),
+          col("share") * lit(budgetTokens.toDouble) / col("n_tokens")), 6))
+      .select(col(strataCol), col("n_tokens"), col("share"), col("epochs"))
+  }
+
   /** Leakage-free train/val/test assignment: every member of a
     * duplicate cluster receives the split of the cluster's canonical
     * id, so near-duplicate pairs can never straddle the train/test

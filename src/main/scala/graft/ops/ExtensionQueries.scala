@@ -2433,6 +2433,30 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Data-constrained epoch allocation (Corpus.mixEpochs scaladoc):
+    * sqrt-temperature budget shares converted to capped repeat
+    * factors. Budget 1M tokens, cap 4 epochs. */
+  val mixEpochsQ: Q = Q(
+    "x_mix_epochs",
+    (s, d) => graft.corpus.Corpus.mixEpochs(Tables.documents(s, d),
+      budgetTokens = 1000000L, maxEpochs = 4.0),
+    Some("""
+      WITH c AS (SELECT source,
+                        CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+      s AS (SELECT source, n_tokens,
+                   CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sq
+            FROM c),
+      z AS (SELECT SUM(sq) AS z FROM s)
+      SELECT source, n_tokens,
+             ROUND(CAST(sq AS DOUBLE) / CAST(z AS DOUBLE), 6) AS share,
+             ROUND(LEAST(4.0,
+               ROUND(CAST(sq AS DOUBLE) / CAST(z AS DOUBLE), 6) * 1000000.0 / n_tokens),
+               6) AS epochs
+      FROM s, z
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -2452,5 +2476,5 @@ object ExtensionQueries {
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
-    vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ)
+    vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
 }

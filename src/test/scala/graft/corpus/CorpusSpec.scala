@@ -485,6 +485,23 @@ class CorpusSpec extends SparkSpec {
     assert(out("srcB") == ((20L, 12L, 0.6)), s"dup source: ${out.get("srcB")}")
   }
 
+  test("mixEpochs: sqrt shares, epoch cap, low-resource strata upweighted") {
+    import spark.implicits._
+    val big = (1L to 90L).map(i => (i, (1 to 10).map(j => s"b${i}_$j").mkString(" "), "big"))
+    val small = (100L to 109L).map(i => (i, (1 to 10).map(j => s"s${i}_$j").mkString(" "), "small"))
+    val docs = (big ++ small).toDF("doc_id", "text", "source")
+    val out = Corpus.mixEpochs(docs, budgetTokens = 2000L, maxEpochs = 4.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("big")._1 == 900L && out("small")._1 == 100L)
+    // sqrt temperature: shares 30/(30+10)=0.75 and 10/40=0.25
+    assert(math.abs(out("big")._2 - 0.75) < 1e-6 && math.abs(out("small")._2 - 0.25) < 1e-6)
+    // big: 0.75*2000/900 = 1.67 epochs; small: 0.25*2000/100 = 5 -> capped at 4
+    assert(math.abs(out("big")._3 - 1.666667) < 1e-5, s"big epochs: ${out("big")}")
+    assert(out("small")._3 == 4.0, s"cap must bind: ${out("small")}")
+    // the temperature property: the small stratum repeats MORE
+    assert(out("small")._3 > out("big")._3)
+  }
+
   test("pplBuckets: exact NTILE sizes, monotone in score, all docs covered") {
     import spark.implicits._
     // 7 docs of >= 2 tokens with distinct repetition structure
