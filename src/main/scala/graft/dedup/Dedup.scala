@@ -328,9 +328,8 @@ object Dedup {
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= w)
       .select(col(idCol),
-        explode(transform(sequence(lit(0), size(col("_toks")) - w),
-          j => md5Hash60(array_join(slice(col("_toks"), j + 1, lit(w)), " "))))
-          .as("k"))
+        explode(org.apache.spark.sql.graftext.VectorExpressions
+          .md5WindowHashes60(col("_toks"), w)).as("k"))
       .repartition(col("k"))
       .localCheckpoint()
     val dupKeys = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
@@ -381,9 +380,8 @@ object Dedup {
     // table, which at 100 TB is NOT small (billions of repeated spans).
     val wins = base.filter(size(col("_toks")) >= w)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(col("_toks")) - w),
-          j => md5Hash60(array_join(slice(col("_toks"), j + 1, lit(w)), " "))))
-          .as(Seq("j", "k")))
+        posexplode(org.apache.spark.sql.graftext.VectorExpressions
+          .md5WindowHashes60(col("_toks"), w)).as(Seq("j", "k")))
       .repartition(col("k"))
       .localCheckpoint()
     val owners = wins.groupBy(col("k"))
@@ -435,13 +433,11 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints: k and w must be >= 1, got k=$k w=$w")
-    val fps = bound(TextAnalysis.tokens(col(textCol))) { ts =>
-      bound(transform(sequence(lit(1), greatest(size(ts) - (k - 1), lit(1))),
-          i => md5Hash60(concat_ws(" ", slice(ts, i, lit(k)))))) { g =>
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
-          j => array_min(slice(g, j, lit(w)))))
-      }
+    val fps = bound(org.apache.spark.sql.graftext.VectorExpressions
+        .md5WindowHashes60(TextAnalysis.tokens(col(textCol)), k)) { g =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+        j => array_min(slice(g, j, lit(w)))))
     }
     docs.select(col(idCol), explode(fps).as("fp"))
   }

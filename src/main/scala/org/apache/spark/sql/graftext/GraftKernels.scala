@@ -147,6 +147,23 @@ object GraftKernels {
     new GenericArrayData(if (m == n) out else out.take(m))
   }
 
+  /** Md5WindowHashes60: window j (of max(n−w+1, 1) stride-1 windows;
+    * the final/only window clips at the array end) → hex60 of the md5
+    * of its elements joined with " ". See Md5WindowHashes60's scaladoc
+    * for the column-form equivalence contract. */
+  def md5WindowHashes60(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val nw = math.max(n - w + 1, 1)
+    val out = new Array[Long](nw)
+    var j = 0
+    while (j < nw) {
+      val end = math.min(j + w, n)
+      out(j) = Md5Support.hex60(Md5Support.digestWindow(arr, j, end), 0)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHashFrom: bit b set iff strict majority of elements have bit b set. */
   def simhashFrom(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()

@@ -23,6 +23,25 @@ private[graftext] object Md5Support {
     md.reset()
     md.digest(u.getBytes)
   }
+  /** md5 of elements [start, end) joined with a single space — the
+    * digest of `array_join(slice(...), " ")` WITHOUT materializing the
+    * joined string: token bytes stream straight into the digest, nulls
+    * skipped exactly as array_join skips them (no dangling space). */
+  def digestWindow(arr: ArrayData, start: Int, end: Int): Array[Byte] = {
+    val md = local.get()
+    md.reset()
+    var first = true
+    var i = start
+    while (i < end) {
+      if (!arr.isNullAt(i)) {
+        if (!first) md.update(' '.toByte)
+        md.update(arr.getUTF8String(i).getBytes)
+        first = false
+      }
+      i += 1
+    }
+    md.digest()
+  }
   /** Unsigned big-endian value of 8 bytes starting at `off`, shifted to
     * the top 60 bits — numerically equal to parsing hex chars
     * [2·off+1 .. 2·off+15] of the digest's hex rendering (what
@@ -102,6 +121,38 @@ case class Md5Hashes60(child: Expression)
       s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.md5Hashes60($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hashes60 =
+    copy(child = newChild)
+}
+
+/** 60-bit md5 hash of every w-element sliding window of a token array,
+  * joined with a single space — hash-for-hash equal to the column form
+  * `transform(sequence(1, greatest(size(t) − w + 1, 1)),
+  *            i => md5Hash60(array_join(slice(t, i, w), " ")))`
+  * including the boundary behavior (an input shorter than w yields ONE
+  * clipped window) and array_join's null-skipping. The column form
+  * digests k interpreted expression calls and a joined-string
+  * allocation per window; this kernel streams each window's token
+  * bytes straight into one MessageDigest — no joined string, no
+  * per-window lambda frames. It is the shared hot step of the
+  * duplicate-span family (detect/remove) and Winnowing fingerprints.
+  */
+case class Md5WindowHashes60(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(w >= 1, s"md5_window_hashes60: window must be >= 1, got $w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_window_hashes60"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.md5WindowHashes60(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.md5WindowHashes60($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WindowHashes60 =
     copy(child = newChild)
 }
 

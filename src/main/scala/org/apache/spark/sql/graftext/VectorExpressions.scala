@@ -175,6 +175,12 @@ object VectorExpressions {
   def md5Hashes60(tokens: Column): Column =
     ExpressionUtils.column(Md5Hashes60(ExpressionUtils.expression(tokens)))
 
+  /** 60-bit md5 hash per w-token sliding window (space-joined) — the
+    * native single-digest-stream form of the dup-span/winnowing window
+    * hash; see Md5WindowHashes60. */
+  def md5WindowHashes60(tokens: Column, w: Int): Column =
+    ExpressionUtils.column(Md5WindowHashes60(ExpressionUtils.expression(tokens), w))
+
   def simhashFrom(hashes: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashFrom(ExpressionUtils.expression(hashes), bits))
 
@@ -309,6 +315,8 @@ private[graftext] object GraftFunctionRegistry {
       es => Md5MinHash(es(0), intArg("md5_minhash", es(1)))),
     ("md5_min", classOf[Md5Min], es => Md5Min(es(0))),
     ("md5_hashes60", classOf[Md5Hashes60], es => Md5Hashes60(es(0))),
+    ("md5_window_hashes60", classOf[Md5WindowHashes60],
+      es => Md5WindowHashes60(es(0), intArg("md5_window_hashes60", es(1)))),
     ("simhash_from", classOf[SimHashFrom],
       es => SimHashFrom(es(0), intArg("simhash_from", es(1)))),
     ("normalize_ws", classOf[NormalizeWs], es => NormalizeWs(es(0))),

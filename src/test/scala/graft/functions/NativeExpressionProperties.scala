@@ -69,6 +69,13 @@ object NativeExpressionProperties extends Properties("graft.native") {
     agree(ts, V.md5Hashes60(toks), transform(toks, t => Dedup.md5Hash60(t)))
   }
 
+  property("Md5WindowHashes60 == per-window array_join/md5 HOF (incl. clipped boundary)") =
+    forAll(genBatch, Gen.chooseNum(1, 6)) { (ts, w) =>
+      agree(ts, V.md5WindowHashes60(toks, w),
+        transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+          i => Dedup.md5Hash60(array_join(slice(toks, i, lit(w)), " "))))
+    }
+
   property("SimHashFrom == aggregate/zip_with fold") = forAll(genBatch) { ts =>
     agree(ts, V.simhashFrom(V.md5Hashes60(toks), 60),
       Dedup.simhashFrom(V.md5Hashes60(toks), 60))
