@@ -1054,13 +1054,18 @@ object Corpus {
     // measured sf1 scale ratio was 4.5x, dominated by the repeated
     // passes). Rows are 24 bytes — the same volume the count shuffles
     // already carry.
+    // h2 of bigram i IS the 2-token window hash at i, and h1 is the
+    // per-token hash — both native kernels (one digest per element, no
+    // per-bigram lambda frames); zipping the prefix slice of the token
+    // hashes against the window hashes reproduces the (h1, h2) pairs
+    // of the interpreted per-bigram struct form exactly
+    val V = org.apache.spark.sql.graftext.VectorExpressions
     val big = base.select(col(idCol),
-      explode(transform(sequence(lit(1), size(col("_toks")) - 1),
-        i => struct(
-          Dedup.md5Hash60(element_at(col("_toks"), i)).as("h1"),
-          Dedup.md5Hash60(concat(element_at(col("_toks"), i), lit(" "),
-            element_at(col("_toks"), i + 1))).as("h2")))).as("bg"))
-      .select(col(idCol), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+      explode(arrays_zip(
+        slice(V.md5Hashes60(col("_toks")), lit(1), size(col("_toks")) - 1),
+        V.md5WindowHashes60(col("_toks"), 2))).as("bg"))
+      .select(col(idCol), col("bg").getField("0").as("h1"),
+        col("bg").getField("1").as("h2"))
       .localCheckpoint()
     val c2 = big.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
