@@ -45,13 +45,17 @@ object QualityClassifier {
   def score(docs: DataFrame, weights: DataFrame, dim: Int, bias: Double = 0.0,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim > 0, s"QualityClassifier.score: dim must be > 0, got $dim")
-    // hash the whole gram array in ONE native pass (Md5Hashes60 — a
-    // digest per gram with no per-row expression overhead), then
-    // explode 8-byte longs, not gram strings
+    // hash natively WITHOUT building bigram strings: the gram array is
+    // unigrams ++ bigrams, so its hash array is exactly
+    // Md5Hashes60(tokens) ++ Md5WindowHashes60(tokens, 2) — same
+    // values in the same order as Md5Hashes60(grams(text)) (including
+    // the single-token degenerate window), with the interpreted
+    // concat_ws/slice lambda and every joined-string allocation gone
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    val toks = TextAnalysis.tokens(col(textCol))
     val exploded = docs
-      .select(col(idCol), explode(
-        org.apache.spark.sql.graftext.VectorExpressions.md5Hashes60(
-          grams(col(textCol)))).as("_h"))
+      .select(col(idCol), explode(concat(
+        V.md5Hashes60(toks), V.md5WindowHashes60(toks, 2))).as("_h"))
       .select(col(idCol), pmod(col("_h"), lit(dim.toLong)).as("_bucket"))
     val wt = weights.select(col("bucket").as("_bucket"),
       col("weight").cast("decimal(28,10)").as("_w"))
