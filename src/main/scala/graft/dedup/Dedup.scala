@@ -229,6 +229,9 @@ object Dedup {
     val capped = maxBucketSize.fold(grouped)(m => grouped.filter(size(col("ids")) <= m))
     val candidates = pairsFromIdLists(capped, "ids")
       .dropDuplicates()
+    // deliberately NOT checkpointed: the native shingle recompute for
+    // the two verify-side probes is cheaper than materializing
+    // corpus-wide string shingle arrays (measured: +0.5s at sf0.1)
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleW).as("sh"))
     candidates
       .join(sh.as("s1"), col("id1") === col(s"s1.$idCol"))
