@@ -1668,6 +1668,111 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Edit-distance (fuzzy) join under the oracle: corpus tokens matched
+    * against the part-name word vocabulary at levenshtein ≤ 2. The engine
+    * uses the SymSpell delete-neighborhood decomposition
+    * (FuzzyJoin.fuzzyJoin — explode both sides into delete-≤2 variants,
+    * equi-join on the variant, exact-levenshtein verify, never a
+    * quadratic theta join); the oracle IS the quadratic theta join DuckDB
+    * can afford at vocabulary scale, so matching hashes prove the
+    * decomposition finds every true pair and the verify admits no false
+    * one. Both sides are map-side-combined token tables — vocabulary-
+    * sized however big the corpus is. */
+  val fuzzyJoinQ: Q = Q(
+    "x_fuzzy_join",
+    (s, d) => {
+      val ta = Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("tok_a"))
+        .filter(length(col("tok_a")) >= 3)
+        .groupBy(col("tok_a")).agg(count(lit(1)).as("n_a"))
+      val tb = Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("tok_b"))
+        .groupBy(col("tok_b")).agg(count(lit(1)).as("n_b"))
+      FuzzyJoin.fuzzyJoin(ta, tb, "tok_a", "tok_b", maxDist = 2)
+        .select(col("tok_a"), col("tok_b"), col("dist"),
+          col("n_a"), col("n_b"))
+    },
+    Some("""
+      WITH ta AS (
+        SELECT token AS tok_a, COUNT(*) AS n_a FROM (
+          SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+          FROM documents) t
+        WHERE length(token) >= 3 GROUP BY token),
+      tb AS (
+        SELECT w AS tok_b, COUNT(*) AS n_b FROM (
+          SELECT unnest(regexp_split_to_array(p_name, ' ')) AS w
+          FROM part) t
+        GROUP BY w)
+      SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist,
+             n_a, n_b
+      FROM ta, tb WHERE levenshtein(tok_a, tok_b) <= 2
+    """.trim)
+  )
+
+  /** SCD type-2 merge under the oracle: the customer dim's current slice
+    * merged with a deterministic update batch (1/5 of keys change
+    * acctbal, 1/5 no-op, 1/5 arrive as new keys). The engine is ONE
+    * full-outer key join + a per-row struct explode (etl/Scd.scala — no
+    * window, no second pass; closed rows are an append-only delta); the
+    * oracle replays the merge as four set-logic branches, so matching
+    * hashes pin every path: passthrough, no-op update, close+reopen,
+    * and insert. */
+  val scd2MergeQ: Q = Q(
+    "x_scd2_merge",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val dim = cust
+        .withColumn("valid_from", lit("2020-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val updates = cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(cust.filter(col("c_custkey") % 5 === 1))
+        .unionByName(cust.filter(col("c_custkey") % 5 === 2)
+          .withColumn("c_custkey", col("c_custkey") + 1000000000L))
+      graft.etl.Scd.scd2Merge(dim, updates, "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"),
+        lit("2024-07-01 00:00:00").cast("timestamp"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM customer),
+      upd AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 1
+        UNION ALL
+        SELECT c_custkey + 1000000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 2)
+      SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment,
+             d.valid_from, d.valid_to, d.is_current
+      FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+      WHERE u.c_custkey IS NULL
+         OR (d.c_acctbal = u.c_acctbal AND d.c_mktsegment = u.c_mktsegment)
+      UNION ALL
+      SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+             TIMESTAMP '2024-07-01 00:00:00', FALSE
+      FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+      WHERE d.c_acctbal <> u.c_acctbal OR d.c_mktsegment <> u.c_mktsegment
+      UNION ALL
+      SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+             TIMESTAMP '2024-07-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+      WHERE d.c_acctbal <> u.c_acctbal OR d.c_mktsegment <> u.c_mktsegment
+      UNION ALL
+      SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+             TIMESTAMP '2024-07-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      FROM upd u LEFT JOIN dim d ON d.c_custkey = u.c_custkey
+      WHERE d.c_custkey IS NULL
+    """.trim)
+  )
+
   /** Z-order (Morton) layout values under the oracle: the native
     * codegen'd interleave (graftext.ZOrderLong, surfaced as
     * Layout.zorderValue — the clustering key writeZOrdered range-
@@ -2474,7 +2579,7 @@ object ExtensionQueries {
     contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
-    heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ,
+    heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-string (edit-distance) join via SymSpell-style deletion
+  * neighborhoods — the entity-resolution / typo-normalization primitive a
+  * training-data pipeline needs when joining dirty surface forms against a
+  * canonical vocabulary (OCR noise, tokenizer variants, catalog names).
+  *
+  * The naive formulation is a quadratic theta join
+  * (`levenshtein(a,b) <= k` admits no equi-key), which is a cartesian at
+  * any scale. The delete-neighborhood decomposition restores an equi-join:
+  * if `levenshtein(a,b) <= k` then deleting at most `k` characters from
+  * each of `a` and `b` reaches a common string (SymSpell invariant — the
+  * shorter of an optimal alignment's two sides is reachable from both by
+  * deletions alone), so expanding both sides into their delete-≤k variant
+  * sets and equi-joining on the variant finds EVERY true pair. The
+  * candidate set can over-generate (a shared variant does not bound the
+  * distance from above — e.g. "abcab"/"cabxy" share "cab" at distance 4),
+  * so an exact `levenshtein` verify filters candidates; the x_fuzzy_join
+  * oracle IS the quadratic theta join, so matching hashes prove the
+  * decomposition loses nothing and the verify admits nothing extra.
+  *
+  * Scale shape (100 TB): both sides are token tables — typically the
+  * output of a map-side-combined `groupBy(token).count()`, i.e.
+  * vocabulary-sized regardless of corpus bytes. The only exchange carries
+  * `(variant, token, …)` rows — short strings, never document text — and
+  * per-variant candidate volume is `|A_v| × |B_v|`, bounded in practice by
+  * the vocabulary's neighborhood density; for adversarially hot variant
+  * blocks, pre-filter the exploded sides with a variant-frequency cap
+  * exactly as `Dedup.ngramJaccard` caps document frequency. All variant
+  * generation is nested higher-order functions over `sequence` +
+  * `substr` — codegen-friendly, no UDFs.
+  */
+object FuzzyJoin {
+
+  /** All strings reachable from `tok` by deleting exactly one character;
+    * empty array for the empty string (guards `sequence(0, -1)`, which
+    * would otherwise step backwards). */
+  private def deletes1(tok: Column): Column =
+    when(length(tok) >= 1,
+      transform(sequence(lit(0), length(tok) - 1),
+        i => concat(tok.substr(lit(1), i), tok.substr(i + lit(2), length(tok)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The delete-neighborhood of `tok` for edit distance `maxDist`
+    * (supported: 1 or 2): the token itself plus every string reachable by
+    * at most `maxDist` character deletions, distinct. Sizes are tiny —
+    * `O(L)` for depth 1, `O(L²)` for depth 2 on an `L`-char token. */
+  def deleteNeighborhood(tok: Column, maxDist: Int): Column = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    val d1 = deletes1(tok)
+    val depth = if (maxDist == 1) concat(array(tok), d1)
+    else concat(array(tok), d1,
+      flatten(transform(filter(d1, v => length(v) >= 1), v => deletes1(v))))
+    array_distinct(depth)
+  }
+
+  /** Edit-distance join: all `(left row, right row, dist)` with
+    * `levenshtein(left(leftKey), right(rightKey)) <= maxDist`. Key columns
+    * must be distinct per side (join a pre-aggregated token table, not raw
+    * occurrences — that is also what keeps the sides vocabulary-sized).
+    * Non-key columns pass through; key columns must not collide across
+    * sides. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String, maxDist: Int): DataFrame = {
+    require(leftKey != rightKey,
+      s"left and right key columns must have distinct names, both are '$leftKey'")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"column names must not collide across sides: ${overlap.mkString(", ")}")
+    val va = left.withColumn("_fz_v", explode(deleteNeighborhood(col(leftKey), maxDist)))
+    val vb = right.withColumn("_fz_v", explode(deleteNeighborhood(col(rightKey), maxDist)))
+    va.join(vb, "_fz_v")
+      .drop("_fz_v")
+      .dropDuplicates(leftKey, rightKey)
+      .withColumn("dist", levenshtein(col(leftKey), col(rightKey)))
+      .filter(col("dist") <= maxDist)
+  }
+}
