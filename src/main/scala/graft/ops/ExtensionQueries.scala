@@ -1773,6 +1773,77 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Fixed-point PageRank under the oracle: 3 synchronous iterations
+    * over the bipartite customer→supplier purchase graph (node ids
+    * disambiguated as 2k / 2k+1). The oracle unrolls all three
+    * iterations as CTEs in the SAME 1e-12-unit integer arithmetic
+    * (PageRankOp's determinism contract — float PageRank would hash-
+    * flake on summation order and per-engine rounding), so every rank is
+    * pinned exactly, dangling redistribution included. */
+  val pageRankQ: Q = Q(
+    "x_pagerank",
+    (s, d) => {
+      val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      PageRankOp.pageRank(e, "src", "dst", iters = 3)
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_u
+             FROM nodes),
+      s1 AS (SELECT e.dst AS node, CAST(SUM(r.rank_u // d.deg) AS BIGINT) AS s
+             FROM r0 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+             GROUP BY e.dst),
+      dm1 AS (SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dm
+              FROM r0 r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+      r1 AS (SELECT nodes.node,
+               (1000000000000 - (1000000000000 * 85) // 100)
+                 // (SELECT n FROM nn)
+               + ((COALESCE(s1.s, 0)
+                   + (SELECT dm FROM dm1) // (SELECT n FROM nn)) * 85) // 100
+                 AS rank_u
+             FROM nodes LEFT JOIN s1 ON nodes.node = s1.node),
+      s2 AS (SELECT e.dst AS node, CAST(SUM(r.rank_u // d.deg) AS BIGINT) AS s
+             FROM r1 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+             GROUP BY e.dst),
+      dm2 AS (SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dm
+              FROM r1 r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+      r2 AS (SELECT nodes.node,
+               (1000000000000 - (1000000000000 * 85) // 100)
+                 // (SELECT n FROM nn)
+               + ((COALESCE(s2.s, 0)
+                   + (SELECT dm FROM dm2) // (SELECT n FROM nn)) * 85) // 100
+                 AS rank_u
+             FROM nodes LEFT JOIN s2 ON nodes.node = s2.node),
+      s3 AS (SELECT e.dst AS node, CAST(SUM(r.rank_u // d.deg) AS BIGINT) AS s
+             FROM r2 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+             GROUP BY e.dst),
+      dm3 AS (SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dm
+              FROM r2 r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+      r3 AS (SELECT nodes.node,
+               (1000000000000 - (1000000000000 * 85) // 100)
+                 // (SELECT n FROM nn)
+               + ((COALESCE(s3.s, 0)
+                   + (SELECT dm FROM dm3) // (SELECT n FROM nn)) * 85) // 100
+                 AS rank_u
+             FROM nodes LEFT JOIN s3 ON nodes.node = s3.node)
+      SELECT node, rank_u FROM r3
+    """.trim)
+  )
+
   /** Z-order (Morton) layout values under the oracle: the native
     * codegen'd interleave (graftext.ZOrderLong, surfaced as
     * Layout.zorderValue — the clustering key writeZOrdered range-
@@ -2580,6 +2651,7 @@ object ExtensionQueries {
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
+    pageRankQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
 }

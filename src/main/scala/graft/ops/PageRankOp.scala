@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank — iterative link analysis over an edge table
+  * (source ranking for crawl frontiers and per-domain quality priors in
+  * web-scale training-data curation; the companion iterative-graph
+  * operator to Dedup's connected components, which covers the
+  * integer-label case).
+  *
+  * All arithmetic is FIXED-POINT: ranks live in 1e-12 units as BIGINT,
+  * divisions are integer `DIV`, and damping is `(x * 85) DIV 100`. That
+  * is a deliberate determinism choice, not a shortcut: float PageRank
+  * sums millions of contributions whose addition order differs per plan
+  * and whose `round()` implementations differ per engine (exact-decimal
+  * HALF_UP vs scaled-double rint), so a hash-compared oracle would flake
+  * roughly once per ~10^7 roundings. Integer ops are exact and
+  * order-free in BOTH engines, and 12 fractional digits is far below any
+  * ranking-relevant resolution. Truncation makes total mass decay a few
+  * ulps per iteration — documented, deterministic, and identical in the
+  * oracle's unrolled replay.
+  *
+  * Dangling mass (nodes with no out-edges) is redistributed uniformly —
+  * the standard correction; dropping it would leak rank at bipartite
+  * sinks like the customer→supplier graph the catalog query ranks.
+  *
+  * Scale shape (100 TB): per iteration, ONE equi-join of the node-sized
+  * rank table against the edge table on src (both hash-partitioned on
+  * the same key; Catalyst reuses the edge exchange across iterations
+  * when AQE materializes it) and ONE map-side-combined aggregation on
+  * dst; the dangling term is a single driver-tiny scalar. Nothing per
+  * iteration carries more than (node, BIGINT) or (edge, BIGINT) rows. N
+  * (node count) is a one-off count() action — a driver scalar by
+  * construction, the same justified pattern as the bigram-LM V scalar.
+  */
+object PageRankOp {
+
+  val Unit12: Long = 1000000000000L // 1.0 in 1e-12 fixed-point units
+
+  /** PageRank over `edges` (must be distinct (src, dst) pairs; node ids
+    * shared across both columns), `iters` synchronous iterations at
+    * damping 0.85. Returns (node, rank_u) with rank_u in 1e-12 units. */
+  def pageRank(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    val e = edges.select(col(src).cast("long").as("_src"), col(dst).cast("long").as("_dst"))
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct()
+    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val nN: Long = nodes.count() // driver scalar: node count only
+    val teleport: Long = (Unit12 - Unit12 * 85L / 100L) / nN
+
+    var ranks = nodes.select(col("node"), lit(Unit12 / nN).as("rank_u"))
+    for (_ <- 1 to iters) {
+      val rd = ranks.join(deg, ranks("node") === deg("_src"), "left")
+      val contribs = rd.filter(col("_deg").isNotNull)
+        .select(col("node").as("_csrc"), expr("rank_u DIV _deg").as("_c"))
+        .join(e, col("_csrc") === col("_src"))
+        .groupBy(col("_dst"))
+        .agg(sum(col("_c")).as("_s"))
+      val dangling = rd.filter(col("_deg").isNull)
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("_dm"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("_dst"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"((coalesce(_s, 0L) + _dm DIV $nN) * 85) DIV 100").cast("long"))
+            .as("rank_u"))
+    }
+    ranks
+  }
+}

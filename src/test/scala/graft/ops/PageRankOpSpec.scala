@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PageRankOp: the distributed fixed-point iteration must agree EXACTLY
+  * (integer-for-integer) with an independent single-threaded replay of
+  * the same arithmetic, conserve mass up to truncation, and stay
+  * deterministic across runs. */
+class PageRankOpSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Single-threaded reference replay of the documented fixed-point
+    * algorithm (1e-12 units, DIV truncation, 0.85 damping, uniform
+    * dangling redistribution). */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val U = PageRankOp.Unit12
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val teleport = (U - U * 85L / 100L) / n
+    var r = nodes.map(_ -> U / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map(v =>
+        v -> (teleport + ((contrib.getOrElse(v, 0L) + dm / n) * 85L) / 100L)).toMap
+    }
+    r
+  }
+
+  private val graph: Seq[(Long, Long)] = Seq(
+    1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 3L, // cycle + feeder
+    5L -> 6L // 6 is dangling, 5 has no in-edges
+  )
+
+  test("agrees integer-for-integer with the single-threaded replay") {
+    val df = graph.toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val got = PageRankOp.pageRank(df, "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(graph, iters), s"iters=$iters")
+    }
+  }
+
+  test("mass is conserved up to DIV truncation and ranks order sensibly") {
+    val got = PageRankOp.pageRank(graph.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val total = got.values.sum
+    // each of the 6 nodes can lose <1 unit per DIV per iteration
+    assert(total <= PageRankOp.Unit12 && total > PageRankOp.Unit12 - 1000L, total)
+    // node 3 has 3 in-edges, node 5 has none: strict order expected
+    assert(got(3L) > got(5L))
+  }
+
+  test("deterministic across runs and repartitionings") {
+    val df = graph.toDF("src", "dst")
+    val a = PageRankOp.pageRank(df, "src", "dst", 2).as[(Long, Long)].collect().toMap
+    val b = PageRankOp.pageRank(df.repartition(7), "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("plan: no cartesian beyond the scalar dangling cross join") {
+    val p = PageRankOp.pageRank(graph.toDF("src", "dst"), "src", "dst", 2)
+      .queryExecution.executedPlan.toString
+    // the dangling term is a 1-row aggregate; its cross join is benign.
+    // No nested-loop join may involve the edge or node tables directly.
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
