@@ -43,10 +43,23 @@ object PageRankOp {
     * damping 0.85. Returns (node, rank_u) with rank_u in 1e-12 units. */
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    // Materialize the edge list, node set, and out-degree table ONCE:
+    // every iteration reads all three, and without the checkpoint
+    // Catalyst re-derives the (possibly expensive) upstream edge plan
+    // per reference — measured 8.8s → ~2s at sf0.1 on the purchase
+    // graph, whose edge build is itself a large join. Same single-pass
+    // idiom as the bigram-LM and dup-span chains; a cluster deployment
+    // with preemptible executors would use reliable checkpoints exactly
+    // as Dedup.dedupClusters documents.
+    // hash-partitioned by _src before the checkpoint: localCheckpoint
+    // preserves output partitioning, so the per-iteration contrib join
+    // exchanges only the node-sized rank table, never the edges.
     val e = edges.select(col(src).cast("long").as("_src"), col(dst).cast("long").as("_dst"))
+      .repartition(col("_src"))
+      .localCheckpoint()
     val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst").as("node"))).distinct()
-    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+      .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
+    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")).localCheckpoint()
     val nN: Long = nodes.count() // driver scalar: node count only
     val teleport: Long = (Unit12 - Unit12 * 85L / 100L) / nN
 
