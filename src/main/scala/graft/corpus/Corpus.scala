@@ -1212,4 +1212,65 @@ object Corpus {
         Window.partitionBy(pmod(col(idCol), lit(1)))
           .orderBy(col("rrf_score").desc, col(idCol))))
   }
+
+  /** Distributed BPE merge learning — the tokenizer-vocabulary induction
+    * step of a pretraining pipeline (Sennrich et al. 2016): repeatedly
+    * find the most frequent adjacent symbol pair across the corpus and
+    * fuse it into a new symbol. Returns the learned merge table
+    * `(step, sym_a, sym_b, merged, pair_n)` — the artifact a BPE
+    * tokenizer is built from.
+    *
+    * Exactly like reference BPE trainers, the corpus is first collapsed
+    * to its WEIGHTED WORD DICTIONARY (distinct token, count) — one
+    * map-side-combined pass over the text, after which every merge
+    * iteration runs on a vocabulary-sized table no matter how many
+    * petabytes the corpus is. Symbol sequences are carried as
+    * DOUBLE-space-separated strings (" l  o  w  "): a merge is one
+    * non-overlapping left-to-right `replace(" a  b ", " ab ")`, and the
+    * double separator is load-bearing — each match consumes ONE boundary
+    * space from each side, leaving the other for the adjacent pair, so
+    * "abab" correctly merges BOTH (a,b) pairs in one pass (a single-space
+    * encoding eats the next match's leading boundary and silently merges
+    * only alternate occurrences). `replace` is the identical primitive in
+    * Spark and DuckDB, which is what makes the whole training loop
+    * oracle-replayable; greedy non-overlap matches standard BPE ("a a a"
+    * merges the leftmost pair). Each iteration's argmax
+    * (count DESC, then lexicographic pair — the deterministic tiebreak)
+    * is a 1-row collect: a driver scalar by construction, fed back as a
+    * literal; the dictionary itself never leaves the cluster.
+    */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 50, s"nMerges in [1,50], got $nMerges")
+    val spark = docs.sparkSession
+    // weighted word dictionary, symbols pre-split: " a b c " per token
+    val dict = docs
+      .select(explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1  ")).as("sp"),
+        col("n"))
+      .localCheckpoint() // the only corpus-sized pass
+    var cur = dict
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val syms = split(trim(col("sp")), "  ")
+      val top = cur
+        .select(col("n"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1))).as("pr"))
+        .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // 1 row: the argmax pair — driver scalar
+      if (top.nonEmpty) {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, a + b, cnt))
+        cur = cur.withColumn("sp",
+          call_function("replace", col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "sym_a", "sym_b", "merged", "pair_n")
+  }
 }

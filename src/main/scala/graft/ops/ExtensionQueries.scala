@@ -1844,6 +1844,64 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** BPE merge learning under the oracle: 3 merge iterations of
+    * byte-pair encoding over the documents corpus (Corpus.learnBpeMerges
+    * — weighted word dictionary, double-space-separated symbol strings, greedy
+    * non-overlapping replace as the merge primitive). The oracle replays
+    * the ENTIRE training loop — pair counting, the count-then-
+    * lexicographic argmax, and both replace passes — as unrolled CTEs,
+    * so the learned merge table is pinned end to end, the same way the
+    * SemDeDup oracle replays a full Lloyd's run. */
+  val bpeMergesQ: Q = Q(
+    "x_bpe_merges",
+    (s, d) => graft.corpus.Corpus.learnBpeMerges(
+      Tables.documents(s, d), nMerges = 3),
+    Some("""
+      WITH toks AS (
+        SELECT ' ' || regexp_replace(token, '(.)', '\1  ', 'g') AS sp,
+               COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents) t
+        WHERE length(token) >= 1
+        GROUP BY token),
+      p1 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM toks) x) y
+        GROUP BY 1, 2),
+      b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      t1 AS (SELECT replace(sp,
+               ' ' || (SELECT a FROM b1) || '  ' || (SELECT b FROM b1) || ' ',
+               ' ' || (SELECT a FROM b1) || (SELECT b FROM b1) || ' ') AS sp,
+               n FROM toks),
+      p2 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM t1) x) y
+        GROUP BY 1, 2),
+      b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+      t2 AS (SELECT replace(sp,
+               ' ' || (SELECT a FROM b2) || '  ' || (SELECT b FROM b2) || ' ',
+               ' ' || (SELECT a FROM b2) || (SELECT b FROM b2) || ' ') AS sp,
+               n FROM t1),
+      p3 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM t2) x) y
+        GROUP BY 1, 2),
+      b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+      SELECT CAST(1 AS INT) AS step, a AS sym_a, b AS sym_b,
+             a || b AS merged, cnt AS pair_n FROM b1
+      UNION ALL
+      SELECT 2, a, b, a || b, cnt FROM b2
+      UNION ALL
+      SELECT 3, a, b, a || b, cnt FROM b3
+    """.trim)
+  )
+
   /** Z-order (Morton) layout values under the oracle: the native
     * codegen'd interleave (graftext.ZOrderLong, surfaced as
     * Layout.zorderValue — the clustering key writeZOrdered range-
@@ -2651,7 +2709,7 @@ object ExtensionQueries {
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
-    pageRankQ,
+    pageRankQ, bpeMergesQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
 }

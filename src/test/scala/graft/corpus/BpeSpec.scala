@@ -1,0 +1,72 @@
+package graft.corpus
+
+import graft.SparkSpec
+
+/** Corpus.learnBpeMerges: the distributed merge loop must agree with an
+  * independent single-threaded BPE trainer (greedy non-overlapping
+  * left-to-right merges, count-then-lexicographic argmax) and behave
+  * greedily on overlapping runs. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE trainer over a weighted word dictionary. */
+  private def reference(words: Seq[String], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var dict: Map[Vector[String], Long] =
+      words.groupBy(identity).map { case (w, ws) => w.split("").toVector -> ws.length.toLong }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, n) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((step, a, b, a + b, cnt))
+        dict = dict.map { case (syms, n) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2 // greedy left-to-right, non-overlapping
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> n
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  private def learn(words: Seq[String], nMerges: Int) =
+    Corpus.learnBpeMerges(
+      words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text"),
+      nMerges)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("agrees with the single-threaded reference trainer") {
+    // classic BPE corpus: 'es' then 'est' then 'lo' emerge
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    for (k <- Seq(1, 3, 5)) {
+      assert(learn(words, k) == reference(words, k), s"nMerges=$k")
+    }
+  }
+
+  test("greedy non-overlap on runs: 'aaa' yields one pair, leftmost first") {
+    val words = Seq("aaa", "aaa")
+    val m = learn(words, 2)
+    // step 1 merges (a,a) with count 2 PER word under greedy pair
+    // counting... the dictionary counts overlapping occurrences the
+    // standard way: adjacent positions (2 per 'aaa' word), then the
+    // replace pass fuses only the leftmost, leaving 'aa a'
+    assert(m.head._2 == "a" && m.head._3 == "a" && m.head._4 == "aa")
+    assert(m == reference(words, 2))
+  }
+
+  test("merged symbols participate in later merges (multi-char fusion)") {
+    val words = Seq.fill(4)("abab")
+    val m = learn(words, 2)
+    assert(m.map(r => (r._2, r._3, r._4)) ==
+      Seq(("a", "b", "ab"), ("ab", "ab", "abab")))
+    assert(m == reference(words, 2))
+  }
+}
