@@ -1241,8 +1241,28 @@ object Corpus {
     */
   def learnBpeMerges(docs: DataFrame, nMerges: Int = 3,
                      textCol: String = "text"): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 50, s"nMerges in [1,50], got $nMerges")
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeCore(docs, nMerges, textCol)._1
+      .toDF("step", "sym_a", "sym_b", "merged", "pair_n")
+  }
+
+  /** The symbol vocabulary AFTER `nMerges` learned BPE merges: every
+    * surviving symbol with its corpus occurrence count — the "tokenize
+    * with the learned vocab" half of the BPE story (learnBpeMerges is
+    * the training half; both share one loop). Runs on the weighted word
+    * dictionary, so the apply pass is vocabulary-sized too. */
+  def bpeSymbolHistogram(docs: DataFrame, nMerges: Int = 3,
+                         textCol: String = "text"): DataFrame = {
+    val segmented = bpeCore(docs, nMerges, textCol)._2
+    segmented
+      .select(col("n"), explode(split(trim(col("sp")), "  ")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("n_occ"))
+  }
+
+  private def bpeCore(docs: DataFrame, nMerges: Int, textCol: String):
+      (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 50, s"nMerges in [1,50], got $nMerges")
     // weighted word dictionary, symbols pre-split: " a b c " per token
     val dict = docs
       .select(explode(split(col(textCol), "\\s+")).as("tok"))
@@ -1270,7 +1290,6 @@ object Corpus {
           call_function("replace", col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
       }
     }
-    import spark.implicits._
-    merges.result().toDF("step", "sym_a", "sym_b", "merged", "pair_n")
+    (merges.result(), cur)
   }
 }

@@ -1902,6 +1902,62 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** BPE vocabulary application under the oracle: the symbol histogram
+    * after the 3 learned merges (Corpus.bpeSymbolHistogram — the
+    * tokenize-with-the-learned-vocab half of the BPE story, sharing the
+    * training loop's dictionary). The oracle extends the x_bpe_merges
+    * replay by the third replace pass and the final unnest+count. */
+  val bpeVocabQ: Q = Q(
+    "x_bpe_vocab",
+    (s, d) => graft.corpus.Corpus.bpeSymbolHistogram(
+      Tables.documents(s, d), nMerges = 3),
+    Some("""
+      WITH toks AS (
+        SELECT ' ' || regexp_replace(token, '(.)', '\1  ', 'g') AS sp,
+               COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents) t
+        WHERE length(token) >= 1
+        GROUP BY token),
+      p1 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM toks) x) y
+        GROUP BY 1, 2),
+      b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      t1 AS (SELECT replace(sp,
+               ' ' || (SELECT a FROM b1) || '  ' || (SELECT b FROM b1) || ' ',
+               ' ' || (SELECT a FROM b1) || (SELECT b FROM b1) || ' ') AS sp,
+               n FROM toks),
+      p2 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM t1) x) y
+        GROUP BY 1, 2),
+      b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+      t2 AS (SELECT replace(sp,
+               ' ' || (SELECT a FROM b2) || '  ' || (SELECT b FROM b2) || ' ',
+               ' ' || (SELECT a FROM b2) || (SELECT b FROM b2) || ' ') AS sp,
+               n FROM t1),
+      p3 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM t2) x) y
+        GROUP BY 1, 2),
+      b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+      t3 AS (SELECT replace(sp,
+               ' ' || (SELECT a FROM b3) || '  ' || (SELECT b FROM b3) || ' ',
+               ' ' || (SELECT a FROM b3) || (SELECT b FROM b3) || ' ') AS sp,
+               n FROM t2)
+      SELECT sym, CAST(SUM(n) AS BIGINT) AS n_occ
+      FROM (SELECT n, unnest(string_split(trim(sp), '  ')) AS sym FROM t3) u
+      GROUP BY sym
+    """.trim)
+  )
+
   /** Z-order (Morton) layout values under the oracle: the native
     * codegen'd interleave (graftext.ZOrderLong, surfaced as
     * Layout.zorderValue — the clustering key writeZOrdered range-
@@ -2709,7 +2765,7 @@ object ExtensionQueries {
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
-    pageRankQ, bpeMergesQ,
+    pageRankQ, bpeMergesQ, bpeVocabQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
 }

@@ -62,6 +62,32 @@ class BpeSpec extends SparkSpec {
     assert(m == reference(words, 2))
   }
 
+  test("symbol histogram after merges matches the reference segmentation") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    // reference: re-run merges on the dictionary, then count symbols
+    var dict: Map[Vector[String], Long] =
+      words.groupBy(identity).map { case (w, ws) => w.split("").toVector -> ws.length.toLong }
+    for ((_, a, b, _, _) <- reference(words, 3)) {
+      dict = dict.map { case (syms, n) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        merged.result() -> n
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    val want = dict.toSeq.flatMap { case (syms, n) => syms.map(_ -> n) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val got = Corpus.bpeSymbolHistogram(
+      words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text"), 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("merged symbols participate in later merges (multi-char fusion)") {
     val words = Seq.fill(4)("abab")
     val m = learn(words, 2)
