@@ -102,6 +102,17 @@ object CorpusDemo {
     stats += "packed_sequences" -> nSeqs
     println(f"[corpus-demo] packed_sequences             $nSeqs%9d seqs → $outDir/seq_manifest")
 
+    // 9. Tokenizer induction (x_bpe_merges): learn the first BPE merges
+    //    from the final training mix — the vocabulary the training run
+    //    will tokenize with should be learned AFTER curation, not on
+    //    the raw crawl.
+    val merges = Corpus.learnBpeMerges(mixed, nMerges = 3)
+      .orderBy(col("step")).collect()
+    merges.foreach { r =>
+      println(f"[corpus-demo] bpe_merge_${r.getInt(0)}%-17s '${r.getString(1)}' + '${r.getString(2)}' -> '${r.getString(3)}' (${r.getLong(4)} pairs)")
+    }
+    stats += "bpe_merges_learned" -> merges.length.toLong
+
     // eval sides land as JSONL shards for downstream harnesses
     graft.etl.Sinks.jsonlPartitioned(
       split.filter(col("split") =!= "train"), s"$outDir/eval", Seq("split"))
