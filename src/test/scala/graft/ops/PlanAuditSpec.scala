@@ -63,6 +63,21 @@ class PlanAuditSpec extends SparkSpec {
       "candidate generation must be an equi-join on (band, bucket):\n" + p)
   }
 
+  test("x_fuzzy_join: delete-variant equi-join, never the quadratic theta join") {
+    val p = plan("x_fuzzy_join")
+    assert(!p.contains("CartesianProduct"),
+      "edit-distance join must block on delete variants, not cross-join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x_scd2_merge: one key join and a struct explode — no window, no sort") {
+    val p = plan("x_scd2_merge")
+    assert(!p.contains("Window"),
+      "SCD2 merge must not rank per key — the join + explode is the whole plan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), "the per-row struct explode:\n" + p)
+  }
+
   test("x_contamination: benchmark shingles broadcast; corpus side never shuffles text") {
     val p = plan("x_contamination")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
