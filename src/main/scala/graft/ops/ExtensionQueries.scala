@@ -1958,6 +1958,65 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Closed-form OLS fit under the oracle: calibrate a linear model of
+    * document length (n_chars ≈ b0 + b1·tokens + b2·distinct-tokens)
+    * over the corpus in ONE declarative plan (Ols.fit2 — exact BIGINT
+    * moments, Cramer's rule in DECIMAL(38,0), ratios in double; the
+    * oracle computes the identical arithmetic with HUGEINT dets). No
+    * collect, no iteration: a 100 TB fit is one map-side-combined pass
+    * and a 1-row result. */
+  val olsQualityQ: Q = Q(
+    "x_ols_fit",
+    (s, d) => {
+      val toks = split(col("text"), "\\s+")
+      Ols.fit2(
+        Tables.documents(s, d)
+          .select(col("n_chars").as("y"), size(toks).as("x1"),
+            size(array_distinct(toks)).as("x2")),
+        col("y"), col("x1"), col("x2"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT n_chars AS y,
+               len(regexp_split_to_array(text, '\s+')) AS x1,
+               len(list_distinct(regexp_split_to_array(text, '\s+'))) AS x2
+        FROM documents),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s00,
+               CAST(SUM(x1) AS BIGINT) AS s01, CAST(SUM(x2) AS BIGINT) AS s02,
+               CAST(SUM(x1*x1) AS BIGINT) AS s11,
+               CAST(SUM(x1*x2) AS BIGINT) AS s12,
+               CAST(SUM(x2*x2) AS BIGINT) AS s22,
+               CAST(SUM(y) AS BIGINT) AS t0,
+               CAST(SUM(x1*y) AS BIGINT) AS t1,
+               CAST(SUM(x2*y) AS BIGINT) AS t2
+        FROM f),
+      h AS (
+        SELECT s00, s01, s02, s11, s12, s22, t0, t1, t2,
+               CAST(s00 AS HUGEINT) AS a, CAST(s01 AS HUGEINT) AS b,
+               CAST(s02 AS HUGEINT) AS c, CAST(s11 AS HUGEINT) AS e,
+               CAST(s12 AS HUGEINT) AS f, CAST(s22 AS HUGEINT) AS g,
+               CAST(t0 AS HUGEINT) AS u, CAST(t1 AS HUGEINT) AS v,
+               CAST(t2 AS HUGEINT) AS w
+        FROM m),
+      dets AS (
+        SELECT s00,
+          a*(e*g - f*f) - b*(b*g - f*c) + c*(b*f - e*c) AS det,
+          u*(e*g - f*f) - b*(v*g - f*w) + c*(v*f - e*w) AS det0,
+          a*(v*g - f*w) - u*(b*g - f*c) + c*(b*w - v*c) AS det1,
+          a*(e*w - v*f) - b*(b*w - v*c) + u*(b*f - e*c) AS det2
+        FROM h)
+      SELECT s00 AS n_rows, CAST(det AS DOUBLE) AS det,
+             CASE WHEN det <> 0
+               THEN CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+             CASE WHEN det <> 0
+               THEN CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+             CASE WHEN det <> 0
+               THEN CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+      FROM dets
+    """.trim)
+  )
+
   /** Z-order (Morton) layout values under the oracle: the native
     * codegen'd interleave (graftext.ZOrderLong, surfaced as
     * Layout.zorderValue — the clustering key writeZOrdered range-
@@ -2765,7 +2824,7 @@ object ExtensionQueries {
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
-    pageRankQ, bpeMergesQ, bpeVocabQ,
+    pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
 }

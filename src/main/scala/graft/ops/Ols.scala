@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine closed-form model fitting: ordinary least squares with two
+  * regressors, solved by the normal equations — the "calibrate a cheap
+  * linear quality model against a trusted signal" step of a curation
+  * pipeline (fit once over the corpus, then score with a narrow
+  * per-row expression).
+  *
+  * The whole fit is ONE declarative plan: a single map-side-combined
+  * aggregation produces the moment matrix (9 sums), and Cramer's rule
+  * over those sums is a scalar projection — no driver collect, no
+  * iteration, no gradient schedule. At 100 TB that is one pass over the
+  * data with a 1-row result.
+  *
+  * Determinism contract (the hash-compared-oracle discipline): inputs
+  * must be INTEGER columns, so every moment is an exact BIGINT sum
+  * (order-free); the 3×3 determinants are computed in DECIMAL(38,0)
+  * (the oracle uses HUGEINT — both exact while values fit), and only
+  * the final coefficient RATIOS drop to DOUBLE — the nearest-double of
+  * identical exact integers divided identically is identical in both
+  * engines. A float-feature OLS would instead sum order-dependent
+  * products and flake; integer features (counts, lengths) are what
+  * corpus quality signals are anyway.
+  *
+  * Magnitude bound, stated honestly: determinant terms scale like
+  * n·(Σx²)², so 38 digits holds through ~10⁹ rows of ~10³-token docs
+  * but NOT to 10¹¹ rows — at full 100 TB row counts, right-shift the
+  * features by a constant k (x DIV 2^k stays integral and exact; the
+  * fit is on the shifted scale) or center-and-scale in a first pass.
+  * The arithmetic then still matches an oracle replay exactly.
+  */
+object Ols {
+
+  /** Fit y ≈ b0 + b1·x1 + b2·x2 over integer-valued columns. Returns a
+    * single row: (n_rows, det BIGINT-exactness witness cast to double,
+    * b0, b1, b2). A singular moment matrix (collinear features) yields
+    * det = 0.0 and null coefficients — surfaced, not masked. */
+  def fit2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    // widen BEFORE multiplying — int*int would overflow on large docs
+    val (yl, x1l, x2l) = (y.cast("long"), x1.cast("long"), x2.cast("long"))
+    val m = df.agg(
+      count(lit(1)).as("s00"),
+      sum(x1l).as("s01"),
+      sum(x2l).as("s02"),
+      sum(x1l * x1l).as("s11"),
+      sum(x1l * x2l).as("s12"),
+      sum(x2l * x2l).as("s22"),
+      sum(yl).as("t0"),
+      sum(x1l * yl).as("t1"),
+      sum(x2l * yl).as("t2"))
+    def d(c: String): Column = col(c).cast("decimal(38,0)")
+    // det of the symmetric moment matrix [[s00 s01 s02][s01 s11 s12][s02 s12 s22]]
+    def det3(a: Column, b: Column, c: Column,
+             e: Column, f: Column, g: Column,
+             h: Column, i: Column, j: Column): Column =
+      a * (f * j - g * i) - b * (e * j - g * h) + c * (e * i - f * h)
+    val det = det3(d("s00"), d("s01"), d("s02"),
+      d("s01"), d("s11"), d("s12"), d("s02"), d("s12"), d("s22"))
+    val det0 = det3(d("t0"), d("s01"), d("s02"),
+      d("t1"), d("s11"), d("s12"), d("t2"), d("s12"), d("s22"))
+    val det1 = det3(d("s00"), d("t0"), d("s02"),
+      d("s01"), d("t1"), d("s12"), d("s02"), d("t2"), d("s22"))
+    val det2 = det3(d("s00"), d("s01"), d("t0"),
+      d("s01"), d("s11"), d("t1"), d("s02"), d("s12"), d("t2"))
+    m.select(
+      col("s00").as("n_rows"),
+      det.cast("double").as("det"),
+      when(det =!= 0, det0.cast("double") / det.cast("double")).as("b0"),
+      when(det =!= 0, det1.cast("double") / det.cast("double")).as("b1"),
+      when(det =!= 0, det2.cast("double") / det.cast("double")).as("b2"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ols.fit2: recovers planted integer-coefficient models exactly on
+  * noise-free data, matches a driver-side exact-rational replay on noisy
+  * data, and surfaces singular (collinear) designs as det=0 with null
+  * coefficients. */
+class OlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recovers a planted noise-free model exactly") {
+    // y = 7 + 3*x1 + 2*x2 exactly; integer features, no noise
+    val rows = for (x1 <- 1 to 20; x2 <- 1 to 5)
+      yield (7L + 3L * x1 + 2L * x2, x1.toLong, x2.toLong)
+    val out = Ols.fit2(rows.toDF("y", "x1", "x2"),
+      col("y"), col("x1"), col("x2"))
+      .select("n_rows", "b0", "b1", "b2")
+      .as[(Long, Double, Double, Double)].collect()(0)
+    assert(out == ((100L, 7.0, 3.0, 2.0)))
+  }
+
+  test("matches an exact BigInt Cramer replay on noisy data") {
+    val rows = Seq.tabulate(50) { i =>
+      val x1 = (i * 7) % 13 + 1; val x2 = (i * 5) % 11 + 1
+      // deterministic pseudo-noise
+      (10L + 2L * x1 + 5L * x2 + (i % 3) - 1, x1.toLong, x2.toLong)
+    }
+    def bi(l: Iterable[Long]) = l.map(BigInt(_)).sum
+    val n = BigInt(rows.length)
+    val (s01, s02) = (bi(rows.map(_._2)), bi(rows.map(_._3)))
+    val s11 = bi(rows.map(r => r._2 * r._2)); val s12 = bi(rows.map(r => r._2 * r._3))
+    val s22 = bi(rows.map(r => r._3 * r._3))
+    val t0 = bi(rows.map(_._1)); val t1 = bi(rows.map(r => r._2 * r._1))
+    val t2 = bi(rows.map(r => r._3 * r._1))
+    def det3(a: BigInt, b: BigInt, c: BigInt, e: BigInt, f: BigInt,
+             g: BigInt, h: BigInt, i: BigInt, j: BigInt) =
+      a * (f * j - g * i) - b * (e * j - g * h) + c * (e * i - f * h)
+    val det = det3(n, s01, s02, s01, s11, s12, s02, s12, s22)
+    val want = (
+      det3(t0, s01, s02, t1, s11, s12, t2, s12, s22).toDouble / det.toDouble,
+      det3(n, t0, s02, s01, t1, s12, s02, t2, s22).toDouble / det.toDouble,
+      det3(n, s01, t0, s01, s11, t1, s02, s12, t2).toDouble / det.toDouble)
+    val got = Ols.fit2(rows.toDF("y", "x1", "x2"), col("y"), col("x1"), col("x2"))
+      .select("b0", "b1", "b2").as[(Double, Double, Double)].collect()(0)
+    assert(got == want)
+  }
+
+  test("collinear design yields det 0 and null coefficients") {
+    val rows = Seq.tabulate(30)(i => ((i + 1).toLong, (i + 1).toLong, (2 * i + 2).toLong))
+    val out = Ols.fit2(rows.toDF("y", "x1", "x2"), col("y"), col("x1"), col("x2"))
+      .select(col("det"), col("b1").isNull).as[(Double, Boolean)].collect()(0)
+    assert(out == ((0.0, true)))
+  }
+}
