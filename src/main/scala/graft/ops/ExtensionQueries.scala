@@ -2017,6 +2017,62 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Per-group OLS under the oracle: one independent length-model fit
+    * PER LANGUAGE from a single grouped moment pass (Ols.fit2PerGroup) —
+    * the per-domain calibration shape; the oracle is the same HUGEINT
+    * Cramer replay with GROUP BY lang. */
+  val olsPerGroupQ: Q = Q(
+    "x_ols_fit_by_lang",
+    (s, d) => {
+      val toks = split(col("text"), "\\s+")
+      Ols.fit2PerGroup(
+        Tables.documents(s, d)
+          .select(col("lang"), col("n_chars").as("y"), size(toks).as("x1"),
+            size(array_distinct(toks)).as("x2")),
+        "lang", col("y"), col("x1"), col("x2"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang, n_chars AS y,
+               len(regexp_split_to_array(text, '\s+')) AS x1,
+               len(list_distinct(regexp_split_to_array(text, '\s+'))) AS x2
+        FROM documents),
+      m AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS s00,
+               CAST(SUM(x1) AS BIGINT) AS s01, CAST(SUM(x2) AS BIGINT) AS s02,
+               CAST(SUM(x1*x1) AS BIGINT) AS s11,
+               CAST(SUM(x1*x2) AS BIGINT) AS s12,
+               CAST(SUM(x2*x2) AS BIGINT) AS s22,
+               CAST(SUM(y) AS BIGINT) AS t0,
+               CAST(SUM(x1*y) AS BIGINT) AS t1,
+               CAST(SUM(x2*y) AS BIGINT) AS t2
+        FROM f GROUP BY lang),
+      h AS (
+        SELECT lang, s00,
+               CAST(s00 AS HUGEINT) AS a, CAST(s01 AS HUGEINT) AS b,
+               CAST(s02 AS HUGEINT) AS c, CAST(s11 AS HUGEINT) AS e,
+               CAST(s12 AS HUGEINT) AS f, CAST(s22 AS HUGEINT) AS g,
+               CAST(t0 AS HUGEINT) AS u, CAST(t1 AS HUGEINT) AS v,
+               CAST(t2 AS HUGEINT) AS w
+        FROM m),
+      dets AS (
+        SELECT lang, s00,
+          a*(e*g - f*f) - b*(b*g - f*c) + c*(b*f - e*c) AS det,
+          u*(e*g - f*f) - b*(v*g - f*w) + c*(v*f - e*w) AS det0,
+          a*(v*g - f*w) - u*(b*g - f*c) + c*(b*w - v*c) AS det1,
+          a*(e*w - v*f) - b*(b*w - v*c) + u*(b*f - e*c) AS det2
+        FROM h)
+      SELECT lang, s00 AS n_rows, CAST(det AS DOUBLE) AS det,
+             CASE WHEN det <> 0
+               THEN CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+             CASE WHEN det <> 0
+               THEN CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+             CASE WHEN det <> 0
+               THEN CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+      FROM dets
+    """.trim)
+  )
+
   /** Z-order (Morton) layout values under the oracle: the native
     * codegen'd interleave (graftext.ZOrderLong, surfaced as
     * Layout.zorderValue — the clustering key writeZOrdered range-
@@ -2824,7 +2880,7 @@ object ExtensionQueries {
     corpusMixTemperature, shardPack, adaptiveFilter,
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
-    pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ,
+    pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ, olsPerGroupQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
 }

@@ -38,10 +38,24 @@ object Ols {
     * single row: (n_rows, det BIGINT-exactness witness cast to double,
     * b0, b1, b2). A singular moment matrix (collinear features) yields
     * det = 0.0 and null coefficients — surfaced, not masked. */
-  def fit2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+  def fit2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame =
+    solveFromMoments(moments(df, y, x1, x2, groupCols = Nil), keyCols = Nil)
+
+  /** One independent fit PER GROUP — per-language / per-source quality
+    * calibration. Exactly as scalable as the global fit: the moments of
+    * every group come out of the SAME single map-side-combined pass
+    * (one shuffle of nGroups×9 longs), and the per-group Cramer solve
+    * is a narrow projection over the group-count-sized result. */
+  def fit2PerGroup(df: DataFrame, groupCol: String,
+                   y: Column, x1: Column, x2: Column): DataFrame =
+    solveFromMoments(moments(df, y, x1, x2, groupCols = Seq(groupCol)),
+      keyCols = Seq(groupCol))
+
+  private def moments(df: DataFrame, y: Column, x1: Column, x2: Column,
+                      groupCols: Seq[String]): DataFrame = {
     // widen BEFORE multiplying — int*int would overflow on large docs
     val (yl, x1l, x2l) = (y.cast("long"), x1.cast("long"), x2.cast("long"))
-    val m = df.agg(
+    df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("s00"),
       sum(x1l).as("s01"),
       sum(x2l).as("s02"),
@@ -51,6 +65,9 @@ object Ols {
       sum(yl).as("t0"),
       sum(x1l * yl).as("t1"),
       sum(x2l * yl).as("t2"))
+  }
+
+  private def solveFromMoments(m: DataFrame, keyCols: Seq[String]): DataFrame = {
     def d(c: String): Column = col(c).cast("decimal(38,0)")
     // det of the symmetric moment matrix [[s00 s01 s02][s01 s11 s12][s02 s12 s22]]
     def det3(a: Column, b: Column, c: Column,
@@ -65,11 +82,11 @@ object Ols {
       d("s01"), d("t1"), d("s12"), d("s02"), d("t2"), d("s22"))
     val det2 = det3(d("s00"), d("s01"), d("t0"),
       d("s01"), d("s11"), d("t1"), d("s02"), d("s12"), d("t2"))
-    m.select(
+    m.select(keyCols.map(col) ++ Seq(
       col("s00").as("n_rows"),
       det.cast("double").as("det"),
       when(det =!= 0, det0.cast("double") / det.cast("double")).as("b0"),
       when(det =!= 0, det1.cast("double") / det.cast("double")).as("b1"),
-      when(det =!= 0, det2.cast("double") / det.cast("double")).as("b2"))
+      when(det =!= 0, det2.cast("double") / det.cast("double")).as("b2")): _*)
   }
 }

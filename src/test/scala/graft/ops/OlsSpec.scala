@@ -47,6 +47,23 @@ class OlsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("per-group fit equals the global fit of each group's own rows") {
+    val rows = (for (g <- Seq("a", "b"); x1 <- 1 to 15; x2 <- 1 to 4) yield {
+      val mult = if (g == "a") 3L else 8L
+      (g, 5L + mult * x1 + 2L * x2, x1.toLong, x2.toLong)
+    })
+    val df = rows.toDF("g", "y", "x1", "x2")
+    val grouped = Ols.fit2PerGroup(df, "g", col("y"), col("x1"), col("x2"))
+    for (g <- Seq("a", "b")) {
+      val whole = Ols.fit2(df.filter(col("g") === g),
+        col("y"), col("x1"), col("x2"))
+      assert(rowSet(grouped.filter(col("g") === g).drop("g")) == rowSet(whole), g)
+    }
+    // and the planted slopes are recovered exactly per group
+    val slopes = grouped.select("g", "b1").as[(String, Double)].collect().toMap
+    assert(slopes == Map("a" -> 3.0, "b" -> 8.0))
+  }
+
   test("collinear design yields det 0 and null coefficients") {
     val rows = Seq.tabulate(30)(i => ((i + 1).toLong, (i + 1).toLong, (2 * i + 2).toLong))
     val out = Ols.fit2(rows.toDF("y", "x1", "x2"), col("y"), col("x1"), col("x2"))
