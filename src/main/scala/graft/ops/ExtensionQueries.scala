@@ -1714,9 +1714,12 @@ object ExtensionQueries {
     * acctbal, 1/5 no-op, 1/5 arrive as new keys). The engine is ONE
     * full-outer key join + a per-row struct explode (etl/Scd.scala — no
     * window, no second pass; closed rows are an append-only delta); the
-    * oracle replays the merge as four set-logic branches, so matching
-    * hashes pin every path: passthrough, no-op update, close+reopen,
-    * and insert. */
+    * oracle replays the merge as four set-logic branches with null-safe
+    * IS [NOT] DISTINCT FROM comparisons (matching the engine's <=>
+    * contract, even though TPC-H customer attributes are never null —
+    * the null-attribute paths themselves are pinned by ScdSpec), so
+    * matching hashes pin every path: passthrough, no-op update,
+    * close+reopen, and insert. */
   val scd2MergeQ: Q = Q(
     "x_scd2_merge",
     (s, d) => {
@@ -1754,17 +1757,20 @@ object ExtensionQueries {
              d.valid_from, d.valid_to, d.is_current
       FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
       WHERE u.c_custkey IS NULL
-         OR (d.c_acctbal = u.c_acctbal AND d.c_mktsegment = u.c_mktsegment)
+         OR (d.c_acctbal IS NOT DISTINCT FROM u.c_acctbal
+             AND d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment)
       UNION ALL
       SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
              TIMESTAMP '2024-07-01 00:00:00', FALSE
       FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
-      WHERE d.c_acctbal <> u.c_acctbal OR d.c_mktsegment <> u.c_mktsegment
+      WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
+         OR d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
       UNION ALL
       SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
              TIMESTAMP '2024-07-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
       FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
-      WHERE d.c_acctbal <> u.c_acctbal OR d.c_mktsegment <> u.c_mktsegment
+      WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
+         OR d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
       UNION ALL
       SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
              TIMESTAMP '2024-07-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE

@@ -58,11 +58,14 @@ object FuzzyJoin {
   }
 
   /** Edit-distance join: all `(left row, right row, dist)` with
-    * `levenshtein(left(leftKey), right(rightKey)) <= maxDist`. Key columns
-    * must be distinct per side (join a pre-aggregated token table, not raw
-    * occurrences — that is also what keeps the sides vocabulary-sized).
-    * Non-key columns pass through; key columns must not collide across
-    * sides. */
+    * `levenshtein(left(leftKey), right(rightKey)) <= maxDist`. Non-key
+    * columns pass through; key columns must not collide across sides.
+    * Duplicate key values are honored: the variant-pair dedup happens on
+    * a projected (leftKey, rightKey) pair table BEFORE payloads are
+    * re-attached, so every payload row of a duplicated key pairs up
+    * (theta-join semantics), none is silently dropped. Join
+    * pre-aggregated token tables anyway — that is what keeps the sides
+    * vocabulary-sized at corpus scale. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String, maxDist: Int): DataFrame = {
     require(leftKey != rightKey,
@@ -70,12 +73,23 @@ object FuzzyJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"column names must not collide across sides: ${overlap.mkString(", ")}")
-    val va = left.withColumn("_fz_v", explode(deleteNeighborhood(col(leftKey), maxDist)))
-    val vb = right.withColumn("_fz_v", explode(deleteNeighborhood(col(rightKey), maxDist)))
-    va.join(vb, "_fz_v")
+    // Candidate key pairs only: explode the PROJECTED keys, equi-join on
+    // the shared variant, collapse the many-variants-in-common multiplicity,
+    // then verify with the exact distance.
+    val va = left.select(col(leftKey)).distinct()
+      .withColumn("_fz_v", explode(deleteNeighborhood(col(leftKey), maxDist)))
+    val vb = right.select(col(rightKey)).distinct()
+      .withColumn("_fz_v", explode(deleteNeighborhood(col(rightKey), maxDist)))
+    val pairs = va.join(vb, "_fz_v")
       .drop("_fz_v")
       .dropDuplicates(leftKey, rightKey)
       .withColumn("dist", levenshtein(col(leftKey), col(rightKey)))
       .filter(col("dist") <= maxDist)
+    // Re-attach payloads; a key-only side needs no second join.
+    val withL = if (left.columns.length == 1) pairs
+                else pairs.join(left, Seq(leftKey))
+    val withR = if (right.columns.length == 1) withL
+                else withL.join(right, Seq(rightKey))
+    withR.select((left.columns ++ right.columns).map(col) :+ col("dist"): _*)
   }
 }

@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   * products and flake; integer features (counts, lengths) are what
   * corpus quality signals are anyway.
   *
-  * Magnitude bound, stated honestly: determinant terms scale like
-  * n·(Σx²)², so 38 digits holds through ~10⁹ rows of ~10³-token docs
-  * but NOT to 10¹¹ rows — at full 100 TB row counts, right-shift the
-  * features by a constant k (x DIV 2^k stays integral and exact; the
-  * fit is on the shifted scale) or center-and-scale in a first pass.
-  * The arithmetic then still matches an oracle replay exactly.
+  * Magnitude bound, stated honestly: a single product of two longs
+  * always fits 38 digits (< 8.6e37), and every moment is summed as
+  * DECIMAL(38,0) — overflow of a sum or of a determinant term (which
+  * scale like n·(Σx²)² and pass 1e38 around 10⁹ rows of ~10³-token
+  * docs) surfaces as NULL det/coefficients, never as a silently
+  * wrapped value. At full 100 TB row counts, right-shift the features
+  * by a constant k (x DIV 2^k stays integral and exact; the fit is on
+  * the shifted scale) or center-and-scale in a first pass; the
+  * arithmetic then still matches an oracle replay exactly.
   */
 object Ols {
 
@@ -53,18 +56,23 @@ object Ols {
 
   private def moments(df: DataFrame, y: Column, x1: Column, x2: Column,
                       groupCols: Seq[String]): DataFrame = {
-    // widen BEFORE multiplying — int*int would overflow on large docs
-    val (yl, x1l, x2l) = (y.cast("long"), x1.cast("long"), x2.cast("long"))
+    // widen BEFORE multiplying: the per-row product of two DECIMAL(19,0)
+    // longs is exact in DECIMAL(38,0) (max |long|² < 8.6e37), and the
+    // DECIMAL sums NULL on overflow instead of wrapping the way BIGINT
+    // sums do in non-ANSI mode — overflow is a visible witness, not a
+    // plausible-looking wrong coefficient.
+    def w(c: Column): Column = c.cast("long").cast("decimal(19,0)")
+    val (yd, x1d, x2d) = (w(y), w(x1), w(x2))
     df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("s00"),
-      sum(x1l).as("s01"),
-      sum(x2l).as("s02"),
-      sum(x1l * x1l).as("s11"),
-      sum(x1l * x2l).as("s12"),
-      sum(x2l * x2l).as("s22"),
-      sum(yl).as("t0"),
-      sum(x1l * yl).as("t1"),
-      sum(x2l * yl).as("t2"))
+      sum(x1d).as("s01"),
+      sum(x2d).as("s02"),
+      sum(x1d * x1d).as("s11"),
+      sum(x1d * x2d).as("s12"),
+      sum(x2d * x2d).as("s22"),
+      sum(yd).as("t0"),
+      sum(x1d * yd).as("t1"),
+      sum(x2d * yd).as("t2"))
   }
 
   private def solveFromMoments(m: DataFrame, keyCols: Seq[String]): DataFrame = {

@@ -193,6 +193,29 @@ class CorpusSpec extends SparkSpec {
       && clustered(99L) == plain(13L) && clustered(44L) == plain(42L))
   }
 
+  test("assignSplitByCluster: extra labeling columns never leak into the output") {
+    val docs = (0L until 100L).map(Tuple1(_)).toDF("doc_id")
+    val bare = Seq((0L, 0L), (0L, 7L)).toDF("cluster_id", "doc_id")
+    // a caller's clustering often carries extras (sizes, scores) — the
+    // contract is they are projected away, not returned or collided on
+    val noisy = bare.withColumn("cluster_size", lit(2L))
+      .withColumn("score", lit(0.9))
+    val splits = Seq("train" -> 0.9, "test" -> 0.1)
+    val got = Corpus.assignSplitByCluster(docs, noisy, splits)
+    assert(got.columns.toSeq == Seq("doc_id", "split"))
+    assert(rowSet(got) == rowSet(Corpus.assignSplitByCluster(docs, bare, splits)))
+  }
+
+  test("shuffleOrder rejects inputs that already carry shard/pos/_draw") {
+    val docs = (0L until 10L).map(Tuple1(_)).toDF("doc_id")
+    for (c <- Seq("shard", "pos", "_draw")) {
+      val e = intercept[IllegalArgumentException] {
+        Corpus.shuffleOrder(docs.withColumn(c, lit(1)), nShards = 2)
+      }
+      assert(e.getMessage.contains(c))
+    }
+  }
+
   test("sampleFixedK returns exactly k rows, deterministically, stable under corpus growth") {
     val docs = (0L until 1000L).map(Tuple1(_)).toDF("doc_id")
     val a = Corpus.sampleFixedK(docs, 50).collect().map(_.getLong(0)).toSeq

@@ -72,6 +72,20 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("duplicate key rows pair per payload row — never silently dropped") {
+    // two left rows share tok_a="table" with different payloads; both must
+    // appear against every right match (theta-join semantics)
+    val dupLeft = Seq(("table", 1), ("table", 2), ("tble", 3)).toDF("tok_a", "pay_a")
+    val out = FuzzyJoin.fuzzyJoin(dupLeft, rightToks, "tok_a", "tok_b", 1)
+    val want = dupLeft.crossJoin(rightToks)
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 1)
+    assert(rowSet(out) == rowSet(want))
+    // both payloads of the duplicated key survived
+    assert(out.filter(col("tok_a") === "table" && col("tok_b") === "table")
+      .select("pay_a").as[Int].collect().toSet == Set(1, 2))
+  }
+
   test("guards: colliding column names are rejected") {
     intercept[IllegalArgumentException] {
       FuzzyJoin.fuzzyJoin(leftToks, leftToks, "tok_a", "tok_a", 2)
