@@ -29,6 +29,14 @@ object Recall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_RECALL_SECTIONS=pq (comma-separated of knn,pq,lsh,
+    // semdedup) restricts a run to the named measurement blocks — each
+    // block's exact-twin target is the expensive part, so an iteration
+    // on one operator family shouldn't pay for all four.
+    val sections = sys.env.get("SPARK_GRAFT_RECALL_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def sec(name: String): Boolean = sections.forall(_.contains(name))
+
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val k = 5
@@ -38,11 +46,12 @@ object Recall {
     def knnSet(df: DataFrame): Set[(Long, Long)] =
       df.select(col("qid"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exactKnn = knnSet(Similarity.knnJoin(emb, queries, k = k))
+    lazy val exactKnn = knnSet(Similarity.knnJoin(emb, queries, k = k))
     def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
       if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    if (sec("knn")) {
     rows += (("knnJoinLsh nBits=6 (x_knn_join_lsh)", k,
       recall(knnSet(Similarity.knnJoinLsh(emb, queries, dim = 64, k = k, nBits = 6)),
         exactKnn)))
@@ -64,6 +73,7 @@ object Recall {
     Similarity.saveIndexIvf(emb, dim = 64, idx, nLists = 4, iters = 2)
     rows += (("knnJoinIvfPersisted nprobe=1 (x_knn_join_ivf_persisted)", k,
       recall(knnSet(Similarity.knnJoinIvfPersisted(spark, idx, queries, k = k)), exactKnn)))
+    }
 
     // PQ-ADC retrieval vs its OWN objective (exact L2 top-k — PQ
     // approximates squared euclidean, not cosine; on unnormalized
@@ -72,7 +82,7 @@ object Recall {
     // mismatch). Exact L2 ranks are computed driver-side from the
     // collected vectors — measurement-only, like the O(n²) pair maps
     // above. 10 queries: annPq builds one codebook+LUT per call.
-    {
+    if (sec("pq")) {
       val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       def l2(a: Seq[Double], b: Seq[Double]): Double = {
@@ -103,6 +113,22 @@ object Recall {
       }.toSet
       rows += ((s"annPq shortlist@${8 * k}+exact rescore vs exact-L2, ${pqQids.size} queries", k,
         recall(pqShort, exactL2)))
+      // the literature operating point (Jégou et al.: 256 centroids /
+      // 8-bit codes per subspace), measured through the persisted-index
+      // deployment shape: train+encode once, probe per query. The ADC
+      // LUT rides the PqAdcLookup kernel's reference array — this row
+      // is also the scale proof that nCents=256 plans stay literal-free.
+      if (n >= 512) {
+        val idx256 = java.nio.file.Files.createTempDirectory("recall-pq256").toString
+        Similarity.savePqIndex(emb, dim = 64, idx256, m = 8, nCents = 256, iters = 2)
+        val pqShort256 = pqQids.flatMap { qid =>
+          Similarity.annPqPersisted(spark, idx256, vecs(qid), k = 8 * k,
+            excludeId = Some(qid))
+            .collect().map(r => (qid, r.getLong(0)))
+        }.toSet
+        rows += ((s"annPq(persisted) m=8 nCents=256 shortlist@${8 * k}+exact rescore, ${pqQids.size} queries", k,
+          recall(pqShort256, exactL2)))
+      }
     }
 
     // pair recall bucketed by the exact cosine: banded LSH's collision
@@ -110,8 +136,11 @@ object Recall {
     // so "recall at the threshold" mixes the operator's TARGET (near
     // duplicates, cos → 1) with borderline pairs it is designed to let
     // go — report both, separately
-    val exactPairsSim = Similarity.cosineNearDupsExact(emb, threshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactPairsSim: Map[(Long, Long), Double] =
+      if (sec("lsh")) Similarity.cosineNearDupsExact(emb, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      else Map.empty
+    if (sec("lsh")) {
     // the nBands recall/cost curve (VERDICT r6 #5): the near-dup default
     // should sit at the knee where cos>=0.9 recall crosses 0.95; wall
     // time is the measured cost of each step (coarse — one run each,
@@ -135,6 +164,7 @@ object Recall {
       rows += ((f"cosineNearDupsLsh t=0.5 nBands=$nb adaptive-b ($sec%.1fs), ALL pairs",
         exactPairsSim.size, recall(lshPairs, exactPairsSim.keySet)))
     }
+    }
 
     // SemDeDup-style semantic dedup: a true near-dup pair (exact
     // cos >= 0.9) is RESOLVED iff at least one member was dropped.
@@ -149,8 +179,10 @@ object Recall {
     // true cos 0.899999x report as 0.9 and land in the denominator as
     // phantom "unresolved" pairs no t=0.9 operator is even allowed to
     // drop (r7's 0.73-0.87 coverage readings included exactly these).
-    val target = Similarity.cosineNearDupsExact(emb, threshold = 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val target: Set[(Long, Long)] =
+      if (sec("semdedup")) Similarity.cosineNearDupsExact(emb, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      else Set.empty
     if (target.nonEmpty) {
       for (nc <- Seq(4, 16, 64)) {
         val t0 = System.nanoTime()
@@ -181,7 +213,8 @@ object Recall {
       }
     }
 
-    println(s"## $sfDir (n=$n embeddings, ${exactPairsSim.size} exact pairs at t=0.5)")
+    val secNote = sections.map(s => s" [sections: ${s.mkString(",")}]").getOrElse("")
+    println(s"## $sfDir (n=$n embeddings, ${exactPairsSim.size} exact pairs at t=0.5)$secNote")
     println("| operator (catalog entry) | k / |exact| | recall |")
     println("|---|---|---|")
     rows.foreach { case (name, kk, r) => println(f"| $name | $kk | $r%.4f |") }

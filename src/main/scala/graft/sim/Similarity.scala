@@ -300,10 +300,11 @@ object Similarity {
     * Scale shape: training cost is m small k-means runs (sample the
     * corpus for training at real scale — the codebook doesn't need
     * every row); encoding is one narrow pass with m native
-    * nearest-centroid kernels; the query scan is codegen'd lookups
-    * into plan-literal LUT arrays (m·nCents doubles — tiny) with
-    * TakeOrderedAndProject for the top-k. No shuffle anywhere except
-    * the k-means rounds.
+    * nearest-centroid kernels; the query scan is the native
+    * PqAdcLookup kernel — the m·nCents-double LUT rides as ONE
+    * reference array (kilobytes even at nCents=256), never as plan
+    * literals — with TakeOrderedAndProject for the top-k. No shuffle
+    * anywhere except the k-means rounds.
     *
     * Determinism: centroids come from kmeans' decimal-mean arithmetic;
     * LUT entries and the ADC sum use the exact left-fold form the
@@ -315,9 +316,9 @@ object Similarity {
     * clustered corpora (quantization blurs fine ranks by design), but
     * the deployment shape — call with k = 8·(wanted k) for the ADC
     * shortlist, then rescore the k rows against the exact vectors —
-    * measures 0.96 / 0.80 at n=2k / 20k. Uniform-random corpora floor
-    * lower (no codebook structure); raise nCents toward the
-    * literature's 256 as n grows. */
+    * measures 0.96 / 0.80 at n=2k / 20k — and at the literature's
+    * nCents=256 (RECALL.md r9 rows, persisted-index shape) 1.00 / 1.00.
+    * Uniform-random corpora floor lower (no codebook structure). */
   def annPq(emb: DataFrame, queryId: Long, dim: Int = 64, k: Int = 20,
             m: Int = 8, nCents: Int = 16, iters: Int = 2,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -349,22 +350,34 @@ object Similarity {
 
   /** The ADC scan shared by [[annPq]] and [[annPqPersisted]]: build the
     * m×nCents lookup table ‖q_s − C_s[j]‖² on the driver (the oracle's
-    * A − 2.0·B + C form, per subspace), score each coded row by m
-    * literal-array lookups summed in subspace order, return the top-k
-    * by (rounded dist, id). */
+    * A − 2.0·B + C form, per subspace), score each coded row with the
+    * native [[org.apache.spark.sql.graftext.PqAdcLookup]] kernel — the
+    * LUT rides as one reference array, never as plan literals, so the
+    * scan stays JIT-compiled at the literature's nCents=256 (the
+    * literal element_at(array(lit…)) form was 2048 plan literals
+    * there) — and return the top-k by (rounded dist, id). Summation is
+    * the same subspace-order left fold as the literal form, so oracle
+    * hashes are unchanged. */
   private def pqAdcTopK(codes: DataFrame, qv: Seq[Double],
                         cents: Seq[Seq[(Int, Seq[Double])]], sub: Int, k: Int,
                         idCol: String, codePrefix: String): DataFrame = {
     val m = cents.length
-    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+    // LUT indexed by centroid ID, not list position: k-means drops
+    // empty clusters (realistic at nCents=256), leaving id holes — a
+    // positional lookup would silently misread every code past a hole.
+    // Holes get NaN; the assign kernel never emits a dropped id, so a
+    // NaN in a distance is a loud wiring bug, not a silent wrong rank.
+    val stride = cents.flatMap(_.map(_._1)).max + 1
+    val lutFlat = Array.fill(m * stride)(Double.NaN)
+    for (s <- 0 until m) {
       val qs = qv.slice(s * sub, s * sub + sub)
-      cents(s).sortBy(_._1).map { case (_, c) =>
-        dotLeftFold(qs, qs) - 2.0 * dotLeftFold(qs, c) + dotLeftFold(c, c)
+      cents(s).foreach { case (id, c) =>
+        lutFlat(s * stride + id) =
+          dotLeftFold(qs, qs) - 2.0 * dotLeftFold(qs, c) + dotLeftFold(c, c)
       }
     }
-    val dist = (0 until m).map(s =>
-      element_at(array(lut(s).map(lit): _*), col(s"$codePrefix$s") + 1))
-      .reduceLeft(_ + _)
+    val dist = org.apache.spark.sql.graftext.VectorExpressions.pqAdcLookup(
+      array((0 until m).map(s => col(s"$codePrefix$s")): _*), lutFlat, stride)
     import org.apache.spark.sql.expressions.Window
     val top = codes
       .select(col(idCol), round(dist, 6).as("adc_dist"))

@@ -196,6 +196,13 @@ object VectorExpressions {
   def quantizeInt8(vec: Column): Column =
     ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
 
+  /** PQ asymmetric-distance sum over an m-code array against a flat
+    * subspace-major LUT (see [[PqAdcLookup]]): the LUT rides as a
+    * reference array on the expression, never as plan literals. */
+  def pqAdcLookup(codes: Column, lut: Array[Double], nCents: Int): Column =
+    ExpressionUtils.column(
+      PqAdcLookup(ExpressionUtils.expression(codes), lut, nCents))
+
   /** All nBands LSH band buckets at once (see [[LshBandBuckets]]);
     * null vectors coalesce to all-zero buckets, matching the literal
     * CASE-chain form this replaces. `planes` flattened plane-major. */

@@ -332,6 +332,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ family: ADC LUT rides the native kernel, never as plan literals — at nCents=256 too") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.graftext.PqAdcLookup
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // the catalog rows at their own parameters, plus the literature
+    // operating point (m=8, nCents=256) the RECALL.md row measures:
+    // the r8 shape was element_at(array(lit…)) — 2048 plan literals there
+    val plans = Seq(
+      "x_ann_pq (catalog)" ->
+        SparkEntry.queries("x_ann_pq")(spark, sf).queryExecution,
+      "x_ann_pq_persisted (catalog)" ->
+        SparkEntry.queries("x_ann_pq_persisted")(spark, sf).queryExecution,
+      "annPq nCents=256" ->
+        graft.sim.Similarity.annPq(graft.Tables.embeddings(spark, sf), queryId = 0L,
+          dim = 64, k = 20, m = 8, nCents = 256, iters = 1).queryExecution)
+    for ((name, qe) <- plans) {
+      val doubleArrayLits = qe.optimizedPlan.flatMap(n => n.expressions.flatMap(_.collect {
+        case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v.numElements() >= 8 =>
+          v.numElements()
+      }))
+      assert(doubleArrayLits.isEmpty,
+        s"$name: plan embeds double-array literal(s) of ${doubleArrayLits.mkString(",")} " +
+          "elements — the ADC LUT must ride the PqAdcLookup kernel")
+      val kernels = qe.optimizedPlan.flatMap(n => n.expressions.flatMap(_.collect {
+        case e: PqAdcLookup => e
+      }))
+      assert(kernels.nonEmpty,
+        s"$name: the native ADC kernel must be in the plan:\n" + qe.optimizedPlan.toString)
+    }
+  }
+
   test("x_cluster_reps: representative choice is an aggregation, not a per-cluster window") {
     val p = plan("x_cluster_reps")
     assert(!p.contains("Window"),
