@@ -1238,6 +1238,15 @@ object Corpus {
     * (count DESC, then lexicographic pair — the deterministic tiebreak)
     * is a 1-row collect: a driver scalar by construction, fed back as a
     * literal; the dictionary itself never leaves the cluster.
+    *
+    * Real-tokenizer merge counts (10⁴–10⁵) are supported: the
+    * dictionary re-checkpoints every [[BpeCheckpointEvery]] merges, so
+    * plan depth and per-round cost stay FLAT in nMerges (without it,
+    * round i replays all i−1 stacked `replace`s from the initial
+    * checkpoint — quadratic). Measured curve at nMerges=500: see
+    * BENCH_SCALE.md §BPE (marginal cost FLAT at ~0.15 s/merge of
+    * argmax-job latency on local[32]; the loop is 2 shuffle rounds per
+    * merge over a vocabulary-sized table at any depth).
     */
   def learnBpeMerges(docs: DataFrame, nMerges: Int = 3,
                      textCol: String = "text"): DataFrame = {
@@ -1260,9 +1269,19 @@ object Corpus {
       .groupBy(col("sym")).agg(sum(col("n")).as("n_occ"))
   }
 
+  /** Re-checkpoint the merge dictionary every this many merges: each
+    * merge stacks one `replace` onto the lineage, so step i otherwise
+    * re-applies all i-1 earlier replaces from the last materialization —
+    * O(n²) replace passes across an n-merge run. Checkpointing every K
+    * bounds the live lineage at K replaces (O(n·K) total) and keeps
+    * plan depth flat at ANY nMerges; K=25 keeps the per-checkpoint
+    * materialization cost (one vocabulary-sized write) well under the
+    * per-round argmax job it sits next to. */
+  private val BpeCheckpointEvery = 25
+
   private def bpeCore(docs: DataFrame, nMerges: Int, textCol: String):
       (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    require(nMerges >= 1 && nMerges <= 50, s"nMerges in [1,50], got $nMerges")
+    require(nMerges >= 1 && nMerges <= 100000, s"nMerges in [1,100000], got $nMerges")
     // weighted word dictionary, symbols pre-split: " a b c " per token
     val dict = docs
       .select(explode(split(col(textCol), "\\s+")).as("tok"))
@@ -1288,6 +1307,8 @@ object Corpus {
         merges += ((step, a, b, a + b, cnt))
         cur = cur.withColumn("sp",
           call_function("replace", col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+        // bound the stacked-replace lineage (see BpeCheckpointEvery)
+        if (step % BpeCheckpointEvery == 0) cur = cur.localCheckpoint()
       }
     }
     (merges.result(), cur)
