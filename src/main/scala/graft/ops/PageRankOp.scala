@@ -38,11 +38,12 @@ object PageRankOp {
 
   val Unit12: Long = 1000000000000L // 1.0 in 1e-12 fixed-point units
 
-  /** PageRank over `edges` (must be distinct (src, dst) pairs; node ids
-    * shared across both columns), `iters` synchronous iterations at
-    * damping 0.85. Returns (node, rank_u) with rank_u in 1e-12 units. */
-  def pageRank(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+  /** The materialized graph tables every iteration reads (see
+    * [[pageRank]]'s checkpoint rationale) plus the derived scalars. */
+  private case class Graph(e: DataFrame, nodes: DataFrame, deg: DataFrame,
+                           nN: Long, teleport: Long)
+
+  private def buildGraph(edges: DataFrame, src: String, dst: String): Graph = {
     // Materialize the edge list, node set, and out-degree table ONCE:
     // every iteration reads all three, and without the checkpoint
     // Catalyst re-derives the (possibly expensive) upstream edge plan
@@ -61,26 +62,97 @@ object PageRankOp {
       .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
     val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")).localCheckpoint()
     val nN: Long = nodes.count() // driver scalar: node count only
-    val teleport: Long = (Unit12 - Unit12 * 85L / 100L) / nN
+    Graph(e, nodes, deg, nN, (Unit12 - Unit12 * 85L / 100L) / nN)
+  }
 
-    var ranks = nodes.select(col("node"), lit(Unit12 / nN).as("rank_u"))
-    for (_ <- 1 to iters) {
-      val rd = ranks.join(deg, ranks("node") === deg("_src"), "left")
-      val contribs = rd.filter(col("_deg").isNotNull)
-        .select(col("node").as("_csrc"), expr("rank_u DIV _deg").as("_c"))
-        .join(e, col("_csrc") === col("_src"))
-        .groupBy(col("_dst"))
-        .agg(sum(col("_c")).as("_s"))
-      val dangling = rd.filter(col("_deg").isNull)
-        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("_dm"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("_dst"), "left")
-        .crossJoin(dangling)
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"((coalesce(_s, 0L) + _dm DIV $nN) * 85) DIV 100").cast("long"))
-            .as("rank_u"))
-    }
+  /** One synchronous PageRank step: rank-weighted contributions along
+    * edges, dangling mass redistributed uniformly, damped at 0.85 —
+    * all in 1e-12 fixed point. Shared verbatim by the fixed-iteration
+    * and iterate-to-convergence faces, so their arithmetic can't drift. */
+  private def step(g: Graph, ranks: DataFrame): DataFrame = {
+    val rd = ranks.join(g.deg, ranks("node") === g.deg("_src"), "left")
+    val contribs = rd.filter(col("_deg").isNotNull)
+      .select(col("node").as("_csrc"), expr("rank_u DIV _deg").as("_c"))
+      .join(g.e, col("_csrc") === col("_src"))
+      .groupBy(col("_dst"))
+      .agg(sum(col("_c")).as("_s"))
+    val dangling = rd.filter(col("_deg").isNull)
+      .agg(coalesce(sum(col("rank_u")), lit(0L)).as("_dm"))
+    g.nodes
+      .join(contribs, g.nodes("node") === contribs("_dst"), "left")
+      .crossJoin(dangling)
+      .select(col("node"),
+        (lit(g.teleport) +
+          expr(s"((coalesce(_s, 0L) + _dm DIV ${g.nN}) * 85) DIV 100").cast("long"))
+          .as("rank_u"))
+  }
+
+  /** PageRank over `edges` (must be distinct (src, dst) pairs; node ids
+    * shared across both columns), `iters` synchronous iterations at
+    * damping 0.85. Returns (node, rank_u) with rank_u in 1e-12 units. */
+  def pageRank(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    val g = buildGraph(edges, src, dst)
+    var ranks = g.nodes.select(col("node"), lit(Unit12 / g.nN).as("rank_u"))
+    for (_ <- 1 to iters) ranks = step(g, ranks)
     ranks
+  }
+
+  /** PageRank iterated UNTIL the L1 rank delta ‖r_t − r_{t−1}‖₁ drops
+    * to `epsUnits` (1e-12 units; the default 10⁶ ≈ 1e-6 total
+    * variation) — the "run until stable" face the fixed-iters API
+    * can't express. Returns (ranks, iterations run).
+    *
+    * Two things keep it scale-shaped where the fixed loop could lean
+    * on its `iters ≤ 10` guard:
+    *  - the rank table is localCheckpointed EVERY round, so plan depth
+    *    stays constant at any iteration count (the fixed loop stacks
+    *    `iters` joins into one plan — fine at ≤10, not at 100);
+    *  - convergence costs NO extra job: the L1 delta accumulates in a
+    *    LongAccumulator while the checkpoint materializes the round's
+    *    ranks (the same fused-convergence idiom as
+    *    Dedup.dedupClusters' changed-label count — task retries can
+    *    only overcount, which can only delay convergence by a round,
+    *    never falsely declare it).
+    *
+    * Arithmetic per round is [[step]] — byte-identical to the fixed
+    * API, so `pageRankConverged(...)._1` equals `pageRank(...)` run for
+    * the same number of iterations, exactly (fixed point has no
+    * accumulated-float divergence to blur the comparison; the spec
+    * asserts this). Throws if `maxIters` rounds don't reach `epsUnits`
+    * — a partially-converged ranking is not detectably different from
+    * a converged one downstream, so fail loudly like the CC loop. */
+  def pageRankConverged(edges: DataFrame, src: String, dst: String,
+                        epsUnits: Long = 1000000L,
+                        maxIters: Int = 50): (DataFrame, Int) = {
+    require(epsUnits >= 0, s"epsUnits must be >= 0, got $epsUnits")
+    require(maxIters >= 1 && maxIters <= 1000,
+      s"maxIters must be in [1,1000], got $maxIters")
+    val g = buildGraph(edges, src, dst)
+    val spark = edges.sparkSession
+    var ranks = g.nodes.select(col("node"), lit(Unit12 / g.nN).as("rank_u"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val tagged = step(g, ranks)
+        .join(ranks.withColumnRenamed("rank_u", "_prev"), "node")
+      val delta = spark.sparkContext
+        .longAccumulator(s"graft.pagerank.delta.round$iters")
+      val counted = tagged.mapPartitions { it =>
+        it.map { r => // (node, rank_u, _prev)
+          delta.add(math.abs(r.getLong(1) - r.getLong(2)))
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(tagged.schema))
+      ranks = counted.toDF().select(col("node"), col("rank_u"))
+        .localCheckpoint() // materializes the round AND fills the accumulator
+      iters += 1
+      converged = delta.value <= epsUnits
+    }
+    if (!converged) throw new IllegalStateException(
+      s"pageRankConverged: L1 delta still above $epsUnits after $maxIters rounds; " +
+        "raise maxIters or epsUnits")
+    (ranks, iters)
   }
 }

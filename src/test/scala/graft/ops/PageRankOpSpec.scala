@@ -63,6 +63,41 @@ class PageRankOpSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRankConverged: stops on its own, equals the fixed API at the same depth exactly") {
+    val df = graph.toDF("src", "dst")
+    // loose epsilon so the graph converges within the fixed API's
+    // iters<=10 window — required for the exact-equality cross-check
+    val (ranks, iters) = PageRankOp.pageRankConverged(df, "src", "dst",
+      epsUnits = 8000000000L, maxIters = 50)
+    assert(iters >= 2 && iters <= 10, s"expected early stop, ran $iters rounds")
+    val got = ranks.as[(Long, Long)].collect().toMap
+    // fixed point: byte-identical to pageRank() run exactly `iters` times
+    val fixed = PageRankOp.pageRank(df, "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+    assert(got == fixed)
+    assert(got == reference(graph, iters))
+  }
+
+  test("pageRankConverged: plan depth stays flat — the returned ranks read a checkpoint leaf") {
+    val df = graph.toDF("src", "dst")
+    val (ranks, _) = PageRankOp.pageRankConverged(df, "src", "dst",
+      epsUnits = 8000000000L, maxIters = 50)
+    // every round re-roots on a localCheckpoint: the final plan must be
+    // a scan of checkpointed RDD rows, not `iters` stacked joins
+    val plan = ranks.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan)
+    assert(plan.linesIterator.size < 10,
+      "converged ranks must not carry the per-round join lineage:\n" + plan)
+  }
+
+  test("pageRankConverged: fails loudly when maxIters can't reach epsilon") {
+    val df = graph.toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      PageRankOp.pageRankConverged(df, "src", "dst", epsUnits = 0L, maxIters = 2)
+    }
+    assert(e.getMessage.contains("raise maxIters"))
+  }
+
   test("plan: no cartesian beyond the scalar dangling cross join") {
     val p = PageRankOp.pageRank(graph.toDF("src", "dst"), "src", "dst", 2)
       .queryExecution.executedPlan.toString

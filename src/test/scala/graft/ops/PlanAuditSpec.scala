@@ -332,6 +332,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("u6_unpivot: pruned scan feeds one codegen'd Expand, zero exchanges") {
+    // the r8 paired sweep's worst ratio (3.3x at 10x data) decomposes to
+    // Expand's 4x row multiplication on a sub-second query, not a plan
+    // defect — pin the plan so that stays true: only the 6 needed columns
+    // of lineitem's 16 are read, and nothing shuffles
+    val p = plan("u6_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), "unpivot is a narrow map-side op:\n" + p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    for (c <- Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax"))
+      assert(read.contains(c), s"scan must read $c:\n$read")
+    assert(!read.contains("l_shipdate") && !read.contains("l_comment"),
+      "scan must prune the 10 untouched lineitem columns:\n" + read)
+  }
+
   test("PQ family: ADC LUT rides the native kernel, never as plan literals — at nCents=256 too") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
