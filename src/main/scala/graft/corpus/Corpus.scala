@@ -51,6 +51,39 @@ object Corpus {
           .as("contamination"))
   }
 
+  /** N-gram novelty scoring: per document, the fraction of its
+    * distinct w-token n-grams that occur in NO other document —
+    * the uniqueness signal of curation recipes that up-weight novel
+    * text and down-weight boilerplate (the complement of what
+    * [[graft.dedup.Dedup.dupSpans]] removes: dup-spans finds the
+    * shared text, novelty scores how much of a doc is unshared).
+    * Returns (doc_id, n_grams, n_novel, novelty) for every doc with at
+    * least one n-gram.
+    *
+    * Scale shape: one tokenize+window pass per doc (the same 60-bit
+    * md5 window hashes as winnowing — exchanges carry 8-byte hashes,
+    * never text), a doc-frequency aggregation keyed on the hash
+    * (map-side combinable: grams are doc-distinct, so COUNT = doc
+    * frequency), and one hash-keyed join back — two bounded shuffles
+    * of (8B, 8B) rows at any corpus size. Arithmetic is exact integer
+    * counts; the single novelty division is the only float op, and a
+    * lone IEEE divide of identical integers is identical in both
+    * engines. */
+  def ngramNovelty(docs: DataFrame, w: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1, s"ngramNovelty: w must be >= 1, got $w")
+    val grams = docs.select(col(idCol),
+      explode(array_distinct(org.apache.spark.sql.graftext.VectorExpressions
+        .md5WindowHashes60(TextAnalysis.tokens(col(textCol)), w))).as("_g"))
+    val dfreq = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    grams.join(dfreq, "_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** Operator-salted deterministic draw: uniform on [0, 2^60), derived
     * from md5(salt ‖ key). Every sampling/splitting/capping operator in
     * this object folds a DISTINCT default salt into its draw — without

@@ -2868,6 +2868,60 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Hard-negative mining under the oracle (Similarity.hardNegatives
+    * scaladoc has the recipe + scale shape): the fixed 40-query eval
+    * set, top-10 by cosine INSIDE the [0.2, 0.9) band — informative
+    * negatives below the near-dup ceiling. The oracle is x_knn_join's
+    * exact replay with the band predicate pushed into the rank input,
+    * on the UNROUNDED score (identical left-fold doubles in both
+    * engines), so band boundary, ranks, and ties are all hash-pinned. */
+  val hardNegativesQ: Q = Q(
+    "x_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.hardNegatives(emb, queries, k = 10, loCos = 0.2, hiCos = 0.9)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 40),
+      sc AS (SELECT qid, vec_id,
+                    list_dot_product(v, qv) /
+                      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+             FROM e, q WHERE vec_id <> qid)
+      SELECT qid, vec_id, ROUND(c, 6) AS cos_sim, rn
+      FROM (SELECT qid, vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+            FROM sc WHERE c >= 0.2 AND c < 0.9) t
+      WHERE rn <= 10
+    """.trim)
+  )
+
+  /** N-gram novelty under the oracle (Corpus.ngramNovelty scaladoc):
+    * per doc, the fraction of its distinct 4-token window hashes with
+    * corpus doc-frequency 1. The oracle replays the winnowing-family
+    * 60-bit md5 window hashes, the doc-distinct gram sets, the
+    * doc-frequency counts, and the one exact-integer division. */
+  val ngramNoveltyQ: Q = Q(
+    "x_ngram_novelty",
+    (s, d) => graft.corpus.Corpus.ngramNovelty(Tables.documents(s, d), w = 4),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 3, 1)), i ->
+                ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT)) AS grams
+            FROM base),
+      x AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+      df AS (SELECT gr, CAST(COUNT(*) AS BIGINT) AS dfc FROM x GROUP BY gr)
+      SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN df.dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(SUM(CASE WHEN df.dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+      FROM x JOIN df ON x.gr = df.gr
+      GROUP BY x.doc_id
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -2888,5 +2942,6 @@ object ExtensionQueries {
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
     pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ, olsPerGroupQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
-    vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ)
+    vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
+    hardNegativesQ, ngramNoveltyQ)
 }

@@ -566,6 +566,38 @@ object Similarity {
         col("_w.votes").as("votes"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k most similar corpus vectors INSIDE a similarity
+    * band `[loCos, hiCos)` — close enough to be informative negatives,
+    * capped below the near-duplicate ceiling that would make them
+    * false negatives (the standard dense-retrieval training recipe:
+    * mined hard negatives with a near-dup guard; Karpukhin et al.
+    * 2020, "Dense Passage Retrieval").
+    *
+    * Scale shape: identical to [[knnJoin]] — a FIXED query set
+    * broadcasts, the corpus scan computes one codegen'd cosine per
+    * (query, row), the band filter prunes BEFORE the two-stage
+    * per-query top-k (per-slice top-k then k-row merge; no global
+    * sort, no corpus shuffle). Determinism: the band compares the
+    * UNROUNDED score — the same left-fold dot product doubles in both
+    * engines — so the boundary admits identical rows; ranks tie-break
+    * by id as everywhere in this family. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int = 10,
+                    loCos: Double = 0.2, hiCos: Double = 0.9,
+                    fanout: Int = 32,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    require(loCos < hiCos, s"hardNegatives: loCos $loCos must be < hiCos $hiCos")
+    val corpus = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(qidCol), asDouble(col(qvecCol)).as("_qv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        cosine(col("v"), col("_qv")).as("cos_sim"))
+      .filter(col("cos_sim") >= loCos && col("cos_sim") < hiCos)
+    topKPerQuery(scored, k, fanout, qidCol, idCol)
+  }
+
   /** LSH-bucketed batch kNN join — the approximate scale path of
     * [[knnJoin]]: corpus and queries are bucketed by the deterministic
     * sign-bit hyperplanes ([[lshBucket]]) and each query probes only

@@ -216,6 +216,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ngramNovelty: doc-frequency-1 fraction, exact on a hand-computed fixture") {
+    // d1: grams {abcd, bcde}; d2: {abcd, bcdx}; d3: {zzzz}
+    // df: abcd=2 (shared), bcde=1, bcdx=1, zzzz=1
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    val got = Corpus.ngramNovelty(docs, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+    // repeated gram INSIDE one doc counts once (distinct per doc): a doc
+    // whose only gram also appears verbatim twice stays a single gram
+    val rep = Seq((9L, "a b c d a b c d a b c d a b c d")).toDF("doc_id", "text")
+      .unionByName(docs)
+    val g9 = Corpus.ngramNovelty(rep, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g9(9L) < 16L, "doc-distinct grams, not per-occurrence")
+  }
+
   test("sampleFixedK returns exactly k rows, deterministically, stable under corpus growth") {
     val docs = (0L until 1000L).map(Tuple1(_)).toDF("doc_id")
     val a = Corpus.sampleFixedK(docs, 50).collect().map(_.getLong(0)).toSeq

@@ -357,4 +357,22 @@ class SimilaritySpec extends SparkSpec {
     assert(tie.length == 1 && tie.head.getInt(1) == 0 && tie.head.getLong(2) == 1L,
       s"tie must break to the smaller label: ${tie.toSeq}")
   }
+
+  test("hardNegatives: band keeps informative negatives, excludes near-dups and far vectors") {
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // brute-force replay of the contract: rank the banded candidates
+    val all = Similarity.knnJoin(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val want = all.filter { case (_, c) => c >= 0.2 && c < 0.9 }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.map(_._1)
+    val got = Similarity.hardNegatives(emb, queries, k = 5, loCos = 0.2, hiCos = 0.9)
+      .orderBy(col("rn")).collect()
+    assert(got.map(_.getLong(1)).toSeq == want)
+    // the planted near-identical twin (cos > 0.999) is NEVER a negative
+    assert(!got.map(_.getLong(1)).contains(1L))
+    // every returned score is inside the band
+    assert(got.forall(r => r.getDouble(2) >= 0.2 && r.getDouble(2) < 0.9))
+    assert(got.map(_.getInt(3)).toSeq == (1 to got.length))
+  }
 }
