@@ -1312,6 +1312,36 @@ object Corpus {
     * per-round argmax job it sits next to. */
   private val BpeCheckpointEvery = 25
 
+  /** Per-DOCUMENT BPE encoding stats under the learned merges: token
+    * count and post-merge symbol count — the tokenizer's compression
+    * read on every doc (the third face of the BPE story: learnBpeMerges
+    * trains, bpeSymbolHistogram tokenizes the dictionary, this encodes
+    * the corpus). Returns (doc_id, n_tokens, n_symbols).
+    *
+    * Encoding is DOC-level, not token-level: each token's double-space
+    * symbol string (" l  o  w  ") is concatenated per doc, which leaves
+    * THREE spaces between tokens — the merge pattern " a  b " needs
+    * exactly two, so merges can never cross a token boundary and one
+    * `replace` per learned merge encodes the whole doc (no token
+    * explode, no token-level shuffle; the corpus pass stays one narrow
+    * projection). The merge table itself is a driver-collected
+    * tokenizer artifact — nMerges rows, the same justified scalar
+    * pattern as the bigram-LM V. */
+  def bpeEncodeStats(docs: DataFrame, nMerges: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val merges = learnBpeMerges(docs, nMerges, textCol)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sp0 = concat_ws("", transform(toks,
+      t => concat(lit(" "), regexp_replace(t, "(.)", "$1  "))))
+    val spEnc = merges.foldLeft(sp0) { case (sp, (a, b)) =>
+      call_function("replace", sp, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    docs.select(col(idCol), size(toks).as("n_tokens"),
+      size(split(trim(spEnc), "\\s+")).as("n_symbols"))
+  }
+
   private def bpeCore(docs: DataFrame, nMerges: Int, textCol: String):
       (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(nMerges >= 1 && nMerges <= 100000, s"nMerges in [1,100000], got $nMerges")

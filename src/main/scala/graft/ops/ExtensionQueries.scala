@@ -2868,6 +2868,74 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Per-doc BPE encode under the oracle (Corpus.bpeEncodeStats): the
+    * corpus encoded with the 3 learned merges — token count vs
+    * post-merge symbol count per doc. The oracle replays the full
+    * training loop (as x_bpe_merges), then the doc-level encode: the
+    * concatenated per-token double-space strings leave three spaces at
+    * token boundaries, so the two-space merge pattern can't cross them
+    * — in both engines, by the same string. */
+  val bpeEncodeQ: Q = Q(
+    "x_bpe_encode",
+    (s, d) => graft.corpus.Corpus.bpeEncodeStats(Tables.documents(s, d), nMerges = 3),
+    Some("""
+      WITH toks AS (
+        SELECT ' ' || regexp_replace(token, '(.)', '\1  ', 'g') AS sp,
+               COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents) t
+        WHERE length(token) >= 1
+        GROUP BY token),
+      p1 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM toks) x) y
+        GROUP BY 1, 2),
+      b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      t1 AS (SELECT replace(sp,
+               ' ' || (SELECT a FROM b1) || '  ' || (SELECT b FROM b1) || ' ',
+               ' ' || (SELECT a FROM b1) || (SELECT b FROM b1) || ' ') AS sp,
+               n FROM toks),
+      p2 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM t1) x) y
+        GROUP BY 1, 2),
+      b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+      t2 AS (SELECT replace(sp,
+               ' ' || (SELECT a FROM b2) || '  ' || (SELECT b FROM b2) || ' ',
+               ' ' || (SELECT a FROM b2) || (SELECT b FROM b2) || ' ') AS sp,
+               n FROM t1),
+      p3 AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(
+                generate_series(1, len(s) - 1), i -> [s[i], s[i+1]])) AS pr
+              FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM t2) x) y
+        GROUP BY 1, 2),
+      b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+      enc AS (SELECT doc_id,
+               len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+               array_to_string(list_transform(
+                 regexp_split_to_array(text, '\s+'),
+                 t -> ' ' || regexp_replace(t, '(.)', '\1  ', 'g')), '') AS sp
+              FROM documents),
+      e1 AS (SELECT doc_id, n_tokens, replace(sp,
+               ' ' || (SELECT a FROM b1) || '  ' || (SELECT b FROM b1) || ' ',
+               ' ' || (SELECT a FROM b1) || (SELECT b FROM b1) || ' ') AS sp FROM enc),
+      e2 AS (SELECT doc_id, n_tokens, replace(sp,
+               ' ' || (SELECT a FROM b2) || '  ' || (SELECT b FROM b2) || ' ',
+               ' ' || (SELECT a FROM b2) || (SELECT b FROM b2) || ' ') AS sp FROM e1),
+      e3 AS (SELECT doc_id, n_tokens, replace(sp,
+               ' ' || (SELECT a FROM b3) || '  ' || (SELECT b FROM b3) || ' ',
+               ' ' || (SELECT a FROM b3) || (SELECT b FROM b3) || ' ') AS sp FROM e2)
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(len(regexp_split_to_array(trim(sp), '\s+')) AS INT) AS n_symbols
+      FROM e3
+    """.trim)
+  )
+
   /** Hard-negative mining under the oracle (Similarity.hardNegatives
     * scaladoc has the recipe + scale shape): the fixed 40-query eval
     * set, top-10 by cosine INSIDE the [0.2, 0.9) band — informative
@@ -2943,5 +3011,5 @@ object ExtensionQueries {
     pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ, olsPerGroupQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
-    hardNegativesQ, ngramNoveltyQ)
+    hardNegativesQ, ngramNoveltyQ, bpeEncodeQ)
 }

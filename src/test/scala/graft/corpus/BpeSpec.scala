@@ -95,4 +95,48 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "b", "ab"), ("ab", "ab", "abab")))
     assert(m == reference(words, 2))
   }
+
+  test("bpeEncodeStats: per-doc symbol counts replay the merges; boundaries never fuse") {
+    // corpus trains 'lo' (5+2+2=9? -> actual argmax by counts) — replay
+    // single-threaded to get per-word encoded lengths, then check docs
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val merges = reference(words, 3).map(r => (r._2, r._3))
+    def encode(w: String): Int = {
+      var syms = w.split("").toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    // docs carry MULTIPLE tokens — per-doc symbols must be the sum of
+    // per-token encodes (a cross-boundary fuse would read fewer)
+    val docs = Seq((1L, "low lower"), (2L, "newest newest widest"), (3L, "low"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bpeEncodeStats(docs, 3)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2, encode("low") + encode("lower"))))
+    assert(got(2L) == ((3, 2 * encode("newest") + encode("widest"))))
+    assert(got(3L) == ((1, encode("low"))))
+    // adversarial boundary: token ends in 'a', next starts with 'b',
+    // while (a,b) is a learned merge of THIS corpus
+    val ab = Seq.fill(4)("ab")
+    val abMerge = reference(ab, 1)
+    assert(abMerge.head._2 == "a" && abMerge.head._3 == "b")
+    val bdocs = Seq((1L, "xa by")).toDF("doc_id", "text")
+      .unionByName(ab.zipWithIndex.map { case (w, i) => (100L + i, w) }.toDF("doc_id", "text"))
+    val bgot = Corpus.bpeEncodeStats(bdocs, 1)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r._3).toMap
+    // "xa by": tokens xa, by -> symbols x,a,b,y = 4 (the a|b boundary
+    // must NOT merge); the "ab" docs encode to 1 symbol each
+    assert(bgot(1L) == 4)
+    assert((100L to 103L).forall(bgot(_) == 1))
+  }
 }
