@@ -332,6 +332,56 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x_hard_negatives: queries broadcast, band filter precedes the rank windows") {
+    val p = plan("x_hard_negatives")
+    // fixed eval set broadcasts against the corpus scan (knnJoin shape)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the similarity-band predicate must prune BEFORE any window ranks
+    // rows — Catalyst in fact absorbs it into the broadcast join's
+    // CONDITION (banded rows never exist downstream), which is the
+    // strongest form; accept that or a filter below the first window,
+    // never a band predicate above it
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal}
+    val qe = SparkEntry.queries("x_hard_negatives")(spark, sf).queryExecution
+    val joinHasBand = qe.executedPlan.toString.linesIterator
+      .exists(l => l.contains("Join condition") && l.contains("0.2"))
+    val bandInJoin = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.collect {
+          case GreaterThanOrEqual(_, Literal(v: Double, _)) if v == 0.2 => true
+        }.nonEmpty) => j
+    }
+    assert(bandInJoin.nonEmpty || joinHasBand,
+      "band predicate must prune at the join, before the rank windows:\n" +
+        qe.executedPlan.toString)
+  }
+
+  test("x_ngram_novelty: doc-frequency aggregation is map-side combined; no text past the gram hash") {
+    val p = plan("x_ngram_novelty")
+    // partial_count before the exchange = map-side combine on the gram key
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    // the join back to per-doc grams is keyed on the 8-byte hash — the
+    // exchange must not carry the text column
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, p)
+    assert(exchangeLines.forall(!_.contains("text#")),
+      "gram exchanges must carry hashes, never document text:\n" + exchangeLines.mkString("\n"))
+  }
+
+  test("x_bpe_encode: the corpus encode pass is window-free and explode-free past training") {
+    val p = plan("x_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    // training explodes the vocabulary-sized dictionary's pairs; the
+    // corpus-sized encode projection must NOT explode tokens — every
+    // Generate in the plan reads the dict's `sp`/`tok` columns, never
+    // the documents scan's text directly alongside doc_id
+    val gen = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gen.forall(!_.contains("doc_id")),
+      "the per-doc encode must be a narrow projection, not a token explode:\n" + gen.mkString("\n"))
+  }
+
   test("u6_unpivot: pruned scan feeds one codegen'd Expand, zero exchanges") {
     // the r8 paired sweep's worst ratio (3.3x at 10x data) decomposes to
     // Expand's 4x row multiplication on a sub-second query, not a plan
