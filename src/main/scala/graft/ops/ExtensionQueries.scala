@@ -2868,6 +2868,71 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Personalized PageRank under the oracle: 3 iterations on the same
+    * purchase graph as x_pagerank, personalized to the customer nodes
+    * with custkey % 10 = 0 (node id % 20 = 0) — teleport, dangling
+    * redistribution, AND the initial mass all flow to the seed set
+    * only, in the same 1e-12-unit integer arithmetic. The oracle
+    * unrolls all three iterations with the seed-gated CASE branches,
+    * so the biased ranking is pinned exactly, not just "seed-heavy". */
+  val pprQ: Q = {
+    val tel = "(1000000000000 - (1000000000000 * 85) // 100) // (SELECT ns FROM sn)"
+    def iter(k: Int): String = {
+      val prev = s"r${k - 1}"
+      s"""s$k AS (SELECT e.dst AS node, CAST(SUM(r.rank_u // d.deg) AS BIGINT) AS s
+             FROM $prev r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+             GROUP BY e.dst),
+      dm$k AS (SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dm
+              FROM $prev r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+      r$k AS (SELECT nodes.node,
+               (CASE WHEN sd.node IS NOT NULL THEN $tel ELSE 0 END)
+               + ((COALESCE(s$k.s, 0)
+                   + (CASE WHEN sd.node IS NOT NULL
+                      THEN (SELECT dm FROM dm$k) // (SELECT ns FROM sn)
+                      ELSE 0 END)) * 85) // 100 AS rank_u
+             FROM nodes LEFT JOIN s$k ON nodes.node = s$k.node
+                        LEFT JOIN seeds sd ON nodes.node = sd.node)"""
+    }
+    Q(
+      "x_ppr",
+      (s, d) => {
+        val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        // seeds from the cheap orders scan, NOT from e: deriving them
+        // from the edge expression would replay the orders x lineitem
+        // join a second time just to enumerate seed ids
+        val seeds = Tables.orders(s, d)
+          .select((col("o_custkey") * 2).as("node"))
+          .filter(col("node") % 20 === 0).distinct()
+        PageRankOp.personalizedPageRank(e, "src", "dst", seeds, iters = 3)
+      },
+      Some(s"""
+      WITH e AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+      seeds AS (SELECT DISTINCT o_custkey * 2 AS node FROM orders
+                WHERE (o_custkey * 2) % 20 = 0),
+      sn AS (SELECT COUNT(*) AS ns FROM seeds),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT nodes.node,
+               CASE WHEN sd.node IS NOT NULL
+                    THEN 1000000000000 // (SELECT ns FROM sn) ELSE 0 END AS rank_u
+             FROM nodes LEFT JOIN seeds sd ON nodes.node = sd.node),
+      ${iter(1)},
+      ${iter(2)},
+      ${iter(3)}
+      SELECT node, rank_u FROM r3
+    """.trim)
+    )
+  }
+
   /** Per-doc BPE encode under the oracle (Corpus.bpeEncodeStats): the
     * corpus encoded with the 3 learned merges — token count vs
     * post-merge symbol count per doc. The oracle replays the full
@@ -3011,5 +3076,5 @@ object ExtensionQueries {
     pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ, olsPerGroupQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
-    hardNegativesQ, ngramNoveltyQ, bpeEncodeQ)
+    hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ)
 }

@@ -98,6 +98,64 @@ object PageRankOp {
     ranks
   }
 
+  /** Personalized PageRank (Page et al.'s biased-teleport variant; the
+    * seed-proximity ranking used for "expand from a trusted set" —
+    * domain whitelists, curated-source affinity in crawl curation):
+    * identical fixed-point iteration to [[pageRank]], except BOTH the
+    * teleport mass and the dangling mass flow only to the `seeds` set,
+    * uniformly — non-seed nodes earn rank solely through in-links from
+    * the seed neighborhood. Initial mass likewise starts on the seeds.
+    *
+    * `seeds` is a 1-column DataFrame of node ids (ids absent from the
+    * graph are counted in nS but hold their teleport share inertly —
+    * matching the standard definition where the personalization vector
+    * is given, not graph-derived). Scale shape unchanged from
+    * [[pageRank]]: the seed set joins once into a node-sized
+    * is-seed flag before the checkpoint; per iteration it is the same
+    * one rank exchange + one map-side-combined aggregation; |S| is a
+    * driver scalar like N. */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+                           seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    val g = buildGraph(edges, src, dst)
+    val seedCol = seeds.columns.head
+    // materialize the (tiny) seed set once: its upstream may be an
+    // edge-sized derivation, and it is read twice below (the count
+    // scalar + the node-flag join) — without the checkpoint that
+    // upstream runs twice (the same re-derivation trap the edge
+    // checkpoint in buildGraph closes)
+    val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .localCheckpoint()
+    val nS: Long = s.count() // driver scalar: seed count
+    require(nS > 0, "personalizedPageRank: seed set is empty")
+    val teleportS: Long = (Unit12 - Unit12 * 85L / 100L) / nS
+    // node-sized seed flag, materialized once like the degree table
+    val nodes = g.nodes.join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"),
+      when(col("_seed"), lit(Unit12 / nS)).otherwise(lit(0L)).as("rank_u"))
+    for (_ <- 1 to iters) {
+      val rd = ranks.join(g.deg, ranks("node") === g.deg("_src"), "left")
+      val contribs = rd.filter(col("_deg").isNotNull)
+        .select(col("node").as("_csrc"), expr("rank_u DIV _deg").as("_c"))
+        .join(g.e, col("_csrc") === col("_src"))
+        .groupBy(col("_dst"))
+        .agg(sum(col("_c")).as("_s"))
+      val dangling = rd.filter(col("_deg").isNull)
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("_dm"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("_dst"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (when(col("_seed"), lit(teleportS)).otherwise(lit(0L)) +
+            expr(s"((coalesce(_s, 0L) + (CASE WHEN _seed THEN _dm DIV ${nS}L ELSE 0L END)) * 85) DIV 100")
+              .cast("long"))
+            .as("rank_u"))
+    }
+    ranks
+  }
+
   /** PageRank iterated UNTIL the L1 rank delta ‖r_t − r_{t−1}‖₁ drops
     * to `epsUnits` (1e-12 units; the default 10⁶ ≈ 1e-6 total
     * variation) — the "run until stable" face the fixed-iters API

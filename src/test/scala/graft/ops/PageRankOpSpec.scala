@@ -63,6 +63,46 @@ class PageRankOpSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** Single-threaded personalized replay: teleport, dangling, and the
+    * initial mass flow only to seeds. */
+  private def referencePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                           iters: Int): Map[Long, Long] = {
+    val U = PageRankOp.Unit12
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nS = seeds.size.toLong
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val telS = (U - U * 85L / 100L) / nS
+    var r = nodes.map(v => v -> (if (seeds(v)) U / nS else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map(v => v ->
+        ((if (seeds(v)) telS else 0L) +
+          ((contrib.getOrElse(v, 0L) + (if (seeds(v)) dm / nS else 0L)) * 85L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: agrees with the seeded replay; non-seed mass arrives only via links") {
+    val df = graph.toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("node")
+    for (iters <- Seq(1, 3)) {
+      val got = PageRankOp.personalizedPageRank(df, "src", "dst", seeds, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == referencePpr(graph, Set(1L, 4L), iters), s"iters=$iters")
+    }
+    val got3 = PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    // node 5 is not a seed and has NO in-edges: it must hold zero rank
+    assert(got3(5L) == 0L)
+    // node 6 (dangling, non-seed) only earns what 5 passes on: also 0
+    assert(got3(6L) == 0L)
+    // seeds hold rank; their link targets (2, 3 via 1; 3 via 4) earn it
+    assert(got3(1L) > 0L && got3(2L) > 0L && got3(3L) > 0L)
+  }
+
   test("pageRankConverged: stops on its own, equals the fixed API at the same depth exactly") {
     val df = graph.toDF("src", "dst")
     // loose epsilon so the graph converges within the fixed API's
