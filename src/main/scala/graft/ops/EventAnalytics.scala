@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-stream analytics: gap sessionization, ordered-step
+  * conversion funnels, and weekly cohort retention — the classic
+  * product-analytics trio over an append-only event log (the same
+  * `events` table the streaming tier windows incrementally;
+  * these are the batch/backfill forms).
+  *
+  * Scale design: all three are built so the ONE hash exchange on
+  * `user_id` is the only shuffle the event log rides. Every
+  * window/aggregate downstream keys on `user_id` or a superset of it,
+  * and `HashPartitioning(user_id)` satisfies
+  * `ClusteredDistribution(user_id, …)` — Catalyst inserts only local
+  * sorts, never a second exchange, so at 100 TB the cost is one
+  * repartition of the log plus per-partition sorted scans
+  * (PlanAuditSpec pins the single-exchange shape for each operator).
+  * Timestamps stay in microsecond-integer epoch (`unix_micros`) through
+  * every comparison and in the output — no float time arithmetic, no
+  * format-rendering parity risk.
+  */
+object EventAnalytics {
+
+  /** Gap-based sessionization: a user's events, sorted by time, split
+    * into sessions wherever the gap to the previous event exceeds
+    * `gapSec`. The standard two-window construction: a lag-compare
+    * marks session starts, a running sum over the same sorted
+    * partition numbers them, and the per-(user, session) rollup reuses
+    * the user partitioning (zero extra shuffles — the groupBy's
+    * `ClusteredDistribution(user_id, session_idx)` is satisfied by the
+    * window's `HashPartitioning(user_id)`).
+    *
+    * Output: one row per session — `user_id`, 1-based `session_idx`,
+    * `session_start_us`/`session_end_us` (epoch microseconds),
+    * `n_events`, `sum_value` (DECIMAL-summed, order-independent).
+    * `event_id` breaks timestamp ties so the numbering is total-order
+    * deterministic.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("_new",
+        when(lag(col("ts_us"), 1).over(wOrd).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
+  /** Ordered-step conversion funnel: how many users performed `steps`
+    * IN ORDER (each step strictly after the previous one — the
+    * min-time chain t1 = first step1, t2 = first step2 after t1, …).
+    *
+    * Single pass, single shuffle: each ti is an unordered
+    * `min(when(...))` window over the user partition, with ti
+    * referencing t(i-1) from the previous select — N chained Window
+    * nodes over one `HashPartitioning(user_id)` exchange, then a
+    * per-user collapse (same partitioning, no exchange) and a global
+    * 3-row rollup. The event log is never self-joined — at 100 TB the
+    * N-way join formulation would shuffle the log once per step.
+    *
+    * Output: one row per step — `step_idx` (1-based), `step` (event
+    * type), `n_users` reaching that step in order.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val prev = if (i == 0) lit(true) else col(s"_t${i - 1}").isNotNull
+      val after = if (i == 0) lit(true) else col("ts_us") > col(s"_t${i - 1}")
+      df.withColumn(s"_t$i",
+        min(when(col("event_type") === step && prev && after, col("ts_us"))).over(w))
+    }
+    val aggs = steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i"))
+    val perUser = staged.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    val counts = perUser.agg(
+      count(col("_t0")).as("_n0"),
+      steps.indices.drop(1).map(i => count(col(s"_t$i")).as(s"_n$i")): _*)
+    val stackExpr = steps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}, '$s', _n$i" }.mkString(", ")
+    counts.selectExpr(
+      s"stack(${steps.size}, $stackExpr) AS (step_idx, step, n_users)")
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * FIRST event (the cohort); for each later week, how many of that
+    * cohort were active. The first-event time is a `min` window over
+    * the user partition — the cohort assignment rides the same single
+    * exchange as the activity rows, with no users-dimension join (the
+    * join formulation shuffles the log twice and builds a second copy
+    * of the user set; this shape is one exchange + one distinct-agg).
+    *
+    * `week_offset` = whole weeks between the cohort week and the
+    * activity week (both Monday-truncated, so the day difference is an
+    * exact multiple of 7; integer `div`, no float).
+    *
+    * Output: `cohort_week` ("yyyy-MM-dd" Monday), `week_offset` (INT,
+    * 0 = the cohort's own week), `n_users` active that week.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("ts"))
+      .withColumn("_first", min(col("ts")).over(w))
+      .select(col("user_id"),
+        date_trunc("week", col("_first")).as("_cw"),
+        date_trunc("week", col("ts")).as("_aw"))
+      .select(col("user_id"),
+        date_format(col("_cw"), "yyyy-MM-dd").as("cohort_week"),
+        expr("CAST(datediff(to_date(_aw), to_date(_cw)) div 7 AS INT)").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -3055,6 +3055,74 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Gap-based sessionization over the event log (EventAnalytics
+    * .sessionize scaladoc has the scale story: one user_id exchange,
+    * lag/running-sum windows and the per-session rollup all reuse it).
+    * The oracle replays the identical two-window construction in
+    * microsecond-integer epoch arithmetic. */
+  val sessionizeQ: Q = Q(
+    "x_sessionize",
+    (s, d) => EventAnalytics.sessionize(Tables.events(s, d), gapSec = 1800L),
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS nw
+        FROM events),
+      s AS (SELECT user_id, ts_us, value,
+                   SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM m)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY 1, 2
+    """.trim)
+  )
+
+  /** Ordered-step conversion funnel view → click → purchase
+    * (EventAnalytics.funnel: chained min-when windows over ONE user_id
+    * exchange — the log is never self-joined). The oracle chains the
+    * same strict-after min windows through CTEs. */
+  val funnelQ: Q = Q(
+    "x_funnel",
+    (s, d) => EventAnalytics.funnel(Tables.events(s, d),
+      Seq("view", "click", "purchase")),
+    Some("""
+      WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      s0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                         OVER (PARTITION BY user_id) AS t0 FROM b),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t0 IS NOT NULL AND ts_us > t0
+                                THEN ts_us END) OVER (PARTITION BY user_id) AS t1 FROM s0),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL AND ts_us > t1
+                                THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      u AS (SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM s2 GROUP BY 1)
+      SELECT 1 AS step_idx, 'view' AS step, COUNT(t0) AS n_users FROM u
+      UNION ALL SELECT 2, 'click', COUNT(t1) FROM u
+      UNION ALL SELECT 3, 'purchase', COUNT(t2) FROM u
+    """.trim)
+  )
+
+  /** Weekly cohort retention (EventAnalytics.retention: cohort = min-ts
+    * window over the same single user_id exchange, Monday-truncated
+    * weeks, integer week offsets). */
+  val retentionQ: Q = Q(
+    "x_retention",
+    (s, d) => EventAnalytics.retention(Tables.events(s, d)),
+    Some("""
+      WITH f AS (SELECT user_id, ts, MIN(ts) OVER (PARTITION BY user_id) AS fts FROM events),
+      wk AS (SELECT DISTINCT user_id,
+                    strftime(date_trunc('week', fts), '%Y-%m-%d') AS cohort_week,
+                    CAST(datediff('day', date_trunc('week', fts), date_trunc('week', ts)) // 7
+                         AS INT) AS week_offset
+             FROM f)
+      SELECT cohort_week, week_offset, COUNT(*) AS n_users FROM wk GROUP BY 1, 2
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -3076,5 +3144,6 @@ object ExtensionQueries {
     pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ, olsPerGroupQ,
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
-    hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ)
+    hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
+    sessionizeQ, funnelQ, retentionQ)
 }

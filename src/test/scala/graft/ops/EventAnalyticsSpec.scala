@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Semantics pins for the batch event-analytics trio. Hand-built event
+  * logs with the edge cases that distinguish the operators from their
+  * naive formulations: gap-boundary sessions, strict-order funnels
+  * (same-timestamp and out-of-order steps must NOT convert), cohort
+  * offsets across week boundaries.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .selectExpr("event_id", "cast(ts_s as timestamp) as ts",
+        "user_id", "event_type", "value", "'{}' as props")
+  }
+
+  test("sessionize: splits exactly at the gap boundary, numbering is 1-based per user") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:10:00", 1L, "click", 2.0),
+      // 30:00 exactly after the previous event — NOT > gap, same session
+      (3L, "2024-01-01 10:40:00", 1L, "view", 4.0),
+      // 30:00.000001 after — splits
+      (4L, "2024-01-01 11:10:00.000001", 1L, "purchase", 8.0),
+      (5L, "2024-01-01 09:00:00", 2L, "view", 16.0))
+    val out = EventAnalytics.sessionize(ev, gapSec = 1800L)
+      .selectExpr("user_id", "session_idx", "n_events", "sum_value")
+    // rowSet column order: n_events | session_idx | sum_value | user_id
+    assert(rowSet(out) == Set("3|1|7.0|1", "1|2|8.0|1", "1|1|16.0|2"))
+  }
+
+  test("sessionize: session bounds are the min/max event micros") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00.5", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:01:00.25", 1L, "click", 1.0))
+    val r = EventAnalytics.sessionize(ev).collect().head
+    assert(r.getAs[Long]("session_start_us") == ts("2024-01-01 10:00:00.5").getTime * 1000)
+    assert(r.getAs[Long]("session_end_us") ==
+      ts("2024-01-01 10:01:00.25").getTime * 1000)
+  }
+
+  test("funnel: strict in-order chain — out-of-order and same-timestamp steps do not convert") {
+    val ev = events(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      // user 2: click BEFORE the first view — no click conversion
+      (4L, "2024-01-01 09:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      // user 3: view then purchase but never a click — purchase must not count
+      (6L, "2024-01-01 10:00:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 10:05:00", 3L, "purchase", 0.0),
+      // user 4: click at the SAME micro as the view — strictly-after fails
+      (8L, "2024-01-01 10:00:00", 4L, "view", 0.0),
+      (9L, "2024-01-01 10:00:00", 4L, "click", 0.0))
+    val out = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+    // rowSet column order: n_users | step | step_idx
+    assert(rowSet(out) == Set("4|view|1", "1|click|2", "1|purchase|3"))
+  }
+
+  test("funnel: a later re-view cannot resurrect an earlier click") {
+    // view@10:00, click@09:00, view@08:00 — the FIRST view (08:00) anchors,
+    // and the 09:00 click IS after it: converts. The anchor is min view
+    // time, not any view.
+    val ev = events(
+      (1L, "2024-01-01 08:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 09:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:00:00", 1L, "view", 0.0))
+    val out = EventAnalytics.funnel(ev, Seq("view", "click"))
+    assert(rowSet(out) == Set("1|view|1", "1|click|2"))
+  }
+
+  test("retention: cohort = Monday week of first event; offsets count whole weeks") {
+    val ev = events(
+      // user 1: first event Tue Jan 2 2024 (week of Mon Jan 1), active
+      // again Wed Jan 17 (week of Mon Jan 15) = offset 2
+      (1L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-17 10:00:00", 1L, "view", 0.0),
+      // user 2: first event Sun Jan 7 — SAME cohort week as user 1
+      (3L, "2024-01-07 23:00:00", 2L, "view", 0.0),
+      // two events of user 2 in week of Jan 8 — distinct'd to one active row
+      (4L, "2024-01-08 00:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-09 00:00:00", 2L, "click", 0.0))
+    val out = EventAnalytics.retention(ev)
+    assert(rowSet(out) == Set(
+      "2024-01-01|2|0", // both users active in their cohort week
+      "2024-01-01|1|1", // user 2 in week +1
+      "2024-01-01|1|2")) // user 1 in week +2
+  }
+}

@@ -568,6 +568,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(generates == 1, s"expected exactly 1 Generate, got $generates:\n" + p)
   }
 
+  test("x_sessionize: the event log shuffles ONCE — windows and session rollup reuse user_id partitioning") {
+    val p = plan("x_sessionize")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange (user_id), got $n:\n" + p)
+  }
+
+  test("x_funnel: one hash exchange total — no self-joins of the log, no per-step shuffles") {
+    val p = plan("x_funnel")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange (user_id), got $n:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "funnel must be window-chained, never a join:\n" + p)
+  }
+
+  test("x_retention: log shuffles once on user_id; only the tiny distinct'd cohort rows re-shuffle") {
+    val p = plan("x_retention")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 hash exchanges (user_id + cohort rollup), got $n:\n" + p)
+    assert(!p.contains("Join"), "cohort assignment must be a window, not a users join:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
