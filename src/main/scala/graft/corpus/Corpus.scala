@@ -1115,6 +1115,68 @@ object Corpus {
         round(sum(col("s")).cast("double") / count(lit(1)), 6).as("lm_score"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score — the smoothing actually
+    * used by the KenLM models in CCNet-style quality filtering (Kneser
+    * & Ney 1995; Chen & Goodman 1998's interpolated form):
+    *
+    *   P_KN(cur|prev) = (max(c(prev,cur) − D, 0)
+    *                     + D · N1+(prev·) · Pcont(cur)) / c(prev)
+    *   Pcont(cur)     = N1+(·cur) / |bigram types|
+    *
+    * where N1+(prev·) is the count of DISTINCT continuations of `prev`,
+    * and N1+(·cur) the count of distinct contexts `cur` follows —
+    * the "how promiscuous is this word" continuation probability that
+    * distinguishes KN from count-ratio smoothing (Laplace:
+    * [[bigramLmScore]]). D = 0.75, the textbook absolute discount; a
+    * dyadic rational, so `c2 − D` is exact in double for any count
+    * < 2⁵¹ and every term below is an exactly-rounded IEEE op — the
+    * same determinism contract as the Laplace scorer (no ln/exp;
+    * per-bigram scores rounded to 6 dp, summed in DECIMAL).
+    *
+    * score(doc) = mean P_KN over its bigrams.
+    *
+    * Scale shape: one (id, h1, h2, hc) bigram materialization (prefix /
+    * window / current md5-60 hashes, all native kernels), checkpointed
+    * once for its five consumers; the bigram-TYPE table (distinct
+    * triples) is vocabulary-sized and checkpointed for its three
+    * (N1+ dictionaries + the type-count scalar); every exchange carries
+    * 8-byte hashes, never text; c1 and N1+(prev·) merge into one
+    * h1-keyed dictionary before the join-back so the corpus-sized join
+    * touches three dictionaries, not four. */
+  def knBigramScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    val big = base.select(col(idCol),
+      explode(arrays_zip(
+        slice(V.md5Hashes60(col("_toks")), lit(1), size(col("_toks")) - 1),
+        V.md5WindowHashes60(col("_toks"), 2),
+        slice(V.md5Hashes60(col("_toks")), lit(2), size(col("_toks")) - 1))).as("bg"))
+      .select(col(idCol), col("bg").getField("0").as("h1"),
+        col("bg").getField("1").as("h2"), col("bg").getField("2").as("hc"))
+      .localCheckpoint()
+    val c2 = big.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val types = big.select(col("h1"), col("h2"), col("hc")).distinct()
+      .localCheckpoint()
+    val npPrev = types.groupBy(col("h1")).agg(count(lit(1)).as("np"))
+    val ncCur = types.groupBy(col("hc")).agg(count(lit(1)).as("nc"))
+    // |bigram types|: one exact integer scalar, fed back as a literal
+    val t = types.count()
+    val dict1 = c1.join(npPrev, "h1")
+    big.join(c2, "h2").join(dict1, "h1").join(ncCur, "hc")
+      .select(col(idCol),
+        round(
+          (greatest(col("c2") - lit(0.75), lit(0.0)) +
+            (lit(0.75) * col("np")) * (col("nc").cast("double") / lit(t))) / col("c1"),
+          6).cast("decimal(18,6)").as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("kn_score"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much its hashed-unigram distribution looks like a

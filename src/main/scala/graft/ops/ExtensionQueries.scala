@@ -3055,6 +3055,42 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Corpus.knBigramScore
+    * scaladoc has the smoothing math + scale story). The oracle replays
+    * the md5-60 hash construction, both N1+ continuation dictionaries
+    * off the same distinct-triple type table, and the exact
+    * discount arithmetic with DOUBLE-cast literals. */
+  val knLmQ: Q = Q(
+    "x_lm_kn",
+    (s, d) => graft.corpus.Corpus.knBigramScore(Tables.documents(s, d)),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                    FROM documents
+                    WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
+      big AS (SELECT doc_id,
+                   ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT AS h2,
+                   ('0x' || substr(md5(toks[i+1]), 1, 15))::BIGINT AS hc
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)),
+      c2 AS (SELECT h2, COUNT(*) AS c2 FROM big GROUP BY 1),
+      c1 AS (SELECT h1, COUNT(*) AS c1 FROM big GROUP BY 1),
+      ty AS (SELECT DISTINCT h1, h2, hc FROM big),
+      np AS (SELECT h1, COUNT(*) AS np FROM ty GROUP BY 1),
+      nc AS (SELECT hc, COUNT(*) AS nc FROM ty GROUP BY 1),
+      tt AS (SELECT COUNT(*) AS t FROM ty),
+      p AS (SELECT doc_id,
+              CAST(ROUND(
+                (greatest(c2 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                 + (CAST(0.75 AS DOUBLE) * np) * (CAST(nc AS DOUBLE) / t)) / c1,
+              6) AS DECIMAL(18,6)) AS s
+            FROM big JOIN c2 USING (h2) JOIN c1 USING (h1)
+                     JOIN np USING (h1) JOIN nc USING (hc), tt)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS kn_score
+      FROM p GROUP BY 1
+    """.trim)
+  )
+
   /** Gap-based sessionization over the event log (EventAnalytics
     * .sessionize scaladoc has the scale story: one user_id exchange,
     * lag/running-sum windows and the per-session rollup all reuse it).
@@ -3145,5 +3181,5 @@ object ExtensionQueries {
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
-    sessionizeQ, funnelQ, retentionQ)
+    sessionizeQ, funnelQ, retentionQ, knLmQ)
 }

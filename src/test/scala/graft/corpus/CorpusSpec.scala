@@ -371,6 +371,34 @@ class CorpusSpec extends SparkSpec {
     assert(o2(1L) > o2(2L), s"fluent doc must outscore unique-bigram doc: $o2")
   }
 
+  test("knBigramScore: hand-computed interpolated Kneser-Ney means; continuation mass flows to promiscuous words") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "c a"),
+      (4L, "z") // single token — no bigram, excluded
+    ).toDF("doc_id", "text")
+    val out = Corpus.knBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(4L), "a doc without bigrams must not appear")
+    // c2: ab=3, ba=1, ca=1; c1: a=3, b=1, c=1; types {ab,ba,ca}, T=3
+    // N1+(a·)=N1+(b·)=N1+(c·)=1; N1+(·b)=1, N1+(·a)=2
+    // P(ab) = (2.25 + 0.75·1·(1/3)) / 3 = 0.833333
+    // P(ba) = P(ca) = (0.25 + 0.75·1·(2/3)) / 1 = 0.75
+    assert(out(2L) == ((1L, 0.833333)), s"doc2: ${out.get(2L)}")
+    assert(out(3L) == ((1L, 0.75)), s"doc3: ${out.get(3L)}")
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 0.805555) < 1e-9,
+      s"doc1 mean(0.833333, 0.75, 0.833333): ${out.get(1L)}")
+    // discounting keeps every smoothed probability strictly inside (0, 1)
+    assert(out.values.forall(v => v._2 > 0.0 && v._2 < 1.0))
+    // ranking sanity (same contract as the Laplace scorer): fluent
+    // repeated transitions outscore corpus-unique ones
+    val o2 = Corpus.knBigramScore(Seq(
+      (1L, "x y x y x y"), (2L, "p q r s")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(o2(1L) > o2(2L), s"fluent doc must outscore unique-bigram doc: $o2")
+  }
+
   test("capPerSource keeps at most N per source, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def run() = Corpus.capPerSource(docs, 10, sourceCol = "source")
