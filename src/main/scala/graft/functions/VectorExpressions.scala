@@ -9,6 +9,11 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.graftext.VectorExpressions.dotProduct(a, b)
 
+  /** Codegen'd |a ∩ b| of two SORTED array<bigint> columns (single
+    * merge scan, no allocation) — the triangle-closure kernel. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.sortedIntersectCount(a, b)
+
   /** Native rolling-window xxhash64 fingerprints of a token array. */
   def rollingHashes(tokens: Column, w: Int): Column =
     org.apache.spark.sql.graftext.VectorExpressions.rollingHashes(tokens, w)

@@ -3091,6 +3091,43 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Triangle count + transitivity on the part co-occurrence graph
+    * (parts sharing an order; ~120 avg degree at every SF — edges and
+    * triangles grow linearly with the catalog). The ENGINE counts by
+    * the degree-ordered compact-forward orientation (GraphOps
+    * .triangleStats scaladoc: hub-proof O(√m) fan-out); the ORACLE is
+    * the independent naive a<b<c three-way join — same exact counts
+    * from a different algorithm, so the check pins semantics, not
+    * arithmetic replay. */
+  val trianglesQ: Q = Q(
+    "x_triangles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.triangleStats(pairs)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+              (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+      ns AS (SELECT COUNT(*) AS n_nodes,
+                    CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+      es AS (SELECT COUNT(*) AS n_edges FROM e0),
+      tr AS (SELECT COUNT(*) AS n_triangles
+             FROM e0 x JOIN e0 y ON y.a = x.b JOIN e0 z ON z.a = x.a AND z.b = y.b)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE ROUND((CAST(3.0 AS DOUBLE) * n_triangles) / n_wedges, 6) END AS gcc
+      FROM ns, es, tr
+    """.trim)
+  )
+
   /** Gap-based sessionization over the event log (EventAnalytics
     * .sessionize scaladoc has the scale story: one user_id exchange,
     * lag/running-sum windows and the per-session rollup all reuse it).
@@ -3181,5 +3218,5 @@ object ExtensionQueries {
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
-    sessionizeQ, funnelQ, retentionQ, knLmQ)
+    sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ)
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph structure metrics on an edge list. Companion to the
+  * iterative operators (PageRankOp, Dedup.dedupClusters' connected
+  * components): these are the one-shot join-shaped statistics.
+  */
+object GraphOps {
+
+  /** Triangle count + global clustering coefficient, by degree-ordered
+    * edge iteration (the "compact-forward" orientation, Latapy 2008;
+    * the same rank trick MapReduce triangle counters use, e.g. Suri &
+    * Vassilvitskii WWW'11): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, then count each
+    * edge u→v's triangles as |adj⁺(u) ∩ adj⁺(v)| over the FORWARD
+    * adjacencies. Every triangle {u<v<w} is counted exactly once (at
+    * its u→v edge), and all per-node work is bounded by the
+    * orientation's out-degree — O(√m) on any graph — versus the
+    * raw-degree fan-out of the naive a<b<c join that explodes on hub
+    * nodes (a celebrity node with degree 10⁶ contributes 10¹² naive
+    * wedges but only its forward-neighbor pairs here).
+    *
+    * Input: an edge list with possible duplicates/self-loops/reversed
+    * copies — canonicalized to a distinct undirected (a < b) set first.
+    *
+    * Output: ONE row — `n_nodes`, `n_edges`, `n_wedges` (open+closed
+    * paths of length 2, Σ deg·(deg−1)/2, exact integer), `n_triangles`,
+    * and `gcc` = 3·triangles / wedges (the transitivity ratio, one
+    * exactly-rounded IEEE division, 6 dp).
+    *
+    * Scale shape: the canonical edge set is checkpointed for its three
+    * consumers (degree table, orientation, edge count), the oriented
+    * set for its two (adjacency build, closure probe); every exchange
+    * carries 8-byte node ids or one packed sorted adjacency array per
+    * node; the closure's intersections run in the codegen'd
+    * [[org.apache.spark.sql.graftext.SortedIntersectCount]] merge-scan
+    * kernel. The only super-linear term is the wedge-bounded intersect
+    * work itself, capped by the orientation. */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val ed = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = ed.select(col("a").as("node"))
+      .unionAll(ed.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id) rank: src' = lower endpoint. deg is
+    // node-count-sized; the hints keep both orientation joins hash
+    // joins — the edge stream never pays a sort it doesn't need
+    val oriented = ed
+      .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d")))
+          .otherwise(struct(col("b").as("s"), col("a").as("d")))
+          .as("o"))
+      .select(col("o.s").as("src"), col("o.d").as("dst"))
+      .localCheckpoint()
+    // edge-iterator closure: a triangle {u,v,w} with rank u < v < w is
+    // counted exactly once, at its oriented edge u→v, as a common
+    // FORWARD neighbor of u and v. Forward adjacencies ride as one
+    // packed sorted array per node — the per-wedge cost is an array
+    // entry inside a Tungsten row plus one step of the codegen'd
+    // merge-scan intersect kernel, never a shuffled 16-byte wedge row
+    // with its per-row exchange overhead (the explicit wedge-stream +
+    // closure-join plan was measured materially slower at sf1; see
+    // BENCH_SCALE.md for the committed numbers). Both adjacency joins
+    // are hash joins by hint — nothing here needs an order
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+    val triPerEdge = oriented
+      .join(adj.hint("shuffle_hash"), "src")
+      .withColumnRenamed("nbrs", "nu")
+      .join(adj.hint("shuffle_hash").withColumnRenamed("src", "dst"), "dst")
+      .select(org.apache.spark.sql.graftext.VectorExpressions
+        .sortedIntersectCount(col("nu"), col("nbrs")).as("nt"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1)) div 2")).cast("bigint").as("n_wedges"))
+    val edgeStats = ed.agg(count(lit(1)).as("n_edges"))
+    val triStats = triPerEdge.agg(
+      coalesce(sum(col("nt")), lit(0L)).cast("bigint").as("n_triangles"))
+    nodeStats.crossJoin(edgeStats).crossJoin(triStats)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round((lit(3.0) * col("n_triangles")) / col("n_wedges"), 6))
+          .as("gcc"))
+  }
+}

@@ -142,6 +142,68 @@ case class CmsEstimateBcast(sketch: Broadcast[CountMinSketch], child: Expression
     copy(child = newChild)
 }
 
+/** Count of common elements between two SORTED long arrays by a single
+  * linear merge scan — the closure kernel of edge-iterator triangle
+  * counting (|adj(u) ∩ adj(v)| per edge). The built-in
+  * `array_intersect` allocates an OpenHashSet AND the result array per
+  * call; at 10⁸+ intersections per query that allocation is the
+  * dominant cost, and only the COUNT is ever used. Inputs MUST be
+  * sorted ascending (e.g. `sort_array`) — callers own that invariant;
+  * duplicates match positionally like merge-join (distinct inputs give
+  * set semantics). Null elements are not expected (graph adjacency);
+  * a null array yields null by standard binary-expression propagation.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** CMS point estimate via broadcast (see [[CmsEstimateBcast]]). */
   def cmsEstimateBcast(sketch: Broadcast[CountMinSketch], key: Column): Column =
@@ -151,6 +213,11 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** |a ∩ b| of two sorted long arrays (see [[SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def rollingHashes(tokens: Column, w: Int): Column =
     ExpressionUtils.column(RollingHashes(ExpressionUtils.expression(tokens), w))
@@ -312,6 +379,8 @@ private[graftext] object GraftFunctionRegistry {
   val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("dot_product", classOf[DotProduct],
       es => DotProduct(es(0), es(1))),
+    ("sorted_intersect_count", classOf[SortedIntersectCount],
+      es => SortedIntersectCount(es(0), es(1))),
     ("rolling_hashes", classOf[RollingHashes],
       es => RollingHashes(es(0), intArg("rolling_hashes", es(1)))),
     ("rolling_ngrams", classOf[RollingNgrams],
@@ -356,6 +425,11 @@ private[graftext] object GraftFunctionRegistry {
         "must be <= 63. Sort or range-partition by the result before a " +
         "columnar write to bound every file's min/max box in all " +
         "interleaved dimensions at once."),
+    "sorted_intersect_count" ->
+      ("_FUNC_(a, b) - Count of common elements between two ARRAY<BIGINT> " +
+        "that MUST be sorted ascending (e.g. sort_array); a single " +
+        "merge scan, no allocation. Duplicates match positionally " +
+        "(merge-join semantics) — distinct inputs give set semantics."),
     "md5_hashes60" ->
       ("_FUNC_(arr) - Per-element 60-bit md5 hashes of a string array. " +
         "NULL elements are DROPPED: the output array is shorter than the " +

@@ -176,6 +176,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("SortedIntersectCount matches size(array_intersect) on random sorted distinct arrays") {
+    val rnd = new scala.util.Random(13)
+    val cases = Seq.fill(50)((
+      rnd.shuffle((0L until 200L).toList).take(rnd.nextInt(40)).sorted.toArray,
+      rnd.shuffle((0L until 200L).toList).take(rnd.nextInt(40)).sorted.toArray))
+    val rows = cases.toDF("a", "b").select(
+      VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // empty and null propagation
+    val edge = Seq(
+      (Some(Array(1L, 2L)), Some(Array.empty[Long])),
+      (None, Some(Array(1L)))).toDF("a", "b")
+      .select(VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(edge(0) == 0L)
+    assert(edge(1) == null)
+  }
+
   test("every native function is callable from SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql("""
@@ -203,6 +222,9 @@ class VectorExpressionsSpec extends SparkSpec {
     val st = r.getStruct(10)
     assert((st.getInt(0), st.getInt(1), st.getInt(2), st.getInt(3),
       st.getInt(4), st.getInt(5)) == ((2, 4, 1, 1, 7, 2)))
+    // the merge-scan intersect kernel registers too
+    assert(spark.sql("SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L))")
+      .collect().head.getLong(0) == 2L)
     // the generator registers too: one call expands the i<j pairs
     val pairs = spark.sql("SELECT id_pairs(array(1L, 2L, 3L))").collect()
       .map(p => (p.getLong(0), p.getLong(1))).toSet

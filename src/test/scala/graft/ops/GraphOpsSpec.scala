@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantics pins for the degree-ordered triangle counter: known
+  * triangle counts on hand-built graphs, canonicalization of messy
+  * edge lists, and agreement with a brute-force reference on a random
+  * graph (the same independence idea as the catalog oracle, in-suite).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+    import spark.implicits._
+    val r = GraphOps.triangleStats(edges.toDF("src", "dst")).collect().head
+    (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"), r.getAs[Double]("gcc"))
+  }
+
+  test("K4 has 4 triangles and transitivity 1") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(stats(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("a path graph has wedges but zero triangles; gcc 0") {
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 2L, 0L, 0.0)))
+  }
+
+  test("self-loops, duplicate and reversed edges canonicalize away") {
+    // triangle 1-2-3 written messily: dup (1,2), reversed (3,1), loop (2,2)
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+    assert(stats(messy) == ((3L, 3L, 3L, 1L, 1.0)))
+  }
+
+  test("hub wedge counting: star K1,3 plus one closing edge") {
+    // center 1 with spokes 2,3,4; edge (2,3) closes one of the 3 wedges;
+    // nodes 2 and 3 each gain a wedge (deg 2): wedges = 3 + 1 + 1 = 5
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val (n, e, w, t, gcc) = stats(g)
+    assert((n, e, w, t) == ((4L, 4L, 5L, 1L)))
+    assert(math.abs(gcc - 0.6) < 1e-9) // 3·1/5
+  }
+
+  test("matches brute-force reference on a deterministic pseudo-random graph") {
+    // 40 nodes, edge (a,b) present iff a hash-ish predicate fires
+    val edges = for {
+      a <- 0L until 40L; b <- 0L until 40L
+      if a < b && (a * 31 + b * 17 + a * b) % 5 == 0
+    } yield (a, b)
+    val es = edges.toSet
+    val ref = (for {
+      a <- 0L until 40L; b <- a + 1 until 40L; c <- b + 1 until 40L
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield 1).size.toLong
+    val (_, e, _, t, _) = stats(edges)
+    assert(e == edges.size.toLong)
+    assert(t == ref, s"engine $t vs brute-force $ref triangles")
+  }
+}
