@@ -3128,6 +3128,90 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Deterministic synchronous label propagation, 3 rounds, on the
+    * part co-occurrence graph (GraphOps.labelPropagation scaladoc has
+    * the tie-break + bounded-lineage story). The oracle unrolls all 3
+    * rounds with ROW_NUMBER argmax windows — a different argmax
+    * mechanism than the engine's max-struct, same deterministic
+    * (count desc, label asc) semantics. */
+  val labelPropQ: Q = Q(
+    "x_label_prop",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.labelPropagation(pairs, iters = 3)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+      it1 AS (SELECT node, label FROM (
+               SELECT v AS node, label,
+                      ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+               FROM (SELECT s.v, l.label, COUNT(*) AS c
+                     FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2)) WHERE rn = 1),
+      it2 AS (SELECT node, label FROM (
+               SELECT v AS node, label,
+                      ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+               FROM (SELECT s.v, l.label, COUNT(*) AS c
+                     FROM sym s JOIN it1 l ON s.u = l.node GROUP BY 1, 2)) WHERE rn = 1),
+      it3 AS (SELECT node, label FROM (
+               SELECT v AS node, label,
+                      ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+               FROM (SELECT s.v, l.label, COUNT(*) AS c
+                     FROM sym s JOIN it2 l ON s.u = l.node GROUP BY 1, 2)) WHERE rn = 1)
+      SELECT node, label FROM it3
+    """.trim)
+  )
+
+  /** One-row structural summary of the part co-occurrence graph with
+    * Newman degree assortativity (GraphOps.graphStats scaladoc has the
+    * sqrt-free identical-marginals form and the DECIMAL(38,0) overflow
+    * guard; the oracle carries the same integer sums in HUGEINT). */
+  val graphStatsQ: Q = Q(
+    "x_graph_stats",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.graphStats(pairs)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+              (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+      da AS (SELECT COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+                    CAST(SUM(deg) AS BIGINT) AS sum_deg,
+                    CAST(SUM(deg * deg) AS BIGINT) AS sx,
+                    CAST(SUM(deg * deg * deg) AS BIGINT) AS sxx FROM deg),
+      pa AS (SELECT COUNT(*) AS n_edges, CAST(SUM(x.deg * y.deg) AS BIGINT) AS sab
+             FROM e0 JOIN deg x ON e0.a = x.node JOIN deg y ON e0.b = y.node)
+      SELECT n_nodes, n_edges, min_deg, max_deg,
+             ROUND(CAST(sum_deg AS DOUBLE) / n_nodes, 6) AS avg_deg,
+             CASE WHEN CAST(2 * n_edges AS HUGEINT) * CAST(sxx AS HUGEINT)
+                       - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) = 0
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE ROUND(
+                    CAST(CAST(2 * n_edges AS HUGEINT) * CAST(2 * sab AS HUGEINT)
+                         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+                    / CAST(CAST(2 * n_edges AS HUGEINT) * CAST(sxx AS HUGEINT)
+                           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE), 6)
+             END AS assortativity
+      FROM da, pa
+    """.trim)
+  )
+
   /** Gap-based sessionization over the event log (EventAnalytics
     * .sessionize scaladoc has the scale story: one user_id exchange,
     * lag/running-sum windows and the per-session rollup all reuse it).
@@ -3218,5 +3302,5 @@ object ExtensionQueries {
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
-    sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ)
+    sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ)
 }

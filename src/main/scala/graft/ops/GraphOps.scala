@@ -38,14 +38,19 @@ object GraphOps {
     * [[org.apache.spark.sql.graftext.SortedIntersectCount]] merge-scan
     * kernel. The only super-linear term is the wedge-bounded intersect
     * work itself, capped by the orientation. */
-  def triangleStats(edges: DataFrame, srcCol: String = "src",
-                    dstCol: String = "dst"): DataFrame = {
-    val ed = edges
+  /** Canonical undirected edge set: distinct (a < b), self-loops
+    * dropped, checkpointed once for its downstream consumers. */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val ed = canonical(edges, srcCol, dstCol)
     val deg = ed.select(col("a").as("node"))
       .unionAll(ed.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -91,5 +96,88 @@ object GraphOps {
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(round((lit(3.0) * col("n_triangles")) / col("n_wedges"), 6))
           .as("gcc"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007's LPA, made
+    * deterministic): every node starts labeled with its own id; each
+    * round it adopts the label most frequent among its neighbors,
+    * ties broken by SMALLEST label; all nodes update simultaneously
+    * from the previous round's labels (the asynchronous/random-order
+    * variants converge faster but are non-reproducible — a
+    * deterministic engine can't ship them). Runs a FIXED `iters`
+    * rounds; the per-round label table is localCheckpointed so plan
+    * depth and lineage stay O(1) per round (the same bounded-lineage
+    * discipline as PageRankOp / the CC loop).
+    *
+    * Per round: one join of the symmetrized edge list against the
+    * label table (8-byte ids only), a (node, label) count, and a
+    * max-struct argmax — max(struct(cnt, −label)) picks highest count
+    * then lowest label without a per-node sort window.
+    *
+    * Output: (node, label) for every node of the canonicalized graph.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"labelPropagation: iters must be in [1, 20], got $iters")
+    val ed = canonical(edges, srcCol, dstCol)
+    val sym = ed.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ed.select(col("b").as("u"), col("a").as("v")))
+    var labels = ed.select(col("a").as("node"))
+      .unionAll(ed.select(col("b").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.select(col("node").as("u"), col("label")).hint("shuffle_hash"), "u")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** One-row structural summary: node/edge counts, degree min/max/mean,
+    * and the degree assortativity coefficient — Newman 2002's r, the
+    * Pearson correlation of (deg u, deg v) over all DIRECTED edge
+    * occurrences. With identical marginals (every undirected edge
+    * contributes both orientations) the sqrt-free form is exact:
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²),   M = 2·edges,
+    * where Σx = Σ deg², Σx² = Σ deg³ come from the degree table alone
+    * and only Σxy needs the per-edge deg·deg join. The three final
+    * products can pass 2⁶³ on large graphs, so they are computed in
+    * DECIMAL(38,0) (exact; the oracle uses HUGEINT — same integers),
+    * and r is ONE exactly-rounded IEEE division at the end. A regular
+    * graph has zero degree variance — r is defined as 0.0 there. */
+  def graphStats(edges: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst"): DataFrame = {
+    val ed = canonical(edges, srcCol, dstCol)
+    val deg = ed.select(col("a").as("node"))
+      .unionAll(ed.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      min(col("deg")).as("min_deg"),
+      max(col("deg")).as("max_deg"),
+      sum(col("deg")).cast("bigint").as("sum_deg"),
+      sum(col("deg") * col("deg")).cast("bigint").as("sx"),
+      sum(col("deg") * col("deg") * col("deg")).cast("bigint").as("sxx"))
+    val prodAgg = ed
+      .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), "b")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("da") * col("db")).cast("bigint").as("sab"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    degAgg.crossJoin(prodAgg)
+      .select(col("n_nodes"), col("n_edges"), col("min_deg"), col("max_deg"),
+        round(col("sum_deg").cast("double") / col("n_nodes"), 6).as("avg_deg"),
+        (d(lit(2) * col("n_edges")) * d(lit(2) * col("sab")) - d(col("sx")) * d(col("sx"))).as("num"),
+        (d(lit(2) * col("n_edges")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("den"))
+      .select(col("n_nodes"), col("n_edges"), col("min_deg"), col("max_deg"), col("avg_deg"),
+        when(col("den") === 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("assortativity"))
   }
 }

@@ -41,6 +41,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(gcc - 0.6) < 1e-9) // 3·1/5
   }
 
+  test("labelPropagation: hand-propagated labels on two bridged triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12}, bridge 3-10; synchronous
+    // min-tie-break rounds hand-computed: after 3 rounds the left
+    // triangle holds label 1, the right (incl. its bridge node) label 3
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val out = GraphOps.labelPropagation(g.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagation: star round 1 — center takes the smallest spoke label, spokes take the center's") {
+    import spark.implicits._
+    val out = GraphOps.labelPropagation(
+      Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
+  }
+
+  test("graphStats: P3 path is perfectly disassortative, K3 has zero degree variance") {
+    import spark.implicits._
+    def row(edges: Seq[(Long, Long)]) = GraphOps.graphStats(edges.toDF("src", "dst"))
+      .collect().head
+    val p3 = row(Seq((1L, 2L), (2L, 3L)))
+    assert((p3.getLong(0), p3.getLong(1), p3.getLong(2), p3.getLong(3)) == ((3L, 2L, 1L, 2L)))
+    assert(math.abs(p3.getDouble(4) - 1.333333) < 1e-9)
+    assert(p3.getDouble(5) == -1.0, s"P3 assortativity: ${p3.getDouble(5)}")
+    val k3 = row(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(k3.getDouble(5) == 0.0, "regular graph must report r = 0")
+    assert(k3.getDouble(4) == 2.0)
+  }
+
   test("matches brute-force reference on a deterministic pseudo-random graph") {
     // 40 nodes, edge (a,b) present iff a hash-ish predicate fires
     val edges = for {
