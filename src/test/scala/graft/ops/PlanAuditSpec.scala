@@ -589,6 +589,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "cohort assignment must be a window, not a users join:\n" + p)
   }
 
+  test("x_triangles: closure is hash joins over the kernel — no sort-merge, no cartesian on data") {
+    val p = plan("x_triangles")
+    assert(p.contains("sorted_intersect_count"),
+      "closure must run the codegen'd merge-scan kernel:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the triangle plan needs an order:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "only the single-row stat combine may nest loops:\n" + p)
+  }
+
+  test("x_label_prop: argmax is max-struct aggregation, never a per-node sort window") {
+    val p = plan("x_label_prop")
+    assert(!p.contains("Window"),
+      "LPA rounds must use the max-struct argmax, not row_number windows:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
