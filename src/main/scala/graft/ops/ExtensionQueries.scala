@@ -3212,6 +3212,47 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Mergeable-sketch distinct counting: HLL(p=8) distinct orderkeys
+    * per (returnflag, linestatus), exact count computed alongside as
+    * the visible-error baseline (Hll.hllDistinct scaladoc has the
+    * register algebra, the exact-integer harmonic sum, and the
+    * raw-regime contract). The oracle replays the md5-60 bucketing,
+    * bin()-length rho, BIGINT register sum, and the identical
+    * alpha-expression arithmetic. */
+  val hllDistinctQ: Q = Q(
+    "x_hll_distinct",
+    (s, d) => Hll.hllDistinct(Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus"), "l_orderkey"),
+    Some("""
+      WITH h0 AS (SELECT l_returnflag, l_linestatus,
+                         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+                         l_orderkey
+                  FROM lineitem),
+      hb AS (SELECT l_returnflag, l_linestatus, l_orderkey,
+                    h // 4503599627370496 AS bucket, h % 4503599627370496 AS w
+             FROM h0),
+      hr AS (SELECT l_returnflag, l_linestatus, l_orderkey, bucket,
+                    CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+             FROM hb),
+      regs AS (SELECT l_returnflag, l_linestatus, bucket, MAX(rho) AS mj
+               FROM hr GROUP BY 1, 2, 3),
+      sk AS (SELECT l_returnflag, l_linestatus,
+                    COUNT(*) AS n_buckets_hit,
+                    CAST(SUM(1::BIGINT << (53 - mj)) AS BIGINT) AS sp
+             FROM regs GROUP BY 1, 2),
+      est AS (SELECT l_returnflag, l_linestatus, n_buckets_hit,
+                     ROUND(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                           * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+                           / CAST(sp + (256 - n_buckets_hit) * 9007199254740992 AS DOUBLE), 6)
+                       AS hll_distinct
+              FROM sk),
+      ex AS (SELECT l_returnflag, l_linestatus, COUNT(DISTINCT l_orderkey) AS exact_distinct
+             FROM h0 GROUP BY 1, 2)
+      SELECT ex.l_returnflag, ex.l_linestatus, exact_distinct, n_buckets_hit, hll_distinct
+      FROM ex JOIN est USING (l_returnflag, l_linestatus)
+    """.trim)
+  )
+
   /** Gap-based sessionization over the event log (EventAnalytics
     * .sessionize scaladoc has the scale story: one user_id exchange,
     * lag/running-sum windows and the per-session rollup all reuse it).
@@ -3302,5 +3343,6 @@ object ExtensionQueries {
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
-    sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ)
+    sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
+    hllDistinctQ)
 }
