@@ -3212,6 +3212,56 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Fixed-round k-core peeling trajectory (k=80, 3 rounds) on the
+    * part co-occurrence graph (GraphOps.kcorePeel scaladoc has the
+    * bounded-rounds rationale). At sf0.01 the trajectory is mid-
+    * cascade (108821 → 106882 → 105861 edges), so the oracle pins
+    * three genuinely different peeling states, not a fixpoint. */
+  val kcoreQ: Q = Q(
+    "x_kcore",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.kcorePeel(pairs, k = 80, rounds = 3)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      d1 AS (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+      k1 AS (SELECT node FROM d1 WHERE deg >= 80),
+      e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
+                                   AND b IN (SELECT node FROM k1)),
+      d2 AS (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) t GROUP BY 1),
+      k2 AS (SELECT node FROM d2 WHERE deg >= 80),
+      e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
+                                   AND b IN (SELECT node FROM k2)),
+      d3 AS (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) t GROUP BY 1),
+      k3 AS (SELECT node FROM d3 WHERE deg >= 80),
+      e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
+                                   AND b IN (SELECT node FROM k3))
+      SELECT 1 AS round,
+             (SELECT COUNT(DISTINCT node) FROM
+              (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) t) AS n_nodes,
+             (SELECT COUNT(*) FROM e1) AS n_edges
+      UNION ALL SELECT 2,
+             (SELECT COUNT(DISTINCT node) FROM
+              (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) t),
+             (SELECT COUNT(*) FROM e2)
+      UNION ALL SELECT 3,
+             (SELECT COUNT(DISTINCT node) FROM
+              (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) t),
+             (SELECT COUNT(*) FROM e3)
+    """.trim)
+  )
+
   /** Mergeable-sketch distinct counting: HLL(p=8) distinct orderkeys
     * per (returnflag, linestatus), exact count computed alongside as
     * the visible-error baseline (Hll.hllDistinct scaladoc has the
@@ -3344,5 +3394,5 @@ object ExtensionQueries {
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
-    hllDistinctQ)
+    hllDistinctQ, kcoreQ)
 }

@@ -139,6 +139,48 @@ object GraphOps {
     labels
   }
 
+  /** Fixed-round k-core peeling: each round recomputes degrees over
+    * the surviving edge set and drops every node below `k`, edges
+    * restricted to surviving endpoints by two left-semi joins. True
+    * k-core iterates to a fixpoint; a FIXED round count keeps the
+    * result reproducible and the plan statically bounded — callers
+    * read the trajectory to see whether it stabilized (equal rows) or
+    * was still cascading. Per-round edge sets are localCheckpointed
+    * (bounded lineage, one materialization each); every exchange
+    * carries 8-byte node ids.
+    *
+    * Output: one row per round — `round`, `n_nodes` (nodes still
+    * carrying an edge), `n_edges`. */
+  def kcorePeel(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                k: Int = 2, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"kcorePeel: k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 10, s"kcorePeel: rounds must be in [1, 10], got $rounds")
+    def degOf(d: DataFrame): DataFrame = d.select(col("a").as("node"))
+      .unionAll(d.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var e = canonical(edges, srcCol, dstCol)
+    // ONE degree aggregation per round: the checkpointed node-sized
+    // table feeds both this round's stats (n_nodes = its row count,
+    // n_edges = Σdeg/2 — no second pass over the edge ends) and the
+    // next round's peel filter
+    var deg = degOf(e).localCheckpoint()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("a")).hint("shuffle_hash"), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")).hint("shuffle_hash"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      deg = degOf(e).localCheckpoint()
+      val st = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("deg")), lit(0L)).cast("bigint").as("s")).collect()(0)
+      buf += ((r, st.getLong(0), st.getLong(1) / 2))
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    buf.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
   /** One-row structural summary: node/edge counts, degree min/max/mean,
     * and the degree assortativity coefficient — Newman 2002's r, the
     * Pearson correlation of (deg u, deg v) over all DIRECTED edge

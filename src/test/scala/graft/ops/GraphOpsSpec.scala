@@ -73,6 +73,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(k3.getDouble(4) == 2.0)
   }
 
+  test("kcorePeel: K4 with a tail — tail peels in round 1, core stabilizes; k above the core empties it") {
+    import spark.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))
+    val tr = GraphOps.kcorePeel(k4.toDF("src", "dst"), k = 3, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // round 1 drops nodes 5 (deg 2) and 6 (deg 1); the K4 core is stable after
+    assert(tr == Set((1, 4L, 6L), (2, 4L, 6L), (3, 4L, 6L)), tr.toString)
+    val dead = GraphOps.kcorePeel(k4.toDF("src", "dst"), k = 4, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dead == Set((1, 0L, 0L), (2, 0L, 0L)), dead.toString)
+  }
+
   test("matches brute-force reference on a deterministic pseudo-random graph") {
     // 40 nodes, edge (a,b) present iff a hash-ish predicate fires
     val edges = for {
