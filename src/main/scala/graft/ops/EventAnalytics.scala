@@ -96,6 +96,52 @@ object EventAnalytics {
       s"stack(${steps.size}, $stackExpr) AS (step_idx, step, n_users)")
   }
 
+  /** Market-basket association rules over (basket, item) pairs —
+    * support / confidence / lift for the top-k item pairs (Agrawal &
+    * Srikant's Apriori output for itemsets of size 2, computed directly:
+    * the pair-count table IS the L2 candidate set, no candidate
+    * generation loop needed at this size).
+    *
+    * For an unordered pair {a, b} (a < b):
+    *   support    = c_ab / n   (share of baskets containing both)
+    *   confidence = c_ab / c_a (of a's baskets, share also holding b —
+    *                reported in the a→b direction)
+    *   lift       = n·c_ab / (c_a·c_b)
+    * All three are single IEEE divisions of exact BIGINT counts
+    * (c_a·c_b below 2⁶³ for basket counts to ~3e9 per item), rounded
+    * to 6 dp; ranking is (lift DESC, a, b) — a total order, so top-k
+    * is reproducible.
+    *
+    * Scale shape: the per-basket self-join is bounded by basket size
+    * (k items → k(k−1)/2 pairs); pair counts and item counts combine
+    * map-side; the item-count dictionary joins back twice (item-sized,
+    * hash joins); the final top-k is a TakeOrderedAndProject, never a
+    * full sort.
+    *
+    * Input columns: `basketCol`, `itemCol`. Output: a, b, n_ab,
+    * support, confidence, lift, rn (1-based rank). */
+  def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                       k: Int = 20): DataFrame = {
+    require(k >= 1, s"associationRules: k must be >= 1, got $k")
+    val bi = baskets.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
+    val n = bi.select(col("_bk")).distinct().count()
+    val itemCnt = bi.groupBy(col("_it")).agg(count(lit(1)).as("_c"))
+    val pairCnt = bi.select(col("_bk"), col("_it").as("a"))
+      .join(bi.select(col("_bk"), col("_it").as("b")), "_bk")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val scored = pairCnt
+      .join(itemCnt.select(col("_it").as("a"), col("_c").as("ca")).hint("shuffle_hash"), "a")
+      .join(itemCnt.select(col("_it").as("b"), col("_c").as("cb")).hint("shuffle_hash"), "b")
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") / lit(n), 6).as("support"),
+        round(col("n_ab").cast("double") / col("ca"), 6).as("confidence"),
+        round((lit(n) * col("n_ab")).cast("double") / (col("ca") * col("cb")), 6).as("lift"))
+    val top = scored.orderBy(col("lift").desc, col("a"), col("b")).limit(k)
+    top.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("lift").desc, col("a"), col("b"))))
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * FIRST event (the cohort); for each later week, how many of that
     * cohort were active. The first-event time is a `min` window over

@@ -3212,6 +3212,32 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Top-20 association rules by lift over order baskets
+    * (EventAnalytics.associationRules scaladoc: exact-count rational
+    * support/confidence/lift, total-order ranking, TakeOrderedAndProject
+    * top-k). Oracle replays the count joins and the identical
+    * round-then-rank arithmetic. */
+  val assocRulesQ: Q = Q(
+    "x_assoc_rules",
+    (s, d) => EventAnalytics.associationRules(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey", k = 20),
+    Some("""
+      WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      nn AS (SELECT COUNT(DISTINCT bk) AS n FROM bi),
+      ic AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY 1),
+      pc AS (SELECT x.it AS a, y.it AS b, COUNT(*) AS n_ab
+             FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2),
+      sc AS (SELECT a, b, n_ab,
+                    ROUND(CAST(n_ab AS DOUBLE) / n, 6) AS support,
+                    ROUND(CAST(n_ab AS DOUBLE) / ca.c, 6) AS confidence,
+                    ROUND(CAST(n * n_ab AS DOUBLE) / (ca.c * cb.c), 6) AS lift
+             FROM pc JOIN ic ca ON pc.a = ca.it JOIN ic cb ON pc.b = cb.it, nn)
+      SELECT a, b, n_ab, support, confidence, lift,
+             ROW_NUMBER() OVER (ORDER BY lift DESC, a, b) AS rn
+      FROM sc ORDER BY lift DESC, a, b LIMIT 20
+    """.trim)
+  )
+
   /** Fixed-round k-core peeling trajectory (k=80, 3 rounds) on the
     * part co-occurrence graph (GraphOps.kcorePeel scaladoc has the
     * bounded-rounds rationale). At sf0.01 the trajectory is mid-
@@ -3394,5 +3420,5 @@ object ExtensionQueries {
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
-    hllDistinctQ, kcoreQ)
+    hllDistinctQ, kcoreQ, assocRulesQ)
 }

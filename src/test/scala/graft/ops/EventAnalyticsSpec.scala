@@ -77,6 +77,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rowSet(out) == Set("1|view|1", "1|click|2"))
   }
 
+  test("associationRules: hand-computed lift ranking with tie-break, duplicate rows collapse") {
+    import spark.implicits._
+    // baskets: 1:{A,B} 2:{A,B} 3:{A,C} 4:{B,C} 5:{C,D} 6:{C,D} (items 1-4)
+    // lift: CD = 6·2/(4·2) = 1.5 > AB = 6·2/(3·3) = 1.333333 >
+    //       AC = BC = 6·1/(3·4) = 0.5 (tie → (1,3) before (2,3))
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (4L, 2L), (4L, 3L), (5L, 3L), (5L, 4L), (6L, 3L), (6L, 4L),
+      (6L, 4L)) // duplicate (basket, item) row must not inflate counts
+    val out = EventAnalytics.associationRules(
+      rows.toDF("bk", "it"), "bk", "it", k = 10)
+      .collect().map(r => (r.getAs[Int]("rn"), r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_ab"), r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    assert(out.toSeq == Seq(
+      (1, 3L, 4L, 2L, 0.333333, 0.5, 1.5),
+      (2, 1L, 2L, 2L, 0.333333, 0.666667, 1.333333),
+      (3, 1L, 3L, 1L, 0.166667, 0.333333, 0.5),
+      (4, 2L, 3L, 1L, 0.166667, 0.333333, 0.5)), out.toSeq.toString)
+  }
+
   test("retention: cohort = Monday week of first event; offsets count whole weeks") {
     val ev = events(
       // user 1: first event Tue Jan 2 2024 (week of Mon Jan 1), active
