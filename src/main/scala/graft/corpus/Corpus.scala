@@ -1035,6 +1035,17 @@ object Corpus {
     val tf = base.select(col(idCol), col("dl"), explode(col("_toks")).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy(col(idCol), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, stats, k, k1, b, idCol)
+  }
+
+  /** Shared BM25 ranking tail for the scan path ([[bm25TopDocs]]) and
+    * the index-probe path ([[bm25TopDocsIndexed]]): the two paths build
+    * the SAME (id, dl, tok, tf) table, so keeping the scoring here —
+    * one expression tree — is what makes the probe result bit-identical
+    * to the scan result (and both to the one DuckDB oracle). */
+  private def bm25Rank(tf: DataFrame, stats: DataFrame, k: Int,
+                       k1: Double, b: Double, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfT), "tok").crossJoin(broadcast(stats))
       .select(col(idCol),
@@ -1047,6 +1058,50 @@ object Corpus {
     val top = agg.orderBy(col("score").desc, col(idCol)).limit(k)
     top.withColumn("rn",
       row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+
+  /** Persist the inverted index BM25 retrieval probes: the posting
+    * table (id, dl, tok, tf) — doc length DENORMALIZED into every
+    * posting so a probe needs zero joins against a doc table — hash-
+    * partitioned AND sorted by token within files, plus a one-row
+    * stats table (n, sum_dl; avgdl is re-derived at probe time with
+    * the same expression shape the scan path uses, so scores match
+    * bit-for-bit).
+    *
+    * Why this layout at 100 TB: a query term lives in exactly one
+    * partition file (hash partitioning), and within the file the
+    * token sort gives parquet row-group min/max bounds — the probe's
+    * isin filter pushes to the scan and reads only the query terms'
+    * row groups, never the corpus. Build cost (the full tokenize +
+    * explode + count) is paid once; probes are posting-proportional. */
+  def saveInvertedIndex(docs: DataFrame, dir: String,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).as("dl"))
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    base.select(col(idCol), col("dl"), explode(col("_toks")).as("tok"))
+      .groupBy(col(idCol), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      .repartition(col("tok"))
+      .sortWithinPartitions(col("tok"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** Probe-only BM25 top-k over a [[saveInvertedIndex]] directory —
+    * identical parameters give the identical result as the scan-path
+    * [[bm25TopDocs]] (shared [[bm25Rank]] tail; spec-pinned), but the
+    * probe reads only the query terms' postings (pushdown-pruned scan,
+    * PlanAuditSpec-pinned) and the one-row stats table. */
+  def bm25TopDocsIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         queryTerms: Seq[String], k: Int = 10,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocsIndexed: queryTerms must be non-empty")
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("tok").isin(queryTerms: _*))
+    bm25Rank(tf, stats, k, k1, b, idCol)
   }
 
   /** Bigram-LM fluency score — the language-model quality filter of

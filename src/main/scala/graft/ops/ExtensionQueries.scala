@@ -3212,6 +3212,28 @@ object ExtensionQueries {
     """.trim)
   )
 
+  private val invIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def invIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    invIndexCache.computeIfAbsent(datasetSignature(d, "documents.parquet"), _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-inv-index").toString
+      deleteOnExitRecursively(path)
+      graft.corpus.Corpus.saveInvertedIndex(Tables.documents(s, d), path)
+      path
+    })
+
+  /** Probe-only BM25 over the PERSISTED inverted index — identical
+    * query/parameters/result as x_bm25 (shared scoring tail), so the
+    * oracle is the same replay; what changes is WHERE the corpus cost
+    * is paid: the tokenize/explode/count build runs once
+    * (Corpus.saveInvertedIndex), each probe reads only the query
+    * terms' pushdown-pruned postings. */
+  val bm25IndexedQ: Q = Q(
+    "x_bm25_indexed",
+    (s, d) => graft.corpus.Corpus.bm25TopDocsIndexed(
+      s, invIndexFor(s, d), Seq("spark", "merge", "vector"), k = 10),
+    bm25.oracle
+  )
+
   /** Top-20 association rules by lift over order baskets
     * (EventAnalytics.associationRules scaladoc: exact-count rational
     * support/confidence/lift, total-order ranking, TakeOrderedAndProject
@@ -3420,5 +3442,5 @@ object ExtensionQueries {
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
-    hllDistinctQ, kcoreQ, assocRulesQ)
+    hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ)
 }

@@ -399,6 +399,29 @@ class CorpusSpec extends SparkSpec {
     assert(o2(1L) > o2(2L), s"fluent doc must outscore unique-bigram doc: $o2")
   }
 
+  test("bm25TopDocsIndexed: probe over the persisted index is bit-identical to the scan path") {
+    val docs = Seq(
+      (1L, "spark merge spark engine"),
+      (2L, "vector search with spark"),
+      (3L, "merge sort and other lists"),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark spark spark merge vector")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inv-idx-spec").toString
+    Corpus.saveInvertedIndex(docs, dir)
+    val terms = Seq("spark", "merge", "vector")
+    val scan = Corpus.bm25TopDocs(docs, terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val probe = Corpus.bm25TopDocsIndexed(spark, dir, terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(scan == probe, s"scan=$scan probe=$probe")
+    assert(scan.nonEmpty && !scan.map(_._1).contains(4L))
+    // a term absent from the corpus contributes nothing on either path
+    val scan2 = Corpus.bm25TopDocs(docs, Seq("spark", "zzz"), k = 10).collect().toSeq
+    val probe2 = Corpus.bm25TopDocsIndexed(spark, dir, Seq("spark", "zzz"), k = 10)
+      .collect().toSeq
+    assert(scan2 == probe2)
+  }
+
   test("capPerSource keeps at most N per source, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def run() = Corpus.capPerSource(docs, 10, sourceCol = "source")

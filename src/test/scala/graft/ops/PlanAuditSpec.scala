@@ -606,6 +606,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x_bm25_indexed: probe reads pruned postings — term filter pushed to the scan, no corpus tokenize") {
+    val p = plan("x_bm25_indexed")
+    assert(p.contains("PushedFilters") && p.contains("In(tok"),
+      "query-term isin must reach the postings parquet scan:\n" + p)
+    assert(!p.contains("Generate"),
+      "the probe must never re-explode the corpus — that cost was paid at index build:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
