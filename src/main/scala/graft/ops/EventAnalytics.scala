@@ -96,6 +96,30 @@ object EventAnalytics {
       s"stack(${steps.size}, $stackExpr) AS (step_idx, step, n_users)")
   }
 
+  /** Event-type transition matrix ("user flow"): for each ordered pair
+    * of consecutive events of the same user, count the (prev_type →
+    * event_type) transition and its row-normalized probability — the
+    * first-order Markov readout of the event log. One lag window over
+    * the single user_id exchange (same shape as [[sessionize]]); the
+    * transition rollup is event-type² groups, map-side combined to
+    * almost nothing before its exchange. Probabilities are one IEEE
+    * division of exact counts, 6 dp. `event_id` breaks timestamp ties.
+    *
+    * Output: prev_type, event_type, n (transition count), prob. */
+  def transitions(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("prob",
+        round(col("n").cast("double") / sum(col("n")).over(wPrev), 6))
+  }
+
   /** Market-basket association rules over (basket, item) pairs —
     * support / confidence / lift for the top-k item pairs (Agrawal &
     * Srikant's Apriori output for itemsets of size 2, computed directly:

@@ -3234,6 +3234,25 @@ object ExtensionQueries {
     bm25.oracle
   )
 
+  /** First-order event-type transition matrix over the event log
+    * (EventAnalytics.transitions: one lag window on the single user_id
+    * exchange, event-type² rollup). */
+  val transitionsQ: Q = Q(
+    "x_transitions",
+    (s, d) => EventAnalytics.transitions(Tables.events(s, d)),
+    Some("""
+      WITH p AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events),
+      c AS (SELECT prev_type, event_type, COUNT(*) AS n
+            FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, event_type, n,
+             ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+      FROM c
+    """.trim)
+  )
+
   /** Top-20 association rules by lift over order baskets
     * (EventAnalytics.associationRules scaladoc: exact-count rational
     * support/confidence/lift, total-order ranking, TakeOrderedAndProject
@@ -3442,5 +3461,5 @@ object ExtensionQueries {
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
-    hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ)
+    hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ)
 }

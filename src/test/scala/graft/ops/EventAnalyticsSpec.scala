@@ -77,6 +77,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rowSet(out) == Set("1|view|1", "1|click|2"))
   }
 
+  test("transitions: per-user consecutive pairs only, row-normalized probabilities") {
+    val ev = events(
+      // user 1: view -> click -> view; user 2: view -> purchase
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 0.0),
+      (4L, "2024-01-01 09:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 09:30:00", 2L, "purchase", 0.0))
+    val out = EventAnalytics.transitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // from 'view': click (1) and purchase (1) -> 0.5 each; from 'click': view (1) -> 1.0
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "purchase") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))), out.toString)
+    // no cross-user transition (user 2's 09:30 purchase never chains to user 1's 10:00 view)
+    assert(!out.contains(("purchase", "view")))
+  }
+
   test("associationRules: hand-computed lift ranking with tie-break, duplicate rows collapse") {
     import spark.implicits._
     // baskets: 1:{A,B} 2:{A,B} 3:{A,C} 4:{B,C} 5:{C,D} 6:{C,D} (items 1-4)
