@@ -3253,6 +3253,130 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** ANALYZE-style one-pass column profile of lineitem (Profile.profile
+    * scaladoc: single multi-distinct aggregate statement — one Expand,
+    * one pass — unpivoted to long format driver-side). */
+  val profileQ: Q = Q(
+    "x_profile",
+    (s, d) => Profile.profile(Tables.lineitem(s, d),
+      numericCols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+      otherCols = Seq("l_returnflag", "l_linestatus")),
+    Some("""
+      SELECT 'l_orderkey' AS col_name, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT l_orderkey) AS n_distinct,
+             CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
+             CAST(MAX(l_orderkey) AS DOUBLE) AS max_v FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', COUNT(*),
+             CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_partkey),
+             CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', COUNT(*),
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_quantity),
+             CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*),
+             CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_extendedprice),
+             CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', COUNT(*),
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_returnflag),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', COUNT(*),
+             CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_linestatus),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem
+    """.trim)
+  )
+
+  /** Pearson chi-squared independence test of returnflag × linestatus
+    * (Profile.chi2 scaladoc: one contingency aggregation, window-sum
+    * marginals, decimal-summed cell terms). */
+  val chi2Q: Q = Q(
+    "x_chi2",
+    (s, d) => Profile.chi2(Tables.lineitem(s, d), "l_returnflag", "l_linestatus"),
+    Some("""
+      WITH obs AS (SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+                   FROM lineitem GROUP BY 1, 2),
+      cells AS (SELECT a, b, COALESCE(o, 0) AS o
+                FROM (SELECT DISTINCT l_returnflag AS a FROM lineitem) ax
+                CROSS JOIN (SELECT DISTINCT l_linestatus AS b FROM lineitem) bx
+                LEFT JOIN obs USING (a, b)),
+      m AS (SELECT a, b, o,
+                   SUM(o) OVER (PARTITION BY a) AS ra,
+                   SUM(o) OVER (PARTITION BY b) AS cb,
+                   SUM(o) OVER () AS nn FROM cells),
+      t AS (SELECT a, b, CAST(ROUND(
+              (o - CAST(ra * cb AS DOUBLE) / nn) * (o - CAST(ra * cb AS DOUBLE) / nn)
+              / (CAST(ra * cb AS DOUBLE) / nn), 6) AS DECIMAL(18,6)) AS t FROM m)
+      SELECT COUNT(*) AS n_cells,
+             (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+             CAST(SUM(t) AS DOUBLE) AS chi2
+      FROM t
+    """.trim)
+  )
+
+  /** One-pass Pearson correlation matrix over the four lineitem
+    * measures (Profile.corrMatrix scaladoc: exact DECIMAL(38,0) moment
+    * sums from a single aggregate, IEEE-exact sqrt/divide tail). The
+    * oracle replays the identical fixed-point closed form — DuckDB's
+    * own corr() is a float stream aggregate and would flake. */
+  val corrMatrixQ: Q = Q(
+    "x_corr_matrix",
+    (s, d) => Profile.corrMatrix(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some {
+      // generated HUGEINT replay of the identical fixed-point closed
+      // form (the x_ols_fit oracle pattern): per-row products fit
+      // BIGINT, sums and cross-terms live in 128-bit exact integers.
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      def ix(c: String) = s"CAST(ROUND($c * 100) AS BIGINT)"
+      val moments =
+        (Seq("CAST(COUNT(*) AS HUGEINT) AS n0") ++
+          cols.map(c => s"SUM(CAST(${ix(c)} AS HUGEINT)) AS s_$c") ++
+          cols.map(c => s"SUM(CAST(${ix(c)} * ${ix(c)} AS HUGEINT)) AS q_$c") ++
+          pairs.map { case (a, b) =>
+            s"SUM(CAST(${ix(a)} * ${ix(b)} AS HUGEINT)) AS p_${a}_$b" })
+          .mkString(", ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n0 AS BIGINT) AS n,
+           ROUND(CAST(n0 * p_${a}_$b - s_$a * s_$b AS DOUBLE)
+                 / (SQRT(CAST(n0 * q_$a - s_$a * s_$a AS DOUBLE))
+                    * SQRT(CAST(n0 * q_$b - s_$b * s_$b AS DOUBLE))), 6) AS corr
+           FROM m"""
+      }.mkString("\nUNION ALL\n")
+      s"WITH m AS (SELECT $moments FROM lineitem)\n$rows"
+    }
+  )
+
+  /** 20-bucket equi-width histogram of l_extendedprice
+    * (Profile.histogram scaladoc: bounds pass + bucket pass, IEEE-
+    * exact floor((x-min)/width), closed final bucket). */
+  val histogramQ: Q = Q(
+    "x_histogram",
+    (s, d) => Profile.histogram(Tables.lineitem(s, d), "l_extendedprice", 20),
+    Some("""
+      WITH b AS (SELECT MIN(l_extendedprice) AS mn,
+                        (MAX(l_extendedprice) - MIN(l_extendedprice)) / 20 AS w
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      g AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / w), 19) AS INT) AS bucket,
+                   COUNT(*) AS n_rows
+            FROM lineitem, b WHERE l_extendedprice IS NOT NULL GROUP BY 1)
+      SELECT bucket, ROUND(mn + bucket * w, 6) AS lo,
+             ROUND(mn + (bucket + 1) * w, 6) AS hi,
+             CAST(n_rows AS BIGINT) AS n_rows
+      FROM g, b
+    """.trim)
+  )
+
   /** Top-20 association rules by lift over order baskets
     * (EventAnalytics.associationRules scaladoc: exact-count rational
     * support/confidence/lift, total-order ranking, TakeOrderedAndProject
@@ -3461,5 +3585,6 @@ object ExtensionQueries {
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
-    hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ)
+    hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
+    corrMatrixQ, histogramQ)
 }

@@ -614,6 +614,38 @@ class PlanAuditSpec extends SparkSpec {
       "the probe must never re-explode the corpus — that cost was paid at index build:\n" + p)
   }
 
+  test("x_profile: per-column branches, each scan pruned to its ONE column, no Expand") {
+    val p = plan("x_profile")
+    // the fused multi-distinct alternative plans via Expand, which
+    // multiplies every row (N+1)x before partial agg — measured 3.7x
+    // slower (Profile.profile scaladoc); pin its absence
+    assert(!p.contains("Expand"),
+      "profile must use per-column branches, not the row-multiplying Expand shape:\n" + p)
+    // 6 branches = 6 scans, but columnar-pruned: each ReadSchema must
+    // carry exactly one field, so total bytes = one wide scan
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(schemas.size == 6, s"6 profiled columns -> 6 branch scans, saw ${schemas.size}:\n" + p)
+    schemas.foreach { s =>
+      assert(!s.contains(","), "every branch scan must read exactly one column: " + s)
+    }
+  }
+
+  test("x_corr_matrix: one moment aggregate, NO Expand (no distinct), one scan for 6 pairs") {
+    val p = plan("x_corr_matrix")
+    assert(!p.contains("Expand"),
+      "corr moments have no distinct aggregation — an Expand means a planning regression:\n" + p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"all pairwise moments must come from one scan, saw $scans:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x_histogram: bucket pass is a map-side-combined hash aggregate, no sort, no window") {
+    val p = plan("x_histogram")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      "bucketing must group on the computed int key, never rank/sort rows:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
