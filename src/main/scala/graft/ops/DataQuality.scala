@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints and statistical anomaly
+  * readouts — the validation tier a 100 TB ingest runs BEFORE letting
+  * a batch into the corpus (the public shape popularized by AWS Deequ:
+  * constraints declared as data, evaluated as one report).
+  */
+object DataQuality {
+
+  /** A declared constraint. Each check names the table it audits (the
+    * report spans tables — e.g. a foreign-key check reads two) and
+    * produces exactly one report row. `name` doubles as the stable
+    * report key, so two checks in one suite must not share it.
+    */
+  sealed trait Check { def name: String }
+
+  /** No nulls in `c`. */
+  final case class Completeness(df: DataFrame, table: String, c: String) extends Check {
+    def name = s"completeness:$table.$c"
+  }
+
+  /** `cols` is a unique key: every duplicate row beyond its group's
+    * first is a violation. Rows with a NULL key component count as
+    * violations too (countDistinct drops them, so they land on the
+    * violation side of total − distinct — a null "key" never keys).
+    */
+  final case class Uniqueness(df: DataFrame, table: String, cols: Seq[String]) extends Check {
+    def name = s"uniqueness:$table.${cols.mkString("+")}"
+  }
+
+  /** Value domain: `c` must be one of `values` (NULL violates — an
+    * absent code is not a member of the domain). */
+  final case class InSet(df: DataFrame, table: String, c: String, values: Seq[String]) extends Check {
+    def name = s"in_set:$table.$c"
+  }
+
+  /** Closed numeric range [lo, hi] (NULL violates). */
+  final case class InRange(df: DataFrame, table: String, c: String, lo: Double, hi: Double) extends Check {
+    def name = s"in_range:$table.$c"
+  }
+
+  /** Referential integrity: every non-matching child key (including
+    * NULL — an equality join never matches NULL) is a violation. */
+  final case class ForeignKey(child: DataFrame, childTable: String, childCol: String,
+      parent: DataFrame, parentCol: String) extends Check {
+    def name = s"foreign_key:$childTable.$childCol"
+  }
+
+  /** Evaluate a constraint suite into one report:
+    * (check_name, total, violations, passed), one row per check.
+    *
+    * Plan shape, per the measured [[Profile.profile]] decision: one
+    * column-pruned aggregation branch per check, unioned — each branch
+    * reads only the audited column's bytes (columnar pruning makes the
+    * "N branches" report cost the same scan bytes as one fused pass,
+    * without the fused multi-distinct's Expand row-multiplication).
+    * Counting checks are single map-side-combined aggregates; the
+    * foreign-key check is a LEFT ANTI join on the key columns only
+    * (8-byte exchanges; at dimension-sized parents Catalyst broadcasts
+    * it) with its total riding a broadcast-scalar crossJoin, the house
+    * pattern for 1-row sidecars.
+    */
+  def runChecks(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "runChecks: empty suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "runChecks: duplicate check names in suite")
+    def row(name: String, src: DataFrame, violations: Column): DataFrame =
+      src.agg(count(lit(1)).as("total"), violations.cast("bigint").as("violations"))
+        .select(lit(name).as("check_name"), col("total"),
+          col("violations"), (col("violations") === 0L).as("passed"))
+    val rows = checks.map {
+      case k @ Completeness(df, _, c) =>
+        row(k.name, df.select(col(c)), sum(when(col(c).isNull, 1L).otherwise(0L)))
+      case k @ Uniqueness(df, _, cols) =>
+        row(k.name, df.select(cols.map(col): _*),
+          count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
+      case k @ InSet(df, _, c, values) =>
+        row(k.name, df.select(col(c)),
+          sum(when(col(c).isin(values: _*), 0L).otherwise(1L)))
+      case k @ InRange(df, _, c, lo, hi) =>
+        row(k.name, df.select(col(c)),
+          sum(when(col(c).between(lo, hi), 0L).otherwise(1L)))
+      case k @ ForeignKey(child, _, childCol, parent, parentCol) =>
+        val keys = child.select(col(childCol))
+        val orphans = keys
+          .join(parent.select(col(parentCol)), col(childCol) === col(parentCol), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+        keys.agg(count(lit(1)).as("total")).crossJoin(orphans)
+          .select(lit(k.name).as("check_name"), col("total"),
+            col("violations"), (col("violations") === 0L).as("passed"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** Rolling z-score anomaly detection: within each group (ordered by
+    * `orderCols`, which MUST be a total order for determinism), score
+    * each value against the trailing window of its `window` PREDECESSORS
+    * (never itself — the textbook self-exclusion that stops a spike
+    * from masking itself), and keep rows with |z| above `threshold`
+    * and at least `minPrior` predecessors.
+    *
+    * ONE exchange: everything is window functions over a single
+    * (partitionBy group, orderBy orderCols) sort — no self-join, no
+    * second pass. At 100 TB that is one hash exchange on the group key
+    * plus a per-partition sort, the minimum for any ordered-window op.
+    *
+    * Determinism contract (the [[Ols]]/[[Profile.corrMatrix]]
+    * discipline): values are scaled to exact integer cents
+    * (round(x·10^scale) — IEEE multiply exactly rounded, fixed-point
+    * inputs never land on .5), the rolling sum and sum-of-squares are
+    * exact BIGINT window sums, and
+    *   z = (k·x − S) / √(k·(k·Q − S²) / (k−1))
+    * (k = trailing count, S = Σ, Q = Σx²; sample std) drops to double
+    * only at the final sqrt/divide — both engines see identical exact
+    * integers, and IEEE sqrt/divide are correctly rounded. Rounded to
+    * 6 dp. Windows with zero variance (k·Q = S²) are skipped rather
+    * than divided by.
+    */
+  def rollingZscore(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int = 10, minPrior: Int = 5,
+      threshold: Double = 2.0, scale: Int = 2): DataFrame = {
+    require(minPrior >= 2, "rollingZscore: need >= 2 predecessors for a sample std")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-window, -1)
+    val x = round(col(valueCol) * pow(lit(10), lit(scale))).cast("long")
+    val scored = df
+      .withColumn("_x", x)
+      .withColumn("_k", count(col("_x")).over(w))
+      .withColumn("_s", sum(col("_x")).over(w))
+      .withColumn("_q", sum(col("_x") * col("_x")).over(w))
+    val k = col("_k")
+    val varNum = k * col("_q") - col("_s") * col("_s") // exact BIGINT
+    val z = (k * col("_x") - col("_s")).cast("double") /
+      sqrt(varNum.cast("double") * k.cast("double") / (k - 1L).cast("double"))
+    scored
+      .filter(k >= minPrior && varNum > 0L)
+      .withColumn("z", round(z, 6))
+      .filter(abs(col("z")) > threshold)
+      .select((col(groupCol) +: orderCols.map(col)) :+ col("z"): _*)
+  }
+
+  /** First-significant-digit distribution vs Benford's law — the
+    * classic forensic screen for fabricated numeric data. For each
+    * digit 1–9: observed count, observed frequency, the Benford
+    * expectation log10(1+1/d), and |obs − exp|.
+    *
+    * Determinism: the first digit is extracted from the DECIMAL STRING
+    * of the exact integer round(x·10^scale) — integer-to-string is
+    * exact and identical in every engine, where a log10/power route
+    * would ride libm. The expectations are 6-dp literals (embedded
+    * constants, not runtime log10 calls) so both engines compare
+    * against bit-identical doubles. Frequencies are count ratios —
+    * exact longs to double, correctly-rounded divide, 6-dp round.
+    * Non-positive values carry no leading digit and are excluded.
+    *
+    * One scan + a ≤9-row aggregate; the total for frequencies is a
+    * window sum over the 9-row result, not a second pass.
+    */
+  def benford(df: DataFrame, c: String, scale: Int = 2): DataFrame = {
+    val expected = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val counts = df
+      .filter(col(c) > 0d)
+      .select(substring(round(col(c) * pow(lit(10), lit(scale))).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = sum(col("n")).over(Window.partitionBy())
+    counts
+      .withColumn("freq", col("n").cast("double") / total)
+      .withColumn("expected", element_at(array(expected.map(lit): _*), col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("freq"), 6).as("freq"), col("expected"),
+        round(abs(col("freq") - col("expected")), 6).as("deviation"))
+  }
+}

@@ -3377,6 +3377,110 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Deequ-style declarative constraint suite over orders+lineitem
+    * (DataQuality.runChecks scaladoc: one column-pruned aggregation
+    * branch per check; the FK check is a LEFT ANTI on keys only). */
+  val dqChecksQ: Q = Q(
+    "x_dq_checks",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      DataQuality.runChecks(Seq(
+        DataQuality.Completeness(o, "orders", "o_custkey"),
+        DataQuality.Uniqueness(o, "orders", Seq("o_orderkey")),
+        DataQuality.InSet(o, "orders", "o_orderstatus", Seq("O", "F", "P")),
+        DataQuality.InRange(l, "lineitem", "l_quantity", 1d, 50d),
+        DataQuality.ForeignKey(l, "lineitem", "l_orderkey", o, "o_orderkey")))
+    },
+    Some("""
+      SELECT 'completeness:orders.o_custkey' AS check_name, COUNT(*) AS total,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'uniqueness:orders.o_orderkey', COUNT(*),
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+             COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'in_set:orders.o_orderstatus', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT),
+             SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'in_range:lineitem.l_quantity', COUNT(*),
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT),
+             SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'foreign_key:lineitem.l_orderkey', COUNT(*),
+             CAST(SUM(CASE WHEN NOT EXISTS
+                    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+                  THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN NOT EXISTS
+                    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+                  THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+    """.trim)
+  )
+
+  /** Rolling z-score anomaly detection over per-customer order values
+    * (DataQuality.rollingZscore scaladoc: ONE exchange, exact BIGINT
+    * trailing moments, double only at the final sqrt/divide). Oracle
+    * replays the identical exact-integer window arithmetic. */
+  val anomalyZscoreQ: Q = Q(
+    "x_anomaly_zscore",
+    (s, d) => DataQuality.rollingZscore(Tables.orders(s, d), "o_custkey",
+      Seq("o_orderdate", "o_orderkey"), "o_totalprice",
+      window = 10, minPrior = 5, threshold = 2.0)
+      .select("o_custkey", "o_orderkey", "z"),
+    Some("""
+      WITH s AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+               COUNT(*) OVER w AS k,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS sm,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   * CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS q
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+      ), z AS (
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(k * x - sm AS DOUBLE)
+                     / SQRT(CAST(k * q - sm * sm AS DOUBLE) * k / (k - 1.0)), 6) AS z
+        FROM s WHERE k >= 5 AND (k * q - sm * sm) > 0
+      )
+      SELECT o_custkey, o_orderkey, z FROM z WHERE ABS(z) > 2.0
+    """.trim)
+  )
+
+  /** Benford first-digit screen of order values (DataQuality.benford
+    * scaladoc: digit from the exact integer's decimal string — no
+    * libm log10 — and 6-dp literal expectations). */
+  val benfordQ: Q = Q(
+    "x_benford",
+    (s, d) => DataQuality.benford(Tables.orders(s, d), "o_totalprice"),
+    Some("""
+      WITH g AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1
+      ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+      e AS (SELECT digit, n,
+                   CAST(n AS DOUBLE) / total AS freq_raw,
+                   CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+                        WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+                        WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                        WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                        WHEN 9 THEN 0.045757 END AS DOUBLE) AS expected
+            FROM g, t)
+      SELECT digit, n, ROUND(freq_raw, 6) AS freq, expected,
+             ROUND(ABS(freq_raw - expected), 6) AS deviation
+      FROM e
+    """.trim)
+  )
+
   /** Top-20 association rules by lift over order baskets
     * (EventAnalytics.associationRules scaladoc: exact-count rational
     * support/confidence/lift, total-order ranking, TakeOrderedAndProject
@@ -3586,5 +3690,5 @@ object ExtensionQueries {
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
-    corrMatrixQ, histogramQ)
+    corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ)
 }

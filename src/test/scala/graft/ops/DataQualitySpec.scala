@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runChecks: each constraint kind counts its violations; passed iff zero") {
+    val child = Seq(
+      (Some(1L), Some("O"), 5.0),
+      (Some(1L), Some("F"), 60.0), // dup key + out-of-range
+      (Some(2L), Some("Z"), 10.0), // bad domain
+      (None, None, 20.0) // null key (uniqueness+completeness+domain violations)
+    ).toDF("k", "status", "qty")
+    val parent = Seq(1L).toDF("pk") // child key 2 and NULL are orphans
+    val out = DataQuality.runChecks(Seq(
+      DataQuality.Completeness(child, "child", "k"),
+      DataQuality.Uniqueness(child, "child", Seq("k")),
+      DataQuality.InSet(child, "child", "status", Seq("O", "F")),
+      DataQuality.InRange(child, "child", "qty", 1d, 50d),
+      DataQuality.ForeignKey(child, "child", "k", parent, "pk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("completeness:child.k") == ((4L, 1L, false)))
+    // 4 rows, 2 distinct non-null keys -> 2 violations (the dup AND the null)
+    assert(out("uniqueness:child.k") == ((4L, 2L, false)))
+    assert(out("in_set:child.status") == ((4L, 2L, false)), "NULL and 'Z' both violate the domain")
+    assert(out("in_range:child.qty") == ((4L, 1L, false)))
+    assert(out("foreign_key:child.k") == ((4L, 2L, false)), "key 2 and the NULL key are orphans")
+    val clean = DataQuality.runChecks(Seq(
+      DataQuality.Completeness(parent, "parent", "pk"))).collect().head
+    assert(clean.getBoolean(3), "a violation-free check must report passed=true")
+  }
+
+  test("runChecks: duplicate check names are rejected") {
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      DataQuality.runChecks(Seq(
+        DataQuality.Completeness(df, "t", "k"), DataQuality.Completeness(df, "t", "k")))
+    }
+  }
+
+  test("rollingZscore: exact z from trailing-window moments, self-excluded; short and flat windows skipped") {
+    // group g: priors (1.00, 3.00) then a 10.00 spike.
+    //   k=2, S=400, Q=100000 (cents): z = (2*1000-400)/sqrt((2*100000-160000)*2/1)
+    //     = 1600/sqrt(80000) = 5.656854
+    val df = Seq(
+      ("g", 1, 1.00), ("g", 2, 3.00), ("g", 3, 10.00),
+      // group h: constant priors -> zero variance -> skipped, never 1/0
+      ("h", 1, 5.00), ("h", 2, 5.00), ("h", 3, 9.99)).toDF("grp", "seq", "v")
+    val out = DataQuality.rollingZscore(df, "grp", Seq("seq"), "v",
+      window = 10, minPrior = 2, threshold = 1.0)
+    val rows = out.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(rows == Map(("g", 3) -> 5.656854),
+      s"spike row only: first rows lack $rows predecessors, zero-variance window skipped")
+  }
+
+  test("rollingZscore: minPrior below 2 is rejected (sample std undefined)") {
+    val df = Seq(("g", 1, 1.0)).toDF("grp", "seq", "v")
+    intercept[IllegalArgumentException] {
+      DataQuality.rollingZscore(df, "grp", Seq("seq"), "v", minPrior = 1)
+    }
+  }
+
+  test("benford: first digits from exact integer strings; non-positive excluded; known expectations") {
+    val df = Seq(1.23, 0.05, 2.00, 19.99, -5.0, 0.0).toDF("v")
+    val out = DataQuality.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // digits of cents: 123->1, 5->5, 200->2, 1999->1; -5 and 0 excluded
+    assert(out.keySet == Set(1, 2, 5))
+    assert(out(1) == ((2L, 0.5, 0.30103, 0.19897)))
+    assert(out(2)._1 == 1L && out(2)._2 == 0.25 && out(2)._3 == 0.176091)
+    assert(out(5)._1 == 1L && out(5)._3 == 0.079181)
+  }
+}

@@ -646,6 +646,35 @@ class PlanAuditSpec extends SparkSpec {
       "bucketing must group on the computed int key, never rank/sort rows:\n" + p)
   }
 
+  test("x_dq_checks: every counting branch scans ONE pruned column; FK is a LEFT ANTI on keys") {
+    val p = plan("x_dq_checks")
+    assert(p.contains("LeftAnti"),
+      "referential integrity must be an anti join, never NOT IN materialization:\n" + p)
+    // 5 checks -> 7 single-column scans (3 orders cols, 2 lineitem
+    // cols, plus the FK pair) — the report never reads a full row
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    schemas.foreach { s =>
+      assert(!s.contains(","), "every DQ branch scan must read exactly one column: " + s)
+    }
+    assert(schemas.size == 7, s"expected 7 key/column scans, saw ${schemas.size}:\n" + p)
+  }
+
+  test("x_anomaly_zscore: ONE hash exchange — all moments ride a single customer-partitioned window sort") {
+    val p = plan("x_anomaly_zscore")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"rolling stats must reuse one o_custkey exchange, saw $exchanges:\n" + p)
+    assert(!p.contains("Join"), "no self-join — trailing moments are window sums:\n" + p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over orders, saw $scans scans:\n" + p)
+  }
+
+  test("x_benford: one scan; the frequency total is a window over the 9-row digit table, not a second pass") {
+    val p = plan("x_benford")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over orders, saw $scans scans:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
