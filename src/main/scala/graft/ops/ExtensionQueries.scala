@@ -3481,6 +3481,78 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Key-skew diagnosis of lineitem's part key (Skew.skewReport
+    * scaladoc: one data-sized exchange to per-key counts, count-of-
+    * counts collapse, closed-form rank-weighted Gini on the tiny
+    * table — no per-key global sort). The oracle replays the identical
+    * closed form in HUGEINT. */
+  val skewReportQ: Q = Q(
+    "x_skew_report",
+    (s, d) => Skew.skewReport(Tables.lineitem(s, d), Seq("l_partkey")),
+    Some("""
+      WITH k AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      cc AS (SELECT cnt, COUNT(*) AS m FROM k GROUP BY 1),
+      r AS (SELECT cnt, m,
+              COALESCE(SUM(m) OVER (ORDER BY cnt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+            FROM cc),
+      a AS (SELECT CAST(SUM(CAST(cnt AS HUGEINT) * m) AS HUGEINT) AS s,
+                   CAST(SUM(CAST(cnt AS HUGEINT) * cnt * m) AS HUGEINT) AS q,
+                   CAST(SUM(m) AS BIGINT) AS n,
+                   MAX(cnt) AS mx,
+                   CAST(SUM(CAST(cnt AS HUGEINT) *
+                        (CAST(m AS HUGEINT) * nb
+                         + (CAST(m AS HUGEINT) * (m + 1)) // 2)) AS HUGEINT) AS w
+            FROM r)
+      SELECT CAST(s AS BIGINT) AS n_rows, n AS n_keys, mx AS max_cnt,
+             ROUND(CAST(s AS DOUBLE) / n, 6) AS avg_cnt,
+             ROUND(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top_share,
+             ROUND(SQRT(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE))
+                   / CAST(s AS DOUBLE), 6) AS cv,
+             ROUND(CAST(2 * w - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) AS gini
+      FROM a
+    """.trim)
+  )
+
+  /** Multi-source BFS hop distances on the part co-occurrence graph,
+    * 3 fixed rounds from the ~1% seed set p_partkey ≡ 0 (mod 97)
+    * (GraphOps.bfsHops scaladoc: one frontier⋈edges join per round on
+    * 8-byte ids, LEFT ANTI vs visited, bounded lineage). The oracle
+    * unrolls the three frontier expansions with EXCEPT sets. */
+  val bfsHopsQ: Q = Q(
+    "x_bfs_hops",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      val seeds = Tables.part(s, d).select(col("p_partkey").as("node"))
+        .filter(col("node") % 97 === 0)
+      GraphOps.bfsHops(pairs, seeds, rounds = 3)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+      d0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0),
+      f1 AS (SELECT DISTINCT s.v AS node FROM sym s JOIN d0 ON s.u = d0.node
+             EXCEPT SELECT node FROM d0),
+      f2 AS (SELECT DISTINCT s.v AS node FROM sym s JOIN f1 ON s.u = f1.node
+             EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM f1)),
+      f3 AS (SELECT DISTINCT s.v AS node FROM sym s JOIN f2 ON s.u = f2.node
+             EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM f1
+                     UNION ALL SELECT node FROM f2))
+      SELECT node, 0 AS hop FROM d0
+      UNION ALL SELECT node, 1 FROM f1
+      UNION ALL SELECT node, 2 FROM f2
+      UNION ALL SELECT node, 3 FROM f3
+    """.trim)
+  )
+
   /** Top-20 association rules by lift over order baskets
     * (EventAnalytics.associationRules scaladoc: exact-count rational
     * support/confidence/lift, total-order ranking, TakeOrderedAndProject
@@ -3690,5 +3762,6 @@ object ExtensionQueries {
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
-    corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ)
+    corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
+    bfsHopsQ)
 }

@@ -139,6 +139,53 @@ object GraphOps {
     labels
   }
 
+  /** Multi-source BFS hop distance, fixed `rounds`: every seed starts
+    * at hop 0; round r labels every still-unlabeled neighbor of the
+    * round-(r−1) frontier with hop r. The result is the exact
+    * min-hop-distance table truncated at `rounds` — nodes farther than
+    * `rounds` hops (or disconnected) are absent. Seeds that never
+    * appear in the edge list still surface at hop 0 (an isolated seed
+    * has distance 0 to itself). A FIXED round count keeps the result
+    * reproducible and the plan statically bounded, the same contract as
+    * [[labelPropagation]]/[[kcorePeel]]; for iterate-to-empty-frontier
+    * semantics see the accumulator-fused convergence pattern in
+    * [[graft.dedup.Dedup.dedupClusters]].
+    *
+    * Per round: ONE edge⋈frontier join (8-byte ids only — the
+    * symmetrized edge list is checkpointed once, partitioned on the
+    * probe side `u`), a distinct on the discovered nodes, and a
+    * LEFT ANTI against the visited set. The frontier only ever
+    * shrinks relative to the reachable set, and the anti join keeps
+    * revisits out of the next round's probe — on a 100 TB graph each
+    * round's exchanges are bounded by the frontier's node count, never
+    * re-expanding the full edge set. Visited/frontier tables are
+    * localCheckpointed per round (bounded lineage).
+    *
+    * Output: (node, hop), one row per reached node. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, srcCol: String = "src",
+              dstCol: String = "dst", seedCol: String = "node",
+              rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"bfsHops: rounds must be in [1, 20], got $rounds")
+    val ed = canonical(edges, srcCol, dstCol)
+    val sym = ed.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ed.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = dist.select(col("node"))
+    for (r <- 1 to rounds) {
+      val next = sym
+        .join(frontier.select(col("node").as("u")).hint("shuffle_hash"), "u")
+        .select(col("v").as("node")).distinct()
+        .join(dist.select(col("node")).hint("shuffle_hash"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(r))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    dist
+  }
+
   /** Fixed-round k-core peeling: each round recomputes degrees over
     * the surviving edge set and drops every node below `k`, edges
     * restricted to surviving endpoints by two left-semi joins. True

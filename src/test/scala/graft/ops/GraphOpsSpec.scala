@@ -86,6 +86,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(dead == Set((1, 0L, 0L), (2, 0L, 0L)), dead.toString)
   }
 
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], rounds: Int): Map[Long, Int] = {
+    import spark.implicits._
+    GraphOps.bfsHops(edges.toDF("src", "dst"), seeds.toDF("node"), rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("bfsHops: path graph — hops count up from the seed, truncated at rounds") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(hops(path, Seq(1L), rounds = 3) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // node 5 is 4 hops out: absent
+  }
+
+  test("bfsHops: multi-source takes the MINIMUM hop over all seeds") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(hops(path, Seq(1L, 5L), rounds = 2) ==
+      Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfsHops: an isolated seed surfaces at hop 0; messy edges canonicalize") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+    val h = hops(messy, Seq(1L, 99L), rounds = 2)
+    assert(h == Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2), h.toString)
+  }
+
   test("matches brute-force reference on a deterministic pseudo-random graph") {
     // 40 nodes, edge (a,b) present iff a hash-ish predicate fires
     val edges = for {

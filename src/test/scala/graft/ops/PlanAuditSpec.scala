@@ -675,6 +675,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("x_skew_report: one single-column data-sized exchange; Gini rides the tiny count-of-counts table, no join") {
+    val p = plan("x_skew_report")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over lineitem, saw $scans scans:\n" + p)
+    "ReadSchema: struct<[^>]*>".r.findAllIn(p).foreach { s =>
+      assert(!s.contains(","), "the key-count pass must read only the key column: " + s)
+    }
+    assert(!p.contains("Join"), "skew stats are aggregation-only, never a self-join:\n" + p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, // per-key counts, then the count-of-counts collapse
+      s"expected the key exchange + the tiny count-of-counts exchange, saw $hashEx:\n" + p)
+  }
+
+  test("x_bfs_hops: final plan is checkpoint-bounded — no parquet rescan, no join, no exchange survives") {
+    val p = plan("x_bfs_hops")
+    // every round materialized via localCheckpoint: the result plan must
+    // read ONLY the checkpointed round tables (bounded lineage — the
+    // labelPropagation/PageRank discipline), never re-deriving the
+    // edge joins
+    assert(p.contains("ExistingRDD") || p.contains("Scan RDD"), p)
+    assert(!p.contains("Scan parquet"), "all parquet cost is paid inside the rounds:\n" + p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

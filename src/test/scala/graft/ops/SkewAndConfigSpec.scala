@@ -18,6 +18,27 @@ class SkewAndConfigSpec extends SparkSpec {
     assert(salted.count() == plain.count())
   }
 
+  test("skewReport matches the hand-computed distribution") {
+    // per-key counts 1,1,2,4 → n=8 rows over 4 keys; ascending-rank
+    // weighted sum Σi·cᵢ = 1+2+6+16 = 25 → gini = (50−5·8)/(4·8) = 0.3125;
+    // n·Σc²−(Σc)² = 4·22−64 = 24 → cv = √24/8
+    val df = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).toDF("k")
+    val r = Skew.skewReport(df, Seq("k")).collect().head
+    assert(r.getAs[Long]("n_rows") == 8L && r.getAs[Long]("n_keys") == 4L &&
+      r.getAs[Long]("max_cnt") == 4L)
+    assert(r.getAs[Double]("avg_cnt") == 2.0 && r.getAs[Double]("top_share") == 0.5)
+    assert(r.getAs[Double]("gini") == 0.3125, r.toString)
+    assert(r.getAs[Double]("cv") == math.rint(math.sqrt(24d) / 8d * 1e6) / 1e6, r.toString)
+  }
+
+  test("skewReport: a uniform key distribution has zero gini and zero cv") {
+    val df = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    val r = Skew.skewReport(df, Seq("k")).collect().head
+    assert(r.getAs[Double]("gini") == 0.0 && r.getAs[Double]("cv") == 0.0, r.toString)
+    assert(r.getAs[Double]("top_share") == math.rint(2d / 6d * 1e6) / 1e6)
+  }
+
   test("salt is deterministic across evaluations") {
     val df = (1 to 50).map(i => Tuple1(s"row$i")).toDF("id")
     val a = df.select(Skew.salt(8, df("id")).as("s")).collect().map(_.getInt(0)).toSeq
