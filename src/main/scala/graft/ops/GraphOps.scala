@@ -170,6 +170,11 @@ object GraphOps {
     val sym = ed.select(col("a").as("u"), col("b").as("v"))
       .unionAll(ed.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+    // only each round's FRONTIER is materialized; the visited set is
+    // the union of the already-checkpointed round tables (O(rounds)
+    // plan width, zero recompute) — re-materializing the whole
+    // distance table every round would write the cumulative reachable
+    // set `rounds` times over
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
     var frontier = dist.select(col("node"))
@@ -180,7 +185,7 @@ object GraphOps {
         .join(dist.select(col("node")).hint("shuffle_hash"), Seq("node"), "left_anti")
         .withColumn("hop", lit(r))
         .localCheckpoint()
-      dist = dist.unionAll(next).localCheckpoint()
+      dist = dist.unionAll(next)
       frontier = next.select(col("node"))
     }
     dist
