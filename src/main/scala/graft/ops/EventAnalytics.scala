@@ -196,4 +196,54 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Exponentially time-decayed per-type activity counters — the
+    * "trending now" readout (the decayed-counter shape streaming stores
+    * keep incrementally; this is the exact batch form): each event
+    * contributes weight 2^(−step) where step = floor(age_days /
+    * `halfLifeDays`) against the corpus's own max date, so activity
+    * halves per half-life, stepped at whole half-lives. Events older
+    * than `horizon` steps are dropped — their weight is below 2^(−60),
+    * beneath double resolution against any live mass (the deterministic
+    * truncation that keeps the arithmetic exact).
+    *
+    * Exactness: weights are the INTEGER 2^(horizon − step) (a long —
+    * `horizon` ≤ 60), count/value masses are exact DECIMAL(38,0)
+    * weighted sums (values in integer cents), and the single
+    * normalizing divide by the exact double 2^horizon happens once at
+    * the end — both engines see identical integers, then one
+    * correctly-rounded IEEE division (the [[graft.ops.Skew.skewReport]]
+    * discipline). No libm exp/log anywhere.
+    *
+    * Plan: a 1-row max-date scalar broadcast onto the log (the house
+    * 1-row-sidecar crossJoin), then ONE data-sized map-side-combined
+    * aggregation to the (type, step) grid — ≤ |types|·horizon rows —
+    * on which the weighting and final per-type rollup are free.
+    *
+    * Output: `event_type`, `n_events` (raw in-horizon count),
+    * `decayed_count`, `decayed_value` (both 6 dp). */
+  def decayedCounts(events: DataFrame, horizon: Int = 40, halfLifeDays: Int = 1,
+                    scale: Int = 2): DataFrame = {
+    require(horizon >= 1 && horizon <= 60, s"decayedCounts: horizon must be in [1, 60], got $horizon")
+    require(halfLifeDays >= 1, s"decayedCounts: halfLifeDays must be >= 1, got $halfLifeDays")
+    val dec = "decimal(38,0)"
+    val ref = events.agg(max(to_date(col("ts"))).as("ref"))
+    val perStep = events.select(col("event_type"), col("ts"), col("value"))
+      .crossJoin(broadcast(ref))
+      .withColumn("step",
+        floor(datediff(col("ref"), to_date(col("ts"))) / lit(halfLifeDays)).cast("int"))
+      .filter(col("step").between(0, horizon))
+      .withColumn("cents", round(col("value") * pow(lit(10), lit(scale))).cast("long"))
+      .groupBy(col("event_type"), col("step"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val wgt = expr(s"shiftleft(1L, $horizon - step)") // exact 2^(h−step) ≤ 2^60
+    val denom = math.pow(2.0, horizon) // exact double
+    perStep.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("bigint").as("n_events"),
+        sum(col("n").cast(dec) * wgt.cast(dec)).cast(dec).as("wn"),
+        sum(col("cents").cast(dec) * wgt.cast(dec)).cast(dec).as("wv"))
+      .select(col("event_type"), col("n_events"),
+        round(col("wn").cast("double") / lit(denom), 6).as("decayed_count"),
+        round(col("wv").cast("double") / lit(denom) / lit(100.0), 6).as("decayed_value"))
+  }
 }

@@ -3553,6 +3553,35 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Exponentially time-decayed per-type activity counters
+    * (EventAnalytics.decayedCounts scaladoc: integer 2^(h−step)
+    * weights, DECIMAL mass sums, one final divide by the exact double
+    * 2^h — no libm). The oracle replays the identical integer weighting
+    * in HUGEINT, with power(2, k) exact for k ≤ 53 before the cast. */
+  val decayedCountsQ: Q = Q(
+    "x_decayed_counts",
+    (s, d) => EventAnalytics.decayedCounts(Tables.events(s, d), horizon = 40),
+    Some("""
+      WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+      aged AS (SELECT event_type,
+                      CAST(FLOOR(date_diff('day', CAST(ts AS DATE), r) / 1) AS INT) AS step,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events, ref),
+      ps AS (SELECT event_type, step, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+             FROM aged WHERE step BETWEEN 0 AND 40 GROUP BY 1, 2),
+      ag AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+                    CAST(SUM(CAST(n AS HUGEINT)
+                             * CAST(power(2, 40 - step) AS HUGEINT)) AS HUGEINT) AS wn,
+                    CAST(SUM(CAST(cents AS HUGEINT)
+                             * CAST(power(2, 40 - step) AS HUGEINT)) AS HUGEINT) AS wv
+             FROM ps GROUP BY 1)
+      SELECT event_type, n_events,
+             ROUND(CAST(wn AS DOUBLE) / power(2, 40), 6) AS decayed_count,
+             ROUND(CAST(wv AS DOUBLE) / power(2, 40) / 100.0, 6) AS decayed_value
+      FROM ag
+    """.trim)
+  )
+
   /** Top-20 association rules by lift over order baskets
     * (EventAnalytics.associationRules scaladoc: exact-count rational
     * support/confidence/lift, total-order ranking, TakeOrderedAndProject
@@ -3763,5 +3792,5 @@ object ExtensionQueries {
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
-    bfsHopsQ)
+    bfsHopsQ, decayedCountsQ)
 }

@@ -134,4 +134,35 @@ class EventAnalyticsSpec extends SparkSpec {
       "2024-01-01|1|1", // user 2 in week +1
       "2024-01-01|1|2")) // user 1 in week +2
   }
+
+  test("decayedCounts: stepped base-2 decay, exact halves; the horizon truncates stale events") {
+    val ev = events(
+      (1L, "2024-03-10 09:00:00", 1L, "a", 1.00),
+      (2L, "2024-03-10 10:00:00", 1L, "a", 2.00),
+      (3L, "2024-03-09 10:00:00", 2L, "a", 4.00),
+      (4L, "2024-03-08 10:00:00", 2L, "b", 1.00),
+      (5L, "2024-03-08 11:00:00", 2L, "b", 1.00),
+      (6L, "2024-03-08 12:00:00", 1L, "b", 1.00),
+      (7L, "2024-03-08 13:00:00", 1L, "b", 1.00),
+      (8L, "2023-01-01 10:00:00", 9L, "b", 100.00)) // 434 days old: dropped
+    val r = EventAnalytics.decayedCounts(ev, horizon = 40)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    // a: 2 events at step 0 + 1 at step 1 → 2 + 0.5 = 2.5; value (3.00 + 4.00/2) = 5.0
+    assert(r("a") == ((3L, 2.5, 5.0)), r.toString)
+    // b: 4 events at step 2 → 1.0; the 2023 event is beyond the horizon
+    assert(r("b") == ((4L, 1.0, 1.0)), r.toString)
+  }
+
+  test("decayedCounts: halfLifeDays widens the step so near days share full weight") {
+    val ev = events(
+      (1L, "2024-03-10 09:00:00", 1L, "a", 1.00),
+      (2L, "2024-03-10 10:00:00", 1L, "a", 2.00),
+      (3L, "2024-03-09 10:00:00", 2L, "a", 4.00),
+      (4L, "2024-03-08 10:00:00", 2L, "b", 1.00))
+    val r = EventAnalytics.decayedCounts(ev, horizon = 40, halfLifeDays = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    // ages 0,0,1 all land in step 0; age 2 is step 1
+    assert(r("a") == 3.0 && r("b") == 0.5, r.toString)
+  }
 }

@@ -700,6 +700,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("x_decayed_counts: max-date scalar broadcasts onto ONE data pass; weighting rides the tiny (type,step) grid") {
+    val p = plan("x_decayed_counts")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"one scalar pass + one data pass over events, saw $scans:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row reference date must broadcast, never shuffle the log:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, // (type, step) grid, then the per-type rollup of that grid
+      s"expected the grid exchange + the tiny rollup exchange, saw $hashEx:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
