@@ -197,6 +197,56 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Top-k most common session journeys: each gap-based session (the
+    * identical lag-compare + running-sum construction as [[sessionize]],
+    * same `gapSec`) renders as the ">"-joined sequence of its first
+    * `maxLen` event types, and the most frequent paths surface with
+    * their session counts.
+    *
+    * The path key is CAPPED at `maxLen` steps — an unbounded
+    * concatenation would let one runaway session (a bot emitting 10⁶
+    * events) manufacture a multi-megabyte grouping key; the cap bounds
+    * every exchanged key at `maxLen` type names, the standard
+    * journey-analysis truncation.
+    *
+    * Shuffle story: lag-compare, session numbering, within-session
+    * row numbers and the per-session ordered collect all ride the ONE
+    * `user_id` exchange (every window/group key is a superset of
+    * user_id). The ordered collect is sort_array over (rn, type)
+    * structs — collect_list order is undefined under retries; the
+    * sort makes it total-order deterministic. The path count is a
+    * map-side-combined aggregation on the bounded keys and the top-k
+    * is orderBy+limit (TakeOrderedAndProject: per-task heaps, no
+    * global sort), ties broken by path string ascending; `rn` is the
+    * 1-based output position. */
+  def topPaths(events: DataFrame, gapSec: Long = 1800L, k: Int = 20,
+               maxLen: Int = 10): DataFrame = {
+    require(k >= 1, s"topPaths: k must be >= 1, got $k")
+    require(maxLen >= 1, s"topPaths: maxLen must be >= 1, got $maxLen")
+    val gapUs = gapSec * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("_new",
+        when(lag(col("ts_us"), 1).over(wOrd).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_idx"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= maxLen)
+    val counts = marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    counts.orderBy(col("n_sessions").desc, col("path")).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+  }
+
   /** Exponentially time-decayed per-type activity counters — the
     * "trending now" readout (the decayed-counter shape streaming stores
     * keep incrementally; this is the exact batch form): each event

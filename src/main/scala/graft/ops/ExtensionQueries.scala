@@ -3582,6 +3582,36 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Top-20 session journey paths (EventAnalytics.topPaths scaladoc:
+    * one user_id exchange end-to-end, maxLen-capped path keys,
+    * deterministic sort_array ordered collect, TakeOrderedAndProject
+    * top-k). The oracle replays session numbering + ordered STRING_AGG
+    * with the identical (ts, event_id) total order. */
+  val topPathsQ: Q = Q(
+    "x_top_paths",
+    (s, d) => EventAnalytics.topPaths(Tables.events(s, d), gapSec = 1800L,
+      k = 20, maxLen = 10),
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS newf
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess
+              ORDER BY ts, event_id) AS rn FROM s),
+      p AS (SELECT user_id, sess, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 10 GROUP BY 1, 2),
+      c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+      SELECT path, n_sessions,
+             ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rn
+      FROM c ORDER BY n_sessions DESC, path LIMIT 20
+    """.trim)
+  )
+
   /** Top-20 association rules by lift over order baskets
     * (EventAnalytics.associationRules scaladoc: exact-count rational
     * support/confidence/lift, total-order ranking, TakeOrderedAndProject
@@ -3792,5 +3822,5 @@ object ExtensionQueries {
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
-    bfsHopsQ, decayedCountsQ)
+    bfsHopsQ, decayedCountsQ, topPathsQ)
 }

@@ -135,6 +135,25 @@ class EventAnalyticsSpec extends SparkSpec {
       "2024-01-01|1|2")) // user 1 in week +2
   }
 
+  test("topPaths: journeys counted per session with deterministic tie-break; maxLen caps the key") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:10:00", 1L, "buy", 0.0),
+      (4L, "2024-01-01 11:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 11:05:00", 2L, "click", 0.0),
+      (6L, "2024-01-01 12:00:00", 2L, "view", 0.0), // 55-min gap: new session
+      (7L, "2024-01-01 09:00:00", 3L, "view", 0.0),
+      (8L, "2024-01-01 09:05:00", 3L, "click", 0.0))
+    val r = EventAnalytics.topPaths(ev, gapSec = 1800L, k = 10, maxLen = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    assert(r.toSeq == Seq( // ties at n=1 break by path string ascending
+      ("view>click", 2L, 1), ("view", 1L, 2), ("view>click>buy", 1L, 3)), r.mkString(","))
+    val capped = EventAnalytics.topPaths(ev, gapSec = 1800L, k = 10, maxLen = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(capped == Seq(("view>click", 3L), ("view", 1L)), capped.mkString(","))
+  }
+
   test("decayedCounts: stepped base-2 decay, exact halves; the horizon truncates stale events") {
     val ev = events(
       (1L, "2024-03-10 09:00:00", 1L, "a", 1.00),

@@ -712,6 +712,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the grid exchange + the tiny rollup exchange, saw $hashEx:\n" + p)
   }
 
+  test("x_top_paths: sessionization rides one user_id exchange; top-k is per-task heaps, never a global sort") {
+    val p = plan("x_top_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be orderBy+limit, not a ranked global window:\n" + p)
+    assert(!p.contains("Join"), "journeys never self-join the log:\n" + p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, // the user_id exchange + the bounded path-count exchange
+      s"windows, session rollup and ordered collect must share the user_id exchange, saw $hashEx:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
