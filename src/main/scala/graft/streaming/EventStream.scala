@@ -213,4 +213,77 @@ object EventStream {
           }
       }
   }
+
+  /** [[decayedCounters]] state: per event type, the exact per-day
+    * masses still inside the horizon — `day` is the UTC epoch day,
+    * `n`/`cents` the day's event count and integer-cent value sum.
+    * Bounded at `horizon`+1 entries per type. */
+  final case class DayMass(day: Long, n: Long, cents: Long)
+  final case class DecayState(days: List[DayMass])
+
+  final case class DecayedReadout(event_type: String, n_events: Long,
+                                  decayed_count: Double, decayed_value: Double)
+
+  /** Streaming twin of [[graft.ops.EventAnalytics.decayedCounts]] — the
+    * incrementally-maintained decayed counter the batch scaladoc points
+    * at. State per event type is the day-mass table (exact integers,
+    * bounded at horizon+1 entries); each micro-batch folds its events
+    * in, advances the type's reference day to its max observed day,
+    * prunes days beyond the horizon, and emits the refreshed readout
+    * (update mode: one row per type touched in the batch).
+    *
+    * EXACT cross-batch semantics, proven in
+    * StreamBatchEquivalenceSpec: for every type, the emitted readout
+    * equals the batch operator run over that type's full event history
+    * — out-of-order days re-weight correctly because mass is stored
+    * PER DAY (an integer halving of a running total would round; the
+    * day table never does). The one deliberate deviation from the
+    * batch form: the reference day is per type (a streaming group
+    * cannot see the global max without a second stateful stage), so
+    * equivalence is against the batch op applied per type.
+    *
+    * Arithmetic mirrors the batch/oracle path bit-for-bit: cents =
+    * BigDecimal.valueOf(value·100) HALF_UP (Spark's own double Round),
+    * weights 2^(h−step) as exact BigInt, one correctly-rounded
+    * divide by the exact double 2^h, 6-dp HALF_UP rounds. */
+  def decayedCounters(events: Dataset[Event],
+                      horizon: Int = 40): Dataset[DecayedReadout] = {
+    require(horizon >= 1 && horizon <= 60,
+      s"decayedCounters: horizon must be in [1, 60], got $horizon")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def round6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    val denom = math.pow(2.0, horizon) // exact double
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[DecayState, DecayedReadout](
+        GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state: GroupState[DecayState]) =>
+          val prev: Map[Long, (Long, Long)] = state.getOption
+            .map(_.days.map(d => d.day -> ((d.n, d.cents))).toMap)
+            .getOrElse(Map.empty)
+          val merged = rows.foldLeft(prev) { (m, e) =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L) // UTC epoch day
+            val cents = JBD.valueOf(e.value * 100)
+              .setScale(0, RoundingMode.HALF_UP).longValueExact()
+            val (n, c) = m.getOrElse(day, (0L, 0L))
+            m.updated(day, (n + 1L, c + cents))
+          }
+          val ref = merged.keysIterator.max
+          val pruned = merged.filter { case (d, _) => ref - d <= horizon }
+          state.update(DecayState(pruned.iterator
+            .map { case (d, (n, c)) => DayMass(d, n, c) }.toList.sortBy(_.day)))
+          var nEvents = 0L
+          var wn = BigInt(0); var wv = BigInt(0)
+          pruned.foreach { case (d, (n, c)) =>
+            val w = BigInt(1) << (horizon - (ref - d).toInt)
+            nEvents += n; wn += w * n; wv += w * c
+          }
+          DecayedReadout(typ, nEvents,
+            round6(wn.doubleValue / denom),
+            round6(wv.doubleValue / denom / 100.0))
+      }
+  }
 }

@@ -194,4 +194,41 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         .select("view_id").as[Long].head() == 21L)
     } finally q.stop()
   }
+
+  test("decayedCounters: cross-batch day masses equal the batch operator per type") {
+    import org.apache.spark.sql.Dataset
+    def dev(id: Long, day: String, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(s"2024-03-$day 10:00:00"), 1L, typ, v)
+    val b1 = Seq(dev(1, "10", "a", 1.00), dev(2, "10", "a", 2.00), dev(3, "08", "b", 1.00))
+    // a gets a LATE older day (step 2 at its ref); b's ref ADVANCES two
+    // days, so its buffered mass must re-weight by exactly 2^-2
+    val b2 = Seq(dev(4, "08", "a", 4.37), dev(5, "10", "b", 2.51))
+    val b3 = Seq(dev(6, "11", "a", 0.50)) // a's ref advances across batch 3
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[String, (Long, Double, Double)]()
+    val q = EventStream.decayedCounters(input.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.DecayedReadout], _: Long) =>
+        df.collect().foreach(r =>
+          got(r.event_type) = ((r.n_events, r.decayed_count, r.decayed_value)))
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    val all = b1 ++ b2 ++ b3
+    for (typ <- Seq("a", "b")) {
+      val batch = graft.ops.EventAnalytics
+        .decayedCounts(all.filter(_.event_type == typ).toDF())
+        .collect().head
+      assert(got(typ) == ((batch.getLong(1), batch.getDouble(2), batch.getDouble(3))),
+        s"$typ: stream=${got(typ)} batch=$batch")
+    }
+    // the re-weighting really engaged: b's day-8 mass sits at 2^-2 of
+    // full weight under its day-10 reference
+    assert(got("b")._2 == 1.25, got.toString)
+  }
 }
