@@ -1493,4 +1493,29 @@ object Corpus {
     }
     (merges.result(), cur)
   }
+
+  /** Hashing-trick featurization (Weinberger et al. 2009): every
+    * whitespace token lands in bucket md5Hash60(token) mod `k`, and a
+    * document becomes the sparse count triple set (doc_id, bucket, n)
+    * — the fixed-dimension, vocabulary-free text featurizer (no
+    * dictionary to build, broadcast, or keep consistent across
+    * training and serving; collisions are the accepted trade, bounded
+    * in expectation by T/k per doc).
+    *
+    * Scale shape: one tokenize+explode feeds a map-side-combined
+    * (doc_id, bucket) count — the partial aggregation collapses each
+    * doc's tokens to ≤ k triples BEFORE the exchange, so the shuffle
+    * carries at most k 24-byte rows per document no matter how long
+    * the text is. Hash is the engine-portable [[graft.dedup.Dedup
+    * .md5Hash60]] (60-bit non-negative, so `%` == `pmod`), replayed
+    * bit-for-bit by the DuckDB oracle. */
+  def featureHash(docs: DataFrame, k: Int = 64, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"featureHash: k must be >= 2, got $k")
+    docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), pmod(Dedup.md5Hash60(col("tok")), lit(k.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+  }
 }

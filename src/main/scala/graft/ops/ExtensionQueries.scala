@@ -3582,6 +3582,47 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Exact join-size prediction for lineitem ⋈ orders on orderkey
+    * without running the join (Skew.joinSizeEstimate scaladoc: two
+    * checkpointed key-count tables, key-sized count join, DECIMAL
+    * products). */
+  val joinSizeQ: Q = Q(
+    "x_join_size_est",
+    (s, d) => Skew.joinSizeEstimate(Tables.lineitem(s, d), "l_orderkey",
+      Tables.orders(s, d), "o_orderkey"),
+    Some("""
+      WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      rc AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+      lt AS (SELECT CAST(SUM(c) AS BIGINT) AS left_rows, COUNT(*) AS left_keys FROM lc),
+      rt AS (SELECT CAST(SUM(c) AS BIGINT) AS right_rows, COUNT(*) AS right_keys FROM rc),
+      j AS (SELECT COUNT(*) AS matched_keys,
+                   COALESCE(CAST(SUM(CAST(lc.c AS HUGEINT) * rc.c) AS HUGEINT), 0) AS est,
+                   COALESCE(CAST(MAX(CAST(lc.c AS HUGEINT) * rc.c) AS HUGEINT), 0) AS mx
+            FROM lc JOIN rc ON lc.k = rc.k)
+      SELECT left_rows, left_keys, right_rows, right_keys, matched_keys,
+             CAST(est AS BIGINT) AS est_rows, CAST(mx AS BIGINT) AS max_key_rows,
+             CASE WHEN est > 0 THEN ROUND(CAST(mx AS DOUBLE) / CAST(est AS DOUBLE), 6)
+                  ELSE CAST(0.0 AS DOUBLE) END AS top_share
+      FROM lt, rt, j
+    """.trim)
+  )
+
+  /** Hashing-trick featurization of documents into k=64 sparse count
+    * triples (Corpus.featureHash scaladoc: map-side combine caps the
+    * exchange at k triples per doc; md5Hash60 replayed by the oracle
+    * bit-for-bit). */
+  val featureHashQ: Q = Q(
+    "x_feature_hash",
+    (s, d) => graft.corpus.Corpus.featureHash(Tables.documents(s, d), k = 64),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                 FROM documents),
+      f AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+            FROM t WHERE length(tok) > 0)
+      SELECT doc_id, bucket, COUNT(*) AS n FROM f GROUP BY 1, 2
+    """.trim)
+  )
+
   /** Top-20 session journey paths (EventAnalytics.topPaths scaladoc:
     * one user_id exchange end-to-end, maxLen-capped path keys,
     * deterministic sort_array ordered collect, TakeOrderedAndProject
@@ -3822,5 +3863,5 @@ object ExtensionQueries {
     sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
-    bfsHopsQ, decayedCountsQ, topPathsQ)
+    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ)
 }

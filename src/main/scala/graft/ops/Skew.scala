@@ -85,6 +85,48 @@ object Skew {
         / (col("n").cast(dec) * col("s")).cast("double"), 6).as("gini"))
   }
 
+  /** Exact join-cardinality prediction WITHOUT running the join — the
+    * other half of the pre-shuffle diagnosis [[skewReport]] starts:
+    * |L ⋈ R on k| = Σ_k cL(k)·cR(k), computed from the two per-key
+    * count tables. At 100 TB you run this (two map-side-combined key
+    * counts + a key-sized count-table join) before committing to a
+    * join whose output might be 1000× its inputs; `max_key_rows` /
+    * `top_share` name the hottest key's output share — the straggler
+    * and the salting decision in one number.
+    *
+    * Both count tables are localCheckpointed: each feeds its 1-row
+    * total AND the matched-key join — without the materialization the
+    * data-sized scan+agg would run twice per side. The count-table
+    * join reuses the groupBy's hash partitioning (no extra exchange);
+    * totals ride broadcast-scalar crossJoins (the house 1-row-sidecar
+    * pattern). Products/sums are exact DECIMAL(38,0); the one double
+    * is the final top_share divide. */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lc = left.select(col(leftKey).as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("cl")).localCheckpoint()
+    val rc = right.select(col(rightKey).as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("cr")).localCheckpoint()
+    val lt = lc.agg(sum(col("cl")).cast("bigint").as("left_rows"),
+      count(lit(1)).as("left_keys"))
+    val rt = rc.agg(sum(col("cr")).cast("bigint").as("right_rows"),
+      count(lit(1)).as("right_keys"))
+    val j = lc.join(rc, "k")
+      .agg(count(lit(1)).as("matched_keys"),
+        coalesce(sum(col("cl").cast(dec) * col("cr").cast(dec)), lit(0).cast(dec))
+          .cast(dec).as("est"),
+        max(col("cl").cast(dec) * col("cr").cast(dec)).as("mx"))
+    lt.crossJoin(rt).crossJoin(j)
+      .select(col("left_rows"), col("left_keys"), col("right_rows"),
+        col("right_keys"), col("matched_keys"),
+        col("est").cast("bigint").as("est_rows"),
+        coalesce(col("mx").cast("bigint"), lit(0L)).as("max_key_rows"),
+        when(col("est") > 0,
+          round(col("mx").cast("double") / col("est").cast("double"), 6))
+          .otherwise(lit(0d)).as("top_share"))
+  }
+
   /** fact ⋈ dim on fact(key) = dim(key), salted nSalts ways.
     * dim is replicated ×nSalts via a literal-range explode (cheap: dim
     * is the small side by assumption). */

@@ -655,4 +655,20 @@ class CorpusSpec extends SparkSpec {
     // fused score of the double-retrieved doc = both contributions
     assert(out.head.getDouble(1) > out(1).getDouble(1))
   }
+
+  test("featureHash: bucket = md5Hash60 mod k, counts per (doc, bucket); collisions merge") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "  beta  "), (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.featureHash(docs, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bAlpha = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("alpha").substring(0, 15), 16) % 8
+    val bBeta = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("beta").substring(0, 15), 16) % 8
+    val expected =
+      if (bAlpha == bBeta) Set((1L, bAlpha, 3L), (2L, bBeta, 1L))
+      else Set((1L, bAlpha, 2L), (1L, bBeta, 1L), (2L, bBeta, 1L))
+    // doc 3 is empty: whitespace tokenization yields nothing
+    assert(out.toSet == expected, out.mkString(","))
+  }
 }

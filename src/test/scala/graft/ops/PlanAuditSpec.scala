@@ -722,6 +722,28 @@ class PlanAuditSpec extends SparkSpec {
       s"windows, session rollup and ordered collect must share the user_id exchange, saw $hashEx:\n" + p)
   }
 
+  test("x_join_size_est: the predicted join is never executed — only key-sized count tables meet") {
+    val p = plan("x_join_size_est")
+    // both sides collapse to checkpointed count tables before any join;
+    // the plan must not re-scan parquet (that cost was paid once per
+    // side at checkpoint time) nor sort-merge anything
+    assert(!p.contains("Scan parquet"), "count tables are checkpointed — no rescan:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      "totals must ride 1-row crossJoin sidecars:\n" + p)
+  }
+
+  test("x_feature_hash: one tokenize pass; the exchange carries partially-aggregated triples") {
+    val p = plan("x_feature_hash")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over documents, saw $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+    // partial_count before the exchange = map-side combine caps the
+    // shuffle at k triples per doc
+    assert(p.contains("partial_count") || "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      "the (doc,bucket) count must combine map-side:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -39,6 +39,27 @@ class SkewAndConfigSpec extends SparkSpec {
     assert(r.getAs[Double]("top_share") == math.rint(2d / 6d * 1e6) / 1e6)
   }
 
+  test("joinSizeEstimate predicts the EXACT join cardinality and names the hottest key") {
+    val l = Seq("a", "a", "b", "c", "c", "c").toDF("lk")
+    val r = Seq("a", "a", "a", "b", "d", "d").toDF("rk")
+    val est = Skew.joinSizeEstimate(l, "lk", r, "rk").collect().head
+    val actual = l.join(r, l("lk") === r("rk")).count()
+    assert(est.getAs[Long]("est_rows") == actual && actual == 7L, est.toString)
+    assert(est.getAs[Long]("left_rows") == 6L && est.getAs[Long]("right_rows") == 6L)
+    assert(est.getAs[Long]("left_keys") == 3L && est.getAs[Long]("right_keys") == 3L)
+    assert(est.getAs[Long]("matched_keys") == 2L)
+    assert(est.getAs[Long]("max_key_rows") == 6L) // key a: 2x3
+    assert(est.getAs[Double]("top_share") == 0.857143, est.toString) // 6/7
+  }
+
+  test("joinSizeEstimate: disjoint key sets predict zero without dividing by it") {
+    val l = Seq("a").toDF("lk")
+    val r = Seq("b").toDF("rk")
+    val est = Skew.joinSizeEstimate(l, "lk", r, "rk").collect().head
+    assert(est.getAs[Long]("est_rows") == 0L && est.getAs[Long]("max_key_rows") == 0L &&
+      est.getAs[Double]("top_share") == 0.0, est.toString)
+  }
+
   test("salt is deterministic across evaluations") {
     val df = (1 to 50).map(i => Tuple1(s"row$i")).toDF("id")
     val a = df.select(Skew.salt(8, df("id")).as("s")).collect().map(_.getInt(0)).toSeq
