@@ -260,6 +260,91 @@ object TextQueries {
     )
   }
 
+  /** Curation filter-funnel survival report: how many documents
+    * survive each gate of the standard pretraining chain
+    * (language-ID → the five Gopher rules), cumulatively, with the
+    * survival percentage — the single readout a corpus owner reads
+    * before asking "which gate ate my data?". ONE pass: every gate
+    * boolean is computed in the same projection ([[TextAnalysis]]
+    * integer/regex arithmetic, no floats), the seven cumulative
+    * conjunctions collapse in one map-side-combined aggregate, and
+    * the 7-row report explodes out of the 1-row result — zero
+    * data-sized shuffles at any corpus size. */
+  val filterFunnel: Q = Q(
+    "x_filter_funnel",
+    (s, d) => {
+      val t = col("text")
+      val gated = Tables.documents(s, d)
+        .select(TextAnalysis.textStats(t).as("st"),
+          (TextAnalysis.detectLang(t) === "en").as("g1"))
+        .withColumn("r", TextAnalysis.gopherRules(col("st"), minWords = 40))
+      def cum(parts: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+        sum(when(parts.reduce(_ && _), 1L).otherwise(0L))
+      val agg = gated.agg(
+        count(lit(1)).as("s0"),
+        cum(col("g1")).as("s1"),
+        cum(col("g1"), col("r.r_word_count")).as("s2"),
+        cum(col("g1"), col("r.r_word_count"), col("r.r_mean_word_len")).as("s3"),
+        cum(col("g1"), col("r.r_word_count"), col("r.r_mean_word_len"),
+          col("r.r_symbol_ratio")).as("s4"),
+        cum(col("g1"), col("r.r_word_count"), col("r.r_mean_word_len"),
+          col("r.r_symbol_ratio"), col("r.r_alpha_words")).as("s5"),
+        cum(col("g1"), col("r.r_word_count"), col("r.r_mean_word_len"),
+          col("r.r_symbol_ratio"), col("r.r_alpha_words"), col("r.r_stopwords")).as("s6"))
+      val stages = Seq("all", "lang_en", "word_count", "mean_word_len",
+        "symbol_ratio", "alpha_words", "stopwords")
+      agg.select(explode(array(stages.zipWithIndex.map { case (nm, i) =>
+          struct(lit(i + 1).as("stage_idx"), lit(nm).as("stage"),
+            col(s"s$i").as("n_surviving"),
+            round(col(s"s$i").cast("double") / col("s0") * 100, 6).as("survival_pct"))
+        }: _*)).as("x"))
+        .select(col("x.stage_idx").as("stage_idx"), col("x.stage").as("stage"),
+          col("x.n_surviving").as("n_surviving"),
+          col("x.survival_pct").as("survival_pct"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','was','for','on','with','as','at','by','it','this','that'], x))) AS n_stopwords,
+               length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_tokens,
+               len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+               len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS c_de,
+               len(regexp_extract_all(text, '\b(el|la|los|de)\b')) AS c_es,
+               len(regexp_extract_all(text, '\b(le|la|les|des)\b')) AS c_fr,
+               len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+        FROM documents),
+      g AS (SELECT
+              (c_en > 0 AND c_en >= c_de AND c_en >= c_es
+                 AND c_en >= c_fr AND c_en >= c_zh) AS g1,
+              (n_tokens >= 40 AND n_tokens <= 100000) AS rw,
+              (n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10) AS rm,
+              (n_punct * 100 <= n_tokens * 10) AS rs,
+              (n_alpha_tokens * 100 >= n_tokens * 80) AS ra,
+              (n_stopwords >= 2) AS rst
+            FROM st),
+      a AS (SELECT COUNT(*) AS s0,
+              CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+              CAST(SUM(CASE WHEN g1 AND rw THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+              CAST(SUM(CASE WHEN g1 AND rw AND rm THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+              CAST(SUM(CASE WHEN g1 AND rw AND rm AND rs THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+              CAST(SUM(CASE WHEN g1 AND rw AND rm AND rs AND ra THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+              CAST(SUM(CASE WHEN g1 AND rw AND rm AND rs AND ra AND rst THEN 1 ELSE 0 END) AS BIGINT) AS s6
+            FROM g)
+      SELECT 1 AS stage_idx, 'all' AS stage, s0 AS n_surviving,
+             ROUND(CAST(s0 AS DOUBLE) / s0 * 100, 6) AS survival_pct FROM a
+      UNION ALL SELECT 2, 'lang_en', s1, ROUND(CAST(s1 AS DOUBLE) / s0 * 100, 6) FROM a
+      UNION ALL SELECT 3, 'word_count', s2, ROUND(CAST(s2 AS DOUBLE) / s0 * 100, 6) FROM a
+      UNION ALL SELECT 4, 'mean_word_len', s3, ROUND(CAST(s3 AS DOUBLE) / s0 * 100, 6) FROM a
+      UNION ALL SELECT 5, 'symbol_ratio', s4, ROUND(CAST(s4 AS DOUBLE) / s0 * 100, 6) FROM a
+      UNION ALL SELECT 6, 'alpha_words', s5, ROUND(CAST(s5 AS DOUBLE) / s0 * 100, 6) FROM a
+      UNION ALL SELECT 7, 'stopwords', s6, ROUND(CAST(s6 AS DOUBLE) / s0 * 100, 6) FROM a
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(stats, langid, fingerprints, piiScrub, selfRepetition,
-    gopherRules, qualityClassifier)
+    gopherRules, qualityClassifier, filterFunnel)
 }

@@ -744,6 +744,15 @@ class PlanAuditSpec extends SparkSpec {
       "the (doc,bucket) count must combine map-side:\n" + p)
   }
 
+  test("x_filter_funnel: all seven gates collapse in one pass — no data-sized exchange at all") {
+    val p = plan("x_filter_funnel")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over documents, saw $scans:\n" + p)
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      "the cumulative conjunctions are one global aggregate — nothing to hash-shuffle:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
