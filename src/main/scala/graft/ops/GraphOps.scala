@@ -39,9 +39,18 @@ object GraphOps {
     * kernel. The only super-linear term is the wedge-bounded intersect
     * work itself, capped by the orientation. */
   /** Canonical undirected edge set: distinct (a < b), self-loops
-    * dropped, checkpointed once for its downstream consumers. */
-  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    edges
+    * dropped, checkpointed once for its downstream consumers. When the
+    * caller PROMISES the input is already canonical (distinct, src <
+    * dst, loop-free — e.g. it was just built by a `x.k < y.k`
+    * self-join + distinct), the canonicalization's own full exchange
+    * of the edge table is skipped: only the checkpoint materialization
+    * remains. The promise is a caller contract — a violating input
+    * would double-count edges downstream. */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String,
+                        assumeCanonical: Boolean = false): DataFrame =
+    if (assumeCanonical)
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")).localCheckpoint()
+    else edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
@@ -49,8 +58,9 @@ object GraphOps {
       .localCheckpoint()
 
   def triangleStats(edges: DataFrame, srcCol: String = "src",
-                    dstCol: String = "dst"): DataFrame = {
-    val ed = canonical(edges, srcCol, dstCol)
+                    dstCol: String = "dst",
+                    assumeCanonical: Boolean = false): DataFrame = {
+    val ed = canonical(edges, srcCol, dstCol, assumeCanonical)
     val deg = ed.select(col("a").as("node"))
       .unionAll(ed.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -117,9 +127,10 @@ object GraphOps {
     * Output: (node, label) for every node of the canonicalized graph.
     */
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
-                       dstCol: String = "dst", iters: Int = 3): DataFrame = {
+                       dstCol: String = "dst", iters: Int = 3,
+                       assumeCanonical: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"labelPropagation: iters must be in [1, 20], got $iters")
-    val ed = canonical(edges, srcCol, dstCol)
+    val ed = canonical(edges, srcCol, dstCol, assumeCanonical)
     val sym = ed.select(col("a").as("u"), col("b").as("v"))
       .unionAll(ed.select(col("b").as("u"), col("a").as("v")))
     var labels = ed.select(col("a").as("node"))
@@ -164,9 +175,9 @@ object GraphOps {
     * Output: (node, hop), one row per reached node. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, srcCol: String = "src",
               dstCol: String = "dst", seedCol: String = "node",
-              rounds: Int = 3): DataFrame = {
+              rounds: Int = 3, assumeCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"bfsHops: rounds must be in [1, 20], got $rounds")
-    val ed = canonical(edges, srcCol, dstCol)
+    val ed = canonical(edges, srcCol, dstCol, assumeCanonical)
     val sym = ed.select(col("a").as("u"), col("b").as("v"))
       .unionAll(ed.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
@@ -204,13 +215,14 @@ object GraphOps {
     * Output: one row per round — `round`, `n_nodes` (nodes still
     * carrying an edge), `n_edges`. */
   def kcorePeel(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-                k: Int = 2, rounds: Int = 3): DataFrame = {
+                k: Int = 2, rounds: Int = 3,
+                assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"kcorePeel: k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 10, s"kcorePeel: rounds must be in [1, 10], got $rounds")
     def degOf(d: DataFrame): DataFrame = d.select(col("a").as("node"))
       .unionAll(d.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    var e = canonical(edges, srcCol, dstCol)
+    var e = canonical(edges, srcCol, dstCol, assumeCanonical)
     // ONE degree aggregation per round: the checkpointed node-sized
     // table feeds both this round's stats (n_nodes = its row count,
     // n_edges = Σdeg/2 — no second pass over the edge ends) and the
@@ -246,8 +258,9 @@ object GraphOps {
     * and r is ONE exactly-rounded IEEE division at the end. A regular
     * graph has zero degree variance — r is defined as 0.0 there. */
   def graphStats(edges: DataFrame, srcCol: String = "src",
-                 dstCol: String = "dst"): DataFrame = {
-    val ed = canonical(edges, srcCol, dstCol)
+                 dstCol: String = "dst",
+                 assumeCanonical: Boolean = false): DataFrame = {
+    val ed = canonical(edges, srcCol, dstCol, assumeCanonical)
     val deg = ed.select(col("a").as("node"))
       .unionAll(ed.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -110,6 +110,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(h == Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2), h.toString)
   }
 
+  test("assumeCanonical fast path: identical results on an already-canonical edge set") {
+    import spark.implicits._
+    // canonical by construction: distinct, src < dst, no loops
+    val edges = (for {
+      a <- 0L until 20L; b <- a + 1 until 20L
+      if (a * 13 + b * 7) % 4 == 0
+    } yield (a, b)).toDF("src", "dst")
+    assert(rowSet(GraphOps.triangleStats(edges, assumeCanonical = true)) ==
+      rowSet(GraphOps.triangleStats(edges)))
+    assert(rowSet(GraphOps.graphStats(edges, assumeCanonical = true)) ==
+      rowSet(GraphOps.graphStats(edges)))
+    val seeds = Seq(0L, 4L).toDF("node")
+    assert(rowSet(GraphOps.bfsHops(edges, seeds, rounds = 2, assumeCanonical = true)) ==
+      rowSet(GraphOps.bfsHops(edges, seeds, rounds = 2)))
+  }
+
   test("matches brute-force reference on a deterministic pseudo-random graph") {
     // 40 nodes, edge (a,b) present iff a hash-ish predicate fires
     val edges = for {
