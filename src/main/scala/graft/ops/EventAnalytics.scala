@@ -96,6 +96,75 @@ object EventAnalytics {
       s"stack(${steps.size}, $stackExpr) AS (step_idx, step, n_users)")
   }
 
+  /** Time-to-convert readout for the ordered funnel: for every
+    * transition step_{i−1} → step_i of [[funnel]]'s min-time chain,
+    * how many users converted and the min / max / mean wait between
+    * their chained step times. The same single-exchange construction
+    * as [[funnel]] (the t_i chain windows + per-user collapse reuse
+    * one `user_id` hash partitioning); gaps are exact microsecond
+    * longs, the mean is one IEEE divide of the exact BIGINT gap sum
+    * (6 dp) — no float time arithmetic anywhere.
+    *
+    * Output: one row per transition (step_idx ≥ 2) — `step`,
+    * `n_converted`, `min_gap_us`, `max_gap_us`, `avg_gap_us`. */
+  def funnelTiming(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelTiming: need at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnelTiming: steps must be distinct")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val prev = if (i == 0) lit(true) else col(s"_t${i - 1}").isNotNull
+      val after = if (i == 0) lit(true) else col("ts_us") > col(s"_t${i - 1}")
+      df.withColumn(s"_t$i",
+        min(when(col("event_type") === step && prev && after, col("ts_us"))).over(w))
+    }
+    val aggs = steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i"))
+    val perUser = staged.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    val gapAggs = steps.indices.drop(1).flatMap { i =>
+      val gap = col(s"_t$i") - col(s"_t${i - 1}")
+      Seq(count(col(s"_t$i")).as(s"_n$i"),
+        min(gap).as(s"_mn$i"), max(gap).as(s"_mx$i"),
+        sum(gap).cast("bigint").as(s"_s$i"))
+    }
+    val agg = perUser.agg(gapAggs.head, gapAggs.tail: _*)
+    val stackExpr = steps.zipWithIndex.drop(1).map { case (s, i) =>
+      s"${i + 1}, '$s', _n$i, _mn$i, _mx$i, " +
+        s"round(cast(_s$i as double) / _n$i, 6)"
+    }.mkString(", ")
+    agg.selectExpr(s"stack(${steps.size - 1}, $stackExpr) AS " +
+      "(step_idx, step, n_converted, min_gap_us, max_gap_us, avg_gap_us)")
+  }
+
+  /** DAU / WAU / stickiness per day — the engagement trio. WAU(d) =
+    * distinct users active in the trailing 7-day window [d−6, d],
+    * computed WITHOUT a range join: each (day, user) activity pair
+    * contributes itself to the 7 target days it can serve via a
+    * sequence-explode (7·|day-user pairs| narrow rows), then an exact
+    * distinct + count per target day. The range-join formulation
+    * broadcasts a day list into an inequality nested-loop over the
+    * pair table — same output, but the explode shape is one ordinary
+    * hash exchange and stays shuffle-sorted for the count.
+    * Stickiness = DAU/WAU, one IEEE divide of exact counts (6 dp).
+    * Days past the observed maximum receive WAU contributions but no
+    * DAU row; the inner join drops them (every reported day is a real
+    * activity day).
+    *
+    * Output: `day`, `dau`, `wau`, `stickiness`. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val du = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint() // feeds both the DAU count and the WAU explode
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   /** Event-type transition matrix ("user flow"): for each ordered pair
     * of consecutive events of the same user, count the (prev_type →
     * event_type) transition and its row-normalized probability — the

@@ -3821,6 +3821,53 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Funnel time-to-convert (EventAnalytics.funnelTiming scaladoc:
+    * same min-time chain + single user_id exchange as x_funnel; exact
+    * microsecond gaps, one IEEE divide for the mean). The oracle
+    * replays the chain and the gap aggregates. */
+  val funnelTimingQ: Q = Q(
+    "x_funnel_time",
+    (s, d) => EventAnalytics.funnelTiming(Tables.events(s, d),
+      Seq("view", "click", "purchase")),
+    Some("""
+      WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      s0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                         OVER (PARTITION BY user_id) AS t0 FROM b),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t0 IS NOT NULL AND ts_us > t0
+                                THEN ts_us END) OVER (PARTITION BY user_id) AS t1 FROM s0),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL AND ts_us > t1
+                                THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      u AS (SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM s2 GROUP BY 1)
+      SELECT 2 AS step_idx, 'click' AS step, COUNT(t1) AS n_converted,
+             MIN(t1 - t0) AS min_gap_us, MAX(t1 - t0) AS max_gap_us,
+             ROUND(CAST(CAST(SUM(t1 - t0) AS BIGINT) AS DOUBLE) / COUNT(t1), 6) AS avg_gap_us
+      FROM u
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(t2), MIN(t2 - t1), MAX(t2 - t1),
+             ROUND(CAST(CAST(SUM(t2 - t1) AS BIGINT) AS DOUBLE) / COUNT(t2), 6)
+      FROM u
+    """.trim)
+  )
+
+  /** Daily engagement trio (EventAnalytics.stickiness scaladoc: WAU by
+    * sequence-explode of each activity pair onto its 7 servable days —
+    * no range join; exact distinct counts, one divide). */
+  val stickinessQ: Q = Q(
+    "x_dau_wau",
+    (s, d) => EventAnalytics.stickiness(Tables.events(s, d)),
+    Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+      wx AS (SELECT DISTINCT CAST(gs AS DATE) AS day, user_id
+             FROM du, unnest(generate_series(CAST(day AS TIMESTAMP),
+                    CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS t(gs)),
+      wau AS (SELECT day, COUNT(*) AS wau FROM wx GROUP BY 1)
+      SELECT day, dau, wau,
+             ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      FROM dau JOIN wau USING (day)
+    """.trim)
+  )
+
   /** Weekly cohort retention (EventAnalytics.retention: cohort = min-ts
     * window over the same single user_id exchange, Monday-truncated
     * weeks, integer week offsets). */
@@ -3860,7 +3907,8 @@ object ExtensionQueries {
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
-    sessionizeQ, funnelQ, retentionQ, knLmQ, trianglesQ, labelPropQ, graphStatsQ,
+    sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, retentionQ, knLmQ,
+    trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ)

@@ -154,6 +154,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(capped == Seq(("view>click", 3L), ("view", 1L)), capped.mkString(","))
   }
 
+  test("funnelTiming: exact microsecond gaps along the min-time chain; non-converters drop out") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:15:00", 1L, "purchase", 0.0),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:20:00", 2L, "click", 0.0),
+      (6L, "2024-01-01 09:00:00", 3L, "click", 0.0)) // click before any view: no conversion
+    val r = EventAnalytics.funnelTiming(ev, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getString(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r("click") == ((2L, 300000000L, 1200000000L, 750000000.0)), r.toString)
+    assert(r("purchase") == ((1L, 600000000L, 600000000L, 600000000.0)), r.toString)
+  }
+
+  test("stickiness: WAU is the trailing 7-day distinct-user window; only activity days report") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 2L, "view", 0.0),
+      (3L, "2024-01-01 12:00:00", 2L, "view", 0.0), // same (day, user): no double count
+      (4L, "2024-01-02 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-09 10:00:00", 3L, "view", 0.0)) // 7 days on: window has rolled over
+    val r = EventAnalytics.stickiness(ev).collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r == Map(
+      "2024-01-01" -> ((2L, 2L, 1.0)),
+      "2024-01-02" -> ((1L, 2L, 0.5)),
+      "2024-01-09" -> ((1L, 1L, 1.0))), r.toString)
+  }
+
   test("decayedCounts: stepped base-2 decay, exact halves; the horizon truncates stale events") {
     val ev = events(
       (1L, "2024-03-10 09:00:00", 1L, "a", 1.00),

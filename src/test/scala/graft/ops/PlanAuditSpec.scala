@@ -753,6 +753,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x_funnel_time: the gap aggregates reuse x_funnel's single user_id exchange") {
+    val p = plan("x_funnel_time")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange (user_id), got $n:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "timing must be window-chained, never a join:\n" + p)
+  }
+
+  test("x_dau_wau: one pass to the checkpointed day-user table; WAU is an explode, not a range join") {
+    val p = plan("x_dau_wau")
+    assert(!p.contains("Scan parquet"),
+      "the day-user distinct is checkpointed once for both counts:\n" + p)
+    assert(p.contains("Generate"), "WAU must sequence-explode the pair table:\n" + p)
+    assert(!p.contains("NestedLoop"),
+      "no inequality nested-loop — the explode replaces the range join:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
