@@ -165,6 +165,40 @@ object EventAnalytics {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+  /** Batch last-touch attribution: every purchase credits the LATEST
+    * preceding view-like event of the same user within `horizonSec` —
+    * the backfill form of the streaming
+    * [[graft.streaming.EventStream.lastTouchAttribution]] join. Batch
+    * has the whole log, so no join at all: one max-struct window over
+    * the (ts, event_id)-ordered user partition carries the latest
+    * prior view to each row ("preceding" = earlier in that total
+    * order), and the horizon filter keeps the credit honest. ONE
+    * user_id exchange, never a self-join of the log.
+    *
+    * Output per attributed purchase: `user_id`, `purchase_id`,
+    * `p_ts_us`, `view_id`, `v_ts_us`, `gap_us` (all exact
+    * microsecond longs). Unattributed purchases (no view inside the
+    * horizon) drop out, as in the streaming inner join. */
+  def lastTouchAttribution(events: DataFrame, viewType: String = "view",
+                           purchaseType: String = "purchase",
+                           horizonSec: Long = 3600L): DataFrame = {
+    val horizonUs = horizonSec * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("_lv",
+        max(when(col("event_type") === viewType,
+          struct(col("ts_us").as("v_ts_us"), col("event_id").as("view_id")))).over(wOrd))
+      .filter(col("event_type") === purchaseType && col("_lv").isNotNull &&
+        col("ts_us") - col("_lv.v_ts_us") <= horizonUs)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts_us"), col("_lv.view_id").as("view_id"),
+        col("_lv.v_ts_us").as("v_ts_us"),
+        (col("ts_us") - col("_lv.v_ts_us")).as("gap_us"))
+  }
+
   /** Event-type transition matrix ("user flow"): for each ordered pair
     * of consecutive events of the same user, count the (prev_type →
     * event_type) transition and its row-normalized probability — the

@@ -3868,6 +3868,60 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Batch last-touch attribution (EventAnalytics.lastTouchAttribution
+    * scaladoc: one max-struct window on the single user_id exchange,
+    * no self-join). The oracle encodes the struct-max as a HUGEINT
+    * (ts_us·10⁹ + event_id — same (ts, id) order) window maximum. */
+  val attributionQ: Q = Q(
+    "x_attribution",
+    (s, d) => EventAnalytics.lastTouchAttribution(Tables.events(s, d)),
+    Some("""
+      WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      w AS (SELECT *, MAX(CASE WHEN event_type = 'view'
+                          THEN CAST(ts_us AS HUGEINT) * 1000000000 + event_id END)
+                        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+            FROM b)
+      SELECT user_id, event_id AS purchase_id, ts_us AS p_ts_us,
+             CAST(lv % 1000000000 AS BIGINT) AS view_id,
+             CAST(lv // 1000000000 AS BIGINT) AS v_ts_us,
+             CAST(ts_us - lv // 1000000000 AS BIGINT) AS gap_us
+      FROM w
+      WHERE event_type = 'purchase' AND lv IS NOT NULL
+        AND ts_us - lv // 1000000000 <= 3600000000
+    """.trim)
+  )
+
+  /** Incremental materialized-view maintenance (Relational
+    * .mergeDistributive scaladoc: name-declared distributive algebra,
+    * one agg-sized union + re-aggregation, raw history never re-read).
+    * The oracle is the DIRECT aggregation over all orders — passing
+    * proves the merge law end-to-end. */
+  val aggMergeQ: Q = Q(
+    "x_agg_merge",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_total"),
+          min(col("o_totalprice")).as("min_total"),
+          max(col("o_totalprice")).as("max_total"))
+      val prev = aggOf(o.filter(col("o_orderdate") < "1997-01-01"))
+      val delta = aggOf(o.filter(col("o_orderdate") >= "1997-01-01"))
+      Relational.mergeDistributive(prev, delta, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_total").cast("double").as("sum_total"),
+          col("min_total"), col("max_total"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+             MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total
+      FROM orders GROUP BY 1
+    """.trim)
+  )
+
   /** Weekly cohort retention (EventAnalytics.retention: cohort = min-ts
     * window over the same single user_id exchange, Monday-truncated
     * weeks, integer week offsets). */
@@ -3907,7 +3961,8 @@ object ExtensionQueries {
     dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
-    sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, retentionQ, knLmQ,
+    sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, attributionQ, aggMergeQ,
+    retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,

@@ -75,5 +75,35 @@ object Relational {
     """.stripMargin.trim)
   )
 
+  /** Distributive-aggregate merge — incremental materialized-view
+    * maintenance: fold a delta partition's aggregate table into the
+    * standing one without touching raw history. Sound exactly for the
+    * distributive algebra (COUNT and SUM re-sum, MIN/MAX re-extremize;
+    * AVG must be carried as sum+cnt, exact DISTINCT cannot be merged
+    * at all — ship a sketch like [[Hll]] for that), so each non-key
+    * column must DECLARE its algebra in its name: `cnt`/`cnt_*`/
+    * `sum_*` re-sum, `min_*`/`max_*` re-extremize; anything else
+    * fails fast rather than merging wrongly.
+    *
+    * One union of two agg-sized tables + one map-side-combined
+    * re-aggregation — at 100 TB the raw data is never re-read; that
+    * is the entire point. Carry SUMs as DECIMAL so the re-sum is
+    * order-independent (the [[dsum]] discipline). */
+  def mergeDistributive(prev: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeDistributive: need at least one key")
+    require(prev.columns.toSeq == delta.columns.toSeq,
+      s"mergeDistributive: schema mismatch ${prev.columns.toSeq} vs ${delta.columns.toSeq}")
+    val aggs = prev.columns.filterNot(keys.contains).map { c =>
+      if (c == "cnt" || c.startsWith("cnt_") || c.startsWith("sum_")) sum(col(c)).as(c)
+      else if (c.startsWith("min_")) min(col(c)).as(c)
+      else if (c.startsWith("max_")) max(col(c)).as(c)
+      else throw new IllegalArgumentException(
+        s"mergeDistributive: column '$c' does not declare a mergeable algebra " +
+          "(cnt/cnt_*/sum_* re-sum, min_*/max_* re-extremize)")
+    }
+    require(aggs.nonEmpty, "mergeDistributive: no aggregate columns to merge")
+    prev.unionAll(delta).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def all: Seq[Q] = Seq(q1Agg)
 }

@@ -184,6 +184,23 @@ class EventAnalyticsSpec extends SparkSpec {
       "2024-01-09" -> ((1L, 1L, 1.0))), r.toString)
   }
 
+  test("lastTouchAttribution: latest prior view wins; horizon, missing-view and same-ts edges") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:45:00", 1L, "purchase", 0.0), // credits view 2 (latest), gap 15 min
+      (4L, "2024-01-01 08:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:00:00", 2L, "purchase", 0.0), // 2h old view: outside horizon
+      (6L, "2024-01-01 10:00:00", 3L, "purchase", 0.0), // no view at all
+      (7L, "2024-01-01 09:59:00", 4L, "click", 0.0),
+      (8L, "2024-01-01 10:00:00", 4L, "purchase", 0.0), // click is not a view
+      (9L, "2024-01-01 10:00:00", 5L, "view", 0.0),
+      (10L, "2024-01-01 10:00:00", 5L, "purchase", 0.0)) // same ts: view precedes by id
+    val r = EventAnalytics.lastTouchAttribution(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(3), x.getLong(5))).toSet
+    assert(r == Set((1L, 3L, 2L, 900000000L), (5L, 10L, 9L, 0L)), r.toString)
+  }
+
   test("decayedCounts: stepped base-2 decay, exact halves; the horizon truncates stale events") {
     val ev = events(
       (1L, "2024-03-10 09:00:00", 1L, "a", 1.00),

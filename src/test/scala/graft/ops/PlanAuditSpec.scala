@@ -770,6 +770,21 @@ class PlanAuditSpec extends SparkSpec {
       "no inequality nested-loop — the explode replaces the range join:\n" + p)
   }
 
+  test("x_attribution: one user_id exchange, window-carried credit — never a self-join of the log") {
+    val p = plan("x_attribution")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange (user_id), got $n:\n" + p)
+    assert(!p.contains("Join"), "batch attribution is a window, not a join:\n" + p)
+  }
+
+  test("x_agg_merge: both partition scans push their date filter; raw rows never meet the merge") {
+    val p = plan("x_agg_merge")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "the partition split must reach the parquet scans:\n" + p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), "the merge is a re-aggregation, never a join:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
