@@ -961,4 +961,40 @@ object Dedup {
       .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n", "n1"), "id1")
       .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n", "n2"), "id2")
   }
+
+  /** Cross-source shared-content matrix — the provenance governance
+    * readout: for every unordered source pair, how much content they
+    * share, keyed by each document's MIN-SHINGLE CONTENT ANCHOR (the
+    * winnowing-style anchor of the fingerprint family: two documents
+    * sharing their minimum shingle fingerprint share at least one
+    * w-token window verbatim — boilerplate, syndication, or scraping
+    * overlap that exact-hash dedup misses). Answers "which sources
+    * copy from which" before a mixing decision double-counts them.
+    *
+    * Scale shape: one tokenize pass to the anchor (the min reduces
+    * in-row — no shingle explode), counts per (anchor, source) with
+    * map-side combine, the count table checkpointed ONCE for both
+    * sides of the anchor-keyed self-join (count-table-sized, never
+    * corpus-sized — the [[graft.ops.Skew.joinSizeEstimate]] shape).
+    * Every exchanged key is the 60-bit md5 long of the anchor — the
+    * no-text-in-exchange discipline.
+    *
+    * Output: `source_a` < `source_b`, `n_shared_anchors` (distinct
+    * shared content anchors), `n_doc_pairs` (Σ cₐ·c_b document
+    * pairs). */
+  def crossSourceSharing(docs: DataFrame, textCol: String = "text",
+                         srcCol: String = "source"): DataFrame = {
+    val anchor = conv(substring(org.apache.spark.sql.graftext.VectorExpressions
+      .md5Min(shingles(col(textCol))), 1, 15), 16, 10).cast("long")
+    val counts = docs
+      .select(anchor.as("anchor"), col(srcCol).as("src"))
+      .groupBy(col("anchor"), col("src")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val l = counts.select(col("anchor"), col("src").as("source_a"), col("c").as("ca"))
+    val r = counts.select(col("anchor"), col("src").as("source_b"), col("c").as("cb"))
+    l.join(r, "anchor").filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_anchors"),
+        sum(col("ca") * col("cb")).cast("bigint").as("n_doc_pairs"))
+  }
 }

@@ -3582,6 +3582,29 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Cross-source shared-content matrix (Dedup.crossSourceSharing
+    * scaladoc: min-shingle anchors as 60-bit longs, checkpointed
+    * count-table self-join — never corpus-sized). The oracle replays
+    * the anchor construction hash-for-hash. */
+  val crossSourceQ: Q = Q(
+    "x_cross_source",
+    (s, d) => Dedup.crossSourceSharing(Tables.documents(s, d)),
+    Some("""
+      WITH w AS (SELECT source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      sh AS (SELECT source, ('0x' || substr(list_min(list_transform(
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))),
+               g -> md5(g))), 1, 15))::BIGINT AS anchor FROM w),
+      c AS (SELECT anchor, source AS src, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+      SELECT a.src AS source_a, b.src AS source_b,
+             COUNT(*) AS n_shared_anchors,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS n_doc_pairs
+      FROM c a JOIN c b ON a.anchor = b.anchor AND a.src < b.src
+      GROUP BY 1, 2
+    """.trim)
+  )
+
   /** Exact join-size prediction for lineitem ⋈ orders on orderkey
     * without running the join (Skew.joinSizeEstimate scaladoc: two
     * checkpointed key-count tables, key-sized count join, DECIMAL
@@ -3966,5 +3989,5 @@ object ExtensionQueries {
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
-    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ)
+    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ)
 }

@@ -406,4 +406,17 @@ class DedupSpec extends SparkSpec {
     val nGrams1 = 15 - 4 + 1 // doc 1: 15 tokens -> 12 grams
     assert(byDoc(1L).size < nGrams1, s"selected ${byDoc(1L).size} of $nGrams1 grams")
   }
+
+  test("crossSourceSharing: shared anchors pair across sources, never within; pair counts multiply") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s1"), // within-source copy: not a cross pair
+      (3L, "alpha beta gamma delta", "s2"), // cross-source: pairs with BOTH s1 copies
+      (4L, "zeta zeta zeta zeta", "s3")     // unshared content: no row
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceSharing(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("s1", "s2", 1L, 2L)), out.mkString(","))
+  }
 }

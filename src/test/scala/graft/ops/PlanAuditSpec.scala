@@ -785,6 +785,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "the merge is a re-aggregation, never a join:\n" + p)
   }
 
+  test("x_cross_source: anchors exchange as 60-bit longs; the self-join meets only the checkpointed count table") {
+    val p = plan("x_cross_source")
+    assert(!p.contains("Scan parquet"),
+      "the (anchor, source) count table is checkpointed once for both join sides:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Generate"),
+      "the min-shingle anchor reduces in-row — no shingle explode:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
