@@ -3582,6 +3582,70 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** MMR diversified retrieval (Similarity.mmrTopK scaladoc: the
+    * distributed cost is the brute-force shortlist; the greedy runs on
+    * the bounded driver-collected shortlist with engine-mirrored
+    * arithmetic). The oracle unrolls all five greedy selections — each
+    * step an argmax of λ·rel − (1−λ)·max-sim-to-selected with the
+    * identical double arithmetic (λ = 0.75 so both weights are
+    * binary-exact) — the PageRank unrolled-fixed-point precedent. */
+  val mmrQ: Q = Q(
+    "x_mmr_rerank",
+    (s, d) => Similarity.mmrTopK(Tables.embeddings(s, d), queryId = 0L,
+      k = 5, kCand = 30),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      sc AS (SELECT vec_id, v,
+                    list_dot_product(v, qv) /
+                      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS rel
+             FROM e, q WHERE vec_id <> 0),
+      sl AS (SELECT vec_id, v, rel FROM sc ORDER BY rel DESC, vec_id LIMIT 30),
+      s1 AS (SELECT vec_id, v, rel FROM sl ORDER BY rel DESC, vec_id LIMIT 1),
+      s2 AS (SELECT c.vec_id, c.v, c.rel FROM sl c, s1
+             WHERE c.vec_id <> s1.vec_id
+             ORDER BY 0.75 * c.rel - 0.25 *
+               (list_dot_product(c.v, s1.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s1.v, s1.v))))
+               DESC, c.vec_id LIMIT 1),
+      s3 AS (SELECT c.vec_id, c.v, c.rel FROM sl c, s1, s2
+             WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)
+             ORDER BY 0.75 * c.rel - 0.25 * greatest(
+               list_dot_product(c.v, s1.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s1.v, s1.v))),
+               list_dot_product(c.v, s2.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s2.v, s2.v))))
+               DESC, c.vec_id LIMIT 1),
+      s4 AS (SELECT c.vec_id, c.v, c.rel FROM sl c, s1, s2, s3
+             WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)
+             ORDER BY 0.75 * c.rel - 0.25 * greatest(
+               list_dot_product(c.v, s1.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s1.v, s1.v))),
+               list_dot_product(c.v, s2.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s2.v, s2.v))),
+               list_dot_product(c.v, s3.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s3.v, s3.v))))
+               DESC, c.vec_id LIMIT 1),
+      s5 AS (SELECT c.vec_id, c.v, c.rel FROM sl c, s1, s2, s3, s4
+             WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id, s4.vec_id)
+             ORDER BY 0.75 * c.rel - 0.25 * greatest(
+               list_dot_product(c.v, s1.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s1.v, s1.v))),
+               list_dot_product(c.v, s2.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s2.v, s2.v))),
+               list_dot_product(c.v, s3.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s3.v, s3.v))),
+               list_dot_product(c.v, s4.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s4.v, s4.v))))
+               DESC, c.vec_id LIMIT 1)
+      SELECT 1 AS rank, vec_id, ROUND(rel, 6) AS cos_sim FROM s1
+      UNION ALL SELECT 2, vec_id, ROUND(rel, 6) FROM s2
+      UNION ALL SELECT 3, vec_id, ROUND(rel, 6) FROM s3
+      UNION ALL SELECT 4, vec_id, ROUND(rel, 6) FROM s4
+      UNION ALL SELECT 5, vec_id, ROUND(rel, 6) FROM s5
+    """.trim)
+  )
+
   /** Cross-source shared-content matrix (Dedup.crossSourceSharing
     * scaladoc: min-shingle anchors as 60-bit longs, checkpointed
     * count-table self-join — never corpus-sized). The oracle replays
@@ -3989,5 +4053,5 @@ object ExtensionQueries {
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
-    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ)
+    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ)
 }

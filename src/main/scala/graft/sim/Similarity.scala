@@ -1207,4 +1207,66 @@ object Similarity {
       .select(col("_sid"), col("list"))
     emb.join(kept, emb(idCol) === kept("_sid")).drop("_sid")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedy-select `k` results from the brute-force
+    * cosine shortlist, each pick maximizing
+    *   λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    * — relevance traded against redundancy, the standard diversified
+    * retrieval tail for RAG/eval-set assembly (near-identical top hits
+    * carry no marginal information).
+    *
+    * Scale shape: the DISTRIBUTED work is the shortlist — one
+    * brute-force cosine pass (see [[knnBruteForce]]); the greedy then
+    * runs on the collected kCand×dim shortlist vectors, a driver
+    * scalar by construction (kCand ≤ 200 enforced — the bounded
+    * driver-collect precedent of the k-means centroid family). The
+    * O(k·kCand²) pairwise arithmetic is on ≤200 vectors, microseconds.
+    *
+    * Determinism: driver arithmetic mirrors the engine/oracle cosine
+    * bit-for-bit — floats widen to double BEFORE multiplying, dots
+    * fold left-to-right, cos = dot/(norm_a·norm_b) in that operand
+    * order; λ defaults to 0.75 so BOTH λ and 1−λ are binary-exact
+    * doubles in every engine (0.7/0.3 would differ in the last ulp
+    * between a decimal literal and a computed 1−λ). Ties break by
+    * vec_id ascending. Output cos_sim is HALF_UP-rounded to 6 dp —
+    * ranking always compares unrounded doubles.
+    *
+    * Output: (rank 1-based, vec_id, cos_sim = relevance to query). */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int = 5, kCand: Int = 30,
+              lambda: Double = 0.75, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= kCand, s"mmrTopK: need 1 <= k <= kCand, got k=$k kCand=$kCand")
+    require(kCand <= 200, s"mmrTopK: kCand must be <= 200 (driver-collected shortlist), got $kCand")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val slIds: Array[Long] = knnBruteForce(emb, queryId, kCand, idCol, vecCol)
+      .select(col(idCol)).as[Long].collect() // already (cos desc, id) ordered
+    val vecs: Map[Long, Array[Float]] = emb
+      .filter(col(idCol).isin(queryId +: slIds.toSeq: _*))
+      .select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect().toMap
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val qv = vecs(queryId)
+    val rel: Map[Long, Double] = slIds.iterator.map(id => id -> cos(vecs(id), qv)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (selected.size < k) {
+      val best = slIds.iterator.filterNot(selected.contains).map { d =>
+        val div = if (selected.isEmpty) 0.0
+          else selected.iterator.map(sid => cos(vecs(d), vecs(sid))).max
+        (d, lambda * rel(d) - (1 - lambda) * div)
+      }.maxBy { case (d, score) => (score, -d) }
+      selected += best._1
+    }
+    selected.toSeq.zipWithIndex.map { case (id, i) =>
+      (i + 1, id, java.math.BigDecimal.valueOf(rel(id))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    }.toDF("rank", "vec_id", "cos_sim")
+  }
 }

@@ -375,4 +375,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(2) >= 0.2 && r.getDouble(2) < 0.9))
     assert(got.map(_.getInt(3)).toSeq == (1 to got.length))
   }
+
+  test("mmrTopK: a redundant near-duplicate is demoted below a diverse result") {
+    import spark.implicits._
+    // id1 and id2 are IDENTICAL vectors (sim = 1); id3 is relevant but
+    // diverse. Pure knn order is (1, 2, 3); MMR at lambda = 0.5 must
+    // pick the diverse id3 before the clone: 0.5*0.994 - 0.5*1.0 <
+    // 0.5*0.6 - 0.5*0.52
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.6f, -0.8f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.mmrTopK(emb, queryId = 0L, k = 3, kCand = 3, lambda = 0.5)
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)), r.mkString(","))
+  }
 }
