@@ -50,6 +50,27 @@ object CorpusDemo {
 
     val docs = stage("raw", Tables.documents(spark, sfDir))
 
+    // 0. Declarative constraint suite (x_dq_checks): the validation a
+    //    100 TB ingest runs BEFORE letting a batch into the corpus.
+    //    The demo prints the report; a production runbook would abort
+    //    on any failed row.
+    graft.ops.DataQuality.runChecks(Seq(
+      graft.ops.DataQuality.Completeness(docs, "documents", "text"),
+      graft.ops.DataQuality.Completeness(docs, "documents", "doc_id"),
+      graft.ops.DataQuality.Uniqueness(docs, "documents", Seq("doc_id"))))
+      .collect().foreach { r =>
+        println(f"[corpus-demo] dq_${r.getString(0)}%-40s " +
+          f"violations=${r.getLong(2)} passed=${r.getBoolean(3)}")
+      }
+
+    // 0b. Provenance governance (x_cross_source): which sources share
+    //     content — the double-counting a mixing decision must know
+    //     about before weighting sources independently.
+    val sharing = Dedup.crossSourceSharing(docs)
+      .agg(count(lit(1)), coalesce(sum(col("n_doc_pairs")), lit(0L))).head()
+    println(f"[corpus-demo] cross_source_sharing         " +
+      f"${sharing.getLong(0)}%5d source pairs share anchors (${sharing.getLong(1)} doc pairs)")
+
     // 1. Heuristic quality gate (x_corpus_pipeline's gate).
     val gated = stage("quality_gate",
       docs.filter(TextAnalysis.qualityScore(col("text")) >= 60))
