@@ -607,6 +607,32 @@ object ExtensionQueries {
     )
   }
 
+  /** Embedding outlier mining (Similarity.embedOutliers scaladoc:
+    * broadcast centroids, codegen own-centroid cosine, bottom-k via
+    * TakeOrderedAndProject). The oracle replays the unrolled Lloyd
+    * runs (the x_ann_ivf_kmeans CTEs) and ranks ascending. */
+  val embedOutliersQ: Q = {
+    val nLists = 4
+    val iters = 2
+    Q(
+      "x_embed_outliers",
+      (s, d) => Similarity.embedOutliers(Tables.embeddings(s, d), dim = 64,
+        k = 20, nLists = nLists, iters = iters),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nLists, iters)},
+      sc AS (SELECT a.vec_id, a.list,
+                    list_dot_product(a.v, c.cv) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS c
+             FROM asgf a JOIN cv$iters c ON a.list = c.list)
+      SELECT vec_id, list, ROUND(c, 6) AS centroid_sim, rn
+      FROM (SELECT vec_id, list, c,
+                   ROW_NUMBER() OVER (ORDER BY c, vec_id) AS rn FROM sc) t
+      WHERE rn <= 20
+    """.trim)
+    )
+  }
+
   /** Product-quantization ANN (Similarity.annPq scaladoc has the
     * compression/ADC scale story). The oracle replays all m=8
     * per-subspace unrolled Lloyd's runs (kmeansCtesSql with per-
@@ -4053,5 +4079,5 @@ object ExtensionQueries {
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
-    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ)
+    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ)
 }

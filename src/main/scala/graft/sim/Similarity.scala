@@ -1269,4 +1269,36 @@ object Similarity {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
     }.toDF("rank", "vec_id", "cos_sim")
   }
+
+  /** Embedding-space outlier mining: partition the corpus with the
+    * deterministic [[kmeans]], then surface the k vectors LEAST
+    * similar to their own centroid — mislabeled points, encoder
+    * failures, and off-distribution content show up here before they
+    * pollute a training mix (the centroid-distance screen of the
+    * SemDeDup family, pointed at the opposite tail).
+    *
+    * Scale shape: centroids are a driver-tiny literal table
+    * (broadcast); the scan computes each vector's own-centroid cosine
+    * inside codegen; the bottom-k is orderBy+limit
+    * (TakeOrderedAndProject — per-task heaps, no global sort), rank
+    * window over the k survivors only. Ranking compares unrounded
+    * doubles (ties by id); the reported similarity is 6-dp rounded. */
+  def embedOutliers(emb: DataFrame, dim: Int, k: Int = 20, nLists: Int = 4,
+                    iters: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)
+    val centDf = cents.map { case (l, v) => (l, v.toArray) }.toDF("list", "cv")
+    val scored = emb
+      .withColumn("list", kmeansAssign(asDouble(col(vecCol)), cents))
+      .join(broadcast(centDf), "list")
+      .select(col(idCol), col("list"),
+        cosine(asDouble(col(vecCol)), col("cv").cast("array<double>")).as("c"))
+    val w = Window.partitionBy(pmod(col(idCol), lit(1)))
+      .orderBy(col("c"), col(idCol))
+    scored.orderBy(col("c"), col(idCol)).limit(k)
+      .withColumn("rn", row_number().over(w))
+      .select(col(idCol), col("list"), round(col("c"), 6).as("centroid_sim"), col("rn"))
+  }
 }

@@ -794,6 +794,14 @@ class PlanAuditSpec extends SparkSpec {
       "the min-shingle anchor reduces in-row — no shingle explode:\n" + p)
   }
 
+  test("x_embed_outliers: centroids broadcast; bottom-k is per-task heaps, never a global sort") {
+    val p = plan("x_embed_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the centroid table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -392,4 +392,15 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(x => (x.getInt(0), x.getLong(1)))
     assert(r.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)), r.mkString(","))
   }
+
+  test("embedOutliers: a planted off-distribution vector ranks first (least like its centroid)") {
+    import spark.implicits._
+    val a = (1 to 5).map(i => (i.toLong, Array(1.0f, 0.01f * i)))      // cluster around (1, 0)
+    val b = (6 to 10).map(i => (i.toLong, Array(0.01f * i, 1.0f)))     // cluster around (0, 1)
+    val outlier = Seq((99L, Array(0.5f, -0.9f)))                       // belongs to neither
+    val emb = (a ++ b ++ outlier).toDF("vec_id", "embedding")
+    val r = Similarity.embedOutliers(emb, dim = 2, k = 3, nLists = 2)
+      .collect().map(x => (x.getInt(3), x.getLong(0)))
+    assert(r.head == ((1, 99L)), r.mkString(","))
+  }
 }
