@@ -143,6 +143,57 @@ object DataQuality {
       .select((col(groupCol) +: orderCols.map(col)) :+ col("z"): _*)
   }
 
+  /** Welch's two-sample t-test between two groups of a metric — the
+    * A/B readout (unequal variances, the version that is actually safe
+    * to default to). One map-side-combined pass computes both groups'
+    * exact moments as conditional aggregates (n as BIGINT, Σx and Σx²
+    * over integer cents as DECIMAL(38,0) — the [[rollingZscore]]
+    * discipline), and every double appears only in the final formula
+    * chain, written in ONE fixed operation order that the SQL oracle
+    * mirrors term-for-term:
+    *   vᵢ = (nᵢ·Qᵢ − Sᵢ²) / (nᵢ·(nᵢ−1)),   aᵢ = vᵢ/nᵢ   (cents²)
+    *   t  = (S₁/n₁ − S₂/n₂) / √(a₁ + a₂)
+    *   ν  = (a₁+a₂)² / (a₁²/(n₁−1) + a₂²/(n₂−1))   (Welch–Satterthwaite)
+    * t is computed entirely in cents — the numerator and denominator
+    * carry the same exact 10^scale factor, so the statistic equals the
+    * unit-space value without ever introducing an inexact /100.
+    * Means are reported in units (one final divide each). Requires
+    * nᵢ ≥ 2 per group (sample variance).
+    *
+    * Output: one row — group_a, group_b, n_a, n_b, mean_a, mean_b,
+    * t_stat, dof (6 dp). */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String, scale: Int = 2): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(col(valueCol) * pow(lit(10), lit(scale))).cast("long")
+    def side(g: String, sfx: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).cast("bigint").as(s"n$sfx"),
+      sum(when(col(groupCol) === g, col("_x")).otherwise(0L).cast(dec)).cast(dec).as(s"s$sfx"),
+      sum(when(col(groupCol) === g, col("_x") * col("_x")).otherwise(0L).cast(dec))
+        .cast(dec).as(s"q$sfx"))
+    val agg = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol), x.as("_x"))
+      .agg((side(groupA, "1") ++ side(groupB, "2")).head,
+        (side(groupA, "1") ++ side(groupB, "2")).tail: _*)
+    def v(n: Column, s: Column, q: Column): Column =
+      (n.cast(dec) * q - s * s).cast("double") /
+        (n * (n - 1L)).cast("double")
+    val a1 = v(col("n1"), col("s1"), col("q1")) / col("n1").cast("double")
+    val a2 = v(col("n2"), col("s2"), col("q2")) / col("n2").cast("double")
+    val m1 = col("s1").cast("double") / col("n1").cast("double")
+    val m2 = col("s2").cast("double") / col("n2").cast("double")
+    val denomScale = math.pow(10.0, scale) // exact double for scale ≤ 22
+    agg.select(
+      lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("n1").as("n_a"), col("n2").as("n_b"),
+      round(m1 / denomScale, 6).as("mean_a"),
+      round(m2 / denomScale, 6).as("mean_b"),
+      round((m1 - m2) / sqrt(a1 + a2), 6).as("t_stat"),
+      round((a1 + a2) * (a1 + a2) /
+        (a1 * a1 / (col("n1") - 1L).cast("double") +
+         a2 * a2 / (col("n2") - 1L).cast("double")), 6).as("dof"))
+  }
+
   /** First-significant-digit distribution vs Benford's law — the
     * classic forensic screen for fabricated numeric data. For each
     * digit 1–9: observed count, observed frequency, the Benford

@@ -3736,6 +3736,65 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Rank-based quantile normalization of event values per type — the
+    * distribution-free feature scaling (percent_rank = (rank−1)/(n−1):
+    * exact integer ranks, ONE correctly-rounded division — immune to
+    * the outliers that wreck min-max scaling, identical in any
+    * engine). One event_type exchange, one sorted window pass. Ties
+    * share a rank, so the result is deterministic without an id
+    * tiebreak. */
+  val quantileNormQ: Q = Q(
+    "x_quantile_norm",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(percent_rank().over(
+          Window.partitionBy(col("event_type")).orderBy(col("value"))), 6).as("qnorm"))
+    },
+    Some("""
+      SELECT event_id, event_type,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6) AS qnorm
+      FROM events
+    """.trim)
+  )
+
+  /** Welch two-sample t-test between click and purchase values
+    * (DataQuality.welchT scaladoc: exact conditional moments in one
+    * pass, the whole double chain in one mirrored operation order,
+    * t computed entirely in cents). */
+  val abTtestQ: Q = Q(
+    "x_ab_ttest",
+    (s, d) => DataQuality.welchT(Tables.events(s, d), "event_type", "value",
+      groupA = "click", groupB = "purchase"),
+    Some("""
+      WITH b AS (SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS x
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      a AS (SELECT
+              CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN g = 'click' THEN x ELSE 0 END) AS HUGEINT) AS s1,
+              CAST(SUM(CASE WHEN g = 'click' THEN x * x ELSE 0 END) AS HUGEINT) AS q1,
+              CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(SUM(CASE WHEN g = 'purchase' THEN x ELSE 0 END) AS HUGEINT) AS s2,
+              CAST(SUM(CASE WHEN g = 'purchase' THEN x * x ELSE 0 END) AS HUGEINT) AS q2
+            FROM b),
+      c AS (SELECT n1, n2, s1, s2,
+              CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE)
+                / CAST(n1 AS DOUBLE) AS a1,
+              CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE)
+                / CAST(n2 AS DOUBLE) AS a2,
+              CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+            FROM a)
+      SELECT 'click' AS group_a, 'purchase' AS group_b, n1 AS n_a, n2 AS n_b,
+             ROUND(m1 / 100.0, 6) AS mean_a, ROUND(m2 / 100.0, 6) AS mean_b,
+             ROUND((m1 - m2) / SQRT(a1 + a2), 6) AS t_stat,
+             ROUND((a1 + a2) * (a1 + a2) /
+                   (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
+                    + a2 * a2 / CAST(n2 - 1 AS DOUBLE)), 6) AS dof
+      FROM c
+    """.trim)
+  )
+
   /** Top-20 session journey paths (EventAnalytics.topPaths scaladoc:
     * one user_id exchange end-to-end, maxLen-capped path keys,
     * deterministic sort_array ordered collect, TakeOrderedAndProject
@@ -4079,5 +4138,5 @@ object ExtensionQueries {
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
-    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ)
+    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ)
 }

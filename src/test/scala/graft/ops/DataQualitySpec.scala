@@ -71,4 +71,19 @@ class DataQualitySpec extends SparkSpec {
     assert(out(2)._1 == 1L && out(2)._2 == 0.25 && out(2)._3 == 0.176091)
     assert(out(5)._1 == 1L && out(5)._3 == 0.079181)
   }
+
+  test("welchT: hand-computed two-sample statistic, exact moments to one double chain") {
+    import spark.implicits._
+    // A = [1, 2, 3] (var 1), B = [5, 5, 8] (var 3): t = -400/sqrt(40000/3) cents,
+    // dof = 3.2 by Welch-Satterthwaite
+    val df = (Seq(1.0, 2.0, 3.0).map(("click", _)) ++
+      Seq(5.0, 5.0, 8.0).map(("purchase", _)) ++
+      Seq(("view", 99.0))).toDF("event_type", "value") // third group: excluded
+    val r = DataQuality.welchT(df, "event_type", "value", "click", "purchase")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 6.0)
+    assert(r.getAs[Double]("t_stat") == -3.464102, r.toString)
+    assert(r.getAs[Double]("dof") == 3.2, r.toString)
+  }
 }

@@ -802,6 +802,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x_quantile_norm: one event_type exchange, one sorted window pass") {
+    val p = plan("x_quantile_norm")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x_ab_ttest: the group filter pushes to the scan; one pass, no window, no join") {
+    val p = plan("x_ab_ttest")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      "the two-group isin must reach the parquet scan:\n" + p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
