@@ -350,6 +350,50 @@ object EventAnalytics {
         Window.orderBy(col("n_sessions").desc, col("path"))))
   }
 
+  /** Single-split changepoint detection on the daily event-count
+    * series: the day boundary that maximizes |mean-before − mean-after|
+    * (the k=1 case of least-squares segmentation — the first question
+    * asked of any metric that "looks different lately"). Exhaustive
+    * over every candidate split, so the answer is exact, not a
+    * heuristic scan.
+    *
+    * Scale shape: the event log collapses to the daily count table in
+    * ONE map-side-combined exchange (≤ one row per day — thousands of
+    * rows for decades); every candidate split's prefix/suffix moments
+    * then come from a single prefix-sum window over that tiny table,
+    * and the argmax is orderBy+limit. Nothing data-sized is ever
+    * sorted or re-read.
+    *
+    * Determinism: prefix sums are exact BIGINTs; the split score
+    * |S_b/n_b − S_a/n_a| drops to double only in the two final
+    * correctly-rounded divides (mirrored by the oracle), ranking
+    * compares the unrounded score with ties broken by earliest day.
+    *
+    * Output: one row — `split_day` (last day of the BEFORE segment),
+    * `n_days_before`/`n_days_after`, `mean_before`/`mean_after`
+    * (events/day, 6 dp), `delta` (6 dp). */
+  def changepointDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wPre = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("c")).cast("bigint").as("st"))
+    val scored = daily
+      .withColumn("nb", count(lit(1)).over(wPre))
+      .withColumn("sb", sum(col("c")).over(wPre).cast("bigint"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nb") < col("nd")) // a split needs a non-empty AFTER side
+      .withColumn("mb", col("sb").cast("double") / col("nb").cast("double"))
+      .withColumn("ma", (col("st") - col("sb")).cast("double") /
+        (col("nd") - col("nb")).cast("double"))
+      .withColumn("delta", abs(col("mb") - col("ma")))
+    scored.orderBy(col("delta").desc, col("day")).limit(1)
+      .select(col("day").as("split_day"),
+        col("nb").as("n_days_before"), (col("nd") - col("nb")).as("n_days_after"),
+        round(col("mb"), 6).as("mean_before"), round(col("ma"), 6).as("mean_after"),
+        round(col("delta"), 6).as("delta"))
+  }
+
   /** Exponentially time-decayed per-type activity counters — the
     * "trending now" readout (the decayed-counter shape streaming stores
     * keep incrementally; this is the exact batch form): each event

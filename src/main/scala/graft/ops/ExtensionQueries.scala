@@ -4094,6 +4094,34 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Daily changepoint (EventAnalytics.changepointDaily scaladoc:
+    * exact exhaustive single split on the tiny daily table; BIGINT
+    * prefix sums, two final divides). The oracle replays the identical
+    * prefix arithmetic and tie order. */
+  val changepointQ: Q = Q(
+    "x_changepoint",
+    (s, d) => EventAnalytics.changepointDaily(Tables.events(s, d)),
+    Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS st FROM daily),
+      p AS (SELECT day,
+                   COUNT(*) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nb,
+                   CAST(SUM(c) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sb
+            FROM daily),
+      sc AS (SELECT day, nb, sb, nd, st,
+                    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                    CAST(st - sb AS DOUBLE) / CAST(nd - nb AS DOUBLE) AS ma
+             FROM p, tot WHERE nb < nd)
+      SELECT day AS split_day, nb AS n_days_before,
+             CAST(nd - nb AS BIGINT) AS n_days_after,
+             ROUND(mb, 6) AS mean_before, ROUND(ma, 6) AS mean_after,
+             ROUND(ABS(mb - ma), 6) AS delta
+      FROM sc ORDER BY ABS(mb - ma) DESC, day LIMIT 1
+    """.trim)
+  )
+
   /** Weekly cohort retention (EventAnalytics.retention: cohort = min-ts
     * window over the same single user_id exchange, Monday-truncated
     * weeks, integer week offsets). */
@@ -4134,7 +4162,7 @@ object ExtensionQueries {
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, attributionQ, aggMergeQ,
-    retentionQ, knLmQ,
+    changepointQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,

@@ -201,6 +201,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r == Set((1L, 3L, 2L, 900000000L), (5L, 10L, 9L, 0L)), r.toString)
   }
 
+  test("changepointDaily: finds the planted level shift exactly") {
+    // days 1-3 at 2 events/day, days 4-6 at 10/day: split after day 3
+    var id = 0L
+    val rows = (1 to 6).flatMap { d =>
+      val n = if (d <= 3) 2 else 10
+      (1 to n).map { i => id += 1; (id, f"2024-01-0$d $i%02d:00:00", 1L, "view", 0.0) }
+    }
+    val r = EventAnalytics.changepointDaily(events(rows: _*)).collect().head
+    assert(r.getDate(0).toString == "2024-01-03", r.toString)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 10.0 && r.getDouble(5) == 8.0)
+  }
+
   test("decayedCounts: stepped base-2 decay, exact halves; the horizon truncates stale events") {
     val ev = events(
       (1L, "2024-03-10 09:00:00", 1L, "a", 1.00),

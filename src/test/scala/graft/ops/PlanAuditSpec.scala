@@ -818,6 +818,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("x_changepoint: the log collapses to the daily table in one pass; splits ride the tiny window") {
+    val p = plan("x_changepoint")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"one daily pass + one 1-row totals pass, saw $scans:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the argmax split is orderBy+limit on the day-sized table:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
