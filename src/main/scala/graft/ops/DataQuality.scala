@@ -124,6 +124,12 @@ object DataQuality {
       valueCol: String, window: Int = 10, minPrior: Int = 5,
       threshold: Double = 2.0, scale: Int = 2): DataFrame = {
     require(minPrior >= 2, "rollingZscore: need >= 2 predecessors for a sample std")
+    // fail fast instead of silently overwriting caller data with the
+    // working columns (the assert-absent hygiene the shuffleOrder
+    // advisory established)
+    val reserved = Seq("_x", "_k", "_s", "_q", "z").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"rollingZscore: input already carries reserved column(s) ${reserved.mkString(", ")}")
     val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
       .rowsBetween(-window, -1)
     val x = round(col(valueCol) * pow(lit(10), lit(scale))).cast("long")

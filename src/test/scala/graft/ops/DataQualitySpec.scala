@@ -86,4 +86,13 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getAs[Double]("t_stat") == -3.464102, r.toString)
     assert(r.getAs[Double]("dof") == 3.2, r.toString)
   }
+
+  test("rollingZscore fails fast when the input carries a reserved working column") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1.0, 9.9)).toDF("g", "o", "v", "z")
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.rollingZscore(df, "g", Seq("o"), "v")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
 }
