@@ -189,15 +189,19 @@ object DataQuality {
     val m1 = col("s1").cast("double") / col("n1").cast("double")
     val m2 = col("s2").cast("double") / col("n2").cast("double")
     val denomScale = math.pow(10.0, scale) // exact double for scale ≤ 22
+    // a group below 2 rows has no sample variance: surface NULL, never
+    // an Infinity-contaminated statistic (the overflow-witness
+    // discipline of the OLS moments)
+    val ok = col("n1") >= 2L && col("n2") >= 2L
     agg.select(
       lit(groupA).as("group_a"), lit(groupB).as("group_b"),
       col("n1").as("n_a"), col("n2").as("n_b"),
       round(m1 / denomScale, 6).as("mean_a"),
       round(m2 / denomScale, 6).as("mean_b"),
-      round((m1 - m2) / sqrt(a1 + a2), 6).as("t_stat"),
-      round((a1 + a2) * (a1 + a2) /
+      when(ok, round((m1 - m2) / sqrt(a1 + a2), 6)).as("t_stat"),
+      when(ok, round((a1 + a2) * (a1 + a2) /
         (a1 * a1 / (col("n1") - 1L).cast("double") +
-         a2 * a2 / (col("n2") - 1L).cast("double")), 6).as("dof"))
+         a2 * a2 / (col("n2") - 1L).cast("double")), 6)).as("dof"))
   }
 
   /** First-significant-digit distribution vs Benford's law — the

@@ -108,9 +108,9 @@ object Skew {
       .agg(count(lit(1)).as("cl")).localCheckpoint()
     val rc = right.select(col(rightKey).as("k")).groupBy(col("k"))
       .agg(count(lit(1)).as("cr")).localCheckpoint()
-    val lt = lc.agg(sum(col("cl")).cast("bigint").as("left_rows"),
+    val lt = lc.agg(coalesce(sum(col("cl")), lit(0L)).cast("bigint").as("left_rows"),
       count(lit(1)).as("left_keys"))
-    val rt = rc.agg(sum(col("cr")).cast("bigint").as("right_rows"),
+    val rt = rc.agg(coalesce(sum(col("cr")), lit(0L)).cast("bigint").as("right_rows"),
       count(lit(1)).as("right_keys"))
     val j = lc.join(rc, "k")
       .agg(count(lit(1)).as("matched_keys"),

@@ -95,4 +95,13 @@ class DataQualitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
+
+  test("welchT: a single-row group yields NULL statistics, never Infinity") {
+    import spark.implicits._
+    val df = Seq(("click", 1.0), ("click", 2.0), ("purchase", 5.0)).toDF("event_type", "value")
+    val r = DataQuality.welchT(df, "event_type", "value", "click", "purchase")
+      .collect().head
+    assert(r.getAs[Long]("n_b") == 1L)
+    assert(r.isNullAt(r.fieldIndex("t_stat")) && r.isNullAt(r.fieldIndex("dof")), r.toString)
+  }
 }
