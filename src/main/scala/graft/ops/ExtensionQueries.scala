@@ -3481,6 +3481,46 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Metric anomaly detection on the AGGREGATED daily series: each
+    * event type's daily count scored against its trailing 7 days
+    * (DataQuality.rollingZscore reused on a day-grained series —
+    * scale=0 keeps counts as the exact integers they are; the operator
+    * composes unchanged across input shapes, which is the point).
+    * The log collapses to ≤ types·days rows in one map-side-combined
+    * pass before any window runs. */
+  val anomalyDailyQ: Q = Q(
+    "x_anomaly_daily",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      DataQuality.rollingZscore(daily, "event_type", Seq("day"), "n",
+        window = 7, minPrior = 3, threshold = 1.5, scale = 0)
+        .select(col("event_type"), col("day"), col("z"))
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                     FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT event_type, day,
+               CAST(ROUND(n * 1) AS BIGINT) AS x,
+               COUNT(*) OVER w AS k,
+               SUM(CAST(ROUND(n * 1) AS BIGINT)) OVER w AS sm,
+               SUM(CAST(ROUND(n * 1) AS BIGINT)
+                   * CAST(ROUND(n * 1) AS BIGINT)) OVER w AS q
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      ), z AS (
+        SELECT event_type, day,
+               ROUND(CAST(k * x - sm AS DOUBLE)
+                     / SQRT(CAST(k * q - sm * sm AS DOUBLE) * k / (k - 1.0)), 6) AS z
+        FROM s WHERE k >= 3 AND (k * q - sm * sm) > 0
+      )
+      SELECT event_type, day, z FROM z WHERE ABS(z) > 1.5
+    """.trim)
+  )
+
   /** Benford first-digit screen of order values (DataQuality.benford
     * scaladoc: digit from the exact integer's decimal string — no
     * libm log10 — and 6-dp literal expectations). */
@@ -4165,6 +4205,6 @@ object ExtensionQueries {
     changepointQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
-    corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, benfordQ, skewReportQ,
+    corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ)
 }

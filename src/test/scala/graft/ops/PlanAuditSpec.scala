@@ -828,6 +828,16 @@ class PlanAuditSpec extends SparkSpec {
       "the argmax split is orderBy+limit on the day-sized table:\n" + p)
   }
 
+  test("x_anomaly_daily: the log collapses before any window — the sort runs on the tiny daily table") {
+    val p = plan("x_anomaly_daily")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, // the (type, day) collapse + the type-partitioned window
+      s"expected the daily-collapse exchange + the window exchange, saw $hashEx:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
