@@ -345,6 +345,52 @@ object TextQueries {
     """.trim)
   )
 
+  /** Language-ID confusion matrix — the in-engine eval readout for the
+    * x_langid heuristic against the table's labeled language: count
+    * and labeled-row share per (labeled, detected) cell. The share is
+    * one IEEE divide of exact counts over a per-label window on the
+    * tiny (labels × detections) cell table; the data-sized work is one
+    * map-side-combined pass. The same shape evaluates ANY in-engine
+    * classifier column against any label column. */
+  val langConfusion: Q = Q(
+    "x_lang_confusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("lang").as("labeled"),
+          TextAnalysis.detectLang(col("text")).as("detected"))
+        .groupBy(col("labeled"), col("detected"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_share", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("labeled"))), 6))
+    },
+    Some("""
+      WITH scores AS (
+        SELECT lang AS labeled,
+               len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+               len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS c_de,
+               len(regexp_extract_all(text, '\b(el|la|los|de)\b')) AS c_es,
+               len(regexp_extract_all(text, '\b(le|la|les|des)\b')) AS c_fr,
+               len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+        FROM documents),
+      det AS (SELECT labeled,
+               CASE
+                 WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                 WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                 WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                 WHEN c_fr > 0 AND c_fr >= c_zh THEN 'fr'
+                 WHEN c_zh > 0 THEN 'zh'
+                 ELSE 'unknown'
+               END AS detected
+              FROM scores),
+      c AS (SELECT labeled, detected, COUNT(*) AS n FROM det GROUP BY 1, 2)
+      SELECT labeled, detected, n,
+             ROUND(CAST(n AS DOUBLE) /
+                   SUM(n) OVER (PARTITION BY labeled), 6) AS row_share
+      FROM c
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(stats, langid, fingerprints, piiScrub, selfRepetition,
-    gopherRules, qualityClassifier, filterFunnel)
+    gopherRules, qualityClassifier, filterFunnel, langConfusion)
 }

@@ -838,6 +838,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x_lang_confusion: one data pass; the share window runs on the tiny cell table") {
+    val p = plan("x_lang_confusion")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over documents, saw $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, // the cell-count collapse + the per-label share window
+      s"expected the cell exchange + the window exchange, saw $hashEx:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
