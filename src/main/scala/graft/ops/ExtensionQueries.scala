@@ -2549,6 +2549,50 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Packing fragmentation report over the x_seq_pack manifest: how
+    * many documents the concat-packer SPLIT across sequence boundaries
+    * (the rows whose attention a boundary contaminates), pieces per
+    * sequence, and the split fraction — the readout that decides
+    * between stream packing and pad-to-length for a training run. The
+    * manifest is checkpointed once; both rollups are manifest-sized
+    * aggregations (never re-running the packing walk), shares are one
+    * divide of exact counts. */
+  val packStatsQ: Q = Q(
+    "x_pack_stats",
+    (s, d) => {
+      val m = graft.corpus.Corpus
+        .packSequences(Tables.documents(s, d), seqLen = 256).localCheckpoint()
+      val perDoc = m.groupBy(col("doc_id")).agg(count(lit(1)).as("pieces"))
+      val a = perDoc.agg(count(lit(1)).as("n_docs"),
+        sum(col("pieces")).cast("bigint").as("n_pieces"),
+        sum(when(col("pieces") > 1, 1L).otherwise(0L)).cast("bigint").as("docs_split"))
+      val b = m.select(col("seq_id")).distinct().agg(count(lit(1)).as("n_seqs"))
+      a.crossJoin(b).select(
+        col("n_docs"), col("n_seqs"), col("n_pieces"), col("docs_split"),
+        round(col("docs_split").cast("double") / col("n_docs"), 6).as("split_frac"),
+        round(col("n_pieces").cast("double") / col("n_seqs"), 6).as("docs_per_seq"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+      c AS (SELECT doc_id, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gstart
+            FROM t),
+      s AS (SELECT doc_id, n, gstart,
+                   unnest(generate_series(gstart // 256, (gstart + n - 1) // 256)) AS seq_id
+            FROM c WHERE n > 0),
+      pd AS (SELECT doc_id, COUNT(*) AS pieces FROM s GROUP BY 1),
+      a AS (SELECT COUNT(*) AS n_docs, CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+                   CAST(SUM(CASE WHEN pieces > 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_split
+            FROM pd),
+      b AS (SELECT COUNT(DISTINCT seq_id) AS n_seqs FROM s)
+      SELECT n_docs, n_seqs, n_pieces, docs_split,
+             ROUND(CAST(docs_split AS DOUBLE) / n_docs, 6) AS split_frac,
+             ROUND(CAST(n_pieces AS DOUBLE) / n_seqs, 6) AS docs_per_seq
+      FROM a, b
+    """.trim)
+  )
+
   /** The materialized pack: actual 256-token training sequences, each
     * window's doc pieces sliced and concatenated in doc order. Oracle
     * replays span arithmetic + list slicing + ordered string_agg. */
@@ -4182,7 +4226,7 @@ object ExtensionQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
-    seqPack, seqMaterialize,
+    seqPack, seqMaterialize, packStatsQ,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, annPqQ, annPqPersistedQ,
     cosineNearDups,

@@ -848,6 +848,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the cell exchange + the window exchange, saw $hashEx:\n" + p)
   }
 
+  test("x_pack_stats: both rollups read the checkpointed manifest — the packing walk never re-runs") {
+    val p = plan("x_pack_stats")
+    assert(!p.contains("Scan parquet"),
+      "the manifest is checkpointed once for both aggregations:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      "the 1-row sides meet in a scalar crossJoin:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
