@@ -4178,6 +4178,36 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Seasonality profile: the day-of-week × hour activity heatmap with
+    * each cell's share of total traffic — the periodic structure a
+    * changepoint or anomaly readout must be interpreted against. ONE
+    * map-side-combined pass to the ≤168-cell grid; shares are one
+    * divide of exact counts over a window on that grid. Day-of-week is
+    * ISO (1 = Monday) via the engine-portable date_format('E') →
+    * explicit mapping on the Spark side and isodow() in DuckDB. */
+  val seasonalityQ: Q = Q(
+    "x_seasonality",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .groupBy(
+          weekday(to_date(col("ts"))).cast("int").+(1).as("dow"), // weekday(): 0 = Monday
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()), 6))
+    },
+    Some("""
+      WITH g AS (SELECT CAST(isodow(ts) AS INT) AS dow,
+                        CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+                        COUNT(*) AS n
+                 FROM events GROUP BY 1, 2)
+      SELECT dow, hr, n,
+             ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+      FROM g
+    """.trim)
+  )
+
   /** Daily changepoint (EventAnalytics.changepointDaily scaladoc:
     * exact exhaustive single split on the tiny daily table; BIGINT
     * prefix sums, two final divides). The oracle replays the identical
@@ -4246,7 +4276,7 @@ object ExtensionQueries {
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, attributionQ, aggMergeQ,
-    changepointQ, retentionQ, knLmQ,
+    changepointQ, seasonalityQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,

@@ -857,6 +857,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x_seasonality: one pass to the 168-cell grid; the share window never sees raw rows") {
+    val p = plan("x_seasonality")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, // the (dow, hr) collapse; the total is a single-partition window on ≤168 rows
+      s"expected only the grid exchange, saw $hashEx:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
