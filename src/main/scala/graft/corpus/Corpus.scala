@@ -880,7 +880,8 @@ object Corpus {
     * NTILE definition (first n mod b buckets get the extra row), tie
     * order (score, then id), so DuckDB's NTILE replays it literally.
     *
-    * Scale shape: the global rank that NTILE needs is computed WITHOUT
+    * Scale shape ([[graft.ops.Relational.exactNtile]], factored out in
+    * r9): the global rank that NTILE needs is computed WITHOUT
     * a single-partition window — range-shuffle on (score, id), one
     * per-partition row_number (parallel, bounded), per-partition
     * counts collected (nPart rows, driver-tiny) and folded into
@@ -890,43 +891,11 @@ object Corpus {
     * same global rank. */
   def pplBuckets(docs: DataFrame, nBuckets: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nBuckets > 0, s"pplBuckets: nBuckets must be > 0, got $nBuckets")
-    val spark = docs.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    val scored = bigramLmScore(docs, idCol, textCol)
-    val ranged = scored.repartitionByRange(nPart, col("lm_score"), col(idCol))
-      .sortWithinPartitions(col("lm_score"), col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    val subs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = subs.map(_._2).sum
-    val offsets = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _).init)
-    val offsetCol =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("_pid"))
-    // exact NTILE(b): base = n/b rows per bucket, the first n mod b
-    // buckets take one extra
-    val base = n / nBuckets
-    val rem = n % nBuckets
-    val rank = row_number().over(
-      Window.partitionBy(col("_pid")).orderBy(col("lm_score"), col(idCol)))
-      .cast("long") + offsetCol
-    val bucket =
-      if (base == 0) rank
-      else when(rank <= lit((base + 1) * rem),
-          (rank - 1) / lit(base + 1) + 1)
-        .otherwise(lit(rem) + (rank - 1 - lit((base + 1) * rem)) / lit(base) + 1)
-    // materialize the result BEFORE releasing the persisted rank input
-    // (lazy consumers would otherwise recompute the range shuffle)
-    val out = ranged
-      .withColumn("ppl_bucket", bucket.cast("long"))
+    graft.ops.Relational
+      .exactNtile(bigramLmScore(docs, idCol, textCol), nBuckets,
+        Seq("lm_score", idCol), "ppl_bucket")
       .select(col(idCol), col("lm_score"), col("ppl_bucket"))
-      .localCheckpoint()
-    ranged.unpersist(false)
-    out
   }
 
   /** Chunk-level dedup savings — the estimator content-defined chunking

@@ -394,6 +394,58 @@ object EventAnalytics {
         round(col("delta"), 6).as("delta"))
   }
 
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1..`maxLag` — the periodicity screen run before any seasonal
+    * model: a spike at lag 7 says "weekly rhythm", slow decay says
+    * "trend", a flat ACF says the daily metric is noise. Standard
+    * biased estimator r_k = Σ_{t>k} d_t·d_{t−k} / Σ d_t² with
+    * d_t = x_t − x̄ over the full series; lags are POSITIONS in the
+    * date-ordered observed series (no calendar densification — compose
+    * with [[Relational.calendarFillDaily]] first when missing days
+    * must count as zero).
+    *
+    * Scale shape: the event log collapses to the daily count grid in
+    * ONE map-side-combined exchange (≤ one row per day), checkpointed
+    * so the totals, deviations and denominator all read the grid, not
+    * the data (single-pass idiom — without it each scalar sidecar
+    * re-scans the log); the lag windows, products and rollup run on
+    * that bounded grid, so the single-partition ordered window is
+    * days-sized, never data-sized (the [[changepointDaily]]
+    * justification).
+    *
+    * Determinism: the mean never becomes a float — each deviation is
+    * the exact integer N·x_t − S (multiplied through by N), products
+    * and sums ride DECIMAL(18,0)/(38,0), and the one IEEE divide
+    * happens at the end, mirrored by the oracle. N·x fits 18 digits
+    * through ~10¹² events/day over ~10⁶ days.
+    *
+    * Output: one row per lag — `lag`, `n_pairs` (overlapping pairs),
+    * `acf` (6 dp). */
+  def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"acfDaily: maxLag must be in [1, 60], got $maxLag")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = daily.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("c")).cast("long").as("st"))
+    val base = daily.crossJoin(broadcast(tot))
+      .withColumn("dcent", (col("nd") * col("c") - col("st")).cast("decimal(18,0)"))
+    val den = base.agg(sum(col("dcent") * col("dcent")).cast("decimal(38,0)").as("den"))
+    val w = Window.orderBy(col("day")) // grid-sized: bounded by #days
+    val lagged = base.select(Seq(col("dcent")) ++
+      (1 to maxLag).map(k => lag(col("dcent"), k).over(w).as(s"l$k")): _*)
+    val stacked = lagged.select(expr(
+      s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"${k}L, dcent * l$k").mkString(", ") +
+        ") as (lag, prod)"))
+    stacked.groupBy(col("lag"))
+      .agg(count(col("prod")).as("n_pairs"),
+        sum(col("prod")).cast("decimal(38,0)").as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+  }
+
   /** Exponentially time-decayed per-type activity counters — the
     * "trending now" readout (the decayed-counter shape streaming stores
     * keep incrementally; this is the exact batch form): each event

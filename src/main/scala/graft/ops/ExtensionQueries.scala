@@ -4253,6 +4253,99 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Daily-series autocorrelation at lags 1..7 (EventAnalytics
+    * .acfDaily scaladoc: one data-sized exchange to the day grid,
+    * integer-centered deviations N·x−S so the mean never floats, one
+    * final divide). The oracle replays the identical centered-integer
+    * estimator in HUGEINT. */
+  val acfQ: Q = Q(
+    "x_acf",
+    (s, d) => EventAnalytics.acfDaily(Tables.events(s, d), maxLag = 7),
+    Some {
+      val lags = 1 to 7
+      val lagCols = lags.map(k => s"LAG(dcent, $k) OVER (ORDER BY day) AS l$k").mkString(", ")
+      val branches = lags.map(k =>
+        s"SELECT CAST($k AS BIGINT) AS lag, dcent * l$k AS prod FROM l").mkString("\nUNION ALL\n")
+      s"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS st FROM daily),
+      b AS (SELECT day, CAST(nd * c - st AS HUGEINT) AS dcent FROM daily, tot),
+      den AS (SELECT SUM(dcent * dcent) AS den FROM b),
+      l AS (SELECT dcent, $lagCols FROM b),
+      s AS ($branches)
+      SELECT lag, CAST(COUNT(prod) AS BIGINT) AS n_pairs,
+             ROUND(CAST(SUM(prod) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+      FROM s, den GROUP BY lag, den
+      """.trim
+    }
+  )
+
+  /** Calendar-spine gap fill (Relational.calendarFillDaily scaladoc:
+    * distributed sequence()-explode spine from a 1-row bounds sidecar,
+    * grid⋈grid zero-fill join, decimal revenue). The oracle builds the
+    * same spine with generate_series. */
+  val gapFillQ: Q = Q(
+    "x_gap_fill",
+    (s, d) => Relational.calendarFillDaily(Tables.orders(s, d)),
+    Some("""
+      WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                        MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      days AS (SELECT CAST(gs AS DATE) AS day
+               FROM b, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(gs)),
+      p AS (SELECT DISTINCT o_orderpriority FROM orders),
+      agg AS (SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+                     COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+              FROM orders GROUP BY 1, 2)
+      SELECT day, o_orderpriority,
+             CAST(COALESCE(n, 0) AS BIGINT) AS n_orders,
+             CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue
+      FROM days CROSS JOIN p LEFT JOIN agg USING (day, o_orderpriority)
+    """.trim)
+  )
+
+  /** Exact bitmap distinct counting (Relational.bitmapDistinct
+    * scaladoc: (group, id⟫5) one-hot words OR-merged, popcount
+    * rollup — exact AND mergeable, unlike COUNT(DISTINCT)). The
+    * oracle is the direct COUNT(DISTINCT) — passing proves the bitmap
+    * decomposition exactly reproduces it. */
+  val bitmapDistinctQ: Q = Q(
+    "x_bitmap_distinct",
+    (s, d) => Relational.bitmapDistinct(Tables.events(s, d), "event_type", "user_id"),
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id // 32) AS BIGINT) AS n_words,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+      FROM events GROUP BY 1
+    """.trim)
+  )
+
+  /** RFM segmentation cube (Relational.rfmSegments scaladoc: customer
+    * metric collapse + three exactNtile range-shuffles, integer-cents
+    * monetary). The oracle replays the three quintiles with DuckDB's
+    * NTILE over the identical total tie order — the exactNtile
+    * definition is NTILE's, so they agree row-for-row. */
+  val rfmQ: Q = Q(
+    "x_rfm",
+    (s, d) => Relational.rfmSegments(Tables.orders(s, d)),
+    Some("""
+      WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      c AS (SELECT o_custkey,
+                   datediff('day', MAX(CAST(o_orderdate AS DATE)), d1) AS rec,
+                   COUNT(*) AS freq,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders, mx GROUP BY o_custkey, d1),
+      q AS (SELECT *,
+                   NTILE(5) OVER (ORDER BY rec, o_custkey) AS r_q,
+                   NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+                   NTILE(5) OVER (ORDER BY cents, o_custkey) AS m_q
+            FROM c)
+      SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS total_revenue
+      FROM q GROUP BY 1, 2, 3
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4280,5 +4373,6 @@ object ExtensionQueries {
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
-    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ)
+    bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
+    acfQ, gapFillQ, bitmapDistinctQ, rfmQ)
 }

@@ -105,5 +105,147 @@ object Relational {
     prev.unionAll(delta).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Calendar-spine densification: the per-(day, priority) daily order
+    * rollup with every missing day filled as an explicit zero row over
+    * the global [min, max] order-date range — dense time series are
+    * what every rolling window, ACF, or forecast downstream assumes
+    * (a gap read as "no row" silently shortens windows; a gap read as
+    * zero is a business fact made explicit).
+    *
+    * Scale shape: the raw table touches ONE map-side-combined exchange
+    * — the collapse to the (day, priority) grid, checkpointed so
+    * every downstream consumer reads the grid, not the data (the
+    * single-pass idiom). Date bounds and the priority domain are
+    * derived FROM the grid (grid-sized aggregations, not re-scans);
+    * the spine is generated DISTRIBUTED by `sequence()`-explode of the
+    * 1-row bounds sidecar (never a driver loop), and the spine⋈rollup
+    * join is between two bounded grids (days × |priorities|),
+    * broadcast by AQE. At 100 TB nothing but the first aggregation
+    * ever touches data-sized input.
+    *
+    * Determinism: counts are exact BIGINTs, revenue rides
+    * DECIMAL(18,4) ([[dsum]] discipline) with zero-fill applied in
+    * decimal before the final double cast. */
+  def calendarFillDaily(orders: DataFrame): DataFrame = {
+    val rollup = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .localCheckpoint()
+    val bounds = rollup.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val prios = rollup.select(col("o_orderpriority")).distinct()
+    val spine = days.crossJoin(prios)
+    spine.join(rollup, Seq("day", "o_orderpriority"), "left")
+      .select(col("day"), col("o_orderpriority"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0).cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  /** Exact distinct counting via 32-bit bitmap words — the roll-up
+    * sketch for COUNT(DISTINCT) datacubes: each (group, id⟫5) cell
+    * OR-accumulates a one-hot word, and the distinct count is the
+    * popcount sum of the words. Unlike HLL ([[Hll]]) the answer is
+    * EXACT, and unlike COUNT(DISTINCT) the per-group state is
+    * mergeable across partitions, days, and cube cells (bit_or is
+    * commutative/idempotent — re-aggregation never double-counts),
+    * which is why bitmap indexes are the standard materialization for
+    * distinct-count rollups. Requires a non-negative integral id.
+    *
+    * Scale shape: one map-side-combined exchange to the (group, word)
+    * grid — at most |ids|/32 cells per group, each carrying a single
+    * long — then a grid-sized popcount rollup. No shuffle ever carries
+    * raw ids twice, and the words stay 8 bytes regardless of density
+    * (32 ids per cell at full occupancy; a roaring-style container
+    * switch is the sparse-regime refinement). */
+  def bitmapDistinct(df: DataFrame, grpCol: String, idCol: String): DataFrame = {
+    val words = df
+      .groupBy(col(grpCol), expr(s"$idCol div 32").as("word"))
+      .agg(expr(s"bit_or(shiftleft(1L, cast($idCol % 32 as int)))").as("mask"))
+    words.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(mask)")).cast("long").as("n_distinct"))
+  }
+
+  /** Exact distributed NTILE without a single-partition global sort —
+    * the [[graft.corpus.Corpus.pplBuckets]] rank machinery, factored
+    * for any (orderCols → bucket) assignment: range-shuffle on the
+    * order key, per-partition `row_number` (parallel, bounded),
+    * per-partition counts collected (nPart rows, driver-tiny) and
+    * folded into broadcast offsets so rank = local rank + offset; the
+    * bucket is then the exact NTILE definition (first n mod b buckets
+    * take one extra row). Tie order must be made total by the caller
+    * (include a unique id in `orderCols`) — then DuckDB's NTILE over
+    * the same ORDER BY replays it literally. Range boundaries need not
+    * be reproducible: any placement yields the same total order and
+    * therefore the same rank. */
+  def exactNtile(df: DataFrame, nBuckets: Int, orderCols: Seq[String],
+                 out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, s"exactNtile: nBuckets must be > 0, got $nBuckets")
+    require(!df.columns.contains(out) && !df.columns.contains("_pid"),
+      s"exactNtile: input already carries '$out' or '_pid'")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ord = orderCols.map(col)
+    val ranged = df.repartitionByRange(nPart, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val subs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = subs.map(_._2).sum
+    val offsets = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("_pid"))
+    val base = n / nBuckets
+    val rem = n % nBuckets
+    val rank = row_number().over(
+      Window.partitionBy(col("_pid")).orderBy(ord: _*)).cast("long") + offsetCol
+    val bucket =
+      if (base == 0) rank
+      else when(rank <= lit((base + 1) * rem),
+          (rank - 1) / lit(base + 1) + 1)
+        .otherwise(lit(rem) + (rank - 1 - lit((base + 1) * rem)) / lit(base) + 1)
+    // materialize BEFORE releasing the persisted rank input (lazy
+    // consumers would otherwise recompute the range shuffle)
+    val outDf = ranged.withColumn(out, bucket.cast("long")).drop("_pid")
+      .localCheckpoint()
+    ranged.unpersist(false)
+    outDf
+  }
+
+  /** RFM segmentation — the classic marketing cube: each customer
+    * scored 1..5 by quintile on Recency (days since last order, global
+    * max date as "today"), Frequency (order count) and Monetary
+    * (lifetime revenue), reported as the 125-cell (r, f, m) matrix
+    * with customer counts and revenue. Score orientation is ascending
+    * metric order (r_q = 1 ⇒ MOST recent, f_q/m_q = 5 ⇒ most
+    * frequent/valuable); ties break by customer key so every
+    * assignment is total-order deterministic.
+    *
+    * Scale shape: one data-sized exchange collapses orders to the
+    * per-customer metric table (~|customers| rows); the three quintile
+    * assignments are [[exactNtile]] range-shuffles of that bounded
+    * table (no single-partition sort anywhere); the final rollup is
+    * grid-sized. Monetary rides exact integer cents end-to-end. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val mx = orders.agg(max(to_date(col("o_orderdate"))).as("d1"))
+    val perCust = orders.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(min(datediff(col("d1"), to_date(col("o_orderdate")))).as("rec"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+    val scored = Seq(
+      (Seq("rec", "o_custkey"), "r_q"),
+      (Seq("freq", "o_custkey"), "f_q"),
+      (Seq("cents", "o_custkey"), "m_q"))
+      .foldLeft(perCust) { case (df, (ord, out)) => exactNtile(df, 5, ord, out) }
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("cents")).cast("double") / 100.0, 2).as("total_revenue"))
+  }
+
   def all: Seq[Q] = Seq(q1Agg)
 }

@@ -244,4 +244,16 @@ class EventAnalyticsSpec extends SparkSpec {
     // ages 0,0,1 all land in step 0; age 2 is step 1
     assert(r("a") == 3.0 && r("b") == 0.5, r.toString)
   }
+
+  test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
+    // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
+    // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70
+    val rows = Seq("01" -> 1, "02" -> 2, "03" -> 3, "04" -> 2, "05" -> 1).flatMap {
+      case (d, n) => (1 to n).map(i => (d.toLong * 10 + i, s"2024-02-$d 0$i:00:00", i.toLong, "view", 1.0))
+    }
+    val out = EventAnalytics.acfDaily(events(rows: _*), maxLag = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((4L, math.rint(4.0 / 70 * 1e6) / 1e6)), out.toString)
+    assert(out(2L) == ((3L, math.rint(-47.0 / 70 * 1e6) / 1e6)), out.toString)
+  }
 }

@@ -867,6 +867,37 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only the grid exchange, saw $hashEx:\n" + p)
   }
 
+  test("x_acf: log collapses to the checkpointed day grid once; every branch reads the grid") {
+    val p = plan("x_acf")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"totals/deviations/denominator must read the checkpointed grid, saw $scans re-scans:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "totals are 1-row broadcast scalars:\n" + p)
+  }
+
+  test("x_gap_fill: single data pass — bounds, priorities and spine all derive from the checkpointed grid") {
+    val p = plan("x_gap_fill")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"all inputs must read the checkpointed grid, saw $scans parquet scans:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "grid-sized sides must broadcast:\n" + p)
+  }
+
+  test("x_bitmap_distinct: two grid exchanges, no join, ids never shuffled raw twice") {
+    val p = plan("x_bitmap_distinct")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, // (group, word) collapse + word-grid popcount rollup
+      s"expected the two grid exchanges, saw $hashEx:\n" + p)
+  }
+
+  test("x_rfm: the final cube reads the checkpointed quintile table — no global sort, no data re-scan") {
+    val p = plan("x_rfm")
+    assert(!p.contains("Scan parquet"), "orders must collapse before the quintiles:\n" + p)
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Sort ["),
+      "the 125-cell rollup must not sort or single-partition:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -37,4 +37,56 @@ class RelationalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("avg_v"))
   }
+
+  test("exactNtile: NTILE definition — first n mod b buckets take the extra row") {
+    // 7 rows, 3 buckets: base=2, rem=1 → sizes 3,2,2 in rank order
+    val df = Seq((10, "a"), (20, "b"), (30, "c"), (40, "d"), (50, "e"), (60, "f"), (70, "g"))
+      .toDF("v", "id")
+    val out = Relational.exactNtile(df, 3, Seq("v", "id"), "bucket")
+    val got = out.select(col("id"), col("bucket")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 2L, "f" -> 3L, "g" -> 3L))
+  }
+
+  test("exactNtile: n < buckets degenerates to rank; reserved-column collision fails fast") {
+    val df = Seq((5, "x"), (1, "y")).toDF("v", "id")
+    val out = Relational.exactNtile(df, 5, Seq("v", "id"), "b")
+    assert(rowSet(out.select(col("id"), col("b"))) == Set("1|y", "2|x"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.exactNtile(df.withColumn("b", lit(0)), 5, Seq("v"), "b")
+    }
+    assert(e.getMessage.contains("'b'"))
+  }
+
+  test("bitmapDistinct: exact distinct counts and word occupancy across the 32-bit boundary") {
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 31L), ("a", 31L), ("a", 32L),
+      ("b", 64L), ("b", 64L)).toDF("g", "uid")
+    val out = Relational.bitmapDistinct(df, "g", "uid")
+    // group a: ids {0,1,31} share word 0, {32} is word 1 → 2 words, 4 distinct
+    assert(rowSet(out) == Set("a|4|2", "b|1|1"))
+  }
+
+  test("calendarFillDaily: interior gap days materialize as explicit zero rows") {
+    val orders = Seq(
+      (1L, "2024-01-01", "1-URGENT", 10.50),
+      (2L, "2024-01-04", "1-URGENT", 4.25),
+      (3L, "2024-01-04", "2-HIGH", 1.00))
+      .toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    val out = Relational.calendarFillDaily(orders)
+    // spine = 4 days × 2 priorities = 8 rows, 3 observed + 5 zero-filled
+    assert(out.count() == 8)
+    assert(out.filter(col("n_orders") === 0 && col("revenue") === 0.0).count() == 5)
+    assert(rowSet(out.filter(col("day") === "2024-01-04")) ==
+      Set("2024-01-04|1|1-URGENT|4.25", "2024-01-04|1|2-HIGH|1.0"))
+  }
+
+  test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
+    val orders = Seq(
+      (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
+      (2L, "2024-01-01", 500.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rfmSegments(orders)
+    // cust1: rec=0 freq=2 $200 → (r,f,m)=(1,2,1); cust2: rec=9 freq=1 $500 → (2,1,2)
+    assert(rowSet(out) == Set("2|1|1|1|200.0", "1|2|1|2|500.0"))
+  }
 }
