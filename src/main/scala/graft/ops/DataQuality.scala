@@ -237,4 +237,51 @@ object DataQuality {
         round(col("freq"), 6).as("freq"), col("expected"),
         round(abs(col("freq") - col("expected")), 6).as("deviation"))
   }
+
+  /** Robust center/spread of the per-type daily event-count series:
+    * median and MAD (median absolute deviation) — the outlier-immune
+    * twin of mean/stddev that [[rollingZscore]]-style monitors break
+    * on when the baseline itself contains spikes (one 100× incident
+    * day drags a mean for a week; the median never moves).
+    *
+    * Scale shape: the log collapses to the (type, day) grid in ONE
+    * map-side-combined exchange, checkpointed; both median passes run
+    * rank windows on grid-sized partitions (the [[graft.ops
+    * .EventAnalytics.changepointDaily]] bounded-window justification),
+    * and the medians rejoin the grid broadcast (≤ |types| rows).
+    *
+    * Determinism: everything stays exact integers in doubled units —
+    * median·2 = the two middle values' sum (even-n interpolation with
+    * no division), deviations |2c − median2|, MAD·4 = the deviation
+    * median's doubled sum — and the final /2 and /4 are EXACT binary
+    * scalings of integers, so the doubles carry no rounding at all.
+    *
+    * Output: one row per `event_type` — `n_days`, `median_daily`,
+    * `mad_daily`. */
+  def madDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def median2Of(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v), col("day"))
+      val wn = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          (sum(when(col("rn") === expr("(n + 1) div 2"), col(v))) +
+            sum(when(col("rn") === expr("(n + 2) div 2"), col(v)))).as(out))
+    }
+    val med = median2Of(daily, "c", "median2")
+    val devs = daily.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        abs(col("c") * 2 - col("median2")).as("dd"))
+    val mad = median2Of(devs, "dd", "mad4")
+      .select(col("event_type"), col("mad4"))
+    med.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        (col("median2").cast("double") / 2).as("median_daily"),
+        (col("mad4").cast("double") / 4).as("mad_daily"))
+  }
 }

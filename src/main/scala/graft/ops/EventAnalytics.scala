@@ -446,6 +446,47 @@ object EventAnalytics {
         round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
   }
 
+  /** Time-bounded conversion funnel — [[funnel]]'s strict-order
+    * min-time chain with the extra constraint that EVERY later step
+    * must land within `windowUs` microseconds of the user's step-1
+    * time (the ClickHouse `windowFunnel` readout): t₁ = first step-1
+    * event; tᵢ = first step-i event with ts > tᵢ₋₁ AND
+    * ts ≤ t₁ + windowUs. Reported as the histogram of per-user MAX
+    * levels (a level-L user completed steps 1..L inside the window
+    * and is counted ONCE, at L — unlike [[funnel]]'s cumulative
+    * step counts), so the rows sum to the step-1 user count.
+    *
+    * Scale shape: identical to [[funnel]] — the whole chain rides ONE
+    * `user_id` hash exchange (the tᵢ windows and the per-user
+    * collapse share it); the level histogram is a ≤|steps|-row grid.
+    * Time stays exact microsecond longs end-to-end.
+    *
+    * Output: one row per reached level — `level`, `n_users`. */
+  def windowFunnel(events: DataFrame, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "windowFunnel: need at least 2 steps")
+    require(steps.distinct.size == steps.size, "windowFunnel: steps must be distinct")
+    require(windowUs > 0, s"windowFunnel: windowUs must be > 0, got $windowUs")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col(s"_t${i - 1}").isNotNull &&
+          col("ts_us") > col(s"_t${i - 1}") &&
+          col("ts_us") <= col("_t0") + lit(windowUs)
+      df.withColumn(s"_t$i", min(when(cond, col("ts_us"))).over(w))
+    }
+    val aggs = steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i"))
+    val perUser = staged.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    val level = coalesce(
+      steps.indices.reverse.map(i =>
+        when(col(s"_t$i").isNotNull, lit(i + 1))): _*)
+    perUser.select(level.as("level"))
+      .where(col("level").isNotNull)
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Exponentially time-decayed per-type activity counters — the
     * "trending now" readout (the decayed-counter shape streaming stores
     * keep incrementally; this is the exact batch form): each event

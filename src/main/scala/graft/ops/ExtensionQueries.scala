@@ -4346,6 +4346,117 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Time-bounded window funnel (EventAnalytics.windowFunnel
+    * scaladoc: funnel's min-time chain + the t0+window ceiling on one
+    * user_id exchange; histogram of per-user MAX levels). 3-day
+    * window on view→click→purchase — the constraint binds (the
+    * unbounded funnel converts everyone at sf0.01; median end-to-end
+    * is ~3.7 days). The oracle replays the chain with the identical
+    * window predicate. */
+  val windowFunnelQ: Q = Q(
+    "x_window_funnel",
+    (s, d) => EventAnalytics.windowFunnel(Tables.events(s, d),
+      Seq("view", "click", "purchase"), windowUs = 259200000000L),
+    Some("""
+      WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      s0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                         OVER (PARTITION BY user_id) AS t0 FROM b),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t0 IS NOT NULL AND ts_us > t0
+                                     AND ts_us <= t0 + 259200000000
+                                THEN ts_us END) OVER (PARTITION BY user_id) AS t1 FROM s0),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL AND ts_us > t1
+                                     AND ts_us <= t0 + 259200000000
+                                THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      u AS (SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM s2 GROUP BY 1),
+      lv AS (SELECT CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+                         WHEN t0 IS NOT NULL THEN 1 END AS level FROM u)
+      SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM lv WHERE level IS NOT NULL GROUP BY 1
+    """.trim)
+  )
+
+  /** Cohort LTV matrix (Relational.ltvCohort scaladoc: cohort month
+    * as a window min on one custkey exchange, exact integer month
+    * indexes, decimal revenue with a grid-sized cumulative window).
+    * The oracle replays the identical month arithmetic. */
+  val ltvCohortQ: Q = Q(
+    "x_ltv_cohort",
+    (s, d) => Relational.ltvCohort(Tables.orders(s, d)),
+    Some("""
+      WITH b AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                        CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders),
+      c AS (SELECT *, year(d) * 12 + month(d) - 1 AS m FROM b),
+      c2 AS (SELECT *, MIN(m) OVER (PARTITION BY o_custkey) AS cm FROM c),
+      g AS (SELECT cm, m - cm AS month_offset,
+                   COUNT(DISTINCT o_custkey) AS n_active, SUM(price) AS rev
+            FROM c2 GROUP BY 1, 2),
+      w AS (SELECT *, SUM(rev) OVER (PARTITION BY cm ORDER BY month_offset) AS cum FROM g)
+      SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1) AS cohort_month,
+             month_offset, CAST(n_active AS BIGINT) AS n_active,
+             ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+             ROUND(CAST(cum AS DOUBLE), 2) AS cum_revenue
+      FROM w
+    """.trim)
+  )
+
+  /** Item-item collaborative filtering (Recs.itemCf scaladoc:
+    * basket-blocked self-join pair generator with the maxBasket skew
+    * fuse, exact basket counts, one IEEE divide+sqrt the oracle
+    * replays bit-identically, per-item top-k window). */
+  val itemCfQ: Q = Q(
+    "x_item_cf",
+    (s, d) => Recs.itemCf(Tables.lineitem(s, d)),
+    Some("""
+      WITH bi0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      big AS (SELECT ok FROM bi0 GROUP BY ok HAVING COUNT(*) > 256),
+      bi AS (SELECT * FROM bi0 WHERE ok NOT IN (SELECT ok FROM big)),
+      cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY 1),
+      p AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS co
+            FROM bi a JOIN bi b ON a.ok = b.ok AND a.item < b.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sym AS (SELECT ia, ib, co FROM p UNION ALL SELECT ib, ia, co FROM p),
+      sc AS (SELECT ia, ib, co,
+                    CAST(co AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosine
+             FROM sym JOIN cnt ca ON ca.item = sym.ia JOIN cnt cb ON cb.item = sym.ib),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rank
+            FROM sc)
+      SELECT ia AS item, CAST(rank AS INT) AS rank, ib AS neighbor,
+             CAST(co AS BIGINT) AS n_co, ROUND(cosine, 6) AS cosine
+      FROM r WHERE rank <= 5
+    """.trim)
+  )
+
+  /** Robust daily-series center/spread (DataQuality.madDaily scaladoc:
+    * checkpointed day grid, exact doubled-integer medians — the /2
+    * and /4 tails are exact binary scalings, zero float rounding).
+    * The oracle replays the two rank-window medians in HUGEINT. */
+  val madDailyQ: Q = Q(
+    "x_mad_daily",
+    (s, d) => DataQuality.madDaily(Tables.events(s, d)),
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, day) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+      m AS (SELECT event_type, MAX(n) AS n_days,
+                   SUM(CASE WHEN rn = (n + 1) // 2 THEN c END) +
+                   SUM(CASE WHEN rn = (n + 2) // 2 THEN c END) AS median2
+            FROM r GROUP BY 1),
+      d AS (SELECT daily.event_type, day, ABS(2 * c - median2) AS dd
+            FROM daily JOIN m USING (event_type)),
+      r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd, day) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+      m2 AS (SELECT event_type,
+                    SUM(CASE WHEN rn = (n + 1) // 2 THEN dd END) +
+                    SUM(CASE WHEN rn = (n + 2) // 2 THEN dd END) AS mad4
+             FROM r2 GROUP BY 1)
+      SELECT m.event_type, CAST(n_days AS BIGINT) AS n_days,
+             CAST(median2 AS DOUBLE) / 2 AS median_daily,
+             CAST(mad4 AS DOUBLE) / 4 AS mad_daily
+      FROM m JOIN m2 USING (event_type)
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4374,5 +4485,6 @@ object ExtensionQueries {
     hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
-    acfQ, gapFillQ, bitmapDistinctQ, rfmQ)
+    acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
+    windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ)
 }

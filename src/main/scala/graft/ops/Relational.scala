@@ -216,6 +216,46 @@ object Relational {
     outDf
   }
 
+  /** Cohort LTV (lifetime-value) matrix — the subscription-analytics
+    * staple: customers grouped by the calendar month of their FIRST
+    * order (the cohort), each cohort's activity and revenue tracked by
+    * month offset from that start, with the running cumulative revenue
+    * that an LTV curve plots. Month arithmetic is exact integer month
+    * indexes (year·12 + month), never day-count division.
+    *
+    * Scale shape: the cohort month is a per-customer window min riding
+    * ONE `o_custkey` hash exchange (no self-join of orders against a
+    * first-order table); the (cohort, offset) collapse is the only
+    * other data-sized exchange, and the cumulative window runs on that
+    * bounded grid (≤ months² cells). Revenue rides DECIMAL(18,4) with
+    * the cumulative sum still in decimal; doubles appear only in the
+    * final rounded projection.
+    *
+    * Output: `cohort_month` ("YYYY-MM"), `month_offset`, `n_active`
+    * (distinct customers active that offset), `revenue` (2 dp),
+    * `cum_revenue` (2 dp, running by offset within cohort). */
+  def ltvCohort(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+    val base = orders.select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      .withColumn("m", (year(col("d")) * 12 + month(col("d")) - 1).cast("long"))
+      .withColumn("cm", min(col("m")).over(w))
+    val grid = base.groupBy(col("cm"), (col("m") - col("cm")).as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("price")).as("rev"))
+    val wc = Window.partitionBy(col("cm")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum", sum(col("rev")).over(wc))
+      .select(
+        format_string("%04d-%02d", expr("cm div 12").cast("int"),
+          (col("cm") % 12 + 1).cast("int")).as("cohort_month"),
+        col("month_offset"), col("n_active"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round(col("cum").cast("double"), 2).as("cum_revenue"))
+  }
+
   /** RFM segmentation — the classic marketing cube: each customer
     * scored 1..5 by quintile on Recency (days since last order, global
     * max date as "today"), Frequency (order count) and Monetary

@@ -96,6 +96,23 @@ class DataQualitySpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
+  test("madDaily: exact medians in doubled units — odd and even day counts, outlier-immune") {
+    // type a over 5 days: counts [1,2,3,2,100] → median 2, deviations
+    // sorted [0,0,1,1,98] → MAD 1 (the 100-spike never moves either);
+    // type b over 2 days: [1,3] → median 2.0 (interpolated), MAD 1.0
+    val rows =
+      Seq(("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("a", 4, 2), ("a", 5, 100),
+        ("b", 1, 1), ("b", 2, 3)).flatMap { case (t, d, n) =>
+        (1 to n).map(i => (t, f"2024-04-$d%02d ${i / 60}%02d:${i % 60}%02d:00"))
+      }
+    import org.apache.spark.sql.functions._
+    val ev = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val out = DataQuality.madDaily(ev)
+    // cols sorted: event_type|mad_daily|median_daily|n_days
+    assert(rowSet(out) == Set("a|1.0|2.0|5", "b|1.0|2.0|2"), rowSet(out).toString)
+  }
+
   test("welchT: a single-row group yields NULL statistics, never Infinity") {
     import spark.implicits._
     val df = Seq(("click", 1.0), ("click", 2.0), ("purchase", 5.0)).toDF("event_type", "value")

@@ -245,6 +245,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r("a") == 3.0 && r("b") == 0.5, r.toString)
   }
 
+  test("windowFunnel: the window ceiling cuts levels; users count once at their max level") {
+    val ev = events(
+      // A: full chain inside 15 min → level 3
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 1.0),
+      (3L, "2024-01-01 10:10:00", 1L, "purchase", 1.0),
+      // B: purchase lands at +20 min, outside the view+15m window → level 2
+      (4L, "2024-01-01 10:00:00", 2L, "view", 1.0),
+      (5L, "2024-01-01 10:10:00", 2L, "click", 1.0),
+      (6L, "2024-01-01 10:20:00", 2L, "purchase", 1.0),
+      // C: click only — no step-1 event, excluded entirely
+      (7L, "2024-01-01 10:00:00", 3L, "click", 1.0),
+      // D: click after the window → level 1
+      (8L, "2024-01-01 10:00:00", 4L, "view", 1.0),
+      (9L, "2024-01-01 10:16:00", 4L, "click", 1.0))
+    val out = EventAnalytics.windowFunnel(ev,
+      Seq("view", "click", "purchase"), windowUs = 15L * 60 * 1000000)
+    assert(rowSet(out) == Set("3|1", "2|1", "1|1"), rowSet(out).toString)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

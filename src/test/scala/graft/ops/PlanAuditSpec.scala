@@ -898,6 +898,36 @@ class PlanAuditSpec extends SparkSpec {
       "the 125-cell rollup must not sort or single-partition:\n" + p)
   }
 
+  test("x_window_funnel: the whole time-bounded chain rides one user_id exchange, no joins") {
+    val p = plan("x_window_funnel")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"user_id exchange + ≤|steps|-row level rollup, got $n:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "windowFunnel must be window-chained, never a join:\n" + p)
+  }
+
+  test("x_ltv_cohort: cohort month is a window min on the custkey exchange — no first-order self-join") {
+    val p = plan("x_ltv_cohort")
+    assert(!p.contains("Join"), "cohort assignment must be a window, not a join:\n" + p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over orders, saw $scans:\n" + p)
+  }
+
+  test("x_item_cf: pair generator blocks on the basket key; every branch reads the checkpointed membership") {
+    val p = plan("x_item_cf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must equi-join on the basket key, never all-pairs:\n" + p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"counts and both join sides must read the checkpointed table, saw $scans re-scans:\n" + p)
+  }
+
+  test("x_mad_daily: both median passes run on the checkpointed day grid") {
+    val p = plan("x_mad_daily")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"the log must collapse once, saw $scans re-scans:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "median rejoin is a broadcast of ≤|types| rows:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -80,6 +80,17 @@ class RelationalSpec extends SparkSpec {
       Set("2024-01-04|1|1-URGENT|4.25", "2024-01-04|1|2-HIGH|1.0"))
   }
 
+  test("ltvCohort: offsets are exact month diffs; cumulative revenue runs within cohort") {
+    val orders = Seq(
+      (1L, "2024-01-15", "x", 10.0), (1L, "2024-03-02", "x", 20.0),
+      (2L, "2024-03-20", "x", 5.0))
+      .toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    val out = Relational.ltvCohort(orders)
+    // cols sorted: cohort_month|cum_revenue|month_offset|n_active|revenue
+    assert(rowSet(out) == Set(
+      "2024-01|10.0|0|1|10.0", "2024-01|30.0|2|1|20.0", "2024-03|5.0|0|1|5.0"))
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
