@@ -1073,6 +1073,39 @@ object Corpus {
     bm25Rank(tf, stats, k, k1, b, idCol)
   }
 
+  /** Conjunctive boolean retrieval (AND of all `mustTerms`) over a
+    * [[saveInvertedIndex]] directory — the posting-list-intersection
+    * primitive under every search engine's filter stage: a document
+    * qualifies iff EVERY query term appears in it, ranked by total
+    * term frequency (tie-broken by id — a deterministic total order).
+    *
+    * Scale shape: the postings scan reads only the query terms'
+    * token-sorted row groups (the [[bm25TopDocsIndexed]] pushdown
+    * story); the intersection is ONE groupBy on the probe-sized
+    * posting subset — postings already hold one row per (doc, term),
+    * so `count(*) == nTerms` IS set intersection, no |terms|-way
+    * self-join of the index; the top-k is TakeOrderedAndProject.
+    * Probe cost is independent of corpus size at fixed document
+    * frequency.
+    *
+    * Output: top-`k` rows — `doc_id`, `dl`, `total_tf`, ordered
+    * (total_tf desc, id). */
+  def booleanSearchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           mustTerms: Seq[String], k: Int = 20,
+                           idCol: String = "doc_id"): DataFrame = {
+    require(mustTerms.nonEmpty, "booleanSearchIndexed: mustTerms must be non-empty")
+    require(mustTerms.distinct.size == mustTerms.size,
+      "booleanSearchIndexed: mustTerms must be distinct")
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("tok").isin(mustTerms: _*))
+    tf.groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).cast("long").as("total_tf"))
+      .where(col("n_terms") === mustTerms.size)
+      .orderBy(col("total_tf").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dl"), col("total_tf"))
+  }
+
   /** Bigram-LM fluency score — the language-model quality filter of
     * CCNet/Wikipedia-LM pipelines (docs whose token transitions are
     * improbable under a corpus-trained LM are gibberish/boilerplate),

@@ -446,6 +446,106 @@ object EventAnalytics {
         round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
   }
 
+  /** Simple exponential smoothing (SES) of the per-type daily event
+    * series with α = 3/10 — the one-parameter forecast baseline every
+    * capacity plan starts from: level_t = 0.7·level_{t−1} + 0.3·x_t,
+    * reported as the final smoothed level (= the one-step-ahead
+    * forecast) plus the in-sample one-step MAE that says how much to
+    * trust it.
+    *
+    * Determinism: the recursion runs ENTIRELY in integer micro-units —
+    * s6_t = (7·s6_{t−1} + 3·x6_t + 5) div 10 (half-up in scaled
+    * longs), error mass Σ|x6 − s6| exact — so the smoothed level is
+    * bit-reproducible and a SQL recursive CTE replays it literally; no
+    * float ever enters the loop (magnitudes: safe through ~10¹¹
+    * events/day — 7·s6 must fit a signed 64-bit long).
+    *
+    * Scale shape: ONE map-side-combined exchange collapses the log to
+    * the (type, day) grid; the fold is a per-type `aggregate()` HOF
+    * over the date-sorted day array — days-sized state (years ≈ 10³
+    * elements), never data-sized, the [[changepointDaily]] bounded-
+    * window justification in array form. The recursion is inherently
+    * sequential per type; types fold in parallel.
+    *
+    * Output: one row per `event_type` — `n_days`, `level` (6 dp),
+    * `mae` (6 dp one-step absolute error mean, NULL for a 1-day
+    * series). */
+  def sesForecastDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val arrs = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+    // SQL lambda (not the Column API): the recursion needs exact
+    // integer `div` — Column `/` on longs silently promotes to double
+    val folded = arrs.select(col("event_type"),
+      size(col("arr")).cast("long").as("n_days"),
+      expr("""
+        aggregate(
+          slice(arr, 2, greatest(size(arr) - 1, 0)),
+          named_struct('s6', arr[0].c * 1000000L, 'err6', 0L),
+          (acc, x) -> named_struct(
+            's6', (acc.s6 * 7L + x.c * 3000000L + 5L) div 10L,
+            'err6', acc.err6 + abs(x.c * 1000000L - acc.s6)))
+      """).as("f"))
+    folded.select(col("event_type"), col("n_days"),
+      round(col("f").getField("s6").cast("double") / 1000000L, 6).as("level"),
+      when(col("n_days") > 1,
+        round(col("f").getField("err6").cast("double") / 1000000L / (col("n_days") - 1), 6))
+        .as("mae"))
+  }
+
+  /** Peak session concurrency — the sweep-line readout behind
+    * capacity sizing ("how many sessions were open at once, and
+    * when"): [[sessionize]]'s inclusive [start, end] intervals become
+    * +1/−1 boundary deltas (−1 at end+1 μs, so a session ending the
+    * microsecond another starts still overlaps it), deltas collapse
+    * per timestamp, and the running sum over time order is the exact
+    * concurrency step function; its max and the first time it is
+    * attained are the answer.
+    *
+    * Scale shape: the running sum is a DISTRIBUTED two-phase prefix
+    * sum ([[graft.ops.Relational.exactNtile]]'s rank machinery, sum
+    * form — the [[graft.corpus.Corpus.packShards]] pattern): range-
+    * shuffle the (t, net) boundary grid on t, per-partition running
+    * sums in parallel bounded windows, per-partition totals (nPart
+    * rows, driver-tiny) folded into broadcast offsets. NO
+    * single-partition global window ever sees the boundary table,
+    * which is 2·|sessions| rows — data-sized at 100 TB.
+    *
+    * Output: one row — `n_sessions`, `peak_concurrency`,
+    * `peak_at_us`. */
+  def peakConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val spark = events.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sess = sessionize(events, gapSec).localCheckpoint()
+    val nSessions = sess.count()
+    val deltas = sess.select(col("session_start_us").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("session_end_us") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("net"))
+    val ranged = deltas.repartitionByRange(nPart, col("t"))
+      .sortWithinPartitions(col("t"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val subs = ranged.groupBy(col("_pid")).agg(sum(col("net")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("_pid"))
+    val wRun = Window.partitionBy(col("_pid")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = ranged
+      .withColumn("conc", sum(col("net")).over(wRun) + offsetCol)
+      .localCheckpoint()
+    ranged.unpersist(false)
+    val peak = conc.agg(max(col("conc")).as("pk"))
+    conc.join(broadcast(peak), col("conc") === col("pk"))
+      .agg(max(col("conc")).as("peak_concurrency"), min(col("t")).as("peak_at_us"))
+      .select(lit(nSessions).as("n_sessions"),
+        col("peak_concurrency"), col("peak_at_us"))
+  }
+
   /** Time-bounded conversion funnel — [[funnel]]'s strict-order
     * min-time chain with the extra constraint that EVERY later step
     * must land within `windowUs` microseconds of the user's step-1

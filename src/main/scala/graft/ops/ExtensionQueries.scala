@@ -4457,6 +4457,94 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Conjunctive boolean retrieval over the persisted inverted index
+    * (Corpus.booleanSearchIndexed scaladoc: pushdown-pruned postings
+    * probe, count==nTerms IS the set intersection, TakeOrdered top-k).
+    * Same index directory as x_bm25_indexed — one build serves both
+    * probe shapes. The oracle replays the intersection from the raw
+    * documents with the identical whitespace tokenizer. */
+  val boolSearchQ: Q = Q(
+    "x_bool_search",
+    (s, d) => graft.corpus.Corpus.booleanSearchIndexed(
+      s, invIndexFor(s, d), Seq("spark", "merge", "vector"), k = 20),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+                           len(regexp_split_to_array(text, '\s+')) AS dl
+                    FROM documents),
+      tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+             WHERE tok IN ('spark', 'merge', 'vector') GROUP BY 1, 2, 3),
+      hits AS (SELECT doc_id, dl, SUM(tf) AS total_tf
+               FROM tf GROUP BY 1, 2 HAVING COUNT(*) = 3)
+      SELECT doc_id, dl, CAST(total_tf AS BIGINT) AS total_tf
+      FROM hits ORDER BY total_tf DESC, doc_id LIMIT 20
+    """.trim)
+  )
+
+  /** SES forecast of the per-type daily series (EventAnalytics
+    * .sesForecastDaily scaladoc: α=3/10 recursion entirely in integer
+    * micro-units — (7·s6 + 3·x6 + 5) div 10 — so a recursive CTE
+    * replays it bit-for-bit; per-type day-array fold, never a
+    * data-sized window). */
+  val sesForecastQ: Q = Q(
+    "x_ses_forecast",
+    (s, d) => EventAnalytics.sesForecastDaily(Tables.events(s, d)),
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+      rec AS (
+        SELECT event_type, rn, n, c * 1000000 AS s6, CAST(0 AS BIGINT) AS err6
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT rk.event_type, rk.rn, rk.n,
+               (rec.s6 * 7 + rk.c * 3000000 + 5) // 10,
+               rec.err6 + ABS(rk.c * 1000000 - rec.s6)
+        FROM rec JOIN rk ON rk.event_type = rec.event_type AND rk.rn = rec.rn + 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             ROUND(CAST(s6 AS DOUBLE) / 1000000, 6) AS level,
+             CASE WHEN n > 1
+                  THEN ROUND(CAST(err6 AS DOUBLE) / 1000000 / (n - 1), 6) END AS mae
+      FROM rec WHERE rn = n
+    """.trim)
+  )
+
+  /** Peak session concurrency (EventAnalytics.peakConcurrency
+    * scaladoc: sessionize intervals → ±1 boundary deltas → exact
+    * distributed two-phase prefix sum, max + first attainment). The
+    * oracle replays the sweep with a single global running-sum window
+    * — tractable there, the very thing the engine's two-phase split
+    * avoids at scale. */
+  val concurrencyQ: Q = Q(
+    "x_concurrency",
+    (s, d) => EventAnalytics.peakConcurrency(Tables.events(s, d), gapSec = 1800L),
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS nw
+        FROM events),
+      s AS (SELECT user_id, ts_us,
+                   SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM m),
+      sess AS (SELECT user_id, session_idx, MIN(ts_us) AS t0, MAX(ts_us) AS t1
+               FROM s GROUP BY 1, 2),
+      d AS (SELECT t0 AS t, 1 AS dd FROM sess UNION ALL SELECT t1 + 1, -1 FROM sess),
+      g AS (SELECT t, SUM(dd) AS net FROM d GROUP BY 1),
+      r AS (SELECT t, SUM(net) OVER (ORDER BY t) AS conc FROM g),
+      p AS (SELECT MAX(conc) AS pk FROM r)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+             CAST(pk AS BIGINT) AS peak_concurrency,
+             (SELECT MIN(t) FROM r, p WHERE conc = pk) AS peak_at_us
+      FROM p
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4486,5 +4574,6 @@ object ExtensionQueries {
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
-    windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ)
+    windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,
+    boolSearchQ, sesForecastQ, concurrencyQ)
 }

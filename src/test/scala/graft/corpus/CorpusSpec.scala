@@ -422,6 +422,23 @@ class CorpusSpec extends SparkSpec {
     assert(scan2 == probe2)
   }
 
+  test("booleanSearchIndexed: conjunctive AND over the index; tf-ranked, any missing term disqualifies") {
+    val docs = Seq(
+      (1L, "spark merge spark engine"),          // no 'vector' → out
+      (2L, "vector search with spark merge"),    // all three, tf 3
+      (3L, "merge sort and other lists"),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark spark spark merge vector")).toDF("doc_id", "text") // all three, tf 5
+    val dir = java.nio.file.Files.createTempDirectory("bool-idx-spec").toString
+    Corpus.saveInvertedIndex(docs, dir)
+    val out = Corpus.booleanSearchIndexed(spark, dir, Seq("spark", "merge", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // ordered by total_tf desc then id; dl = whitespace token count
+    assert(out == Seq((5L, 5, 5L), (2L, 5, 3L)), out.toString)
+    // a term absent from the corpus empties the conjunction
+    assert(Corpus.booleanSearchIndexed(spark, dir, Seq("spark", "zzz"), k = 10).count() == 0)
+  }
+
   test("capPerSource keeps at most N per source, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def run() = Corpus.capPerSource(docs, 10, sourceCol = "source")

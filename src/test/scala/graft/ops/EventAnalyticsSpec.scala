@@ -265,6 +265,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rowSet(out) == Set("3|1", "2|1", "1|1"), rowSet(out).toString)
   }
 
+  test("sesForecastDaily: exact half-up integer recursion; 1-day series has NULL mae") {
+    // type a: [10, 20] → s6 = (7·10e6 + 3·20e6 + 5) div 10 = 13e6 → level 13.0,
+    // one-step error |20 − 10| = 10 → mae 10.0; type b: one day of 3 → mae NULL
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows =
+      Seq(("a", 1, 10), ("a", 2, 20), ("b", 1, 3)).flatMap { case (t, d, n) =>
+        (1 to n).map(i => (t, f"2024-05-0$d ${i / 60}%02d:${i % 60}%02d:00"))
+      }
+    val ev = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.sesForecastDaily(ev)
+    // cols sorted: event_type|level|mae|n_days
+    assert(rowSet(out) == Set("a|13.0|10.0|2", "b|3.0|NULL|1"), rowSet(out).toString)
+  }
+
+  test("peakConcurrency: inclusive interval semantics — a session starting as another ends overlaps it") {
+    val ev = events(
+      // u1: one session spanning 10:00–10:20
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:20:00", 1L, "view", 1.0),
+      // u2: a point session at exactly u1's end — still concurrent
+      (3L, "2024-01-01 10:20:00", 2L, "view", 1.0),
+      // u3: lone earlier session
+      (4L, "2024-01-01 09:00:00", 3L, "view", 1.0))
+    val out = EventAnalytics.peakConcurrency(ev, gapSec = 1800L).collect()(0)
+    assert(out.getLong(0) == 3L, s"n_sessions: $out")
+    assert(out.getLong(1) == 2L, s"peak: $out")
+    assert(out.getLong(2) == java.sql.Timestamp.valueOf("2024-01-01 10:20:00").getTime * 1000,
+      s"peak_at_us: $out")
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

@@ -928,6 +928,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "median rejoin is a broadcast of ≤|types| rows:\n" + p)
   }
 
+  test("x_bool_search: intersection probe — term filter pushed to the postings scan, top-k is TakeOrdered") {
+    val p = plan("x_bool_search")
+    assert(p.contains("PushedFilters") && p.contains("In(tok"),
+      "mustTerms isin must reach the postings parquet scan:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must never be a global sort:\n" + p)
+    assert(!p.contains("Generate"),
+      "the probe must never re-explode the corpus — that cost was paid at index build:\n" + p)
+  }
+
+  test("x_ses_forecast: one pass to the day grid; the recursion is an array fold, never a window or join") {
+    val p = plan("x_ses_forecast")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window "), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"day-grid collapse + type rollup only, saw $hashEx:\n" + p)
+  }
+
+  test("x_concurrency: the sweep reads checkpointed stages — no raw re-scan, no single-partition sort of the boundary table") {
+    val p = plan("x_concurrency")
+    assert(!p.contains("Scan parquet"),
+      "the boundary table and running sums must be checkpointed:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "the 1-row peak must broadcast:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
