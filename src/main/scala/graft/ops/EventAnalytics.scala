@@ -503,47 +503,113 @@ object EventAnalytics {
     * concurrency step function; its max and the first time it is
     * attained are the answer.
     *
-    * Scale shape: the running sum is a DISTRIBUTED two-phase prefix
-    * sum ([[graft.ops.Relational.exactNtile]]'s rank machinery, sum
-    * form — the [[graft.corpus.Corpus.packShards]] pattern): range-
-    * shuffle the (t, net) boundary grid on t, per-partition running
-    * sums in parallel bounded windows, per-partition totals (nPart
-    * rows, driver-tiny) folded into broadcast offsets. NO
-    * single-partition global window ever sees the boundary table,
-    * which is 2·|sessions| rows — data-sized at 100 TB.
+    * Scale shape: the running sum is
+    * [[graft.ops.Relational.prefixSum]] — the distributed two-phase
+    * form (range shuffle + parallel bounded windows + broadcast
+    * offsets). NO single-partition global window ever sees the
+    * boundary table, which is 2·|sessions| rows — data-sized at
+    * 100 TB. The per-t delta collapse before the prefix sum makes t
+    * unique (prefixSum's total-order contract) AND makes the running
+    * value at each t the exact post-boundary concurrency, so no
+    * transient intra-tie value ever inflates the max.
     *
     * Output: one row — `n_sessions`, `peak_concurrency`,
     * `peak_at_us`. */
   def peakConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
-    val spark = events.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
     val sess = sessionize(events, gapSec).localCheckpoint()
     val nSessions = sess.count()
     val deltas = sess.select(col("session_start_us").as("t"), lit(1L).as("d"))
       .unionAll(sess.select((col("session_end_us") + 1).as("t"), lit(-1L).as("d")))
       .groupBy(col("t")).agg(sum(col("d")).as("net"))
-    val ranged = deltas.repartitionByRange(nPart, col("t"))
-      .sortWithinPartitions(col("t"))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    val subs = ranged.groupBy(col("_pid")).agg(sum(col("net")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _).init)
-    val offsetCol =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("_pid"))
-    val wRun = Window.partitionBy(col("_pid")).orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val conc = ranged
-      .withColumn("conc", sum(col("net")).over(wRun) + offsetCol)
-      .localCheckpoint()
-    ranged.unpersist(false)
+    val conc = Relational.prefixSum(deltas, Seq(col("t")), "net", "conc")
     val peak = conc.agg(max(col("conc")).as("pk"))
     conc.join(broadcast(peak), col("conc") === col("pk"))
       .agg(max(col("conc")).as("peak_concurrency"), min(col("t")).as("peak_at_us"))
       .select(lit(nSessions).as("n_sessions"),
         col("peak_concurrency"), col("peak_at_us"))
+  }
+
+  /** Eventually-follows matrix — for every ordered pair of event
+    * types (a, b), in how many sessions does SOME a-occurrence
+    * precede SOME b-occurrence (strictly earlier timestamp): the
+    * process-mining precedence relation that [[transitions]]'
+    * adjacent-step matrix misses (a → x → b counts here, not there),
+    * and the first artifact a process-discovery pass derives.
+    *
+    * "a before b" ⟺ min_ts(a) < max_ts(b) within the session, so the
+    * session collapses to its per-type (min, max) envelope — never
+    * a pairwise self-join of events. Same-timestamp occurrences don't
+    * count as ordered (strict <), and a≠b.
+    *
+    * Scale shape: one user_id exchange carries the session marking
+    * AND the (session, type) envelope collapse; per session the
+    * envelope set is ≤ |type domain| entries, so the in-row pair
+    * generation is domain²-bounded (NOT data-bounded — the place
+    * in-row HOFs are right; contrast the co-occurrence-graph negative
+    * result where the row carried data-sized arrays). The final
+    * rollup is a type²-sized grid.
+    *
+    * Output: one row per observed (a, b) — `type_a`, `type_b`,
+    * `n_sessions`, `support` (share of all sessions, 6 dp). */
+  def seqPairs(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("_new",
+        when(lag(col("ts_us"), 1).over(wOrd).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val env = marked.groupBy(col("user_id"), col("session_idx"), col("event_type"))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+    val perSession = env.groupBy(col("user_id"), col("session_idx"))
+      .agg(collect_list(struct(col("event_type"), col("t0"), col("t1"))).as("envs"))
+      .localCheckpoint() // serves the session count AND the pair explode
+    val nSessions = perSession.count()
+    val pairs = perSession.select(explode(expr("""
+        flatten(transform(envs, a ->
+          filter(transform(envs, b -> named_struct(
+                   'type_a', a.event_type, 'type_b', b.event_type,
+                   'ok', a.event_type != b.event_type AND a.t0 < b.t1)),
+                 p -> p.ok)))
+      """)).as("p"))
+    pairs.groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("support",
+        round(col("n_sessions").cast("double") / nSessions, 6))
+  }
+
+  /** Linear multi-touch attribution depth — for every purchase, how
+    * many views inside the preceding `horizonSec` share its credit
+    * (the equal-split multi-touch model, reported as the touch-depth
+    * histogram with the credited value mass): depth-0 rows are the
+    * un-attributable purchases every attribution model must disclose.
+    *
+    * Scale shape: the touch count is a RANGE-frame window
+    * (`rangeBetween(−horizon, −1)` over ts within user) on the same
+    * single user_id exchange as [[lastTouchAttribution]] — the log is
+    * never self-joined, and the range frame's strict-past bound makes
+    * same-microsecond views non-contributing (the last-touch edge
+    * rule). Value rides DECIMAL(18,4) to the grid.
+    *
+    * Output: one row per depth — `n_touches`, `n_purchases`,
+    * `total_value` (2 dp). */
+  def multiTouch(events: DataFrame, horizonSec: Long = 3600L): DataFrame = {
+    val horizonUs = horizonSec * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-horizonUs, -1)
+    val base = events.select(col("user_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("ts_us"))
+    base
+      .withColumn("k",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("k"), lit(0L)).as("n_touches"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
   }
 
   /** Time-bounded conversion funnel — [[funnel]]'s strict-order

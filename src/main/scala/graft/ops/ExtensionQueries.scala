@@ -4545,6 +4545,105 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** ABC / Pareto classification (Relational.abcClassification
+    * scaladoc: per-part collapse, distributed prefixSum over
+    * (revenue desc, partkey), exact cross-multiplied integer-cents
+    * cuts). The oracle replays the cumulative share with one global
+    * window — tractable in SQL, the thing prefixSum avoids at scale. */
+  val abcQ: Q = Q(
+    "x_abc_class",
+    (s, d) => Relational.abcClassification(Tables.lineitem(s, d)),
+    Some("""
+      WITH rev AS (SELECT l_partkey,
+                          CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+                   FROM lineitem GROUP BY 1),
+      c AS (SELECT *, SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum FROM rev),
+      t AS (SELECT MAX(cum) AS tot FROM c)
+      SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS revenue,
+             ROUND(CAST(SUM(cents) AS DOUBLE) / tot, 6) AS share
+      FROM c, t GROUP BY 1, tot
+    """.trim)
+  )
+
+  /** Inter-order purchase cadence (Relational.interOrderGapProfile
+    * scaladoc: one custkey lag exchange, integer-day frequency grid,
+    * rank statistics off running counts — never a sort of the gap
+    * table). The oracle replays the same grid and rank definitions. */
+  val interOrderGapQ: Q = Q(
+    "x_interorder_gap",
+    (s, d) => Relational.interOrderGapProfile(Tables.orders(s, d)),
+    Some("""
+      WITH g AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders),
+      l AS (SELECT datediff('day', lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey), d) AS gap
+            FROM g),
+      gg AS (SELECT gap, COUNT(*) AS cnt FROM l WHERE gap IS NOT NULL GROUP BY 1),
+      r AS (SELECT *, SUM(cnt) OVER (ORDER BY gap) AS rc FROM gg),
+      t AS (SELECT MAX(rc) AS n, SUM(gap * cnt) AS gs FROM r)
+      SELECT CAST(n AS BIGINT) AS n_gaps,
+             ROUND(CAST(gs AS DOUBLE) / n, 6) AS mean_gap,
+             CAST((SELECT MIN(gap) FROM r, t WHERE rc >= (n + 1) // 2) +
+                  (SELECT MIN(gap) FROM r, t WHERE rc >= (n + 2) // 2) AS DOUBLE) / 2 AS median_gap,
+             CAST((SELECT MIN(gap) FROM r, t WHERE rc * 10 >= n * 9) AS INT) AS p90_gap
+      FROM t
+    """.trim)
+  )
+
+  /** Eventually-follows matrix (EventAnalytics.seqPairs scaladoc:
+    * per-session per-type (min, max) envelopes on the session-marking
+    * exchange, domain²-bounded in-row pair generation — never an
+    * event self-join). The oracle joins the envelope table with the
+    * same strict a.t0 < b.t1 precedence predicate. */
+  val seqPairsQ: Q = Q(
+    "x_seq_pairs",
+    (s, d) => EventAnalytics.seqPairs(Tables.events(s, d), gapSec = 1800L),
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS nw
+        FROM events),
+      s AS (SELECT user_id, event_type, ts_us,
+                   SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM m),
+      env AS (SELECT user_id, session_idx, event_type,
+                     MIN(ts_us) AS t0, MAX(ts_us) AS t1
+              FROM s GROUP BY 1, 2, 3),
+      ns AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, session_idx FROM env)),
+      p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_sessions
+            FROM env a JOIN env b
+              ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+             AND a.event_type <> b.event_type AND a.t0 < b.t1
+            GROUP BY 1, 2)
+      SELECT type_a, type_b, n_sessions,
+             ROUND(CAST(n_sessions AS DOUBLE) / n, 6) AS support
+      FROM p, ns
+    """.trim)
+  )
+
+  /** Multi-touch attribution depth (EventAnalytics.multiTouch
+    * scaladoc: strict-past RANGE-frame view count on one user_id
+    * exchange — the log is never self-joined; decimal value mass). */
+  val multiTouchQ: Q = Q(
+    "x_multi_touch",
+    (s, d) => EventAnalytics.multiTouch(Tables.events(s, d), horizonSec = 3600L),
+    Some("""
+      WITH b AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+      k AS (SELECT *, SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts_us
+                              RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS kk
+            FROM b)
+      SELECT COALESCE(kk, 0) AS n_touches, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+      FROM k WHERE event_type = 'purchase' GROUP BY 1
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4575,5 +4674,6 @@ object ExtensionQueries {
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,
-    boolSearchQ, sesForecastQ, concurrencyQ)
+    boolSearchQ, sesForecastQ, concurrencyQ,
+    abcQ, interOrderGapQ, seqPairsQ, multiTouchQ)
 }

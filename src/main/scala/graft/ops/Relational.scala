@@ -256,6 +256,127 @@ object Relational {
         round(col("cum").cast("double"), 2).as("cum_revenue"))
   }
 
+  /** Distributed exact prefix sum of an integral column over a total
+    * order — the running-sum primitive behind sweep lines
+    * ([[graft.ops.EventAnalytics.peakConcurrency]]), Pareto/ABC
+    * cutoffs ([[abcClassification]]) and token-budget packing
+    * ([[graft.corpus.Corpus.packShards]]' pattern, window form),
+    * WITHOUT the single-partition global window that funnels the
+    * whole table through one task: range-shuffle on `orderCols`,
+    * per-partition running sums in parallel bounded windows,
+    * per-partition subtotals (nPart rows, driver-tiny) folded into
+    * broadcast offsets — the [[exactNtile]] rank machinery, sum form.
+    *
+    * `orderCols` must be a TOTAL order (include a unique id):
+    * with duplicate keys the within-tie accumulation order — and so
+    * every tied row's prefix value — would be nondeterministic.
+    * `valCol` must be integral (the subtotals ride exact longs).
+    * The result is checkpointed: each row carries `out` =
+    * Σ valCol over all rows ≤ it in the order, current row included. */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], valCol: String,
+                out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(out) && !df.columns.contains("_pid"),
+      s"prefixSum: input already carries '$out' or '_pid'")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val subs = ranged.groupBy(col("_pid"))
+      .agg(sum(col(valCol)).cast("long").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("_pid"))
+    val wRun = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outDf = ranged
+      .withColumn(out, sum(col(valCol)).over(wRun).cast("long") + offsetCol)
+      .drop("_pid")
+      .localCheckpoint()
+    ranged.unpersist(false)
+    outDf
+  }
+
+  /** ABC / Pareto inventory classification — every part ranked by
+    * lifetime revenue, classed A while the running revenue share is
+    * ≤ 80%, B through 95%, C beyond (the classic 80/15/5 stocking
+    * policy cut), reported as the per-class rollup.
+    *
+    * Scale shape: lineitem collapses to the per-part revenue table in
+    * ONE map-side-combined exchange; the cumulative share is a
+    * [[prefixSum]] over (revenue desc, partkey) — parts are
+    * data-sized in a real catalog, so no single-partition window —
+    * and the class cuts compare exact integer cents cross-multiplied
+    * against the broadcast 1-row total (cum·5 ≤ tot·4 IS share ≤ 0.8:
+    * no float share ever decides a boundary).
+    *
+    * Output: one row per class — `abc_class`, `n_parts`, `revenue`
+    * (2 dp), `share` (6 dp). */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("cents"))
+    val cum = prefixSum(rev, Seq(col("cents").desc, col("l_partkey")), "cents", "cum")
+    val tot = cum.agg(max(col("cum")).as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("tot") * 4, lit("A"))
+          .when(col("cum") * 20 <= col("tot") * 19, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("cents")).cast("double") / 100, 2).as("revenue"),
+        round(sum(col("cents")).cast("double") / max(col("tot")), 6).as("share"))
+  }
+
+  /** Inter-order gap profile — the purchase-cadence readout (how long
+    * between a customer's consecutive orders): exact mean, median and
+    * p90 of the per-customer day gaps, computed WITHOUT sorting the
+    * gap table: day gaps live on a small integer domain (≤ the date
+    * range in days), so the gap table collapses to a (gap → count)
+    * frequency grid — the count-of-counts trick ([[graft.ops.Skew]]'s
+    * precedent) — and every rank statistic reads the grid's running
+    * counts. Median is the two-middle-ranks average ((n+1)÷2,
+    * (n+2)÷2, exact doubled-integer form), p90 the smallest gap whose
+    * running count reaches ⌈0.9·n⌉.
+    *
+    * Scale shape: one custkey exchange for the lag window, one
+    * map-side-combined collapse to the grid; the grid window is
+    * bounded by the day-domain (10³ rows for a 3-year log), never
+    * data-sized.
+    *
+    * Output: one row — `n_gaps`, `mean_gap` (6 dp), `median_gap`,
+    * `p90_gap`. */
+  def interOrderGapProfile(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+      .where(col("gap").isNotNull)
+    val grid = gaps.groupBy(col("gap")).agg(count(lit(1)).as("cnt"))
+    val wg = Window.orderBy(col("gap")) // grid-sized: bounded by the day domain
+    val run = grid.withColumn("rc", sum(col("cnt")).over(
+      wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // grid-sized; serves the totals AND the rank stats
+
+    val tot = run.agg(max(col("rc")).as("n"), sum(col("gap") * col("cnt")).as("gs"))
+    run.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n_gaps"),
+        round(max(col("gs")).cast("double") / max(col("n")), 6).as("mean_gap"),
+        ((min(when(col("rc") >= expr("(n + 1) div 2"), col("gap"))) +
+          min(when(col("rc") >= expr("(n + 2) div 2"), col("gap"))))
+          .cast("double") / 2).as("median_gap"),
+        min(when(col("rc") * 10 >= col("n") * 9, col("gap"))).as("p90_gap"))
+  }
+
   /** RFM segmentation — the classic marketing cube: each customer
     * scored 1..5 by quintile on Recency (days since last order, global
     * max date as "today"), Frequency (order count) and Monetary

@@ -297,6 +297,35 @@ class EventAnalyticsSpec extends SparkSpec {
       s"peak_at_us: $out")
   }
 
+  test("seqPairs: eventually-follows needs strict time order; same-ts never counts; both directions possible") {
+    val ev = events(
+      // session 1 (user 1): a@0, b@1, a@2 → a before b AND b before a
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 1.0),
+      (3L, "2024-01-01 10:02:00", 1L, "a", 1.0),
+      // session 2 (user 2): c@0, then d and e at the SAME ts → c<d, c<e only
+      (4L, "2024-01-01 09:00:00", 2L, "c", 1.0),
+      (5L, "2024-01-01 09:10:00", 2L, "d", 1.0),
+      (6L, "2024-01-01 09:10:00", 2L, "e", 1.0))
+    val out = EventAnalytics.seqPairs(ev, gapSec = 1800L)
+    // cols sorted: n_sessions|support|type_a|type_b
+    assert(rowSet(out) == Set(
+      "1|0.5|a|b", "1|0.5|b|a", "1|0.5|c|d", "1|0.5|c|e"), rowSet(out).toString)
+  }
+
+  test("multiTouch: strict-past horizon counting; same-ts views and stale views don't contribute") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:30:00", 1L, "view", 1.0),
+      (3L, "2024-01-01 10:45:00", 1L, "purchase", 5.0),  // both views inside 1h → k=2
+      (4L, "2024-01-01 12:00:00", 1L, "purchase", 7.0),  // 10:30 view is 90min old → k=0
+      (5L, "2024-01-02 09:00:00", 2L, "view", 1.0),
+      (6L, "2024-01-02 09:00:00", 2L, "purchase", 3.0))  // same-ts view excluded → k=0
+    val out = EventAnalytics.multiTouch(ev, horizonSec = 3600L)
+    // cols sorted: n_purchases|n_touches|total_value
+    assert(rowSet(out) == Set("1|2|5.0", "2|0|10.0"), rowSet(out).toString)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

@@ -953,6 +953,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the 1-row peak must broadcast:\n" + p)
   }
 
+  test("x_abc_class: the class cut reads the checkpointed prefix sums; the 1-row total broadcasts") {
+    val p = plan("x_abc_class")
+    assert(!p.contains("Scan parquet"),
+      "lineitem must collapse before the cumulative pass:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_interorder_gap: rank stats read the checkpointed running grid — orders scanned once, upstream") {
+    val p = plan("x_interorder_gap")
+    assert(!p.contains("Scan parquet"),
+      "totals and rank stats must both read the checkpointed grid:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "the 1-row totals must broadcast:\n" + p)
+  }
+
+  test("x_seq_pairs: pair generation reads the checkpointed session envelopes — no event self-join") {
+    val p = plan("x_seq_pairs")
+    assert(!p.contains("Scan parquet"),
+      "the rollup must read the checkpointed envelope table:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x_multi_touch: one user_id exchange; the range frame never self-joins the log") {
+    val p = plan("x_multi_touch")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"user_id exchange + depth-grid rollup, saw $hashEx:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

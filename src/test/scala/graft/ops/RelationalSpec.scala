@@ -91,6 +91,43 @@ class RelationalSpec extends SparkSpec {
       "2024-01|10.0|0|1|10.0", "2024-01|30.0|2|1|20.0", "2024-03|5.0|0|1|5.0"))
   }
 
+  test("prefixSum: exact running sum in range order; reserved-column collision fails fast") {
+    val df = Seq((3L, "a", 5L), (1L, "b", -2L), (2L, "c", 10L)).toDF("t", "id", "v")
+    val out = Relational.prefixSum(df, Seq(col("t")), "v", "run")
+    val got = out.select(col("id"), col("run")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("b" -> -2L, "c" -> 8L, "a" -> 13L), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      Relational.prefixSum(df.withColumn("run", lit(0L)), Seq(col("t")), "v", "run")
+    }
+    assert(e.getMessage.contains("'run'"))
+  }
+
+  test("abcClassification: integer-cents cuts land exactly on the 80/95 boundaries") {
+    // revenues 80.00 / 15.00 / 5.00 → cum shares 0.80, 0.95, 1.00:
+    // both boundary parts must still be A and B (<=, not <)
+    val li = Seq((1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 5.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Relational.abcClassification(li)
+    // cols sorted: abc_class|n_parts|revenue|share
+    assert(rowSet(out) == Set("A|1|80.0|0.8", "B|1|15.0|0.15", "C|1|5.0|0.05"),
+      rowSet(out).toString)
+  }
+
+  test("interOrderGapProfile: rank statistics off the integer-day frequency grid") {
+    // cust 1 orders day 1,3,10 → gaps 2,7; cust 2 orders day 1,2 → gap 1
+    // gaps {1,2,7}: mean 10/3, median 2.0, p90 = value at rank ceil(2.7)=3 → 7
+    val orders = Seq(
+      (1L, 101L, "2024-01-01"), (1L, 102L, "2024-01-03"), (1L, 103L, "2024-01-10"),
+      (2L, 201L, "2024-01-01"), (2L, 202L, "2024-01-02"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val out = Relational.interOrderGapProfile(orders).collect()(0)
+    assert(out.getLong(0) == 3L, out.toString)
+    assert(out.getDouble(1) == 3.333333, out.toString)
+    assert(out.getDouble(2) == 2.0, out.toString)
+    assert(out.getInt(3) == 7, out.toString)
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
