@@ -238,6 +238,53 @@ object DataQuality {
         round(abs(col("freq") - col("expected")), 6).as("deviation"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between two
+    * sources' distributions of an integral column — the standard
+    * "did this source's length/score distribution shift" gate a
+    * training-data pipeline runs before mixing a refreshed crawl:
+    * D = max over values of |F̂_A(v) − F̂_B(v)|, the ECDF gap.
+    *
+    * Determinism: D is a RATIONAL — the gap numerator is the exact
+    * integer |ra·n_b − rb·n_a| (cross-multiplied running counts), the
+    * max is taken over integers, and the single divide by n_a·n_b
+    * happens once at the end; the attainment point is the smallest v
+    * reaching the max. No float ECDF ever enters a comparison.
+    * (Magnitudes: ra·n_b ≤ n_a·n_b must fit a long — safe through
+    * ~3·10⁹ rows per side.)
+    *
+    * Scale shape: one map-side-combined exchange collapses both
+    * sources to the shared value grid (bounded by the value DOMAIN,
+    * not the row count); the running counts ride a grid-sized ordered
+    * window ([[madDaily]]'s bounded-window justification), the grid is
+    * checkpointed once for the totals, the max and the argmin.
+    *
+    * Output: one row — `n_a`, `n_b`, `ks_d` (6 dp), `ks_at` (the
+    * value attaining D). */
+  def ksDrift(docs: DataFrame, sourceA: String, sourceB: String,
+              valCol: String = "n_chars"): DataFrame = {
+    require(sourceA != sourceB, "ksDrift: sources must differ")
+    val grid = docs.filter(col("source").isin(sourceA, sourceB))
+      .groupBy(col(valCol).as("v"))
+      .agg(sum(when(col("source") === sourceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === sourceB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v")) // grid-sized: bounded by the value domain
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = grid
+      .withColumn("ra", sum(col("ca")).over(w))
+      .withColumn("rb", sum(col("cb")).over(w))
+      .localCheckpoint() // serves totals, max and argmin
+    val tot = run.agg(max(col("ra")).as("na"), max(col("rb")).as("nb"))
+    val gaps = run.crossJoin(broadcast(tot))
+      .withColumn("dnum", abs(col("ra") * col("nb") - col("rb") * col("na")))
+      .localCheckpoint()
+    val m = gaps.agg(max(col("dnum")).as("mx"))
+    gaps.join(broadcast(m), col("dnum") === col("mx"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(max(col("dnum")).cast("double") / (max(col("na")) * max(col("nb"))), 6)
+          .as("ks_d"),
+        min(col("v")).as("ks_at"))
+  }
+
   /** Robust center/spread of the per-type daily event-count series:
     * median and MAD (median absolute deviation) — the outlier-immune
     * twin of mean/stddev that [[rollingZscore]]-style monitors break

@@ -612,6 +612,57 @@ object EventAnalytics {
           .as("total_value"))
   }
 
+  /** New-vs-returning daily split — the acquisition/retention
+    * decomposition of daily active users: a user is NEW on the day of
+    * their first-ever event, RETURNING on every later active day.
+    *
+    * Scale shape: ONE user_id exchange collapses the log to per-user
+    * active-day sets (bounded by the day DOMAIN, not the event
+    * count — map-side-combined collect_set); the first day is the
+    * in-row array_min, and the only other exchange is the day-grid
+    * rollup. Never a self-join of the log against a first-seen table,
+    * and never a separate distinct + window pair of shuffles.
+    *
+    * Output: one row per day — `day`, `n_active`, `n_new`,
+    * `n_returning`, `new_share` (6 dp). */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val perUser = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(collect_set(col("day")).as("days"))
+    val marked = perUser.select(array_min(col("days")).as("first_day"),
+      explode(col("days")).as("day"))
+    marked.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") / col("n_active"), 6).as("new_share"))
+  }
+
+  /** Top day-over-day movers — the "what changed since yesterday"
+    * triage readout: per (type, day) daily counts, the k largest
+    * absolute deltas vs the type's PREVIOUS OBSERVED day (compose with
+    * [[graft.ops.Relational.calendarFillDaily]]'s spine first when a
+    * silent empty day must read as a move to zero).
+    *
+    * Scale shape: one pass to the (type, day) grid; the lag window and
+    * the top-k (TakeOrderedAndProject, total order (|Δ| desc, day,
+    * type)) run on the grid only.
+    *
+    * Output: top-`k` rows — `day`, `event_type`, `prev_n`, `n`,
+    * `delta`. */
+  def topMovers(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"topMovers: k must be >= 1, got $k")
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .where(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+      .orderBy(abs(col("delta")).desc, col("day"), col("event_type"))
+      .limit(k)
+      .select(col("day"), col("event_type"), col("prev_n"), col("n"), col("delta"))
+  }
+
   /** Time-bounded conversion funnel — [[funnel]]'s strict-order
     * min-time chain with the extra constraint that EVERY later step
     * must land within `windowUs` microseconds of the user's step-1

@@ -4644,6 +4644,98 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Two-sample KS drift gate (DataQuality.ksDrift scaladoc: shared
+    * value grid, exact cross-multiplied integer ECDF gaps, one final
+    * divide; smallest attaining value reported). */
+  val ksDriftQ: Q = Q(
+    "x_ks_drift",
+    (s, d) => DataQuality.ksDrift(Tables.documents(s, d), "src0", "src1"),
+    Some("""
+      WITH g AS (SELECT n_chars AS v,
+                        SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+                        SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+                 FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      r AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS ra, SUM(cb) OVER (ORDER BY v) AS rb FROM g),
+      t AS (SELECT MAX(ra) AS na, MAX(rb) AS nb FROM r),
+      gp AS (SELECT v, ABS(ra * nb - rb * na) AS dnum, na, nb FROM r, t),
+      m AS (SELECT MAX(dnum) AS mx FROM gp)
+      SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             ROUND(CAST(MAX(dnum) AS DOUBLE) / (MAX(na) * MAX(nb)), 6) AS ks_d,
+             MIN(v) AS ks_at
+      FROM gp, m WHERE dnum = mx
+    """.trim)
+  )
+
+  /** Kaplan–Meier customer-lifetime survival (Relational.kmSurvival
+    * scaladoc: right-censoring at 30 days, grid at-risk counts,
+    * scaled-integer product recursion (2·s9·(n−d)+n) div (2n) that the
+    * recursive-CTE oracle replays bit-for-bit). */
+  val survivalQ: Q = Q(
+    "x_survival",
+    (s, d) => Relational.kmSurvival(Tables.orders(s, d), censorDays = 30),
+    Some("""
+      WITH RECURSIVE pc AS (SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+                                   MAX(CAST(o_orderdate AS DATE)) AS l
+                            FROM orders GROUP BY 1),
+      h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+      life AS (SELECT datediff('day', f, l) AS t,
+                      CASE WHEN datediff('day', l, dmax) > 30 THEN 1 ELSE 0 END AS ev
+               FROM pc, h),
+      grid AS (SELECT t, COUNT(*) AS tot, SUM(ev) AS d FROM life GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM life),
+      rk AS (SELECT t, d,
+                    n - COALESCE(SUM(tot) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+             FROM grid, nn),
+      e AS (SELECT t, risk, d, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM rk WHERE d > 0),
+      rec AS (
+        SELECT t, risk, d, rn,
+               (2 * 1000000000 * (risk - d) + risk) // (2 * risk) AS s9
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.t, e.risk, e.d, e.rn,
+               (2 * rec.s9 * (e.risk - e.d) + e.risk) // (2 * e.risk)
+        FROM rec JOIN e ON e.rn = rec.rn + 1)
+      SELECT t AS duration_days, CAST(risk AS BIGINT) AS n_risk,
+             CAST(d AS BIGINT) AS n_events,
+             ROUND(CAST(s9 AS DOUBLE) / 1000000000, 6) AS survival
+      FROM rec
+    """.trim)
+  )
+
+  /** New-vs-returning daily split (EventAnalytics.newVsReturning
+    * scaladoc: distinct (user, day) + first-day window on one user_id
+    * exchange — never a first-seen self-join). */
+  val newVsReturningQ: Q = Q(
+    "x_new_returning",
+    (s, d) => EventAnalytics.newVsReturning(Tables.events(s, d)),
+    Some("""
+      WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      m AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS fd FROM du)
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(COUNT(*) - SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+             ROUND(CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS new_share
+      FROM m GROUP BY 1
+    """.trim)
+  )
+
+  /** Top day-over-day movers (EventAnalytics.topMovers scaladoc: grid
+    * lag + TakeOrdered total order (|Δ| desc, day, type)). */
+  val topMoversQ: Q = Q(
+    "x_top_movers",
+    (s, d) => EventAnalytics.topMovers(Tables.events(s, d), k = 10),
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                     FROM events GROUP BY 1, 2),
+      l AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n FROM daily)
+      SELECT day, event_type, CAST(prev_n AS BIGINT) AS prev_n, CAST(n AS BIGINT) AS n,
+             CAST(n - prev_n AS BIGINT) AS delta
+      FROM l WHERE prev_n IS NOT NULL
+      ORDER BY ABS(n - prev_n) DESC, day, event_type LIMIT 10
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4675,5 +4767,6 @@ object ExtensionQueries {
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,
     boolSearchQ, sesForecastQ, concurrencyQ,
-    abcQ, interOrderGapQ, seqPairsQ, multiTouchQ)
+    abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
+    ksDriftQ, survivalQ, newVsReturningQ, topMoversQ)
 }

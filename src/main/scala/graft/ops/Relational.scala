@@ -377,6 +377,76 @@ object Relational {
         min(when(col("rc") * 10 >= col("n") * 9, col("gap"))).as("p90_gap"))
   }
 
+  /** Kaplan–Meier survival curve of customer lifetime — the churn
+    * analysis staple (Kaplan & Meier 1958): lifetime = days between a
+    * customer's first and last order; a customer whose last order
+    * falls within `censorDays` of the data's end is RIGHT-CENSORED
+    * (still alive — they may simply not have ordered yet), everyone
+    * else's lifetime ended (churn event). At each event time t with
+    * d_t churns out of n_t at-risk customers, the survival estimate
+    * multiplies by (n_t − d_t)/n_t.
+    *
+    * Determinism: the product recursion rides scaled integers —
+    * s9' = (2·s9·(n−d) + n) div (2·n), exact half-up at 9 dp — so a
+    * recursive CTE replays the curve bit-for-bit (magnitudes: 2·s9·n
+    * must fit a long — safe through ~4·10⁹ at-risk customers). The
+    * at-risk counts are exact window-cumulated integers.
+    *
+    * Scale shape: ONE custkey exchange collapses orders to the
+    * checkpointed per-customer (first, last) table; the horizon, the
+    * population size and the lifetimes all derive from that table
+    * (orders is never re-scanned), and everything after lives on the
+    * duration grid (bounded by the day domain) — cumulative at-risk
+    * via a grid window, the sequential KM product as a day-array
+    * `aggregate()` fold that EMITS the running curve (the
+    * [[graft.ops.EventAnalytics.sesForecastDaily]] pattern, prefix
+    * form), exploded back to rows.
+    *
+    * Output: one row per event time — `duration_days`, `n_risk`,
+    * `n_events`, `survival` (6 dp, the post-t estimate). */
+  def kmSurvival(orders: DataFrame, censorDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(censorDays >= 0, s"kmSurvival: censorDays must be >= 0, got $censorDays")
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first"),
+        max(to_date(col("o_orderdate"))).as("last"))
+      .localCheckpoint() // one custkey exchange serves horizon, N and lifetimes
+    val horizon = perCust.agg(max(col("last")).as("dmax"))
+    val life = perCust.crossJoin(broadcast(horizon))
+      .select(datediff(col("last"), col("first")).as("t"),
+        when(datediff(col("dmax"), col("last")) > censorDays, 1L).otherwise(0L)
+          .as("event"))
+    val grid = life.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("tot"), sum(col("event")).as("d"))
+      .localCheckpoint() // grid-sized; serves N, at-risk and the fold
+    val wg = Window.orderBy(col("t")) // grid-sized: bounded by the day domain
+    val risked = grid
+      .withColumn("before", coalesce(sum(col("tot")).over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(grid.agg(sum(col("tot")).cast("long").as("n"))))
+      .select(col("t"), (col("n") - col("before")).as("risk"), col("d"))
+      .where(col("d") > 0)
+    val arr = risked
+      .agg(sort_array(collect_list(struct(col("t"), col("risk"), col("d")))).as("a"))
+    // prefix-emitting fold: acc = (s9, rows); each step multiplies the
+    // scaled survival and appends the post-step row
+    val curve = arr.select(explode(expr("""
+        aggregate(a,
+          named_struct('s9', 1000000000L,
+                       'rows', cast(array() as array<struct<t:int,risk:bigint,d:bigint,s9:bigint>>)),
+          (acc, x) -> named_struct(
+            's9', (2L * acc.s9 * (x.risk - x.d) + x.risk) div (2L * x.risk),
+            'rows', array_append(acc.rows, named_struct(
+              't', x.t, 'risk', x.risk, 'd', x.d,
+              's9', (2L * acc.s9 * (x.risk - x.d) + x.risk) div (2L * x.risk)))),
+          acc -> acc.rows)
+      """)).as("r"))
+    curve.select(col("r.t").as("duration_days"), col("r.risk").as("n_risk"),
+      col("r.d").as("n_events"),
+      round(col("r.s9").cast("double") / 1000000000L, 6).as("survival"))
+  }
+
   /** RFM segmentation — the classic marketing cube: each customer
     * scored 1..5 by quintile on Recency (days since last order, global
     * max date as "today"), Frequency (order count) and Monetary

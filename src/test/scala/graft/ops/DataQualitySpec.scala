@@ -113,6 +113,17 @@ class DataQualitySpec extends SparkSpec {
     assert(rowSet(out) == Set("a|1.0|2.0|5", "b|1.0|2.0|2"), rowSet(out).toString)
   }
 
+  test("ksDrift: exact rational ECDF gap; smallest attaining value reported") {
+    // A = {1, 2}, B = {2, 3}: gaps |ra·nb − rb·na| over v = [2, 2, 0]
+    // → D = 2/4 = 0.5, first attained at v = 1
+    val docs = Seq(("src0", 1L), ("src0", 2L), ("src1", 2L), ("src1", 3L),
+      ("other", 999L)) // a third source must not leak in
+      .toDF("source", "n_chars")
+    val out = DataQuality.ksDrift(docs, "src0", "src1").collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2), out.getLong(3)) ==
+      ((2L, 2L, 0.5, 1L)), out.toString)
+  }
+
   test("welchT: a single-row group yields NULL statistics, never Infinity") {
     import spark.implicits._
     val df = Seq(("click", 1.0), ("click", 2.0), ("purchase", 5.0)).toDF("event_type", "value")

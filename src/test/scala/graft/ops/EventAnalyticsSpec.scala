@@ -326,6 +326,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rowSet(out) == Set("1|2|5.0", "2|0|10.0"), rowSet(out).toString)
   }
 
+  test("newVsReturning: first-ever day is new, later activity returning; multi-event days count once") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, "view", 1.0), // same user+day: one active row
+      (3L, "2024-01-02 10:00:00", 1L, "view", 1.0),
+      (4L, "2024-01-02 10:00:00", 2L, "view", 1.0))
+    val out = EventAnalytics.newVsReturning(ev)
+    // cols sorted: day|n_active|n_new|n_returning|new_share
+    assert(rowSet(out) == Set("2024-01-01|1|1|0|1.0", "2024-01-02|2|1|1|0.5"),
+      rowSet(out).toString)
+  }
+
+  test("topMovers: deltas vs previous observed day; deterministic |delta| ranking") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "a", 1.0),
+      (3L, "2024-01-02 11:00:00", 1L, "a", 1.0),
+      (4L, "2024-01-02 12:00:00", 2L, "a", 1.0), // a: 1 → 3 (Δ +2)
+      (5L, "2024-01-01 10:00:00", 3L, "b", 1.0),
+      (6L, "2024-01-03 10:00:00", 3L, "b", 1.0)) // b: 1 → 1 (Δ 0, gap day skipped)
+    val out = EventAnalytics.topMovers(ev, k = 1)
+    // cols sorted: day|delta|event_type|n|prev_n
+    assert(rowSet(out) == Set("2024-01-02|2|a|3|1"), rowSet(out).toString)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

@@ -983,6 +983,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 2, s"user_id exchange + depth-grid rollup, saw $hashEx:\n" + p)
   }
 
+  test("x_ks_drift: max and argmin read the checkpointed gap grid; no raw re-scan") {
+    val p = plan("x_ks_drift")
+    assert(!p.contains("Scan parquet"),
+      "documents must collapse to the value grid once:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "1-row totals/max must broadcast:\n" + p)
+  }
+
+  test("x_survival: everything reads the checkpointed per-customer and grid tables — orders scanned once upstream") {
+    val p = plan("x_survival")
+    assert(!p.contains("Scan parquet"),
+      "horizon/N/lifetimes must derive from the checkpointed tables:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_new_returning: one user exchange (collect_set) + the day rollup — no distinct+window shuffle pair") {
+    val p = plan("x_new_returning")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window "), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"user collapse + day rollup only, saw $hashEx:\n" + p)
+  }
+
+  test("x_top_movers: grid lag + TakeOrdered — never a global sort of the log") {
+    val p = plan("x_top_movers")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -128,6 +128,21 @@ class RelationalSpec extends SparkSpec {
     assert(out.getInt(3) == 7, out.toString)
   }
 
+  test("kmSurvival: at-risk includes the censored; scaled-integer product matches the hand curve") {
+    // durations: t=5 censored (last == dmax), t=10 with 2 churns, t=20 with 1
+    // risks: t10 → 3 (censored t5 already left), t20 → 1
+    // S(10) = 1/3 → s9 = 333333333; S(20) = 0
+    val orders = Seq(
+      (1L, 101L, "2024-01-01"), (1L, 102L, "2024-01-11"),
+      (2L, 201L, "2024-01-01"), (2L, 202L, "2024-01-11"),
+      (3L, 301L, "2024-01-01"), (3L, 302L, "2024-01-21"),
+      (4L, 401L, "2024-02-25"), (4L, 402L, "2024-03-01"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val out = Relational.kmSurvival(orders, censorDays = 30)
+    // cols sorted: duration_days|n_events|n_risk|survival
+    assert(rowSet(out) == Set("10|2|3|0.333333", "20|1|1|0.0"), rowSet(out).toString)
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
