@@ -494,6 +494,58 @@ object EventAnalytics {
         .as("mae"))
   }
 
+  /** Holt linear-trend forecast of the per-type daily series
+    * (α = 3/10, β = 2/10) — [[sesForecastDaily]]'s upgrade when the
+    * metric trends (SES lags a ramp forever; Holt tracks it):
+    * level_t = 0.3·x_t + 0.7·(level + trend), trend_t =
+    * 0.2·(level_t − level_{t−1}) + 0.8·trend, initialized at
+    * (x_1, 0).
+    *
+    * Determinism: both recursions ride integer micro-units with
+    * HALF-UP-toward-+∞ rounding implemented as floor((t+5)/10) — and
+    * since the TREND can go negative while both engines' integer
+    * division truncates toward zero, the floor is built portably from
+    * the non-negative remainder: fd(y) = (y − pmod(y,10)) div 10.
+    * A recursive CTE replays every step bit-for-bit.
+    *
+    * Scale shape: identical to [[sesForecastDaily]] — one exchange to
+    * the (type, day) grid, per-type day-array fold, types in
+    * parallel.
+    *
+    * Output: one row per `event_type` — `n_days`, `level`, `trend`,
+    * `forecast_7` (level + 7·trend, all 6 dp). */
+  def holtForecastDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val arrs = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+    // floor((t+5)/10) via the non-negative remainder — portable across
+    // truncating integer division (see scaladoc); lambdas have no let,
+    // so the new level expression is inlined where referenced (a
+    // static 1-step tree — not the winnowing CollapseProject trap)
+    val folded = arrs.select(col("event_type"),
+      size(col("arr")).cast("long").as("n_days"),
+      expr("""
+        aggregate(
+          slice(arr, 2, greatest(size(arr) - 1, 0)),
+          named_struct('l6', arr[0].c * 1000000L, 'b6', 0L),
+          (acc, x) -> named_struct(
+            'l6', ((3000000L * x.c + 7L * (acc.l6 + acc.b6) + 5L)
+                   - pmod(3000000L * x.c + 7L * (acc.l6 + acc.b6) + 5L, 10L)) div 10L,
+            'b6', ((2L * (((3000000L * x.c + 7L * (acc.l6 + acc.b6) + 5L)
+                           - pmod(3000000L * x.c + 7L * (acc.l6 + acc.b6) + 5L, 10L)) div 10L
+                          - acc.l6) + 8L * acc.b6 + 5L)
+                   - pmod(2L * (((3000000L * x.c + 7L * (acc.l6 + acc.b6) + 5L)
+                                 - pmod(3000000L * x.c + 7L * (acc.l6 + acc.b6) + 5L, 10L)) div 10L
+                                - acc.l6) + 8L * acc.b6 + 5L, 10L)) div 10L))
+      """).as("f"))
+    folded.select(col("event_type"), col("n_days"),
+      round(col("f").getField("l6").cast("double") / 1000000L, 6).as("level"),
+      round(col("f").getField("b6").cast("double") / 1000000L, 6).as("trend"),
+      round((col("f").getField("l6") + lit(7L) * col("f").getField("b6"))
+        .cast("double") / 1000000L, 6).as("forecast_7"))
+  }
+
   /** Peak session concurrency — the sweep-line readout behind
     * capacity sizing ("how many sessions were open at once, and
     * when"): [[sessionize]]'s inclusive [start, end] intervals become

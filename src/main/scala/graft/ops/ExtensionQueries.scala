@@ -4736,6 +4736,40 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Holt linear-trend forecast (EventAnalytics.holtForecastDaily
+    * scaladoc: both recursions in integer micro-units with a PORTABLE
+    * floor((t+5)/10) built from the non-negative remainder, because
+    * trend can be negative and both engines' div truncates). The
+    * oracle unwinds both state updates per step in a recursive CTE. */
+  val holtQ: Q = Q(
+    "x_holt",
+    (s, d) => EventAnalytics.holtForecastDaily(Tables.events(s, d)),
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+      rec AS (
+        SELECT event_type, rn, n, c * 1000000 AS l6, CAST(0 AS BIGINT) AS b6
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT event_type, rn, n, l6p,
+               ((2 * (l6p - l0) + 8 * b0 + 5)
+                - (((2 * (l6p - l0) + 8 * b0 + 5) % 10 + 10) % 10)) // 10
+        FROM (
+          SELECT rk.event_type, rk.rn, rk.n, rec.l6 AS l0, rec.b6 AS b0,
+                 ((3000000 * rk.c + 7 * (rec.l6 + rec.b6) + 5)
+                  - (((3000000 * rk.c + 7 * (rec.l6 + rec.b6) + 5) % 10 + 10) % 10)) // 10 AS l6p
+          FROM rec JOIN rk ON rk.event_type = rec.event_type AND rk.rn = rec.rn + 1))
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             ROUND(CAST(l6 AS DOUBLE) / 1000000, 6) AS level,
+             ROUND(CAST(b6 AS DOUBLE) / 1000000, 6) AS trend,
+             ROUND(CAST(l6 + 7 * b6 AS DOUBLE) / 1000000, 6) AS forecast_7
+      FROM rec WHERE rn = n
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4768,5 +4802,5 @@ object ExtensionQueries {
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,
     boolSearchQ, sesForecastQ, concurrencyQ,
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
-    ksDriftQ, survivalQ, newVsReturningQ, topMoversQ)
+    ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ)
 }

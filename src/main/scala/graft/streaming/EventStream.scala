@@ -286,4 +286,41 @@ object EventStream {
             round6(wv.doubleValue / denom / 100.0))
       }
   }
+
+  final case class NvrState(days: List[Long])
+  final case class NvrReadout(user_id: Long, first_day: Long, days: List[Long])
+
+  /** Continuously-maintained per-user active-day state — the streaming
+    * twin of [[graft.ops.EventAnalytics.newVsReturning]]: each update
+    * emits the user's CURRENT (first day, sorted active-day set), so a
+    * reader's latest-row-per-user view aggregates to exactly the batch
+    * new-vs-returning split at any point (the same latest-state-wins
+    * contract as [[decayedCounters]]).
+    *
+    * Out-of-order robustness is the reason the state is the full day
+    * SET, not a first-day scalar: a late batch carrying an EARLIER day
+    * retroactively flips which day was "new" for that user, and only
+    * the set re-derives that correctly — a fired-and-forgotten
+    * is_new flag could never be retracted. State is bounded by the
+    * day DOMAIN per user (one long per active day, the
+    * [[graft.ops.EventAnalytics.newVsReturning]] collect_set bound),
+    * never by the event count. Days are UTC epoch days
+    * (floorDiv(ts, 86400000) — the batch op's to_date under the
+    * session's UTC timezone). */
+  def newVsReturning(events: Dataset[Event]): Dataset[NvrReadout] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[NvrState, NvrReadout](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[NvrState]) =>
+          val prev = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Long])
+          val merged = rows.foldLeft(prev) { (s, e) =>
+            s + Math.floorDiv(e.ts.getTime, 86400000L)
+          }
+          val sorted = merged.toList.sorted
+          state.update(NvrState(sorted))
+          NvrReadout(uid, sorted.head, sorted)
+      }
+  }
 }

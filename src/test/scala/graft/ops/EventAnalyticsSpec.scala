@@ -351,6 +351,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rowSet(out) == Set("2024-01-02|2|a|3|1"), rowSet(out).toString)
   }
 
+  test("holtForecastDaily: exact integer recursion, negative trend rounds toward +inf both ways") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // up: [10,20] → l=13.0, b=0.6, f7=17.2; down: [20,10] → l=17.0, b=−0.6, f7=12.8
+    val rows = Seq(("up", 1, 10), ("up", 2, 20), ("dn", 1, 20), ("dn", 2, 10))
+      .flatMap { case (t, d, n) =>
+        (1 to n).map(i => (t, f"2024-06-0$d ${i / 60}%02d:${i % 60}%02d:00"))
+      }
+    val ev = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.holtForecastDaily(ev)
+    // cols sorted: event_type|forecast_7|level|n_days|trend
+    assert(rowSet(out) == Set("up|17.2|13.0|2|0.6", "dn|12.8|17.0|2|-0.6"),
+      rowSet(out).toString)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

@@ -231,4 +231,42 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // full weight under its day-10 reference
     assert(got("b")._2 == 1.25, got.toString)
   }
+
+  test("newVsReturning: latest per-user day-set state aggregates to the batch split, out-of-order included") {
+    import org.apache.spark.sql.Dataset
+    def uev(id: Long, day: String, uid: Long) =
+      Event(id, Timestamp.valueOf(s"2024-03-$day 10:00:00"), uid, "view", 1.0)
+    val b1 = Seq(uev(1, "10", 1L), uev(2, "10", 1L), uev(3, "11", 2L))
+    // user 1 gets a LATE earlier day — day 10 must retroactively stop
+    // being their "new" day; user 2 simply returns
+    val b2 = Seq(uev(4, "09", 1L), uev(5, "12", 2L))
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[Long, EventStream.NvrReadout]()
+    val q = EventStream.newVsReturning(input.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.NvrReadout], _: Long) =>
+        df.collect().foreach(r => got(r.user_id) = r)
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // reader-side aggregation of the latest per-user state
+    val streamed = got.values.toSeq
+      .flatMap(r => r.days.map(d => (d, if (d == r.first_day) 1L else 0L)))
+      .groupBy(_._1).toSeq
+      .map { case (d, xs) => (d, xs.size.toLong, xs.map(_._2).sum) }
+      .map { case (d, active, nw) =>
+        (java.time.LocalDate.ofEpochDay(d).toString, active, nw, active - nw) }
+      .toSet
+    val batch = graft.ops.EventAnalytics.newVsReturning((b1 ++ b2).toDF())
+      .selectExpr("cast(day as string)", "n_active", "n_new", "n_returning")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // the retroactive flip really happened: user 1's first day is now 09
+    assert(got(1L).first_day == java.time.LocalDate.parse("2024-03-09").toEpochDay)
+  }
 }
