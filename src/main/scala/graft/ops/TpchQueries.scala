@@ -260,5 +260,107 @@ object TpchQueries {
     """.trim)
   )
 
-  def all: Seq[Q] = Seq(q3, q5, q6, w1, j1TwoKey, w2Lag, w3Running, w4Session)
+  /** Q4 shape: the EXISTS decorrelation benchmark — count a quarter's
+    * orders per priority where SOME line item shipped after the order
+    * date. Spark plans the EXISTS as a LEFT SEMI hash join on the
+    * equi-key with the non-equi conjunct as a join residual — orders
+    * are never multiplied by their line count (a naive inner join +
+    * distinct would be), and the quarter filter pushes to the orders
+    * scan so the semi join's build side is quarter-sized. (The
+    * classic q4 tests l_commitdate < l_receiptdate; this dataset
+    * carries neither, so late-vs-order-date keeps the shape.) */
+  val q4: Q = Q(
+    "q4_exists_semi",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY 1
+    """.trim)
+  )
+
+  /** Q12 shape: the big-big join + CASE-split rollup — a year of line
+    * items joined to their orders on the shuffled orderkey, counted
+    * into high/low priority classes per return flag. This is the one
+    * query family where BOTH sides are data-sized, so the orderkey
+    * sort-merge/shuffle-hash join IS the plan; the date filter still
+    * pushes to the lineitem scan and orders projects to two columns
+    * before the exchange. */
+  val q12: Q = Q(
+    "q12_case_split",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    """.trim)
+  )
+
+  /** Q14 shape: promo revenue share — one month of line items joined
+    * to the part dimension (broadcast: parts are catalog-sized), the
+    * share of revenue from one part type as a single percentage.
+    * Revenue rides the [[dsum]] decimal discipline on BOTH the
+    * conditional numerator and the total; the one double divide is
+    * the rounded final answer. */
+  val q14: Q = Q(
+    "q14_promo_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "ECONOMY", rev)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100 /
+            sum(rev).cast("double"), 6).as("economy_revenue_pct"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6)
+               AS economy_revenue_pct,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """.trim)
+  )
+
+  def all: Seq[Q] = Seq(q3, q5, q6, w1, j1TwoKey, w2Lag, w3Running, w4Session,
+    q4, q12, q14)
 }

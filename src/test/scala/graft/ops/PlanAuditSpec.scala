@@ -1021,6 +1021,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window "), p)
   }
 
+  test("q4_exists_semi: EXISTS plans as a LEFT SEMI join — orders never multiply by line count") {
+    val p = plan("q4_exists_semi")
+    assert(p.contains("LeftSemi"), "EXISTS must be a semi join:\n" + p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), "quarter filter must reach the orders scan:\n" + p)
+    assert(!p.contains("HashAggregate(keys=[o_orderkey"), "no distinct-after-join:\n" + p)
+  }
+
+  test("q12_case_split: the one genuinely big-big join — shuffled on orderkey, both scans pruned") {
+    val p = plan("q12_case_split")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p) // AQE may still broadcast at sf0.001
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>"),
+      "orders must project to exactly two columns before the exchange:\n" + p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      "year filter must reach the lineitem scan:\n" + p)
+  }
+
+  test("q14_promo_share: part dimension broadcasts; month filter pushed to the lineitem scan") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "the catalog-sized part table must broadcast:\n" + p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
