@@ -4770,6 +4770,33 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Bloom semi-join reduction (Relational.bloomPrunedJoin scaladoc:
+    * small-side key bloom probed on the big side BEFORE the exchange;
+    * no false negatives, so the result — and therefore this oracle —
+    * is exactly the plain join). */
+  val bloomJoinQ: Q = Q(
+    "x_bloom_join",
+    (s, d) => {
+      val quarter = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Relational.bloomPrunedJoin(Tables.lineitem(s, d), quarter,
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4802,5 +4829,5 @@ object ExtensionQueries {
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,
     boolSearchQ, sesForecastQ, concurrencyQ,
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
-    ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ)
+    ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ)
 }

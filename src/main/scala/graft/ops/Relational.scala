@@ -447,6 +447,60 @@ object Relational {
       round(col("r.s9").cast("double") / 1000000000L, 6).as("survival"))
   }
 
+  /** Bloom semi-join reduction — the classic shuffle-shrinking
+    * technique for a selective big⋈small join: build a bloom filter
+    * over the small side's keys, probe it on the big side BEFORE the
+    * join's exchange, and let only probable matches shuffle. With a
+    * selective small side (a quarter of orders against years of line
+    * items) the exchange shrinks by roughly the selectivity; bloom
+    * false positives only waste a few shuffled rows — the join
+    * afterwards makes the RESULT exactly the plain join (no false
+    * negatives), which is what the oracle pins.
+    *
+    * This is what Spark's AQE runtime bloom filter does implicitly —
+    * but that machinery caps the sketch at plan-literal sizes
+    * (`runtime.bloomFilter.maxNumBits`, 8 MB default) and bails above
+    * them; this explicit form rides a TORRENT BROADCAST probe
+    * ([[org.apache.spark.sql.graftext.VectorExpressions
+    * .bloomMightContainBcast]] — the ingest-dedup transport), so the
+    * sketch can be sized for ~10⁹-key dimensions. Build is one
+    * pass over the small side's keys (per-partition filters
+    * tree-reduced — the [[graft.dedup.Dedup]] build shape).
+    *
+    * The broadcast handle lives until the context cleaner collects
+    * it; a long-lived driver that calls this in a loop should prefer
+    * [[bloomPrunedJoinWithHandle]] and `destroy()` after consuming
+    * the result (the heavyHitterTokens precedent). */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+                      bigKey: String, smallKey: String,
+                      fpp: Double = 0.01): DataFrame =
+    bloomPrunedJoinWithHandle(big, small, bigKey, smallKey, fpp)._1
+
+  /** [[bloomPrunedJoin]] returning the broadcast handle for explicit
+    * `destroy()` once the result has been consumed. */
+  def bloomPrunedJoinWithHandle(big: DataFrame, small: DataFrame,
+                                bigKey: String, smallKey: String, fpp: Double = 0.01)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
+    require(fpp > 0 && fpp < 1, s"bloomPrunedJoin: fpp must be in (0,1), got $fpp")
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    val keys = small.select(xxhash64(col(smallKey)).as("_k"))
+    val n = math.max(keys.count(), 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val partials = keys.queryExecution.toRdd.mapPartitions { it =>
+      val f = org.apache.spark.util.sketch.BloomFilter.create(n, numBits)
+      it.foreach(r => f.putLong(r.getLong(0)))
+      Iterator(f)
+    }
+    val filter = try partials.treeReduce((a, b) => a.mergeInPlace(b))
+      catch {
+        case _: UnsupportedOperationException =>
+          org.apache.spark.util.sketch.BloomFilter.create(n, numBits)
+      }
+    val bloom = big.sparkSession.sparkContext.broadcast(filter)
+    val pruned = big.filter(V.bloomMightContainBcast(bloom, xxhash64(col(bigKey))))
+    (pruned.join(small, col(bigKey) === col(smallKey)), bloom)
+  }
+
   /** RFM segmentation — the classic marketing cube: each customer
     * scored 1..5 by quintile on Recency (days since last order, global
     * max date as "today"), Frequency (order count) and Monetary

@@ -1047,6 +1047,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
   }
 
+  test("x_bloom_join: the torrent-broadcast bloom probe sits on the big side BEFORE the join") {
+    val p = plan("x_bloom_join")
+    assert(p.contains("might_contain_bcast"),
+      "lineitem must be bloom-pruned pre-exchange:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -143,6 +143,16 @@ class RelationalSpec extends SparkSpec {
     assert(rowSet(out) == Set("10|2|3|0.333333", "20|1|1|0.0"), rowSet(out).toString)
   }
 
+  test("bloomPrunedJoin: exactly the plain join (no false negatives); handle destroy is clean") {
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (1L, "e"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "x"), (3L, "y"), (9L, "z")).toDF("sk", "tag")
+    val (joined, handle) = Relational.bloomPrunedJoinWithHandle(big, small, "k", "sk")
+    val plain = big.join(small, col("k") === col("sk"))
+    assert(rowSet(joined) == rowSet(plain) && joined.count() == 3)
+    handle.destroy() // explicit lifecycle — must not have been destroyed already
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
