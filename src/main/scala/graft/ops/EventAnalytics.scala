@@ -715,6 +715,43 @@ object EventAnalytics {
       .select(col("day"), col("event_type"), col("prev_n"), col("n"), col("delta"))
   }
 
+  /** Watermark-sizing profile — the out-of-orderness audit run BEFORE
+    * choosing a Structured Streaming watermark: per event, lateness =
+    * high-water mark of event time at its ARRIVAL position (event_id,
+    * the log's append sequence) minus its own event time; the profile
+    * reports how big a watermark keeps p99 / p99.9 of events. A
+    * watermark below the p999 row silently drops real data; one far
+    * above it holds state for nothing.
+    *
+    * Scale shape: the high-water mark is
+    * [[graft.ops.Relational.prefixMax]] — the distributed two-phase
+    * running max, never a single-partition ordered window over the
+    * log; lateness collapses to a SECONDS grid (bounded domain) and
+    * the rank statistics read running counts
+    * ([[graft.ops.Relational.interOrderGapProfile]]'s count-of-counts
+    * machinery).
+    *
+    * Output: one row — `n_events`, `n_late` (lateness > 0),
+    * `max_late_s`, `p99_late_s`, `p999_late_s`. */
+  def watermarkProfile(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val run = Relational.prefixMax(base, Seq(col("event_id")), "ts_us", "hwm")
+    val grid = run
+      .select(expr("(hwm - ts_us) div 1000000").as("late_s"))
+      .groupBy(col("late_s")).agg(count(lit(1)).as("cnt"))
+    val wg = Window.orderBy(col("late_s")) // grid-sized: bounded by the lateness domain
+    val rc = grid.withColumn("rc", sum(col("cnt")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // serves totals and rank stats
+    val tot = rc.agg(max(col("rc")).as("n"))
+    rc.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_events"),
+        sum(when(col("late_s") > 0, col("cnt")).otherwise(0L)).as("n_late"),
+        max(col("late_s")).as("max_late_s"),
+        min(when(col("rc") * 100 >= col("n") * 99, col("late_s"))).as("p99_late_s"),
+        min(when(col("rc") * 1000 >= col("n") * 999, col("late_s"))).as("p999_late_s"))
+  }
+
   /** Time-bounded conversion funnel — [[funnel]]'s strict-order
     * min-time chain with the extra constraint that EVERY later step
     * must land within `windowUs` microseconds of the user's step-1

@@ -4797,6 +4797,61 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Incremental join maintenance (Relational.joinDeltaRows scaladoc:
+    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB). Both tables split into
+    * base/delta (orders by date, customers by key residue), the view
+    * maintained incrementally; the oracle is the DIRECT join of the
+    * full tables — passing proves the delta algebra reconstructs it
+    * exactly. */
+  val joinDeltaQ: Q = Q(
+    "x_join_delta",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val cut = lit("1999-01-01").cast("timestamp")
+      val (aOld, aDelta) = (o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut))
+      val (bOld, bDelta) = (c.filter(col("c_custkey") % 10 =!= 0),
+        c.filter(col("c_custkey") % 10 === 0))
+      val v0 = aOld.join(bOld, col("o_custkey") === col("c_custkey"))
+      val maintained = v0.unionByName(Relational.joinDeltaRows(
+        aOld, aDelta, bOld, bDelta, "o_custkey", "c_custkey"))
+      maintained.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    """.trim)
+  )
+
+  /** Watermark-sizing profile (EventAnalytics.watermarkProfile
+    * scaladoc: arrival-order high-water mark via the distributed
+    * prefixMax — never a single-partition window over the log —
+    * then rank stats off the bounded seconds grid). */
+  val watermarkQ: Q = Q(
+    "x_watermark_profile",
+    (s, d) => EventAnalytics.watermarkProfile(Tables.events(s, d)),
+    Some("""
+      WITH b AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      r AS (SELECT ts_us, MAX(ts_us) OVER (ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm FROM b),
+      g AS (SELECT (hwm - ts_us) // 1000000 AS late_s, COUNT(*) AS cnt FROM r GROUP BY 1),
+      rr AS (SELECT *, SUM(cnt) OVER (ORDER BY late_s) AS rc FROM g),
+      t AS (SELECT MAX(rc) AS n FROM rr)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN late_s > 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_late,
+             MAX(late_s) AS max_late_s,
+             MIN(CASE WHEN rc * 100 >= n * 99 THEN late_s END) AS p99_late_s,
+             MIN(CASE WHEN rc * 1000 >= n * 999 THEN late_s END) AS p999_late_s
+      FROM rr, t
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4829,5 +4884,6 @@ object ExtensionQueries {
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,
     boolSearchQ, sesForecastQ, concurrencyQ,
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
-    ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ)
+    ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
+    joinDeltaQ, watermarkQ)
 }

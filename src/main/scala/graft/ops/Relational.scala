@@ -302,6 +302,44 @@ object Relational {
     outDf
   }
 
+  /** Distributed exact prefix MAX over a total order — [[prefixSum]]'s
+    * running-maximum sibling (same two-phase machinery: range shuffle,
+    * parallel bounded windows, driver-tiny per-partition maxima folded
+    * into broadcast offsets; max is associative and commutative, so
+    * the offset for partition p is just the max of all earlier
+    * partitions' maxima). The running high-water mark this computes is
+    * what event-time systems track per stream. Same total-order and
+    * integral-type contract as [[prefixSum]]. */
+  def prefixMax(df: DataFrame, orderCols: Seq[Column], valCol: String,
+                out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(out) && !df.columns.contains("_pid"),
+      s"prefixMax: input already carries '$out' or '_pid'")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val subs = ranged.groupBy(col("_pid"))
+      .agg(max(col(valCol)).cast("long").as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subs.map(_._1).zip(
+      subs.map(_._2).scanLeft(Long.MinValue)(math.max).init)
+    val offsetCol =
+      if (offsets.isEmpty) lit(Long.MinValue)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("_pid"))
+    val wRun = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outDf = ranged
+      .withColumn(out, greatest(max(col(valCol)).over(wRun).cast("long"), offsetCol))
+      .drop("_pid")
+      .localCheckpoint()
+    ranged.unpersist(false)
+    outDf
+  }
+
   /** ABC / Pareto inventory classification — every part ranked by
     * lifetime revenue, classed A while the running revenue share is
     * ≤ 80%, B through 95%, C beyond (the classic 80/15/5 stocking
@@ -445,6 +483,27 @@ object Relational {
     curve.select(col("r.t").as("duration_days"), col("r.risk").as("n_risk"),
       col("r.d").as("n_events"),
       round(col("r.s9").cast("double") / 1000000000L, 6).as("survival"))
+  }
+
+  /** Incremental JOIN maintenance — the delta algebra
+    * Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB that materialized-view
+    * engines apply when BOTH sides of a join receive new rows (the
+    * join twin of [[mergeDistributive]]'s aggregate law): the
+    * maintained view is V₀ ∪ [[joinDeltaRows]], and only
+    * delta-proportional work touches the big tables.
+    *
+    * Scale shape: with |Δ| ≪ |base| each of the three terms joins a
+    * delta against a base (or delta against delta) — the deltas
+    * broadcast, so maintenance never re-shuffles the base tables;
+    * the full re-join this replaces shuffles BOTH bases every
+    * refresh. (Equi-key only; the caller appends the result to the
+    * stored view.) */
+  def joinDeltaRows(aOld: DataFrame, aDelta: DataFrame,
+                    bOld: DataFrame, bDelta: DataFrame,
+                    aKey: String, bKey: String): DataFrame = {
+    def j(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col(aKey) === col(bKey))
+    j(aDelta, bOld).unionByName(j(aOld, bDelta)).unionByName(j(aDelta, bDelta))
   }
 
   /** Bloom semi-join reduction — the classic shuffle-shrinking

@@ -367,6 +367,19 @@ class EventAnalyticsSpec extends SparkSpec {
       rowSet(out).toString)
   }
 
+  test("watermarkProfile: lateness vs the arrival-order high-water mark; rank stats off the grid") {
+    val ev = events(
+      (1L, "2024-01-01 00:01:40", 1L, "view", 1.0),  // hwm 100s
+      (2L, "2024-01-01 00:01:30", 1L, "view", 1.0),  // late 10s
+      (3L, "2024-01-01 00:01:50", 2L, "view", 1.0),  // new hwm
+      (4L, "2024-01-01 00:01:50", 2L, "view", 1.0),  // on time
+      (5L, "2024-01-01 00:00:50", 3L, "view", 1.0))  // late 60s
+    val out = EventAnalytics.watermarkProfile(ev).collect()(0)
+    // n=5, late rows 2, max 60; p99/p999 ranks land on the 60s row
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4)) ==
+      ((5L, 2L, 60L, 60L, 60L)), out.toString)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

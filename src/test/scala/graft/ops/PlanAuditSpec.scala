@@ -1054,6 +1054,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x_join_delta: every delta term joins by broadcast — the bases never re-shuffle") {
+    val p = plan("x_join_delta")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_watermark_profile: rank stats read the checkpointed lateness grid; the log's running max is two-phase") {
+    val p = plan("x_watermark_profile")
+    assert(!p.contains("Scan parquet"),
+      "the profile must read the checkpointed grid:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

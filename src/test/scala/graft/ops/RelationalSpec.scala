@@ -153,6 +153,31 @@ class RelationalSpec extends SparkSpec {
     handle.destroy() // explicit lifecycle — must not have been destroyed already
   }
 
+  test("joinDeltaRows: the three delta terms reconstruct the full join exactly") {
+    val aOld = Seq((1L, "o1"), (2L, "o2")).toDF("ak", "a")
+    val aNew = Seq((1L, "n1"), (3L, "n3")).toDF("ak", "a")
+    val bOld = Seq((1L, "x"), (3L, "y")).toDF("bk", "b")
+    val bNew = Seq((2L, "z")).toDF("bk", "b")
+    // ΔA⋈B0: (1,n1,x),(3,n3,y); A0⋈ΔB: (2,o2,z); ΔA⋈ΔB: none here
+    val v0 = aOld.join(bOld, col("ak") === col("bk"))
+    val maintained = v0.unionByName(
+      Relational.joinDeltaRows(aOld, aNew, bOld, bNew, "ak", "bk"))
+    val direct = aOld.unionByName(aNew).join(bOld.unionByName(bNew),
+      col("ak") === col("bk"))
+    assert(rowSet(maintained) == rowSet(direct) && maintained.count() == 4)
+  }
+
+  test("prefixMax: running high-water mark across range partitions; collision fails fast") {
+    val df = Seq((1L, 50L), (2L, 90L), (3L, 40L), (4L, 100L), (5L, 70L)).toDF("t", "v")
+    val out = Relational.prefixMax(df, Seq(col("t")), "v", "hwm")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 50L, 2L -> 90L, 3L -> 90L, 4L -> 100L, 5L -> 100L), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      Relational.prefixMax(df.withColumn("hwm", lit(0L)), Seq(col("t")), "v", "hwm")
+    }
+    assert(e.getMessage.contains("'hwm'"))
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
