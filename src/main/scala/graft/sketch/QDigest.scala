@@ -116,6 +116,28 @@ object QDigest {
 
   def empty(bits: Int, k: Int): Sketch = Sketch(bits, k, 0L, Map.empty)
 
+  /** One-row DataFrame form for the persisted lifecycle (the
+    * Datasketches-HLL pattern: per-batch sketches written as data,
+    * unioned corpus-wide later with NO rescan of the batches). */
+  def toDf(spark: org.apache.spark.sql.SparkSession, sk: Sketch): DataFrame = {
+    import spark.implicits._
+    Seq((sk.bits, sk.k, sk.n,
+      sk.nodes.toSeq.sortBy(_._1))).toDF("bits", "k", "n", "nodes")
+  }
+
+  /** Reads every persisted sketch row and merges them (exact count
+    * addition, any order) with ONE final compression — byte-identical
+    * to merging the in-memory sketches. */
+  def fromDf(df: DataFrame): Sketch = {
+    val rows = df.select(F.col("bits"), F.col("k"), F.col("n"), F.col("nodes")).collect()
+    require(rows.nonEmpty, "QDigest.fromDf: no sketch rows")
+    rows.map { r =>
+      val nodes = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      Sketch(r.getInt(0), r.getInt(1), r.getLong(2), nodes)
+    }.reduce(_ merge _).compress
+  }
+
   /** One-pass distributed build over a non-negative integral column:
     * per-partition leaf maps compressed locally (each partial ≤ ~3k
     * nodes, error ≤ bits·n_p/k), partials summed on the driver in any

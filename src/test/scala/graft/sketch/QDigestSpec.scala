@@ -62,6 +62,19 @@ class QDigestSpec extends SparkSpec {
     }
   }
 
+  test("persisted lifecycle: per-day sketches written as parquet union to the in-memory merge exactly") {
+    val (d1, d2) = values.splitAt(12000)
+    val s1 = QDigest.build(d1.toDF("v"), "v", bits, k)
+    val s2 = QDigest.build(d2.toDF("v"), "v", bits, k)
+    val dir = java.nio.file.Files.createTempDirectory("qdigest-spec").toString
+    QDigest.toDf(spark, s1).write.parquet(s"$dir/day1")
+    QDigest.toDf(spark, s2).write.parquet(s"$dir/day2")
+    val fromDisk = QDigest.fromDf(spark.read.parquet(s"$dir/day*"))
+    val inMem = s1.merge(s2).compress
+    assert(fromDisk.nodes == inMem.nodes && fromDisk.n == inMem.n,
+      "disk round-trip must be byte-identical to the in-memory merge")
+  }
+
   test("guards: universe violation and incompatible merge fail fast; empty quantile refuses") {
     val e1 = intercept[org.apache.spark.SparkException] {
       QDigest.build(Seq(-1L).toDF("v"), "v", bits, k)
