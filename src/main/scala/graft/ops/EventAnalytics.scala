@@ -566,19 +566,27 @@ object EventAnalytics {
     * transient intra-tie value ever inflates the max.
     *
     * Output: one row — `n_sessions`, `peak_concurrency`,
-    * `peak_at_us`. */
+    * `peak_at_us`. (r9 plan rebuild, measured: the first cut
+    * checkpointed the session table, ran a separate count job and
+    * union-scanned the checkpoint twice; both boundary deltas now
+    * EXPLODE out of one session pass and the session count rides the
+    * grid as the +1 mass.) */
   def peakConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
-    val sess = sessionize(events, gapSec).localCheckpoint()
-    val nSessions = sess.count()
-    val deltas = sess.select(col("session_start_us").as("t"), lit(1L).as("d"))
-      .unionAll(sess.select((col("session_end_us") + 1).as("t"), lit(-1L).as("d")))
-      .groupBy(col("t")).agg(sum(col("d")).as("net"))
+    val sess = sessionize(events, gapSec)
+    val deltas = sess.select(explode(array(
+        struct(col("session_start_us").as("t"), lit(1L).as("d")),
+        struct((col("session_end_us") + 1).as("t"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.t").as("t"), col("x.d").as("d"))
+      .groupBy(col("t"))
+      .agg(sum(col("d")).as("net"),
+        sum(when(col("d") > 0, col("d")).otherwise(0L)).as("starts"))
     val conc = Relational.prefixSum(deltas, Seq(col("t")), "net", "conc")
-    val peak = conc.agg(max(col("conc")).as("pk"))
-    conc.join(broadcast(peak), col("conc") === col("pk"))
-      .agg(max(col("conc")).as("peak_concurrency"), min(col("t")).as("peak_at_us"))
-      .select(lit(nSessions).as("n_sessions"),
-        col("peak_concurrency"), col("peak_at_us"))
+    val peak = conc.agg(max(col("conc")).as("pk"),
+      sum(col("starts")).cast("long").as("ns"))
+    conc.crossJoin(broadcast(peak)).where(col("conc") === col("pk"))
+      .agg(max(col("ns")).as("n_sessions"),
+        max(col("conc")).as("peak_concurrency"), min(col("t")).as("peak_at_us"))
+      .select(col("n_sessions"), col("peak_concurrency"), col("peak_at_us"))
   }
 
   /** Eventually-follows matrix — for every ordered pair of event
