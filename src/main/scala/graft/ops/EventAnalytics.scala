@@ -723,6 +723,62 @@ object EventAnalytics {
       .select(col("day"), col("event_type"), col("prev_n"), col("n"), col("delta"))
   }
 
+  /** Trailing-window exact p90 of the per-type daily series — the SLO
+    * dashboard's rolling quantile (alerts keyed to "p90 of the last
+    * week" self-heal after an incident day in a way rolling MEANS
+    * never do): per (type, day), the value at rank ⌈0.9·w⌉ of the
+    * trailing `window` observed days' counts (positions in the
+    * observed series — compose with
+    * [[graft.ops.Relational.calendarFillDaily]] first when missing
+    * days must count as zero).
+    *
+    * Exactness at a bounded frame: the window's values ride a
+    * collect_list capped at `window` elements, sorted IN-ROW — the
+    * frame is a constant, so the per-row work is O(w log w) on ≤w
+    * longs, never a data-sized sort; the day grid itself is the only
+    * exchange. The rank definition (⌈0.9·n⌉ over n ≤ w present
+    * values) is the [[graft.ops.Relational.interOrderGapProfile]] p90
+    * contract, so the oracle replays it literally.
+    *
+    * Output: one row per (type, day) — `n_window`, `p90`. */
+  def rollingP90Daily(events: DataFrame, window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 60,
+      s"rollingP90Daily: window must be in [1, 60], got $window")
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily.withColumn("arr", sort_array(collect_list(col("c")).over(w)))
+      .select(col("event_type"), col("day"),
+        size(col("arr")).cast("long").as("n_window"),
+        expr("element_at(arr, cast(ceil(0.9 * size(arr)) as int))").as("p90"))
+  }
+
+  /** Week-over-week growth per type — the period-comparison BI staple,
+    * CALENDAR-correct: each day compares to the date exactly 7 days
+    * earlier (a positional lag(7) silently compares to "7 observed
+    * rows ago", which is wrong the moment a day is missing). Days
+    * whose comparison date has no row report NULL growth — absence is
+    * disclosed, not skipped.
+    *
+    * Scale shape: one pass to the (type, day) grid, then a grid⋈grid
+    * self-join on (type, day−7) — both sides bounded by the day
+    * domain, broadcast by AQE; the log is never self-joined.
+    *
+    * Output: one row per (type, day) — `n`, `prev_week_n`,
+    * `growth_pct` (6 dp, NULL when no comparison row). */
+  def wowGrowth(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid-sized; serves both join sides
+    val prev = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("n").as("prev_week_n"))
+    daily.join(prev, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n"), col("prev_week_n"),
+        round((col("n") - col("prev_week_n")).cast("double") * 100 /
+          col("prev_week_n"), 6).as("growth_pct"))
+  }
+
   /** Watermark-sizing profile — the out-of-orderness audit run BEFORE
     * choosing a Structured Streaming watermark: per event, lateness =
     * high-water mark of event time at its ARRIVAL position (event_id,

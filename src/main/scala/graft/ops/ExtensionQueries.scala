@@ -4852,6 +4852,41 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Trailing-7-day exact p90 per type (EventAnalytics.rollingP90Daily
+    * scaladoc: constant-frame in-row sort, rank ⌈0.9n⌉). The oracle
+    * replays the frame with a window array_agg + list_sort. */
+  val rollingP90Q: Q = Q(
+    "x_rolling_p90",
+    (s, d) => EventAnalytics.rollingP90Daily(Tables.events(s, d), window = 7),
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day,
+                   list_sort(array_agg(c) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+            FROM daily)
+      SELECT event_type, day, CAST(len(arr) AS BIGINT) AS n_window,
+             arr[CAST(ceil(0.9 * len(arr)) AS INT)] AS p90
+      FROM w
+    """.trim)
+  )
+
+  /** Calendar-correct week-over-week growth (EventAnalytics.wowGrowth
+    * scaladoc: grid⋈grid self-join on day−7 — a positional lag(7)
+    * would silently skip gaps; NULL discloses a missing comparison). */
+  val wowGrowthQ: Q = Q(
+    "x_wow_growth",
+    (s, d) => EventAnalytics.wowGrowth(Tables.events(s, d)),
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                     FROM events GROUP BY 1, 2)
+      SELECT a.event_type, a.day, a.n, b.n AS prev_week_n,
+             ROUND(CAST(a.n - b.n AS DOUBLE) * 100 / b.n, 6) AS growth_pct
+      FROM daily a LEFT JOIN daily b
+        ON a.event_type = b.event_type AND b.day = a.day - INTERVAL 7 DAY
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4885,5 +4920,5 @@ object ExtensionQueries {
     boolSearchQ, sesForecastQ, concurrencyQ,
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
-    joinDeltaQ, watermarkQ)
+    joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ)
 }

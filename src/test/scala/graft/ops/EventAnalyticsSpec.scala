@@ -380,6 +380,40 @@ class EventAnalyticsSpec extends SparkSpec {
       ((5L, 2L, 60L, 60L, 60L)), out.toString)
   }
 
+  test("rollingP90Daily: rank ceil(0.9n) over the trailing frame; partial windows use the present count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // counts by day: [5, 1, 9]; windows: [5] → p90 rank 1 = 5;
+    // [1,5] → rank ceil(1.8)=2 → 5; [1,5,9] → rank ceil(2.7)=3 → 9
+    val rows = Seq((1, 5), (2, 1), (3, 9)).flatMap { case (d, n) =>
+      (1 to n).map(i => ("a", f"2024-07-0$d ${i / 60}%02d:${i % 60}%02d:00"))
+    }
+    val ev = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.rollingP90Daily(ev, window = 3)
+    // cols sorted: day|event_type|n_window|p90
+    assert(rowSet(out) == Set(
+      "2024-07-01|a|1|5", "2024-07-02|a|2|5", "2024-07-03|a|3|9"),
+      rowSet(out).toString)
+  }
+
+  test("wowGrowth: calendar lag, not positional — a gap week reports NULL, not the wrong day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1, 4), (8, 6), (10, 2)).flatMap { case (d, n) =>
+      (1 to n).map(i => ("a", f"2024-07-$d%02d 00:$i%02d:00"))
+    }
+    val ev = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.wowGrowth(ev)
+    // day 8 compares to day 1 (+50%); days 1 and 10 have no comparison
+    // (day 3's positional predecessor would have been day 8 — wrong)
+    // cols sorted: day|event_type|growth_pct|n|prev_week_n
+    assert(rowSet(out) == Set(
+      "2024-07-01|a|NULL|4|NULL", "2024-07-08|a|50.0|6|4", "2024-07-10|a|NULL|2|NULL"),
+      rowSet(out).toString)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

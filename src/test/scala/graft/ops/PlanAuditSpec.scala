@@ -1067,6 +1067,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x_rolling_p90: one pass to the grid; the frame sort is in-row, never a data sort") {
+    val p = plan("x_rolling_p90")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x_wow_growth: grid self-join broadcasts; the log is scanned once into the checkpointed grid") {
+    val p = plan("x_wow_growth")
+    assert(!p.contains("Scan parquet"),
+      "both join sides must read the checkpointed grid:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "grid-sized sides must broadcast:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
