@@ -1520,4 +1520,80 @@ object Corpus {
       .select(col(idCol), pmod(Dedup.md5Hash60(col("tok")), lit(k.toLong)).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
   }
+
+  /** Per-source governance report — the one-table corpus overview a
+    * curation review starts from: volume (docs, tokens), shape
+    * (mean tokens/doc) and redundancy (share of docs whose EXACT text
+    * also appears elsewhere in the corpus — cross-source duplicates
+    * count in every source that carries them, since each copy is a
+    * governance fact for ITS source).
+    *
+    * Scale shape: one md5-fingerprint exchange carries the duplicate
+    * marking (a count window on the same partitioning — the text
+    * itself never shuffles twice: the fingerprint is the key), then
+    * one source-grid rollup. Token counts are the whitespace-split
+    * [[graft.text.TextAnalysis.tokenCount]] the oracle replays.
+    *
+    * Output: one row per `source` — `n_docs`, `total_tokens`,
+    * `avg_tokens` (6 dp), `n_dup_docs`, `dup_share` (6 dp). */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("source"), md5(col("text")).as("fp"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val marked = base.withColumn("fpc",
+      count(lit(1)).over(Window.partitionBy(col("fp"))))
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("total_tokens"),
+        round(sum(col("nt")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+        sum(when(col("fpc") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_share",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
+  /** Token-budget waterfilling — the pretraining-mix allocator: given
+    * a total token budget smaller than the corpus, cap every source at
+    * the SAME ceiling (the waterline) chosen so that fully-kept small
+    * sources plus capped large ones exactly exhaust the budget's
+    * integer part — the max-min-fair allocation that neither drowns
+    * small sources (proportional capping does) nor lets one crawl
+    * dominate (no capping does).
+    *
+    * The waterline is exact integer arithmetic on the source grid:
+    * sources sorted ascending by tokens, the boundary k is the unique
+    * row where cap_k = (budget − prefix_{k−1}) div (n − k + 1)
+    * sandwiches between t_{k−1} and t_k; allocation = min(tokens,
+    * cap). The ≤(n−k) leftover tokens from the integer division are
+    * DISCLOSED as slack, not silently re-spread. A budget ≥ the corpus
+    * allocates everything (NULL cap).
+    *
+    * Scale shape: one data pass to the per-source token grid; the sort
+    * window, boundary scan and broadcast cap all live on the
+    * sources-bounded grid.
+    *
+    * Output: one row per `source` — `tokens`, `alloc`, `capped`. */
+  def tokenWaterfill(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"tokenWaterfill: budget must be > 0, got $budget")
+    val t = docs.groupBy(col("source"))
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col("text"))).cast("long").as("tok"))
+    val w = Window.orderBy(col("tok"), col("source")) // grid-sized: bounded by |sources|
+    val g = t
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pre", sum(col("tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ptok", coalesce(lag(col("tok"), 1).over(w), lit(0L)))
+      .crossJoin(broadcast(t.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("tok")).cast("long").as("total"))))
+      .localCheckpoint() // grid-sized; serves the boundary scan and the allocation
+    val cap = g
+      .withColumn("cap", expr(s"($budget - (pre - tok)) div (n - rn + 1)"))
+      .where(col("total") > budget && col("cap") >= col("ptok") && col("cap") < col("tok"))
+      .select(col("cap"))
+    g.crossJoin(broadcast(cap.agg(min(col("cap")).as("cap"))))
+      .select(col("source"), col("tok").as("tokens"),
+        when(col("total") <= budget, col("tok"))
+          .otherwise(least(col("tok"), col("cap"))).as("alloc"),
+        (col("total") > budget && col("tok") > col("cap")).as("capped"))
+  }
 }

@@ -4887,6 +4887,53 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Per-source governance report (Corpus.sourceReport scaladoc: one
+    * fingerprint exchange with an on-partition duplicate-count window,
+    * one source rollup; cross-source copies count in every carrying
+    * source). */
+  val sourceReportQ: Q = Q(
+    "x_source_report",
+    (s, d) => graft.corpus.Corpus.sourceReport(Tables.documents(s, d)),
+    Some("""
+      WITH b AS (SELECT source, md5(text) AS fp,
+                        len(regexp_split_to_array(text, '\s+')) AS nt FROM documents),
+      m AS (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS fpc FROM b)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+             CAST(SUM(CASE WHEN fpc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             ROUND(CAST(SUM(CASE WHEN fpc > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_share
+      FROM m GROUP BY 1
+    """.trim)
+  )
+
+  /** Token-budget waterfilling (Corpus.tokenWaterfill scaladoc:
+    * max-min-fair source caps from exact integer arithmetic on the
+    * sorted source grid; the oracle replays the boundary scan with
+    * the identical sandwich condition). Budget 20000 < the sf0.01
+    * corpus (~27k tokens) so the cap binds. */
+  val waterfillQ: Q = Q(
+    "x_token_waterfill",
+    (s, d) => graft.corpus.Corpus.tokenWaterfill(Tables.documents(s, d), budget = 20000L),
+    Some("""
+      WITH t AS (SELECT source,
+                        CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS tok
+                 FROM documents GROUP BY 1),
+      g AS (SELECT *, ROW_NUMBER() OVER (ORDER BY tok, source) AS rn,
+                   SUM(tok) OVER (ORDER BY tok, source) AS pre,
+                   COALESCE(LAG(tok) OVER (ORDER BY tok, source), 0) AS ptok,
+                   COUNT(*) OVER () AS n, SUM(tok) OVER () AS total FROM t),
+      c AS (SELECT MIN((20000 - (pre - tok)) // (n - rn + 1)) AS cap
+            FROM g WHERE total > 20000
+              AND (20000 - (pre - tok)) // (n - rn + 1) >= ptok
+              AND (20000 - (pre - tok)) // (n - rn + 1) < tok)
+      SELECT source, tok AS tokens,
+             CAST(CASE WHEN total <= 20000 THEN tok ELSE LEAST(tok, cap) END AS BIGINT) AS alloc,
+             (total > 20000 AND tok > cap) AS capped
+      FROM g, c
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4920,5 +4967,5 @@ object ExtensionQueries {
     boolSearchQ, sesForecastQ, concurrencyQ,
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
-    joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ)
+    joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ)
 }

@@ -439,6 +439,34 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.booleanSearchIndexed(spark, dir, Seq("spark", "zzz"), k = 10).count() == 0)
   }
 
+  test("sourceReport: cross-source exact copies count in every carrying source") {
+    val docs = Seq(
+      (1L, "x y", "A"), (2L, "x y", "A"),      // in-source dup pair
+      (3L, "x y", "B"), (4L, "unique", "B"))   // cross-source copy + a singleton
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.sourceReport(docs)
+    // cols sorted: avg_tokens|dup_share|n_docs|n_dup_docs|source|total_tokens
+    assert(rowSet(out) == Set("2.0|1.0|2|2|A|4", "1.5|0.5|2|1|B|3"),
+      rowSet(out).toString)
+  }
+
+  test("tokenWaterfill: max-min-fair integer waterline; slack disclosed, not re-spread") {
+    def docsOf(src: String, nTok: Int) =
+      (src, (1 to nTok).map(i => s"t$i").mkString(" "))
+    // tokens per source: A=10, B=100, C=100; budget 55 → cap 22,
+    // allocations 10+22+22 = 54 (1 token of integer-division slack)
+    val docs = Seq(docsOf("A", 10), docsOf("B", 100), docsOf("C", 100))
+      .toDF("source", "text")
+    val out = Corpus.tokenWaterfill(docs, budget = 55L)
+    // cols sorted: alloc|capped|source|tokens
+    assert(rowSet(out) == Set("10|false|A|10", "22|true|B|100", "22|true|C|100"),
+      rowSet(out).toString)
+    // budget >= corpus: everything allocated, nothing capped
+    val all = Corpus.tokenWaterfill(docs, budget = 10000L)
+    assert(rowSet(all) == Set("10|false|A|10", "100|false|B|100", "100|false|C|100"),
+      rowSet(all).toString)
+  }
+
   test("capPerSource keeps at most N per source, deterministically") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def run() = Corpus.capPerSource(docs, 10, sourceCol = "source")

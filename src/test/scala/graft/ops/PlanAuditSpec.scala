@@ -1081,6 +1081,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "grid-sized sides must broadcast:\n" + p)
   }
 
+  test("x_source_report: one fingerprint exchange — the dup window rides the same partitioning") {
+    val p = plan("x_source_report")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over documents, saw $scans:\n" + p)
+    assert(!p.contains("Join"), "dup marking must be a window, not a self-join:\n" + p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"fingerprint window + source rollup only, saw $hashEx:\n" + p)
+  }
+
+  test("x_token_waterfill: boundary scan and allocation both read the checkpointed source grid") {
+    val p = plan("x_token_waterfill")
+    assert(!p.contains("Scan parquet"),
+      "the grid is checkpointed once:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "the 1-row cap must broadcast:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)
