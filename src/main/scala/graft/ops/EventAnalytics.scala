@@ -779,6 +779,27 @@ object EventAnalytics {
           col("prev_week_n"), 6).as("growth_pct"))
   }
 
+  /** Behavior-set segmentation — users grouped by the exact SET of
+    * event types they ever perform (the 2^|types| "behavioral
+    * fingerprint" partition marketing calls segments-by-usage: pure
+    * browsers, converters-who-never-error, …), with user counts per
+    * set.
+    *
+    * Scale shape: ONE user_id exchange builds the per-user type set
+    * (collect_set is map-side-combined and bounded by the type
+    * DOMAIN); the canonical label is an in-row sort+join, and the
+    * rollup grid is ≤ 2^|types| rows.
+    *
+    * Output: one row per observed set — `behavior` ("a+b+c",
+    * lexicographic), `n_types`, `n_users`. */
+  def behaviorProfiles(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    perUser.groupBy(array_join(col("ts"), "+").as("behavior"),
+        size(col("ts")).as("n_types"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Watermark-sizing profile — the out-of-orderness audit run BEFORE
     * choosing a Structured Streaming watermark: per event, lateness =
     * high-water mark of event time at its ARRIVAL position (event_id,

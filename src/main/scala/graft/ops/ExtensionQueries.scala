@@ -4934,6 +4934,68 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Per-segment mean with 95% CI (Relational.segmentCi scaladoc:
+    * exact integer-cents moments, one IEEE sqrt/divide tail the
+    * oracle mirrors operation-for-operation). */
+  val segmentCiQ: Q = Q(
+    "x_segment_ci",
+    (s, d) => Relational.segmentCi(Tables.orders(s, d)),
+    Some("""
+      WITH b AS (SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                 FROM orders),
+      g AS (SELECT o_orderpriority, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+            FROM b GROUP BY 1)
+      SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+             ROUND(CAST(s1 AS DOUBLE) / n / 100.0, 2) AS mean,
+             CASE WHEN n > 1 THEN ROUND(CAST(s1 AS DOUBLE) / n / 100.0
+               - 1.96 * sqrt((CAST(n * s2 - s1 * s1 AS DOUBLE)
+                              / CAST(n * (n - 1) AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 2)
+             END AS ci_lo,
+             CASE WHEN n > 1 THEN ROUND(CAST(s1 AS DOUBLE) / n / 100.0
+               + 1.96 * sqrt((CAST(n * s2 - s1 * s1 AS DOUBLE)
+                              / CAST(n * (n - 1) AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 2)
+             END AS ci_hi
+      FROM g
+    """.trim)
+  )
+
+  /** Behavior-set segmentation (EventAnalytics.behaviorProfiles
+    * scaladoc: per-user type sets on one exchange, canonical in-row
+    * label, ≤2^types grid). */
+  val behaviorQ: Q = Q(
+    "x_behavior_profiles",
+    (s, d) => EventAnalytics.behaviorProfiles(Tables.events(s, d)),
+    Some("""
+      WITH u AS (SELECT user_id,
+                        list_sort(list_distinct(array_agg(event_type))) AS ts
+                 FROM events GROUP BY 1)
+      SELECT array_to_string(ts, '+') AS behavior,
+             CAST(len(ts) AS INT) AS n_types,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM u GROUP BY 1, 2
+    """.trim)
+  )
+
+  /** Revenue mix by part price decile (Relational.priceDecileMix
+    * scaladoc: exactNtile on the part table — no single-partition
+    * NTILE — then a broadcast dimension join; DuckDB's NTILE over the
+    * identical total order replays the cut). */
+  val priceDecileQ: Q = Q(
+    "x_price_decile_mix",
+    (s, d) => Relational.priceDecileMix(Tables.lineitem(s, d), Tables.part(s, d)),
+    Some("""
+      WITH dec AS (SELECT p_partkey,
+                          NTILE(10) OVER (ORDER BY p_retailprice, p_partkey) AS price_decile
+                   FROM part),
+      j AS (SELECT price_decile, l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem JOIN dec ON l_partkey = p_partkey)
+      SELECT price_decile, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS revenue
+      FROM j GROUP BY 1
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -4967,5 +5029,6 @@ object ExtensionQueries {
     boolSearchQ, sesForecastQ, concurrencyQ,
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
-    joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ)
+    joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
+    segmentCiQ, behaviorQ, priceDecileQ)
 }

@@ -485,6 +485,36 @@ object Relational {
       round(col("r.s9").cast("double") / 1000000000L, 6).as("survival"))
   }
 
+  /** Per-segment mean with a 95% normal confidence interval — the
+    * "is this segment really different" readout under every dashboard
+    * comparison: mean ± 1.96·s/√n from EXACT integer-cents moments
+    * (sum and sum-of-squares ride BIGINT/DECIMAL(38,0); only the final
+    * sqrt/divide chain is IEEE, mirrored by the oracle — the
+    * [[graft.ops.DataQuality]] Welch-t discipline). Sample variance
+    * (n−1); a 1-row segment reports NULL bounds, never Infinity.
+    *
+    * Scale shape: ONE map-side-combined exchange to the segment grid;
+    * nothing else touches data-sized input.
+    *
+    * Output: one row per segment — `n`, `mean` (2 dp), `ci_lo`,
+    * `ci_hi` (2 dp). */
+  def segmentCi(orders: DataFrame, segCol: String = "o_orderpriority"): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val g = orders.groupBy(col(segCol))
+      .agg(count(lit(1)).as("n"),
+        sum(cents).cast("decimal(38,0)").as("s1"),
+        sum((cents * cents).cast("decimal(38,0)")).as("s2"))
+    // var = (n*s2 - s1^2) / (n*(n-1)) in cents^2, exact until the divide
+    val mean = col("s1").cast("double") / col("n") / 100.0
+    val varc = (col("n").cast("decimal(38,0)") * col("s2") - col("s1") * col("s1"))
+      .cast("double") / (col("n") * (col("n") - 1)).cast("double")
+    val half = lit(1.96) * sqrt(varc / col("n").cast("double")) / 100.0
+    g.select(col(segCol), col("n"),
+      round(mean, 2).as("mean"),
+      when(col("n") > 1, round(mean - half, 2)).as("ci_lo"),
+      when(col("n") > 1, round(mean + half, 2)).as("ci_hi"))
+  }
+
   /** Incremental JOIN maintenance — the delta algebra
     * Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB that materialized-view
     * engines apply when BOTH sides of a join receive new rows (the
@@ -558,6 +588,34 @@ object Relational {
     val bloom = big.sparkSession.sparkContext.broadcast(filter)
     val pruned = big.filter(V.bloomMightContainBcast(bloom, xxhash64(col(bigKey))))
     (pruned.join(small, col(bigKey) === col(smallKey)), bloom)
+  }
+
+  /** Revenue mix by part price decile — where the money actually sits
+    * on the catalog's price ladder (the merchandising "price
+    * architecture" view): parts cut into exact retail-price deciles,
+    * line-item revenue rolled up per decile.
+    *
+    * Scale shape: the decile cut is [[exactNtile]] on the PART table —
+    * parts are catalog-sized but can be hundreds of millions of rows,
+    * so no single-partition NTILE window — and the (partkey, decile)
+    * map then joins lineitem on partkey (broadcastable while the
+    * catalog fits, the same judgment as any dimension join). Revenue
+    * rides the integer-cents discipline.
+    *
+    * Output: one row per decile — `price_decile`, `n_parts`,
+    * `n_lines`, `revenue` (2 dp). */
+  def priceDecileMix(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val deciles = exactNtile(
+      part.select(col("p_partkey"), col("p_retailprice")),
+      10, Seq("p_retailprice", "p_partkey"), "price_decile")
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    lineitem.select(col("l_partkey"), cents.as("cents"))
+      .join(broadcast(deciles.select(col("p_partkey"), col("price_decile"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("price_decile"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"),
+        round(sum(col("cents")).cast("double") / 100, 2).as("revenue"))
   }
 
   /** RFM segmentation — the classic marketing cube: each customer

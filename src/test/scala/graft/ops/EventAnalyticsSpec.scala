@@ -414,6 +414,19 @@ class EventAnalyticsSpec extends SparkSpec {
       rowSet(out).toString)
   }
 
+  test("behaviorProfiles: canonical lexicographic set labels; repeat events collapse") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 1.0),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 1.0),   // repeat — still one set entry
+      (4L, "2024-01-01 10:00:00", 2L, "click", 1.0),
+      (5L, "2024-01-01 10:01:00", 2L, "view", 1.0),   // same SET as user 1
+      (6L, "2024-01-01 10:00:00", 3L, "error", 1.0))
+    val out = EventAnalytics.behaviorProfiles(ev)
+    // cols sorted: behavior|n_types|n_users
+    assert(rowSet(out) == Set("click+view|2|2", "error|1|1"), rowSet(out).toString)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

@@ -1097,6 +1097,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the 1-row cap must broadcast:\n" + p)
   }
 
+  test("x_segment_ci: one map-side-combined pass, no join, no window") {
+    val p = plan("x_segment_ci")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over orders, saw $scans:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window "), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"the segment collapse only, saw $hashEx:\n" + p)
+  }
+
+  test("x_behavior_profiles: one user exchange + the 2^types grid rollup") {
+    val p = plan("x_behavior_profiles")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one pass over events, saw $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"user collapse + set rollup only, saw $hashEx:\n" + p)
+  }
+
+  test("x_price_decile_mix: the decile map broadcasts; lineitem scanned once") {
+    val p = plan("x_price_decile_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "the catalog-sized decile map must broadcast:\n" + p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"lineitem once (the part cut is checkpointed), saw $scans:\n" + p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -178,6 +178,26 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage.contains("'hwm'"))
   }
 
+  test("segmentCi: exact-moment CI matches the hand value; a singleton segment reports NULL bounds") {
+    // A: 100.00 and 200.00 → mean 150, s/sqrt(2) = 5000 cents exactly →
+    // half-width 1.96*5000/100 = 98.0 → CI [52, 248]
+    val orders = Seq(("A", 100.0), ("A", 200.0), ("B", 42.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val out = Relational.segmentCi(orders)
+    // cols sorted: ci_hi|ci_lo|mean|n|o_orderpriority
+    assert(rowSet(out) == Set("248.0|52.0|150.0|2|A", "NULL|NULL|42.0|1|B"),
+      rowSet(out).toString)
+  }
+
+  test("priceDecileMix: the exactNtile cut drives the revenue rollup; unsold parts don't appear") {
+    val part = (1L to 10L).map(i => (i, i * 1.0)).toDF("p_partkey", "p_retailprice")
+    val li = Seq((1L, 10.0), (1L, 20.0), (10L, 100.0)) // deciles 1 and 10 sold
+      .toDF("l_partkey", "l_extendedprice")
+    val out = Relational.priceDecileMix(li, part)
+    // cols sorted: n_lines|n_parts|price_decile|revenue
+    assert(rowSet(out) == Set("2|1|1|30.0", "1|1|10|100.0"), rowSet(out).toString)
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
