@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Invariants of the distributed order-statistics primitives on random
+  * adversarial inputs — duplicates, negatives, skew and tiny/huge
+  * bucket counts:
+  *   - exactNtile reproduces the literal NTILE definition computed by
+  *     a straight local sort (the n mod b extra-row rule included);
+  *   - prefixSum/prefixMax equal scanLeft over the locally-sorted
+  *     rows, for any partitioning Spark happens to choose;
+  *   - bloomPrunedJoin returns exactly the plain join (the
+  *     no-false-negatives contract), whatever the key overlap;
+  *   - joinDeltaRows' three terms always reconstruct the full join.
+  */
+object RelationalProperties extends Properties("graft.ops.Relational") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val genVals: Gen[List[Long]] = for {
+    n <- Gen.chooseNum(1, 60)
+    vs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+  } yield vs
+
+  property("exactNtile == local NTILE definition, duplicates included") = {
+    forAll(genVals, Gen.chooseNum(1, 12)) { (vs, b) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      val out = Relational.exactNtile(rows.toDF("v", "id"), b, Seq("v", "id"), "bk")
+        .select(col("id"), col("bk")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = rows.size
+      val base = n / b; val rem = n % b
+      val expected = rows.sortBy(x => (x._1, x._2)).zipWithIndex.map { case ((_, id), i0) =>
+        val rank = i0 + 1L
+        val bk = if (base == 0) rank
+          else if (rank <= (base + 1L) * rem) (rank - 1) / (base + 1) + 1
+          else rem + (rank - 1 - (base + 1L) * rem) / base + 1
+        id -> bk
+      }.toMap
+      out == expected
+    }
+  }
+
+  property("prefixSum/prefixMax == scanLeft over the local sort") = {
+    forAll(genVals) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("t", "v")
+      val sums = Relational.prefixSum(df, Seq(col("t")), "v", "run")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val maxs = Relational.prefixMax(df, Seq(col("t")), "v", "hwm")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val sorted = rows.sortBy(_._1)
+      val expSum = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+      val expMax = sorted.map(_._2).scanLeft(Long.MinValue)(math.max).tail
+      sorted.map(_._1).zip(expSum).toMap == sums &&
+        sorted.map(_._1).zip(expMax).toMap == maxs
+    }
+  }
+
+  property("bloomPrunedJoin == the plain join for any key overlap") = {
+    val genKeys = Gen.listOf(Gen.chooseNum(0L, 30L))
+    forAll(genKeys, genKeys) { (bigKeys, smallKeys0) =>
+      val smallKeys = smallKeys0.distinct
+      (bigKeys.nonEmpty && smallKeys.nonEmpty) ==> {
+        val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row")
+        val small = smallKeys.toDF("sk")
+        val got = Relational.bloomPrunedJoin(big, small, "k", "sk")
+          .select(col("row")).collect().map(_.getLong(0)).sorted.toSeq
+        val want = bigKeys.zipWithIndex
+          .filter { case (k, _) => smallKeys.contains(k) }.map(_._2.toLong).sorted
+        got == want
+      }
+    }
+  }
+
+  property("joinDeltaRows reconstructs the full join under any base/delta split") = {
+    val genSide = Gen.listOf(Gen.chooseNum(0L, 15L))
+    forAll(genSide, genSide, Gen.chooseNum(0, 100), Gen.chooseNum(0, 100)) {
+      (aKeys, bKeys, aCut, bCut) =>
+        (aKeys.nonEmpty && bKeys.nonEmpty) ==> {
+          val a = aKeys.zipWithIndex.map { case (k, i) => (k, s"a$i") }
+          val b = bKeys.zipWithIndex.map { case (k, i) => (k, s"b$i") }
+          val (a0, a1) = a.splitAt(a.size * aCut / 100)
+          val (b0, b1) = b.splitAt(b.size * bCut / 100)
+          def d(xs: Seq[(Long, String)], k: String, p: String) =
+            if (xs.isEmpty) Seq.empty[(Long, String)].toDF(k, p) else xs.toDF(k, p)
+          val v0 = d(a0, "ak", "ap").join(d(b0, "bk", "bp"), col("ak") === col("bk"))
+          val maintained = v0.unionByName(Relational.joinDeltaRows(
+            d(a0, "ak", "ap"), d(a1, "ak", "ap"),
+            d(b0, "bk", "bp"), d(b1, "bk", "bp"), "ak", "bk"))
+          val direct = d(a, "ak", "ap").join(d(b, "bk", "bp"), col("ak") === col("bk"))
+          maintained.collect().map(_.toString).sorted.toSeq ==
+            direct.collect().map(_.toString).sorted.toSeq
+        }
+    }
+  }
+}
