@@ -280,9 +280,13 @@ object DataQuality {
     val m = gaps.agg(max(col("dnum")).as("mx"))
     gaps.join(broadcast(m), col("dnum") === col("mx"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        round(max(col("dnum")).cast("double") / (max(col("na")) * max(col("nb"))), 6)
-          .as("ks_d"),
-        min(col("v")).as("ks_at"))
+        max(col("dnum")).as("_mx"), min(col("v")).as("_at"))
+      // an absent side has no ECDF: NULL witness, never a NaN from 0/0
+      // (the welchT degenerate-group discipline)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("_mx").cast("double") / (col("n_a") * col("n_b")), 6)).as("ks_d"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("_at")).as("ks_at"))
   }
 
   /** Robust center/spread of the per-type daily event-count series:

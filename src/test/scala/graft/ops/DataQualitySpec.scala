@@ -124,6 +124,13 @@ class DataQualitySpec extends SparkSpec {
       ((2L, 2L, 0.5, 1L)), out.toString)
   }
 
+  test("ksDrift: an absent source yields NULL witnesses, never a 0/0 NaN") {
+    val docs = Seq(("src0", 1L), ("src0", 2L)).toDF("source", "n_chars")
+    val out = DataQuality.ksDrift(docs, "src0", "srcMISSING").collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 0L, out.toString)
+    assert(out.isNullAt(2) && out.isNullAt(3), out.toString)
+  }
+
   test("welchT: a single-row group yields NULL statistics, never Infinity") {
     import spark.implicits._
     val df = Seq(("click", 1.0), ("click", 2.0), ("purchase", 5.0)).toDF("event_type", "value")
