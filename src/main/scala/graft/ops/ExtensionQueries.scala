@@ -4996,6 +4996,27 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Exact customer-revenue Gini (Relational.giniRevenue scaladoc:
+    * integer-cents collapse, globalRank two-phase rank — no
+    * single-partition sort — exact DECIMAL(38,0) moment sums, mirrored
+    * IEEE tail). The oracle replays rank and formula identically. */
+  val giniQ: Q = Q(
+    "x_gini_customers",
+    (s, d) => Relational.giniRevenue(Tables.orders(s, d)),
+    Some("""
+      WITH rev AS (SELECT o_custkey,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+      rk AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r FROM rev),
+      t AS (SELECT COUNT(*) AS n, SUM(cents) AS s, SUM(r * cents) AS w FROM rk)
+      SELECT CAST(n AS BIGINT) AS n_customers,
+             ROUND(CAST(s AS DOUBLE) / 100, 2) AS total_revenue,
+             ROUND(2.0 * CAST(w AS DOUBLE) / (n * CAST(s AS DOUBLE))
+                   - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+      FROM t
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -5030,5 +5051,5 @@ object ExtensionQueries {
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
-    segmentCiQ, behaviorQ, priceDecileQ)
+    segmentCiQ, behaviorQ, priceDecileQ, giniQ)
 }

@@ -340,6 +340,65 @@ object Relational {
     outDf
   }
 
+  /** Distributed exact global rank over a total order — the third
+    * face of the two-phase machinery ([[exactNtile]] buckets,
+    * [[prefixSum]]/[[prefixMax]] running aggregates, this one the raw
+    * 1-based rank): range shuffle, parallel per-partition row_numbers,
+    * driver-tiny per-partition counts folded into broadcast offsets.
+    * Same total-order contract (include a unique id). */
+  def globalRank(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(out) && !df.columns.contains("_pid"),
+      s"globalRank: input already carries '$out' or '_pid'")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val subs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("_pid"))
+    val wRun = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    val outDf = ranged
+      .withColumn(out, row_number().over(wRun).cast("long") + offsetCol)
+      .drop("_pid")
+      .localCheckpoint()
+    ranged.unpersist(false)
+    outDf
+  }
+
+  /** Customer revenue concentration — the exact Gini coefficient of
+    * lifetime revenue across customers (the "do 1% of accounts carry
+    * the book" inequality readout; 0 = perfectly even, →1 = one
+    * account is the business): closed-form rank-weighted Gini
+    * G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n over revenues sorted ascending,
+    * ties broken by customer key (a total order, so both engines
+    * weight identically).
+    *
+    * Determinism & scale: revenue collapses to integer cents in ONE
+    * custkey exchange; the rank is [[globalRank]] (no single-partition
+    * sort of the customer table); Σx and Σ r·x ride DECIMAL(38,0)
+    * exactly, and the two divides + one subtraction are the mirrored
+    * IEEE tail. */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+    val ranked = globalRank(rev, Seq(col("cents"), col("o_custkey")), "r")
+    ranked.agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).cast("decimal(38,0)").as("s"),
+        sum((col("r") * col("cents")).cast("decimal(38,0)")).cast("decimal(38,0)").as("w"))
+      .select(col("n_customers"),
+        round(col("s").cast("double") / 100, 2).as("total_revenue"),
+        round(lit(2.0) * col("w").cast("double") /
+            (col("n_customers") * col("s").cast("double")) -
+          (col("n_customers") + 1).cast("double") / col("n_customers"), 6).as("gini"))
+  }
+
   /** ABC / Pareto inventory classification — every part ranked by
     * lifetime revenue, classed A while the running revenue share is
     * ≤ 80%, B through 95%, C beyond (the classic 80/15/5 stocking

@@ -1123,6 +1123,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"lineitem once (the part cut is checkpointed), saw $scans:\n" + p)
   }
 
+  test("x_gini_customers: the moment sums read the checkpointed rank table — no global sort") {
+    val p = plan("x_gini_customers")
+    assert(!p.contains("Scan parquet"),
+      "ranks are two-phase and checkpointed:\n" + p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id") ||
+      "Exchange SinglePartition".r.findAllIn(p).size <= 1, // only the 1-row final agg
+      p)
+  }
+
   test("whole-stage codegen covers the q1_agg aggregation") {
     // codegen spans only materialize in the FINAL adaptive plan
     val df = SparkEntry.queries("q1_agg")(spark, sf)

@@ -198,6 +198,28 @@ class RelationalSpec extends SparkSpec {
     assert(rowSet(out) == Set("2|1|1|30.0", "1|1|10|100.0"), rowSet(out).toString)
   }
 
+  test("globalRank: 1-based total-order ranks across range partitions") {
+    val df = Seq((30L, "a"), (10L, "b"), (20L, "c"), (10L, "d")).toDF("v", "id")
+    val out = Relational.globalRank(df, Seq(col("v"), col("id")), "r")
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(out == Map("b" -> 1L, "d" -> 2L, "c" -> 3L, "a" -> 4L), out.toString)
+  }
+
+  test("giniRevenue: hand values — perfect equality is 0, concentration approaches (n-1)/n") {
+    // equal revenues x,x: G = 2(1x+2x)/(2*2x) - 3/2 = 3/2 - 3/2 = 0
+    val eq = Seq((1L, "1995-01-01", 100.0), (2L, "1995-01-01", 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val g0 = Relational.giniRevenue(eq).collect()(0)
+    assert(g0.getLong(0) == 2L && g0.getDouble(2) == 0.0, g0.toString)
+    // one customer has everything meaningful: 3 custs, cents 0.01,0.01,10000.00
+    // G = 2(1·1+2·1+3·1000000)/(3·1000002) − 4/3 ≈ 0.666664
+    val sk = Seq((1L, "1995-01-01", 0.01), (2L, "1995-01-01", 0.01),
+      (3L, "1995-01-01", 10000.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val g1 = Relational.giniRevenue(sk).collect()(0)
+    assert(g1.getDouble(2) > 0.66 && g1.getDouble(2) < 0.667, g1.toString)
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
