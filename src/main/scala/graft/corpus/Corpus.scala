@@ -62,26 +62,39 @@ object Corpus {
     *
     * Scale shape: one tokenize+window pass per doc (the same 60-bit
     * md5 window hashes as winnowing — exchanges carry 8-byte hashes,
-    * never text), a doc-frequency aggregation keyed on the hash
-    * (map-side combinable: grams are doc-distinct, so COUNT = doc
-    * frequency), and one hash-keyed join back — two bounded shuffles
-    * of (8B, 8B) rows at any corpus size. Arithmetic is exact integer
-    * counts; the single novelty division is the only float op, and a
-    * lone IEEE divide of identical integers is identical in both
-    * engines. */
+    * never text), materialized ONCE as per-doc gram arrays (a
+    * localCheckpoint, ~8 B/gram, the price of not shingling twice),
+    * then ONE gram-keyed doc-frequency aggregation that carries
+    * min(doc_id) — a df=1 gram has exactly one owner, so per-doc
+    * novel counts fall out of a doc-sized rollup of the df=1 slice,
+    * and n_grams is size(grams) read off the doc table itself. The
+    * full gram table is never joined back (that join was measured as
+    * the 10×-scale ratio driver — two extra gram-sized shuffle sides;
+    * BENCH_SCALE.md r9 x_ngram_novelty decomposition). The only
+    * gram-sized exchange left is the df aggregation's (8B, 8B)
+    * shuffle; everything downstream is doc-sized. Arithmetic is exact
+    * integer counts; the single novelty division is the only float
+    * op, and a lone IEEE divide of identical integers is identical in
+    * both engines. */
   def ngramNovelty(docs: DataFrame, w: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w >= 1, s"ngramNovelty: w must be >= 1, got $w")
-    val grams = docs.select(col(idCol),
-      explode(array_distinct(org.apache.spark.sql.graftext.VectorExpressions
-        .md5WindowHashes60(TextAnalysis.tokens(col(textCol)), w))).as("_g"))
-    val dfreq = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
-    grams.join(dfreq, "_g")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .select(col(idCol), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+    val withG = docs.select(col(idCol),
+      array_distinct(org.apache.spark.sql.graftext.VectorExpressions
+        .md5WindowHashes60(TextAnalysis.tokens(col(textCol)), w)).as("_gs"))
+      .filter(size(col("_gs")) >= 1)
+      .localCheckpoint()
+    val novel = withG.select(col(idCol), explode(col("_gs")).as("_g"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_df"), min(col(idCol)).as("_owner"))
+      .filter(col("_df") === 1)
+      .groupBy(col("_owner")).agg(count(lit(1)).as("_novel"))
+    withG.select(col(idCol), size(col("_gs")).cast("bigint").as("n_grams"))
+      .join(novel, col(idCol) === col("_owner"), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("_novel"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty"))
   }
 
   /** Operator-salted deterministic draw: uniform on [0, 2^60), derived
@@ -1401,10 +1414,10 @@ object Corpus {
     * merge over a vocabulary-sized table at any depth).
     */
   def learnBpeMerges(docs: DataFrame, nMerges: Int = 3,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text", batch: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeCore(docs, nMerges, textCol)._1
+    bpeCore(docs, nMerges, textCol, batch)._1
       .toDF("step", "sym_a", "sym_b", "merged", "pair_n")
   }
 
@@ -1461,9 +1474,35 @@ object Corpus {
       size(split(trim(spEnc), "\\s+")).as("n_symbols"))
   }
 
-  private def bpeCore(docs: DataFrame, nMerges: Int, textCol: String):
+  /** Core BPE loop shared by the three faces. `batch` > 1 learns up to
+    * that many merges per pair-count round (the scheduling fix for real
+    * 10⁴–10⁵-merge tokenizers: the measured per-merge floor is pure
+    * per-round JOB LATENCY, not data — BENCH_SCALE.md §BPE — so fewer
+    * rounds is the only lever). A round collects the top 4·batch
+    * candidate pairs (a driver-tiny ≤1024-row collect of 3-column
+    * rows), then greedily accepts candidates in (count DESC, a, b)
+    * rank order subject to PAIRWISE INDEPENDENCE: a candidate is
+    * rejected if either of its symbols, or its merged string, was
+    * already read or produced by an accepted merge this round. Under
+    * that rule no accepted replace can create or consume a match of
+    * another (disjoint read sets; produced strings never equal a read
+    * or produced string), so all accepted pairs' pre-round counts are
+    * still exact when their replaces apply, and the stacked replaces
+    * commute — one plan applies the whole round.
+    *
+    * Deviation from strict greedy (documented contract): ranks 2..k of
+    * a round are chosen by PRE-ROUND counts — strict greedy would
+    * recount after each merge and could prefer a pair whose count grew
+    * (e.g. a pair involving a symbol just produced; independence makes
+    * counts of ACCEPTED pairs exact, but a rejected conflicting pair
+    * might have overtaken a later accepted one under recounting).
+    * `batch = 1` (the default, and every catalog/oracle row) IS strict
+    * greedy — identical output, bit for bit. */
+  private def bpeCore(docs: DataFrame, nMerges: Int, textCol: String,
+                      batch: Int = 1):
       (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(nMerges >= 1 && nMerges <= 100000, s"nMerges in [1,100000], got $nMerges")
+    require(batch >= 1 && batch <= 256, s"batch in [1,256], got $batch")
     // weighted word dictionary, symbols pre-split: " a b c " per token
     val dict = docs
       .select(explode(split(col(textCol), "\\s+")).as("tok"))
@@ -1474,7 +1513,11 @@ object Corpus {
       .localCheckpoint() // the only corpus-sized pass
     var cur = dict
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (step <- 1 to nMerges) {
+    var step = 0
+    var sinceCk = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - step)
       val syms = split(trim(col("sp")), "  ")
       val top = cur
         .select(col("n"), explode(arrays_zip(
@@ -1483,14 +1526,32 @@ object Corpus {
         .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect() // 1 row: the argmax pair — driver scalar
-      if (top.nonEmpty) {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step, a, b, a + b, cnt))
-        cur = cur.withColumn("sp",
-          call_function("replace", col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+        .limit(want * 4).collect() // ≤1024 rows: ranked candidates — driver-tiny
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted = top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (a, b, _) =>
+            val ok = !used(a) && !used(b) && !used(a + b)
+            if (ok) { used += a; used += b; used += (a + b) }
+            ok
+          }
+          .take(want).toSeq
+        for ((a, b, cnt) <- accepted) {
+          step += 1
+          merges += ((step, a, b, a + b, cnt))
+          cur = cur.withColumn("sp",
+            call_function("replace", col("sp"), lit(s" $a  $b "), lit(s" $a$b ")))
+        }
+        sinceCk += accepted.size
         // bound the stacked-replace lineage (see BpeCheckpointEvery)
-        if (step % BpeCheckpointEvery == 0) cur = cur.localCheckpoint()
+        if (sinceCk >= BpeCheckpointEvery) { cur = cur.localCheckpoint(); sinceCk = 0 }
+        // a full candidate list that yields zero accepts cannot happen
+        // (the top-1 pair is always accepted first), so progress is
+        // guaranteed; a SHORT list means the dictionary is nearly
+        // merged out — stop when it can't even fill rank 1
+        if (accepted.isEmpty) exhausted = true
       }
     }
     (merges.result(), cur)

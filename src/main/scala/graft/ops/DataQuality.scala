@@ -225,9 +225,9 @@ object DataQuality {
     val expected = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
       0.066947, 0.057992, 0.051153, 0.045757)
     val counts = df
-      .filter(col(c) > 0d)
-      .select(substring(round(col(c) * pow(lit(10), lit(scale))).cast("long")
-        .cast("string"), 1, 1).cast("int").as("digit"))
+      .select(round(col(c) * pow(lit(10), lit(scale))).cast("long").as("iv"))
+      .filter(col("iv") >= 1L) // sub-half-unit positives round to 0: no leading digit
+      .select(substring(col("iv").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = sum(col("n")).over(Window.partitionBy())
     counts

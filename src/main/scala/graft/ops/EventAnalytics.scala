@@ -925,6 +925,6 @@ object EventAnalytics {
         sum(col("cents").cast(dec) * wgt.cast(dec)).cast(dec).as("wv"))
       .select(col("event_type"), col("n_events"),
         round(col("wn").cast("double") / lit(denom), 6).as("decayed_count"),
-        round(col("wv").cast("double") / lit(denom) / lit(100.0), 6).as("decayed_value"))
+        round(col("wv").cast("double") / lit(denom) / lit(math.pow(10.0, scale)), 6).as("decayed_value"))
   }
 }

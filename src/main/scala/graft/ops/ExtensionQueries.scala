@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * similarity search, multimodal plumbing, windowed aggregation.
   * Hash-based operators (minhash/simhash/LSH/fingerprints) have no SQL
   * oracle — their determinism is pinned by specs instead.
+  *
+  * ORACLE TYPING RULE (load-bearing against the driver's hash
+  * normalization, not just compare.py): any integer output column that
+  * reaches DuckDB's SELECT list through a window SUM, a plain SUM, or
+  * a COALESCE over either is HUGEINT there and stringifies as `0.0`
+  * vs Spark's BIGINT `0` — always wrap it `CAST(... AS BIGINT)`.
+  * Swept r10: every window-SUM-derived output column in this file is
+  * either cast or internal-only.
   */
 object ExtensionQueries {
 
@@ -4638,7 +4646,7 @@ object ExtensionQueries {
                         OVER (PARTITION BY user_id ORDER BY ts_us
                               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS kk
             FROM b)
-      SELECT COALESCE(kk, 0) AS n_touches, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      SELECT CAST(COALESCE(kk, 0) AS BIGINT) AS n_touches, CAST(COUNT(*) AS BIGINT) AS n_purchases,
              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
       FROM k WHERE event_type = 'purchase' GROUP BY 1
     """.trim)

@@ -245,6 +245,61 @@ object GraphOps {
     buf.toSeq.toDF("round", "n_nodes", "n_edges")
   }
 
+  /** Iterate-to-fixpoint k-core: [[kcorePeel]]'s loop run until a round
+    * peels nothing (consecutive (n_nodes, n_edges) equal — the true
+    * k-core), up to `maxRounds`. No extra convergence job: the peel
+    * loop already collects a 1-row stats table per round for the
+    * trajectory, so the fixpoint test is a driver-side equality on
+    * numbers it was computing anyway (cheaper than the accumulator
+    * fusion [[PageRankOp.pageRankConverged]] needs, because there the
+    * per-round materialization had no collect to piggyback on).
+    *
+    * Per-round plan is identical to kcorePeel (one degree aggregation
+    * feeding both stats and next round's filter; localCheckpointed
+    * edge/degree tables bound lineage at any round count). Throws if
+    * `maxRounds` rounds don't stabilize — a partially-peeled core is
+    * not detectably different downstream, so fail loudly (the
+    * pageRankConverged / CC-loop contract).
+    *
+    * Output: (trajectory DataFrame — same schema as kcorePeel, ending
+    * at the first stable round — , rounds actually run). */
+  def kcoreFixpoint(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                    k: Int = 2, maxRounds: Int = 50,
+                    assumeCanonical: Boolean = false): (DataFrame, Int) = {
+    require(k >= 1, s"kcoreFixpoint: k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 1000,
+      s"kcoreFixpoint: maxRounds must be in [1, 1000], got $maxRounds")
+    def degOf(d: DataFrame): DataFrame = d.select(col("a").as("node"))
+      .unionAll(d.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var e = canonical(edges, srcCol, dstCol, assumeCanonical)
+    var deg = degOf(e).localCheckpoint()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var prev: Option[(Long, Long)] = None
+    var r = 0
+    var stable = false
+    while (!stable && r < maxRounds) {
+      r += 1
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("a")).hint("shuffle_hash"), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")).hint("shuffle_hash"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      deg = degOf(e).localCheckpoint()
+      val st = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("deg")), lit(0L)).cast("bigint").as("s")).collect()(0)
+      val cur = (st.getLong(0), st.getLong(1) / 2)
+      buf += ((r, cur._1, cur._2))
+      stable = prev.contains(cur)
+      prev = Some(cur)
+    }
+    if (!stable) throw new IllegalStateException(
+      s"kcoreFixpoint: still peeling after $maxRounds rounds; raise maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    (buf.toSeq.toDF("round", "n_nodes", "n_edges"), r)
+  }
+
   /** One-row structural summary: node/edge counts, degree min/max/mean,
     * and the degree assortativity coefficient — Newman 2002's r, the
     * Pearson correlation of (deg u, deg v) over all DIRECTED edge
@@ -269,13 +324,16 @@ object GraphOps {
       min(col("deg")).as("min_deg"),
       max(col("deg")).as("max_deg"),
       sum(col("deg")).cast("bigint").as("sum_deg"),
-      sum(col("deg") * col("deg")).cast("bigint").as("sx"),
-      sum(col("deg") * col("deg") * col("deg")).cast("bigint").as("sxx"))
+      sum(col("deg").cast("decimal(19,0)") * col("deg").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("sx"),
+      sum(col("deg").cast("decimal(19,0)") * col("deg").cast("decimal(19,0)")
+        * col("deg").cast("decimal(19,0)")).cast("decimal(38,0)").as("sxx"))
     val prodAgg = ed
       .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), "b")
       .agg(count(lit(1)).as("n_edges"),
-        sum(col("da") * col("db")).cast("bigint").as("sab"))
+        sum(col("da").cast("decimal(19,0)") * col("db").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sab"))
     val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     degAgg.crossJoin(prodAgg)
       .select(col("n_nodes"), col("n_edges"), col("min_deg"), col("max_deg"),

@@ -391,7 +391,8 @@ object Relational {
     val ranked = globalRank(rev, Seq(col("cents"), col("o_custkey")), "r")
     ranked.agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).cast("decimal(38,0)").as("s"),
-        sum((col("r") * col("cents")).cast("decimal(38,0)")).cast("decimal(38,0)").as("w"))
+        sum(col("r").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("w"))
       .select(col("n_customers"),
         round(col("s").cast("double") / 100, 2).as("total_revenue"),
         round(lit(2.0) * col("w").cast("double") /

@@ -139,4 +139,88 @@ class BpeSpec extends SparkSpec {
     assert(bgot(1L) == 4)
     assert((100L to 103L).forall(bgot(_) == 1))
   }
+
+  /** Reference BATCHED trainer mirroring the engine's round contract:
+    * rank pairs by (count DESC, a, b), take the top 4·batch as
+    * candidates, greedily accept pairwise-independent ones (no symbol
+    * read or produced twice) up to batch, apply sequentially. */
+  private def referenceBatched(words: Seq[String], nMerges: Int,
+                               batch: Int): Seq[(Int, String, String, String, Long)] = {
+    var dict: Map[Vector[String], Long] =
+      words.groupBy(identity).map { case (w, ws) => w.split("").toVector -> ws.length.toLong }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 0
+    var exhausted = false
+    def applyMerge(a: String, b: String): Unit =
+      dict = dict.map { case (syms, n) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        merged.result() -> n
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    while (step < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - step)
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, n) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val cand = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.take(want * 4)
+      if (cand.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted = cand.iterator.filter { case ((a, b), _) =>
+          val ok = !used(a) && !used(b) && !used(a + b)
+          if (ok) { used += a; used += b; used += (a + b) }
+          ok
+        }.take(want).toSeq
+        for (((a, b), c) <- accepted) {
+          step += 1
+          out += ((step, a, b, a + b, c))
+          applyMerge(a, b)
+        }
+        if (accepted.isEmpty) exhausted = true
+      }
+    }
+    out.result()
+  }
+
+  test("batched merges match the batched reference; independence keeps counts exact") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq.fill(4)("abab")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    for (b <- Seq(2, 4, 8)) {
+      val got = Corpus.learnBpeMerges(df, nMerges = 8, batch = b)
+        .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == referenceBatched(words, 8, b), s"batch=$b\n$got")
+    }
+    // batch=1 IS strict greedy: identical to the unbatched reference
+    val g1 = Corpus.learnBpeMerges(df, nMerges = 6, batch = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(g1 == reference(words, 6))
+    // every accepted pair's recorded count is the TRUE pre-application
+    // count (independence guarantee): replay each batched merge on the
+    // reference dict built from all earlier merges and compare counts
+    val batched = referenceBatched(words, 8, 4)
+    var dict: Map[Vector[String], Long] =
+      words.groupBy(identity).map { case (w, ws) => w.split("").toVector -> ws.length.toLong }
+    for ((_, a, b, _, recorded) <- batched) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, n) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      assert(counts((a, b)) == recorded, s"stale count for ($a,$b)")
+      dict = dict.map { case (syms, n) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        merged.result() -> n
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+  }
 }

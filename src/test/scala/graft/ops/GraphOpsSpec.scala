@@ -86,6 +86,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(dead == Set((1, 0L, 0L), (2, 0L, 0L)), dead.toString)
   }
 
+  test("kcoreFixpoint: stops at the first stable round and equals a long-enough fixed run") {
+    import spark.implicits._
+    // K3 {1,2,3} with path tail 3-4-5-6 at k=2: only the path END is
+    // below k initially, so peeling cascades ONE node per round —
+    // rounds 1..3 strip 6, 5, 4; round 4 confirms stability
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val df = g.toDF("src", "dst")
+    val (tr, rounds) = GraphOps.kcoreFixpoint(df, k = 2, maxRounds = 10)
+    val fixed = GraphOps.kcorePeel(df, k = 2, rounds = 6)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = tr.collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rounds == 4, s"expected 4 rounds, got $rounds")
+    assert(got == (1 to rounds).map(r => r -> fixed(r)).toMap, got.toString)
+    // final row is the true 2-core: the K3 (3 nodes, 3 edges)
+    assert(got(rounds) == ((3L, 3L)), got.toString)
+    // maxRounds too small to stabilize fails loudly
+    intercept[IllegalStateException] {
+      GraphOps.kcoreFixpoint(df, k = 2, maxRounds = 2)
+    }
+  }
+
   private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], rounds: Int): Map[Long, Int] = {
     import spark.implicits._
     GraphOps.bfsHops(edges.toDF("src", "dst"), seeds.toDF("node"), rounds = rounds)

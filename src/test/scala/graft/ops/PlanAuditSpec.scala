@@ -362,8 +362,10 @@ class PlanAuditSpec extends SparkSpec {
     // partial_count before the exchange = map-side combine on the gram key
     assert(p.contains("partial_count") || p.contains("Partial"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
-    // the join back to per-doc grams is keyed on the 8-byte hash — the
-    // exchange must not carry the text column
+    // r10 shape: the full gram table is never joined back — the df=1
+    // slice rolls up to a doc-sized novel count (owner = min(doc_id))
+    // and the only join is doc-sized. Every exchange carries 8-byte
+    // hashes or doc ids, never the text column
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchangeLines.nonEmpty, p)
     assert(exchangeLines.forall(!_.contains("text#")),
