@@ -345,6 +345,69 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_windows"), 6).as("dup_ratio"))
   }
 
+  /** Top duplicated substring FAMILIES — the corpus-level diagnostic
+    * face of the text-dedup triad ([[dupSpans]] detects per doc,
+    * [[removeDupSpans]] rewrites; this names WHAT is duplicated): the
+    * most widespread maximal duplicated spans, clustered by exact
+    * content, with doc/occurrence counts — the "which license block /
+    * boilerplate header is bloating the corpus" readout a curation
+    * review acts on.
+    *
+    * Construction: every w-token window (stride 1) whose hash occurs
+    * ≥ 2 times corpus-wide is a duplicated window (the [[dupSpans]]
+    * signal); CONSECUTIVE duplicated windows in one doc form a maximal
+    * duplicated span (token length = run length + w − 1); a span's
+    * family key is md5 of its ordered window-hash sequence — equal
+    * keys ⇔ identical token content AND identical maximal extent, so
+    * a family is one exact repeated passage. Ranked by reach
+    * (n_docs DESC), then span length, then key (a total order — both
+    * engines pick the same top-k).
+    *
+    * Scale shape: the window table is built, hashed, repartitioned and
+    * checkpointed exactly as [[removeDupSpans]] (exchanges carry
+    * (8B hash, id, int) — never text); the dup filter is a co-located
+    * semi join on that partitioning; the run-splitting window function
+    * is PARTITIONED by doc (islands: j − row_number), so its exchange
+    * carries only the filtered duplicated windows; families roll up
+    * map-side-combined on the 16-byte key; the final top-k is a
+    * TakeOrderedAndProject. No data-sized collect, no text past the
+    * tokenizer.
+    *
+    * Output: `family_fp` (hex md5), `span_tokens`, `n_docs`,
+    * `n_spans`, `example_doc` (smallest doc id carrying the span). */
+  def dupSpanFamilies(docs: DataFrame, w: Int = 16, topK: Int = 20,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"dupSpanFamilies: window must be >= 2 tokens, got $w")
+    require(topK >= 1, s"dupSpanFamilies: topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= w)
+      .select(col(idCol),
+        posexplode(org.apache.spark.sql.graftext.VectorExpressions
+          .md5WindowHashes60(col("_toks"), w)).as(Seq("j", "k")))
+      .repartition(col("k"))
+      .localCheckpoint()
+    val dupKeys = wins.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("k"))
+    val runs = wins.join(dupKeys, Seq("k"), "left_semi")
+      .withColumn("_run", col("j") -
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("j"))))
+      .groupBy(col(idCol), col("_run"))
+      .agg(count(lit(1)).as("_nw"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("j"), col("k")))),
+            s => s.getField("k").cast("string"))).cast("binary")).as("family_fp"))
+    runs
+      .select(col(idCol), col("family_fp"),
+        (col("_nw") + lit(w - 1)).cast("bigint").as("span_tokens"))
+      .groupBy(col("family_fp"), col("span_tokens")) // fp ⊇ length: still one family per key
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_spans"),
+        min(col(idCol)).as("example_doc"))
+      .orderBy(col("n_docs").desc, col("span_tokens").desc, col("family_fp"))
+      .limit(topK)
+  }
+
   /** Exact-substring dedup APPLICATION — the removal step [[dupSpans]]
     * only detects (Lee et al. 2022 cut the repeated spans out of the
     * corpus, not just flag them). Deterministic ownership rule: every

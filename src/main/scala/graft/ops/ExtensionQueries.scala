@@ -2285,6 +2285,40 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Top duplicated substring families (Dedup.dupSpanFamilies
+    * scaladoc: maximal consecutive runs of corpus-duplicated stride-1
+    * windows, family-keyed by md5 of the ordered window-hash
+    * sequence, doc-partitioned islands window, top-k under a total
+    * order). The oracle replays the window hashing, the j−ROW_NUMBER
+    * islands, the comma-joined decimal hash digest, and the ranking. */
+  val dupSpanFamiliesQ: Q = Q(
+    "x_dup_span_families",
+    (s, d) => Dedup.dupSpanFamilies(Tables.documents(s, d), w = 16, topK = 20),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                    FROM documents
+                    WHERE len(regexp_split_to_array(text, '\s+')) >= 16),
+      wins AS (SELECT doc_id, j,
+                    ('0x' || substr(md5(array_to_string(list_slice(toks, j + 1, j + 16), ' ')), 1, 15))::BIGINT AS k
+               FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 16 + 1)) AS j FROM base)),
+      cnt AS (SELECT k FROM (SELECT k, COUNT(*) AS c FROM wins GROUP BY 1) WHERE c >= 2),
+      dupw AS (SELECT doc_id, j, k FROM wins SEMI JOIN cnt USING (k)),
+      runs AS (SELECT doc_id, j, k,
+                      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS run
+               FROM dupw),
+      spans AS (SELECT doc_id,
+                       md5(array_to_string(list(k::VARCHAR ORDER BY j), ',')) AS family_fp,
+                       CAST(COUNT(*) + 15 AS BIGINT) AS span_tokens
+                FROM runs GROUP BY doc_id, run)
+      SELECT family_fp, span_tokens,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             MIN(doc_id) AS example_doc
+      FROM spans GROUP BY 1, 2
+      ORDER BY n_docs DESC, span_tokens DESC, family_fp LIMIT 20
+    """.trim)
+  )
+
   /** BM25 sparse retrieval — top-10 documents for a fixed query-term
     * set over the corpus (Corpus.bm25TopDocs scaladoc has the scale
     * story: one token explode filtered to the query terms at the scan,
@@ -5044,7 +5078,7 @@ object ExtensionQueries {
     splitAssign, splitLeakageFree, tfidf, bm25, bigramLm, dupSpansQ, lineDedup, sourceCap,
     heavyHittersQ, skewSaltedJoin, zorderValues, overlapJoinQ, fuzzyJoinQ, scd2MergeQ,
     pageRankQ, bpeMergesQ, bpeVocabQ, olsQualityQ, olsPerGroupQ,
-    dsirWeights, knnLabel, dupSpansApply, hybridRrfQ, winnowingQ, prioritySampleQ,
+    dsirWeights, knnLabel, dupSpansApply, dupSpanFamiliesQ, hybridRrfQ, winnowingQ, prioritySampleQ,
     vocabCoverageQ, cdcChunksQ, cdcDedupStatsQ, pplBucketsQ, mixEpochsQ,
     hardNegativesQ, ngramNoveltyQ, bpeEncodeQ, pprQ,
     sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, attributionQ, aggMergeQ,

@@ -360,6 +360,32 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(5L))
   }
 
+  test("dupSpanFamilies clusters maximal shared spans with reach counts") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"s$i").mkString(" ") // 8-token shared run
+    val docs = Seq(
+      // docs 1+2 carry the identical 8-token run (at different offsets)
+      (1L, run + " u1 u2 u3 u4"),
+      (2L, "x1 x2 " + run + " y1 y2"),
+      // doc 3: self-repeated 4-token window, separated — two 1-window
+      // spans of the same family
+      (3L, "m1 m2 m3 m4 zz m1 m2 m3 m4"),
+      // doc 4: unique — contributes nothing
+      (4L, (1 to 12).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanFamilies(docs, w = 4, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 2, out.mkString("; "))
+    // family 1: the shared run — 5 consecutive dup windows ⇒ 8-token
+    // span, in 2 docs, once each; example doc is the smaller id
+    val (fp1, spanTok1, nDocs1, nSpans1, ex1) = out(0)
+    assert((spanTok1, nDocs1, nSpans1, ex1) == ((8L, 2L, 2L, 1L)), out(0).toString)
+    // family 2: doc 3's self-repeat — two 1-window spans of 4 tokens
+    val (fp2, spanTok2, nDocs2, nSpans2, ex2) = out(1)
+    assert((spanTok2, nDocs2, nSpans2, ex2) == ((4L, 1L, 2L, 3L)), out(1).toString)
+    assert(fp1 != fp2 && fp1.matches("[0-9a-f]{32}") && fp2.matches("[0-9a-f]{32}"))
+  }
+
   test("removeDupSpans cuts duplicated windows everywhere but the owning doc") {
     import spark.implicits._
     def md5Of(s: String): String =

@@ -372,6 +372,22 @@ class PlanAuditSpec extends SparkSpec {
       "gram exchanges must carry hashes, never document text:\n" + exchangeLines.mkString("\n"))
   }
 
+  test("x_dup_span_families: islands window is doc-partitioned; exchanges carry hashes, never text; top-k never globally sorts") {
+    val p = plan("x_dup_span_families")
+    // the run-splitting window must be PARTITIONED (by doc) — an
+    // unpartitioned window would drag every dup window to one partition
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      !l.contains("windowspecdefinition") || l.contains("doc_id")),
+      winLines.mkString("\n"))
+    // top-k rides TakeOrderedAndProject, not a global Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(!_.contains("text#")),
+      "exchanges must carry hashes/ids, never text:\n" + exchangeLines.mkString("\n"))
+  }
+
   test("x_bpe_encode: the corpus encode pass is window-free and explode-free past training") {
     val p = plan("x_bpe_encode")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
