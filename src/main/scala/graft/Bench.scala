@@ -72,6 +72,15 @@ object Bench {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Generic A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" sets runtime
+    // session confs (operator A/B faces read these — e.g.
+    // spark.graft.lpa.prepartition) without a code change per probe.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     // reliable-ckpt runs write one file tree per CC round per query per
     // run; without cleanCheckpoints Spark never deletes out-of-scope
     // ones, and the dir itself must go on exit (belt and braces: the

@@ -45,11 +45,18 @@ object BpeCurve {
             element_at(toks, i + 2), element_at(toks, i + 3)))))
     // JVM+codegen warmup so the first point isn't startup-inflated
     Corpus.learnBpeMerges(docs, nMerges = 5).collect()
-    for (nm <- points) {
+    // batch > 1 measures the batched-round scheduler (up to `batch`
+    // pairwise-independent merges per pair-count job — see bpeCore):
+    // the r9 curve proved per-merge cost is pure round latency, so the
+    // batched curve should show ~batch× fewer rounds ≈ ~batch× less
+    // wall time at equal vocab
+    val batches = sys.env.getOrElse("SPARK_GRAFT_BPE_BATCH", "1")
+      .split(",").map(_.trim.toInt).toSeq
+    for (nm <- points; b <- batches) {
       val t0 = System.nanoTime()
-      val merges = Corpus.learnBpeMerges(docs, nMerges = nm).collect()
+      val merges = Corpus.learnBpeMerges(docs, nMerges = nm, batch = b).collect()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"bpe_merge_curve","nMerges":$nm,"learned":${merges.length},"value":$sec%.2f,"unit":"sec","secPerMerge":${sec / nm}%.4f,"sf":"$sfDir"}""")
+      println(f"""{"metric":"bpe_merge_curve","nMerges":$nm,"batch":$b,"learned":${merges.length},"value":$sec%.2f,"unit":"sec","secPerMerge":${sec / nm}%.4f,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

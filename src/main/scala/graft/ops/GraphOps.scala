@@ -131,8 +131,20 @@ object GraphOps {
                        assumeCanonical: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"labelPropagation: iters must be in [1, 20], got $iters")
     val ed = canonical(edges, srcCol, dstCol, assumeCanonical)
-    val sym = ed.select(col("a").as("u"), col("b").as("v"))
+    val sym0 = ed.select(col("a").as("u"), col("b").as("v"))
       .unionAll(ed.select(col("b").as("u"), col("a").as("v")))
+    // A/B face (spark.graft.lpa.prepartition=true): materialize the
+    // symmetrized list ALREADY HASH-PARTITIONED on the join key — the
+    // checkpoint's LogicalRDD keeps outputPartitioning, so every
+    // round's shuffle-hash join skips re-exchanging the edge side
+    // (iters−1 edge-sized exchanges saved for one up-front write).
+    // The per-round (v, label) message rollup exchange remains either
+    // way; same results by construction, measured via BENCH_SCALE §LPA.
+    val sym =
+      if (edges.sparkSession.conf.getOption("spark.graft.lpa.prepartition")
+            .exists(_.toBoolean))
+        sym0.repartition(col("u")).localCheckpoint()
+      else sym0
     var labels = ed.select(col("a").as("node"))
       .unionAll(ed.select(col("b").as("node")))
       .distinct()

@@ -60,6 +60,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
   }
 
+  test("labelPropagation: prepartition A/B face returns identical labels") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val base = GraphOps.labelPropagation(g.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.lpa.prepartition", "true")
+    try {
+      val pre = GraphOps.labelPropagation(g.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pre == base)
+    } finally spark.conf.unset("spark.graft.lpa.prepartition")
+  }
+
   test("graphStats: P3 path is perfectly disassortative, K3 has zero degree variance") {
     import spark.implicits._
     def row(edges: Seq[(Long, Long)]) = GraphOps.graphStats(edges.toDF("src", "dst"))
