@@ -287,6 +287,83 @@ object EventStream {
       }
   }
 
+  /** [[quantileSketches]] state/readout: the per-type running q-digest
+    * (heap-numbered node→count map, [[graft.sketch.QDigest.Sketch]]
+    * layout) plus the three headline quantiles read off it. */
+  final case class QdState(n: Long, nodes: Map[Long, Long])
+  final case class QuantileReadout(event_type: String, n: Long,
+                                   p50: Long, p95: Long, p99: Long,
+                                   nodes: Map[Long, Long])
+
+  /** Streaming quantile readout — the q-digest face of the streaming
+    * tier, composing the persisted per-day sketch lifecycle
+    * ([[graft.sketch.QDigest.toDf]]/`fromDf`) with the
+    * [[decayedCounters]] state pattern: per event type, the state is
+    * ONE compressed q-digest over every value seen so far; each
+    * micro-batch folds its values in as a locally-compressed partial
+    * (exactly a persisted "day" sketch), merges by exact count
+    * addition, recompresses at the new global threshold, and emits the
+    * refreshed readout (update mode — latest row per type wins, the
+    * [[newVsReturning]] contract).
+    *
+    * Values enter as integer cents (BigDecimal HALF_UP, bit-identical
+    * to the batch/oracle rounding idiom in [[decayedCounters]]), so the
+    * sketch domain is the same [0, 2^bits) integer universe as
+    * [[graft.sketch.QDigest.build]].
+    *
+    * Equivalence contract (proven in StreamBatchEquivalenceSpec):
+    * `n` is EXACT always (merge is count addition). While n < k the
+    * compression threshold floor(n/k) is 0, every compress is the
+    * identity, and the emitted node map is the exact leaf histogram —
+    * BYTE-IDENTICAL to `QDigest.build` over the full history and to
+    * `QDigest.fromDf` over the per-batch partials (the persisted-union
+    * property, preserved across the streaming lifecycle). Once
+    * compression engages, the emitted sketch obeys the q-digest
+    * repeated-merge rank bound ≤ bits·n/k (Shrivastava et al. SenSys
+    * '04 — folding always happens at the CURRENT threshold, and
+    * thresholds are monotone in n), and state stays ≤ ~3k nodes per
+    * type regardless of stream length.
+    *
+    * Scale shape: state is O(k) longs per event type — the mergeable-
+    * sketch story 100 TB streams need: no raw values retained, no
+    * unbounded growth, and the per-batch partial is itself a valid
+    * sketch a foreachBatch writer could persist for the batch-side
+    * union lifecycle. */
+  def quantileSketches(events: Dataset[Event], bits: Int = 20,
+                       k: Int = 512): Dataset[QuantileReadout] = {
+    require(bits >= 1 && bits <= 32, s"quantileSketches: bits must be in [1,32], got $bits")
+    require(k >= 8, s"quantileSketches: k must be >= 8, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.sketch.QDigest
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val lim = 1L << bits
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[QdState, QuantileReadout](GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state: GroupState[QdState]) =>
+          val leaf = scala.collection.mutable.Map.empty[Long, Long]
+          var nB = 0L
+          rows.foreach { e =>
+            val cents = JBD.valueOf(e.value * 100)
+              .setScale(0, RoundingMode.HALF_UP).longValueExact()
+            require(cents >= 0 && cents < lim,
+              s"quantileSketches: value $cents cents outside [0, 2^$bits)")
+            val id = (1L << bits) + cents
+            leaf.update(id, leaf.getOrElse(id, 0L) + 1L)
+            nB += 1L
+          }
+          val partial = QDigest.Sketch(bits, k, nB, leaf.toMap).compress
+          val prev = state.getOption
+            .map(s => QDigest.Sketch(bits, k, s.n, s.nodes))
+            .getOrElse(QDigest.empty(bits, k))
+          val sk = prev.merge(partial).compress
+          state.update(QdState(sk.n, sk.nodes))
+          QuantileReadout(typ, sk.n,
+            sk.quantile(0.50), sk.quantile(0.95), sk.quantile(0.99), sk.nodes)
+      }
+  }
+
   final case class NvrState(days: List[Long])
   final case class NvrReadout(user_id: Long, first_day: Long, days: List[Long])
 

@@ -269,4 +269,92 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // the retroactive flip really happened: user 1's first day is now 09
     assert(got(1L).first_day == java.time.LocalDate.parse("2024-03-09").toEpochDay)
   }
+
+  test("quantileSketches: exact regime (n < k) is byte-identical to the batch build AND the persisted union") {
+    import graft.sketch.QDigest
+    import org.apache.spark.sql.Dataset
+    // three out-of-order batches, two types; all values < 2^bits cents
+    val b1 = Seq(ev(1, "10:00", 1, "view", 3.00), ev(2, "10:05", 2, "view", 7.50),
+      ev(3, "10:10", 1, "purchase", 40.00))
+    val b2 = Seq(ev(4, "09:00", 3, "view", 1.25), ev(5, "09:30", 1, "purchase", 12.34))
+    val b3 = Seq(ev(6, "11:00", 2, "view", 7.50), ev(7, "11:10", 2, "view", 0.01))
+    val (bits, k) = (14, 512) // n << k: every compress is the identity
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[String, EventStream.QuantileReadout]()
+    val q = EventStream.quantileSketches(input.toDS(), bits = bits, k = k)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.QuantileReadout], _: Long) =>
+        df.collect().foreach(r => got(r.event_type) = r)
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    val all = b1 ++ b2 ++ b3
+    for (typ <- Seq("view", "purchase")) {
+      val hist = all.filter(_.event_type == typ).toDF()
+        .selectExpr("cast(round(value * 100) as long) as cents")
+      // batch twin: one build over the full history
+      val built = QDigest.build(hist, "cents", bits = bits, k = k)
+      val r = got(typ)
+      assert(r.n == built.n && r.nodes == built.nodes,
+        s"$typ: stream=(${r.n}, ${r.nodes}) build=(${built.n}, ${built.nodes})")
+      assert((r.p50, r.p95, r.p99) ==
+        ((built.quantile(0.50), built.quantile(0.95), built.quantile(0.99))))
+      // persisted-union lifecycle: per-batch partials written as rows,
+      // fromDf-merged — must also be byte-identical
+      val partials = Seq(b1, b2, b3).map(_.filter(_.event_type == typ))
+        .filter(_.nonEmpty)
+        .map(b => QDigest.toDf(spark, QDigest.build(
+          b.toDF().selectExpr("cast(round(value * 100) as long) as cents"),
+          "cents", bits = bits, k = k)))
+        .reduce(_ unionAll _)
+      val unioned = QDigest.fromDf(partials)
+      assert(r.nodes == unioned.nodes && r.n == unioned.n,
+        s"$typ: stream=${r.nodes} union=${unioned.nodes}")
+    }
+  }
+
+  test("quantileSketches: compressed regime keeps n exact, state bounded, and ranks within bits*n/k") {
+    import org.apache.spark.sql.Dataset
+    // k=64 with 600 mostly-unit leaf masses forces real compression
+    // across batches (threshold floor(600/64)=9 folds the 1-count
+    // leaves) while keeping the rank bound bits*n/k = 112 << n = 600 —
+    // a falsifiable assertion, not a vacuous one; squares mod 4000
+    // cents make the mass uneven
+    val vals = (1 to 600).map(i => ((i * i) % 4000) / 100.0)
+    val batches = vals.grouped(200).zipWithIndex.map { case (vs, bi) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        ev(bi * 1000L + i, f"${10 + bi}%02d:${i % 60}%02d", i % 7, "view", v) }
+    }.toSeq
+    val (bits, k) = (12, 64)
+
+    val input = MemoryStream[Event]
+    var last: EventStream.QuantileReadout = null
+    val q = EventStream.quantileSketches(input.toDS(), bits = bits, k = k)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.QuantileReadout], _: Long) =>
+        df.collect().foreach(r => last = r)
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    assert(last.n == 600L) // merge is exact count addition
+    assert(last.nodes.size <= 3 * k, s"state must stay O(k): ${last.nodes.size}")
+    // rank-error bound of the repeated merge+compress lifecycle:
+    // | trueRank(reported) - target | <= bits * n / k
+    val sorted = vals.map(v => math.round(v * 100)).sorted
+    val bound = bits.toLong * last.n / k
+    for ((p, rep) <- Seq(0.50 -> last.p50, 0.95 -> last.p95, 0.99 -> last.p99)) {
+      val target = math.ceil(p * last.n).toLong
+      val lo = sorted.count(_ < rep).toLong  // min possible rank of rep
+      val hi = sorted.count(_ <= rep).toLong // max possible rank of rep
+      val err = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+      assert(err <= bound, s"q=$p reported=$rep trueRank=[$lo,$hi] target=$target err=$err bound=$bound")
+    }
+  }
 }
