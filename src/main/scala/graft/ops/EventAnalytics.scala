@@ -927,4 +927,56 @@ object EventAnalytics {
         round(col("wn").cast("double") / lit(denom), 6).as("decayed_count"),
         round(col("wv").cast("double") / lit(denom) / lit(math.pow(10.0, scale)), 6).as("decayed_value"))
   }
+
+  /** Session entry/exit/bounce report — which event types OPEN
+    * sessions, which CLOSE them, and which bounce (single-event
+    * sessions): the landing/exit-page readout a funnel review starts
+    * from, keyed by event type.
+    *
+    * Scale shape: the [[sessionize]] marking windows ride the log's
+    * ONE `user_id` exchange; the per-session collapse reuses that
+    * partitioning (grouping on a superset of the window key — no
+    * second log-sized exchange), with entry/exit read as struct-argmin
+    * /argmax over (ts_us, event_id, type) — `event_id` breaks
+    * timestamp ties, so both ends are total-order deterministic. The
+    * session table (output-sized, not log-sized) then stacks one
+    * entry-role and one exit-role row per session and rolls up on the
+    * tiny event-type key, map-side combined. Bounces count once, on
+    * the entry side.
+    *
+    * Output: one row per event type — `event_type`, `n_entries`,
+    * `n_exits`, `n_bounces` (all exact BIGINT counts). */
+  def entryExit(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    require(gapSec >= 1, s"entryExit: gapSec must be >= 1, got $gapSec")
+    val gapUs = gapSec * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .withColumn("_new",
+        when(lag(col("ts_us"), 1).over(wOrd).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"),
+        count(lit(1)).as("n_events"))
+    // explode to (entry-role, exit-role) rows INSIDE the one pipeline —
+    // a self-union here would recompute the whole session build (scan +
+    // user exchange + windows) once per branch
+    sess.select(explode(array(
+        struct(col("entry_type").as("event_type"),
+          lit(1L).as("_e"), lit(0L).as("_x"),
+          when(col("n_events") === 1, lit(1L)).otherwise(lit(0L)).as("_b")),
+        struct(col("exit_type").as("event_type"),
+          lit(0L).as("_e"), lit(1L).as("_x"), lit(0L).as("_b")))).as("_r"))
+      .select(col("_r.event_type"), col("_r._e"), col("_r._x"), col("_r._b"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("_e")).as("n_entries"), sum(col("_x")).as("n_exits"),
+        sum(col("_b")).as("n_bounces"))
+  }
 }

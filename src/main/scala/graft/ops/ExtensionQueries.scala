@@ -5059,6 +5059,98 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Theil T inequality over customer revenue (Relational.theilRevenue
+    * scaladoc: exact cent base, exact decimal total, per-term
+    * ROUND-then-DECIMAL before summing so the one transcendental — ln —
+    * never rides an order-dependent double fold). */
+  val theilQ: Q = Q(
+    "x_theil",
+    (s, d) => Relational.theilRevenue(Tables.orders(s, d)),
+    Some("""
+      WITH rev AS (SELECT o_custkey,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+      pos AS (SELECT * FROM rev WHERE cents > 0),
+      tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS DECIMAL(38,0)) AS s FROM pos),
+      terms AS (SELECT n,
+                       CAST(ROUND((CAST(cents AS DOUBLE) * n / CAST(s AS DOUBLE)) *
+                                  LN(CAST(cents AS DOUBLE) * n / CAST(s AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS term
+                FROM pos, tot)
+      SELECT CAST(n AS BIGINT) AS n_customers,
+             ROUND(CAST(SUM(term) AS DOUBLE) / n, 6) AS theil,
+             ROUND(CAST(SUM(term) AS DOUBLE) / n / LN(CAST(n AS DOUBLE)), 6) AS theil_norm
+      FROM terms GROUP BY n
+    """.trim)
+  )
+
+  /** Session entry/exit/bounce report (EventAnalytics.entryExit
+    * scaladoc: sessionize windows on ONE user exchange, struct-argmin/
+    * argmax session ends with event_id tiebreaks, entry+exit role rows
+    * rolled up on the tiny type key). The oracle replays the marking,
+    * the asc/desc ROW_NUMBER ends, and the role union. */
+  val entryExitQ: Q = Q(
+    "x_entry_exit",
+    (s, d) => EventAnalytics.entryExit(Tables.events(s, d), gapSec = 1800L),
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS nw
+        FROM events),
+      s AS (SELECT user_id, event_id, event_type, ts_us,
+                   SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m),
+      r AS (SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_id) AS ra,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts_us DESC, event_id DESC) AS rd
+            FROM s),
+      sess AS (SELECT user_id, sid,
+                      MIN(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+                      MIN(CASE WHEN rd = 1 THEN event_type END) AS exit_type,
+                      COUNT(*) AS ne
+               FROM r GROUP BY 1, 2),
+      u AS (SELECT entry_type AS event_type, 1 AS e, 0 AS x,
+                   CASE WHEN ne = 1 THEN 1 ELSE 0 END AS b FROM sess
+            UNION ALL
+            SELECT exit_type, 0, 1, 0 FROM sess)
+      SELECT event_type, CAST(SUM(e) AS BIGINT) AS n_entries,
+             CAST(SUM(x) AS BIGINT) AS n_exits,
+             CAST(SUM(b) AS BIGINT) AS n_bounces
+      FROM u GROUP BY 1
+    """.trim)
+  )
+
+  /** Per-label embedding centroid drift vs the global centroid
+    * (Similarity.embedDrift scaladoc: ROUND-then-DECIMAL components,
+    * exact decimal centroid sums, left-fold cosine). The oracle
+    * rebuilds both centroids with the kmeans-CTE idiom and scores with
+    * list_dot_product. */
+  val embedDriftQ: Q = Q(
+    "x_embed_drift",
+    (s, d) => Similarity.embedDrift(Tables.embeddings(s, d)),
+    Some("""
+      WITH comps AS (SELECT CAST(label AS BIGINT) AS label, i - 1 AS pos,
+                            CAST(ROUND(v[i], 6) AS DECIMAL(18,6)) AS x
+                     FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+                          (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      ls AS (SELECT label, pos, SUM(x) AS sx, COUNT(*) AS cnt FROM comps GROUP BY 1, 2),
+      la AS (SELECT label, list(CAST(sx AS DOUBLE) / cnt ORDER BY pos) AS v,
+                    MAX(cnt) AS n_vecs
+             FROM ls GROUP BY 1),
+      g AS (SELECT pos, CAST(SUM(sx) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS gc
+            FROM ls GROUP BY 1),
+      ga AS (SELECT list(gc ORDER BY pos) AS gv FROM g)
+      SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+             ROUND(list_dot_product(v, gv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(gv, gv))), 6) AS cos_to_global
+      FROM la, ga
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
@@ -5093,5 +5185,5 @@ object ExtensionQueries {
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
-    segmentCiQ, behaviorQ, priceDecileQ, giniQ)
+    segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ)
 }

@@ -400,6 +400,50 @@ object Relational {
           (col("n_customers") + 1).cast("double") / col("n_customers"), 6).as("gini"))
   }
 
+  /** Theil T inequality index over customer revenue — the
+    * decomposable complement to [[giniRevenue]]: T = (1/n)·Σ
+    * (xᵢ/μ)·ln(xᵢ/μ), 0 for perfect equality, ln(n) when one customer
+    * holds everything; `theil_norm` = T / ln(n) rescales to [0, 1].
+    *
+    * Determinism discipline: the base is the same exact integer-cent
+    * per-customer table as [[giniRevenue]]; μ comes from an exact
+    * DECIMAL(38,0) total (one correctly-rounded double divide); each
+    * per-customer term (r·ln r, the file's one transcendental) is
+    * ROUND(…, 6) THEN cast DECIMAL(18,6) before summing, so the
+    * cross-engine sum is exact decimal addition of identically-rounded
+    * terms — the x_mix_epochs sqrt idiom ([[graft.corpus.Corpus]]),
+    * never an order-dependent double fold.
+    *
+    * Scale shape: one map-side-combined exchange collapses orders to
+    * customers; the total is a broadcast 1-row crossJoin; the term
+    * rollup is a second map-side-combined aggregation. No window, no
+    * sort, no global single partition anywhere.
+    *
+    * Output: one row — `n_customers`, `theil` (6 dp),
+    * `theil_norm` (6 dp). */
+  def theilRevenue(orders: DataFrame): DataFrame = {
+    // checkpointed (the globalRank precedent): the total AND the term
+    // pass both read the customer table — without the cut, each branch
+    // re-scans orders and re-runs the customer exchange
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      .filter(col("cents") > 0) // 0·ln 0 is NaN; zero-mass holders carry no entropy
+      .localCheckpoint()
+    val tot = rev.agg(count(lit(1)).as("n"),
+      sum(col("cents")).cast("decimal(38,0)").as("s"))
+    rev.crossJoin(broadcast(tot))
+      .select(col("n"),
+        round((col("cents").cast("double") * col("n") / col("s").cast("double")) *
+            log(col("cents").cast("double") * col("n") / col("s").cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("n"))
+      .agg(sum(col("term")).as("ts"))
+      .select(col("n").as("n_customers"),
+        round(col("ts").cast("double") / col("n"), 6).as("theil"),
+        round(col("ts").cast("double") / col("n") / log(col("n").cast("double")), 6)
+          .as("theil_norm"))
+  }
+
   /** ABC / Pareto inventory classification — every part ranked by
     * lifetime revenue, classed A while the running revenue share is
     * ≤ 80%, B through 95%, C beyond (the classic 80/15/5 stocking

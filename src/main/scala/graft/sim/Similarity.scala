@@ -1301,4 +1301,53 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .select(col(idCol), col("list"), round(col("c"), 6).as("centroid_sim"), col("rn"))
   }
+
+  /** Per-group embedding drift: cosine of each group's centroid against
+    * the global centroid — the embedding-space analogue of the scalar
+    * KS-drift check (DataQuality.ksDrift): a shard/label whose centroid
+    * veers from the corpus signals a distribution break (new crawl,
+    * encoder change, poisoned slice) before any scalar stat moves.
+    *
+    * Determinism discipline: components are ROUND(…, 6) then cast
+    * DECIMAL(18,6) at the explode, so every centroid sum is exact
+    * decimal addition (the kmeans-oracle centroid idiom); the global
+    * centroid re-aggregates the per-group DECIMAL sums (exact, order
+    * free); only the final cosine is double arithmetic, computed by
+    * the left-fold dot kernel — bit-identical to DuckDB's
+    * list_dot_product.
+    *
+    * Scale shape: ONE exchange of (group, pos, decimal) component
+    * rows, map-side combined to groups×dim; everything after is
+    * groups-sized (the global centroid is a dim-row rollup of the
+    * group sums, broadcast back as one array row). The raw embedding
+    * table is read once and never shuffled.
+    *
+    * Output: one row per group — `label`, `n_vecs`,
+    * `cos_to_global` (6 dp). */
+  def embedDrift(emb: DataFrame, groupCol: String = "label",
+                 vecCol: String = "embedding"): DataFrame = {
+    val comps = emb
+      .select(col(groupCol).cast("bigint").as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("x"))
+    val labSums = comps.groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+    val labArr = labSums
+      .select(col("label"), col("pos"),
+        (col("sx").cast("double") / col("cnt")).as("c"), col("cnt"))
+      .groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("v"),
+        max(col("cnt")).as("n_vecs"))
+    val globArr = labSums.groupBy(col("pos"))
+      .agg(sum(col("sx")).as("gs"), sum(col("cnt")).as("gn"))
+      .select(col("pos"), (col("gs").cast("double") / col("gn")).as("g"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("g")))),
+        s => s.getField("g")).as("gv"))
+    labArr.crossJoin(broadcast(globArr))
+      .select(col("label"), col("n_vecs"),
+        round(cosine(col("v"), col("gv")), 6).as("cos_to_global"))
+  }
 }

@@ -35,6 +35,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rowSet(out) == Set("3|1|7.0|1", "1|2|8.0|1", "1|1|16.0|2"))
   }
 
+  test("entryExit: entry/exit argmax with event_id tiebreaks; bounces count once, on the entry side") {
+    val ev = events(
+      // user 1, session 1: view → click → purchase
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:10:00", 1L, "click", 1.0),
+      (3L, "2024-01-01 10:20:00", 1L, "purchase", 1.0),
+      // user 1, session 2: lone click — a click bounce
+      (4L, "2024-01-01 12:00:00", 1L, "click", 1.0),
+      // user 2, session 1: lone view — a view bounce (entry AND exit)
+      (5L, "2024-01-01 09:00:00", 2L, "view", 1.0),
+      // user 2, session 2: two events at the SAME timestamp — event_id
+      // breaks the tie: entry = click (id 7), exit = view (id 8)
+      (7L, "2024-01-01 11:00:00", 2L, "click", 1.0),
+      (8L, "2024-01-01 11:00:00", 2L, "view", 1.0))
+    val out = EventAnalytics.entryExit(ev, gapSec = 1800L)
+    // rowSet column order: event_type | n_bounces | n_entries | n_exits
+    assert(rowSet(out) == Set(
+      "view|1|2|2", "click|1|2|1", "purchase|0|0|1"), rowSet(out).toString)
+  }
+
   test("sessionize: session bounds are the min/max event micros") {
     val ev = events(
       (1L, "2024-01-01 10:00:00.5", 1L, "view", 1.0),

@@ -1159,4 +1159,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
     assert(p.contains("*(2) HashAggregate") || p.contains("*(1) HashAggregate"), p)
   }
+
+  test("x_entry_exit: the log shuffles ONCE on user_id; only session-role rows re-shuffle on the type key") {
+    val p = plan("x_entry_exit")
+    // exchange 1: user_id (windows + session rollup reuse it);
+    // exchange 2: the session-sized role union's event_type rollup
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 hash exchanges (user_id + type rollup), got $n:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x_theil: both passes read the checkpointed customer table; the total rides a 1-row broadcast") {
+    val p = plan("x_theil")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Scan parquet"),
+      "the total and term passes must share the checkpointed base, not re-scan orders:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the (n, s) total must broadcast:\n" + p)
+  }
+
+  test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
+    val p = plan("x_embed_drift")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(!_.contains("embedding#")),
+      "exchanges must carry (label, pos, decimal) components, never the raw array:\n" +
+        exchangeLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row global centroid must broadcast:\n" + p)
+  }
 }

@@ -220,6 +220,28 @@ class RelationalSpec extends SparkSpec {
     assert(g1.getDouble(2) > 0.66 && g1.getDouble(2) < 0.667, g1.toString)
   }
 
+  test("theilRevenue: equality is exactly 0; near-total concentration approaches ln(n)") {
+    val eq = Seq((1L, "1995-01-01", 100.0), (2L, "1995-01-01", 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val t0 = Relational.theilRevenue(eq).collect()(0)
+    // r = 1 exactly (cents·n/s is an exact double divide) → ln 1 = 0
+    assert(t0.getLong(0) == 2L && t0.getDouble(1) == 0.0 && t0.getDouble(2) == 0.0,
+      t0.toString)
+    // cents (1, 1, 1000000): T ≈ 1.0986 → theil_norm ≈ 1 (max is ln 3)
+    val sk = Seq((1L, "1995-01-01", 0.01), (2L, "1995-01-01", 0.01),
+      (3L, "1995-01-01", 10000.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val t1 = Relational.theilRevenue(sk).collect()(0)
+    assert(t1.getDouble(1) > 1.09 && t1.getDouble(1) < math.log(3.0), t1.toString)
+    assert(t1.getDouble(2) > 0.999 && t1.getDouble(2) <= 1.0, t1.toString)
+    // a zero-revenue customer is excluded, not a NaN
+    val z = Seq((1L, "1995-01-01", 0.0), (2L, "1995-01-01", 50.0),
+      (3L, "1995-01-01", 50.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val t2 = Relational.theilRevenue(z).collect()(0)
+    assert(t2.getLong(0) == 2L && t2.getDouble(1) == 0.0, t2.toString)
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),

@@ -403,4 +403,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(x => (x.getInt(3), x.getLong(0)))
     assert(r.head == ((1, 99L)), r.mkString(","))
   }
+
+  test("embedDrift: orthogonal label centroids both sit at cos 45° to the global centroid") {
+    import spark.implicits._
+    // label 0 = two (1,0); label 1 = two (0,1) → the VECTOR-WEIGHTED
+    // global centroid is (0.5, 0.5); cos(each label, global) =
+    // 0.5 / (1 · √0.5) = 0.7071068. An unbalanced third vector on
+    // label 1 shifts the global mean and breaks the symmetry — the
+    // drift scores must move apart, proving the centroid weights by
+    // vector count, not by label.
+    val rows = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+    val out = Similarity.embedDrift(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((0L, 2L, 0.707107), (1L, 2L, 0.707107)), out.toString)
+    // global centroid with a 3rd label-1 vector: (0.4, 0.6) → label 0
+    // scores 0.4/√0.52 = 0.5547, label 1 scores 0.6/√0.52 = 0.83205
+    val skewed = rows :+ ((5L, Array(0.0f, 1.0f), 1))
+    val out2 = Similarity.embedDrift(skewed.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out2 == Set((0L, 2L, 0.5547), (1L, 3L, 0.83205)), out2.toString)
+  }
 }
