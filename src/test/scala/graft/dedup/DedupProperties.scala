@@ -1,78 +1,78 @@
 package graft.dedup
 
 import graft.TestSpark
-import graft.corpus.Corpus
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-/** Property-based invariants for the sub-document dedup family — each
-  * property runs a small Spark job, so the test count is kept low.
-  * These pin the algorithms' PAPER guarantees on random inputs, which
-  * the example-based specs cannot sweep. */
-object DedupProperties extends Properties("dedup.subdoc") {
+/** Brute-force invariant for the duplicated-span FAMILY report on
+  * random adversarial corpora (tiny alphabet → dense window
+  * collisions, self-repeats, cross-doc shares, adjacent runs): the
+  * engine's (span_tokens, n_docs, n_spans, example_doc) multiset must
+  * equal a straight in-memory reference that slices token windows,
+  * counts them corpus-wide, splits consecutive duplicated windows into
+  * maximal runs, and groups runs by their literal content sequence —
+  * the definition, with none of the engine's hashing, islands-window
+  * or checkpoint machinery. Family identity via md5-of-hash-sequence
+  * vs literal content is exactly the collision-freeness the operator
+  * banks on, so the multisets agree iff the machinery is faithful.
+  */
+object DedupProperties extends Properties("graft.dedup.Dedup") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(6)
 
   private lazy val spark = TestSpark.spark
+  import spark.implicits._
 
-  /** Random word-soup doc of n tokens over a small alphabet (repeats
-    * likely — the interesting regime for window hashing). */
-  private def genDoc(minLen: Int, maxLen: Int): Gen[String] = for {
-    n <- Gen.chooseNum(minLen, maxLen)
-    toks <- Gen.listOfN(n, Gen.oneOf((1 to 40).map(i => s"t$i")))
-  } yield toks.mkString(" ")
+  private val genCorpus: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.chooseNum(2, 6)
+    docs <- Gen.listOfN(nDocs, for {
+      len <- Gen.chooseNum(0, 20)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i + 1L, t) }
 
-  /** Winnowing's detection guarantee (Schleimer et al. 2003): if two
-    * docs share a contiguous run of ≥ w + k − 1 tokens, they share at
-    * least one selected fingerprint. Planted by splicing a common run
-    * into two random docs. */
-  property("winnowing guarantee: shared run >= w+k-1 yields shared fingerprint") =
-    forAll(genDoc(6, 20), genDoc(6, 20), Gen.listOfN(7, Gen.identifier.map("s" + _.take(6)))) {
-      (a, b, sharedToks) =>
-        import spark.implicits._
-        val shared = sharedToks.mkString(" ") // 7 = w + k - 1 at k=4, w=4
-        val docs = Seq((1L, s"$a $shared"), (2L, s"$shared $b")).toDF("doc_id", "text")
-        val fps = Dedup.winnowFingerprints(docs, k = 4, w = 4).collect()
-          .map(r => r.getLong(0) -> r.getLong(1))
-        val by = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-        (by(1L) & by(2L)).nonEmpty
+  /** The definition, computed locally: windows → corpus counts → dup
+    * windows → consecutive runs per doc → families by content. */
+  private def refFamilies(docs: List[(Long, String)],
+                          w: Int): List[(Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toVector }
+      .filter(_._2.size >= w)
+    val wins = for {
+      (id, tv) <- toks
+      j <- 0 to tv.size - w
+    } yield (id, j, tv.slice(j, j + w))
+    val counts = wins.groupBy(_._3).map { case (k, xs) => k -> xs.size }
+    val dup = wins.filter(x => counts(x._3) >= 2)
+    val runs: List[(Long, Vector[Vector[String]], Int)] =
+      dup.groupBy(_._1).toList.flatMap { case (id, xs) =>
+        val sorted = xs.sortBy(_._2)
+        val groups = sorted.foldLeft(List.empty[List[(Long, Int, Vector[String])]]) {
+          case (((h @ ((_, pj, _) :: _)) :: rest), x) if x._2 == pj + 1 =>
+            (x :: h) :: rest
+          case (acc, x) => List(x) :: acc
+        }
+        groups.map { g =>
+          val gs = g.reverse
+          (id, gs.map(_._3).toVector, gs.size + w - 1)
+        }
+      }
+    runs.groupBy(_._2).map { case (_, xs) =>
+      (xs.head._3.toLong, xs.map(_._1).distinct.size.toLong,
+        xs.size.toLong, xs.map(_._1).min)
+    }.toList
+  }
+
+  property("dupSpanFamilies == the literal windows/runs/families definition") = {
+    forAll(genCorpus, Gen.chooseNum(2, 3)) { (docs, w) =>
+      val out = Dedup.dupSpanFamilies(docs.toDF("doc_id", "text"), w = w, topK = 10000)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toList.sorted
+      val ref = refFamilies(docs, w).sorted
+      if (out != ref)
+        println(s"MISMATCH w=$w docs=$docs\n engine=$out\n ref=$ref")
+      out == ref
     }
-
-  /** removeDupSpans invariants: token counts never grow, the globally
-    * smallest doc id containing any window is never edited, and a doc
-    * with no duplicated window round-trips exactly. */
-  property("removeDupSpans: kept <= total; min-id owner doc unchanged") =
-    forAll(genDoc(8, 24), genDoc(8, 24)) { (a, b) =>
-      import spark.implicits._
-      val docs = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text") // 3 dups 1
-      val out = Dedup.removeDupSpans(docs, w = 6).collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
-      def md5Of(s: String): String =
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
-      val aToks = a.trim.split("\\s+").length
-      out.values.forall { case (n, kept, _) => kept <= n } &&
-        // doc 1 is the min id for every window it contains -> untouched
-        out(1L)._3 == md5Of(a.split("\\s+").mkString(" ")) &&
-        // doc 3 (exact copy, higher id): if a has >= 6 tokens its
-        // windows are all owned by doc 1, so every token is covered
-        (aToks < 6 || out(3L)._2 == 0L)
-    }
-
-  /** CDC chunking invariants: chunks partition the token stream (sizes
-    * sum to the doc's token count) and chunking is deterministic. */
-  property("cdcChunks: chunks partition the doc; deterministic") =
-    forAll(genDoc(1, 30)) { a =>
-      import spark.implicits._
-      val docs = Seq((1L, a)).toDF("doc_id", "text")
-      val one = Corpus.cdcChunks(docs).collect()
-        .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
-      val two = Corpus.cdcChunks(docs).collect()
-        .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
-      val nToks = a.trim.split("\\s+").length
-      one.map(_._2).sum == nToks.toLong &&
-        one.map(_._1).toSeq == one.indices.map(_.toLong) &&
-        one.toSeq == two.toSeq
-    }
+  }
 }
