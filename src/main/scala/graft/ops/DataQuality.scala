@@ -335,4 +335,73 @@ object DataQuality {
         (col("median2").cast("double") / 2).as("median_daily"),
         (col("mad4").cast("double") / 4).as("mad_daily"))
   }
+
+  /** Population Stability Index per source against a reference source —
+    * the production-monitoring complement to [[ksDrift]] (KS reads the
+    * worst ECDF gap; PSI reads the WHOLE distribution shift through
+    * the standard banking/scoring deciles): PSI = Σ_buckets
+    * (pᵢ−qᵢ)·ln(pᵢ/qᵢ), with the usual <0.1 stable / 0.1-0.25 drifting
+    * / >0.25 shifted reading.
+    *
+    * Construction pinned exactly on both engines: bucket boundaries
+    * are the reference source's decile ORDER STATISTICS — the value at
+    * rank ⌈k·n/B⌉ = (k·n+B−1) div B (integer arithmetic, ties broken
+    * by doc id) for k = 1..B−1 — and a value v lands in bucket
+    * 1 + |{k : v > b_k}|. Shares are Laplace-smoothed
+    * (c+1)/(n+B) (the DSIR idiom — an empty bucket must not produce
+    * ln 0), each (p−q)·ln(p/q) term is ROUND(…, 6) then DECIMAL(18,6)
+    * before summing (the theil discipline: the one transcendental
+    * never rides an order-dependent double fold).
+    *
+    * Scale shape: boundaries come from [[graft.ops.Relational
+    * .globalRank]] over the reference slice (two-phase, no
+    * single-partition sort), collapse to a ≤B−1-row array broadcast to
+    * the scan; the corpus then collapses to (source, bucket) counts in
+    * ONE map-side-combined exchange, checkpointed once (source-count
+    * sized) so the reference-share branch never re-scans; everything
+    * after is |sources|·B rows.
+    *
+    * Output: one row per non-reference source — `source`, `n_rows`,
+    * `psi` (6 dp). */
+  def psiDrift(docs: DataFrame, refSource: String, valCol: String = "n_chars",
+               nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"psiDrift: nBuckets must be in [2, 1000], got $nBuckets")
+    val b = nBuckets
+    val ref = docs.filter(col("source") === refSource)
+      .select(col(valCol).cast("long").as("x"), col("doc_id"))
+    val ranked = graft.ops.Relational.globalRank(
+      ref, Seq(col("x"), col("doc_id")), "r")
+    val nRef = ranked.agg(count(lit(1)).as("n"))
+    val ks = ranked.sparkSession.range(1, b).select(col("id").as("k"))
+    val bounds = ranked.crossJoin(broadcast(nRef))
+      .join(broadcast(ks), col("r") === expr(s"(k * n + $b - 1) div $b"))
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("x")))),
+        s => s.getField("x")).as("bounds"))
+    val counts = docs
+      .select(col("source"), col(valCol).cast("long").as("x"))
+      .crossJoin(broadcast(bounds))
+      .select(col("source"),
+        (lit(1) + size(filter(col("bounds"), bd => col("x") > bd))).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // the p and q branches both read it
+    val tot = counts.groupBy(col("source")).agg(sum(col("c")).cast("long").as("ns"))
+    val bgrid = ranked.sparkSession.range(1, b + 1).select(col("id").cast("int").as("bucket"))
+    val shares = tot.crossJoin(broadcast(bgrid))
+      .join(counts, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"), col("ns"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("ns") + b)).as("p"))
+    val refShares = shares.filter(col("source") === refSource)
+      .select(col("bucket"), col("p").as("q"))
+    shares.filter(col("source") =!= refSource)
+      .join(broadcast(refShares), Seq("bucket"))
+      .select(col("source"), col("ns"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("source"), col("ns"))
+      .agg(sum(col("term")).as("ts"))
+      .select(col("source"), col("ns").as("n_rows"),
+        round(col("ts").cast("double"), 6).as("psi"))
+  }
 }

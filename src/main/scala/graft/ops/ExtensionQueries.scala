@@ -5084,6 +5084,43 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** PSI drift per source vs reference src0 (DataQuality.psiDrift
+    * scaladoc: reference-decile order-statistic boundaries via
+    * globalRank, v > b_k bucketing, Laplace (c+1)/(n+B) shares,
+    * ROUND-then-DECIMAL terms). The oracle replays the integer
+    * boundary ranks, the list_filter bucketing and the smoothing. */
+  val psiDriftQ: Q = Q(
+    "x_psi_drift",
+    (s, d) => DataQuality.psiDrift(Tables.documents(s, d), refSource = "src0"),
+    Some("""
+      WITH v AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      ref AS (SELECT doc_id, x FROM v WHERE source = 'src0'),
+      rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS r FROM ref),
+      nt AS (SELECT COUNT(*) AS n FROM ref),
+      kk AS (SELECT unnest(generate_series(1, 9)) AS k),
+      bd AS (SELECT k, x AS bv FROM rk, nt, kk WHERE r = (k * n + 9) // 10),
+      ba AS (SELECT list(bv ORDER BY k) AS bounds FROM bd),
+      bk AS (SELECT source, 1 + len(list_filter(bounds, bb -> x > bb)) AS bucket
+             FROM v, ba),
+      cnt AS (SELECT source, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM v GROUP BY 1),
+      grid AS (SELECT t.source, g.bucket, COALESCE(c.c, 0) AS c, t.ns
+               FROM tot t
+               CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS bucket) g
+               LEFT JOIN cnt c ON c.source = t.source AND c.bucket = g.bucket),
+      sh AS (SELECT source, bucket, ns,
+                    CAST(c + 1 AS DOUBLE) / (ns + 10) AS p
+             FROM grid),
+      rq AS (SELECT bucket, p AS q FROM sh WHERE source = 'src0'),
+      terms AS (SELECT s.source, s.ns,
+                       CAST(ROUND((s.p - r.q) * LN(s.p / r.q), 6) AS DECIMAL(18,6)) AS term
+                FROM sh s JOIN rq r USING (bucket) WHERE s.source <> 'src0')
+      SELECT source, ns AS n_rows,
+             ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+      FROM terms GROUP BY 1, 2
+    """.trim)
+  )
+
   /** Session entry/exit/bounce report (EventAnalytics.entryExit
     * scaladoc: sessionize windows on ONE user exchange, struct-argmin/
     * argmax session ends with event_id tiebreaks, entry+exit role rows
@@ -5185,5 +5222,6 @@ object ExtensionQueries {
     abcQ, interOrderGapQ, seqPairsQ, multiTouchQ,
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
-    segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ)
+    segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
+    psiDriftQ)
 }

@@ -139,4 +139,23 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getAs[Long]("n_b") == 1L)
     assert(r.isNullAt(r.fieldIndex("t_stat")) && r.isNullAt(r.fieldIndex("dof")), r.toString)
   }
+
+  test("psiDrift: identical distribution reads exactly 0; total displacement reads the closed form") {
+    import spark.implicits._
+    // ref A = 1..10 → decile boundaries are exactly 1..9 (rank k at
+    // value k); B identical → every share pair equal → psi = 0 exactly
+    // (ln 1 = 0 before any rounding); C all-mass-in-bucket-10:
+    // 9 buckets at (0.05−0.1)·ln(0.5) → 0.034657 each (6dp), bucket 10
+    // at (0.55−0.1)·ln(5.5) → 0.767137 → psi = 1.07905
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "A", i.toLong)) ++
+      (1 to 10).map(i => (100L + i, "B", i.toLong)) ++
+      (1 to 10).map(i => (200L + i, "C", 100L))
+    ).toDF("doc_id", "source", "n_chars")
+    val out = DataQuality.psiDrift(docs, refSource = "A")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set("B", "C"), out.toString)
+    assert(out("B") == ((10L, 0.0)), out.toString)
+    assert(out("C") == ((10L, 1.07905)), out.toString)
+  }
 }

@@ -1178,6 +1178,18 @@ class PlanAuditSpec extends SparkSpec {
       "the (n, s) total must broadcast:\n" + p)
   }
 
+  test("x_psi_drift: share branches read the checkpointed counts; boundaries broadcast to the scan") {
+    val p = plan("x_psi_drift")
+    // counts is localCheckpointed — the p and q branches must NOT
+    // re-scan documents (globalRank's internals sit behind its own
+    // checkpoint, so no Window survives either)
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "bounds/refShares must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
     val p = plan("x_embed_drift")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
