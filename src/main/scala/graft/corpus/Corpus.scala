@@ -1657,4 +1657,51 @@ object Corpus {
           .otherwise(least(col("tok"), col("cap"))).as("alloc"),
         (col("total") > budget && col("tok") > col("cap")).as("capped"))
   }
+
+  /** Vocabulary-growth (Heaps'-law) curve — distinct-type count after
+    * each 1/P checkpoint of the token stream in (doc_id, pos) order:
+    * the "is this corpus still contributing new vocabulary or just
+    * repeating itself" diagnostic a data-mixing review reads before
+    * adding another crawl slice (Heaps 1978: V(N) ≈ K·N^β; a β
+    * collapse signals duplication the dedup tier should explain).
+    *
+    * Exactness: everything is integers — token identity is the 60-bit
+    * md5 ([[Dedup.md5Hash60]] collision argument), the stream position
+    * is [[graft.ops.Relational.globalRank]] over (doc_id, pos) (total
+    * order, two-phase, no single-partition sort), checkpoint sizes are
+    * ceil(p·T/P) = (p·T+P−1) div P in integer arithmetic, and V(N_p)
+    * counts first occurrences with f ≤ N_p. Only the final type/token
+    * ratio divides (exact ints → correctly-rounded double, 6 dp).
+    *
+    * Scale shape: ONE token-stream-sized range exchange (the
+    * globalRank), one map-side-combined rollup to the vocab-sized
+    * first-occurrence table, then a P-way broadcast fan-out of that
+    * table collapsing immediately to P rows — never a window over the
+    * stream, never a per-point rescan (globalRank's checkpoint serves
+    * both the total and the rollup).
+    *
+    * Output: one row per checkpoint — `point` (1..P), `n_tokens`
+    * (prefix length), `vocab` (distinct types seen), `ttr` (6 dp). */
+  def vocabGrowth(docs: DataFrame, nPoints: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nPoints >= 1 && nPoints <= 64,
+      s"vocabGrowth: nPoints must be in [1, 64], got $nPoints")
+    import org.apache.spark.sql.graftext.{VectorExpressions => V}
+    val spark = docs.sparkSession
+    val stream = docs.select(col(idCol).as("_id"),
+      posexplode(V.md5Hashes60(TextAnalysis.tokens(col(textCol)))).as(Seq("_pos", "_h")))
+    val ranked = graft.ops.Relational.globalRank(
+      stream, Seq(col("_id"), col("_pos")), "gpos")
+    val first = ranked.groupBy(col("_h")).agg(min(col("gpos")).as("f"))
+    val tot = ranked.agg(count(lit(1)).as("t"))
+    val pts = spark.range(1, nPoints + 1).select(col("id").as("p"))
+      .crossJoin(broadcast(tot))
+      .select(col("p"), expr(s"(p * t + $nPoints - 1) div $nPoints").as("n_prefix"))
+    first.crossJoin(broadcast(pts))
+      .filter(col("f") <= col("n_prefix"))
+      .groupBy(col("p"), col("n_prefix"))
+      .agg(count(lit(1)).as("vocab"))
+      .select(col("p").as("point"), col("n_prefix").as("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / col("n_prefix"), 6).as("ttr"))
+  }
 }

@@ -5084,6 +5084,32 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Heaps'-law vocabulary-growth curve (Corpus.vocabGrowth scaladoc:
+    * 60-bit md5 types, globalRank stream positions, integer checkpoint
+    * arithmetic, P-row broadcast fan-out). The oracle replays the
+    * (doc_id, pos) total order, the ceil-div checkpoints and the
+    * first-occurrence counts. */
+  val vocabGrowthQ: Q = Q(
+    "x_vocab_growth",
+    (s, d) => graft.corpus.Corpus.vocabGrowth(Tables.documents(s, d), nPoints = 8),
+    Some("""
+      WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                    FROM documents),
+      tk AS (SELECT doc_id, i AS pos,
+                    ('0x' || substr(md5(toks[i + 1]), 1, 15))::BIGINT AS h
+             FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM base)),
+      rk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS gpos FROM tk),
+      fo AS (SELECT h, MIN(gpos) AS f FROM rk GROUP BY 1),
+      tt AS (SELECT COUNT(*) AS t FROM rk),
+      pt AS (SELECT p, (p * t + 7) // 8 AS n_prefix
+             FROM (SELECT unnest(generate_series(1, 8)) AS p), tt)
+      SELECT CAST(p AS BIGINT) AS point, CAST(n_prefix AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / n_prefix, 6) AS ttr
+      FROM fo, pt WHERE f <= n_prefix GROUP BY p, n_prefix
+    """.trim)
+  )
+
   /** PSI drift per source vs reference src0 (DataQuality.psiDrift
     * scaladoc: reference-decile order-statistic boundaries via
     * globalRank, v > b_k bucketing, Laplace (c+1)/(n+B) shares,
@@ -5223,5 +5249,5 @@ object ExtensionQueries {
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
-    psiDriftQ)
+    psiDriftQ, vocabGrowthQ)
 }

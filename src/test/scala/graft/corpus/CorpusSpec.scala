@@ -591,6 +591,19 @@ class CorpusSpec extends SparkSpec {
     assert(top2.map(_.getString(1)).toSeq == Seq("aa", "bb"))
   }
 
+  test("vocabGrowth: checkpoint counts follow first occurrences in (doc_id, pos) order") {
+    import spark.implicits._
+    // stream: a b a | c a → T=5; nPoints=5 puts a checkpoint at every
+    // position; first occurrences a→1, b→2, c→4
+    val docs = Seq((1L, "a b a"), (2L, "c a")).toDF("doc_id", "text")
+    val out = Corpus.vocabGrowth(docs, nPoints = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1.0), (2L, 2L, 2L, 1.0), (3L, 3L, 2L, 0.666667),
+      (4L, 4L, 3L, 0.75), (5L, 5L, 3L, 0.6)), out.toSeq.toString)
+  }
+
   test("cdcChunks: boundaries are content-defined — chunks re-align after an insertion") {
     import spark.implicits._
     // find real boundary tokens under the operator's own hash rule

@@ -1178,6 +1178,16 @@ class PlanAuditSpec extends SparkSpec {
       "the (n, s) total must broadcast:\n" + p)
   }
 
+  test("x_vocab_growth: total and rollup share the globalRank checkpoint; no window over the stream") {
+    val p = plan("x_vocab_growth")
+    assert(!p.contains("Scan parquet"),
+      "both readers must ride the ranked stream's checkpoint:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the P-row checkpoint grid must broadcast:\n" + p)
+  }
+
   test("x_psi_drift: share branches read the checkpointed counts; boundaries broadcast to the scan") {
     val p = plan("x_psi_drift")
     // counts is localCheckpointed — the p and q branches must NOT
