@@ -5084,6 +5084,69 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Comparative recall@20 — label-IVF and trained kmeans-IVF probes
+    * vs the brute-force exact top-20 (Similarity.annRecall, the
+    * retrieval tier's eval-harness face). The oracle composes the
+    * x_knn_cosine, x_ann_ivf and x_ann_ivf_kmeans pipelines and counts
+    * both intersections, so the recall VALUES are hash-pinned. */
+  val annRecallQ: Q = Q(
+    "x_ann_recall",
+    (s, d) => Similarity.annRecall(Tables.embeddings(s, d), queryId = 0L, dim = 64,
+      k = 20, nLists = 4, iters = 2),
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      bsc AS (SELECT vec_id,
+                     list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+              FROM e, q WHERE vec_id <> 0),
+      bf AS (SELECT vec_id FROM (SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM bsc) t
+             WHERE rn <= 20),
+      comps AS (SELECT label, i AS pos, round(v[i], 6) AS x
+                FROM e, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      cent AS (SELECT label, pos,
+                      CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+               FROM comps GROUP BY label, pos),
+      lcv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+      nearest AS (SELECT label AS probe_list, qv FROM lcv, q
+                  ORDER BY list_dot_product(cv, qv) /
+                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                           label
+                  LIMIT 1),
+      isc AS (SELECT vec_id,
+                     list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+              FROM e JOIN nearest ON e.label = nearest.probe_list
+              WHERE vec_id <> 0),
+      ivf AS (SELECT vec_id FROM (SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM isc) t
+              WHERE rn <= 20),
+      ${kmeansCtesSql(4, 2)},
+      knearest AS (SELECT list AS kprobe_list, qv FROM cv2, q
+                   ORDER BY list_dot_product(cv, qv) /
+                            (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                            list
+                   LIMIT 1),
+      ksc AS (SELECT a.vec_id,
+                     list_dot_product(a.v, qv) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))) AS c
+              FROM asgf a JOIN knearest ON a.list = knearest.kprobe_list
+              WHERE a.vec_id <> 0),
+      kvf AS (SELECT vec_id FROM (SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rn FROM ksc) t
+              WHERE rn <= 20),
+      ni AS (SELECT COUNT(*) AS n FROM ivf SEMI JOIN bf USING (vec_id)),
+      nk AS (SELECT COUNT(*) AS n FROM kvf SEMI JOIN bf USING (vec_id))
+      SELECT CAST(20 AS BIGINT) AS k,
+             CAST(ni.n AS BIGINT) AS n_hits_ivf,
+             ROUND(CAST(ni.n AS DOUBLE) / 20, 6) AS recall_ivf,
+             CAST(nk.n AS BIGINT) AS n_hits_kmeans,
+             ROUND(CAST(nk.n AS DOUBLE) / 20, 6) AS recall_kmeans
+      FROM ni, nk
+    """.trim)
+  )
+
   /** Heaps'-law vocabulary-growth curve (Corpus.vocabGrowth scaladoc:
     * 60-bit md5 types, globalRank stream positions, integer checkpoint
     * arithmetic, P-row broadcast fan-out). The oracle replays the
@@ -5249,5 +5312,5 @@ object ExtensionQueries {
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
-    psiDriftQ, vocabGrowthQ)
+    psiDriftQ, vocabGrowthQ, annRecallQ)
 }

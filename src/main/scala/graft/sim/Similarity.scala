@@ -1302,6 +1302,34 @@ object Similarity {
       .select(col(idCol), col("list"), round(col("c"), 6).as("centroid_sim"), col("rn"))
   }
 
+  /** ANN quality as a QUERY — recall@k of the index probes against the
+    * brute-force exact top-k for one query vector, COMPARATIVELY for
+    * the label-IVF ([[annIvf]], single probe over as-given lists) and
+    * the trained kmeans-IVF ([[annIvfKmeans]]): the eval-harness face
+    * of the retrieval tier (RECALL.md measures this offline; this row
+    * makes "which index do I trust on THIS distribution" an
+    * oracle-checked, always-on invariant — on the synthetic table the
+    * as-given labels are NOT cosine-clustered and the row shows it).
+    *
+    * All three sides are the existing operators, so the sets are
+    * k-row tiny; the ground truth is checkpointed once (k rows) and
+    * both intersections are broadcast joins; recall is one divide,
+    * 6 dp. At scale the cost is the probes — the eval adds nothing. */
+  def annRecall(emb: DataFrame, queryId: Long, dim: Int, k: Int = 20,
+                nLists: Int = 4, iters: Int = 2): DataFrame = {
+    val bf = knnBruteForce(emb, queryId, k).select(col("vec_id")).localCheckpoint()
+    def hits(probe: DataFrame, out: String): DataFrame =
+      probe.select(col("vec_id")).join(broadcast(bf), Seq("vec_id"))
+        .agg(count(lit(1)).as(out))
+    hits(annIvf(emb, queryId, dim, k), "n_hits_ivf")
+      .crossJoin(hits(annIvfKmeans(emb, queryId, dim, k, nLists, iters), "n_hits_kmeans"))
+      .select(lit(k.toLong).as("k"),
+        col("n_hits_ivf"),
+        round(col("n_hits_ivf").cast("double") / k, 6).as("recall_ivf"),
+        col("n_hits_kmeans"),
+        round(col("n_hits_kmeans").cast("double") / k, 6).as("recall_kmeans"))
+  }
+
   /** Per-group embedding drift: cosine of each group's centroid against
     * the global centroid — the embedding-space analogue of the scalar
     * KS-drift check (DataQuality.ksDrift): a shard/label whose centroid

@@ -1178,6 +1178,13 @@ class PlanAuditSpec extends SparkSpec {
       "the (n, s) total must broadcast:\n" + p)
   }
 
+  test("x_ann_recall: ground truth rides its checkpoint; intersections broadcast; no raw cartesian") {
+    val p = plan("x_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the k-row ground truth must broadcast into both intersections:\n" + p)
+  }
+
   test("x_vocab_growth: total and rollup share the globalRank checkpoint; no window over the stream") {
     val p = plan("x_vocab_growth")
     assert(!p.contains("Scan parquet"),
