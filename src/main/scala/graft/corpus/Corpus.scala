@@ -1658,6 +1658,62 @@ object Corpus {
         (col("total") > budget && col("tok") > col("cap")).as("capped"))
   }
 
+  /** PMI collocation mining — the top adjacent-token pairs by
+    * pointwise mutual information (Church & Hanks 1990: the "New York"
+    * / "San Francisco" detector), the standard first pass of phrase
+    * induction before tokenizer or n-gram work: pmi(x,y) =
+    * ln( (c_xy/T_pairs) / ((c_x/T_tok)·(c_y/T_tok)) ), reported for
+    * pairs with `minCount`+ occurrences (raw PMI is degenerate on
+    * hapax pairs — the classic 1/c_xy blow-up — so the support floor
+    * is part of the definition here).
+    *
+    * Determinism: counts are exact integers on 60-bit md5 keys; the
+    * two stream totals are driver scalars embedded as INTEGER literals
+    * (the bigramLm `v` precedent); the PMI argument is one
+    * fixed-parenthesization double expression mirrored in the oracle,
+    * rounded to 6 dp BEFORE ranking, with (ha, hb) tiebreaks — a total
+    * order, so both engines pick the same top-k.
+    *
+    * Scale shape: the bigram table rides the [[bigramLmScore]] native
+    * zip-hash kernels and is checkpointed once; pair and unigram
+    * counts are map-side-combined 8-byte-key rollups; the two
+    * count-join exchanges carry (8B, 8B) rows (pair-vocab sized, never
+    * the stream); the top-k is a TakeOrderedAndProject. No text past
+    * the tokenizer, no window over the stream.
+    *
+    * Output: top `k` rows — `ha`, `hb` (member token hashes),
+    * `n_pair`, `n_a`, `n_b`, `pmi` (6 dp), `rn`. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 20,
+                      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"pmiCollocations: minCount must be >= 1, got $minCount")
+    require(k >= 1, s"pmiCollocations: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    val base = docs.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val uni = base.select(explode(V.md5Hashes60(col("_toks"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // unigram counts: joined twice + total read
+    val tu = uni.agg(sum(col("c"))).head().getLong(0)
+    val pairs = base.filter(size(col("_toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(V.md5Hashes60(col("_toks")), lit(1), size(col("_toks")) - 1),
+        slice(V.md5Hashes60(col("_toks")), lit(2), size(col("_toks")) - 1))).as("bg"))
+      .select(col("bg").getField("0").as("ha"), col("bg").getField("1").as("hb"))
+      .groupBy(col("ha"), col("hb")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint() // pair counts: total + the scored join
+    val tp = pairs.agg(sum(col("n_pair"))).head().getLong(0)
+    val scored = pairs.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("h").as("ha"), col("c").as("n_a")), "ha")
+      .join(uni.select(col("h").as("hb"), col("c").as("n_b")), "hb")
+      .select(col("ha"), col("hb"), col("n_pair"), col("n_a"), col("n_b"),
+        round(log((col("n_pair").cast("double") * tu * tu) /
+          (lit(tp).cast("double") * col("n_a") * col("n_b"))), 6).as("pmi"))
+    val w = Window.partitionBy(pmod(col("ha"), lit(1)))
+      .orderBy(col("pmi").desc, col("ha"), col("hb"))
+    scored.orderBy(col("pmi").desc, col("ha"), col("hb")).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve — distinct-type count after
     * each 1/P checkpoint of the token stream in (doc_id, pos) order:
     * the "is this corpus still contributing new vocabulary or just

@@ -5084,6 +5084,40 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** PMI collocations (Corpus.pmiCollocations scaladoc: exact counts
+    * on md5-60 keys, driver-scalar totals, one fixed-parenthesization
+    * double PMI rounded before ranking, (ha, hb) tiebreaks). The
+    * oracle replays the pair/unigram counts and the identical
+    * arithmetic. */
+  val pmiPairsQ: Q = Q(
+    "x_pmi_pairs",
+    (s, d) => graft.corpus.Corpus.pmiCollocations(Tables.documents(s, d),
+      minCount = 5L, k = 20),
+    Some("""
+      WITH base AS (SELECT regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      uni AS (SELECT ('0x' || substr(md5(toks[i + 1]), 1, 15))::BIGINT AS h
+              FROM (SELECT toks, unnest(range(0, len(toks))) AS i FROM base)),
+      cu AS (SELECT h, COUNT(*) AS c FROM uni GROUP BY 1),
+      tu AS (SELECT COUNT(*) AS t FROM uni),
+      bg AS (SELECT ('0x' || substr(md5(toks[i + 1]), 1, 15))::BIGINT AS ha,
+                    ('0x' || substr(md5(toks[i + 2]), 1, 15))::BIGINT AS hb
+             FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM base
+                   WHERE len(toks) >= 2)),
+      cp AS (SELECT ha, hb, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+      tp AS (SELECT COUNT(*) AS t FROM bg),
+      sc AS (SELECT ha, hb,
+                    CAST(n_pair AS BIGINT) AS n_pair,
+                    CAST(a.c AS BIGINT) AS n_a, CAST(b.c AS BIGINT) AS n_b,
+                    ROUND(LN((CAST(n_pair AS DOUBLE) * tu.t * tu.t) /
+                             (CAST(tp.t AS DOUBLE) * a.c * b.c)), 6) AS pmi
+             FROM cp JOIN cu a ON cp.ha = a.h JOIN cu b ON cp.hb = b.h, tu, tp
+             WHERE n_pair >= 5)
+      SELECT ha, hb, n_pair, n_a, n_b, pmi, rn
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, ha, hb) AS rn FROM sc) t
+      WHERE rn <= 20
+    """.trim)
+  )
+
   /** Comparative recall@20 — label-IVF and trained kmeans-IVF probes
     * vs the brute-force exact top-20 (Similarity.annRecall, the
     * retrieval tier's eval-harness face). The oracle composes the
@@ -5312,5 +5346,5 @@ object ExtensionQueries {
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
-    psiDriftQ, vocabGrowthQ, annRecallQ)
+    psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ)
 }

@@ -591,6 +591,30 @@ class CorpusSpec extends SparkSpec {
     assert(top2.map(_.getString(1)).toSeq == Seq("aa", "bb"))
   }
 
+  test("pmiCollocations: planted exclusive pair outranks a frequent independent one; support floor holds") {
+    import spark.implicits._
+    // doc1: u v alternating → (u,v)×5 and (v,u)×4 (the latter falls
+    // under minCount); doc2: a run → (a,a)×5. T_tok=16, T_pairs=14.
+    val docs = Seq((1L, "u v u v u v u v u v"), (2L, "a a a a a a"))
+      .toDF("doc_id", "text")
+    val out = Corpus.pmiCollocations(docs, minCount = 5L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))
+    assert(out.length == 2, out.mkString("; "))
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val hu = graft.dedup.Dedup.md5Hash60Value("u")
+    val hv = graft.dedup.Dedup.md5Hash60Value("v")
+    val ha = graft.dedup.Dedup.md5Hash60Value("a")
+    // (u,v): c=5, cu=cv=5 → ln(5·16·16 / (14·5·5))
+    assert(out(0) == ((hu, hv, 5L, 5L, 5L,
+      r6(math.log(5.0 * 16 * 16 / (14.0 * 5 * 5))), 1)), out(0).toString)
+    // (a,a): c=5, ca=6 → ln(5·16·16 / (14·6·6)) — frequent but less tied
+    assert(out(1) == ((ha, ha, 5L, 6L, 6L,
+      r6(math.log(5.0 * 16 * 16 / (14.0 * 6 * 6))), 2)), out(1).toString)
+    assert(out(0)._6 > out(1)._6 && out(1)._6 > 0)
+  }
+
   test("vocabGrowth: checkpoint counts follow first occurrences in (doc_id, pos) order") {
     import spark.implicits._
     // stream: a b a | c a → T=5; nPoints=5 puts a checkpoint at every

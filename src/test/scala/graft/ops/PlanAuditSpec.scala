@@ -1178,6 +1178,17 @@ class PlanAuditSpec extends SparkSpec {
       "the (n, s) total must broadcast:\n" + p)
   }
 
+  test("x_pmi_pairs: count joins carry 8-byte hashes; top-k never globally sorts the pair table") {
+    val p = plan("x_pmi_pairs")
+    assert(!p.contains("Scan parquet"),
+      "the scored join must ride the checkpointed count tables:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(!_.contains("text#")),
+      "exchanges must carry hashes, never text:\n" + exchangeLines.mkString("\n"))
+  }
+
   test("x_ann_recall: ground truth rides its checkpoint; intersections broadcast; no raw cartesian") {
     val p = plan("x_ann_recall")
     assert(!p.contains("CartesianProduct"), p)
