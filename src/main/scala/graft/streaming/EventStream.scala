@@ -364,6 +364,102 @@ object EventStream {
       }
   }
 
+  /** [[funnelProgress]] state: `frozen` — the chain prefix the
+    * watermark has sealed (step i's first-time, provably final);
+    * `pending` — per still-open step index, the sorted distinct event
+    * times that could yet enter the chain (all > max(frozen.last,
+    * watermark) after pruning, so the state is bounded by the
+    * watermark horizon's event count, never the user's history). */
+  final case class FunnelChainState(frozen: List[Long],
+                                    pending: Map[Int, List[Long]])
+  final case class FunnelProgress(user_id: Long, n_steps: Int,
+                                  step_times: List[Long])
+
+  /** Streaming twin of [[graft.ops.EventAnalytics.funnel]] — per-user
+    * ordered-step funnel progress maintained incrementally with EXACT
+    * late-data semantics inside the watermark: t₁ = first step-1 time,
+    * tᵢ = first step-i time strictly after tᵢ₋₁, recomputed per batch
+    * from the buffered candidate times, so an out-of-order earlier
+    * step-1 event re-derives the whole downstream chain (a
+    * fire-and-forget "reached step i" flag could never retract — the
+    * same reasoning as [[newVsReturning]]'s day-set state).
+    *
+    * The watermark is what BOUNDS the state: a chain value tᵢ with
+    * every earlier step sealed and tᵢ ≤ watermark is FINAL (any event
+    * that could lower it would carry ts < tᵢ ≤ watermark — already
+    * inadmissible), so it freezes out of the candidate buffers; and a
+    * candidate time ≤ watermark for a still-open step is either the
+    * next chain value (frozen on this very batch) or unreachable
+    * (chain values above it must exceed the watermark, which future
+    * events can't undercut), so buffers prune to times >
+    * max(frozen.last, watermark). State per user = sealed prefix +
+    * horizon-bounded buffers. Pruning happens on the group's next
+    * arrival (mapGroupsWithState; no timer needed for correctness —
+    * the chain itself is exact at every emission).
+    *
+    * Update mode: each batch that touches a user emits their CURRENT
+    * (n_steps, step_times); a reader's latest-row-per-user view
+    * aggregates to exactly the batch funnel at any point —
+    * StreamBatchEquivalenceSpec pins it against an independent local
+    * chain reference under out-of-order and duplicate delivery. */
+  def funnelProgress(events: Dataset[Event], steps: Seq[String],
+                     watermark: String = "1 hour"): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnelProgress: steps must be non-empty")
+    require(steps.distinct.size == steps.size, "funnelProgress: steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx: Map[String, Int] = steps.zipWithIndex.toMap
+    val k = steps.size
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelChainState, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelChainState]) =>
+          val prev = state.getOption.getOrElse(FunnelChainState(Nil, Map.empty))
+          val f0 = prev.frozen.length
+          val floor = prev.frozen.lastOption.getOrElse(Long.MinValue)
+          // fold admissible new candidates into the per-step buffers
+          val pending = rows.foldLeft(prev.pending) { (m, e) =>
+            stepIdx.get(e.event_type) match {
+              case Some(i) if i >= f0 && e.ts.getTime > floor =>
+                val ts = e.ts.getTime
+                val l = m.getOrElse(i, Nil)
+                if (l.contains(ts)) m
+                else m.updated(i, (ts :: l).sorted)
+              case _ => m
+            }
+          }
+          // recompute the open chain suffix from the buffers
+          var t = floor
+          val suffix = List.newBuilder[Long]
+          var i = f0
+          var open = true
+          while (open && i < k) {
+            pending.get(i).flatMap(_.find(_ > t)) match {
+              case Some(ti) => suffix += ti; t = ti; i += 1
+              case None => open = false
+            }
+          }
+          val chain = prev.frozen ++ suffix.result()
+          // seal the prefix the watermark has made final, prune buffers
+          val wm = state.getCurrentWatermarkMs()
+          val nFrozen = {
+            var n = f0
+            while (n < chain.length && chain(n) <= wm) n += 1
+            n
+          }
+          val frozen = chain.take(nFrozen)
+          val keepAbove = math.max(frozen.lastOption.getOrElse(Long.MinValue), wm)
+          val pruned = pending.collect {
+            case (si, l) if si >= nFrozen =>
+              si -> l.filter(_ > keepAbove)
+          }.filter(_._2.nonEmpty)
+          state.update(FunnelChainState(frozen, pruned))
+          FunnelProgress(uid, chain.length, chain)
+      }
+  }
+
   final case class NvrState(days: List[Long])
   final case class NvrReadout(user_id: Long, first_day: Long, days: List[Long])
 

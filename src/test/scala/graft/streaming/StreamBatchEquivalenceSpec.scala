@@ -270,6 +270,89 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(got(1L).first_day == java.time.LocalDate.parse("2024-03-09").toEpochDay)
   }
 
+  test("funnelProgress: late earlier-step events re-derive the whole chain; duplicates are idempotent") {
+    import org.apache.spark.sql.Dataset
+    val steps = Seq("view", "click", "purchase")
+    // user 1: click/purchase arrive FIRST, the view arrives LATE (but
+    // inside the watermark) — the chain must retract from 0 attained
+    // steps to the full 3 (a fire-and-forget flag could never do this);
+    // the duplicate click must not disturb the first-time. user 2:
+    // view then purchase with no click — stuck at 1. user 3: steps in
+    // the wrong ORDER (purchase before view/click) — purchase can't
+    // count, chain stops at click.
+    val b1 = Seq(ev(11, "10:30", 1, "click", 1.0), ev(12, "10:40", 1, "purchase", 9.0),
+      ev(21, "10:00", 2, "view", 1.0), ev(31, "10:05", 3, "purchase", 5.0))
+    val b2 = Seq(ev(13, "10:20", 1, "view", 1.0), ev(11, "10:30", 1, "click", 1.0),
+      ev(22, "10:05", 2, "purchase", 7.0),
+      ev(32, "10:10", 3, "view", 1.0), ev(33, "10:15", 3, "click", 1.0))
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[Long, EventStream.FunnelProgress]()
+    val q = EventStream.funnelProgress(input.toDS(), steps)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.FunnelProgress], _: Long) =>
+        df.collect().foreach(r => got(r.user_id) = r)
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // independent local reference: the chain definition over the full
+    // per-user history
+    def refChain(evs: Seq[Event]): List[Long] = {
+      val chain = List.newBuilder[Long]
+      var t = Long.MinValue
+      var open = true
+      steps.foreach { s =>
+        if (open) {
+          val cand = evs.filter(e => e.event_type == s && e.ts.getTime > t)
+          if (cand.isEmpty) open = false
+          else { val ti = cand.map(_.ts.getTime).min; chain += ti; t = ti }
+        }
+      }
+      chain.result()
+    }
+    val all = b1 ++ b2
+    for (u <- Seq(1L, 2L, 3L)) {
+      val expected = refChain(all.filter(_.user_id == u))
+      val r = got(u)
+      assert(r.step_times == expected && r.n_steps == expected.length,
+        s"user $u: stream=${r.step_times} ref=$expected")
+    }
+    // the retraction really happened: user 1 attained all 3 steps with
+    // the late view's time first
+    assert(got(1L).n_steps == 3 && got(1L).step_times.head == ts("10:20").getTime)
+    assert(got(2L).n_steps == 1 && got(3L).n_steps == 2)
+  }
+
+  test("funnelProgress: the watermark freezes the sealed prefix and prunes candidate buffers") {
+    import org.apache.spark.sql.Dataset
+    val steps = Seq("view", "click", "purchase")
+    // b1 establishes view+click; the flush advances the watermark past
+    // them (sealing both); b3 adds the purchase AFTER the freeze —
+    // the chain must extend from the sealed prefix, not lose it
+    val b1 = Seq(ev(41, "08:00", 4, "view", 1.0), ev(42, "08:10", 4, "click", 1.0))
+    val b3 = Seq(ev(43, "22:30", 4, "purchase", 3.0))
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[Long, EventStream.FunnelProgress]()
+    val q = EventStream.funnelProgress(input.toDS(), steps)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.FunnelProgress], _: Long) =>
+        df.collect().foreach(r => got(r.user_id) = r)
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(Seq(flush)); q.processAllAvailable() // wm → 22:00
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got(4L).n_steps == 3 &&
+      got(4L).step_times == List(ts("08:00").getTime, ts("08:10").getTime,
+        ts("22:30").getTime), got(4L).toString)
+  }
+
   test("quantileSketches: exact regime (n < k) is byte-identical to the batch build AND the persisted union") {
     import graft.sketch.QDigest
     import org.apache.spark.sql.Dataset
