@@ -979,4 +979,133 @@ object EventAnalytics {
       .agg(sum(col("_e")).as("n_entries"), sum(col("_x")).as("n_exits"),
         sum(col("_b")).as("n_bounces"))
   }
+
+  /** Markov-chain (removal-effect) attribution — the data-driven model
+    * that replaces last/multi-touch heuristics (Anderl et al. 2014):
+    * user journeys become a first-order chain START → channels →
+    * CONV/NULL; a channel's credit is how much conversion probability
+    * DISAPPEARS when every transition into it is redirected to NULL
+    * (removal effect), normalized to shares.
+    *
+    * Journey definition (pinned exactly): per user, events ordered by
+    * (ts, event_id), truncated at the FIRST `convType` event (mapped
+    * to CONV); a non-converting user's last state closes to NULL.
+    * Consecutive repeats are kept (they are real self-transitions).
+    *
+    * Absorption is L-step by definition (not an approximation knob
+    * left implicit): CONV and NULL carry self-loops of 1 and the START
+    * mass vector is propagated `steps` times, so P(conv) = the
+    * probability of converting within L touches — the quantity a
+    * finite-horizon marketing review actually wants, and a definition
+    * both engines replay exactly.
+    *
+    * Determinism: transition counts are exact integers off ONE user
+    * exchange (windows + rollups all key on user_id); probabilities
+    * round to 12 dp DECIMAL(18,12) once, and every propagation step is
+    * exact decimal multiply + exact decimal sum re-rounded to 12 dp —
+    * fixed-point chain arithmetic with NO order-dependent double fold
+    * anywhere; removal effects divide exact decimals as one final
+    * correctly-rounded double.
+    *
+    * Scale shape: the event log rides its one user_id exchange into
+    * journey transitions; everything after is |states|²·(|channels|+1)
+    * rows (the variant-keyed matrix), iterated L times with broadcast
+    * joins — the chain algebra costs nothing at any corpus size.
+    *
+    * Output: one row per channel — `channel`, `p_conv` (base, 6 dp),
+    * `p_conv_removed` (6 dp), `removal_effect` (6 dp, NULL if the base
+    * never converts), `share` (6 dp). */
+  def markovAttribution(events: DataFrame, convType: String = "purchase",
+                        steps: Int = 8): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"markovAttribution: steps must be in [1, 16], got $steps")
+    val dec = "decimal(18,12)"
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+    val firstConv = base.filter(col("event_type") === convType)
+      .groupBy(col("user_id")).agg(min(col("_rn")).as("_crn"))
+    val journey = base.join(firstConv, Seq("user_id"), "left")
+      .filter(col("_crn").isNull || col("_rn") <= col("_crn"))
+      .select(col("user_id"), col("_rn"), col("_crn"),
+        when(col("event_type") === convType, lit("_CONV"))
+          .otherwise(col("event_type")).as("_state"))
+      .localCheckpoint() // lag pass + terminal pass share it
+    val steps_ = journey
+      .select(col("user_id"),
+        coalesce(lag(col("_state"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("_rn"))), lit("_START")).as("i"),
+        col("_state").as("j"))
+    val terminals = journey.filter(col("_crn").isNull)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("_rn"), col("_state"))).getField("_state").as("i"))
+      .select(col("user_id"), col("i"), lit("_NULL").as("j"))
+    val counts = steps_.select(col("i"), col("j"))
+      .unionAll(terminals.select(col("i"), col("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // matrix base: read per variant + for channels
+    val channels = counts.select(col("i").as("s"))
+      .unionAll(counts.select(col("j").as("s"))).distinct()
+      .filter(!col("s").isin("_START", "_CONV", "_NULL"))
+    val probs = counts
+      .join(counts.groupBy(col("i")).agg(sum(col("c")).as("tot")), "i")
+      .select(col("i"), col("j"),
+        round(col("c").cast("double") / col("tot"), 12).cast(dec).as("p"))
+    // variant-keyed matrix: base "" + one removal variant per channel
+    // (transitions INTO the removed channel redirect to NULL; its own
+    // outgoing row is unreachable and dropped); CONV/NULL self-absorb
+    val variantIds = channels.select(col("s").as("_v"))
+      .unionAll(probs.sparkSession.range(1).select(lit("").as("_v")))
+    val variants = probs.crossJoin(variantIds)
+      .filter(col("_v") === "" || col("i") =!= col("_v"))
+      .select(col("_v"), col("i"),
+        when(col("_v") =!= "" && col("j") === col("_v"), lit("_NULL"))
+          .otherwise(col("j")).as("j"),
+        col("p"))
+      .groupBy(col("_v"), col("i"), col("j"))
+      .agg(sum(col("p")).cast(dec).as("p"))
+    val loops = variantIds
+      .select(col("_v"), explode(array(lit("_CONV"), lit("_NULL"))).as("i"))
+      .select(col("_v"), col("i"), col("i").as("j"), lit(1.0).cast(dec).as("p"))
+    val matrix = variants.unionAll(loops).localCheckpoint()
+    // the mass vector carries its variant key under a DIFFERENT name
+    // (vv) so the L join-iterations against `matrix` never self-join
+    // on a shared attribute id
+    var v = variantIds
+      .select(col("_v").as("vv"), lit("_START").as("state"), lit(1.0).cast(dec).as("m"))
+    for (_ <- 1 to steps)
+      v = v.join(matrix, col("vv") === col("_v") && col("state") === col("i"))
+        .groupBy(col("vv"), col("j"))
+        .agg(round(sum(col("m") * col("p")), 12).cast(dec).as("m"))
+        .select(col("vv"), col("j").as("state"), col("m"))
+    val pConv = v.filter(col("state") === "_CONV")
+      .select(col("vv"), col("m").as("pc"))
+      .localCheckpoint() // base row + per-channel rows both read it
+    // a variant whose mass NEVER reaches CONV has no pConv row at all
+    // (its removal killed every converting path) — that is pc = 0, not
+    // a dropped channel, so the channel list left-joins the masses
+    val chanRows = channels.select(col("s").as("channel"))
+      .join(pConv.withColumnRenamed("vv", "channel"), Seq("channel"), "left")
+      .select(col("channel"), coalesce(col("pc"), lit(0).cast(dec)).as("pc"))
+    val baseP = pConv.filter(col("vv") === "")
+      .agg(coalesce(max(col("pc")), lit(0).cast(dec)).as("p0"))
+    val effects = chanRows
+      .crossJoin(broadcast(baseP))
+      .select(col("channel"),
+        round(col("p0").cast("double"), 6).as("p_conv"),
+        round(col("pc").cast("double"), 6).as("p_conv_removed"),
+        when(col("p0") > 0,
+          round((col("p0") - col("pc")).cast("double") / col("p0").cast("double"), 6))
+          .as("removal_effect"),
+        // exact decimal numerators so the share denominator is an
+        // exact decimal sum, never an order-dependent double fold
+        (col("p0") - col("pc")).as("_re"))
+      .localCheckpoint()
+    val tot = effects.agg(sum(col("_re")).as("_tre"))
+    effects.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_conv"), col("p_conv_removed"),
+        col("removal_effect"),
+        when(col("_tre") > 0,
+          round(col("_re").cast("double") / col("_tre").cast("double"), 6)).as("share"))
+  }
 }

@@ -5084,6 +5084,83 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Markov removal-effect attribution (EventAnalytics
+    * .markovAttribution scaladoc: journeys truncated at first
+    * conversion, variant-keyed matrix with removal redirects,
+    * fixed-point DECIMAL(18,12) chain arithmetic, L-step absorption).
+    * The oracle unrolls all `steps` propagation rounds as generated
+    * CTEs over the identical variant-keyed matrix — every rounding
+    * point in the chain algebra is hash-pinned. */
+  val markovAttributionQ: Q = {
+    val steps = 8
+    val iterCtes = (1 to steps).map { n =>
+      s"""v$n AS (SELECT v${n - 1}.v, mx.j AS state,
+             CAST(ROUND(SUM(v${n - 1}.m * mx.p), 12) AS DECIMAL(18,12)) AS m
+      FROM v${n - 1} JOIN mx ON v${n - 1}.v = mx.v AND v${n - 1}.state = mx.i
+      GROUP BY 1, 2)"""
+    }.mkString(",\n      ")
+    Q(
+      "x_markov_attribution",
+      (s, d) => EventAnalytics.markovAttribution(Tables.events(s, d),
+        convType = "purchase", steps = steps),
+      Some(s"""
+      WITH b AS (SELECT user_id, event_id, ts, event_type,
+                        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                 FROM events),
+      fc AS (SELECT user_id, MIN(rn) AS crn FROM b
+             WHERE event_type = 'purchase' GROUP BY 1),
+      jn AS (SELECT b.user_id, rn, crn,
+                    CASE WHEN event_type = 'purchase' THEN '_CONV'
+                         ELSE event_type END AS state
+             FROM b LEFT JOIN fc ON b.user_id = fc.user_id
+             WHERE crn IS NULL OR rn <= crn),
+      tr AS (SELECT COALESCE(lag(state) OVER (PARTITION BY user_id ORDER BY rn),
+                             '_START') AS i,
+                    state AS j
+             FROM jn
+             UNION ALL
+             SELECT arg_max(state, rn) AS i, '_NULL' AS j
+             FROM jn WHERE crn IS NULL GROUP BY user_id),
+      cnt AS (SELECT i, j, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+      prob AS (SELECT i, j,
+                      CAST(ROUND(CAST(c AS DOUBLE) / tot, 12) AS DECIMAL(18,12)) AS p
+               FROM cnt JOIN (SELECT i, SUM(c) AS tot FROM cnt GROUP BY 1) t USING (i)),
+      ch AS (SELECT DISTINCT s FROM
+               (SELECT i AS s FROM cnt UNION ALL SELECT j AS s FROM cnt)
+             WHERE s NOT IN ('_START', '_CONV', '_NULL')),
+      vid AS (SELECT s AS v FROM ch UNION ALL SELECT '' AS v),
+      mx AS (SELECT v, i, j, CAST(SUM(p) AS DECIMAL(18,12)) AS p FROM (
+               SELECT vid.v, prob.i,
+                      CASE WHEN vid.v <> '' AND prob.j = vid.v THEN '_NULL'
+                           ELSE prob.j END AS j,
+                      p
+               FROM prob, vid WHERE vid.v = '' OR prob.i <> vid.v)
+             GROUP BY 1, 2, 3
+             UNION ALL
+             SELECT v, s AS i, s AS j, CAST(1.0 AS DECIMAL(18,12)) AS p
+             FROM vid, (SELECT unnest(['_CONV', '_NULL']) AS s)),
+      v0 AS (SELECT v, '_START' AS state, CAST(1.0 AS DECIMAL(18,12)) AS m FROM vid),
+      $iterCtes,
+      pc AS (SELECT v, m AS pcv FROM v$steps WHERE state = '_CONV'),
+      p0 AS (SELECT COALESCE(MAX(pcv), CAST(0 AS DECIMAL(18,12))) AS p0
+             FROM pc WHERE v = ''),
+      eff AS (SELECT ch.s AS channel,
+                     COALESCE(pc.pcv, CAST(0 AS DECIMAL(18,12))) AS pcv, p0.p0
+              FROM ch LEFT JOIN pc ON ch.s = pc.v, p0)
+      SELECT channel,
+             ROUND(CAST(p0 AS DOUBLE), 6) AS p_conv,
+             ROUND(CAST(pcv AS DOUBLE), 6) AS p_conv_removed,
+             CASE WHEN p0 > 0
+                  THEN ROUND(CAST(p0 - pcv AS DOUBLE) / CAST(p0 AS DOUBLE), 6)
+             END AS removal_effect,
+             CASE WHEN t.tre > 0
+                  THEN ROUND(CAST(p0 - pcv AS DOUBLE) / CAST(t.tre AS DOUBLE), 6)
+             END AS share
+      FROM eff, (SELECT SUM(p0 - pcv) AS tre FROM eff) t
+    """.trim)
+    )
+  }
+
   /** PMI collocations (Corpus.pmiCollocations scaladoc: exact counts
     * on md5-60 keys, driver-scalar totals, one fixed-parenthesization
     * double PMI rounded before ranking, (ha, hb) tiebreaks). The
@@ -5346,5 +5423,5 @@ object ExtensionQueries {
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
-    psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ)
+    psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ)
 }

@@ -55,6 +55,44 @@ class EventAnalyticsSpec extends SparkSpec {
       "view|1|2|2", "click|1|2|1", "purchase|0|0|1"), rowSet(out).toString)
   }
 
+  test("markovAttribution: removal effects and shares match the hand-solved 3-user chain") {
+    // user 1: view → purchase; user 2: view → click → (no conversion);
+    // user 3: click → purchase. Chain: START→view 2/3, START→click 1/3;
+    // view→CONV 1/2, view→click 1/2; click→CONV 1/2, click→NULL 1/2.
+    // P(conv) = 2/3·(1/2 + 1/2·1/2) + 1/3·1/2 = 2/3 → 0.666667.
+    // Remove view: P = 1/3·1/2 → 0.166667, RE = 0.75.
+    // Remove click: P = 2/3·1/2 → 0.333333, RE = 0.5.
+    // Shares 0.6 / 0.4.
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:05:00", 1L, "purchase", 9.0),
+      (3L, "2024-01-01 10:00:00", 2L, "view", 1.0),
+      (4L, "2024-01-01 10:05:00", 2L, "click", 1.0),
+      (5L, "2024-01-01 10:00:00", 3L, "click", 1.0),
+      (6L, "2024-01-01 10:05:00", 3L, "purchase", 5.0))
+    val out = EventAnalytics.markovAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set("view", "click"), out.toString)
+    assert(out("view") == ((0.666667, 0.166667, 0.75, 0.6)), out.toString)
+    assert(out("click") == ((0.666667, 0.333333, 0.5, 0.4)), out.toString)
+  }
+
+  test("markovAttribution: events after the first conversion are outside the journey") {
+    // user 1 converts at 10:05; the later click must not create
+    // transitions (view→CONV only), so click never appears as a channel
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:05:00", 1L, "purchase", 9.0),
+      (3L, "2024-01-01 10:10:00", 1L, "click", 1.0))
+    val out = EventAnalytics.markovAttribution(ev).collect()
+    assert(out.map(_.getString(0)).toSet == Set("view"), out.mkString(";"))
+    // single always-converting path: P = 1, removal kills it entirely
+    val r = out.head
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) ==
+      ((1.0, 0.0, 1.0, 1.0)), r.toString)
+  }
+
   test("sessionize: session bounds are the min/max event micros") {
     val ev = events(
       (1L, "2024-01-01 10:00:00.5", 1L, "view", 1.0),

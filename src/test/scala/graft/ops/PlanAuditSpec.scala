@@ -1178,6 +1178,16 @@ class PlanAuditSpec extends SparkSpec {
       "the (n, s) total must broadcast:\n" + p)
   }
 
+  test("x_markov_attribution: the chain algebra runs on checkpointed tiny tables, never the log") {
+    val p = plan("x_markov_attribution")
+    // the journey build (the only log-sized work) sits behind its
+    // checkpoint; the L propagation rounds and the effect math must
+    // not re-touch the event log or drag a window along
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_pmi_pairs: count joins carry 8-byte hashes; top-k never globally sorts the pair table") {
     val p = plan("x_pmi_pairs")
     assert(!p.contains("Scan parquet"),
