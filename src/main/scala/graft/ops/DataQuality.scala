@@ -336,6 +336,58 @@ object DataQuality {
         (col("mad4").cast("double") / 4).as("mad_daily"))
   }
 
+  /** Theil–Sen robust daily trend per event type — the median of all
+    * pairwise day-count slopes (Theil 1950 / Sen 1968): the
+    * outlier-immune twin of an OLS trend exactly as [[madDaily]] is of
+    * mean/stddev — one incident day drags a least-squares slope for
+    * weeks; the pairwise median shrugs it off (29% breakdown point).
+    *
+    * Determinism: slopes are exact-integer differences under ONE
+    * correctly-rounded double divide; the median is a rank selection
+    * under the total order (slope, d1, d2) with the two middle
+    * elements added (one addition of exactly two doubles — no fold),
+    * halved, and rounded at 6 dp. A type with a single active day has
+    * no pairs: NULL witness, never a 0/0 ([[ksDrift]]'s discipline).
+    *
+    * Scale shape: the log collapses to the (type, day) grid in ONE
+    * map-side-combined exchange, checkpointed (pair build + day count
+    * share it); the pair self-join and rank window are per-type and
+    * bounded by the day DOMAIN squared (the [[madDaily]]
+    * bounded-window justification — 3 years ≈ 600k pairs/type), never
+    * by the event count.
+    *
+    * Output: one row per `event_type` — `n_days`, `n_pairs`,
+    * `ts_slope` (events/day per day, 6 dp; NULL if n_days < 2). */
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).as("d"), col("c"))
+      .localCheckpoint()
+    val pairs = daily.select(col("event_type"), col("d").as("d1"), col("c").as("c1"))
+      .join(daily.select(col("event_type"), col("d").as("d2"), col("c").as("c2")),
+        Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("c2") - col("c1")).cast("double") / (col("d2") - col("d1"))).as("slope"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val wn = Window.partitionBy(col("event_type"))
+    val med = pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_pairs"),
+        ((sum(when(col("rn") === expr("(n + 1) div 2"), col("slope"))) +
+          sum(when(col("rn") === expr("(n + 2) div 2"), col("slope")))) / 2).as("m"))
+    daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      .join(broadcast(med), Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        round(col("m"), 6).as("ts_slope"))
+  }
+
   /** Population Stability Index per source against a reference source —
     * the production-monitoring complement to [[ksDrift]] (KS reads the
     * worst ECDF gap; PSI reads the WHOLE distribution shift through

@@ -4499,6 +4499,37 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Theil–Sen robust daily trend (DataQuality.theilSenDaily scaladoc:
+    * exact-integer pairwise slopes under one double divide, rank-
+    * selected median under the (slope, d1, d2) total order, NULL
+    * witness for single-day types). The oracle replays the pair build
+    * and the dual middle-rank selection. */
+  val theilSenQ: Q = Q(
+    "x_theil_sen",
+    (s, d) => DataQuality.theilSenDaily(Tables.events(s, d)),
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      dd AS (SELECT event_type, day - DATE '1970-01-01' AS d, c FROM daily),
+      pr AS (SELECT a.event_type, a.d AS d1, b.d AS d2,
+                    CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
+             FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.d < b.d),
+      rk AS (SELECT event_type, slope,
+                    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n
+             FROM pr),
+      med AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     (SUM(CASE WHEN rn = (n + 1) // 2 THEN slope END) +
+                      SUM(CASE WHEN rn = (n + 2) // 2 THEN slope END)) / 2 AS m
+              FROM rk GROUP BY 1),
+      nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM dd GROUP BY 1)
+      SELECT nd.event_type, n_days,
+             COALESCE(n_pairs, 0) AS n_pairs,
+             ROUND(m, 6) AS ts_slope
+      FROM nd LEFT JOIN med USING (event_type)
+    """.trim)
+  )
+
   /** Conjunctive boolean retrieval over the persisted inverted index
     * (Corpus.booleanSearchIndexed scaladoc: pushdown-pruned postings
     * probe, count==nTerms IS the set intersection, TakeOrdered top-k).
@@ -5423,5 +5454,6 @@ object ExtensionQueries {
     ksDriftQ, survivalQ, newVsReturningQ, topMoversQ, holtQ, bloomJoinQ,
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
-    psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ)
+    psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
+    theilSenQ)
 }

@@ -140,6 +140,25 @@ class DataQualitySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("t_stat")) && r.isNullAt(r.fieldIndex("dof")), r.toString)
   }
 
+  test("theilSenDaily: median pairwise slope on hand values; single-day type gets a NULL witness") {
+    import spark.implicits._
+    def rows(typ: String, dayCounts: (String, Int)*) =
+      dayCounts.flatMap { case (d, n) => (1 to n).map(i =>
+        (s"$typ$d$i", s"2024-01-0$d 10:0$i:00", 1L, typ, 1.0)) }
+    // type a: counts 1,3,2 on days 1,2,3 → slopes {2, 0.5, -1} → median 0.5
+    // type b: one active day → no pairs, NULL slope
+    val ev = (rows("a", ("1", 1), ("2", 3), ("3", 2)) ++ rows("b", ("5", 2)))
+      .zipWithIndex.map { case ((_, ts, u, t, v), i) => (i.toLong, ts, u, t, v) }
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .selectExpr("event_id", "cast(ts_s as timestamp) as ts", "user_id",
+        "event_type", "value")
+    val out = DataQuality.theilSenDaily(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out("a") == ((3L, 3L, 0.5)), out.toString)
+    assert(out("b") == ((1L, 0L, null)), out.toString)
+  }
+
   test("psiDrift: identical distribution reads exactly 0; total displacement reads the closed form") {
     import spark.implicits._
     // ref A = 1..10 → decile boundaries are exactly 1..9 (rank k at

@@ -1178,6 +1178,16 @@ class PlanAuditSpec extends SparkSpec {
       "the (n, s) total must broadcast:\n" + p)
   }
 
+  test("x_theil_sen: pair build and day count share the grid checkpoint; rank window is type-partitioned") {
+    val p = plan("x_theil_sen")
+    assert(!p.contains("Scan parquet"),
+      "both passes must ride the (type, day) grid's checkpoint:\n" + p)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type")),
+      "windows must be partitioned by event_type, never global:\n" + winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_markov_attribution: the chain algebra runs on checkpointed tiny tables, never the log") {
     val p = plan("x_markov_attribution")
     // the journey build (the only log-sized work) sits behind its
