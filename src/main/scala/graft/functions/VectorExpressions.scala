@@ -25,6 +25,11 @@ object VectorFunctions {
       key: Column): Column =
     org.apache.spark.sql.graftext.VectorExpressions.cmsEstimateBcast(sketch, key)
 
+  /** Codegen'd Jaro–Winkler similarity of two string columns in [0,1]
+    * (DuckDB-bit-exact semantics — see the graftext scaladoc). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.jaroWinkler(a, b)
+
   /** Register the FULL native-function surface for SQL use on a live
     * session (dot_product, rolling_hashes, rolling_ngrams,
     * minhash_signature, md5_minhash, md5_min, md5_hashes60,

@@ -1743,6 +1743,132 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Blocked Jaro–Winkler entity match (FuzzyJoin.jaroBlockedJoin): part
+    * names scored pairwise inside (brand, first-word) blocks, pairs kept
+    * at similarity ≥ 0.9. The scorer is the native codegen'd
+    * [[org.apache.spark.sql.graftext.JaroWinkler]] expression, pinned
+    * bit-exact to DuckDB's `jaro_winkler_similarity` (including the
+    * both-empty → 0 corner and the float-op order), so the oracle's
+    * replay of the same blocks reproduces the identical pair set AND the
+    * identical rounded similarity — the threshold cut cannot drift by an
+    * ulp. Blocking bounds the quadratic: per-block work is c·(c−1)/2
+    * scorings with c set by blocking-key granularity, the one exchange
+    * carries (block, id, name) rows only. */
+  val jaroBlockedQ: Q = Q(
+    "x_jaro_blocked",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey").as("id"), col("p_brand").as("brand"),
+        substring_index(col("p_name"), " ", 1).as("w1"), col("p_name").as("name"))
+      FuzzyJoin.jaroBlockedJoin(p, "id", "name",
+        Seq(col("brand"), col("w1")), threshold = 0.9)
+    },
+    Some("""
+      WITH p AS (SELECT p_partkey AS id, p_brand AS brand,
+                        split_part(p_name, ' ', 1) AS w1, p_name AS name FROM part)
+      SELECT a.id AS id1, b.id AS id2,
+             ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS sim
+      FROM p a JOIN p b ON a.brand = b.brand AND a.w1 = b.w1 AND a.id < b.id
+      WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
+    """.trim)
+  )
+
+  /** End-to-end entity resolution: the blocked Jaro–Winkler scores feed
+    * Dedup.dedupClusters' pointer-jumping connected components, so every
+    * matched part lands in a cluster labeled by its minimum member id,
+    * with the member count attached. The oracle is ALGORITHM-INDEPENDENT:
+    * DuckDB's recursive-CTE transitive closure over the same thresholded
+    * pair graph (min reachable id per node), so matching hashes prove the
+    * O(log D) pointer-jumping loop computes exactly the closure's
+    * components — the triangle-oracle discipline applied to clustering.
+    * Scale: pair scoring is the blocked quadratic (see x_jaro_blocked);
+    * the CC loop shuffles 8-byte id/label rows only, checkpointed
+    * per round. */
+  val erClustersQ: Q = Q(
+    "x_er_clusters",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey").as("id"), col("p_brand").as("brand"),
+        substring_index(col("p_name"), " ", 1).as("w1"), col("p_name").as("name"))
+      val pairs = FuzzyJoin.jaroBlockedJoin(p, "id", "name",
+        Seq(col("brand"), col("w1")), threshold = 0.9)
+      val cl = graft.dedup.Dedup.dedupClusters(pairs.select(col("id1"), col("id2")))
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      val sizes = cl.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"))
+      cl.join(sizes, "cluster_id").select(col("id"), col("cluster_id"), col("n_members"))
+    },
+    Some("""
+      WITH RECURSIVE p AS (SELECT p_partkey AS id, p_brand AS brand,
+                                  split_part(p_name, ' ', 1) AS w1, p_name AS name FROM part),
+      prs AS (SELECT a.id AS id1, b.id AS id2
+              FROM p a JOIN p b ON a.brand = b.brand AND a.w1 = b.w1 AND a.id < b.id
+              WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9),
+      sym AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
+      nodes AS (SELECT DISTINCT u AS id FROM sym),
+      reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u),
+      cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY 1)
+      SELECT cl.id, cl.cluster_id, CAST(c.cnt AS BIGINT) AS n_members
+      FROM cl JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM cl GROUP BY 1) c
+        USING (cluster_id)
+    """.trim)
+  )
+
+  /** Decile-migration matrix (Relational.decileMigration scaladoc: two
+    * exactNtile cuts over (cents, custkey) — DuckDB NTILE replays them —
+    * full-outer customer join, decile 0 = absent that year). */
+  val decileMigrationQ: Q = Q(
+    "x_decile_migration",
+    (s, d) => Relational.decileMigration(Tables.orders(s, d)),
+    Some("""
+      WITH ra AS (SELECT o_custkey,
+                         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1),
+      rb AS (SELECT o_custkey,
+                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997 GROUP BY 1),
+      da AS (SELECT o_custkey, cents,
+                    NTILE(10) OVER (ORDER BY cents, o_custkey) AS dec FROM ra),
+      db AS (SELECT o_custkey, cents,
+                    NTILE(10) OVER (ORDER BY cents, o_custkey) AS dec FROM rb),
+      j AS (SELECT COALESCE(da.dec, 0) AS decile_from, COALESCE(db.dec, 0) AS decile_to,
+                   COALESCE(da.cents, 0) AS ca, COALESCE(db.cents, 0) AS cb
+            FROM da FULL OUTER JOIN db ON da.o_custkey = db.o_custkey)
+      SELECT CAST(decile_from AS INT) AS decile_from,
+             CAST(decile_to AS INT) AS decile_to,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             ROUND(CAST(SUM(ca) AS DOUBLE) / 100, 2) AS revenue_from,
+             ROUND(CAST(SUM(cb) AS DOUBLE) / 100, 2) AS revenue_to
+      FROM j GROUP BY 1, 2
+    """.trim)
+  )
+
+  /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
+    * exact decimal Σcents² with pre-cast operands, one mirrored double
+    * tail sq/tot²). */
+  val hhiQ: Q = Q(
+    "x_hhi",
+    (s, d) => Relational.hhiConcentration(Tables.orders(s, d), Tables.customer(s, d)),
+    Some("""
+      WITH rev AS (SELECT o_custkey,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+      g AS (SELECT CAST(c_nationkey AS INT) AS nationkey,
+                   COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS tot,
+                   SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sq
+            FROM rev JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      SELECT nationkey, CAST(n AS BIGINT) AS n_customers,
+             ROUND(CAST(tot AS DOUBLE) / 100, 2) AS total_revenue,
+             ROUND(CAST(sq AS DOUBLE) /
+                   (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+             ROUND(CAST(1.0 AS DOUBLE) / n, 6) AS hhi_floor
+      FROM g
+    """.trim)
+  )
+
   /** SCD type-2 merge under the oracle: the customer dim's current slice
     * merged with a deterministic update batch (1/5 of keys change
     * acctbal, 1/5 no-op, 1/5 arrive as new keys). The engine is ONE
@@ -5455,5 +5581,5 @@ object ExtensionQueries {
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
-    theilSenQ)
+    theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ)
 }

@@ -92,4 +92,43 @@ object FuzzyJoin {
                 else withL.join(right, Seq(rightKey))
     withR.select((left.columns ++ right.columns).map(col) :+ col("dist"): _*)
   }
+
+  /** Blocked Jaro–Winkler self-match: all id pairs (id1 < id2) whose
+    * `nameCol` similarity is ≥ `threshold`, candidates restricted to
+    * rows agreeing on every `blockCols` expression — the standard
+    * entity-resolution decomposition (blocking key → in-block scoring).
+    * Unlike [[fuzzyJoin]]'s delete-neighborhood equi-key (which is
+    * exact for edit distance), Jaro–Winkler admits no lossless equi-key,
+    * so blocking IS the recall contract: pairs split across blocks are
+    * by-design unscored, and the catalog row's oracle replays the same
+    * blocks so the contract is pinned, not hidden.
+    *
+    * Scale shape (100 TB): one exchange of (block, id, name) rows
+    * hash-partitioned on the block key, then a per-block quadratic scored
+    * entirely inside the join's codegen stage by the native
+    * [[org.apache.spark.sql.graftext.JaroWinkler]] kernel — no UDF, no
+    * candidate materialization. Per-block work is c·(c−1)/2 scorings, so
+    * block-size choice is the scale lever (prefix + attribute blocking
+    * keeps c bounded as rows grow: more blocks, not bigger ones); a hot
+    * block is a blocking-design bug, not a salting case, because every
+    * in-block pair genuinely must be scored. `sim` is rounded to 6 dp for
+    * output; the THRESHOLD test runs on the raw double (bit-exact vs the
+    * DuckDB pin, so the cut admits identical pair sets). */
+  def jaroBlockedJoin(df: DataFrame, idCol: String, nameCol: String,
+                      blockCols: Seq[Column], threshold: Double): DataFrame = {
+    val blockNames = blockCols.indices.map(i => s"_jw_b$i")
+    val proj = df.select(
+      blockCols.zip(blockNames).map { case (c, n) => c.as(n) } ++
+        Seq(col(idCol), col(nameCol)): _*)
+    val a = proj.select(blockNames.map(col) ++
+      Seq(col(idCol).as("id1"), col(nameCol).as("_jw_n1")): _*)
+    val b = proj.select(blockNames.map(col) ++
+      Seq(col(idCol).as("id2"), col(nameCol).as("_jw_n2")): _*)
+    val sim = graft.functions.VectorFunctions.jaroWinkler(col("_jw_n1"), col("_jw_n2"))
+    a.join(b, blockNames, "inner")
+      .filter(col("id1") < col("id2"))
+      .withColumn("_jw_sim", sim)
+      .filter(col("_jw_sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("_jw_sim"), 6).as("sim"))
+  }
 }

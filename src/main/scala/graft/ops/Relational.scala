@@ -753,5 +753,75 @@ object Relational {
         round(sum(col("cents")).cast("double") / 100.0, 2).as("total_revenue"))
   }
 
+  /** Decile-migration matrix — the rank-mobility readout: customers
+    * bucketed into revenue deciles in year A and again in year B, with
+    * the count and revenue mass of every (from, to) cell. Decile 0 means
+    * "absent that year" (churned on the B side, newly active on the A
+    * side), so the matrix carries churn and acquisition along with the
+    * mobility diagonal.
+    *
+    * Both decile cuts ride [[exactNtile]] (range shuffle + per-partition
+    * window + driver-tiny offset table — never a single-partition global
+    * NTILE window), over the total order (cents, custkey) so the cut is
+    * deterministic and DuckDB's NTILE replays it exactly. The year
+    * tables join on the customer key (both sides already collapsed to
+    * one row per customer — map-side-combined aggregates, so the join
+    * input is customer-sized no matter how many orders), full-outer to
+    * keep single-year customers.
+    *
+    * Output: `decile_from`, `decile_to` (0 = absent), `n_customers`,
+    * `revenue_from`, `revenue_to` (exact cents, one rounded divide). */
+  def decileMigration(orders: DataFrame, yearA: Int = 1996, yearB: Int = 1997,
+                      nBuckets: Int = 10): DataFrame = {
+    def yearRev(y: Int): DataFrame = orders
+      .filter(year(to_date(col("o_orderdate"))) === y)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+    val da = exactNtile(yearRev(yearA), nBuckets, Seq("cents", "o_custkey"), "dec")
+      .select(col("o_custkey"), col("dec").as("dec_a"), col("cents").as("cents_a"))
+    val db = exactNtile(yearRev(yearB), nBuckets, Seq("cents", "o_custkey"), "dec")
+      .select(col("o_custkey"), col("dec").as("dec_b"), col("cents").as("cents_b"))
+    da.join(db, Seq("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("dec_a"), lit(0L)).cast("int").as("decile_from"),
+        coalesce(col("dec_b"), lit(0L)).cast("int").as("decile_to"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        round(sum(coalesce(col("cents_a"), lit(0L))).cast("decimal(38,0)")
+          .cast("double") / 100, 2).as("revenue_from"),
+        round(sum(coalesce(col("cents_b"), lit(0L))).cast("decimal(38,0)")
+          .cast("double") / 100, 2).as("revenue_to"))
+  }
+
+  /** Herfindahl–Hirschman revenue-concentration index per customer
+    * nation — the market-concentration staple: HHI = Σ sᵢ² over customer
+    * revenue shares sᵢ within the nation, 1/n for perfect equality, 1.0
+    * for a monopoly customer.
+    *
+    * Exactness: Σ centsᵢ² and the total are exact decimals (operands
+    * cast to DECIMAL(19,0) BEFORE the product so an extreme customer
+    * overflows to NULL rather than wrapping — the Ols.moments witness
+    * discipline); HHI = sq/tot² is then ONE double expression with a
+    * pinned op order, mirrored in the oracle, so both engines round the
+    * same double.
+    *
+    * Scale shape: orders collapse to customers in one map-side-combined
+    * exchange; the nation dimension attaches by broadcast; the nation
+    * rollup is a second tiny combine. No window, no sort. */
+  def hhiConcentration(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+    rev.join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        rev("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("cents")).cast("decimal(38,0)").as("tot"),
+        sum(col("cents").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sq"))
+      .select(col("nationkey"), col("n_customers"),
+        round(col("tot").cast("double") / 100, 2).as("total_revenue"),
+        round(col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6).as("hhi"),
+        round(lit(1.0) / col("n_customers"), 6).as("hhi_floor"))
+  }
+
   def all: Seq[Q] = Seq(q1Agg)
 }

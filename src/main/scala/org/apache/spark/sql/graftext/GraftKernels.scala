@@ -338,4 +338,64 @@ object GraftKernels {
     }
     z
   }
+
+  /** Jaro–Winkler similarity (Winkler 1990) over the two strings' UTF-8
+    * BYTES — identical to codepoint semantics for ASCII input, which is
+    * the entity-resolution surface this serves (catalog names, tokens).
+    *
+    * Semantics pinned to DuckDB's `jaro_winkler_similarity` (verified
+    * bit-exact on a 5000-case fuzz set): either side empty → 0.0 (INCLUDING
+    * both empty — no equality short-circuit for ""); match window
+    * `max(l1,l2)/2 - 1`; transpositions = half the order-mismatched
+    * matches; Winkler prefix boost only when jaro > 0.7, prefix capped at
+    * 4, scale 0.1. The float expression order below — (m/l1 + m/l2 +
+    * (m-t)/m)/3, then j + l·0.1·(1−j) — is part of the pin: IEEE ops are
+    * deterministic given the order, so the DuckDB oracle reproduces the
+    * exact double. */
+  def jaroWinkler(u1: UTF8String, u2: UTF8String): Double = {
+    val s1 = u1.getBytes
+    val s2 = u2.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (java.util.Arrays.equals(s1, s2)) return 1.0
+    val md = math.max(l1, l2) / 2 - 1 // match window; -1 for two 1-char strings → no matches
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(i + md + 1, l2)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s1(i) == s2(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m / l1.toDouble + m / l2.toDouble + (m - t) / m.toDouble) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val pmax = math.min(4, math.min(l1, l2))
+      while (l < pmax && s1(l) == s2(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
 }

@@ -251,6 +251,10 @@ object VectorExpressions {
   def simhashFrom(hashes: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashFrom(ExpressionUtils.expression(hashes), bits))
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def normalizeWs(s: Column): Column =
     ExpressionUtils.column(NormalizeWs(ExpressionUtils.expression(s)))
 
@@ -396,6 +400,7 @@ private[graftext] object GraftFunctionRegistry {
     ("simhash_from", classOf[SimHashFrom],
       es => SimHashFrom(es(0), intArg("simhash_from", es(1)))),
     ("normalize_ws", classOf[NormalizeWs], es => NormalizeWs(es(0))),
+    ("jaro_winkler", classOf[JaroWinkler], es => JaroWinkler(es(0), es(1))),
     ("text_stats", classOf[TextStats],
       es => TextStats(es(0), TextStats.defaultStopwords)),
     ("id_pairs", classOf[IdPairs], es => IdPairs(es(0))),

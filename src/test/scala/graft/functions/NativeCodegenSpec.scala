@@ -31,6 +31,7 @@ class NativeCodegenSpec extends SparkSpec {
     "SimHashFrom" -> SimHashFrom(longArr, 60),
     "Md5Min" -> Md5Min(strArr),
     "NormalizeWs" -> NormalizeWs(str),
+    "JaroWinkler" -> JaroWinkler(str, BoundReference(1, StringType, nullable = true)),
     "TextStats" -> TextStats(str, TextStats.defaultStopwords),
     "QuantizeInt8" -> QuantizeInt8(dblArr))
 

@@ -1238,6 +1238,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_jaro_blocked: scorer is codegen'd in the join stage; no cartesian; no UDF") {
+    val p = plan("x_jaro_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("jaro_winkler"),
+      "the native JaroWinkler expression must appear in the plan:\n" + p)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "scoring must be the native expression, never a UDF:\n" + p)
+    // similarity is computed AFTER the block equi-join, i.e. the join
+    // condition itself is hash-joinable block keys — a theta-join on the
+    // similarity would make every block pair a nested loop
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the block join must be an equi-join:\n" + p)
+  }
+
+  test("x_hhi: customer dim broadcasts; one map-side-combined customer exchange") {
+    val p = plan("x_hhi")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (custkey, nationkey) dim projection must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    val aggExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(aggExchanges.exists(_.contains("o_custkey")),
+      "the customer collapse must be the one data-sized exchange:\n" + p)
+  }
+
+  test("x_decile_migration: both cuts ride range exchanges + per-partition windows, never one partition") {
+    val p = plan("x_decile_migration")
+    // exactNtile's machinery: rangepartitioning exchanges exist and
+    // every window is partitioned by _pid (the per-partition rank),
+    // never a global single-partition window
+    assert(!p.contains("SinglePartition") || !p.contains("Window"),
+      "no window may run on SinglePartition:\n" + p)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("_pid")),
+      "every NTILE window must be per-partition (_pid):\n" + winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_er_clusters: CC loop rides checkpoints; exchanges carry ids, never names") {
+    val p = plan("x_er_clusters")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(!_.contains("name#")),
+      "post-scoring exchanges must carry 8-byte ids, never part names:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
     val p = plan("x_embed_drift")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq

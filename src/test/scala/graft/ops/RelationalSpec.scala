@@ -242,6 +242,36 @@ class RelationalSpec extends SparkSpec {
     assert(t2.getLong(0) == 2L && t2.getDouble(1) == 0.0, t2.toString)
   }
 
+  test("decileMigration: decile 0 marks absence; diagonal and churn cells by hand") {
+    // 2 buckets: year A actives {1:$100, 2:$200, 3:$300}; year B {2:$50, 3:$400, 4:$10}
+    val orders = Seq(
+      (1L, "1996-03-01", 100.0), (2L, "1996-03-01", 200.0), (3L, "1996-03-01", 300.0),
+      (2L, "1997-03-01", 50.0), (3L, "1997-03-01", 400.0), (4L, "1997-03-01", 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.decileMigration(orders, 1996, 1997, nBuckets = 2)
+    // A deciles (n=3, 2 buckets → bucket1 gets 2): 1→1, 2→1, 3→2
+    // B deciles: 4($10)→1, 2($50)→1, 3($400)→2
+    // cells: (1,0) cust1 churned; (1,1) cust2; (2,2) cust3; (0,1) cust4 new
+    assert(rowSet(out) == Set(
+      "1|0|1|100.0|0.0", "1|1|1|200.0|50.0", "2|2|1|300.0|400.0", "0|1|1|0.0|10.0"),
+      rowSet(out).toString)
+  }
+
+  test("hhiConcentration: monopoly → 1.0, perfect equality → 1/n; floor column matches") {
+    val orders = Seq(
+      (1L, "1996-01-01", 500.0),                              // nation 10: monopoly
+      (2L, "1996-01-01", 100.0), (3L, "1996-01-01", 100.0),
+      (4L, "1996-01-01", 100.0), (5L, "1996-01-01", 100.0))   // nation 20: 4 equals
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, 10), (2L, 20), (3L, 20), (4L, 20), (5L, 20))
+      .toDF("c_custkey", "c_nationkey")
+    val out = Relational.hhiConcentration(orders, cust).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(10).getDouble(3) == 1.0 && out(10).getDouble(4) == 1.0)
+    assert(out(20).getDouble(3) == 0.25 && out(20).getDouble(4) == 0.25)
+    assert(out(20).getLong(1) == 4L && out(20).getDouble(2) == 400.0)
+  }
+
   test("rfmSegments: quintile orientation (1 = most recent / least frequent / least value)") {
     val orders = Seq(
       (1L, "2024-01-10", 100.0), (1L, "2024-01-10", 100.0),
