@@ -1743,60 +1743,58 @@ object ExtensionQueries {
     """.trim)
   )
 
-  /** Blocked Jaro–Winkler entity match (FuzzyJoin.jaroBlockedJoin): part
-    * names scored pairwise inside (brand, first-word) blocks, pairs kept
-    * at similarity ≥ 0.9. The scorer is the native codegen'd
+  /** Collapse-first blocked Jaro–Winkler entity match
+    * (FuzzyJoin.jaroRepMatch scaladoc: exact surface forms collapse to
+    * (min-id rep, count) first, so the in-block quadratic runs over the
+    * SATURATING distinct-name vocabulary, not the linearly-growing rows
+    * — the raw row-level variant measured 26× wall at 10× data and was
+    * replaced). The scorer is the native codegen'd
     * [[org.apache.spark.sql.graftext.JaroWinkler]] expression, pinned
     * bit-exact to DuckDB's `jaro_winkler_similarity` (including the
     * both-empty → 0 corner and the float-op order), so the oracle's
-    * replay of the same blocks reproduces the identical pair set AND the
-    * identical rounded similarity — the threshold cut cannot drift by an
-    * ulp. Blocking bounds the quadratic: per-block work is c·(c−1)/2
-    * scorings with c set by blocking-key granularity, the one exchange
-    * carries (block, id, name) rows only. */
+    * replay of the same collapse + blocks reproduces the identical pair
+    * set AND the identical rounded similarity — the threshold cut cannot
+    * drift by an ulp. */
   val jaroBlockedQ: Q = Q(
     "x_jaro_blocked",
     (s, d) => {
       val p = Tables.part(s, d).select(
         col("p_partkey").as("id"), col("p_brand").as("brand"),
         substring_index(col("p_name"), " ", 1).as("w1"), col("p_name").as("name"))
-      FuzzyJoin.jaroBlockedJoin(p, "id", "name",
+      FuzzyJoin.jaroRepMatch(p, "id", "name",
         Seq(col("brand"), col("w1")), threshold = 0.9)
     },
     Some("""
       WITH p AS (SELECT p_partkey AS id, p_brand AS brand,
-                        split_part(p_name, ' ', 1) AS w1, p_name AS name FROM part)
+                        split_part(p_name, ' ', 1) AS w1, p_name AS name FROM part),
+      g AS (SELECT brand, w1, name, MIN(id) AS id, COUNT(*) AS n
+            FROM p GROUP BY 1, 2, 3)
       SELECT a.id AS id1, b.id AS id2,
+             CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
              ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS sim
-      FROM p a JOIN p b ON a.brand = b.brand AND a.w1 = b.w1 AND a.id < b.id
+      FROM g a JOIN g b ON a.brand = b.brand AND a.w1 = b.w1 AND a.id < b.id
       WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
     """.trim)
   )
 
-  /** End-to-end entity resolution: the blocked Jaro–Winkler scores feed
-    * Dedup.dedupClusters' pointer-jumping connected components, so every
-    * matched part lands in a cluster labeled by its minimum member id,
-    * with the member count attached. The oracle is ALGORITHM-INDEPENDENT:
-    * DuckDB's recursive-CTE transitive closure over the same thresholded
-    * pair graph (min reachable id per node), so matching hashes prove the
-    * O(log D) pointer-jumping loop computes exactly the closure's
-    * components — the triangle-oracle discipline applied to clustering.
-    * Scale: pair scoring is the blocked quadratic (see x_jaro_blocked);
-    * the CC loop shuffles 8-byte id/label rows only, checkpointed
-    * per round. */
+  /** End-to-end entity resolution (FuzzyJoin.jaroErClusters scaladoc:
+    * collapse exact surface forms first — vocabulary-bounded scoring,
+    * linear collapse — then pointer-jumping CC over rep-level edges and
+    * one membership join back). The oracle is DOUBLY algorithm-
+    * independent: DuckDB's recursive-CTE transitive closure over the
+    * FULL per-id pair graph (no collapse, min reachable id per node), so
+    * matching hashes prove BOTH that the O(log D) pointer-jumping loop
+    * computes exactly the closure's components AND that the collapse-
+    * first decomposition loses no pair the naive quadratic would score —
+    * the triangle-oracle discipline applied to clustering. */
   val erClustersQ: Q = Q(
     "x_er_clusters",
     (s, d) => {
       val p = Tables.part(s, d).select(
         col("p_partkey").as("id"), col("p_brand").as("brand"),
         substring_index(col("p_name"), " ", 1).as("w1"), col("p_name").as("name"))
-      val pairs = FuzzyJoin.jaroBlockedJoin(p, "id", "name",
+      FuzzyJoin.jaroErClusters(p, "id", "name",
         Seq(col("brand"), col("w1")), threshold = 0.9)
-      val cl = graft.dedup.Dedup.dedupClusters(pairs.select(col("id1"), col("id2")))
-        .select(col("doc_id").as("id"), col("cluster_id"))
-      val sizes = cl.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).cast("long").as("n_members"))
-      cl.join(sizes, "cluster_id").select(col("id"), col("cluster_id"), col("n_members"))
     },
     Some("""
       WITH RECURSIVE p AS (SELECT p_partkey AS id, p_brand AS brand,

@@ -131,4 +131,101 @@ object FuzzyJoin {
       .filter(col("_jw_sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("_jw_sim"), 6).as("sim"))
   }
+
+  /** The collapsed (block, name) surface-form table: one row per distinct
+    * name within its block, carrying the group's min id as representative
+    * and the member count. Checkpointed — it is vocabulary-bounded (the
+    * whole point) and every caller reads it at least twice. */
+  private def surfaceForms(df: DataFrame, idCol: String, nameCol: String,
+                           blockCols: Seq[Column]): (DataFrame, Seq[String], DataFrame) = {
+    val bn = blockCols.indices.map(i => s"_jw_b$i")
+    val proj = df.select(blockCols.zip(bn).map { case (c, n) => c.as(n) } ++
+      Seq(col(idCol).as("_jw_id"), col(nameCol).as("_jw_name")): _*)
+    val reps = proj.groupBy(bn.map(col) :+ col("_jw_name"): _*)
+      .agg(min(col("_jw_id")).as("_jw_rep"), count(lit(1)).as("_jw_n"))
+      .localCheckpoint()
+    (proj, bn, reps)
+  }
+
+  /** Collapse-first Jaro–Winkler matching — the form of [[jaroBlockedJoin]]
+    * that survives scale-up. The raw blocked join is quadratic in BLOCK
+    * SIZE, and block sizes grow linearly with the table when the name
+    * vocabulary is finite (10× the catalog = 10× the rows per (brand,
+    * first-word) block = 100× the scorings — measured: 26× wall at 10×
+    * data). But the DISTINCT surface forms per block saturate at the
+    * vocabulary, so collapsing exact duplicates first — name → (min id
+    * representative, member count), one map-side-combined exchange —
+    * makes the scoring stage data-size-INDEPENDENT: the only work that
+    * grows with rows is the linear collapse. This is the same
+    * "vocabulary-sized sides" discipline as [[fuzzyJoin]]'s token tables.
+    *
+    * Output: one row per matched representative pair — `id1`, `id2`
+    * (group min ids, id1 < id2), `n1`, `n2` (exact-duplicate member
+    * counts), `sim` (6 dp; threshold tested on the raw DuckDB-bit-exact
+    * double). Identical-name groups are NOT emitted as self-pairs — they
+    * are the collapse itself; [[jaroErClusters]] re-attaches them. */
+  def jaroRepMatch(df: DataFrame, idCol: String, nameCol: String,
+                   blockCols: Seq[Column], threshold: Double): DataFrame = {
+    val (_, bn, reps) = surfaceForms(df, idCol, nameCol, blockCols)
+    val a = reps.select(bn.map(col) ++ Seq(col("_jw_name").as("_jw_n1"),
+      col("_jw_rep").as("id1"), col("_jw_n").as("n1")): _*)
+    val b = reps.select(bn.map(col) ++ Seq(col("_jw_name").as("_jw_n2"),
+      col("_jw_rep").as("id2"), col("_jw_n").as("n2")): _*)
+    val sim = graft.functions.VectorFunctions.jaroWinkler(col("_jw_n1"), col("_jw_n2"))
+    a.join(b, bn, "inner")
+      .filter(col("id1") < col("id2"))
+      .withColumn("_jw_sim", sim)
+      .filter(col("_jw_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        round(col("_jw_sim"), 6).as("sim"))
+  }
+
+  /** End-to-end entity resolution, collapse-first: every id whose name
+    * has at least one in-block partner at `threshold` (an exact duplicate
+    * or a fuzzy match) gets its connected component's minimum id as
+    * `cluster_id`, plus the component's member count. Exactly equal to
+    * running connected components over the FULL per-id threshold pair
+    * graph — identical names form cliques there, and a clique's closure
+    * is its min id, which is precisely the representative the collapse
+    * picks — but the quadratic runs over surface forms, not rows (see
+    * [[jaroRepMatch]]). The x_er_clusters oracle pins that equality: it
+    * IS the full-graph transitive closure.
+    *
+    * Scale shape: one linear collapse exchange; a vocabulary-bounded
+    * scoring join; [[graft.dedup.Dedup.dedupClusters]]' pointer-jumping
+    * CC over rep-level 8-byte edges; one membership join back (linear,
+    * key-partitioned). */
+  def jaroErClusters(df: DataFrame, idCol: String, nameCol: String,
+                     blockCols: Seq[Column], threshold: Double): DataFrame = {
+    val (proj, bn, reps) = surfaceForms(df, idCol, nameCol, blockCols)
+    val edges = {
+      val a = reps.select(bn.map(col) ++
+        Seq(col("_jw_name").as("_jw_n1"), col("_jw_rep").as("id1")): _*)
+      val b = reps.select(bn.map(col) ++
+        Seq(col("_jw_name").as("_jw_n2"), col("_jw_rep").as("id2")): _*)
+      a.join(b, bn, "inner")
+        .filter(col("id1") < col("id2"))
+        .filter(graft.functions.VectorFunctions
+          .jaroWinkler(col("_jw_n1"), col("_jw_n2")) >= threshold)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint() // read by the CC loop AND the fuzzy-rep node set
+    }
+    val fuzzyCl = graft.dedup.Dedup.dedupClusters(edges)
+      .select(col("doc_id").as("_jw_rep"), col("cluster_id"))
+    // an exact-duplicate group with no fuzzy partner is a cluster of its
+    // own (its ids pair with each other in the full graph at sim 1.0)
+    val soloExact = reps.filter(col("_jw_n") >= 2)
+      .join(fuzzyCl.select(col("_jw_rep")), Seq("_jw_rep"), "left_anti")
+      .select(col("_jw_rep"), col("_jw_rep").as("cluster_id"))
+    val repCluster = fuzzyCl.union(soloExact)
+    val membership = proj
+      .join(reps.select((bn.map(col) :+ col("_jw_name")) :+ col("_jw_rep"): _*),
+        (bn :+ "_jw_name").toSeq)
+      .join(repCluster, "_jw_rep")
+      .select(col("_jw_id").as("id"), col("cluster_id"))
+    val sizes = membership.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    membership.join(sizes, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("n_members"))
+  }
 }

@@ -92,6 +92,44 @@ class JaroWinklerSpec extends SparkSpec {
     assert(math.abs(sql - 0.9611111111111111) < 1e-15)
   }
 
+  test("jaroRepMatch: exact duplicates collapse to (min-id rep, count) before scoring") {
+    val df = Seq(
+      (5L, "B1", "goldenrod lace"), (2L, "B1", "goldenrod lace"),   // dup group, rep=2
+      (3L, "B1", "goldenrod lamp"), (9L, "B2", "goldenrod lace"))
+      .toDF("id", "brand", "name")
+    val out = graft.ops.FuzzyJoin
+      .jaroRepMatch(df, "id", "name", Seq(col("brand")), threshold = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one rep pair: (2 ["goldenrod lace" x2], 3 ["goldenrod lamp" x1]);
+    // no self-pair for the dup group; 9 is blocked away
+    assert(out.toSeq == Seq((2L, 3L, 2L, 1L)), out.mkString(","))
+  }
+
+  test("jaroErClusters == connected components of the raw full pair graph") {
+    val df = Seq(
+      (1L, "B1", "goldenrod lace"), (7L, "B1", "goldenrod lace"),   // exact dups
+      (2L, "B1", "goldenrod lamp"),                                  // fuzzy link to the dups
+      (4L, "B1", "zzz unrelated name"),                              // matches nothing
+      (5L, "B2", "silver spring"), (6L, "B2", "silver spring"))      // exact-only cluster
+      .toDF("id", "brand", "name")
+    val fast = graft.ops.FuzzyJoin
+      .jaroErClusters(df, "id", "name", Seq(col("brand")), threshold = 0.85)
+    // reference: raw quadratic pair graph -> CC
+    val raw = graft.ops.FuzzyJoin
+      .jaroBlockedJoin(df, "id", "name", Seq(col("brand")), threshold = 0.85)
+    val cc = graft.dedup.Dedup.dedupClusters(raw.select(col("id1"), col("id2")))
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    val ccSized = cc.join(
+      cc.groupBy("cluster_id").agg(count(lit(1)).cast("long").as("n_members")),
+      "cluster_id").select(col("id"), col("cluster_id"), col("n_members"))
+    assert(rowSet(fast) == rowSet(ccSized),
+      s"fast=${rowSet(fast)} raw=${rowSet(ccSized)}")
+    // and the expected shape: {1,7,2} under rep 1; {5,6} under 5; 4 absent
+    // rowSet orders columns alphabetically: cluster_id|id|n_members
+    assert(rowSet(fast) == Set("1|1|3", "1|2|3", "1|7|3", "5|5|2", "5|6|2"),
+      rowSet(fast).toString)
+  }
+
   test("blocked self-match join: exhaustive in-block pairs, threshold cut") {
     val df = Seq(
       (1L, "B1", "goldenrod lace"), (2L, "B1", "goldenrod lavender"),

@@ -1238,7 +1238,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x_jaro_blocked: scorer is codegen'd in the join stage; no cartesian; no UDF") {
+  test("x_jaro_blocked: scoring rides the checkpointed surface-form table; kernel inline; no UDF") {
     val p = plan("x_jaro_blocked")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("jaro_winkler"),
@@ -1251,6 +1251,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"),
       "the block join must be an equi-join:\n" + p)
+    // collapse-first: both scoring sides read the vocabulary-bounded
+    // surface-form CHECKPOINT, never the raw part table — the raw
+    // row-level quadratic measured 26x wall at 10x data
+    assert(!p.contains("Scan parquet"),
+      "scoring must ride the collapsed checkpoint, not re-scan part:\n" + p)
   }
 
   test("x_hhi: customer dim broadcasts; one map-side-combined customer exchange") {
@@ -1277,13 +1282,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x_er_clusters: CC loop rides checkpoints; exchanges carry ids, never names") {
+  test("x_er_clusters: membership tail is window-free; rep labels ride checkpoints; no cartesian") {
+    // the CC loop itself runs eagerly behind localCheckpoints during
+    // construction; the audited plan is the membership tail — the only
+    // data-sized stages left
     val p = plan("x_er_clusters")
     assert(!p.contains("CartesianProduct"), p)
-    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchangeLines.forall(!_.contains("name#")),
-      "post-scoring exchanges must carry 8-byte ids, never part names:\n" +
-        exchangeLines.mkString("\n"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Scan ExistingRDD"),
+      "rep labels and surface forms must be read from checkpoints:\n" + p)
   }
 
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
