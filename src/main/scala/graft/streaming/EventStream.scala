@@ -496,4 +496,69 @@ object EventStream {
           NvrReadout(uid, sorted.head, sorted)
       }
   }
+
+  /** [[hllCounters]] state: the 256 HLL register maxima, one byte each —
+    * a CONSTANT 256 B per event type forever, whatever the cardinality.
+    * Register 0 means "never hit" (true rho is always ≥ 1). */
+  final case class HllRegState(regs: Array[Byte])
+  final case class HllReadout(event_type: String, n_buckets_hit: Long,
+                              hll_distinct: Double)
+
+  /** Streaming twin of [[graft.ops.Hll.hllDistinct]] — continuously-
+    * maintained distinct-user estimates per event type. The state is the
+    * HLL register array itself, and register max is idempotent and
+    * order-insensitive, so late/duplicate/out-of-order events need no
+    * special casing at all: replay cannot move a register down. Every
+    * arithmetic step — the md5-60 hash, bucket/rho split, exact integer
+    * harmonic sum in 2^(−53) units, the one alpha·m²/s double tail —
+    * mirrors the batch operator symbol-for-symbol, so a drained stream's
+    * readout EQUALS the batch estimate on the same rows (spec-pinned),
+    * which is exactly the mergeable-sketch contract that lets 100 TB
+    * deployments serve the same number from both paths.
+    *
+    * Exact distinct is deliberately absent here: it would need per-key
+    * state (unbounded); the batch face carries it as the error baseline. */
+  def hllCounters(events: Dataset[Event]): Dataset[HllReadout] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val TwoTo53 = 9007199254740992L
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // 60-bit md5 prefix of the key's decimal string — identical to the
+    // batch side's conv(substring(md5(cast(key as string)), 1, 15), 16, 10)
+    def hash60(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HllRegState, HllReadout](GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state: GroupState[HllRegState]) =>
+          val regs = state.getOption.map(_.regs.clone())
+            .getOrElse(new Array[Byte](256))
+          rows.foreach { e =>
+            val h = hash60(e.user_id.toString)
+            val bucket = (h >>> 52).toInt
+            val w = h & ((1L << 52) - 1)
+            val rho =
+              if (w == 0L) 53
+              else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(bucket)) regs(bucket) = rho.toByte
+          }
+          state.update(HllRegState(regs))
+          var hit = 0L
+          var sp = 0L
+          var j = 0
+          while (j < 256) {
+            if (regs(j) > 0) { hit += 1; sp += 1L << (53 - regs(j)) }
+            j += 1
+          }
+          val s = sp + (256L - hit) * TwoTo53
+          val est = round6(
+            0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * TwoTo53.toDouble / s.toDouble)
+          HllReadout(typ, hit, est)
+      }
+  }
 }

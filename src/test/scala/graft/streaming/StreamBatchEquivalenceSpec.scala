@@ -440,4 +440,48 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assert(err <= bound, s"q=$p reported=$rep trueRank=[$lo,$hi] target=$target err=$err bound=$bound")
     }
   }
+
+  test("hllCounters: drained stream equals the batch HLL exactly; register merge is idempotent") {
+    import org.apache.spark.sql.Dataset
+    def uev(id: Long, uid: Long, typ: String) =
+      Event(id, Timestamp.valueOf("2024-03-10 10:00:00"), uid, typ, 1.0)
+    // enough distinct keys to exercise many buckets; two types
+    val b1 = (1L to 400L).map(u => uev(u, u, "a")) :+ uev(9001L, 7L, "b")
+    val b2 = (401L to 900L).map(u => uev(1000 + u, u, "a")) ++
+      (1L to 50L).map(u => uev(20000 + u, u * 13, "b"))
+    // batch 3 is ALL duplicates of earlier keys — the readout must not move
+    val b3 = (1L to 100L).map(u => uev(30000 + u, u, "a"))
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[String, (Long, Double)]()
+    var afterB2a: (Long, Double) = null
+    var batchNo = 0
+    val q = EventStream.hllCounters(input.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.HllReadout], _: Long) =>
+        batchNo += 1
+        df.collect().foreach { r =>
+          got(r.event_type) = ((r.n_buckets_hit, r.hll_distinct))
+          if (batchNo == 2 && r.event_type == "a")
+            afterB2a = ((r.n_buckets_hit, r.hll_distinct))
+        }
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    // duplicate-only batch left type a unchanged (idempotent register max)
+    assert(got("a") == afterB2a, s"dup batch moved the sketch: ${got("a")} vs $afterB2a")
+
+    val all = (b1 ++ b2 ++ b3).toDF()
+    val batch = graft.ops.Hll.hllDistinct(all, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    for (typ <- Seq("a", "b"))
+      assert(got(typ) == batch(typ), s"$typ: stream=${got(typ)} batch=${batch(typ)}")
+    // sanity: the estimate is in the raw-regime ballpark of truth (900 for a)
+    assert(math.abs(got("a")._2 - 900.0) / 900.0 < 0.25, got.toString)
+  }
 }
