@@ -1108,4 +1108,83 @@ object EventAnalytics {
         when(col("_tre") > 0,
           round(col("_re").cast("double") / col("_tre").cast("double"), 6)).as("share"))
   }
+
+  /** Greedy binary segmentation of the daily event-count series into
+    * `k` changepoints (Scott & Knott 1974 / the CUSUM-family multi-split
+    * extension of [[changepointDaily]]'s single AMOC split): each round
+    * scores every in-segment candidate split by its SSE reduction
+    * gain(r) = S_L²/n_L + S_R²/n_R − S²/n (the variance term Σx² cancels,
+    * so only prefix sums are needed), takes the global argmax (ties →
+    * earliest day), and the chosen split becomes a segment boundary for
+    * the next round.
+    *
+    * Scale shape: the event log collapses to the day grid in ONE
+    * map-side-combined exchange; the grid (with row numbers and prefix
+    * sums from a days-bounded single-partition window — the
+    * [[changepointDaily]] justification) is checkpointed once and every
+    * round reads it. Per round the driver holds only the boundary list
+    * (≤ k+2 longs) and collects exactly one argmax row; segment bounds
+    * attach by broadcast. k rounds = k grid-sized jobs, log-data touched
+    * once.
+    *
+    * Determinism: prefix sums are exact longs; each gain is a fixed
+    * three-term double expression over exact longs (squares are exact
+    * below 2^26.5 total events — far past any daily grid this serves),
+    * mirrored term-for-term by the oracle's unrolled rounds; argmax
+    * tie-breaks on the day. Output: `split_rank` (pick order 1..k),
+    * `split_day`, `gain` (6 dp). */
+  def binsegDaily(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 8, s"binsegDaily: k must be in [1, 8], got $k")
+    val spark = events.sparkSession
+    val w = Window.orderBy(col("day"))
+    val grid = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pc", sum(col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .localCheckpoint()
+    val nDays = grid.count()
+    // pc at a boundary rn (boundary 0 = before the series, pc 0)
+    def pcAt(bounds: Seq[Long]): Map[Long, Long] = {
+      val m = grid.filter(col("rn").isin(bounds.filter(_ > 0): _*))
+        .select(col("rn"), col("pc")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      m + (0L -> 0L)
+    }
+    var bounds = List(0L, nDays)
+    val picks = scala.collection.mutable.ListBuffer.empty[(Int, java.sql.Date, Double)]
+    var round = 1
+    while (round <= k) {
+      val pcs = pcAt(bounds)
+      val segs = bounds.sorted.sliding(2).collect {
+        case List(a, b) if b - a >= 2 => (a, b, pcs(a), pcs(b))
+      }.toSeq
+      if (segs.nonEmpty) {
+        import spark.implicits._
+        val segDf = broadcast(segs.toDF("lo", "hi", "plo", "phi"))
+        val best = grid.join(segDf,
+            col("rn") > col("lo") && col("rn") < col("hi"))
+          .withColumn("gain",
+            (col("pc") - col("plo")).cast("double") * (col("pc") - col("plo")).cast("double")
+              / (col("rn") - col("lo")).cast("double")
+              + (col("phi") - col("pc")).cast("double") * (col("phi") - col("pc")).cast("double")
+              / (col("hi") - col("rn")).cast("double")
+              - (col("phi") - col("plo")).cast("double") * (col("phi") - col("plo")).cast("double")
+              / (col("hi") - col("lo")).cast("double"))
+          .orderBy(col("gain").desc, col("day"))
+          .select(col("rn"), col("day"), col("gain"))
+          .limit(1).collect()(0)
+        picks += ((round, best.getDate(1),
+          java.math.BigDecimal.valueOf(best.getDouble(2))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+        bounds = best.getLong(0) :: bounds
+      }
+      round += 1
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("split_rank", "split_day", "gain")
+      .select(col("split_rank").cast("int").as("split_rank"),
+        col("split_day"), col("gain"))
+  }
 }

@@ -1844,6 +1844,73 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Multi-changepoint binary segmentation (EventAnalytics.binsegDaily
+    * scaladoc: greedy SSE-gain splits on the checkpointed day grid, k
+    * grid-sized jobs, driver holds only the boundary list). The oracle
+    * unrolls all three greedy rounds — each an argmax of the identical
+    * three-term double gain over per-segment prefix sums, segment
+    * bounds from the previous rounds' picks via CASE — the PageRank /
+    * MMR unrolled-fixed-point precedent. */
+  val binsegQ: Q = Q(
+    "x_binseg",
+    (s, d) => EventAnalytics.binsegDaily(Tables.events(s, d), k = 3),
+    Some("""
+      WITH g0 AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      g AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   SUM(c) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+            FROM g0),
+      t AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM g0),
+      r1 AS (SELECT rn, day,
+                    CAST(pc AS DOUBLE) * CAST(pc AS DOUBLE) / CAST(rn AS DOUBLE)
+                  + CAST(s - pc AS DOUBLE) * CAST(s - pc AS DOUBLE) / CAST(n - rn AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+             FROM g, t WHERE rn < n
+             ORDER BY gain DESC, day LIMIT 1),
+      c2 AS (SELECT g.rn, g.day, g.pc,
+                    CASE WHEN g.rn <= r1.rn THEN 0 ELSE r1.rn END AS lo,
+                    CASE WHEN g.rn <= r1.rn THEN r1.rn ELSE n END AS hi
+             FROM g, r1, t
+             WHERE g.rn < CASE WHEN g.rn <= r1.rn THEN r1.rn ELSE n END),
+      r2 AS (SELECT c2.rn, c2.day,
+                    CAST(c2.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      * CAST(c2.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      / CAST(c2.rn - c2.lo AS DOUBLE)
+                  + CAST(ghi.pc - c2.pc AS DOUBLE) * CAST(ghi.pc - c2.pc AS DOUBLE)
+                      / CAST(c2.hi - c2.rn AS DOUBLE)
+                  - CAST(ghi.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      * CAST(ghi.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      / CAST(c2.hi - c2.lo AS DOUBLE) AS gain
+             FROM c2 LEFT JOIN g glo ON glo.rn = c2.lo JOIN g ghi ON ghi.rn = c2.hi
+             ORDER BY gain DESC, c2.day LIMIT 1),
+      b3 AS (SELECT LEAST(r1.rn, r2.rn) AS a, GREATEST(r1.rn, r2.rn) AS bb
+             FROM r1, r2),
+      c3 AS (SELECT g.rn, g.day, g.pc,
+                    CASE WHEN g.rn <= a THEN 0
+                         WHEN g.rn <= bb THEN a ELSE bb END AS lo,
+                    CASE WHEN g.rn <= a THEN a
+                         WHEN g.rn <= bb THEN bb ELSE n END AS hi
+             FROM g, b3, t
+             WHERE g.rn < CASE WHEN g.rn <= a THEN a
+                               WHEN g.rn <= bb THEN bb ELSE n END),
+      r3 AS (SELECT c3.rn, c3.day,
+                    CAST(c3.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      * CAST(c3.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      / CAST(c3.rn - c3.lo AS DOUBLE)
+                  + CAST(ghi.pc - c3.pc AS DOUBLE) * CAST(ghi.pc - c3.pc AS DOUBLE)
+                      / CAST(c3.hi - c3.rn AS DOUBLE)
+                  - CAST(ghi.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      * CAST(ghi.pc - COALESCE(glo.pc, 0) AS DOUBLE)
+                      / CAST(c3.hi - c3.lo AS DOUBLE) AS gain
+             FROM c3 LEFT JOIN g glo ON glo.rn = c3.lo JOIN g ghi ON ghi.rn = c3.hi
+             ORDER BY gain DESC, c3.day LIMIT 1)
+      SELECT CAST(1 AS INT) AS split_rank, day AS split_day,
+             ROUND(gain, 6) AS gain FROM r1
+      UNION ALL SELECT CAST(2 AS INT), day, ROUND(gain, 6) FROM r2
+      UNION ALL SELECT CAST(3 AS INT), day, ROUND(gain, 6) FROM r3
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5579,5 +5646,5 @@ object ExtensionQueries {
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
-    theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ)
+    theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ)
 }

@@ -485,6 +485,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rowSet(out) == Set("click+view|2|2", "error|1|1"), rowSet(out).toString)
   }
 
+  test("binsegDaily: two planted level shifts found in greedy order, gains by hand") {
+    // counts [10,10,10,10,50,50,50,50,10,10,10,10]: S=280, n=12.
+    // Round 1: gains at r=4 and r=8 tie at 7600 - 280^2/12 = 1066.666667
+    //   -> earliest day wins: day 04. Round 2: segment (4,12] splits at
+    //   r=8 with 200^2/4 + 40^2/4 - 240^2/8 = 3200.
+    var id = 0L
+    val rows = (1 to 12).flatMap { d =>
+      val n = if (d >= 5 && d <= 8) 50 else 10
+      (1 to n).map { i => id += 1; (id, f"2024-01-$d%02d ${i / 60}%02d:${i % 60}%02d:00", 1L, "view", 0.0) }
+    }
+    val out = EventAnalytics.binsegDaily(events(rows: _*), k = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getDate(1).toString, r.getDouble(2)))).toMap
+    assert(out(1) == (("2024-01-04", 1066.666667)), out.toString)
+    assert(out(2) == (("2024-01-08", 3200.0)), out.toString)
+    assert(out.contains(3)) // a third (noise) split exists and is reported
+    assert(out(3)._2 <= 3200.0 + 1e-9)
+  }
+
   test("acfDaily: hand-computed biased estimator on a symmetric hump series") {
     // daily counts [1,2,3,2,1]: N=5, S=9, dcent = 5x−9 = [−4,1,6,1,−4], den=70
     // lag1: −4+6+6−4 = 4 → 4/70; lag2: −24+1−24 = −47 → −47/70

@@ -1293,6 +1293,15 @@ class PlanAuditSpec extends SparkSpec {
       "rep labels and surface forms must be read from checkpoints:\n" + p)
   }
 
+  test("x_binseg: result is a driver-bounded local relation; rounds ran behind the grid checkpoint") {
+    // the k greedy rounds collect exactly one argmax row each at
+    // construction time, against the checkpointed day grid — the final
+    // plan must be the k-row local pick table, never a re-scan
+    val p = plan("x_binseg")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
     val p = plan("x_embed_drift")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
