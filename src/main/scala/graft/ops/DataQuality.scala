@@ -456,4 +456,51 @@ object DataQuality {
       .select(col("source"), col("ns").as("n_rows"),
         round(col("ts").cast("double"), 6).as("psi"))
   }
+
+  /** Weight-of-evidence / information-value feature screen (the credit-
+    * scoring staple, Siddiqi 2006): for a categorical feature bucket i
+    * against a binary label, WOEᵢ = ln(goodshareᵢ / badshareᵢ) and
+    * IV = Σᵢ (goodshareᵢ − badshareᵢ)·WOEᵢ — the standard "is this
+    * feature worth a model's time" readout (IV < 0.02 useless,
+    * > 0.3 strong). Laplace +1 on the bucket counts guards empty cells
+    * exactly (integer smoothing, no float epsilon).
+    *
+    * Determinism: the WOE ratio is formed as ONE exact integer
+    * cross-multiplication (gᵢ+1)·(B+K) / (bᵢ+1)·(G+K) before its single
+    * double divide and ln — never share-of-share double chains; ln (the
+    * file's one transcendental here, same as [[psiDrift]]) is
+    * ROUND(…, 6) before reuse; each IV term is ROUND-then-DECIMAL before
+    * the sum, so the cross-engine total is exact decimal addition of
+    * identically-rounded terms.
+    *
+    * Scale shape: one map-side-combined exchange collapses the fact
+    * table to the bucket grid (≤ |feature domain| rows, checkpointed for
+    * its two readers); totals ride a broadcast 1-row sidecar; everything
+    * after the collapse is grid-sized. Output: per bucket — `bucket`,
+    * `n_events`, `n_good`, `n_bad`, `woe` — plus the constant `iv`. */
+  def woeIv(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      round(col("l_discount") * 100).cast("int").as("bucket"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val g = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("y")).cast("long").as("n_good"))
+      .withColumn("n_bad", col("n_events") - col("n_good"))
+      .localCheckpoint() // serves the totals sidecar AND the woe pass
+    val tot = g.agg(sum(col("n_good")).cast("long").as("gt"),
+      sum(col("n_bad")).cast("long").as("bt"),
+      count(lit(1)).cast("long").as("k"))
+    val scored = g.crossJoin(broadcast(tot))
+      .withColumn("woe", round(log(
+        ((col("n_good") + 1) * (col("bt") + col("k"))).cast("double") /
+          ((col("n_bad") + 1) * (col("gt") + col("k"))).cast("double")), 6))
+      .withColumn("term", round(
+        ((col("n_good") + 1).cast("double") / (col("gt") + col("k")).cast("double")
+          - (col("n_bad") + 1).cast("double") / (col("bt") + col("k")).cast("double"))
+          * col("woe"), 6).cast("decimal(18,6)"))
+      .localCheckpoint() // bucket-grid-sized; serves rows AND the IV sum
+    val iv = scored.agg(sum(col("term")).cast("decimal(18,6)").as("ivd"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("bucket"), col("n_events"), col("n_good"), col("n_bad"),
+        col("woe"), col("ivd").cast("double").as("iv"))
+  }
 }

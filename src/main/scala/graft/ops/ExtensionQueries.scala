@@ -1911,6 +1911,39 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** WOE / information value of the discount bucket against the
+    * return flag (DataQuality.woeIv scaladoc: integer Laplace
+    * smoothing, ONE cross-multiplied exact ratio per ln, ROUND-then-
+    * DECIMAL IV terms — the psiDrift transcendental discipline). */
+  val woeIvQ: Q = Q(
+    "x_woe_iv",
+    (s, d) => DataQuality.woeIv(Tables.lineitem(s, d)),
+    Some("""
+      WITH b AS (SELECT CAST(ROUND(l_discount * 100) AS INT) AS bucket,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                 FROM lineitem),
+      g AS (SELECT bucket, COUNT(*) AS n_events, CAST(SUM(y) AS BIGINT) AS n_good,
+                   COUNT(*) - CAST(SUM(y) AS BIGINT) AS n_bad
+            FROM b GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS gt,
+                   CAST(SUM(n_bad) AS BIGINT) AS bt, COUNT(*) AS k FROM g),
+      s AS (SELECT bucket, n_events, n_good, n_bad,
+                   ROUND(ln(CAST((n_good + 1) * (bt + k) AS DOUBLE)
+                          / CAST((n_bad + 1) * (gt + k) AS DOUBLE)), 6) AS woe,
+                   gt, bt, k
+            FROM g, t),
+      s2 AS (SELECT bucket, n_events, n_good, n_bad, woe,
+                    CAST(ROUND((CAST(n_good + 1 AS DOUBLE) / CAST(gt + k AS DOUBLE)
+                              - CAST(n_bad + 1 AS DOUBLE) / CAST(bt + k AS DOUBLE))
+                               * woe, 6) AS DECIMAL(18,6)) AS term
+             FROM s),
+      iv AS (SELECT CAST(SUM(term) AS DECIMAL(18,6)) AS ivd FROM s2)
+      SELECT bucket, CAST(n_events AS BIGINT) AS n_events, n_good, n_bad, woe,
+             CAST(ivd AS DOUBLE) AS iv
+      FROM s2, iv
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5646,5 +5679,6 @@ object ExtensionQueries {
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
-    theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ)
+    theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
+    woeIvQ)
 }

@@ -177,4 +177,18 @@ class DataQualitySpec extends SparkSpec {
     assert(out("B") == ((10L, 0.0)), out.toString)
     assert(out("C") == ((10L, 1.07905)), out.toString)
   }
+
+  test("woeIv: hand values with integer Laplace smoothing; IV is the decimal term sum") {
+    // bucket 1: 3 returned / 1 kept; bucket 2: 1 / 3. G=4, B=4, K=2.
+    // woe1 = ln((3+1)(4+2) / (1+1)(4+2)) = ln 2 = 0.693147
+    // term = (4/6 - 2/6) * 0.693147 = 0.231049 each -> iv = 0.462098
+    val li = (Seq.fill(3)(("R", 0.01)) ++ Seq(("N", 0.01)) ++
+      Seq(("R", 0.02)) ++ Seq.fill(3)(("N", 0.02)))
+      .toDF("l_returnflag", "l_discount")
+    val out = DataQuality.woeIv(li).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1) == ((4L, 3L, 1L, 0.693147, 0.462098)), out.toString)
+    assert(out(2) == ((4L, 1L, 3L, -0.693147, 0.462098)), out.toString)
+  }
 }

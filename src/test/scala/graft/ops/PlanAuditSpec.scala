@@ -1302,6 +1302,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("x_woe_iv: one bucket-grid collapse; totals and IV broadcast; grid rides its checkpoint") {
+    val p = plan("x_woe_iv")
+    assert(!p.contains("Scan parquet"),
+      "the woe pass and IV sum must read the checkpointed bucket grid:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row totals/IV sidecars must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
     val p = plan("x_embed_drift")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
