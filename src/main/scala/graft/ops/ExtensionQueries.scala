@@ -1944,6 +1944,58 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Spearman rank-correlation matrix (Profile.spearmanMatrix scaladoc:
+    * exact doubled average ranks off per-column prefixSum grids — no
+    * single-partition rank window — then the corrMatrix moment tail).
+    * The oracle computes the SAME doubled ranks via RANK() +
+    * per-value COUNT() windows, an independent formulation of the
+    * average-rank arithmetic. */
+  val spearmanQ: Q = Q(
+    "x_spearman",
+    (s, d) => Profile.spearmanMatrix(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some("""
+      WITH k AS (SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS v_q,
+                        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v_e,
+                        CAST(ROUND(l_discount * 100) AS BIGINT) AS v_d
+                 FROM lineitem),
+      r AS (SELECT
+              2 * RANK() OVER (ORDER BY v_q) + COUNT(*) OVER (PARTITION BY v_q) - 1 AS r_q,
+              2 * RANK() OVER (ORDER BY v_e) + COUNT(*) OVER (PARTITION BY v_e) - 1 AS r_e,
+              2 * RANK() OVER (ORDER BY v_d) + COUNT(*) OVER (PARTITION BY v_d) - 1 AS r_d
+            FROM k),
+      m AS (SELECT COUNT(*) AS n,
+                   SUM(CAST(r_q AS HUGEINT)) AS s_q,
+                   SUM(CAST(r_e AS HUGEINT)) AS s_e,
+                   SUM(CAST(r_d AS HUGEINT)) AS s_d,
+                   SUM(CAST(r_q AS HUGEINT) * CAST(r_q AS HUGEINT)) AS q_q,
+                   SUM(CAST(r_e AS HUGEINT) * CAST(r_e AS HUGEINT)) AS q_e,
+                   SUM(CAST(r_d AS HUGEINT) * CAST(r_d AS HUGEINT)) AS q_d,
+                   SUM(CAST(r_q AS HUGEINT) * CAST(r_e AS HUGEINT)) AS p_qe,
+                   SUM(CAST(r_q AS HUGEINT) * CAST(r_d AS HUGEINT)) AS p_qd,
+                   SUM(CAST(r_e AS HUGEINT) * CAST(r_d AS HUGEINT)) AS p_ed
+            FROM r)
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+             CAST(n AS BIGINT) AS n,
+             ROUND(CAST(n * p_qe - s_q * s_e AS DOUBLE) /
+                   (sqrt(CAST(n * q_q - s_q * s_q AS DOUBLE))
+                    * sqrt(CAST(n * q_e - s_e * s_e AS DOUBLE))), 6) AS rho
+      FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+             ROUND(CAST(n * p_qd - s_q * s_d AS DOUBLE) /
+                   (sqrt(CAST(n * q_q - s_q * s_q AS DOUBLE))
+                    * sqrt(CAST(n * q_d - s_d * s_d AS DOUBLE))), 6)
+      FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+             ROUND(CAST(n * p_ed - s_e * s_d AS DOUBLE) /
+                   (sqrt(CAST(n * q_e - s_e * s_e AS DOUBLE))
+                    * sqrt(CAST(n * q_d - s_d * s_d AS DOUBLE))), 6)
+      FROM m
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5680,5 +5732,5 @@ object ExtensionQueries {
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
-    woeIvQ)
+    woeIvQ, spearmanQ)
 }

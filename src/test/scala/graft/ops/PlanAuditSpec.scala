@@ -1312,6 +1312,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_spearman: rank windows are per-partition (_pid), never a global sort; one wide moment pass") {
+    val p = plan("x_spearman")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("_pid")),
+      "every rank window must be per-partition (prefixSum's two-phase), never global:\n" +
+        winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
     val p = plan("x_embed_drift")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq

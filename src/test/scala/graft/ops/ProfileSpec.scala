@@ -65,4 +65,20 @@ class ProfileSpec extends SparkSpec {
     assert(const.length == 1 && const.head.getInt(0) == 0 && const.head.getLong(3) == 3L,
       "zero-width (constant column) must not divide by zero — single bucket 0")
   }
+
+  test("spearmanMatrix: monotone-with-ties = 1, classic no-ties case = 0.6, sign flip = -1") {
+    import spark.implicits._
+    // monotone with ties (x and y tie together) and an anti-monotone z
+    val df = Seq((1.0, 10.0, 4.0), (2.0, 20.0, 3.0), (2.0, 20.0, 3.0), (3.0, 30.0, 1.0))
+      .toDF("x", "y", "z")
+    val out = Profile.spearmanMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("x", "y")) == 1.0, out.toString)
+    assert(out(("x", "z")) == -1.0, out.toString)
+    // classic no-ties permutation: ranks y = (2,1,4,3) vs x = (1,2,3,4)
+    // -> 1 - 6*4/(4*15) = 0.6
+    val df2 = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0)).toDF("a", "b")
+    val r2 = Profile.spearmanMatrix(df2, Seq("a", "b")).collect()(0)
+    assert(r2.getDouble(3) == 0.6, r2.toString)
+  }
 }
