@@ -503,4 +503,57 @@ object DataQuality {
       .select(col("bucket"), col("n_events"), col("n_good"), col("n_bad"),
         col("woe"), col("ivd").cast("double").as("iv"))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test with the
+    * tie-corrected normal approximation — the nonparametric sibling of
+    * [[welchT]]: does group A's value distribution stochastically
+    * dominate group B's, without assuming normality or caring about
+    * outliers.
+    *
+    * Exactness: ranks are the same doubled-average-rank integers as
+    * [[Profile.spearmanMatrix]] (2r̄ = 2·prefix − cnt + 1 off the value
+    * grid), so 2·R_A and 2·U_A = 2R_A − n_A(n_A+1) are exact; the tie
+    * correction Σ(t³−t) and the variance numerator
+    * n_A·n_B·((N³−N) − Σ(t³−t)) ride DECIMAL(38,0) with pre-cast
+    * operands; z = (2U_A − n_A·n_B) / (2·σ) is ONE mirrored double tail
+    * (a single sqrt and divide — no transcendentals beyond sqrt).
+    *
+    * Scale shape: one filtered map-side-combined value-grid collapse;
+    * [[Relational.prefixSum]]'s two-phase running count (never a global
+    * rank window); one hash join on the 8-byte value key; two 1-row
+    * sidecars crossed. Output: one row — `n_a`, `n_b`, `u_a`, `z`. */
+  def mannWhitney(orders: DataFrame, grpCol: String = "o_orderpriority",
+                  grpA: String = "1-URGENT", grpB: String = "5-LOW",
+                  valCol: String = "o_totalprice"): DataFrame = {
+    val base = orders.filter(col(grpCol).isin(grpA, grpB))
+      .select((col(grpCol) === grpA).cast("long").as("ga"),
+        round(col(valCol) * 100).cast("long").as("v"))
+      .localCheckpoint() // the grid AND the rank join read it
+    val grid = base.groupBy(col("v")).agg(count(lit(1)).as("_cnt"))
+    val pre = Relational.prefixSum(grid, Seq(col("v")), "_cnt", "_pre")
+      .select(col("v"), (lit(2L) * col("_pre") - col("_cnt") + 1L).as("r2"),
+        col("_cnt"))
+    val dec19 = "decimal(19,0)"
+    val agg = base.join(pre.select(col("v"), col("r2")), Seq("v"))
+      .agg(sum(col("ga")).cast(dec19).as("na"),
+        count(lit(1)).cast(dec19).as("n"),
+        sum(when(col("ga") === 1, col("r2")).otherwise(lit(0L)).cast(dec19))
+          .cast("decimal(38,0)").as("r2a"))
+    val ties = pre.agg(
+      sum(col("_cnt").cast(dec19) * col("_cnt").cast(dec19) * col("_cnt").cast(dec19)
+        - col("_cnt").cast(dec19)).cast("decimal(38,0)").as("t3"))
+    agg.crossJoin(broadcast(ties))
+      .withColumn("nb", (col("n") - col("na")).cast("decimal(19,0)"))
+      .withColumn("u2", (col("r2a") - col("na") * (col("na") + 1))
+        .cast("decimal(38,0)"))
+      .withColumn("num", (col("na") * col("nb") *
+        ((col("n") * col("n") * col("n") - col("n")) - col("t3")))
+        .cast("decimal(38,0)"))
+      .withColumn("den", (lit(12) * col("n") * (col("n") - 1)).cast("decimal(38,0)"))
+      .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("u2").cast("double") / lit(2.0)).as("u_a"),
+        round((col("u2") - col("na") * col("nb")).cast("double") /
+          (lit(2.0) * sqrt(col("num").cast("double") / col("den").cast("double"))),
+          6).as("z"))
+  }
 }

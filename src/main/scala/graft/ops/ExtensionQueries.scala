@@ -1996,6 +1996,35 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Mann–Whitney U rank-sum test (DataQuality.mannWhitney scaladoc:
+    * spearman's doubled-rank integers, DECIMAL tie correction, one
+    * mirrored sqrt/divide tail). Oracle re-derives the ranks with
+    * RANK()+COUNT() windows and replays the identical z expression. */
+  val mannWhitneyQ: Q = Q(
+    "x_mannwhitney",
+    (s, d) => DataQuality.mannWhitney(Tables.orders(s, d)),
+    Some("""
+      WITH b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga,
+                        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+                 FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      r AS (SELECT ga,
+                   2 * RANK() OVER (ORDER BY v) + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+            FROM b),
+      agg AS (SELECT CAST(SUM(ga) AS HUGEINT) AS na, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CASE WHEN ga = 1 THEN r2 ELSE 0 END) AS HUGEINT) AS r2a
+              FROM r),
+      tt AS (SELECT SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+                        - CAST(cnt AS HUGEINT)) AS t3
+             FROM (SELECT COUNT(*) AS cnt FROM b GROUP BY v))
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+             CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+             ROUND(CAST(r2a - na * (na + 1) - na * (n - na) AS DOUBLE)
+                   / (2.0 * sqrt(CAST(na * (n - na) * ((n * n * n - n) - t3) AS DOUBLE)
+                                 / CAST(12 * n * (n - 1) AS DOUBLE))), 6) AS z
+      FROM agg, tt
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5732,5 +5761,5 @@ object ExtensionQueries {
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
-    woeIvQ, spearmanQ)
+    woeIvQ, spearmanQ, mannWhitneyQ)
 }

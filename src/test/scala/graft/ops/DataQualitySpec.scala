@@ -191,4 +191,19 @@ class DataQualitySpec extends SparkSpec {
     assert(out(1) == ((4L, 3L, 1L, 0.693147, 0.462098)), out.toString)
     assert(out(2) == ((4L, 1L, 3L, -0.693147, 0.462098)), out.toString)
   }
+
+  test("mannWhitney: hand U and tie-corrected z; ties share average ranks exactly") {
+    // A={3,4}, B={1,2}, no ties: U_A = 4 (max), z = 4/(2*sqrt(240/144))
+    val df = Seq(("1-URGENT", 0.03), ("1-URGENT", 0.04), ("5-LOW", 0.01), ("5-LOW", 0.02))
+      .toDF("o_orderpriority", "o_totalprice")
+    val r = DataQuality.mannWhitney(df).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 4.0, r.toString)
+    assert(r.getDouble(3) == 1.549193, r.toString)
+    // tied case: A={1,3}, B={2,2}: R_A = 1 + 4 = 5, U_A = 2 = mu -> z = 0
+    val df2 = Seq(("1-URGENT", 0.01), ("1-URGENT", 0.03), ("5-LOW", 0.02), ("5-LOW", 0.02))
+      .toDF("o_orderpriority", "o_totalprice")
+    val r2 = DataQuality.mannWhitney(df2).collect()(0)
+    assert(r2.getDouble(2) == 2.0 && r2.getDouble(3) == 0.0, r2.toString)
+  }
 }
