@@ -641,6 +641,51 @@ object EventAnalytics {
         round(col("n_sessions").cast("double") / nSessions, 6))
   }
 
+  /** Top direct-follows trigrams — the process-mining "a → b → c"
+    * pattern table between [[transitionsMatrix]]'s bigrams and
+    * [[topPaths]]' whole-journey strings: how often does each exact
+    * 3-step sequence of CONSECUTIVE events occur, and in what share of
+    * sessions. Session bounds cut the chain (no trigram spans a gap).
+    *
+    * Scale shape: the session marking, both leads, the trigram key and
+    * the count's map-side partial all ride ONE user_id exchange (the
+    * [[seqPairs]] / [[transitionsMatrix]] discipline — the lead windows
+    * re-use the session window's (user, ts, id) sort); the global top-k
+    * is a TakeOrderedAndProject over the bounded type³ grid, never a
+    * full sort. Ties break on the trigram text for a deterministic k.
+    *
+    * Output: top `k` rows — `t1`, `t2`, `t3`, `n` (occurrences),
+    * `n_sessions` (distinct sessions containing it), `support`
+    * (n_sessions / total sessions, 6 dp). */
+  def seqTriples(events: DataFrame, gapSec: Long = 1800L, k: Int = 20): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("_new",
+        when(lag(col("ts_us"), 1).over(wOrd).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // serves the session count AND the trigram pass
+    val nSessions = marked.select(col("user_id"), col("session_idx"))
+      .distinct().count()
+    val wSess = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = marked
+      .withColumn("t2c", lead(col("event_type"), 1).over(wSess))
+      .withColumn("t3c", lead(col("event_type"), 2).over(wSess))
+      .filter(col("t3c").isNotNull)
+    tri.groupBy(col("event_type").as("t1"), col("t2c").as("t2"), col("t3c").as("t3"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id"), col("session_idx")).as("n_sessions"))
+      .withColumn("support",
+        round(col("n_sessions").cast("double") / nSessions, 6))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Linear multi-touch attribution depth — for every purchase, how
     * many views inside the preceding `horizonSec` share its credit
     * (the equal-split multi-touch model, reported as the touch-depth

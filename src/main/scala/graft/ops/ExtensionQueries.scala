@@ -2025,6 +2025,43 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Top direct-follows trigrams (EventAnalytics.seqTriples scaladoc:
+    * one user exchange for marking + both leads + the count partials;
+    * TakeOrderedAndProject top-k over the type³ grid). */
+  val seqTriplesQ: Q = Q(
+    "x_seq_triples",
+    (s, d) => EventAnalytics.seqTriples(Tables.events(s, d), gapSec = 1800L, k = 20),
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS nw
+        FROM events),
+      s AS (SELECT user_id, event_id, ts, event_type,
+                   SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM m),
+      ns AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, session_idx FROM s)),
+      tri AS (SELECT event_type AS t1,
+                     LEAD(event_type, 1) OVER (PARTITION BY user_id, session_idx
+                                               ORDER BY ts, event_id) AS t2,
+                     LEAD(event_type, 2) OVER (PARTITION BY user_id, session_idx
+                                               ORDER BY ts, event_id) AS t3,
+                     user_id, session_idx
+              FROM s),
+      g AS (SELECT t1, t2, t3, COUNT(*) AS n,
+                   COUNT(DISTINCT (user_id, session_idx)) AS n_sessions
+            FROM tri WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+      SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+             CAST(n_sessions AS BIGINT) AS n_sessions,
+             ROUND(CAST(n_sessions AS DOUBLE) / (SELECT n FROM ns), 6) AS support
+      FROM g
+      ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5761,5 +5798,5 @@ object ExtensionQueries {
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
-    woeIvQ, spearmanQ, mannWhitneyQ)
+    woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ)
 }

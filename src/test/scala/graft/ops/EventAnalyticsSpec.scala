@@ -514,4 +514,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(1L) == ((4L, math.rint(4.0 / 70 * 1e6) / 1e6)), out.toString)
     assert(out(2L) == ((3L, math.rint(-47.0 / 70 * 1e6) / 1e6)), out.toString)
   }
+
+  test("seqTriples: consecutive-only trigrams, session gaps cut the chain") {
+    // user 1, one session: a b a b -> trigrams aba, bab (1 each)
+    // user 2: a b | (gap) a b -> no trigram spans the gap
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0), (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "a", 0.0), (4L, "2024-01-01 10:03:00", 1L, "b", 0.0),
+      (5L, "2024-01-01 10:00:00", 2L, "a", 0.0), (6L, "2024-01-01 10:01:00", 2L, "b", 0.0),
+      (7L, "2024-01-01 12:00:00", 2L, "a", 0.0), (8L, "2024-01-01 12:01:00", 2L, "b", 0.0))
+    val out = EventAnalytics.seqTriples(events(rows: _*), gapSec = 1800L, k = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // 3 sessions total; each trigram occurs once in one session -> support 1/3
+    assert(out.toSet == Set(("a", "b", "a", 1L, 1L, 0.333333),
+      ("b", "a", "b", 1L, 1L, 0.333333)), out.mkString(","))
+  }
 }
