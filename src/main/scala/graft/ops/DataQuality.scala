@@ -388,6 +388,52 @@ object DataQuality {
         round(col("m"), 6).as("ts_slope"))
   }
 
+  /** Kendall's τ-b between daily event count and daily value mass, per
+    * event type — the concordance complement to [[theilSenDaily]]'s
+    * robust slope: do busier days carry proportionally more value, read
+    * through EVERY day pair rather than a fitted line. τ-b applies the
+    * standard tie correction: τ = (nc − nd) / √((n0 − t_x)(n0 − t_y)).
+    *
+    * Exactness: concordance is pure SIGN logic on exact integers (count
+    * and cents deltas — no products anywhere, so nothing can overflow at
+    * any scale); the single sqrt/divide tail is mirrored; an all-tied
+    * axis reports NULL, never a 0/0 NaN.
+    *
+    * Scale shape: the log collapses to the (type, day) grid in one
+    * map-side-combined exchange, checkpointed; the pair build is the
+    * [[theilSenDaily]] shape — an equi-join on event_type bounded by the
+    * day DOMAIN squared per type, never a log self-join; the rollup is
+    * grid-sized. Output per type: `event_type`, `n_days`,
+    * `n_concordant`, `n_discordant`, `tau_b` (6 dp). */
+  def kendallDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+      .localCheckpoint()
+    val pairs = daily.select(col("event_type"), col("day").as("d1"),
+        col("c").as("c1"), col("v").as("v1"))
+      .join(daily.select(col("event_type"), col("day").as("d2"),
+        col("c").as("c2"), col("v").as("v2")), Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+    val agg = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n0"),
+      sum(when((col("c2") > col("c1") && col("v2") > col("v1")) ||
+        (col("c2") < col("c1") && col("v2") < col("v1")), 1L).otherwise(0L)).as("nc"),
+      sum(when((col("c2") > col("c1") && col("v2") < col("v1")) ||
+        (col("c2") < col("c1") && col("v2") > col("v1")), 1L).otherwise(0L)).as("nd"),
+      sum(when(col("c1") === col("c2"), 1L).otherwise(0L)).as("tx"),
+      sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("ty"))
+    daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      .join(broadcast(agg), Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("nc"), lit(0L)).as("n_concordant"),
+        coalesce(col("nd"), lit(0L)).as("n_discordant"),
+        when((col("n0") - col("tx")) > 0 && (col("n0") - col("ty")) > 0,
+          round((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("tx")).cast("double") *
+              (col("n0") - col("ty")).cast("double")), 6)).as("tau_b"))
+  }
+
   /** Population Stability Index per source against a reference source —
     * the production-monitoring complement to [[ksDrift]] (KS reads the
     * worst ECDF gap; PSI reads the WHOLE distribution shift through

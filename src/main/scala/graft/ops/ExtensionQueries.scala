@@ -2062,6 +2062,39 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Kendall τ-b per event type (DataQuality.kendallDaily scaladoc:
+    * sign-only concordance over the day-domain-bounded pair join, tie
+    * corrections, mirrored sqrt tail; NULL when an axis is all ties). */
+  val kendallQ: Q = Q(
+    "x_kendall",
+    (s, d) => DataQuality.kendallDaily(Tables.events(s, d)),
+    Some("""
+      WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c,
+                        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      p AS (SELECT a.event_type,
+                   a.c AS c1, a.v AS v1, b.c AS c2, b.v AS v2
+            FROM g a JOIN g b ON a.event_type = b.event_type AND a.day < b.day),
+      agg AS (SELECT event_type, COUNT(*) AS n0,
+                     SUM(CASE WHEN (c2 > c1 AND v2 > v1) OR (c2 < c1 AND v2 < v1)
+                              THEN 1 ELSE 0 END) AS nc,
+                     SUM(CASE WHEN (c2 > c1 AND v2 < v1) OR (c2 < c1 AND v2 > v1)
+                              THEN 1 ELSE 0 END) AS nd,
+                     SUM(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS tx,
+                     SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS ty
+              FROM p GROUP BY 1),
+      nd_ AS (SELECT event_type, COUNT(*) AS n_days FROM g GROUP BY 1)
+      SELECT nd_.event_type, CAST(n_days AS BIGINT) AS n_days,
+             CAST(COALESCE(nc, 0) AS BIGINT) AS n_concordant,
+             CAST(COALESCE(nd, 0) AS BIGINT) AS n_discordant,
+             CASE WHEN (n0 - tx) > 0 AND (n0 - ty) > 0 THEN
+               ROUND(CAST(nc - nd AS DOUBLE) /
+                     sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
+             END AS tau_b
+      FROM nd_ LEFT JOIN agg ON nd_.event_type = agg.event_type
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5798,5 +5831,5 @@ object ExtensionQueries {
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
-    woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ)
+    woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ)
 }

@@ -206,4 +206,28 @@ class DataQualitySpec extends SparkSpec {
     val r2 = DataQuality.mannWhitney(df2).collect()(0)
     assert(r2.getDouble(2) == 2.0 && r2.getDouble(3) == 0.0, r2.toString)
   }
+
+  test("kendallDaily: hand tau-b with ties; all-tied axis reports NULL") {
+    import spark.implicits._
+    def ev(id: Long, day: String, typ: String, n: Int, v: Double) =
+      (1 to n).map(i => (id * 100 + i, s"2024-01-$day ${10 + i}:00:00", 1L, typ, v))
+    // type "a", 4 days: counts (1,2,3,4), value mass = one event/day would
+    // tie; use per-day event counts 1,2,2,3 and values s.t. v = (10,20,20,5):
+    // pairs (6): c-order vs v-order -> nc: (d1,d2)+, (d1,d3)+, (d1,d4)? c 1<3, v 10>5 -> discordant
+    //   (d2,d3): c tie; (d2,d4): c 2<3, v 20>5 -> nd; (d3,d4): nd
+    // nc=2 nd=3 tx=1 ty=1 n0=6 -> tau = (2-3)/sqrt(25) = -0.2
+    val rows =
+      ev(1, "01", "a", 1, 10.0) ++ ev(2, "02", "a", 2, 10.0) ++
+      ev(3, "03", "a", 2, 10.0) ++ ev(4, "04", "a", 3, 5.0 / 3) ++
+      // type "b": constant count 1 across 3 days -> count axis all ties -> NULL
+      ev(5, "01", "b", 1, 1.0) ++ ev(6, "02", "b", 1, 2.0) ++ ev(7, "03", "b", 1, 3.0)
+    val df = rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .selectExpr("event_id", "cast(ts_s as timestamp) as ts", "user_id", "event_type", "value")
+    val out = DataQuality.kendallDaily(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 2L && a.getLong(3) == 3L, a.toString)
+    assert(a.getDouble(4) == -0.2, a.toString)
+    assert(out("b").isNullAt(4), out("b").toString)
+  }
 }
