@@ -686,6 +686,65 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Segmented (piecewise-linear) daily trend: the [[binsegDaily]]
+    * gain-argmax picks the ONE best changepoint of the daily count
+    * series, then each side gets an exact closed-form OLS line — the
+    * "did the trend change, and from what slope to what slope" readout
+    * that a single changepoint's before/after MEANS can't give.
+    *
+    * Exactness: both OLS coefficients are single divides of exact
+    * DECIMAL moment combinations over the grid positions — slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept = (Σy·Σx² − Σx·Σxy)
+    * / (n·Σx² − (Σx)²) — pre-cast operands, no intermediate double
+    * anywhere (the Ols.moments discipline); a 1-day segment reports
+    * NULL coefficients, never 0/0.
+    *
+    * Scale shape: the log collapses once to the checkpointed day grid;
+    * the argmax is one grid-sized job collecting one row; the moment
+    * pass is one 2-group aggregation over the grid. Output: one row per
+    * segment — `seg`, `split_day` (the pick, same on both rows),
+    * `n_days`, `slope`, `intercept` (both 6 dp, x = day position). */
+  def segmentedTrend(events: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val grid = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pc", sum(col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .localCheckpoint() // argmax job + moment pass both read it
+    val tot = grid.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("c")).cast("long").as("st")).collect()(0)
+    val (nd, st) = (tot.getLong(0), tot.getLong(1))
+    val best = grid.filter(col("rn") < nd)
+      .withColumn("gain",
+        col("pc").cast("double") * col("pc").cast("double") / col("rn").cast("double")
+          + (lit(st) - col("pc")).cast("double") * (lit(st) - col("pc")).cast("double")
+          / (lit(nd) - col("rn")).cast("double")
+          - lit(st).cast("double") * lit(st).cast("double") / lit(nd).cast("double"))
+      .orderBy(col("gain").desc, col("day"))
+      .select(col("rn"), col("day")).limit(1).collect()(0)
+    val (rn1, splitDay) = (best.getLong(0), best.getDate(1))
+    val dec = "decimal(19,0)"
+    grid.withColumn("seg", when(col("rn") <= rn1, 1).otherwise(2))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("rn").cast(dec)).cast("decimal(38,0)").as("sx"),
+        sum(col("c").cast(dec)).cast("decimal(38,0)").as("sy"),
+        sum(col("rn").cast(dec) * col("c").cast(dec)).cast("decimal(38,0)").as("sxy"),
+        sum(col("rn").cast(dec) * col("rn").cast(dec)).cast("decimal(38,0)").as("sxx"))
+      .select(col("seg"), lit(splitDay).as("split_day"),
+        col("n").cast("long").as("n_days"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("slope"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("intercept"))
+  }
+
   /** Linear multi-touch attribution depth — for every purchase, how
     * many views inside the preceding `horizonSec` share its credit
     * (the equal-split multi-touch model, reported as the touch-depth

@@ -2095,6 +2095,45 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Segmented daily trend (EventAnalytics.segmentedTrend scaladoc:
+    * binseg argmax for the split, exact decimal OLS per side, both
+    * coefficients single divides of exact moments). The oracle replays
+    * the argmax and both OLS closed forms. */
+  val segmentedTrendQ: Q = Q(
+    "x_segmented_trend",
+    (s, d) => EventAnalytics.segmentedTrend(Tables.events(s, d)),
+    Some("""
+      WITH g0 AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      g AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   SUM(c) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+            FROM g0),
+      t AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM g0),
+      r1 AS (SELECT rn, day,
+                    CAST(pc AS DOUBLE) * CAST(pc AS DOUBLE) / CAST(rn AS DOUBLE)
+                  + CAST(s - pc AS DOUBLE) * CAST(s - pc AS DOUBLE) / CAST(n - rn AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+             FROM g, t WHERE rn < n
+             ORDER BY gain DESC, day LIMIT 1),
+      seg AS (SELECT CASE WHEN g.rn <= r1.rn THEN 1 ELSE 2 END AS seg,
+                     g.rn, g.c, r1.day AS split_day
+              FROM g, r1),
+      m AS (SELECT seg, split_day, CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(rn AS HUGEINT)) AS sx, SUM(CAST(c AS HUGEINT)) AS sy,
+                   SUM(CAST(rn AS HUGEINT) * CAST(c AS HUGEINT)) AS sxy,
+                   SUM(CAST(rn AS HUGEINT) * CAST(rn AS HUGEINT)) AS sxx
+            FROM seg GROUP BY 1, 2)
+      SELECT CAST(seg AS INT) AS seg, split_day, CAST(n AS BIGINT) AS n_days,
+             CASE WHEN n * sxx - sx * sx <> 0 THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+             CASE WHEN n * sxx - sx * sx <> 0 THEN
+               ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+      FROM m
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5831,5 +5870,5 @@ object ExtensionQueries {
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
-    woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ)
+    woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ)
 }

@@ -530,4 +530,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSet == Set(("a", "b", "a", 1L, 1L, 0.333333),
       ("b", "a", "b", 1L, 1L, 0.333333)), out.mkString(","))
   }
+
+  test("segmentedTrend: split at the level shift; per-side OLS lines by hand") {
+    // counts: days 1-4 exactly (2,4,6,8) then days 5-8 all 20.
+    // split argmax lands after day 4; left OLS: slope 2, intercept 0;
+    // right: x=(5..8), y=20 -> slope 0, intercept 20
+    var id = 0L
+    val rows = (1 to 8).flatMap { d =>
+      val n = if (d <= 4) 2 * d else 20
+      (1 to n).map { i => id += 1; (id, f"2024-01-0$d ${i / 60}%02d:${i % 60}%02d:00", 1L, "view", 0.0) }
+    }
+    val out = EventAnalytics.segmentedTrend(events(rows: _*))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDate(1).toString, r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1) == (("2024-01-04", 4L, 2.0, 0.0)), out.toString)
+    assert(out(2) == (("2024-01-04", 4L, 0.0, 20.0)), out.toString)
+  }
 }
