@@ -686,6 +686,46 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** One-sided CUSUM mean-shift monitor on the daily count series
+    * (Page 1954): S_t = max(0, S_{t−1} + (x_t − μ₀ − k)) with reference
+    * μ₀ = the series mean and allowance k = μ₀/20. The recursion is
+    * deliberately NOT computed as a recursion — the classical identity
+    * S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums P of
+    * (x − μ₀ − k) — the min INCLUDES P_t, which is exactly the empty
+    * suffix that clamps S at 0 — turns it into two running aggregates,
+    * which is what
+    * makes CUSUM a WINDOW computation any engine can replay (and the
+    * same identity a streaming twin would keep as 2 longs of state).
+    *
+    * Exactness: everything is scaled by 20N so μ₀ and k never become
+    * floats — y_t = 20N·x_t − 21S is an exact long, P/min/S̃ stay exact,
+    * and the one divide back to original units happens at output
+    * (6 dp). The alarm is an exact integer compare: S_t > 4μ₀ ⇔
+    * S̃_t > 80·S₀ (threshold choice documented, not hidden).
+    *
+    * Scale shape: one map-side-combined collapse to the checkpointed
+    * day grid; the windows are grid-sized (bounded by the day domain —
+    * the [[changepointDaily]] justification), never data-sized. Output
+    * per day: `day`, `n`, `cusum` (original units, 6 dp), `alarm`. */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val grid = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+    val tot = grid.agg(count(lit(1)).cast("long").as("n0"),
+      sum(col("c")).cast("long").as("s0")).collect()(0)
+    val (n0, s0) = (tot.getLong(0), tot.getLong(1))
+    val w = Window.orderBy(col("day"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scaled = grid
+      .withColumn("y", lit(20L) * lit(n0) * col("c") - lit(21L) * lit(s0))
+      .withColumn("p", sum(col("y")).over(wRun))
+      .withColumn("rm", min(col("p")).over(wRun))
+      .withColumn("cus", col("p") - least(lit(0L), col("rm")))
+    scaled.select(col("day"), col("c").as("n"),
+      round(col("cus").cast("double") / (lit(20L) * lit(n0)).cast("double"), 6).as("cusum"),
+      (col("cus") > lit(80L) * lit(s0)).as("alarm"))
+  }
+
   /** Segmented (piecewise-linear) daily trend: the [[binsegDaily]]
     * gain-argmax picks the ONE best changepoint of the daily count
     * series, then each side gets an exact closed-form OLS line — the

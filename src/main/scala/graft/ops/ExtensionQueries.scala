@@ -2134,6 +2134,31 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** CUSUM mean-shift monitor (EventAnalytics.cusumDaily scaladoc: the
+    * max-recursion resolved to prefix − running-min via the classical
+    * identity, all integers scaled by 20N, grid-sized windows). */
+  val cusumQ: Q = Q(
+    "x_cusum",
+    (s, d) => EventAnalytics.cusumDaily(Tables.events(s, d)),
+    Some("""
+      WITH g AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      t AS (SELECT COUNT(*) AS n0, SUM(c) AS s0 FROM g),
+      sc AS (SELECT day, c, n0, s0, 20 * n0 * c - 21 * s0 AS y FROM g, t),
+      pp AS (SELECT day, c, n0, s0,
+                    SUM(y) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+             FROM sc),
+      p1 AS (SELECT day, c, n0, s0, p,
+                    MIN(p) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+             FROM pp)
+      SELECT day, CAST(c AS BIGINT) AS n,
+             ROUND(CAST(p - LEAST(0, rm) AS DOUBLE) / CAST(20 * n0 AS DOUBLE), 6) AS cusum,
+             (p - LEAST(0, rm)) > 80 * s0 AS alarm
+      FROM p1
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5870,5 +5895,6 @@ object ExtensionQueries {
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
-    woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ)
+    woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
+    cusumQ)
 }

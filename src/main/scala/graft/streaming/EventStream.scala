@@ -497,6 +497,41 @@ object EventStream {
       }
   }
 
+  /** [[exactDistinct]] state: 32-bit occupancy words keyed by word
+    * index — exact, mergeable by OR, bounded by the KEY DOMAIN
+    * (⌈|ids|/32⌉ ints per type). That domain bound is the contract that
+    * separates it from [[hllCounters]]' constant 256 B: exact when the
+    * key universe is bounded (user ids), sketch when it is not. */
+  final case class BitmapState(words: Map[Long, Int])
+  final case class DistinctReadout(event_type: String, n_distinct: Long)
+
+  /** Streaming EXACT distinct-user counts per event type — the
+    * streaming twin of `COUNT(DISTINCT user_id)` (and of
+    * [[graft.ops.Relational]]'s bitmap-word rollup): per-type occupancy
+    * bitmaps OR-accumulate across micro-batches, so late, duplicate and
+    * out-of-order events are no-ops by construction and a drained
+    * stream's count EQUALS the batch count-distinct on the same rows
+    * (spec-pinned). State grows with the observed id domain, never with
+    * event volume — the explicit trade against [[hllCounters]]. */
+  def exactDistinct(events: Dataset[Event]): Dataset[DistinctReadout] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[BitmapState, DistinctReadout](GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state: GroupState[BitmapState]) =>
+          var words = state.getOption.map(_.words).getOrElse(Map.empty[Long, Int])
+          rows.foreach { e =>
+            val w = Math.floorDiv(e.user_id, 32L)
+            val bit = 1 << Math.floorMod(e.user_id, 32L).toInt
+            words = words.updated(w, words.getOrElse(w, 0) | bit)
+          }
+          state.update(BitmapState(words))
+          DistinctReadout(typ,
+            words.valuesIterator.map(Integer.bitCount(_).toLong).sum)
+      }
+  }
+
   /** [[hllCounters]] state: the 256 HLL register maxima, one byte each —
     * a CONSTANT 256 B per event type forever, whatever the cardinality.
     * Register 0 means "never hit" (true rho is always ≥ 1). */

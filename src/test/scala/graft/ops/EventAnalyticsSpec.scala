@@ -546,4 +546,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(1) == (("2024-01-04", 4L, 2.0, 0.0)), out.toString)
     assert(out(2) == (("2024-01-04", 4L, 0.0, 20.0)), out.toString)
   }
+
+  test("cusumDaily: identity equals the direct recursion on a hand series; alarm on the shift") {
+    // counts (2,2,2,20,20): N=5, S=46, mu=9.2, k=0.46
+    // direct recursion S_t = max(0, S_(t-1) + x_t - 9.66):
+    //  t1..t3: 0; t4: 10.34; t5: 20.68
+    var id = 0L
+    val rows = (1 to 5).flatMap { d =>
+      val n = if (d <= 3) 2 else 20
+      (1 to n).map { i => id += 1; (id, f"2024-01-0$d ${i / 60}%02d:${i % 60}%02d:00", 1L, "view", 0.0) }
+    }
+    val out = EventAnalytics.cusumDaily(events(rows: _*))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // reference recursion, same scaled integers: mu+k = 21*46/(20*5) = 9.66
+    assert(out("2024-01-01") == ((2L, 0.0, false)), out.toString)
+    assert(out("2024-01-03") == ((2L, 0.0, false)), out.toString)
+    assert(out("2024-01-04") == ((20L, 10.34, false)), out.toString)
+    assert(out("2024-01-05") == ((20L, 20.68, false)), out.toString)
+    // alarm threshold is 4*mu = 36.8 — not reached here; force one:
+    val rows2 = rows ++ (1 to 300).map { i =>
+      id += 1; (id, f"2024-01-06 ${i / 60}%02d:${i % 60}%02d:00", 1L, "view", 0.0) }
+    val out2 = EventAnalytics.cusumDaily(events(rows2: _*))
+      .collect().map(r => r.getDate(0).toString -> r.getBoolean(3)).toMap
+    assert(out2("2024-01-06"), out2.toString)
+  }
 }

@@ -484,4 +484,42 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // sanity: the estimate is in the raw-regime ballpark of truth (900 for a)
     assert(math.abs(got("a")._2 - 900.0) / 900.0 < 0.25, got.toString)
   }
+
+  test("exactDistinct: drained stream equals batch COUNT(DISTINCT); duplicates and word boundaries exact") {
+    import org.apache.spark.sql.Dataset
+    def uev(id: Long, uid: Long, typ: String) =
+      Event(id, Timestamp.valueOf("2024-03-10 10:00:00"), uid, typ, 1.0)
+    // ids straddle 32-bit word boundaries (31/32/63/64) and repeat across batches
+    val b1 = Seq(1L, 31L, 32L, 63L).zipWithIndex.map { case (u, i) => uev(i, u, "a") }
+    val b2 = Seq(64L, 31L, 1000L).zipWithIndex.map { case (u, i) => uev(100 + i, u, "a") } :+
+      uev(200L, 7L, "b")
+    val b3 = Seq(1L, 32L, 64L).zipWithIndex.map { case (u, i) => uev(300 + i, u, "a") } // all dups
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[String, Long]()
+    var afterB2a = -1L
+    var batchNo = 0
+    val q = EventStream.exactDistinct(input.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.DistinctReadout], _: Long) =>
+        batchNo += 1
+        df.collect().foreach { r =>
+          got(r.event_type) = r.n_distinct
+          if (batchNo == 2 && r.event_type == "a") afterB2a = r.n_distinct
+        }
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got("a") == afterB2a, "duplicate-only batch moved the exact count")
+    val all = (b1 ++ b2 ++ b3).toDF()
+    val batch = all.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.toMap == batch, s"stream=$got batch=$batch")
+    assert(got("a") == 6L && got("b") == 1L)
+  }
 }
