@@ -2159,6 +2159,39 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Cramér's V association strength (Profile.cramersV scaladoc: the
+    * chi2 contingency machinery plus the n-normalized effect-size
+    * tail). */
+  val cramersVQ: Q = Q(
+    "x_cramers_v",
+    (s, d) => Profile.cramersV(Tables.orders(s, d),
+      "o_orderpriority", "o_orderstatus"),
+    Some("""
+      WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+                   FROM orders GROUP BY 1, 2),
+      cells AS (SELECT a, b, COALESCE(o, 0) AS o
+                FROM (SELECT DISTINCT o_orderpriority AS a FROM orders) ax
+                CROSS JOIN (SELECT DISTINCT o_orderstatus AS b FROM orders) bx
+                LEFT JOIN obs USING (a, b)),
+      m AS (SELECT a, b, o,
+                   SUM(o) OVER (PARTITION BY a) AS ra,
+                   SUM(o) OVER (PARTITION BY b) AS cb,
+                   SUM(o) OVER () AS nn FROM cells),
+      t AS (SELECT a, b, o, nn, CAST(ROUND(
+              (o - CAST(ra * cb AS DOUBLE) / nn) * (o - CAST(ra * cb AS DOUBLE) / nn)
+              / (CAST(ra * cb AS DOUBLE) / nn), 6) AS DECIMAL(18,6)) AS t FROM m),
+      agg AS (SELECT MAX(nn) AS n_rows, COUNT(*) AS n_cells,
+                     (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+                     LEAST(COUNT(DISTINCT a) - 1, COUNT(DISTINCT b) - 1) AS mindim,
+                     CAST(SUM(t) AS DOUBLE) AS chi2
+              FROM t)
+      SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_cells AS BIGINT) AS n_cells,
+             CAST(dof AS BIGINT) AS dof, chi2,
+             ROUND(sqrt(chi2 / CAST(n_rows * mindim AS DOUBLE)), 6) AS cramers_v
+      FROM agg
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5896,5 +5929,5 @@ object ExtensionQueries {
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
-    cusumQ)
+    cusumQ, cramersVQ)
 }

@@ -81,4 +81,16 @@ class ProfileSpec extends SparkSpec {
     val r2 = Profile.spearmanMatrix(df2, Seq("a", "b")).collect()(0)
     assert(r2.getDouble(3) == 0.6, r2.toString)
   }
+
+  test("cramersV: perfect association = 1.0, independence = 0.0") {
+    import spark.implicits._
+    // perfect: b determined by a (2x2 diagonal)
+    val dep = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val r1 = Profile.cramersV(dep, "a", "b").collect()(0)
+    assert(r1.getLong(0) == 10L && r1.getDouble(4) == 1.0, r1.toString)
+    // independence: uniform 2x2 -> chi2 = 0 -> v = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val r2 = Profile.cramersV(ind, "a", "b").collect()(0)
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0, r2.toString)
+  }
 }
