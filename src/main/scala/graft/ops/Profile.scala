@@ -149,13 +149,18 @@ object Profile {
     */
   def chi2(df: DataFrame, colA: String, colB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val observed = df.groupBy(col(colA).as("a"), col(colB).as("b"))
-      .agg(count(lit(1)).as("o"))
     // the FULL category grid, not just observed combinations — an
     // absent cell still contributes its (0 − exp)²/exp term (a groupBy
     // alone would silently drop exactly the cells that prove
     // association). Category lists are contingency-sized by contract;
-    // the cross join is tiny.
+    // the cross join is tiny. SHAPE DECISION, measured both ways in one
+    // phase (BENCH_SCALE.md): the checkpoint-the-contingency variant
+    // that wins for [[cramersV]] on orders (2.13 -> 0.96s) LOSES here
+    // (0.98 -> 1.28s at sf1) — lineitem's two dictionary-encoded flag
+    // columns re-scan cheaper than one scan + eager materialization —
+    // so the two siblings deliberately keep different shapes.
+    val observed = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
     val cells = df.select(col(colA).as("a")).distinct()
       .crossJoin(df.select(col(colB).as("b")).distinct())
       .join(observed, Seq("a", "b"), "left")
