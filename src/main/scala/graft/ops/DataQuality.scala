@@ -434,6 +434,32 @@ object DataQuality {
               (col("n0") - col("ty")).cast("double")), 6)).as("tau_b"))
   }
 
+  /** Functional-dependency audit — the schema-discovery DQ face: for
+    * each candidate FD `lhs → rhs`, does every lhs value map to exactly
+    * one rhs value, and if not, how badly is it violated (how many lhs
+    * values fan out, and to at most how many rhs). The classic use is
+    * validating denormalization assumptions before a join collapse —
+    * an FD that "mostly holds" is exactly the bug that silently
+    * duplicates rows downstream.
+    *
+    * Scale shape: per candidate, one map-side-combined exchange carries
+    * the DISTINCT (lhs, rhs) pairs (countDistinct's partial dedup), and
+    * the rollup is lhs-domain-sized; candidates union into one result.
+    * All counts exact. Output per candidate: `lhs`, `rhs`, `n_lhs`,
+    * `n_violating`, `max_rhs_per_lhs`, `holds`. */
+  def fdCheck(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdCheck: need at least one candidate FD")
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("k"))
+        .agg(count(lit(1)).cast("long").as("n_lhs"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).cast("long").as("n_violating"),
+          max(col("k")).cast("long").as("max_rhs_per_lhs"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),
+          col("n_violating"), col("max_rhs_per_lhs"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Population Stability Index per source against a reference source —
     * the production-monitoring complement to [[ksDrift]] (KS reads the
     * worst ECDF gap; PSI reads the WHOLE distribution shift through

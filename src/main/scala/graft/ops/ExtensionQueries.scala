@@ -2192,6 +2192,42 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Functional-dependency audit (DataQuality.fdCheck scaladoc) over
+    * the part table: p_partkey → p_brand holds (key); p_name → p_brand
+    * and p_brand → p_type are data-decided — the readout quantifies the
+    * fan-out instead of assuming it. */
+  val fdCheckQ: Q = Q(
+    "x_fd_check",
+    (s, d) => DataQuality.fdCheck(Tables.part(s, d),
+      Seq(("p_partkey", "p_brand"), ("p_name", "p_brand"),
+        ("p_brand", "p_type"))),
+    Some("""
+      WITH f1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                         CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+                  FROM (SELECT p_partkey, COUNT(DISTINCT p_brand) AS k
+                        FROM part GROUP BY 1)),
+      f2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                    CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+             FROM (SELECT p_name, COUNT(DISTINCT p_brand) AS k
+                   FROM part GROUP BY 1)),
+      f3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                    CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+             FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS k
+                   FROM part GROUP BY 1))
+      SELECT 'p_partkey' AS lhs, 'p_brand' AS rhs, n_lhs, n_violating,
+             max_rhs_per_lhs, n_violating = 0 AS holds FROM f1
+      UNION ALL
+      SELECT 'p_name', 'p_brand', n_lhs, n_violating,
+             max_rhs_per_lhs, n_violating = 0 FROM f2
+      UNION ALL
+      SELECT 'p_brand', 'p_type', n_lhs, n_violating,
+             max_rhs_per_lhs, n_violating = 0 FROM f3
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5929,5 +5965,5 @@ object ExtensionQueries {
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
-    cusumQ, cramersVQ)
+    cusumQ, cramersVQ, fdCheckQ)
 }

@@ -230,4 +230,16 @@ class DataQualitySpec extends SparkSpec {
     assert(a.getDouble(4) == -0.2, a.toString)
     assert(out("b").isNullAt(4), out("b").toString)
   }
+
+  test("fdCheck: held key FD, violated FD with quantified fan-out, null-safe distinct") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"), (4L, "b", "z"))
+      .toDF("id", "g", "v")
+    val out = DataQuality.fdCheck(df, Seq(("id", "g"), ("g", "v")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(("id", "g")) == ((4L, 0L, 1L, true)), out.toString)
+    // g=a fans out to {x,y}; g=b maps to one value
+    assert(out(("g", "v")) == ((2L, 1L, 2L, false)), out.toString)
+  }
 }
