@@ -753,6 +753,46 @@ object Relational {
         round(sum(col("cents")).cast("double") / 100.0, 2).as("total_revenue"))
   }
 
+  /** Distributed PERCENT_RANK within groups — the scalable form of
+    * `percent_rank().over(Window.partitionBy(grp).orderBy(v))`, whose
+    * plan serializes each group into ONE task's sort: with a handful of
+    * group values (event types, countries) a 10× log is 10× more rows
+    * through the same few threads — measured 3.7× at 10× data on
+    * x_quantile_norm before this replacement.
+    *
+    * Construction: collapse to the (grp, v) VALUE GRID (map-side
+    * combined — also what makes value ties exact by construction),
+    * run [[prefixSum]]'s two-phase running count over the (grp, v)
+    * total order, convert to within-group min-ranks by subtracting the
+    * broadcast per-group start offset, and hash-join the grid back.
+    * percent_rank = (minrank − 1)/(n − 1) with ties sharing the tie
+    * group's MIN rank — exactly SQL PERCENT_RANK, including the
+    * single-row-group → 0.0 convention. The output `out` is the raw
+    * double (callers round).
+    *
+    * Scale shape: one grid collapse, one range exchange over grid rows,
+    * one tiny broadcast of per-group totals, one value-key join back —
+    * every stage parallel in the DATA, none in the group count. */
+  def groupedPercentRank(df: DataFrame, grp: String, v: String,
+                         out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"groupedPercentRank: input already carries '$out'")
+    val grid = df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("_cnt"))
+    val pre = prefixSum(grid, Seq(col(grp), col(v)), "_cnt", "_pre")
+    val gtot = pre.groupBy(col(grp))
+      .agg(max(col("_pre")).as("_gend"), sum(col("_cnt")).cast("long").as("_gn"))
+    val ranks = pre.join(broadcast(gtot), Seq(grp))
+      .select(col(grp), col(v),
+        (col("_pre") - col("_cnt") - (col("_gend") - col("_gn")) + 1L).as("_minrank"),
+        col("_gn"))
+    df.join(ranks, Seq(grp, v))
+      .withColumn(out,
+        when(col("_gn") === 1L, lit(0.0))
+          .otherwise((col("_minrank") - 1L).cast("double") /
+            (col("_gn") - 1L).cast("double")))
+      .drop("_minrank", "_gn")
+  }
+
   /** Decile-migration matrix — the rank-mobility readout: customers
     * bucketed into revenue deciles in year A and again in year B, with
     * the count and revenue mass of every (from, to) cell. Decile 0 means

@@ -820,13 +820,6 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("x_quantile_norm: one event_type exchange, one sorted window pass") {
-    val p = plan("x_quantile_norm")
-    val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n" + p)
-    assert(!p.contains("Join"), p)
-  }
-
   test("x_ab_ttest: the group filter pushes to the scan; one pass, no window, no join") {
     val p = plan("x_ab_ttest")
     assert(p.contains("PushedFilters") && p.contains("In(event_type"),
@@ -1328,6 +1321,18 @@ class PlanAuditSpec extends SparkSpec {
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
       "session marking and leads must be per-user windows:\n" + winLines.mkString("\n"))
+  }
+
+  test("x_quantile_norm: rank windows are per-partition (_pid), never a per-type serialized sort") {
+    // the old percent_rank().over(partitionBy(event_type)) plan put
+    // each type through ONE task — 3.7x at 10x; the replacement's only
+    // windows are prefixSum's per-range-partition ones
+    val p = plan("x_quantile_norm")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("_pid")),
+      "no window may partition by the low-cardinality type column:\n" +
+        winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {

@@ -281,4 +281,17 @@ class RelationalSpec extends SparkSpec {
     // cust1: rec=0 freq=2 $200 → (r,f,m)=(1,2,1); cust2: rec=9 freq=1 $500 → (2,1,2)
     assert(rowSet(out) == Set("2|1|1|1|200.0", "1|2|1|2|500.0"))
   }
+
+  test("groupedPercentRank == PERCENT_RANK window semantics: ties share min rank, singleton = 0") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0),
+      ("b", 5.0), ("b", 7.0), ("c", 99.0)).toDF("g", "v")
+    val fast = Relational.groupedPercentRank(df, "g", "v", "pr")
+    val ref = df.withColumn("pr",
+      percent_rank().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+    assert(rowSet(fast) == rowSet(ref), s"fast=${rowSet(fast)} ref=${rowSet(ref)}")
+    // hand values: a's ties at 20.0 share rank 2 -> (2-1)/3; c singleton -> 0
+    val m = fast.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toSet
+    assert(m.contains(("a", 20.0) -> (1.0 / 3)) && m.contains(("c", 99.0) -> 0.0), m.toString)
+  }
 }
