@@ -1760,4 +1760,50 @@ object Corpus {
       .select(col("p").as("point"), col("n_prefix").as("n_tokens"), col("vocab"),
         round(col("vocab").cast("double") / col("n_prefix"), 6).as("ttr"))
   }
+
+  /** Zipf-law slope of the token frequency-rank curve — the
+    * distributional sibling of [[vocabGrowth]]'s Heaps law: OLS of
+    * ln(count) on ln(rank) over tokens with count ≥ `minCount` (the
+    * classic truncation — the hapax cliff is not Zipf's regime); a
+    * natural-language corpus reads ≈ −1, and a drift away from it is a
+    * corpus-mix smell (boilerplate flattens the head, spam fattens the
+    * tail).
+    *
+    * Determinism: tokens ride 60-bit md5 keys (exchanges carry 8-byte
+    * hashes, never text); the rank is [[graft.ops.Relational
+    * .globalRank]] over the total order (count DESC, hash) — no
+    * single-partition sort; the two lns (the transcendentals) are
+    * ROUND(…, 6) then DECIMAL, so every downstream moment — Σx, Σy,
+    * Σxy, Σx² in width-bounded decimals BOTH engines can multiply
+    * without overflowing their 38-digit cap — is exact arithmetic on
+    * identically-rounded terms, and slope/intercept are single double
+    * divides of exact closed forms.
+    *
+    * Output: one row — `n_tokens` (vocabulary kept), `zipf_slope`,
+    * `intercept` (both 6 dp). */
+  def zipfSlope(docs: DataFrame, minCount: Long = 5L,
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftext.{VectorExpressions => V}
+    val counts = docs
+      .select(explode(V.md5Hashes60(TextAnalysis.tokens(col(textCol)))).as("_h"))
+      .groupBy(col("_h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val ranked = graft.ops.Relational.globalRank(
+      counts, Seq(col("n").desc, col("_h")), "r")
+    val terms = ranked.select(
+      round(log(col("r").cast("double")), 6).cast("decimal(18,6)").as("x"),
+      round(log(col("n").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    terms.agg(count(lit(1)).cast("decimal(9,0)").as("nn"),
+        sum(col("x")).cast("decimal(18,6)").as("sx"),
+        sum(col("y")).cast("decimal(18,6)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(24,12)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(24,12)").as("sxx"))
+      .select(col("nn").cast("long").as("n_tokens"),
+        round((col("nn") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("nn") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("nn") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept"))
+  }
 }

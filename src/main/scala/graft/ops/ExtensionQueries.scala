@@ -2228,6 +2228,36 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Zipf-law slope of the token frequency-rank curve (Corpus.zipfSlope
+    * scaladoc: md5-60 keys, globalRank total order, ROUND-then-DECIMAL
+    * lns, width-bounded decimal moments both engines can multiply). */
+  val zipfSlopeQ: Q = Q(
+    "x_zipf_slope",
+    (s, d) => graft.corpus.Corpus.zipfSlope(Tables.documents(s, d)),
+    Some("""
+      WITH tk AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+                        FROM documents)),
+      c AS (SELECT h, COUNT(*) AS n FROM tk GROUP BY 1 HAVING COUNT(*) >= 5),
+      rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, h) AS r FROM c),
+      t AS (SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                   CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+            FROM rk),
+      m AS (SELECT CAST(COUNT(*) AS DECIMAL(9,0)) AS nn,
+                   CAST(SUM(x) AS DECIMAL(18,6)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
+                   CAST(SUM(x * y) AS DECIMAL(24,12)) AS sxy,
+                   CAST(SUM(x * x) AS DECIMAL(24,12)) AS sxx
+            FROM t)
+      SELECT CAST(nn AS BIGINT) AS n_tokens,
+             ROUND(CAST(nn * sxy - sx * sy AS DOUBLE)
+                   / CAST(nn * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+             ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                   / CAST(nn * sxx - sx * sx AS DOUBLE), 6) AS intercept
+      FROM m
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5966,5 +5996,5 @@ object ExtensionQueries {
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
-    cusumQ, cramersVQ, fdCheckQ)
+    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ)
 }

@@ -753,4 +753,18 @@ class CorpusSpec extends SparkSpec {
     // doc 3 is empty: whitespace tokenization yields nothing
     assert(out.toSet == expected, out.mkString(","))
   }
+
+  test("zipfSlope: constant counts fit slope 0 / intercept ln(n) exactly; minCount truncates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three tokens x8 each (>= minCount 5) + one hapax (dropped)
+    val text = (Seq.fill(8)("aa") ++ Seq.fill(8)("bb") ++ Seq.fill(8)("cc") :+ "zz").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Corpus.zipfSlope(docs).collect()(0)
+    assert(r.getLong(0) == 3L, r.toString)
+    // constant y: numerator cancels in exact decimals -> slope exactly 0,
+    // intercept exactly the rounded ln(8)
+    assert(r.getDouble(1) == 0.0, r.toString)
+    assert(r.getDouble(2) == 2.079442, r.toString)
+  }
 }
