@@ -532,6 +532,47 @@ object EventStream {
       }
   }
 
+  /** [[cmsCounters]] state: one serialized count-min sketch per event
+    * type — `depth·width` longs, constant regardless of key cardinality
+    * or event volume. Readout carries the bytes so equivalence against
+    * a batch-built sketch is checkable at the byte level. */
+  final case class CmsState(bytes: Array[Byte])
+  final case class CmsReadout(event_type: String, n_items: Long,
+                              sketch: Array[Byte])
+
+  /** Streaming count-min frequency sketch per event type — the
+    * ADDITIVE-sketch twin completing the streaming quartet
+    * ([[hllCounters]] register-max, [[exactDistinct]] bitmap-OR,
+    * [[quantileSketches]] q-digest): CMS counts are pure addition, so
+    * micro-batch order, duplicates and lateness cannot change the final
+    * table, and a drained stream's sketch is BYTE-IDENTICAL to
+    * `df.stat.countMinSketch` built over the same rows in one batch
+    * (spec-pinned — same depth/width/seed, same long hashing). Point
+    * estimates never underestimate; overestimates are bounded by the
+    * standard eps/confidence trade the caller picks via width/depth. */
+  def cmsCounters(events: Dataset[Event], depth: Int = 4, width: Int = 1024,
+                  seed: Int = 42): Dataset[CmsReadout] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[CmsState, CmsReadout](GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state: GroupState[CmsState]) =>
+          val cms = state.getOption match {
+            case Some(s) =>
+              CountMinSketch.readFrom(new java.io.ByteArrayInputStream(s.bytes))
+            case None => CountMinSketch.create(depth, width, seed)
+          }
+          rows.foreach(e => cms.addLong(e.user_id))
+          val bos = new java.io.ByteArrayOutputStream()
+          cms.writeTo(bos)
+          val bytes = bos.toByteArray
+          state.update(CmsState(bytes))
+          CmsReadout(typ, cms.totalCount(), bytes)
+      }
+  }
+
   /** [[hllCounters]] state: the 256 HLL register maxima, one byte each —
     * a CONSTANT 256 B per event type forever, whatever the cardinality.
     * Register 0 means "never hit" (true rho is always ≥ 1). */

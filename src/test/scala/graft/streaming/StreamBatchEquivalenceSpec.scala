@@ -522,4 +522,43 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(got.toMap == batch, s"stream=$got batch=$batch")
     assert(got("a") == 6L && got("b") == 1L)
   }
+
+  test("cmsCounters: drained stream sketch is byte-identical to the one-batch df.stat build") {
+    import org.apache.spark.sql.Dataset
+    def uev(id: Long, uid: Long, typ: String) =
+      Event(id, Timestamp.valueOf("2024-03-10 10:00:00"), uid, typ, 1.0)
+    val b1 = (1L to 300L).map(u => uev(u, u % 37, "a"))
+    val b2 = (301L to 500L).map(u => uev(u, u % 11, "a")) :+ uev(9001L, 5L, "b")
+    val b3 = (501L to 600L).map(u => uev(u, u % 37, "a"))
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[String, (Long, Array[Byte])]()
+    val q = EventStream.cmsCounters(input.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.CmsReadout], _: Long) =>
+        df.collect().foreach(r => got(r.event_type) = ((r.n_items, r.sketch)))
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    val all = (b1 ++ b2 ++ b3)
+    for (typ <- Seq("a", "b")) {
+      val rows = all.filter(_.event_type == typ)
+      val batch = rows.toDF().stat.countMinSketch(col("user_id"), 4, 1024, 42)
+      val bos = new java.io.ByteArrayOutputStream(); batch.writeTo(bos)
+      val (n, bytes) = got(typ)
+      assert(n == rows.size.toLong, s"$typ n_items")
+      assert(java.util.Arrays.equals(bytes, bos.toByteArray),
+        s"$typ: stream sketch != batch sketch bytes")
+      // never underestimates
+      val sk = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val truth = rows.groupBy(_.user_id).view.mapValues(_.size.toLong)
+      truth.foreach { case (uid, c) =>
+        assert(sk.estimateCount(uid) >= c, s"$typ uid=$uid underestimated") }
+    }
+  }
 }
