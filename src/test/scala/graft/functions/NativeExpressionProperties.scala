@@ -51,6 +51,20 @@ object NativeExpressionProperties extends Properties("graft.native") {
 
   private val toks = TextAnalysis.tokens(col("text"))
 
+  property("JaroWinkler codegen == kernel eval; symmetric on adversarial text") =
+    forAll(Gen.listOfN(6, Gen.zip(genText, genText))) { ps =>
+      import spark.implicits._
+      val rows = ps.toDF("a", "b")
+        .select(V.jaroWinkler(col("a"), col("b")).as("x"),
+          V.jaroWinkler(col("b"), col("a")).as("y")).collect()
+      rows.zip(ps).forall { case (r, (a, b)) =>
+        val k = org.apache.spark.sql.graftext.GraftKernels.jaroWinkler(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        r.getDouble(0) == k && r.getDouble(1) == k && k >= 0.0 && k <= 1.0
+      }
+    }
+
   property("RollingNgrams == HOF shingles") = forAll(genBatch) { ts =>
     agree(ts, Dedup.shingles(col("text")), Dedup.shinglesHof(col("text")))
   }

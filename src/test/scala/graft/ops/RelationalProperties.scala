@@ -48,6 +48,27 @@ object RelationalProperties extends Properties("graft.ops.Relational") {
     }
   }
 
+  property("groupedPercentRank == PERCENT_RANK window on random grouped data with ties") = {
+    val genRows: Gen[List[(String, Long)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 8L))) // small domain forces ties
+    } yield rows
+    forAll(genRows) { rows =>
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id")
+      val fast = Relational.groupedPercentRank(df, "g", "v", "pr")
+        .select(col("id"), col("pr")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ref = df.withColumn("pr", org.apache.spark.sql.functions.percent_rank()
+          .over(Window.partitionBy(col("g")).orderBy(col("v"))))
+        .select(col("id"), col("pr")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      fast == ref
+    }
+  }
+
   property("prefixSum/prefixMax == scanLeft over the local sort") = {
     forAll(genVals) { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
