@@ -2258,6 +2258,38 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Theil between/within decomposition by nation
+    * (Relational.theilDecomposition scaladoc: the additive split Gini
+    * cannot do; theilRevenue's exact-cent, ROUND-then-DECIMAL
+    * transcendental discipline per group). */
+  val theilDecompQ: Q = Q(
+    "x_theil_decomp",
+    (s, d) => Relational.theilDecomposition(Tables.orders(s, d), Tables.customer(s, d)),
+    Some("""
+      WITH rev0 AS (SELECT o_custkey,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                    FROM orders GROUP BY 1),
+      rev AS (SELECT CAST(c_nationkey AS INT) AS nationkey, cents
+              FROM rev0 JOIN customer ON o_custkey = c_custkey
+              WHERE cents > 0),
+      g AS (SELECT nationkey, COUNT(*) AS ng, SUM(CAST(cents AS HUGEINT)) AS sg
+            FROM rev GROUP BY 1),
+      t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s FROM g),
+      terms AS (SELECT rev.nationkey,
+                       CAST(ROUND((CAST(cents AS DOUBLE) * ng / CAST(sg AS DOUBLE))
+                            * ln(CAST(cents AS DOUBLE) * ng / CAST(sg AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS term
+                FROM rev JOIN g ON rev.nationkey = g.nationkey),
+      ts AS (SELECT nationkey, SUM(term) AS tsum FROM terms GROUP BY 1)
+      SELECT g.nationkey, CAST(ng AS BIGINT) AS n_customers,
+             ROUND(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE), 6) AS income_share,
+             ROUND(CAST(tsum AS DOUBLE) / ng, 6) AS theil_within,
+             ROUND(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)
+                   * ln(CAST(sg AS DOUBLE) * n / (ng * CAST(s AS DOUBLE))), 6) AS between_term
+      FROM g JOIN ts ON g.nationkey = ts.nationkey, t
+    """.trim)
+  )
+
   /** Per-nation revenue HHI (Relational.hhiConcentration scaladoc:
     * exact decimal Σcents² with pre-cast operands, one mirrored double
     * tail sq/tot²). */
@@ -5996,5 +6028,5 @@ object ExtensionQueries {
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
-    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ)
+    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ)
 }

@@ -444,6 +444,55 @@ object Relational {
           .as("theil_norm"))
   }
 
+  /** Theil T between/within decomposition by customer nation — the
+    * property that justifies Theil over Gini ([[theilRevenue]]'s
+    * scaladoc): T_total = Σ_g share_g·T_within_g + Σ_g share_g·
+    * ln(share_g / popshare_g), exactly — so the inequality number
+    * splits into "inequality AMONG a nation's customers" and
+    * "inequality BETWEEN nations", and a governance dashboard can say
+    * which one moved. (Gini does not decompose additively.)
+    *
+    * Determinism: the same exact integer-cent base, exact decimal
+    * group totals, per-term ROUND-then-DECIMAL for the within sums
+    * (the [[theilRevenue]] transcendental discipline), and the
+    * between term is one fixed-shape double expression per group,
+    * mirrored by the oracle. Zero-mass customers are excluded
+    * identically (0·ln 0).
+    *
+    * Scale shape: one customer-key exchange (map-side combined), the
+    * nation dim broadcast, the group table broadcast back into the
+    * term pass (|nations| rows), two grid-sized rollups. Output per
+    * nation: `nationkey`, `n_customers`, `income_share`,
+    * `theil_within`, `between_term` (all 6 dp). */
+  def theilDecomposition(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_nationkey").cast("int").as("nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("nationkey"), col("cents"))
+      .localCheckpoint() // group totals AND the term pass read it
+    val g = rev.groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("ng"), sum(col("cents")).cast("decimal(38,0)").as("sg"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("ng")).cast("long").as("n"),
+      sum(col("sg")).cast("decimal(38,0)").as("s"))
+    val terms = rev.join(broadcast(g), Seq("nationkey"))
+      .select(col("nationkey"),
+        round((col("cents").cast("double") * col("ng") / col("sg").cast("double")) *
+          log(col("cents").cast("double") * col("ng") / col("sg").cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("nationkey")).agg(sum(col("term")).as("tsum"))
+    g.join(terms, Seq("nationkey")).crossJoin(broadcast(tot))
+      .select(col("nationkey"), col("ng").as("n_customers"),
+        round(col("sg").cast("double") / col("s").cast("double"), 6).as("income_share"),
+        round(col("tsum").cast("double") / col("ng"), 6).as("theil_within"),
+        round(col("sg").cast("double") / col("s").cast("double") *
+          log(col("sg").cast("double") * col("n") /
+            (col("ng") * col("s").cast("double"))), 6).as("between_term"))
+  }
+
   /** ABC / Pareto inventory classification — every part ranked by
     * lifetime revenue, classed A while the running revenue share is
     * ≤ 80%, B through 95%, C beyond (the classic 80/15/5 stocking

@@ -294,4 +294,22 @@ class RelationalSpec extends SparkSpec {
     val m = fast.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toSet
     assert(m.contains(("a", 20.0) -> (1.0 / 3)) && m.contains(("c", 99.0) -> 0.0), m.toString)
   }
+
+  test("theilDecomposition: additive identity vs theilRevenue; equal-within-group nations read 0") {
+    val orders = Seq(
+      (1L, "1995-01-01", 10.0), (2L, "1995-01-01", 10.0),   // nation 1: equal -> within 0
+      (3L, "1995-01-01", 1.0), (4L, "1995-01-01", 99.0))    // nation 2: skewed
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2)).toDF("c_custkey", "c_nationkey")
+    val parts = Relational.theilDecomposition(orders, cust).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(parts(1)._3 == 0.0, parts.toString) // equal incomes -> zero within-Theil
+    assert(parts(1)._1 == 2L && parts(2)._1 == 2L)
+    val total = Relational.theilRevenue(orders).collect()(0).getDouble(1)
+    val recomposed = parts.values.map(p => p._2 * p._3).sum + parts.values.map(_._4).sum
+    assert(math.abs(recomposed - total) < 1e-4,
+      s"decomposition $recomposed != total $total")
+    // shares sum to 1
+    assert(math.abs(parts.values.map(_._2).sum - 1.0) < 1e-6)
+  }
 }
