@@ -206,5 +206,24 @@ object Bench {
       try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
+    // The full JSON line above overflows the driver's fixed-size stdout
+    // capture (~2000 chars) once the catalog passed ~80 queries, so every
+    // BENCH_r{N}.json since r6 recorded "parsed": null with a mid-line
+    // tail. Emit a COMPACT summary as the unambiguous LAST stdout line —
+    // same shape (metric/value/unit/queries/failed/sf), queries limited
+    // to the slowest rows that fit a ~1200-char budget at 3-dp precision,
+    // with the full record's path and the omitted count self-described.
+    // Printed after spark.stop() so no executor/shutdown log can trail it.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val budget = 1200
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val s = "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      if (used + s.length + 1 <= budget) { parts += s; used += s.length + 1 }
+    }
+    val compact =
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":${parts.mkString("{", ",", "}")},"queries_total":${results.size},"queries_omitted":${results.size - parts.size},"failed":$failed,"contaminated_n":${contaminated.size},"sf":"$sfDir","full_out":"$outPath"}"""
+    println(compact)
   }
 }

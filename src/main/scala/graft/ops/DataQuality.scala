@@ -614,18 +614,24 @@ object DataQuality {
     val ties = pre.agg(
       sum(col("_cnt").cast(dec19) * col("_cnt").cast(dec19) * col("_cnt").cast(dec19)
         - col("_cnt").cast(dec19)).cast("decimal(38,0)").as("t3"))
+    // The exact-decimal part stops at the tie-corrected tail
+    // (N³−N)−Σ(t³−t), which fits DECIMAL(38,0) to N ≈ 10¹²; the former
+    // n_A·n_B·tail product overflowed 38 digits (and DuckDB's HUGEINT)
+    // from N ≈ 5·10⁷ — a silent z→NULL cliff at large SFs. The variance
+    // na·nb·(tail/(12N(N−1))) is one mirrored double chain from there
+    // (the oracle replays the identical op order).
     agg.crossJoin(broadcast(ties))
       .withColumn("nb", (col("n") - col("na")).cast("decimal(19,0)"))
       .withColumn("u2", (col("r2a") - col("na") * (col("na") + 1))
         .cast("decimal(38,0)"))
-      .withColumn("num", (col("na") * col("nb") *
-        ((col("n") * col("n") * col("n") - col("n")) - col("t3")))
+      .withColumn("tail3", ((col("n") * col("n") * col("n") - col("n")) - col("t3"))
         .cast("decimal(38,0)"))
-      .withColumn("den", (lit(12) * col("n") * (col("n") - 1)).cast("decimal(38,0)"))
       .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
         (col("u2").cast("double") / lit(2.0)).as("u_a"),
         round((col("u2") - col("na") * col("nb")).cast("double") /
-          (lit(2.0) * sqrt(col("num").cast("double") / col("den").cast("double"))),
+          (lit(2.0) * sqrt(col("na").cast("double") * col("nb").cast("double") *
+            (col("tail3").cast("double") /
+              (lit(12.0) * col("n").cast("double") * (col("n") - 1).cast("double"))))),
           6).as("z"))
   }
 }

@@ -756,6 +756,11 @@ object EventAnalytics {
     val tot = grid.agg(count(lit(1)).cast("long").as("nd"),
       sum(col("c")).cast("long").as("st")).collect()(0)
     val (nd, st) = (tot.getLong(0), tot.getLong(1))
+    // With <2 distinct days the candidate set `rn < nd` is empty (and
+    // with 0 the whole grid is): headOption instead of (0), falling back
+    // to "no split" — everything in segment 1, split_day = the only day
+    // (or NULL on an empty input). The 1-day segment then reports NULL
+    // coefficients through the n·Σx²−(Σx)² ≠ 0 guard below, never 0/0.
     val best = grid.filter(col("rn") < nd)
       .withColumn("gain",
         col("pc").cast("double") * col("pc").cast("double") / col("rn").cast("double")
@@ -763,8 +768,12 @@ object EventAnalytics {
           / (lit(nd) - col("rn")).cast("double")
           - lit(st).cast("double") * lit(st).cast("double") / lit(nd).cast("double"))
       .orderBy(col("gain").desc, col("day"))
-      .select(col("rn"), col("day")).limit(1).collect()(0)
-    val (rn1, splitDay) = (best.getLong(0), best.getDate(1))
+      .select(col("rn"), col("day")).limit(1).collect().headOption
+    val (rn1, splitDay) = best match {
+      case Some(r) => (r.getLong(0), r.getDate(1))
+      case None => (nd, grid.orderBy(col("day")).select(col("day"))
+        .limit(1).collect().headOption.map(_.getDate(0)).orNull)
+    }
     val dec = "decimal(19,0)"
     grid.withColumn("seg", when(col("rn") <= rn1, 1).otherwise(2))
       .groupBy(col("seg"))
@@ -773,7 +782,7 @@ object EventAnalytics {
         sum(col("c").cast(dec)).cast("decimal(38,0)").as("sy"),
         sum(col("rn").cast(dec) * col("c").cast(dec)).cast("decimal(38,0)").as("sxy"),
         sum(col("rn").cast(dec) * col("rn").cast(dec)).cast("decimal(38,0)").as("sxx"))
-      .select(col("seg"), lit(splitDay).as("split_day"),
+      .select(col("seg"), lit(splitDay).cast("date").as("split_day"),
         col("n").cast("long").as("n_days"),
         when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /

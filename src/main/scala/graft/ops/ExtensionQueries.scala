@@ -2019,8 +2019,9 @@ object ExtensionQueries {
       SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
              CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
              ROUND(CAST(r2a - na * (na + 1) - na * (n - na) AS DOUBLE)
-                   / (2.0 * sqrt(CAST(na * (n - na) * ((n * n * n - n) - t3) AS DOUBLE)
-                                 / CAST(12 * n * (n - 1) AS DOUBLE))), 6) AS z
+                   / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)
+                                 * (CAST((n * n * n - n) - t3 AS DOUBLE)
+                                    / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6) AS z
       FROM agg, tt
     """.trim)
   )

@@ -830,11 +830,18 @@ object Relational {
     val pre = prefixSum(grid, Seq(col(grp), col(v)), "_cnt", "_pre")
     val gtot = pre.groupBy(col(grp))
       .agg(max(col("_pre")).as("_gend"), sum(col("_cnt")).cast("long").as("_gn"))
-    val ranks = pre.join(broadcast(gtot), Seq(grp))
-      .select(col(grp), col(v),
+      .withColumnRenamed(grp, "_tg")
+    val ranks = pre.join(broadcast(gtot), col(grp) <=> col("_tg"))
+      .select(col(grp).as("_rg"), col(v).as("_rv"),
         (col("_pre") - col("_cnt") - (col("_gend") - col("_gn")) + 1L).as("_minrank"),
         col("_gn"))
-    df.join(ranks, Seq(grp, v))
+    // Null-safe join back: a plain (grp, v) equi-join silently DROPS rows
+    // whose group or value is NULL, whereas the PERCENT_RANK window this
+    // replaces keeps them (nulls rank first under Spark's default
+    // asc_nulls_first — which is also where the grid's range exchange
+    // sorts them, so the computed _minrank is already correct for them).
+    df.join(ranks, df(grp) <=> ranks("_rg") && df(v) <=> ranks("_rv"))
+      .drop("_rg", "_rv")
       .withColumn(out,
         when(col("_gn") === 1L, lit(0.0))
           .otherwise((col("_minrank") - 1L).cast("double") /

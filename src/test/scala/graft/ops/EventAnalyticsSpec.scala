@@ -547,6 +547,14 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2) == (("2024-01-04", 4L, 0.0, 20.0)), out.toString)
   }
 
+  test("segmentedTrend: single-day series yields one NULL-coefficient segment, no crash") {
+    val rows = (1 to 5).map(i => (i.toLong, f"2024-01-01 00:0$i:00", 1L, "view", 0.0))
+    val out = EventAnalytics.segmentedTrend(events(rows: _*)).collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out(0).getInt(0) == 1 && out(0).getDate(1).toString == "2024-01-01")
+    assert(out(0).getLong(2) == 1L && out(0).isNullAt(3) && out(0).isNullAt(4))
+  }
+
   test("cusumDaily: identity equals the direct recursion on a hand series; alarm on the shift") {
     // counts (2,2,2,20,20): N=5, S=46, mu=9.2, k=0.46
     // direct recursion S_t = max(0, S_(t-1) + x_t - 9.66):

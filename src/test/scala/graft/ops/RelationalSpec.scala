@@ -295,6 +295,19 @@ class RelationalSpec extends SparkSpec {
     assert(m.contains(("a", 20.0) -> (1.0 / 3)) && m.contains(("c", 99.0) -> 0.0), m.toString)
   }
 
+  test("groupedPercentRank keeps NULL group and NULL value rows (null-safe join back)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((Some("a"), Some(10.0)), (Some("a"), None), (Some("a"), Some(20.0)),
+      (None, Some(1.0)), (None, Some(2.0)), (Some("b"), None), (Some("b"), None))
+      .toDF("g", "v")
+    val fast = Relational.groupedPercentRank(df, "g", "v", "pr")
+    assert(fast.count() == df.count(), "null-keyed rows must survive the join back")
+    // matches the window it replaces: nulls rank first (asc_nulls_first)
+    val ref = df.withColumn("pr",
+      percent_rank().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+    assert(rowSet(fast) == rowSet(ref), s"fast=${rowSet(fast)} ref=${rowSet(ref)}")
+  }
+
   test("theilDecomposition: additive identity vs theilRevenue; equal-within-group nations read 0") {
     val orders = Seq(
       (1L, "1995-01-01", 10.0), (2L, "1995-01-01", 10.0),   // nation 1: equal -> within 0
