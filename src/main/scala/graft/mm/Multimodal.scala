@@ -1,6 +1,6 @@
 package graft.mm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video as opaque `binary`
@@ -367,4 +367,194 @@ object Multimodal {
         sequence(lit(0), greatest((length(col("payload")) / (chunk * stride)).cast("int") - 1, lit(0))),
         i => substring(col("payload"), (i * chunk * stride + 1).cast("int"), lit(chunk)))
         .as("chunks"))
+
+  // ------------------------------------------------- perceptual hashing
+
+  /** Luma-grid geometry for the gradient dHash: 6 rows × 11 columns =
+    * 66 cells, 10 horizontal gradient comparisons per row × 6 rows =
+    * 60 hash bits — the same 60-bit width as the md5-derived text
+    * hashes (DuckDB replays bit b as `1::BIGINT << b` without touching
+    * the sign bit). */
+  val LumaRows = 6
+  val LumaCols = 11
+  val LumaCells: Int = LumaRows * LumaCols // 66
+  val DHashBits: Int = LumaRows * (LumaCols - 1) // 60
+
+  /** A luma-grid row: the decode output the perceptual-hash tier runs
+    * on. */
+  final case class LumaRow(media_id: Long, luma: Array[Int])
+
+  /** All-image media table over `documents` — the fixture for an image
+    * dedup job (payload = UTF-8 bytes standing in for encoded pixels;
+    * every row takes the image path through [[lumaGrid]]). */
+  def imageTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      lit("image").as("media_type"))
+
+  /** REAL luma pooling: average the decoded pixels' integer luma
+    * (299·R + 587·G + 114·B, /1000) over a [[LumaRows]]×[[LumaCols]]
+    * grid of rectangles — the downscale step of the classic dHash.
+    * Cell bounds are integer fractions of width/height; a degenerate
+    * cell (image narrower than the grid) clamps to one pixel so every
+    * cell is non-empty for any ≥1×1 image. */
+  private[mm] def poolLuma66(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](LumaCells)
+    var r = 0
+    while (r < LumaRows) {
+      val y0 = r * h / LumaRows
+      val y1 = math.max((r + 1) * h / LumaRows, y0 + 1)
+      var c = 0
+      while (c < LumaCols) {
+        val x0 = c * w / LumaCols
+        val x1 = math.max((c + 1) * w / LumaCols, x0 + 1)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(r * LumaCols + c) = if (n > 0) (sum / n).toInt else 0
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** STUB luma for payloads no image reader recognizes: cell j is the
+    * first md5 byte of the j-th of [[LumaCells]] equal character chunks
+    * of the UTF-8-decoded payload — chunk j = chars
+    * [j·n/66, (j+1)·n/66). Engine-portable by construction: DuckDB
+    * replays it as `('0x' || substr(md5(substr(text, (j*n)//66 + 1,
+    * ((j+1)*n)//66 - (j*n)//66)), 1, 2))::BIGINT` (chunking is
+    * character-based on both sides; BMP-only — a surrogate pair would
+    * count as 2 here vs 1 in DuckDB, and the fixture corpus is ASCII).
+    * Like a real pooled luma it is position-stable under substitution
+    * edits (one changed chunk moves one cell → ≤2 hash bits), which is
+    * what makes the stub behave like a perceptual hash on the text
+    * fixtures. */
+  private[mm] def stubLuma66(payload: Array[Byte]): Array[Int] = {
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val n = s.length.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](LumaCells)
+    var j = 0
+    while (j < LumaCells) {
+      val st = (j * n / LumaCells).toInt
+      val en = ((j + 1) * n / LumaCells).toInt
+      md.reset()
+      val d = md.digest(s.substring(st, en)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(j) = d(0) & 0xff
+      j += 1
+    }
+    out
+  }
+
+  /** Distributed decode → luma grid: the REAL path for recognizable
+    * images ([[sniffImage]] gate, full `ImageIO.read` pixel decode +
+    * [[poolLuma66]] — this is the one multimodal stage that must touch
+    * pixel data, so it runs exactly once per row and everything
+    * downstream is 8-byte hashes); [[stubLuma66]] for everything else.
+    * Partition-wise like [[extractFeatures]] (one MessageDigest per
+    * row, decoder contexts reusable per partition). */
+  def lumaGrid(media: DataFrame): Dataset[LumaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val payload = Option(r.payload).getOrElse(Array.emptyByteArray)
+        val luma =
+          if (r.media_type == "image" && sniffImage(payload)) {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
+            if (img != null) poolLuma66(img) else stubLuma66(payload)
+          } else stubLuma66(payload)
+        LumaRow(r.media_id, luma)
+      }
+    }
+  }
+
+  /** 60-bit gradient dHash over a [[LumaCells]]-wide luma array column:
+    * bit b (0 ≤ b < 60) is set iff luma[j+1] > luma[j] for
+    * j = (b/10)·11 + b%10 — 10 horizontal comparisons per grid row,
+    * never across the row seam. Pure codegen'd column ops (60 constant
+    * element_at compares OR-folded); brightness shifts preserve
+    * gradients (saturation at 255 flips at most the few cells that
+    * clip), scaling preserves cell averages — the invariances that make
+    * it a perceptual hash. */
+  def dhash60(luma: Column): Column =
+    (0 until DHashBits).map { b =>
+      val j = (b / (LumaCols - 1)) * LumaCols + (b % (LumaCols - 1))
+      when(element_at(luma, j + 2) > element_at(luma, j + 1), lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+
+  /** Banded-Hamming image near-dup pairs over a (media_id, luma) grid:
+    * hash each image once ([[dhash60]]), split the 60-bit signature
+    * into 60/`bandBits` bands, bucket on (band, band value) — two
+    * signatures within Hamming distance `nBands − 1` MUST share a full
+    * band (pigeonhole), so for thresholds below that the banded
+    * candidate set is EXACTLY the brute-force pair set (property-
+    * pinned); larger thresholds trade recall for the same bounded cost,
+    * the standard LSH contract. Candidates are verified with the exact
+    * popcount distance.
+    *
+    * Scale shape: decode+hash runs once (checkpointed — band explode
+    * and the two verify join-backs all read the 16-byte (id, hash)
+    * table, never luma or payload); every exchange carries (int band,
+    * 8-byte key, id); buckets above `maxBucketSize` are dropped on BOTH
+    * sides of the candidate join (the [[graft.dedup.Dedup]] skew
+    * policy — a bucket of f members expands to f²/2 pairs in one task;
+    * the oracle replays the cap with HAVING COUNT(*) <=). Output:
+    * (id1, id2, dist), id1 < id2, dist ≤ threshold. */
+  def phashNearDups(grid: DataFrame, threshold: Int = 6, bandBits: Int = 15,
+                    maxBucketSize: Option[Int] = Some(1024)): DataFrame = {
+    require(DHashBits % bandBits == 0,
+      s"phashNearDups: bandBits must divide $DHashBits, got $bandBits")
+    val nBands = DHashBits / bandBits
+    val hashes = grid
+      .select(col("media_id"), dhash60(col("luma")).as("dhash"))
+      .localCheckpoint()
+    val bands = hashes
+      .select(col("media_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+        col("dhash"))
+      .withColumn("bkey",
+        expr(s"shiftrightunsigned(dhash, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+      .select(col("media_id"), col("band"), col("bkey"))
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        bands.join(
+          bands.groupBy(col("band"), col("bkey"))
+            .agg(count(lit(1)).as("_f")).filter(col("_f") <= cap)
+            .select(col("band"), col("bkey")),
+          Seq("band", "bkey"))
+      case None => bands
+    }
+    val cand = capped.select(col("band"), col("bkey"), col("media_id").as("id1"))
+      .join(capped.select(col("band"), col("bkey"), col("media_id").as("id2")),
+        Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cand
+      .join(hashes.select(col("media_id").as("id1"), col("dhash").as("h1")), Seq("id1"))
+      .join(hashes.select(col("media_id").as("id2"), col("dhash").as("h2")), Seq("id2"))
+      .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("dist") <= threshold)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

@@ -1179,6 +1179,58 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Perceptual-hash image near-dup pairs: 60-bit gradient dHash over
+    * the 6×11 pooled luma grid, banded-Hamming candidate blocking
+    * (4 × 15-bit bands, bucket-capped), exact popcount verify — the
+    * image twin of x_dedup_simhash's text blocking. The fixture is the
+    * image-dedup eval harness: every doc as a stub image plus a
+    * brightness-shifted (+16, clipped at 255) variant of every 5th —
+    * exactly what a re-encode/gamma-shift near-dup does to pooled luma,
+    * so the expected pairs exist by construction and saturation
+    * clipping exercises nonzero distances. Real ImageIO decode →
+    * [[graft.mm.Multimodal.poolLuma66]] is the same downstream pipeline
+    * and is spec-pinned (scale/brightness invariance on real PNGs); the
+    * oracle replays the md5-chunk stub luma, the bit layout, the
+    * banding, the bucket cap and the distance filter bit-for-bit. */
+  val mmPhashDups: Q = Q(
+    "x_mm_phash_dups",
+    (s, d) => {
+      val grid = Multimodal.lumaGrid(
+        Multimodal.imageTable(Tables.documents(s, d))).toDF()
+      val variants = grid.filter(col("media_id") % 5 === 0)
+        .select((col("media_id") + 10000000L).as("media_id"),
+          transform(col("luma"), v => least(v + 16, lit(255))).as("luma"))
+      Multimodal.phashNearDups(grid.unionByName(variants), threshold = 6)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      lum AS (SELECT doc_id AS media_id,
+                     list_transform(generate_series(0, 65), j ->
+                       ('0x' || substr(md5(substr(text, CAST((j*n)//66 AS INT) + 1,
+                          CAST(((j+1)*n)//66 - (j*n)//66 AS INT))), 1, 2))::BIGINT) AS lu
+              FROM d),
+      allm AS (SELECT media_id, lu FROM lum
+               UNION ALL
+               SELECT media_id + 10000000, list_transform(lu, v -> least(v + 16, 255))
+               FROM lum WHERE media_id % 5 = 0),
+      h AS (SELECT media_id,
+                   CAST(list_sum(list_transform(generate_series(0, 59), b ->
+                     CASE WHEN lu[(b//10)*11 + (b%10) + 2] > lu[(b//10)*11 + (b%10) + 1]
+                          THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS dhash
+            FROM allm),
+      bands AS (SELECT media_id, dhash, b AS band, (dhash >> CAST(b*15 AS INT)) & 32767 AS bkey
+                FROM h, generate_series(0, 3) t(b)),
+      ok AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1024),
+      cand AS (SELECT DISTINCT a.media_id AS id1, c.media_id AS id2
+               FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+                    AND a.media_id < c.media_id
+               JOIN ok o ON a.band = o.band AND a.bkey = o.bkey)
+      SELECT cand.id1, cand.id2, CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS dist
+      FROM cand JOIN h h1 ON cand.id1 = h1.media_id JOIN h h2 ON cand.id2 = h2.media_id
+      WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
+    """.trim)
+  )
+
   /** As-of join: each purchase event enriched with the user's most
     * recent signup at-or-before it (union+window implementation, see
     * AsOf). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a fully
@@ -6003,7 +6055,7 @@ object ExtensionQueries {
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,
     clusterReps, dedupApply, textChunks,
-    mmMetadata, mmFeatures, mmChunks,
+    mmMetadata, mmFeatures, mmChunks, mmPhashDups,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,

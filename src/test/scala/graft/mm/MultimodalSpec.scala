@@ -188,4 +188,99 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 5)           // 100 bytes / (10*2)
     assert(out.forall(_.length == 10))
   }
+
+  // ------------------------------------------------- perceptual hashing
+
+  test("stubLuma66: first md5 byte of each of 66 equal char chunks (hand check)") {
+    val s = "hello world, this is a sixty-six chunk luma fixture string!!!!!!!"
+    val lu = Multimodal.stubLuma66(s.getBytes("UTF-8"))
+    assert(lu.length == 66)
+    val n = s.length.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 66).foreach { j =>
+      val chunk = s.substring((j * n / 66).toInt, ((j + 1) * n / 66).toInt)
+      assert(lu(j) == (md.digest(chunk.getBytes("UTF-8"))(0) & 0xff), s"cell $j")
+    }
+    // empty payload: every chunk is md5("") -> 0xd4, flat luma, dhash 0
+    assert(Multimodal.stubLuma66(Array.emptyByteArray).forall(_ == 0xd4))
+  }
+
+  /** Scala reference dhash — independent of the column implementation. */
+  private def refDhash(lu: Array[Int]): Long = {
+    var h = 0L
+    (0 until 60).foreach { b =>
+      val j = (b / 10) * 11 + (b % 10)
+      if (lu(j + 1) > lu(j)) h |= (1L << b)
+    }
+    h
+  }
+
+  test("dhash60 column == reference bit layout on random luma grids") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 50L).map(i => (i, Array.fill(66)(rnd.nextInt(256))))
+    val got = rows.toDF("media_id", "luma")
+      .select(col("media_id"), Multimodal.dhash60(col("luma")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, lu) => assert(got(i) == refDhash(lu), s"row $i") }
+  }
+
+  test("phashNearDups == brute-force Hamming pairs when threshold <= nBands - 1") {
+    // 4 bands of 15 bits: any pair at distance <= 3 shares a full band
+    // (pigeonhole), so the banded candidate set loses nothing.
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, Array.fill(66)(rnd.nextInt(256))))
+    // plant near-dups: tweak 1-2 luma cells of every 4th grid
+    val dups = base.collect { case (i, lu) if i % 4 == 0 =>
+      val v = lu.clone(); v(rnd.nextInt(66)) = rnd.nextInt(256)
+      (i + 1000L, v)
+    }
+    val all = base ++ dups
+    val got = Multimodal.phashNearDups(all.toDF("media_id", "luma"), threshold = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val h = all.map { case (i, lu) => i -> refDhash(lu) }
+    val brute = (for {
+      (i1, h1) <- h; (i2, h2) <- h if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2, d)).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
+  test("real-image path: dHash is scale-invariant and brightness-tolerant on PNGs") {
+    val rnd = new scala.util.Random(13)
+    // cell-uniform image: each of the 6x11 grid cells one gray level, so
+    // average pooling is exact and 2x upscaling provably preserves it
+    val cells = Array.fill(66)(rnd.nextInt(200)) // <200: +20 never clips
+    def render(scale: Int, delta: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(11 * 4 * scale, 6 * 4 * scale,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val cell = (y / (4 * scale)) * 11 + (x / (4 * scale))
+        val g = math.min(cells(cell) + delta, 255)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val other = {
+      val img = new java.awt.image.BufferedImage(44, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 44)
+        img.setRGB(x, y, rnd.nextInt(0xffffff))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val media = Seq(
+      (1L, render(1, 0), "image"), (2L, render(2, 0), "image"),
+      (3L, render(1, 20), "image"), (4L, other, "image"))
+      .toDF("media_id", "payload", "media_type")
+    val h = Multimodal.lumaGrid(media).toDF()
+      .select(col("media_id"), Multimodal.dhash60(col("luma")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(dist(1L, 2L) == 0, s"2x upscale must hash identically, got ${dist(1L, 2L)}")
+    assert(dist(1L, 3L) == 0, s"non-clipping brightness shift preserves gradients, got ${dist(1L, 3L)}")
+    assert(dist(1L, 4L) > 10, s"unrelated image must be far, got ${dist(1L, 4L)}")
+  }
 }

@@ -388,6 +388,18 @@ class PlanAuditSpec extends SparkSpec {
       "exchanges must carry hashes/ids, never text:\n" + exchangeLines.mkString("\n"))
   }
 
+  test("x_mm_phash_dups: exchanges carry 8-byte hashes/ids, never luma grids or payloads; no cartesian") {
+    val p = plan("x_mm_phash_dups")
+    assert(!p.contains("CartesianProduct"), p)
+    // everything past the checkpointed (id, dhash) table moves hashes:
+    // a luma#/payload# in any exchange means the decode output leaked
+    // into a shuffle
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("luma#") && !l.contains("payload#")),
+      "exchanges must carry hashes/ids, never luma or payload:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
   test("x_bpe_encode: the corpus encode pass is window-free and explode-free past training") {
     val p = plan("x_bpe_encode")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
