@@ -82,6 +82,19 @@ class ProfileSpec extends SparkSpec {
     assert(r2.getDouble(3) == 0.6, r2.toString)
   }
 
+  test("spearmanMatrix: fused single-rank-pass face == per-column face bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(300)((rnd.nextInt(20).toDouble, rnd.nextDouble() * 100,
+      rnd.nextInt(5).toDouble)).toDF("x", "y", "z")
+    val perCol = rowSet(Profile.spearmanMatrix(df, Seq("x", "y", "z")))
+    spark.conf.set("spark.graft.spearman.fused", "true")
+    try {
+      val fused = rowSet(Profile.spearmanMatrix(df, Seq("x", "y", "z")))
+      assert(fused == perCol, s"fused=$fused perCol=$perCol")
+    } finally spark.conf.unset("spark.graft.spearman.fused")
+  }
+
   test("cramersV: perfect association = 1.0, independence = 0.0") {
     import spark.implicits._
     // perfect: b determined by a (2x2 diagonal)
