@@ -780,6 +780,61 @@ object Dedup {
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/shingles"))
 
+  /** Index MERGE — append a batch of new docs to an existing
+    * [[CorpusNearDupIndex]] at DELTA cost (the q-digest persisted-union
+    * precedent: per-batch fragments unioned, no rescan of what's
+    * already indexed). The merged band table is FRAGMENTED: a (band, s)
+    * key that exists in both sides keeps two rows, which
+    * [[dedupAgainstCorpusNearDupIndexed]] handles by construction (the
+    * probe equi-join matches every fragment row, the explode +
+    * dropDuplicates unions the id groups) — so probing a merged index
+    * equals probing a full rebuild, with ONE divergence: `maxBucketSize`
+    * judges each fragment's bucket on its own rather than the combined
+    * bucket (a batch-local cap — the price of never reading the
+    * existing fragments; run [[compactNearDupIndex]] with the cap to
+    * restore build-time semantics). Compute cost: shingling/signatures/
+    * grouping over `newDocs` only. */
+  def corpusNearDupIndexMerge(index: CorpusNearDupIndex, newDocs: DataFrame,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              k: Int = 16, rowsPerBand: Int = 2, shingleW: Int = 3,
+                              maxBucketSize: Option[Int] = None): CorpusNearDupIndex = {
+    val delta = corpusNearDupIndex(newDocs, idCol, textCol, k, rowsPerBand,
+      shingleW, maxBucketSize)
+    CorpusNearDupIndex(index.bands.unionByName(delta.bands),
+      index.shingles.unionByName(delta.shingles))
+  }
+
+  /** Persisted twin of [[corpusNearDupIndexMerge]]: append ONLY the new
+    * batch's band/shingle fragments to a [[saveNearDupIndex]] tree —
+    * write volume scales with the batch, never the corpus.
+    * [[loadNearDupIndex]] reads fragments transparently. */
+  def appendNearDupIndex(newDocs: DataFrame, path: String,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         k: Int = 16, rowsPerBand: Int = 2, shingleW: Int = 3,
+                         maxBucketSize: Option[Int] = None): Unit = {
+    val idx = corpusNearDupIndex(newDocs, idCol, textCol, k, rowsPerBand,
+      shingleW, maxBucketSize)
+    idx.bands.write.mode("append").parquet(s"$path/bands")
+    idx.shingles.write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Re-group a fragmented (merged/appended) index into the canonical
+    * one-row-per-(band, s) form and re-apply `maxBucketSize` against
+    * the COMBINED buckets — after which the index is exactly what
+    * [[corpusNearDupIndex]] over the whole corpus builds (spec-pinned
+    * up to id order inside a bucket). The compaction is one (band, s)-
+    * keyed exchange over the band table — corpus-index-sized, which is
+    * why it's an occasional maintenance pass, not part of the per-batch
+    * ingest path. */
+  def compactNearDupIndex(index: CorpusNearDupIndex,
+                          maxBucketSize: Option[Int] = None): CorpusNearDupIndex = {
+    val grouped = index.bands
+      .select(col("band"), col("s"), explode(col("ex_ids")).as("_id"))
+      .groupBy(col("band"), col("s")).agg(collect_list(col("_id")).as("ex_ids"))
+    val capped = maxBucketSize.fold(grouped)(m => grouped.filter(size(col("ex_ids")) <= m))
+    CorpusNearDupIndex(capped, index.shingles)
+  }
+
   /** [[dedupAgainstCorpusNearDupMd5]] against a prebuilt
     * [[CorpusNearDupIndex]]. `k`/`rowsPerBand`/`shingleW` must match
     * the index's build parameters (band keys are compared verbatim). */

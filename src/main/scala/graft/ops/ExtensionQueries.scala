@@ -330,6 +330,86 @@ object ExtensionQueries {
     dedupIncrementalNearDup.oracle
   )
 
+  private val ndMergeIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ndMergeIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ndMergeIndexCache.computeIfAbsent(datasetSignature(d, "documents.parquet"), _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-ndm-index").toString
+      deleteOnExitRecursively(path)
+      Dedup.saveNearDupIndex(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3)), path,
+        maxBucketSize = Some(64))
+      path
+    })
+
+  /** Incremental near-dup dedup against a MERGED index: the persisted
+    * corpus index (docs with id%5 ∈ {1,2,3}, built once) plus an
+    * in-flight DELTA fragment for yesterday's batch (id%5 = 4), merged
+    * at delta cost ([[Dedup.corpusNearDupIndexMerge]] — no rescan of
+    * the persisted fragments), probed by today's batch (id%5 = 0).
+    * This is the shape that fixes the catalog's worst scale row: the
+    * non-persisted face rebuilds the WHOLE index per call (its 3.8×
+    * at 10× is the rebuild, not the probe), the persisted face is a
+    * full REBUILD on corpus growth — the merge makes growth an append.
+    * Per-call cost here = delta build + probe, both batch-sized.
+    * The bucket cap applies per fragment (the append-only contract);
+    * the oracle replays exactly that — each fragment's buckets capped
+    * on their own counts. */
+  val dedupIndexMerged: Q = Q(
+    "x_dedup_index_merged",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merged = Dedup.corpusNearDupIndexMerge(
+        Dedup.loadNearDupIndex(s, ndMergeIndexFor(s, d)),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+        maxBucketSize = Some(64))
+      Dedup.dedupAgainstCorpusNearDupIndexed(
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        index = merged, threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      ab AS (SELECT doc_id, shl, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+      exg1 AS (SELECT b, s FROM bands WHERE doc_id % 5 IN (1, 2, 3)
+               GROUP BY b, s HAVING COUNT(*) <= 64),
+      exg2 AS (SELECT b, s FROM bands WHERE doc_id % 5 = 4
+               GROUP BY b, s HAVING COUNT(*) <= 64),
+      cand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+               FROM exg1 g JOIN bands i ON i.b = g.b AND i.s = g.s
+                           JOIN bands e ON e.b = g.b AND e.s = g.s
+                                       AND e.doc_id % 5 IN (1, 2, 3)
+               WHERE i.doc_id % 5 = 0
+               UNION
+               SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+               FROM exg2 g JOIN bands i ON i.b = g.b AND i.s = g.s
+                           JOIN bands e ON e.b = g.b AND e.s = g.s
+                                       AND e.doc_id % 5 = 4
+               WHERE i.doc_id % 5 = 0),
+      matched AS (SELECT DISTINCT in_id FROM (
+                  SELECT in_id,
+                         len(list_intersect(x.shl, y.shl)) AS nc,
+                         len(x.shl) AS n1, len(y.shl) AS n2
+                  FROM cand
+                  JOIN sh0 x ON in_id = x.doc_id
+                  JOIN sh0 y ON ex_id = y.doc_id) t
+                  WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5)
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id % 5 = 0
+        AND d.doc_id NOT IN (SELECT in_id FROM matched)
+    """.trim)
+  )
+
   /** Exact dedup on the 120-bit md5-pair fingerprint: the 16-byte
     * shuffle key that stays collision-free at 10^11 docs (where the
     * 64-bit key expects ~270 silent merges). Both 60-bit halves replay
@@ -6045,7 +6125,7 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
-    dedupIncrementalNearDup, dedupIncrementalNearDupPersisted,
+    dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
     seqPack, seqMaterialize, packStatsQ,
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, annPqQ, annPqPersistedQ,

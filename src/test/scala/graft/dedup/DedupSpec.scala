@@ -100,6 +100,86 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("corpusNearDupIndexMerge: probing the fragmented merged index == probing a full rebuild") {
+    val partA = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val partB = Seq((3L, base + " extra trailing words appended here"),
+      (4L, "a separate batch document with entirely novel token content")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, nearDup),                                       // near-dup of A's 1
+      (11L, base + " extra trailing words appended here!"), // near-dup of B's 3
+      (12L, "nothing like anything indexed before in either fragment batch")
+    ).toDF("doc_id", "text")
+    val merged = Dedup.corpusNearDupIndexMerge(Dedup.corpusNearDupIndex(partA), partB)
+    val viaMerged = Dedup.dedupAgainstCorpusNearDupIndexed(incoming, merged, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val viaFull = Dedup.dedupAgainstCorpusNearDupMd5(incoming, partA.unionByName(partB),
+      threshold = 0.5).collect().map(_.getLong(0)).toSet
+    assert(viaMerged == viaFull, s"merged=$viaMerged full=$viaFull")
+    assert(viaMerged == Set(12L), viaMerged.toString)
+    // the merged band table really is fragmented (shared keys keep 2 rows)
+    assert(merged.bands.count() >=
+      Dedup.corpusNearDupIndex(partA.unionByName(partB)).bands.count())
+  }
+
+  test("compactNearDupIndex(merge(A, B), cap) == corpusNearDupIndex(A ∪ B, cap), bucket order aside") {
+    val partA = Seq((1L, base), (2L, unrelated), (5L, base)).toDF("doc_id", "text")
+    // base's buckets span fragments with EXACTLY 3 members (1, 5, 3);
+    // doc 4 must share no bands with base or the bucket grows past the cap
+    val partB = Seq((3L, base),
+      (4L, "wholly distinct vocabulary about orchestras rehearsing symphonies nightly")
+    ).toDF("doc_id", "text")
+    def canon(idx: Dedup.CorpusNearDupIndex) =
+      idx.bands.select(col("band"), col("s"), array_sort(col("ex_ids")).as("ids"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](2))).toSet
+    val compacted = Dedup.compactNearDupIndex(
+      Dedup.corpusNearDupIndexMerge(Dedup.corpusNearDupIndex(partA), partB),
+      maxBucketSize = Some(3))
+    val rebuilt = Dedup.corpusNearDupIndex(partA.unionByName(partB), maxBucketSize = Some(3))
+    assert(canon(compacted) == canon(rebuilt))
+    // the cap applies to COMBINED buckets after compaction: base's
+    // bucket has 3 members across fragments (1, 5, 3) and survives at
+    // cap 3; at cap 2 it must be dropped even though each fragment's
+    // share is <= 2
+    val compact2 = Dedup.compactNearDupIndex(
+      Dedup.corpusNearDupIndexMerge(Dedup.corpusNearDupIndex(partA), partB),
+      maxBucketSize = Some(2))
+    val rebuilt2 = Dedup.corpusNearDupIndex(partA.unionByName(partB), maxBucketSize = Some(2))
+    assert(canon(compact2) == canon(rebuilt2))
+    assert(canon(compact2) != canon(compacted), "cap 2 must drop the 3-member bucket")
+  }
+
+  test("appendNearDupIndex: append + load probes like the full index; write volume is the delta") {
+    val dir = java.nio.file.Files.createTempDirectory("ndidx-append").toString
+    val partA = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val partB = Seq((3L, "a separate batch document with entirely novel token content"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, nearDup),
+      (11L, "a separate batch document with entirely novel token contents"),
+      (12L, "unmatched probe text with no counterpart anywhere at all ok")).toDF("doc_id", "text")
+    try {
+      Dedup.saveNearDupIndex(partA, dir)
+      val filesAfterBuild = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      Dedup.appendNearDupIndex(partB, dir)
+      val loaded = Dedup.loadNearDupIndex(spark, dir)
+      val kept = Dedup.dedupAgainstCorpusNearDupIndexed(incoming, loaded, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+      val full = Dedup.dedupAgainstCorpusNearDupMd5(incoming, partA.unionByName(partB),
+        threshold = 0.5).collect().map(_.getLong(0)).toSet
+      assert(kept == full, s"appended=$kept full=$full")
+      assert(kept == Set(12L), kept.toString)
+      // append added files, never rewrote the build's (delta-cost IO)
+      val filesAfterAppend = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      assert(filesAfterAppend > filesAfterBuild)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("dedupAgainstCorpusBloom is row-identical to the plain anti-join") {
     val existing = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
     val incoming = Seq(
