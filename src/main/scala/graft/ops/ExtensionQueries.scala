@@ -1909,6 +1909,68 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Token-set ER scorer (FuzzyJoin.tokenSetRepMatch scaladoc:
+    * collapse-first, integer-scaled idf weights, reorder-invariant —
+    * the failure mode x_jaro_blocked documents: whole-string JW misses
+    * word-reorder variants even in-block). The fixture injects exactly
+    * those: a reversed-token variant of every 20th part (scores 1.0 —
+    * permutation invariance) and a reversed-minus-first-token variant
+    * of every (20k+10)th (scores by the dropped token's weight share —
+    * exercises the threshold cut both ways). Blocking is brand + MIN
+    * token, itself reorder-invariant. The oracle replays the variant
+    * construction, the collapse, the form-frequency weights and the
+    * one double divide. */
+  val tokenSetErQ: Q = Q(
+    "x_token_set_er",
+    (s, d) => {
+      val p0 = Tables.part(s, d).select(
+        col("p_partkey").as("id"), col("p_brand").as("brand"), col("p_name").as("name"))
+      def toksN = split(col("name"), " ")
+      val v1 = p0.filter(pmod(col("id"), lit(20)) === 0)
+        .select((col("id") + 10000000L).as("id"), col("brand"),
+          array_join(reverse(toksN), " ").as("name"))
+      val v2 = p0.filter(pmod(col("id"), lit(20)) === 10)
+        .select((col("id") + 20000000L).as("id"), col("brand"),
+          array_join(reverse(slice(toksN, 2, 100)), " ").as("name"))
+      FuzzyJoin.tokenSetRepMatch(p0.unionByName(v1).unionByName(v2), "id", "name",
+        Seq(col("brand"), array_min(split(col("name"), " "))), threshold = 0.45)
+    },
+    Some("""
+      WITH p0 AS (SELECT p_partkey AS id, p_brand AS brand, p_name AS name FROM part),
+      pv AS (SELECT id, brand, name FROM p0
+             UNION ALL
+             SELECT id + 10000000, brand,
+                    array_to_string(list_reverse(regexp_split_to_array(name, ' ')), ' ')
+             FROM p0 WHERE id % 20 = 0
+             UNION ALL
+             SELECT id + 20000000, brand,
+                    array_to_string(list_reverse(regexp_split_to_array(name, ' ')[2:]), ' ')
+             FROM p0 WHERE id % 20 = 10),
+      p AS (SELECT id, brand, list_min(regexp_split_to_array(name, ' ')) AS bt, name FROM pv),
+      g AS (SELECT brand, bt, name, MIN(id) AS id, COUNT(*) AS n FROM p GROUP BY 1, 2, 3),
+      names AS (SELECT DISTINCT name FROM g),
+      nf AS (SELECT COUNT(*) AS nforms FROM names),
+      tk AS (SELECT name, unnest(list_distinct(regexp_split_to_array(name, ' '))) AS t FROM names),
+      w AS (SELECT t, (1000000 * (SELECT nforms FROM nf)) // COUNT(*) AS w FROM tk GROUP BY t),
+      ws AS (SELECT tk.name, CAST(SUM(w.w) AS BIGINT) AS wsum FROM tk JOIN w USING (t) GROUP BY 1),
+      cand AS (SELECT a.name AS n1x, b.name AS n2x, a.id AS cid1, b.id AS cid2,
+                      a.n AS na, b.n AS nb
+               FROM g a JOIN g b ON a.brand = b.brand AND a.bt = b.bt AND a.id < b.id),
+      itw AS (SELECT c.cid1, c.cid2, CAST(SUM(w.w) AS BIGINT) AS inter
+              FROM cand c JOIN tk t1 ON t1.name = c.n1x
+                          JOIN tk t2 ON t2.name = c.n2x AND t2.t = t1.t
+                          JOIN w ON w.t = t1.t
+              GROUP BY 1, 2)
+      SELECT c.cid1 AS id1, c.cid2 AS id2, CAST(c.na AS BIGINT) AS n1,
+             CAST(c.nb AS BIGINT) AS n2,
+             ROUND(CAST(i.inter AS DOUBLE)
+                   / CAST(w1.wsum + w2.wsum - i.inter AS DOUBLE), 6) AS sim
+      FROM cand c JOIN itw i ON i.cid1 = c.cid1 AND i.cid2 = c.cid2
+      JOIN ws w1 ON w1.name = c.n1x JOIN ws w2 ON w2.name = c.n2x
+      WHERE CAST(i.inter AS DOUBLE) / CAST(w1.wsum + w2.wsum - i.inter AS DOUBLE) >= 0.45
+    """.trim)
+  )
+
   /** End-to-end entity resolution (FuzzyJoin.jaroErClusters scaladoc:
     * collapse exact surface forms first — vocabulary-bounded scoring,
     * linear collapse — then pointer-jumping CC over rep-level edges and
@@ -6159,7 +6221,7 @@ object ExtensionQueries {
     joinDeltaQ, watermarkQ, rollingP90Q, wowGrowthQ, sourceReportQ, waterfillQ,
     segmentCiQ, behaviorQ, priceDecileQ, giniQ, theilQ, entryExitQ, embedDriftQ,
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
-    theilSenQ, jaroBlockedQ, erClustersQ, decileMigrationQ, hhiQ, binsegQ,
+    theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ)
 }

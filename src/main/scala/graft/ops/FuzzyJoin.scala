@@ -180,6 +180,66 @@ object FuzzyJoin {
         round(col("_jw_sim"), 6).as("sim"))
   }
 
+  /** Token-set entity match, collapse-first — the reorder-invariant
+    * second scorer next to [[jaroRepMatch]]: whole-string Jaro–Winkler
+    * by design misses word-reorder variants ("ACME SUPPLY CO" vs
+    * "SUPPLY CO ACME"), which share their TOKEN SET exactly. Scores
+    * rarity-weighted Jaccard over the distinct name tokens:
+    * sim(A, B) = Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t), with
+    * w(t) = ⌊scale · N / df(t)⌋ — integer-scaled inverse document
+    * frequency over the N distinct surface forms (the log-free idf
+    * variant: pure BIGINT arithmetic, so weights, intersection sums
+    * and the one final divide replay bit-for-bit in any engine — the
+    * md5Hash60 discipline applied to weighting; a log idf would hang
+    * the threshold cut on libm ulps). Permutations of a name score
+    * exactly 1.0 (spec-pinned); blocking stays the recall contract, so
+    * pass a reorder-invariant block key (e.g. the MIN token, as
+    * x_token_set_er does) or reordered pairs land in different blocks.
+    *
+    * Scale shape: same collapse-first discipline as [[jaroRepMatch]] —
+    * the quadratic runs over distinct in-block surface forms; the
+    * weight table is token-vocabulary-sized (built from the FORMS, so
+    * df is form-frequency, not row-frequency — invariant to how often
+    * each form repeats in the data); each form carries its sorted
+    * (token, weight) array through ONE join, and the pair scoring is
+    * array arithmetic inside the join stage, no per-token explode at
+    * pair granularity. Output: `id1`, `id2` (group min ids, id1 < id2),
+    * `n1`, `n2` (member counts), `sim` (6 dp; threshold tested on the
+    * raw double). */
+  def tokenSetRepMatch(df: DataFrame, idCol: String, nameCol: String,
+                       blockCols: Seq[Column], threshold: Double,
+                       weightScale: Long = 1000000L): DataFrame = {
+    val (_, bn, reps) = surfaceForms(df, idCol, nameCol, blockCols)
+    val names = reps.select(col("_jw_name")).distinct()
+    val nf = names.agg(count(lit(1)).as("_nf"))
+    val toks = names.select(col("_jw_name"),
+      explode(array_distinct(split(col("_jw_name"), " "))).as("_t"))
+    val weights = toks.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nf))
+      .select(col("_t"), expr(s"CAST($weightScale * _nf AS BIGINT) DIV _df").as("_w"))
+    val packed = toks.join(weights, "_t")
+      .groupBy(col("_jw_name"))
+      .agg(sort_array(collect_list(struct(col("_t").as("t"), col("_w").as("w")))).as("_tw"),
+        sum(col("_w")).cast("long").as("_ws"))
+      .localCheckpoint() // vocabulary-sized; both pair sides read it
+    val a = reps.join(packed, "_jw_name").select(bn.map(col) ++ Seq(
+      col("_jw_rep").as("id1"), col("_jw_n").as("n1"),
+      col("_tw").as("_tw1"), col("_ws").as("_ws1")): _*)
+    val b = reps.join(packed, "_jw_name").select(bn.map(col) ++ Seq(
+      col("_jw_rep").as("id2"), col("_jw_n").as("n2"),
+      col("_tw").as("_tw2"), col("_ws").as("_ws2")): _*)
+    a.join(b, bn, "inner")
+      .filter(col("id1") < col("id2"))
+      .withColumn("_inter",
+        aggregate(array_intersect(col("_tw1"), col("_tw2")), lit(0L),
+          (acc, x) => acc + x.getField("w")))
+      .withColumn("_sim", col("_inter").cast("double") /
+        (col("_ws1") + col("_ws2") - col("_inter")).cast("double"))
+      .filter(col("_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        round(col("_sim"), 6).as("sim"))
+  }
+
   /** End-to-end entity resolution, collapse-first: every id whose name
     * has at least one in-block partner at `threshold` (an exact duplicate
     * or a fuzzy match) gets its connected component's minimum id as

@@ -94,4 +94,56 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.fuzzyJoin(leftToks, rightToks, "tok_a", "tok_b", 3)
     }
   }
+
+  test("tokenSetRepMatch: reorder-invariant (permutation scores 1.0) where Jaro-Winkler misses") {
+    val rows = Seq(
+      (1L, "b1", "acme supply co"),
+      (2L, "b1", "supply co acme"),     // permutation of 1
+      (3L, "b1", "acme supply corp"),   // 2-of-3 token overlap
+      (4L, "b1", "zenith gear works"),  // disjoint, same brand
+      (5L, "b2", "acme supply co")      // other brand: blocked apart
+    ).toDF("id", "brand", "name")
+    val block = Seq(col("brand"), array_min(split(col("name"), " ")))
+    val out = FuzzyJoin.tokenSetRepMatch(rows, "id", "name", block, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(out((1L, 2L)) == 1.0, s"permutation must score exactly 1.0: $out")
+    // shared 'acme supply' are COMMON tokens (df 3 of 4 forms) — idf
+    // weighting pushes the pair to ~0.31, well under the permutation
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) < 0.5,
+      s"partial overlap on common tokens scores low: $out")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"disjoint matched: $out")
+    assert(!out.keySet.exists(p => p._1 == 5L || p._2 == 5L), s"cross-brand matched: $out")
+    // the whole-string scorer misses the SAME permutation pair at its
+    // catalog threshold — the gap this scorer exists to close
+    val jw = FuzzyJoin.jaroRepMatch(rows, "id", "name", block, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jw.contains((1L, 2L)), s"JW unexpectedly caught the reorder: $jw")
+  }
+
+  test("tokenSetRepMatch: rarity weighting ranks shared-rare-token pairs above shared-common-token pairs") {
+    // 'anvil' appears in 4 of 6 forms (common), 'quartz' in 2 (rare):
+    // the quartz-sharing pair must outscore the anvil-sharing pair
+    val rows = Seq(
+      (1L, "b", "large anvil"), (2L, "b", "red anvil"),
+      (3L, "b", "small anvil"), (4L, "b", "old anvil"),
+      (5L, "b", "ancient quartz"), (6L, "b", "antique quartz")
+    ).toDF("id", "brand", "name")
+    // block on brand only so all pairs are scored
+    val out = FuzzyJoin.tokenSetRepMatch(rows, "id", "name",
+      Seq(col("brand")), threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(out((5L, 6L)) > out((1L, 2L)),
+      s"rare shared token must outweigh common shared token: $out")
+  }
+
+  test("tokenSetRepMatch: collapse-first — duplicate forms carry member counts, not extra scorings") {
+    val rows = Seq(
+      (7L, "b", "acme supply"), (8L, "b", "acme supply"), (9L, "b", "supply acme")
+    ).toDF("id", "brand", "name")
+    val out = FuzzyJoin.tokenSetRepMatch(rows, "id", "name",
+      Seq(col("brand")), threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    // exactly ONE rep pair: (min id 7 of the duplicated form, 9), n1 = 2
+    assert(out.toSeq == Seq(((7L, 9L), (2L, 1L))), out.mkString(","))
+  }
 }
