@@ -4793,6 +4793,84 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Iterate-to-fixpoint k-core (GraphOps.kcoreFixpoint scaladoc: the
+    * peel loop run until a round removes nothing, convergence tested on
+    * the 1-row stats collect each round already does — no extra job;
+    * fail-loud at maxRounds). At sf0.01 / k=80 the cascade stabilizes
+    * at round 6 (1857 nodes, 105232 edges, round 6 == round 5), so the
+    * oracle is the peel UNROLLED six rounds — the x_binseg unrolled-
+    * round pattern — pinning the whole trajectory including the
+    * stability-witness repeat row. */
+  val kcoreFixpointQ: Q = Q(
+    "x_kcore_fixpoint",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.kcoreFixpoint(pairs, k = 80, maxRounds = 50)._1
+    },
+    Some("""
+      WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+      e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM d1 WHERE deg >= 80)
+                                   AND b IN (SELECT node FROM d1 WHERE deg >= 80)),
+      d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) t GROUP BY 1),
+      e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM d2 WHERE deg >= 80)
+                                   AND b IN (SELECT node FROM d2 WHERE deg >= 80)),
+      d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) t GROUP BY 1),
+      e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM d3 WHERE deg >= 80)
+                                   AND b IN (SELECT node FROM d3 WHERE deg >= 80)),
+      d4 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) t GROUP BY 1),
+      e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM d4 WHERE deg >= 80)
+                                   AND b IN (SELECT node FROM d4 WHERE deg >= 80)),
+      d5 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) t GROUP BY 1),
+      e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT node FROM d5 WHERE deg >= 80)
+                                   AND b IN (SELECT node FROM d5 WHERE deg >= 80)),
+      d6 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+             (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5) t GROUP BY 1),
+      e6 AS MATERIALIZED (SELECT a, b FROM e5 WHERE a IN (SELECT node FROM d6 WHERE deg >= 80)
+                                   AND b IN (SELECT node FROM d6 WHERE deg >= 80)),
+      st AS (
+        SELECT 1 AS round,
+               (SELECT COUNT(DISTINCT node) FROM
+                (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) t) AS n_nodes,
+               (SELECT COUNT(*) FROM e1) AS n_edges
+        UNION ALL SELECT 2,
+               (SELECT COUNT(DISTINCT node) FROM
+                (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) t),
+               (SELECT COUNT(*) FROM e2)
+        UNION ALL SELECT 3,
+               (SELECT COUNT(DISTINCT node) FROM
+                (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) t),
+               (SELECT COUNT(*) FROM e3)
+        UNION ALL SELECT 4,
+               (SELECT COUNT(DISTINCT node) FROM
+                (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) t),
+               (SELECT COUNT(*) FROM e4)
+        UNION ALL SELECT 5,
+               (SELECT COUNT(DISTINCT node) FROM
+                (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5) t),
+               (SELECT COUNT(*) FROM e5)
+        UNION ALL SELECT 6,
+               (SELECT COUNT(DISTINCT node) FROM
+                (SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6) t),
+               (SELECT COUNT(*) FROM e6))
+      SELECT CAST(round AS INT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(n_edges AS BIGINT) AS n_edges
+      FROM st
+    """.trim)
+  )
+
   /** Mergeable-sketch distinct counting: HLL(p=8) distinct orderkeys
     * per (returnflag, linestatus), exact count computed alongside as
     * the visible-error baseline (Hll.hllDistinct scaladoc has the
@@ -6210,7 +6288,7 @@ object ExtensionQueries {
     sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, attributionQ, aggMergeQ,
     changepointQ, seasonalityQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
-    hllDistinctQ, kcoreQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
+    hllDistinctQ, kcoreQ, kcoreFixpointQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
