@@ -142,6 +142,57 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows == batch sessionize; entryExit's totals tie to the same closed sessions") {
+    // same gap semantics, three independent formulations: the
+    // flatMapGroupsWithState stream, the batch lag/sum window
+    // (EventAnalytics.sessionize), and the entry/exit report that rolls
+    // the identical session definition up by type. Fixture: user 1 has
+    // an out-of-order backward extension + a separate later session,
+    // user 2 a singleton (the bounce), user 3 a two-event session.
+    val b1 = Seq(ev(51, "10:20", 1, "view", 1.0), ev(52, "10:25", 1, "cart", 2.0),
+      ev(53, "10:00", 2, "view", 4.0))
+    val b2 = Seq(ev(54, "10:10", 1, "view", 0.5),          // backward extension
+      ev(55, "12:00", 1, "purchase", 3.0),                 // new session (gap-split)
+      ev(56, "11:00", 3, "view", 1.0), ev(57, "11:10", 3, "cart", 2.0))
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindows(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eq_sess_ee").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(Seq(flush)); q.processAllAvailable(); q.processAllAvailable()
+      val streamed = rowSet(spark.table("eq_sess_ee")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value")))
+
+      val batchDf = (b1 ++ b2 :+ flush).toDF()
+        .filter(col("user_id") =!= flush.user_id)
+      val sessions = graft.ops.EventAnalytics.sessionize(batchDf, gapSec = 1800L)
+      val batch = sessions.select(col("user_id"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        timestamp_micros(col("session_end_us")).as("session_end"),
+        col("n_events"), col("sum_value").as("total_value"))
+      assert(streamed == rowSet(batch) && streamed.size == 4,
+        s"stream=$streamed\nbatch=${rowSet(batch)}")
+
+      // entryExit rolls the SAME sessions up by type: total entries ==
+      // total exits == closed-session count, bounces == singleton
+      // sessions — and the per-type split is pinned by hand
+      val ee = graft.ops.EventAnalytics.entryExit(batchDf, gapSec = 1800L)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(ee.values.map(_._1).sum == streamed.size, ee.toString)
+      assert(ee.values.map(_._2).sum == streamed.size, ee.toString)
+      val streamBounces = spark.table("eq_sess_ee").filter(col("n_events") === 1).count()
+      assert(ee.values.map(_._3).sum == streamBounces, ee.toString)
+      // sessions: u1 [10:10..10:25] view->cart, u1 [12:00] purchase
+      // (bounce), u2 [10:00] view (bounce), u3 [11:00..11:10] view->cart
+      assert(ee("view") == ((3L, 1L, 1L)), ee.toString)
+      assert(ee("purchase") == ((1L, 1L, 1L)), ee.toString)
+      assert(ee("cart") == ((0L, 2L, 0L)), ee.toString)
+    } finally q.stop()
+  }
+
   test("lastTouchAttribution: stream with late views equals the batch join + argmax") {
     val views1 = Seq(ev(21, "10:07", 1, "view", 0.0), ev(22, "09:59", 1, "view", 0.0))
     // 10:00 is LATE (the stream saw 10:07 first) and sits exactly at
