@@ -463,13 +463,66 @@ object Multimodal {
     out
   }
 
-  /** Distributed decode → luma grid: the REAL path for recognizable
-    * images ([[sniffImage]] gate, full `ImageIO.read` pixel decode +
-    * [[poolLuma66]] — this is the one multimodal stage that must touch
-    * pixel data, so it runs exactly once per row and everything
-    * downstream is 8-byte hashes); [[stubLuma66]] for everything else.
-    * Partition-wise like [[extractFeatures]] (one MessageDigest per
-    * row, decoder contexts reusable per partition). */
+  /** REAL audio feature grid: decode the PCM sample stream
+    * (`javax.sound.sampled`, WAV/AIFF/AU in a stock JDK — converted to
+    * 16-bit signed PCM), window it into [[LumaCells]] equal spans, and
+    * take each span's mean |amplitude| scaled to 0..255 — the audio
+    * twin of [[poolLuma66]]: the gradient bits downstream are then a
+    * coarse loudness-envelope fingerprint, invariant to uniform gain
+    * (scaling every sample scales every window mean — strict
+    * comparisons between means are preserved until clipping), which is
+    * the amplitude analogue of the image hash's brightness tolerance.
+    * None for unrecognized/corrupt payloads or empty sample streams. */
+  private[mm] def audioEnergy66(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val base = ais.getFormat
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels, base.getChannels * 2,
+        base.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, ais)
+      val bytes = try pcm.readAllBytes() finally pcm.close()
+      val n = bytes.length / 2
+      if (n == 0) return None
+      val out = new Array[Int](LumaCells)
+      var j = 0
+      while (j < LumaCells) {
+        val s0 = (j.toLong * n / LumaCells).toInt
+        val s1 = math.max((((j + 1).toLong * n / LumaCells)).toInt, s0 + 1)
+        var sum = 0L
+        var i = s0
+        while (i < math.min(s1, n)) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+          sum += math.abs(s.toInt)
+          i += 1
+        }
+        val cnt = math.min(s1, n) - s0
+        out(j) = ((sum / math.max(cnt, 1)) * 255 / 32768).toInt
+        j += 1
+      }
+      Some(out)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no converter for exotic formats
+    }
+  }
+
+  /** Distributed decode → 66-cell feature grid: the REAL paths for
+    * recognizable payloads — images ([[sniffImage]] gate, full
+    * `ImageIO.read` pixel decode + [[poolLuma66]]) and audio
+    * ([[sniffAudio]] gate, PCM decode + [[audioEnergy66]]) — these are
+    * the multimodal stages that must touch sample data, so each runs
+    * exactly once per row and everything downstream is 8-byte hashes;
+    * [[stubLuma66]] for everything else. The column is named `luma`
+    * for the image case but is modality-generic: any 66-cell 0..255
+    * feature grid feeds [[dhash60]]/[[phashNearDups]] unchanged — ONE
+    * near-dup machine for every modality. Partition-wise like
+    * [[extractFeatures]] (one MessageDigest per row, decoder contexts
+    * reusable per partition). */
   def lumaGrid(media: DataFrame): Dataset[LumaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -482,6 +535,8 @@ object Multimodal {
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
               catch { case _: Exception => null }
             if (img != null) poolLuma66(img) else stubLuma66(payload)
+          } else if (r.media_type == "audio" && sniffAudio(payload)) {
+            audioEnergy66(payload).getOrElse(stubLuma66(payload))
           } else stubLuma66(payload)
         LumaRow(r.media_id, luma)
       }

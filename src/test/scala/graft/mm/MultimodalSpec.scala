@@ -246,6 +246,47 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("real-audio path: envelope fingerprint is gain- and length-invariant on WAVs") {
+    val rnd = new scala.util.Random(17)
+    // 66-section loudness profile; square wave => window mean == profile
+    val profile = Array.fill(66)(rnd.nextInt(12000) + 2000)
+    def wav(gain: Double, samplesPerSection: Int, prof: Array[Int]): Array[Byte] = {
+      val n = 66 * samplesPerSection
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val a = (prof(i / samplesPerSection) * gain).toInt
+        val s = (if (i % 2 == 0) a else -a).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val other = Array.fill(66)(rnd.nextInt(12000) + 2000)
+    val media = Seq(
+      (1L, wav(1.0, 100, profile), "audio"),
+      (2L, wav(0.5, 100, profile), "audio"),   // half gain: gradients preserved
+      (3L, wav(1.0, 200, profile), "audio"),   // 2x length, same envelope shape
+      (4L, wav(1.0, 100, other), "audio"))     // different envelope
+      .toDF("media_id", "payload", "media_type")
+    val h = Multimodal.lumaGrid(media).toDF()
+      .select(col("media_id"), Multimodal.dhash60(col("luma")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(dist(1L, 2L) == 0, s"uniform gain must not change the envelope hash: ${dist(1L, 2L)}")
+    assert(dist(1L, 3L) == 0, s"same envelope at 2x length must hash identically: ${dist(1L, 3L)}")
+    assert(dist(1L, 4L) > 10, s"different envelope must be far: ${dist(1L, 4L)}")
+    // and the shared machinery finds the audio near-dup pairs end-to-end
+    val pairs = Multimodal.phashNearDups(Multimodal.lumaGrid(media).toDF(), threshold = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+  }
+
   test("real-image path: dHash is scale-invariant and brightness-tolerant on PNGs") {
     val rnd = new scala.util.Random(13)
     // cell-uniform image: each of the 6x11 grid cells one gray level, so
