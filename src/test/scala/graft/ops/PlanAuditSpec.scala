@@ -400,6 +400,29 @@ class PlanAuditSpec extends SparkSpec {
         exchangeLines.mkString("\n"))
   }
 
+  test("x_token_set_er: no cartesian; pair scoring joins on block keys; weight table broadcast-joins the count") {
+    val p = plan("x_token_set_er")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BroadcastNestedLoopJoin-free cross join allowed is the
+    // 1-row form-count sidecar; everything data-sized must hash-join
+    assert(p.contains("BroadcastExchange"), "the 1-row _nf sidecar must broadcast:\n" + p)
+    // exchanges never carry the packed (token, weight) arrays' source text twice:
+    // the pair join moves block keys + reps + packed arrays built ONCE
+    val gen = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gen.forall(!_.contains("p_name#")),
+      "token explode must run on the collapsed distinct-name table, not raw rows:\n" +
+        gen.mkString("\n"))
+  }
+
+  test("x_dedup_index_merged: probe joins on (band, s) keys; no cartesian; text never exchanges") {
+    val p = plan("x_dedup_index_merged")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(!_.contains("text#")),
+      "index/probe exchanges must carry band keys and ids, never text:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
   test("x_bpe_encode: the corpus encode pass is window-free and explode-free past training") {
     val p = plan("x_bpe_encode")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
