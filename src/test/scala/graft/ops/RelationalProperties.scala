@@ -69,6 +69,30 @@ object RelationalProperties extends Properties("graft.ops.Relational") {
     }
   }
 
+  property("groupedPercentRank == PERCENT_RANK window with NULL groups and NULL values") = {
+    // r11 advisor fix: the joins are null-safe, so null-keyed rows keep
+    // the rank the window they replace would give them (nulls first)
+    val genRows: Gen[List[(Option[String], Option[Long])]] = for {
+      n <- Gen.chooseNum(1, 50)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.oneOf(Some("a"), Some("b"), None),
+        Gen.oneOf(Gen.chooseNum(0L, 5L).map(Some(_)), Gen.const(None))))
+    } yield rows
+    forAll(genRows) { rows =>
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id")
+      val fast = Relational.groupedPercentRank(df, "g", "v", "pr")
+        .select(col("id"), col("pr")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ref = df.withColumn("pr", org.apache.spark.sql.functions.percent_rank()
+          .over(Window.partitionBy(col("g")).orderBy(col("v"))))
+        .select(col("id"), col("pr")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      fast == ref
+    }
+  }
+
   property("prefixSum/prefixMax == scanLeft over the local sort") = {
     forAll(genVals) { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
