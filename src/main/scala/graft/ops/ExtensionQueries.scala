@@ -6263,6 +6263,48 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Poisson-bootstrap percentile CI (Relational.bootstrapCiPoisson
+    * scaladoc: one-pass ×64 map-side expansion, integer-threshold
+    * inverse-CDF Poisson draws off the md5-52bit uniform, exact
+    * decimal per-rep sums, rank-picked percentile over the 64-row
+    * grid). */
+  val bootstrapCiQ: Q = Q(
+    "x_bootstrap_ci",
+    (s, d) => Relational.bootstrapCiPoisson(Tables.orders(s, d), b = 64),
+    Some("""
+      WITH base AS (SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+      e AS (SELECT rep, cents,
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' ||
+                                       CAST(rep AS VARCHAR)), 1, 13))::BIGINT AS u
+            FROM base, (SELECT unnest(generate_series(0, 63)) AS rep) reps),
+      c AS (SELECT rep, cents,
+                   CASE WHEN u < 1656781714176973 THEN 0
+                        WHEN u < 3313563428353947 THEN 1
+                        WHEN u < 4141954285442434 THEN 2
+                        WHEN u < 4418084571138597 THEN 3
+                        WHEN u < 4487117142562637 THEN 4
+                        WHEN u < 4500923656847445 THEN 5
+                        WHEN u < 4503224742561580 THEN 6
+                        WHEN u < 4503553469092171 THEN 7
+                        ELSE 8 END AS k
+            FROM e),
+      g AS (SELECT rep, SUM(CAST(k AS DECIMAL(38,0))) AS m,
+                   SUM(CAST(k AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS s
+            FROM c GROUP BY 1),
+      mb AS (SELECT rep, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) / 100.0 AS mean_b
+             FROM g WHERE m > 0),
+      r AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, rep) AS rn FROM mb),
+      ci AS (SELECT MAX(CASE WHEN rn = 2 THEN mean_b END) AS lo,
+                    MAX(CASE WHEN rn = 63 THEN mean_b END) AS hi FROM r),
+      t AS (SELECT COUNT(*) AS n_rows, SUM(CAST(cents AS HUGEINT)) AS s1 FROM base)
+      SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(64 AS BIGINT) AS n_reps,
+             ROUND(CAST(s1 AS DOUBLE) / n_rows / 100.0, 6) AS mean,
+             ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi
+      FROM t, ci
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6301,5 +6343,5 @@ object ExtensionQueries {
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
-    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ)
+    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ)
 }

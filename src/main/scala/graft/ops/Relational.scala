@@ -919,5 +919,68 @@ object Relational {
         round(lit(1.0) / col("n_customers"), 6).as("hhi_floor"))
   }
 
+  /** Poisson-bootstrap 95% CI for the mean order value — the
+    * resampling complement to [[segmentCi]]'s normal-theory interval:
+    * instead of assuming √n-normality, each of `b` virtual resamples
+    * re-weights every row by an independent Poisson(1) count (the
+    * streaming/scalable bootstrap: at n→∞ multinomial(n, 1/n) resample
+    * counts converge to iid Poisson(1), so one pass over the data with
+    * b counters per row replaces b materialized resamples), and the CI
+    * is the percentile interval over the b resample means.
+    *
+    * Determinism: the Poisson draw is inverse-CDF over a 52-bit
+    * integer uniform u = md5(orderkey‖rep)[0:13] — the catalog's md5
+    * cross-engine family — compared against precomputed INTEGER
+    * thresholds ⌊CDF(k)·2⁵²⌋ (exact integer compares, no float parse
+    * anywhere in the draw); per-rep sums are exact decimals; each
+    * resample mean is ONE double divide chain mirrored by the oracle;
+    * the percentile picks ranks ⌈0.025·b⌉ and ⌈0.975·b⌉ over the
+    * (mean, rep) total order.
+    *
+    * Scale shape: the ×b row expansion happens map-side (explode of a
+    * b-literal array) and is consumed by the partial hash-aggregate in
+    * the SAME stage — the exchange carries b partial rows per task,
+    * never b× the data. The rank/percentile pass runs on the b-row
+    * grid. At 100 TB this is the textbook one-pass bootstrap: no
+    * resample is ever materialized. */
+  def bootstrapCiPoisson(orders: DataFrame, b: Int = 64): DataFrame = {
+    require(b >= 2 && b <= 4096, s"bootstrapCiPoisson: b=$b out of range")
+    import org.apache.spark.sql.expressions.Window
+    // ⌊CDF_Poisson(1)(k)·2⁵²⌋ for k = 0..7; u ≥ last threshold → 8.
+    val thresholds = Seq(1656781714176973L, 3313563428353947L,
+      4141954285442434L, 4418084571138597L, 4487117142562637L,
+      4500923656847445L, 4503224742561580L, 4503553469092171L)
+    val base = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val u = conv(substring(md5(concat_ws("_",
+      col("o_orderkey").cast("string"), col("rep").cast("string"))
+      .cast("binary")), 1, 13), 16, 10).cast("long")
+    val k = thresholds.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, i), rest) => when(u < t, lit(i)).otherwise(rest)
+    }.cast("long")
+    val perRep = base
+      .select(col("o_orderkey"), col("cents"),
+        explode(array((0 until b).map(i => lit(i)): _*)).as("rep"))
+      .groupBy(col("rep"))
+      .agg(sum(k).cast("decimal(38,0)").as("m"),
+        sum(k.cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("s"))
+      .filter(col("m") > 0)
+      .select(col("rep"),
+        (col("s").cast("double") / col("m").cast("double") / 100.0).as("mean_b"))
+    val rnW = Window.orderBy(col("mean_b"), col("rep")) // b-row grid
+    val loRank = math.ceil(0.025 * b).toLong.max(1L)
+    val hiRank = math.ceil(0.975 * b).toLong
+    val ci = perRep.withColumn("rn", row_number().over(rnW).cast("long"))
+      .agg(max(when(col("rn") === loRank, col("mean_b"))).as("lo"),
+        max(when(col("rn") === hiRank, col("mean_b"))).as("hi"))
+    val point = base.agg(count(lit(1)).cast("long").as("n_rows"),
+      sum(col("cents")).cast("decimal(38,0)").as("s1"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_rows"), lit(b).cast("long").as("n_reps"),
+        round(col("s1").cast("double") / col("n_rows") / 100.0, 6).as("mean"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
   def all: Seq[Q] = Seq(q1Agg)
 }

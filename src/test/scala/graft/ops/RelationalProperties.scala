@@ -146,4 +146,49 @@ object RelationalProperties extends Properties("graft.ops.Relational") {
         }
     }
   }
+
+  property("bootstrapCiPoisson == plain-Scala md5/threshold/percentile mirror") = {
+    val thresholds = Seq(1656781714176973L, 3313563428353947L,
+      4141954285442434L, 4418084571138597L, 4487117142562637L,
+      4500923656847445L, 4503224742561580L, 4503553469092171L)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def u52(key: Long, rep: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${key}_$rep".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val genOrders: Gen[List[(Long, Double)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1, 99999)))
+    } yield rows.map { case (k, c) => (k, c / 100.0) }
+      .groupBy(_._1).map(_._2.head).toList // distinct order keys
+    forAll(genOrders, Gen.oneOf(8, 16, 64)) { (rows, b) =>
+      val df = rows.toDF("o_orderkey", "o_totalprice")
+      val got = Relational.bootstrapCiPoisson(df, b).collect()(0)
+      // local mirror, identical arithmetic and rank convention
+      val cents = rows.map { case (k, p) => (k, math.round(p * 100)) }
+      val means = (0 until b).flatMap { rep =>
+        val ks = cents.map { case (key, c) =>
+          val u = u52(key, rep)
+          val k = thresholds.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
+          (k, k * c)
+        }
+        val m = ks.map(_._1).sum
+        if (m == 0) None
+        else Some((BigInt(ks.map(_._2).sum).toDouble / m.toDouble / 100.0, rep))
+      }.sortBy(identity)
+      val loRank = math.ceil(0.025 * b).toInt.max(1)
+      val hiRank = math.ceil(0.975 * b).toInt
+      val lo = if (means.size >= loRank) Some(round6(means(loRank - 1)._1)) else None
+      val hi = if (means.size >= hiRank) Some(round6(means(hiRank - 1)._1)) else None
+      val mean = round6(cents.map(c => BigInt(c._2)).sum.toDouble / rows.size / 100.0)
+      val gotLo = if (got.isNullAt(3)) None else Some(got.getDouble(3))
+      val gotHi = if (got.isNullAt(4)) None else Some(got.getDouble(4))
+      got.getLong(0) == rows.size.toLong && got.getLong(1) == b.toLong &&
+        got.getDouble(2) == mean && gotLo == lo && gotHi == hi
+    }
+  }
 }
