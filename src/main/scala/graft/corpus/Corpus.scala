@@ -1714,6 +1714,59 @@ object Corpus {
       .withColumn("rn", row_number().over(w))
   }
 
+  /** TextRank keyword extraction — PageRank over the token
+    * co-occurrence graph (Mihalcea & Tarau 2004: tokens are nodes,
+    * adjacency within the text is an undirected edge, and the
+    * stationary importance ranks keywords — the unsupervised
+    * keyphrase baseline a curation pipeline runs to label what a
+    * corpus slice is "about").
+    *
+    * Construction: tokens hash to the catalog's 60-bit md5 keys; the
+    * node set is gated to types with count ≥ `minCount` (the TextRank
+    * paper's frequency filter stands in for its POS filter — no
+    * tagger in the engine), edges are DISTINCT adjacent pairs in both
+    * directions between surviving nodes, and the walk is
+    * [[graft.ops.PageRankOp.pageRank]]'s 1e-12 fixed-point iteration —
+    * exact integer arithmetic end to end, so the oracle's unrolled
+    * replay pins every rank.
+    *
+    * Scale shape: the bigram stream is one pass (zip of adjacent
+    * hashes, no shuffle until the distinct); the vocabulary gate
+    * broadcasts (vocabulary-bounded by construction); the edge set is
+    * vocabulary², bounded far below the corpus; PageRank then touches
+    * only (node, BIGINT) rows per iteration. The top-k readout sorts
+    * the k-row limit, never the vocabulary. */
+  def textRankKeywords(docs: DataFrame, minCount: Long = 5L, k: Int = 20,
+                       iters: Int = 3, textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"textRankKeywords: minCount must be >= 1, got $minCount")
+    require(k >= 1, s"textRankKeywords: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    val base = docs.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val vocab = base.select(explode(V.md5Hashes60(col("_toks"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h"))
+      .localCheckpoint() // node gate: joined twice (both edge endpoints)
+    val big = base.filter(size(col("_toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(V.md5Hashes60(col("_toks")), lit(1), size(col("_toks")) - 1),
+        slice(V.md5Hashes60(col("_toks")), lit(2), size(col("_toks")) - 1))).as("bg"))
+      .select(col("bg").getField("0").as("ha"), col("bg").getField("1").as("hb"))
+      .filter(col("ha") =!= col("hb"))
+    val gated = big
+      .join(broadcast(vocab.select(col("h").as("ha"))), "ha")
+      .join(broadcast(vocab.select(col("h").as("hb"))), "hb")
+    val e = gated.select(col("ha").as("src"), col("hb").as("dst"))
+      .unionByName(gated.select(col("hb").as("src"), col("ha").as("dst")))
+      .distinct()
+    val pr = graft.ops.PageRankOp.pageRank(e, "src", "dst", iters)
+    val w = Window.partitionBy(pmod(col("node"), lit(1)))
+      .orderBy(col("rank_u").desc, col("node"))
+    pr.orderBy(col("rank_u").desc, col("node")).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve — distinct-type count after
     * each 1/P checkpoint of the token stream in (doc_id, pos) order:
     * the "is this corpus still contributing new vocabulary or just

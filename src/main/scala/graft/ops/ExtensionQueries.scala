@@ -6305,6 +6305,84 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** TextRank keywords (Corpus.textRankKeywords scaladoc: md5-60
+    * token nodes gated at count ≥ 5, DISTINCT bidirectional adjacency
+    * edges, PageRankOp's 1e-12 fixed-point walk). The oracle rebuilds
+    * the token graph with the x_pmi_pairs tokenization and replays the
+    * x_pagerank unrolled 3-iteration integer recursion over it, so
+    * every keyword rank is pinned exactly. */
+  val textRankQ: Q = Q(
+    "x_textrank",
+    (s, d) => graft.corpus.Corpus.textRankKeywords(Tables.documents(s, d),
+      minCount = 5L, k = 20, iters = 3),
+    Some("""
+      WITH base AS (SELECT regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      uni AS (SELECT ('0x' || substr(md5(toks[i + 1]), 1, 15))::BIGINT AS h
+              FROM (SELECT toks, unnest(range(0, len(toks))) AS i FROM base)),
+      vocab AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM uni GROUP BY 1) t
+                WHERE c >= 5),
+      bg AS (SELECT ('0x' || substr(md5(toks[i + 1]), 1, 15))::BIGINT AS ha,
+                    ('0x' || substr(md5(toks[i + 2]), 1, 15))::BIGINT AS hb
+             FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM base
+                   WHERE len(toks) >= 2)),
+      ed AS (SELECT DISTINCT ha, hb FROM bg
+             WHERE ha <> hb AND ha IN (SELECT h FROM vocab)
+               AND hb IN (SELECT h FROM vocab)),
+      e AS (SELECT ha AS src, hb AS dst FROM ed
+            UNION SELECT hb AS src, ha AS dst FROM ed),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_u
+             FROM nodes),
+      s1 AS (SELECT e.dst AS node, CAST(SUM(r.rank_u // d.deg) AS BIGINT) AS s
+             FROM r0 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+             GROUP BY e.dst),
+      dm1 AS (SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dm
+              FROM r0 r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+      r1 AS (SELECT nodes.node,
+               (1000000000000 - (1000000000000 * 85) // 100)
+                 // (SELECT n FROM nn)
+               + ((COALESCE(s1.s, 0)
+                   + (SELECT dm FROM dm1) // (SELECT n FROM nn)) * 85) // 100
+                 AS rank_u
+             FROM nodes LEFT JOIN s1 ON nodes.node = s1.node),
+      s2 AS (SELECT e.dst AS node, CAST(SUM(r.rank_u // d.deg) AS BIGINT) AS s
+             FROM r1 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+             GROUP BY e.dst),
+      dm2 AS (SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dm
+              FROM r1 r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+      r2 AS (SELECT nodes.node,
+               (1000000000000 - (1000000000000 * 85) // 100)
+                 // (SELECT n FROM nn)
+               + ((COALESCE(s2.s, 0)
+                   + (SELECT dm FROM dm2) // (SELECT n FROM nn)) * 85) // 100
+                 AS rank_u
+             FROM nodes LEFT JOIN s2 ON nodes.node = s2.node),
+      s3 AS (SELECT e.dst AS node, CAST(SUM(r.rank_u // d.deg) AS BIGINT) AS s
+             FROM r2 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+             GROUP BY e.dst),
+      dm3 AS (SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dm
+              FROM r2 r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+      r3 AS (SELECT nodes.node,
+               (1000000000000 - (1000000000000 * 85) // 100)
+                 // (SELECT n FROM nn)
+               + ((COALESCE(s3.s, 0)
+                   + (SELECT dm FROM dm3) // (SELECT n FROM nn)) * 85) // 100
+                 AS rank_u
+             FROM nodes LEFT JOIN s3 ON nodes.node = s3.node)
+      SELECT node, rank_u, rn
+      FROM (SELECT node, rank_u,
+                   ROW_NUMBER() OVER (ORDER BY rank_u DESC, node) AS rn
+            FROM r3) t
+      WHERE rn <= 20
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6343,5 +6421,5 @@ object ExtensionQueries {
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
-    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ)
+    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ)
 }

@@ -615,6 +615,50 @@ class CorpusSpec extends SparkSpec {
     assert(out(0)._6 > out(1)._6 && out(1)._6 > 0)
   }
 
+  test("textRankKeywords: hub outranks spokes, spoke ranks tie, values match the integer-PageRank mirror") {
+    import spark.implicits._
+    // star graph: h adjacent to each of a..e, spokes never adjacent to
+    // each other → hub must rank 1, the five spokes tie exactly.
+    val docs = Seq((1L, "h a h b h c h d h e")).toDF("doc_id", "text")
+    val out = Corpus.textRankKeywords(docs, minCount = 1L, k = 20, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val hh = graft.dedup.Dedup.md5Hash60Value("h")
+    val spokes = Seq("a", "b", "c", "d", "e").map(graft.dedup.Dedup.md5Hash60Value)
+    // local mirror of PageRankOp's 1e-12 fixed-point recursion
+    val nodes = (hh +: spokes).toSet
+    val edges = spokes.flatMap(x => Seq((hh, x), (x, hh)))
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    val U = 1000000000000L
+    var rank = nodes.map(_ -> U / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / deg(s) }.sum
+      }
+      val dm = nodes.toSeq.filterNot(deg.contains).map(rank).sum
+      rank = nodes.map(nd => nd ->
+        ((U - U * 85L / 100L) / n +
+          (contrib.getOrElse(nd, 0L) + dm / n) * 85L / 100L)).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (nd, r) => (-r, nd) }
+      .zipWithIndex.map { case ((nd, r), i) => (nd, r, i + 1) }
+    assert(out.toSeq == expected, s"got ${out.toSeq}, want $expected")
+    assert(out(0)._1 == hh, "hub must rank first")
+    assert(out.drop(1).map(_._2).distinct.size == 1, "spoke ranks must tie exactly")
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("textRankKeywords: minCount gates rare tokens out of the graph") {
+    import spark.implicits._
+    // u,v alternate 5 times each; z appears once → z must not be a node
+    val docs = Seq((1L, "u v u v u v u v u v z")).toDF("doc_id", "text")
+    val out = Corpus.textRankKeywords(docs, minCount = 5L, k = 20, iters = 3)
+      .collect().map(_.getLong(0)).toSet
+    val hz = graft.dedup.Dedup.md5Hash60Value("z")
+    assert(!out.contains(hz), "rare token must be gated out")
+    assert(out == Set("u", "v").map(graft.dedup.Dedup.md5Hash60Value))
+  }
+
   test("vocabGrowth: checkpoint counts follow first occurrences in (doc_id, pos) order") {
     import spark.implicits._
     // stream: a b a | c a → T=5; nPoints=5 puts a checkpoint at every
