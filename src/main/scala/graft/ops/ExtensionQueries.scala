@@ -6383,6 +6383,84 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Split-conformal 90% prediction band around the x_ols_fit length
+    * model (Ols.conformal2 scaladoc: md5-parity split, exact-integer
+    * Cramer fit on the train half, rank-picked ⌈0.9·(n+1)⌉-th absolute
+    * residual on the calibration half, unrounded-q̂ coverage readout).
+    * The oracle replays the split, the HUGEINT Cramer solve, the
+    * residual chain and the rank pick end to end. */
+  val conformalQ: Q = Q(
+    "x_conformal",
+    (s, d) => {
+      val toks = split(col("text"), "\\s+")
+      Ols.conformal2(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("y"), size(toks).as("x1"),
+            size(array_distinct(toks)).as("x2")),
+        col("doc_id"), col("y"), col("x1"), col("x2"), q = 0.9)
+    },
+    Some("""
+      WITH f0 AS (
+        SELECT doc_id, n_chars AS y,
+               len(regexp_split_to_array(text, '\s+')) AS x1,
+               len(list_distinct(regexp_split_to_array(text, '\s+'))) AS x2,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 2 = 1) AS cal
+        FROM documents),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s00,
+               CAST(SUM(x1) AS BIGINT) AS s01, CAST(SUM(x2) AS BIGINT) AS s02,
+               CAST(SUM(x1*x1) AS BIGINT) AS s11,
+               CAST(SUM(x1*x2) AS BIGINT) AS s12,
+               CAST(SUM(x2*x2) AS BIGINT) AS s22,
+               CAST(SUM(y) AS BIGINT) AS t0,
+               CAST(SUM(x1*y) AS BIGINT) AS t1,
+               CAST(SUM(x2*y) AS BIGINT) AS t2
+        FROM f0 WHERE NOT cal),
+      h AS (
+        SELECT s00,
+               CAST(s00 AS HUGEINT) AS a, CAST(s01 AS HUGEINT) AS b,
+               CAST(s02 AS HUGEINT) AS c, CAST(s11 AS HUGEINT) AS e,
+               CAST(s12 AS HUGEINT) AS f, CAST(s22 AS HUGEINT) AS g,
+               CAST(t0 AS HUGEINT) AS u, CAST(t1 AS HUGEINT) AS v,
+               CAST(t2 AS HUGEINT) AS w
+        FROM m),
+      dets AS (
+        SELECT s00,
+          a*(e*g - f*f) - b*(b*g - f*c) + c*(b*f - e*c) AS det,
+          u*(e*g - f*f) - b*(v*g - f*w) + c*(v*f - e*w) AS det0,
+          a*(v*g - f*w) - u*(b*g - f*c) + c*(b*w - v*c) AS det1,
+          a*(e*w - v*f) - b*(b*w - v*c) + u*(b*f - e*c) AS det2
+        FROM h),
+      bb AS (
+        SELECT s00 AS ntr,
+               CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+        FROM dets),
+      r AS (
+        SELECT doc_id, cal,
+               ABS(CAST(y AS DOUBLE) - (b0 + b1 * CAST(x1 AS DOUBLE)
+                                           + b2 * CAST(x2 AS DOUBLE))) AS resid
+        FROM f0, bb),
+      calr AS (SELECT doc_id, resid FROM r WHERE cal),
+      nc AS (SELECT COUNT(*) AS n_cal FROM calr),
+      qr AS (SELECT n_cal,
+                    GREATEST(1, LEAST(n_cal,
+                      CAST(CEIL(0.9 * (n_cal + 1)) AS BIGINT))) AS q_rank
+             FROM nc),
+      rk AS (SELECT resid, ROW_NUMBER() OVER (ORDER BY resid, doc_id) AS rn
+             FROM calr),
+      qh AS (SELECT resid AS qv FROM rk, qr WHERE rn = q_rank)
+      SELECT CAST(bb.ntr AS BIGINT) AS n_train, CAST(qr.n_cal AS BIGINT) AS n_cal,
+             CAST(qr.q_rank AS BIGINT) AS q_rank, ROUND(qh.qv, 6) AS q_hat,
+             ROUND(CAST(SUM(CASE WHEN r.resid <= qh.qv THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS train_coverage
+      FROM r, bb, qr, qh
+      WHERE NOT r.cal
+      GROUP BY bb.ntr, qr.n_cal, qr.q_rank, qh.qv
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6421,5 +6499,6 @@ object ExtensionQueries {
     psiDriftQ, vocabGrowthQ, annRecallQ, pmiPairsQ, markovAttributionQ,
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
-    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ)
+    cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
+    conformalQ)
 }

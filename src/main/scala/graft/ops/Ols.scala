@@ -54,6 +54,63 @@ object Ols {
     solveFromMoments(moments(df, y, x1, x2, groupCols = Seq(groupCol)),
       keyCols = Seq(groupCol))
 
+  /** Split-conformal prediction interval around the [[fit2]] model —
+    * the distribution-free calibration step (Vovk et al.; Lei et al.
+    * 2018): hash-split the rows, fit on the train half, take the
+    * ⌈q·(n+1)⌉-th smallest absolute residual on the held-out
+    * calibration half as the interval half-width q̂. For ANY exchangeable
+    * data, ŷ ± q̂ then covers the true y with probability ≥ q — no
+    * normality assumption, unlike [[graft.ops.Relational.segmentCi]]'s
+    * 1.96·σ band. `train_coverage` reports the empirical fraction of
+    * TRAIN rows inside the band (an eval readout, not the guarantee).
+    *
+    * Determinism: the split is the catalog's md5-52-bit parity (no
+    * engine RNG); the fit is [[fit2]]'s exact-integer Cramer solve;
+    * residuals are ONE mirrored double chain off those coefficients;
+    * the quantile is an exact rank pick (range-partitioned two-phase
+    * [[graft.ops.Relational.globalRank]], ties broken by id) — never a
+    * percentile approximation; the coverage compare uses the UNROUNDED
+    * q̂. Rank ⌈q·(n_cal+1)⌉ is clamped to [1, n_cal] (q̂ = max residual
+    * when the calibration half is smaller than 1/(1−q)).
+    *
+    * Scale shape: one moment pass (fit), one residual pass with the
+    * 1-row coefficient table broadcast, one range exchange for the rank,
+    * one more broadcast of the 1-row q̂ for coverage. n_cal is a single
+    * count() driver scalar (the pmi-totals pattern). No global sort, no
+    * window over data. */
+  def conformal2(df: DataFrame, id: Column, y: Column, x1: Column,
+                 x2: Column, q: Double = 0.9): DataFrame = {
+    require(q > 0 && q < 1, s"conformal2: q must be in (0,1), got $q")
+    val keyed = df.select(id.cast("long").as("_id"), y.cast("long").as("_y"),
+        x1.cast("long").as("_x1"), x2.cast("long").as("_x2"))
+      .withColumn("_cal",
+        conv(substring(md5(col("_id").cast("string").cast("binary")), 1, 13),
+          16, 10).cast("long") % 2 === 1)
+      .localCheckpoint() // read three times: fit, residuals, coverage
+    val fit = fit2(keyed.filter(!col("_cal")),
+      col("_y"), col("_x1"), col("_x2"))
+    val resid = keyed.crossJoin(broadcast(
+        fit.select(col("n_rows").as("_ntr"), col("b0"), col("b1"), col("b2"))))
+      .select(col("_id"), col("_cal"), col("_ntr"),
+        abs(col("_y").cast("double") - (col("b0")
+          + col("b1") * col("_x1").cast("double")
+          + col("b2") * col("_x2").cast("double"))).as("_resid"))
+      .localCheckpoint() // calibration rank + train coverage
+    val calR = resid.filter(col("_cal")).select(col("_id"), col("_resid"))
+    val nCal = calR.count() // driver scalar: calibration size only
+    val qRank = math.max(1L, math.min(nCal, math.ceil(q * (nCal + 1)).toLong))
+    val qHat = Relational.globalRank(calR, Seq(col("_resid"), col("_id")), "_r")
+      .filter(col("_r") === qRank).select(col("_resid").as("_q"))
+    resid.filter(!col("_cal"))
+      .crossJoin(broadcast(qHat))
+      .agg(max(col("_ntr")).cast("long").as("n_train"),
+        lit(nCal).cast("long").as("n_cal"),
+        lit(qRank).cast("long").as("q_rank"),
+        round(max(col("_q")), 6).as("q_hat"),
+        round(sum(when(col("_resid") <= col("_q"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("train_coverage"))
+  }
+
   private def moments(df: DataFrame, y: Column, x1: Column, x2: Column,
                       groupCols: Seq[String]): DataFrame = {
     // widen BEFORE multiplying: the per-row product of two DECIMAL(19,0)

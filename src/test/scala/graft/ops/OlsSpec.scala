@@ -70,4 +70,52 @@ class OlsSpec extends SparkSpec {
       .select(col("det"), col("b1").isNull).as[(Double, Boolean)].collect()(0)
     assert(out == ((0.0, true)))
   }
+
+  test("conformal2 == plain-Scala mirror (md5 split, BigInt Cramer, rank-picked residual)") {
+    def u52(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(7)
+    // noisy planted model y = 10 + 3*x1 - 2*x2 + e
+    val rows = Seq.tabulate(80) { i =>
+      val x1 = rnd.nextInt(50).toLong; val x2 = rnd.nextInt(50).toLong
+      (i.toLong, 10L + 3 * x1 - 2 * x2 + rnd.nextInt(9) - 4, x1, x2)
+    }
+    val got = Ols.conformal2(rows.toDF("id", "y", "x1", "x2"),
+      col("id"), col("y"), col("x1"), col("x2"), q = 0.9).collect()(0)
+    // --- mirror ---
+    val (cal, train) = rows.partition { case (id, _, _, _) => u52(id) % 2 == 1 }
+    def bi(l: Long) = BigInt(l)
+    val (s00, s01, s02) = (bi(train.size), train.map(r => bi(r._3)).sum, train.map(r => bi(r._4)).sum)
+    val s11 = train.map(r => bi(r._3) * bi(r._3)).sum
+    val s12 = train.map(r => bi(r._3) * bi(r._4)).sum
+    val s22 = train.map(r => bi(r._4) * bi(r._4)).sum
+    val (t0, t1, t2) = (train.map(r => bi(r._2)).sum,
+      train.map(r => bi(r._3) * bi(r._2)).sum, train.map(r => bi(r._4) * bi(r._2)).sum)
+    def det3(a: BigInt, b: BigInt, c: BigInt, e: BigInt, f: BigInt, g: BigInt,
+             h: BigInt, i: BigInt, j: BigInt) =
+      a * (f * j - g * i) - b * (e * j - g * h) + c * (e * i - f * h)
+    val det = det3(s00, s01, s02, s01, s11, s12, s02, s12, s22)
+    assert(det != 0, "fixture must be non-collinear")
+    val b0 = det3(t0, s01, s02, t1, s11, s12, t2, s12, s22).toDouble / det.toDouble
+    val b1 = det3(s00, t0, s02, s01, t1, s12, s02, t2, s22).toDouble / det.toDouble
+    val b2 = det3(s00, s01, t0, s01, s11, t1, s02, s12, t2).toDouble / det.toDouble
+    def resid(r: (Long, Long, Long, Long)): Double =
+      math.abs(r._2.toDouble - (b0 + b1 * r._3.toDouble + b2 * r._4.toDouble))
+    val nCal = cal.size
+    val qRank = math.max(1L, math.min(nCal.toLong, math.ceil(0.9 * (nCal + 1)).toLong))
+    val qHat = cal.map(r => (resid(r), r._1)).sorted.apply(qRank.toInt - 1)._1
+    val cov = round6(train.count(r => resid(r) <= qHat).toDouble / train.size)
+    assert(got.getLong(0) == train.size.toLong && got.getLong(1) == nCal.toLong &&
+      got.getLong(2) == qRank && got.getDouble(3) == round6(qHat) &&
+      got.getDouble(4) == cov,
+      s"got $got, want (${train.size}, $nCal, $qRank, ${round6(qHat)}, $cov)")
+    // the finite-sample guarantee holds on the calibration half by construction
+    val calCov = cal.count(r => resid(r) <= qHat).toDouble / nCal
+    assert(calCov >= qRank.toDouble / nCal - 1e-12)
+  }
 }
