@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1339,5 +1339,105 @@ object EventAnalytics {
     picks.toSeq.toDF("split_rank", "split_day", "gain")
       .select(col("split_rank").cast("int").as("split_rank"),
         col("split_day"), col("gain"))
+  }
+  /** CUPED variance-reduced A/B readout — the experimentation-platform
+    * staple (Deng, Xu, Kohavi & Walker, WSDM 2013): users hash into two
+    * arms, the observation window splits at its time midpoint, each
+    * user's PRE-period spend is the covariate x and POST-period spend
+    * the metric y, and the adjusted metric y − θ·(x − x̄) with
+    * θ = cov(x,y)/var(x) removes the variance that pre-existing user
+    * behavior explains — `var_reduction` (= ρ²(x,y)) is the fraction of
+    * metric variance CUPED deletes, and z_cuped vs z_unadj shows the
+    * sensitivity gain on the same data.
+    *
+    * Determinism: arms are the md5-52-bit parity (no engine RNG); the
+    * pre/post midpoint is integer micros (t0 + (t1−t0) DIV 2); per-user
+    * x, y are exact cent sums; pooled moments are exact decimals with
+    * overflow-to-NULL witnesses; θ, x̄, ρ² are mirrored double chains;
+    * each adjusted value is ROUND(…, 6)-then-DECIMAL(28,6) before
+    * summing (the Theil-term idiom), so per-arm sums are exact decimal
+    * adds of identically-rounded terms; both z variance tails combine
+    * the exact sums in ONE mirrored double expression (the Mann-Whitney
+    * overflow-safe pattern).
+    *
+    * Scale shape: one user_id exchange collapses events to users (the
+    * catalog's shared discipline), the 1-row min/max and pooled-moment
+    * tables broadcast, and the per-arm rollup is a 2-group map-side
+    * combine. No window, no sort, nothing driver-side but 1-row scalars. */
+  def cupedAb(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val mm = events.agg(min(unix_micros(col("ts"))).cast("long").as("t0"),
+        max(unix_micros(col("ts"))).cast("long").as("t1"))
+      .select(expr("t0 + (t1 - t0) DIV 2").as("mid"))
+    val users = events.crossJoin(broadcast(mm))
+      .select(col("user_id"), (unix_micros(col("ts")) < col("mid")).as("pre"),
+        cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("pre"), col("c")).otherwise(lit(0L))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("pre"), col("c")).otherwise(lit(0L))), lit(0L)).as("y"))
+      .withColumn("arm_a",
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 13),
+          16, 10).cast("long") % 2 === 0)
+      .localCheckpoint() // pooled moments + the per-arm adjusted pass
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val pooled = users.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d19(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(d19(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d19(col("x")) * d19(col("y"))).cast("decimal(38,0)").as("sxy"),
+        sum(d19(col("x")) * d19(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d19(col("y")) * d19(col("y"))).cast("decimal(38,0)").as("syy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
+            .cast("double")).as("theta"),
+        (col("sx").cast("double") / col("n").cast("double")).as("xbar"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
+            .cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
+            .cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
+            .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)")
+              .cast("double"))).as("rho2"))
+    val ya = col("y").cast("double") -
+      col("theta") * (col("x").cast("double") - col("xbar"))
+    val byArm = users.crossJoin(broadcast(pooled))
+      .select(col("arm_a"), col("y"), col("theta"), col("rho2"),
+        round(ya, 6).cast("decimal(28,6)").as("term"),
+        round(ya * ya, 6).cast("decimal(28,6)").as("term2"))
+      .groupBy(col("arm_a"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(d19(col("y"))).cast("decimal(38,0)").as("sg"),
+        sum(d19(col("y")) * d19(col("y"))).cast("decimal(38,0)").as("qg"),
+        sum(col("term")).cast("decimal(38,6)").as("sa"),
+        sum(col("term2")).cast("decimal(38,6)").as("qa"),
+        max(col("theta")).as("theta"), max(col("rho2")).as("rho2"))
+    def pick(flag: Boolean, c: String) =
+      max(when(col("arm_a") === flag, col(c)))
+    val wide = byArm.agg(
+      pick(true, "ng").as("na"), pick(true, "sg").as("sga"),
+      pick(true, "qg").as("qga"), pick(true, "sa").as("saa"),
+      pick(true, "qa").as("qaa"),
+      pick(false, "ng").as("nb"), pick(false, "sg").as("sgb"),
+      pick(false, "qg").as("qgb"), pick(false, "sa").as("sab"),
+      pick(false, "qa").as("qab"),
+      max(col("theta")).as("theta"), max(col("rho2")).as("rho2"))
+    def meanOf(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def varOf(n: String, q: String, s: String) =
+      (col(n).cast("double") * col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n) - 1).cast("double"))
+    wide.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(col("theta"), 6).as("theta"),
+      round((meanOf("sga", "na") - meanOf("sgb", "nb")) /
+        sqrt(varOf("na", "qga", "sga") / col("na").cast("double") +
+          varOf("nb", "qgb", "sgb") / col("nb").cast("double")), 6).as("z_unadj"),
+      round((meanOf("saa", "na") - meanOf("sab", "nb")) /
+        sqrt(varOf("na", "qaa", "saa") / col("na").cast("double") +
+          varOf("nb", "qab", "sab") / col("nb").cast("double")), 6).as("z_cuped"),
+      round(col("rho2"), 6).as("var_reduction"))
   }
 }

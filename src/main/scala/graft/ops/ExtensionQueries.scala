@@ -6461,6 +6461,97 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** CUPED variance-reduced A/B readout (EventAnalytics.cupedAb
+    * scaladoc: md5-parity arms, integer-micros midpoint pre/post
+    * split, exact-cent per-user covariate/metric, mirrored θ/ρ²
+    * chains, ROUND-then-DECIMAL adjusted terms, one-double-expression
+    * variance tails). The oracle replays every stage. */
+  val cupedQ: Q = Q(
+    "x_cuped",
+    (s, d) => EventAnalytics.cupedAb(Tables.events(s, d)),
+    Some("""
+      WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+      mm AS (SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM b),
+      u0 AS (SELECT user_id,
+                    COALESCE(SUM(CASE WHEN ts_us < mid THEN c ELSE 0 END), 0) AS x,
+                    COALESCE(SUM(CASE WHEN NOT (ts_us < mid) THEN c ELSE 0 END), 0) AS y
+             FROM b, mm GROUP BY user_id),
+      u AS (SELECT x, y,
+                   (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+                     % 2 = 0) AS arm_a
+            FROM u0),
+      p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+            FROM u),
+      th AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+                    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                    CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+             FROM p),
+      a0 AS (SELECT arm_a, y, theta, rho2,
+                    CAST(ROUND(CAST(y AS DOUBLE)
+                               - theta * (CAST(x AS DOUBLE) - xbar), 6)
+                         AS DECIMAL(28,6)) AS term,
+                    CAST(ROUND((CAST(y AS DOUBLE)
+                                - theta * (CAST(x AS DOUBLE) - xbar))
+                               * (CAST(y AS DOUBLE)
+                                  - theta * (CAST(x AS DOUBLE) - xbar)), 6)
+                         AS DECIMAL(28,6)) AS term2
+             FROM u, th),
+      g AS (SELECT arm_a, CAST(COUNT(*) AS BIGINT) AS ng,
+                   SUM(CAST(y AS HUGEINT)) AS sg,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS qg,
+                   SUM(term) AS sa, SUM(term2) AS qa,
+                   MAX(theta) AS theta, MAX(rho2) AS rho2
+            FROM a0 GROUP BY 1),
+      w AS (SELECT
+              MAX(CASE WHEN arm_a THEN ng END) AS na,
+              MAX(CASE WHEN arm_a THEN sg END) AS sga,
+              MAX(CASE WHEN arm_a THEN qg END) AS qga,
+              MAX(CASE WHEN arm_a THEN sa END) AS saa,
+              MAX(CASE WHEN arm_a THEN qa END) AS qaa,
+              MAX(CASE WHEN NOT arm_a THEN ng END) AS nb,
+              MAX(CASE WHEN NOT arm_a THEN sg END) AS sgb,
+              MAX(CASE WHEN NOT arm_a THEN qg END) AS qgb,
+              MAX(CASE WHEN NOT arm_a THEN sa END) AS sab,
+              MAX(CASE WHEN NOT arm_a THEN qa END) AS qab,
+              MAX(theta) AS theta, MAX(rho2) AS rho2
+            FROM g)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             ROUND(theta, 6) AS theta,
+             ROUND((CAST(sga AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sgb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / SQRT((CAST(na AS DOUBLE) * CAST(qga AS DOUBLE)
+                           - CAST(sga AS DOUBLE) * CAST(sga AS DOUBLE))
+                          / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+                          / CAST(na AS DOUBLE)
+                        + (CAST(nb AS DOUBLE) * CAST(qgb AS DOUBLE)
+                           - CAST(sgb AS DOUBLE) * CAST(sgb AS DOUBLE))
+                          / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))
+                          / CAST(nb AS DOUBLE)), 6) AS z_unadj,
+             ROUND((CAST(saa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sab AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / SQRT((CAST(na AS DOUBLE) * CAST(qaa AS DOUBLE)
+                           - CAST(saa AS DOUBLE) * CAST(saa AS DOUBLE))
+                          / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+                          / CAST(na AS DOUBLE)
+                        + (CAST(nb AS DOUBLE) * CAST(qab AS DOUBLE)
+                           - CAST(sab AS DOUBLE) * CAST(sab AS DOUBLE))
+                          / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))
+                          / CAST(nb AS DOUBLE)), 6) AS z_cuped,
+             ROUND(rho2, 6) AS var_reduction
+      FROM w
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6500,5 +6591,5 @@ object ExtensionQueries {
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
-    conformalQ)
+    conformalQ, cupedQ)
 }

@@ -579,4 +579,75 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getBoolean(3)).toMap
     assert(out2("2024-01-06"), out2.toString)
   }
+
+  test("cupedAb == plain-Scala mirror; planted covariate structure is removed") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def armA(uid: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(uid.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2 == 0
+    }
+    // two events per user: one pre (day 1), one post (day 5); post spend
+    // strongly tracks pre spend (y = 3x + noise) so CUPED must remove
+    // most of the variance
+    val rnd = new scala.util.Random(11)
+    var id = 0L
+    val rows = (1L to 60L).flatMap { u =>
+      val x = (rnd.nextInt(900) + 100).toDouble / 10 // pre spend
+      val y = 3 * x + (rnd.nextInt(200) - 100).toDouble / 10
+      Seq({ id += 1; (id, "2024-01-01 10:00:00", u, "view", x) },
+        { id += 1; (id, "2024-01-05 10:00:00", u, "purchase", y) })
+    }
+    val got = EventAnalytics.cupedAb(events(rows: _*)).collect()(0)
+    // mirror: per-user integer cents, micros midpoint, exact moments
+    val t0 = ts("2024-01-01 10:00:00").getTime * 1000
+    val t1 = ts("2024-01-05 10:00:00").getTime * 1000
+    val mid = t0 + (t1 - t0) / 2
+    val users = rows.groupBy(_._3).map { case (u, es) =>
+      val x = es.filter(e => ts(e._2).getTime * 1000 < mid)
+        .map(e => math.round(e._5 * 100)).sum
+      val y = es.filter(e => ts(e._2).getTime * 1000 >= mid)
+        .map(e => math.round(e._5 * 100)).sum
+      (u, BigInt(x), BigInt(y), armA(u))
+    }.toSeq
+    val n = BigInt(users.size)
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val sxy = users.map(r => r._2 * r._3).sum
+    val sxx = users.map(r => r._2 * r._2).sum
+    val syy = users.map(r => r._3 * r._3).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val xbar = sx.toDouble / n.toDouble
+    val rho2 = (n * sxy - sx * sy).toDouble * (n * sxy - sx * sy).toDouble /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    case class Arm(ng: Long, sg: BigInt, qg: BigInt, sa: BigDecimal, qa: BigDecimal)
+    def arm(flag: Boolean): Arm = {
+      val g = users.filter(_._4 == flag)
+      val terms = g.map { r =>
+        val ya = r._3.toDouble - theta * (r._2.toDouble - xbar)
+        (dec6(ya), dec6(ya * ya))
+      }
+      Arm(g.size.toLong, g.map(_._3).sum, g.map(r => r._3 * r._3).sum,
+        terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    def z(a: Arm, b: Arm, sA: Double, qA: Double, sB: Double, qB: Double): Double = {
+      def v(n: Long, q: Double, s: Double) =
+        (n.toDouble * q - s * s) / (n.toDouble * (n - 1).toDouble)
+      (sA / a.ng - sB / b.ng) /
+        math.sqrt(v(a.ng, qA, sA) / a.ng + v(b.ng, qB, sB) / b.ng)
+    }
+    val (aa, ab) = (arm(true), arm(false))
+    val zU = z(aa, ab, aa.sg.toDouble, aa.qg.toDouble, ab.sg.toDouble, ab.qg.toDouble)
+    val zC = z(aa, ab, aa.sa.toDouble, aa.qa.toDouble, ab.sa.toDouble, ab.qa.toDouble)
+    assert(got.getLong(0) == aa.ng && got.getLong(1) == ab.ng)
+    assert(got.getDouble(2) == round6(theta), s"theta ${got.getDouble(2)} vs ${round6(theta)}")
+    assert(got.getDouble(3) == round6(zU), s"z_unadj ${got.getDouble(3)} vs ${round6(zU)}")
+    assert(got.getDouble(4) == round6(zC), s"z_cuped ${got.getDouble(4)} vs ${round6(zC)}")
+    assert(got.getDouble(5) == round6(rho2))
+    // the planted y≈3x structure: theta near 3, most variance removed
+    assert(math.abs(got.getDouble(2) - 3.0) < 0.2, s"theta=${got.getDouble(2)}")
+    assert(got.getDouble(5) > 0.9, s"var_reduction=${got.getDouble(5)}")
+  }
 }
