@@ -1380,4 +1380,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the 1-row global centroid must broadcast:\n" + p)
   }
+
+  test("x_bootstrap_ci: the x64 expansion never shuffles row-level data; no cartesian") {
+    val p = plan("x_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"), p)
+    // the explode feeds the partial hash-aggregate in the SAME stage:
+    // every hash exchange carries the 64 rep-grouped partials, never
+    // per-order rows
+    val exchangeLines =
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(!_.contains("o_orderkey#")),
+      "rep aggregation must combine map-side; order keys never shuffle:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
+  test("x_textrank: edge build broadcasts the vocabulary gate; walk exchanges carry hashes only") {
+    // the full query's plan starts past PageRankOp's graph checkpoint,
+    // so audit the edge BUILD separately (its plan is what runs against
+    // the corpus) and the walk readout on the composed query
+    val docs = graft.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions._
+    val V = org.apache.spark.sql.graftext.VectorExpressions
+    val base = docs.select(graft.text.TextAnalysis.tokens(col("text")).as("_toks"))
+    val vocab = base.select(explode(V.md5Hashes60(col("_toks"))).as("ha"))
+      .groupBy(col("ha")).agg(count(lit(1)).as("c")).filter(col("c") >= 5)
+      .select(col("ha"))
+    val gated = base.filter(size(col("_toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(V.md5Hashes60(col("_toks")), lit(1), size(col("_toks")) - 1),
+        slice(V.md5Hashes60(col("_toks")), lit(2), size(col("_toks")) - 1))).as("bg"))
+      .select(col("bg").getField("0").as("ha"), col("bg").getField("1").as("hb"))
+      .join(broadcast(vocab), "ha")
+    val pe = gated.queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded node gate must broadcast:\n" + pe)
+    val p = plan("x_textrank")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines =
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(!_.contains("text#")),
+      "walk exchanges must carry 60-bit hashes, never text:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
+  test("x_conformal: exchanges carry residuals and ids, never text; no cartesian") {
+    val p = plan("x_conformal")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines =
+      p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(!_.contains("text#")),
+      "the rank exchange must carry (resid, id), never text:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
+  test("x_cuped: one user_id exchange shape — no sort-merge join, no data window, no cartesian") {
+    val p = plan("x_cuped")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"),
+      "CUPED is pure aggregation — no window may appear:\n" + p)
+    val exchangeLines =
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("ts#") && !l.contains("value#")),
+      "only per-user partials may shuffle, never raw events:\n" +
+        exchangeLines.mkString("\n"))
+  }
 }
