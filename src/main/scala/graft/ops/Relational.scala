@@ -943,13 +943,18 @@ object Relational {
     * never b× the data. The rank/percentile pass runs on the b-row
     * grid. At 100 TB this is the textbook one-pass bootstrap: no
     * resample is ever materialized. */
+  /** ⌊CDF_Poisson(1)(k)·2⁵²⌋ for k = 0..7; a 52-bit uniform ≥ the last
+    * threshold draws 8. Shared by [[bootstrapCiPoisson]] and its
+    * streaming twin ([[graft.streaming.EventStream.bootstrapCounters]])
+    * so the two draws can never diverge. */
+  val PoissonCdf52: Seq[Long] = Seq(1656781714176973L, 3313563428353947L,
+    4141954285442434L, 4418084571138597L, 4487117142562637L,
+    4500923656847445L, 4503224742561580L, 4503553469092171L)
+
   def bootstrapCiPoisson(orders: DataFrame, b: Int = 64): DataFrame = {
     require(b >= 2 && b <= 4096, s"bootstrapCiPoisson: b=$b out of range")
     import org.apache.spark.sql.expressions.Window
-    // ⌊CDF_Poisson(1)(k)·2⁵²⌋ for k = 0..7; u ≥ last threshold → 8.
-    val thresholds = Seq(1656781714176973L, 3313563428353947L,
-      4141954285442434L, 4418084571138597L, 4487117142562637L,
-      4500923656847445L, 4503224742561580L, 4503553469092171L)
+    val thresholds = PoissonCdf52
     val base = orders.select(col("o_orderkey"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     val u = conv(substring(md5(concat_ws("_",

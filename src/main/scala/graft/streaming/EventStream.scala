@@ -637,4 +637,50 @@ object EventStream {
           HllReadout(typ, hit, est)
       }
   }
+
+  /** [[bootstrapCounters]] state: the two exact sums one bootstrap
+    * resample needs — Σ Poisson count and Σ count·cents. 16 bytes per
+    * rep, b reps total, regardless of stream volume. */
+  final case class BootRepState(m: Long, s: Long)
+  final case class BootRepReadout(rep: Int, m: Long, s: Long)
+
+  /** Streaming Poisson-bootstrap counters — the resampling-inference
+    * twin of [[graft.ops.Relational.bootstrapCiPoisson]]: each event
+    * contributes its deterministic Poisson(1) draw (md5(id‖rep) 52-bit
+    * uniform vs the SHARED integer thresholds
+    * [[graft.ops.Relational.PoissonCdf52]]) to every resample's two
+    * sums. The state is pure addition — micro-batch order and lateness
+    * cannot change the drained table, and the per-rep (m, s) pairs are
+    * EXACTLY the decimal sums the batch operator aggregates, so the CI
+    * derived from a drained stream is bit-equal to the batch CI over
+    * the same rows (spec-pinned). This is the scalable-bootstrap
+    * deployment story: a live stream maintains 2·b longs and can
+    * answer "mean with CI so far" at any moment. Cent scaling mirrors
+    * the batch HALF_UP for the non-negative values event streams carry. */
+  def bootstrapCounters(events: Dataset[Event], b: Int = 64): Dataset[BootRepReadout] = {
+    require(b >= 2 && b <= 4096, s"bootstrapCounters: b=$b out of range")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val thresholds = graft.ops.Relational.PoissonCdf52.toArray
+    events.flatMap { e =>
+      val cents = math.round(e.value * 100)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until b).iterator.map { rep =>
+        val hex = md.digest(s"${e.event_id}_$rep".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString
+        val u = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+        var k = 0L
+        while (k < thresholds.length && u >= thresholds(k.toInt)) k += 1
+        (rep, k, k * cents)
+      }
+    }.groupByKey(_._1)
+      .mapGroupsWithState[BootRepState, BootRepReadout](GroupStateTimeout.NoTimeout) {
+        case (rep, rows, state: GroupState[BootRepState]) =>
+          var m = state.getOption.map(_.m).getOrElse(0L)
+          var s = state.getOption.map(_.s).getOrElse(0L)
+          rows.foreach { r => m += r._2; s += r._3 }
+          state.update(BootRepState(m, s))
+          BootRepReadout(rep, m, s)
+      }
+  }
 }

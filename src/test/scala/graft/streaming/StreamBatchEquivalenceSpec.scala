@@ -574,6 +574,66 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(got("a") == 6L && got("b") == 1L)
   }
 
+  test("bootstrapCounters: drained per-rep sums derive the batch Poisson-bootstrap CI bit-exactly") {
+    import org.apache.spark.sql.Dataset
+    def uev(id: Long, v: Double) =
+      Event(id, Timestamp.valueOf("2024-03-10 10:00:00"), id % 7, "purchase", v)
+    val b1 = (1L to 30L).map(i => uev(i, (i * 13 % 97 + 1).toDouble / 4))
+    val b2 = (31L to 55L).map(i => uev(i, (i * 29 % 83 + 2).toDouble / 8))
+    val b3 = (56L to 70L).map(i => uev(i, (i * 7 % 61 + 1).toDouble))
+    val B = 16
+
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[Int, (Long, Long)]()
+    val q = EventStream.bootstrapCounters(input.toDS(), b = B)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: Dataset[EventStream.BootRepReadout], _: Long) =>
+        df.collect().foreach(r => got(r.rep) = ((r.m, r.s)))
+      }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == B)
+
+    // batch CI over the same rows, reshaped as the orders the batch op reads
+    val all = b1 ++ b2 ++ b3
+    val orders = all.toDF()
+      .select(col("event_id").as("o_orderkey"), col("value").as("o_totalprice"))
+    val batch = graft.ops.Relational.bootstrapCiPoisson(orders, b = B).collect()(0)
+
+    // derive the CI from the drained stream state with the batch's exact
+    // rank convention — must reproduce the batch row bit-for-bit
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val means = got.toSeq.collect { case (rep, (m, s)) if m > 0 =>
+      (s.toDouble / m.toDouble / 100.0, rep)
+    }.sorted
+    val loRank = math.ceil(0.025 * B).toInt.max(1)
+    val hiRank = math.ceil(0.975 * B).toInt
+    assert(batch.getDouble(3) == round6(means(loRank - 1)._1), "ci_lo")
+    assert(batch.getDouble(4) == round6(means(hiRank - 1)._1), "ci_hi")
+    // and the stream's pooled mass reproduces the point estimate inputs
+    val cents = all.map(e => math.round(e.value * 100))
+    assert(batch.getLong(0) == all.size.toLong)
+    assert(batch.getDouble(2) == round6(cents.sum.toDouble / all.size / 100.0))
+    // duplicate-free pure addition: re-deriving per-rep sums locally matches
+    val thresholds = graft.ops.Relational.PoissonCdf52
+    val local = (0 until B).map { rep =>
+      val ks = all.map { e =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${e.event_id}_$rep".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString
+        val u = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+        val k = thresholds.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
+        (k, k * math.round(e.value * 100))
+      }
+      rep -> ((ks.map(_._1).sum, ks.map(_._2).sum))
+    }.toMap
+    assert(got.toMap == local, "stream state != local recomputation")
+  }
+
   test("cmsCounters: drained stream sketch is byte-identical to the one-batch df.stat build") {
     import org.apache.spark.sql.Dataset
     def uev(id: Long, uid: Long, typ: String) =
