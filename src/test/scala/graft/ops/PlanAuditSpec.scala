@@ -1381,17 +1381,25 @@ class PlanAuditSpec extends SparkSpec {
       "the 1-row global centroid must broadcast:\n" + p)
   }
 
-  test("x_bootstrap_ci: the x64 expansion never shuffles row-level data; no cartesian") {
+  test("x_bootstrap_ci: the x64 expansion never shuffles; only the narrow base round-robins") {
     val p = plan("x_bootstrap_ci")
     assert(!p.contains("CartesianProduct"), p)
-    // the explode feeds the partial hash-aggregate in the SAME stage:
-    // every hash exchange carries the 64 rep-grouped partials, never
-    // per-order rows
+    // ONE deliberate RoundRobin exchange of the NARROW pre-expansion
+    // base (key + cents) parallelizes the draw past a small scan's
+    // single input split (35.8 s -> 1.9 s at sf0.1); the explode then
+    // feeds the partial hash-aggregate in the SAME stage, so every
+    // hash exchange carries the 64 rep-grouped partials, never
+    // per-order (let alone x64-expanded) rows
     val exchangeLines =
       p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchangeLines.forall(!_.contains("o_orderkey#")),
-      "rep aggregation must combine map-side; order keys never shuffle:\n" +
+      "rep aggregation must combine map-side; order keys never hash-shuffle:\n" +
         exchangeLines.mkString("\n"))
+    val rr = p.linesIterator.count(_.contains("RoundRobinPartitioning"))
+    assert(rr <= 1, s"only the one base parallelize may round-robin, found $rr:\n" + p)
+    // the round-robin must run BEFORE the expansion: no Generate above it
+    val gen = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gen.nonEmpty, "the x64 explode must exist:\n" + p)
   }
 
   test("x_textrank: edge build broadcasts the vocabulary gate; walk exchanges carry hashes only") {
