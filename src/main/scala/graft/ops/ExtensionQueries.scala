@@ -6274,10 +6274,15 @@ object ExtensionQueries {
     Some("""
       WITH base AS (SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
                     FROM orders),
-      e AS (SELECT rep, cents,
-                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' ||
-                                       CAST(rep AS VARCHAR)), 1, 13))::BIGINT AS u
-            FROM base, (SELECT unnest(generate_series(0, 63)) AS rep) reps),
+      h AS (SELECT cents, blk,
+                   md5(CAST(o_orderkey AS VARCHAR) || '_' ||
+                       CAST(blk AS VARCHAR)) AS hx
+            FROM base, (SELECT unnest(generate_series(0, 31)) AS blk) blks),
+      e AS (SELECT cents, 2 * blk AS rep,
+                   ('0x' || substr(hx, 1, 13))::BIGINT AS u FROM h
+            UNION ALL
+            SELECT cents, 2 * blk + 1 AS rep,
+                   ('0x' || substr(hx, 17, 13))::BIGINT AS u FROM h),
       c AS (SELECT rep, cents,
                    CASE WHEN u < 1656781714176973 THEN 0
                         WHEN u < 3313563428353947 THEN 1

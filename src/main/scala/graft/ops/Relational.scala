@@ -944,41 +944,48 @@ object Relational {
     * grid. At 100 TB this is the textbook one-pass bootstrap: no
     * resample is ever materialized. */
   /** ⌊CDF_Poisson(1)(k)·2⁵²⌋ for k = 0..7; a 52-bit uniform ≥ the last
-    * threshold draws 8. Shared by [[bootstrapCiPoisson]] and its
-    * streaming twin ([[graft.streaming.EventStream.bootstrapCounters]])
-    * so the two draws can never diverge. */
-  val PoissonCdf52: Seq[Long] = Seq(1656781714176973L, 3313563428353947L,
-    4141954285442434L, 4418084571138597L, 4487117142562637L,
-    4500923656847445L, 4503224742561580L, 4503553469092171L)
+    * threshold draws 8. Canonical array lives in the native kernel
+    * ([[org.apache.spark.sql.graftext.GraftKernels.PoissonCdf52]]);
+    * shared by [[bootstrapCiPoisson]] and its streaming twin
+    * ([[graft.streaming.EventStream.bootstrapCounters]]) so the draws
+    * can never diverge. */
+  val PoissonCdf52: Seq[Long] =
+    org.apache.spark.sql.graftext.GraftKernels.PoissonCdf52.toSeq
 
   def bootstrapCiPoisson(orders: DataFrame, b: Int = 64): DataFrame = {
     require(b >= 2 && b <= 4096, s"bootstrapCiPoisson: b=$b out of range")
     import org.apache.spark.sql.expressions.Window
-    val thresholds = PoissonCdf52
     val base = orders.select(col("o_orderkey"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val u = conv(substring(md5(concat_ws("_",
-      col("o_orderkey").cast("string"), col("rep").cast("string"))
-      .cast("binary")), 1, 13), 16, 10).cast("long")
-    val k = thresholds.zipWithIndex.foldRight(lit(8): Column) {
-      case ((t, i), rest) => when(u < t, lit(i)).otherwise(rest)
-    }.cast("long")
-    // Parallelize the draw BEFORE the ×b expansion: a small-SF scan is
-    // one input split, and without this round-robin of the NARROW base
-    // (key + cents — row-sized, pre-expansion) all b·n md5 draws run in
-    // one task (measured 35.8 s → ~2 s at sf0.1). On a real multi-split
-    // 100 TB scan the exchange is a no-op cost-wise. The draw `k` is
-    // projected ONCE so the two per-rep sums share one digest per row.
+    // Parallelize the draw past a small scan's single input split by
+    // round-robining the NARROW base (key + cents — measured
+    // 35.8 s → ~2 s at sf0.1; on a multi-split 100 TB scan the exchange
+    // is a no-op cost-wise). The b draws per row come out of ONE native
+    // kernel call (PoissonBootstrapDraws — b interpreted
+    // concat→md5→substr→conv chains measured a 5.4×-at-10× compute
+    // tax), and the resample sums are 2b RUNNING AGGREGATES over the
+    // base — no ×b row expansion is ever materialized: the b-element
+    // draw array feeds b (m, s) sum pairs in one pass, and only the
+    // 1×2b result reshapes (posexplode of two b-literal arrays) into
+    // the b-row grid.
     val nPart = orders.sparkSession.sessionState.conf.numShufflePartitions
-    val perRep = base
+    val perRepAggs: Seq[Column] = (0 until b).flatMap { j =>
+      Seq(sum(element_at(col("ks"), j + 1)).cast("decimal(38,0)").as(s"_m$j"),
+        sum(element_at(col("ks"), j + 1).cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).cast("decimal(38,0)").as(s"_s$j"))
+    }
+    val one = base
       .repartition(nPart)
       .select(col("cents"),
-        explode(array((0 until b).map(i => lit(i)): _*)).as("rep"), col("o_orderkey"))
-      .select(col("rep"), col("cents"), k.as("k"))
-      .groupBy(col("rep"))
-      .agg(sum(col("k")).cast("decimal(38,0)").as("m"),
-        sum(col("k").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
-          .cast("decimal(38,0)").as("s"))
+        org.apache.spark.sql.graftext.VectorExpressions
+          .poissonBootstrapDraws(col("o_orderkey"), b).as("ks"))
+      .agg(perRepAggs.head, perRepAggs.tail: _*)
+    val perRep = one
+      .select(posexplode(arrays_zip(
+        array((0 until b).map(j => col(s"_m$j")): _*),
+        array((0 until b).map(j => col(s"_s$j")): _*))))
+      .select(col("pos").cast("int").as("rep"),
+        col("col").getField("0").as("m"), col("col").getField("1").as("s"))
       .filter(col("m") > 0)
       .select(col("rep"),
         (col("s").cast("double") / col("m").cast("double") / 100.0).as("mean_b"))

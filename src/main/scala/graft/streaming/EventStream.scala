@@ -646,10 +646,10 @@ object EventStream {
 
   /** Streaming Poisson-bootstrap counters — the resampling-inference
     * twin of [[graft.ops.Relational.bootstrapCiPoisson]]: each event
-    * contributes its deterministic Poisson(1) draw (md5(id‖rep) 52-bit
-    * uniform vs the SHARED integer thresholds
-    * [[graft.ops.Relational.PoissonCdf52]]) to every resample's two
-    * sums. The state is pure addition — micro-batch order and lateness
+    * contributes its deterministic Poisson(1) draws (the SAME
+    * PoissonBootstrapDraws kernel — two 52-bit md5 uniforms per
+    * "id_blk" digest vs the shared ⌊CDF·2⁵²⌋ thresholds) to every
+    * resample's two sums. The state is pure addition — micro-batch order and lateness
     * cannot change the drained table, and the per-rep (m, s) pairs are
     * EXACTLY the decimal sums the batch operator aggregates, so the CI
     * derived from a drained stream is bit-equal to the batch CI over
@@ -661,16 +661,13 @@ object EventStream {
     require(b >= 2 && b <= 4096, s"bootstrapCounters: b=$b out of range")
     val spark = events.sparkSession
     import spark.implicits._
-    val thresholds = graft.ops.Relational.PoissonCdf52.toArray
     events.flatMap { e =>
       val cents = math.round(e.value * 100)
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // the SAME kernel as the batch draw — the twins cannot diverge
+      val ks = org.apache.spark.sql.graftext.GraftKernels
+        .poissonBootstrapDraws(e.event_id, b)
       (0 until b).iterator.map { rep =>
-        val hex = md.digest(s"${e.event_id}_$rep".getBytes("UTF-8"))
-          .map(x => f"$x%02x").mkString
-        val u = java.lang.Long.parseLong(hex.substring(0, 13), 16)
-        var k = 0L
-        while (k < thresholds.length && u >= thresholds(k.toInt)) k += 1
+        val k = ks.getLong(rep)
         (rep, k, k * cents)
       }
     }.groupByKey(_._1)

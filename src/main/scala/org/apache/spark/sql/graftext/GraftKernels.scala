@@ -398,4 +398,46 @@ object GraftKernels {
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }
+
+  /** ⌊CDF_Poisson(1)(k)·2⁵²⌋ for k = 0..7 — the canonical inverse-CDF
+    * thresholds of the Poisson-bootstrap draw (a 52-bit uniform ≥ the
+    * last entry draws 8). Re-exported as
+    * `graft.ops.Relational.PoissonCdf52`; the SQL oracle and the
+    * streaming twin inline/share the same constants. */
+  val PoissonCdf52: Array[Long] = Array(1656781714176973L, 3313563428353947L,
+    4141954285442434L, 4418084571138597L, 4487117142562637L,
+    4500923656847445L, 4503224742561580L, 4503553469092171L)
+
+  /** PoissonBootstrapDraws: one digest per BLOCK of two reps — md5 of
+    * "key_blk" yields two independent 52-bit uniforms (hex chars 1-13
+    * and 17-29, the Md5MinHash a/b-halves precedent), so rep 2·blk
+    * draws from `('0x' || substr(md5(key || '_' || blk), 1, 13))::BIGINT`
+    * and rep 2·blk+1 from `('0x' || substr(…, 17, 13))::BIGINT` —
+    * value-for-value what the SQL replay computes, at half the digest
+    * count and none of the hex/reparse overhead. */
+  def poissonBootstrapDraws(key: Long, b: Int): ArrayData = {
+    val out = new Array[Long](b)
+    val prefix = java.lang.Long.toString(key) + "_"
+    var blk = 0
+    val nBlk = (b + 1) / 2
+    while (blk < nBlk) {
+      val d = Md5Support.digest(UTF8String.fromString(prefix + blk))
+      var rep = 2 * blk
+      var half = 0
+      while (half < 2 && rep < b) {
+        var v = 0L
+        var i = 8 * half
+        val end = i + 8
+        while (i < end) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        val u = v >>> 12 // 13 hex chars = 52 bits, from char 1 or 17
+        var k = 0
+        while (k < 8 && u >= PoissonCdf52(k)) k += 1
+        out(rep) = k
+        rep += 1
+        half += 1
+      }
+      blk += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -204,3 +204,32 @@ case class Md5Min(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Md5Min =
     copy(child = newChild)
 }
+
+/** Per-row Poisson(1) bootstrap draws: rep ∈ [0, b) → the inverse-CDF
+  * count of the 52-bit md5 uniform of "key_rep" — value-for-value the
+  * SQL form `('0x' || substr(md5(key || '_' || rep), 1, 13))::BIGINT`
+  * compared against ⌊CDF·2⁵²⌋ integer thresholds
+  * ([[GraftKernels.PoissonCdf52]]). One kernel loop per row replaces b
+  * interpreted concat→md5→substr→conv chains (measured 5.4×-at-10×
+  * compute tax on x_bootstrap_ci); the construction stays replayable
+  * hash-for-hash by any engine with md5.
+  */
+case class PoissonBootstrapDraws(child: Expression, b: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(b >= 1 && b <= 4096, s"poisson_bootstrap_draws b must be in [1, 4096], got $b")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poisson_bootstrap_draws"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftKernels.poissonBootstrapDraws(input.asInstanceOf[Long], b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftext.GraftKernels.poissonBootstrapDraws($c, $b);")
+
+  override protected def withNewChildInternal(newChild: Expression): PoissonBootstrapDraws =
+    copy(child = newChild)
+}

@@ -242,6 +242,11 @@ object VectorExpressions {
   def md5Hashes60(tokens: Column): Column =
     ExpressionUtils.column(Md5Hashes60(ExpressionUtils.expression(tokens)))
 
+  /** b Poisson(1) bootstrap draws per row off the md5-52 uniform of
+    * "key_rep" — see [[PoissonBootstrapDraws]]. */
+  def poissonBootstrapDraws(key: Column, b: Int): Column =
+    ExpressionUtils.column(PoissonBootstrapDraws(ExpressionUtils.expression(key), b))
+
   /** 60-bit md5 hash per w-token sliding window (space-joined) — the
     * native single-digest-stream form of the dup-span/winnowing window
     * hash; see Md5WindowHashes60. */

@@ -153,11 +153,18 @@ object RelationalProperties extends Properties("graft.ops.Relational") {
       4500923656847445L, 4503224742561580L, 4503553469092171L)
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def u52(key: Long, rep: Int): Long = {
+    // two 52-bit uniforms per digest: hex chars 1-13 and 17-29 of
+    // md5("key_blk") serve reps 2*blk and 2*blk+1
+    def draws(key: Long, b: Int): Seq[Long] = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${key}_$rep".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      (0 until (b + 1) / 2).flatMap { blk =>
+        val hex = md.digest(s"${key}_$blk".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString
+        Seq(java.lang.Long.parseLong(hex.substring(0, 13), 16),
+          java.lang.Long.parseLong(hex.substring(16, 29), 16))
+      }.take(b).map { u =>
+        thresholds.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
+      }
     }
     val genOrders: Gen[List[(Long, Double)]] = for {
       n <- Gen.chooseNum(1, 40)
@@ -170,12 +177,9 @@ object RelationalProperties extends Properties("graft.ops.Relational") {
       val got = Relational.bootstrapCiPoisson(df, b).collect()(0)
       // local mirror, identical arithmetic and rank convention
       val cents = rows.map { case (k, p) => (k, math.round(p * 100)) }
+      val perRowDraws = cents.map { case (key, c) => (draws(key, b), c) }
       val means = (0 until b).flatMap { rep =>
-        val ks = cents.map { case (key, c) =>
-          val u = u52(key, rep)
-          val k = thresholds.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
-          (k, k * c)
-        }
+        val ks = perRowDraws.map { case (ds, c) => (ds(rep), ds(rep) * c) }
         val m = ks.map(_._1).sum
         if (m == 0) None
         else Some((BigInt(ks.map(_._2).sum).toDouble / m.toDouble / 100.0, rep))

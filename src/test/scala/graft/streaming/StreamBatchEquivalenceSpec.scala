@@ -618,15 +618,23 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     val cents = all.map(e => math.round(e.value * 100))
     assert(batch.getLong(0) == all.size.toLong)
     assert(batch.getDouble(2) == round6(cents.sum.toDouble / all.size / 100.0))
-    // duplicate-free pure addition: re-deriving per-rep sums locally matches
+    // duplicate-free pure addition: re-deriving per-rep sums locally
+    // matches (independent mirror of the two-uniforms-per-digest draw)
     val thresholds = graft.ops.Relational.PoissonCdf52
+    def draws(key: Long): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until (B + 1) / 2).flatMap { blk =>
+        val hex = md.digest(s"${key}_$blk".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString
+        Seq(java.lang.Long.parseLong(hex.substring(0, 13), 16),
+          java.lang.Long.parseLong(hex.substring(16, 29), 16))
+      }.take(B).map { u =>
+        thresholds.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
+      }
+    }
     val local = (0 until B).map { rep =>
       val ks = all.map { e =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"${e.event_id}_$rep".getBytes("UTF-8"))
-          .map(x => f"$x%02x").mkString
-        val u = java.lang.Long.parseLong(hex.substring(0, 13), 16)
-        val k = thresholds.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
+        val k = draws(e.event_id)(rep)
         (k, k * math.round(e.value * 100))
       }
       rep -> ((ks.map(_._1).sum, ks.map(_._2).sum))
