@@ -6557,6 +6557,76 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** k-truss peeling trajectory (GraphOps.ktrussPeel scaladoc: per
+    * round one degree-oriented triangle enumeration — packed sorted
+    * forward adjacencies, each triangle materialized once — rolled up
+    * into per-edge support, peel at support < k−2; Σsup = 3Δ supplies
+    * n_triangles with no second pass). The oracle unrolls all three
+    * rounds with the x_triangles naive three-way-join enumeration, so
+    * every round's edge/triangle/removal count is pinned exactly. */
+  val ktrussQ: Q = Q(
+    "x_ktruss",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.ktrussPeel(pairs, k = 4, rounds = 3)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                  WHERE l_returnflag = 'R'),
+      e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      t1 AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+                        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+      s1 AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup FROM (
+               SELECT x AS a, y AS b FROM t1
+               UNION ALL SELECT x AS a, z AS b FROM t1
+               UNION ALL SELECT y AS a, z AS b FROM t1) u
+             GROUP BY 1, 2),
+      e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0 LEFT JOIN s1 USING (a, b)
+             WHERE COALESCE(sup, 0) >= 2),
+      r1 AS (SELECT 1 AS round, (SELECT COUNT(*) FROM e0) AS n_edges,
+                    (SELECT COALESCE(SUM(sup), 0) // 3 FROM s1) AS n_triangles,
+                    (SELECT COUNT(*) FROM e0) - (SELECT COUNT(*) FROM e1) AS n_removed),
+      t2 AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e1 JOIN e1 e2 ON e2.a = e1.b
+                     JOIN e1 e3 ON e3.a = e1.a AND e3.b = e2.b),
+      s2 AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup FROM (
+               SELECT x AS a, y AS b FROM t2
+               UNION ALL SELECT x AS a, z AS b FROM t2
+               UNION ALL SELECT y AS a, z AS b FROM t2) u
+             GROUP BY 1, 2),
+      e2x AS MATERIALIZED (SELECT e1.a, e1.b FROM e1 LEFT JOIN s2 USING (a, b)
+              WHERE COALESCE(sup, 0) >= 2),
+      r2 AS (SELECT 2 AS round, (SELECT COUNT(*) FROM e1) AS n_edges,
+                    (SELECT COALESCE(SUM(sup), 0) // 3 FROM s2) AS n_triangles,
+                    (SELECT COUNT(*) FROM e1) - (SELECT COUNT(*) FROM e2x) AS n_removed),
+      t3 AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e2x e1 JOIN e2x e2 ON e2.a = e1.b
+                         JOIN e2x e3 ON e3.a = e1.a AND e3.b = e2.b),
+      s3 AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup FROM (
+               SELECT x AS a, y AS b FROM t3
+               UNION ALL SELECT x AS a, z AS b FROM t3
+               UNION ALL SELECT y AS a, z AS b FROM t3) u
+             GROUP BY 1, 2),
+      e3x AS MATERIALIZED (SELECT e2x.a, e2x.b FROM e2x LEFT JOIN s3 USING (a, b)
+              WHERE COALESCE(sup, 0) >= 2),
+      r3 AS (SELECT 3 AS round, (SELECT COUNT(*) FROM e2x) AS n_edges,
+                    (SELECT COALESCE(SUM(sup), 0) // 3 FROM s3) AS n_triangles,
+                    (SELECT COUNT(*) FROM e2x) - (SELECT COUNT(*) FROM e3x) AS n_removed)
+      SELECT CAST(round AS INT) AS round, CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(n_triangles AS BIGINT) AS n_triangles,
+             CAST(n_removed AS BIGINT) AS n_removed
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) z
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6596,5 +6666,5 @@ object ExtensionQueries {
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
-    conformalQ, cupedQ)
+    conformalQ, cupedQ, ktrussQ)
 }

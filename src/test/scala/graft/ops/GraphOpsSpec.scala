@@ -99,6 +99,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(dead == Set((1, 0L, 0L), (2, 0L, 0L)), dead.toString)
   }
 
+  test("ktrussPeel: K5 survives as the 4-truss; a lone triangle and a dangling edge peel in round 1; cascade observed") {
+    import spark.implicits._
+    // K5 {1..5} (10 edges, C(5,3)=10 triangles; every edge has support 3)
+    // + disjoint triangle {10,11,12} (support 1 each)
+    // + dangling edge (12,13) (support 0)
+    val g = (for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L))
+    val tr = GraphOps.ktrussPeel(g.toDF("src", "dst"), k = 4, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // round 1: 14 edges, 11 triangles; the triangle's 3 edges (sup 1 < 2)
+    // and the dangler (sup 0) peel; rounds 2-3: the K5 is stable
+    assert(tr == Set((1, 14L, 11L, 4L), (2, 10L, 10L, 0L), (3, 10L, 10L, 0L)), tr.toString)
+    // k=5 (support >= 3): the K5 is exactly 5-truss-tight, still stable
+    val t5 = GraphOps.ktrussPeel(g.toDF("src", "dst"), k = 5, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).toSet
+    assert(t5 == Set((1, 14L, 4L), (2, 10L, 0L)), t5.toString)
+    // k=6 (support >= 4): nothing in K5 qualifies -> cascade to empty
+    val t6 = GraphOps.ktrussPeel(g.toDF("src", "dst"), k = 6, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).toSet
+    assert(t6 == Set((1, 14L, 14L), (2, 0L, 0L)), t6.toString)
+    // truss-vs-core separation: a 4-cycle with one chord {1,2,3,4}
+    // (edges 12,23,34,14,13) is a 3-core-free... every node deg>=2; at
+    // k=4 the chordless pair edges have support 1 -> the whole thing
+    // unravels over rounds (cascade), unlike kcore at k=2 which keeps it
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val tc = GraphOps.ktrussPeel(c4.toDF("src", "dst"), k = 4, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).toSet
+    // round 1: edges 24? absent; triangles {1,2,3},{1,3,4}: supports —
+    // (1,3) sits in both (sup 2, survives), the four rim edges sup 1 ->
+    // removed; round 2: lone edge (1,3) has sup 0 -> removed; round 3 empty
+    assert(tc == Set((1, 5L, 4L), (2, 1L, 1L), (3, 0L, 0L)), tc.toString)
+  }
+
   test("kcoreFixpoint: stops at the first stable round and equals a long-enough fixed run") {
     import spark.implicits._
     // K3 {1,2,3} with path tail 3-4-5-6 at k=2: only the path END is

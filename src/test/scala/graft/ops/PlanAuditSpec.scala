@@ -1441,6 +1441,15 @@ class PlanAuditSpec extends SparkSpec {
         exchangeLines.mkString("\n"))
   }
 
+  test("x_ktruss: trajectory is a driver-bounded local relation; rounds ran behind per-round checkpoints") {
+    // each round's enumeration/peel runs at construction time against
+    // localCheckpointed edge/support tables (the kcore discipline); the
+    // final plan must be the 3-row trajectory table, never a re-scan
+    val p = plan("x_ktruss")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
   test("x_cuped: one user_id exchange shape — no sort-merge join, no data window, no cartesian") {
     val p = plan("x_cuped")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
