@@ -400,6 +400,8 @@ private[graftext] object GraftFunctionRegistry {
       es => Md5MinHash(es(0), intArg("md5_minhash", es(1)))),
     ("md5_min", classOf[Md5Min], es => Md5Min(es(0))),
     ("md5_hashes60", classOf[Md5Hashes60], es => Md5Hashes60(es(0))),
+    ("poisson_bootstrap_draws", classOf[PoissonBootstrapDraws],
+      es => PoissonBootstrapDraws(es(0), intArg("poisson_bootstrap_draws", es(1)))),
     ("md5_window_hashes60", classOf[Md5WindowHashes60],
       es => Md5WindowHashes60(es(0), intArg("md5_window_hashes60", es(1)))),
     ("simhash_from", classOf[SimHashFrom],
@@ -427,6 +429,13 @@ private[graftext] object GraftFunctionRegistry {
     * registered name; functions without an entry get a bare
     * ExpressionInfo. */
   val usages: Map[String, String] = Map(
+    "poisson_bootstrap_draws" ->
+      ("_FUNC_(key, b) - ARRAY<BIGINT> of b deterministic Poisson(1) " +
+        "bootstrap resample counts for this row: md5(key || '_' || blk) " +
+        "yields two 52-bit uniforms (hex chars 1-13 and 17-29) serving " +
+        "reps 2*blk and 2*blk+1, compared against floor(CDF*2^52) " +
+        "integer thresholds — replayable hash-for-hash by any engine " +
+        "with md5. b must be a literal in [1, 4096]."),
     "zorder_long" ->
       ("_FUNC_(dims, bitsPerDim) - Z-order (Morton) interleave of an " +
         "ARRAY<BIGINT>: bit j of dims[k] lands at position j*D + k. " +

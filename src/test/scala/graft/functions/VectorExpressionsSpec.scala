@@ -195,6 +195,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(edge(1) == null)
   }
 
+  test("poisson_bootstrap_draws from SQL equals the interpreted md5 chain, halves included") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT poisson_bootstrap_draws(42L, 4) AS ks,
+             CAST(conv(substr(md5('42_0'), 1, 13), 16, 10) AS BIGINT) AS u0,
+             CAST(conv(substr(md5('42_0'), 17, 13), 16, 10) AS BIGINT) AS u1,
+             CAST(conv(substr(md5('42_1'), 1, 13), 16, 10) AS BIGINT) AS u2,
+             CAST(conv(substr(md5('42_1'), 17, 13), 16, 10) AS BIGINT) AS u3
+    """).collect().head
+    val thresholds = graft.ops.Relational.PoissonCdf52
+    def k(u: Long): Long =
+      thresholds.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
+    val expect = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)).map(k)
+    assert(r.getSeq[Long](0) == expect, s"${r.getSeq[Long](0)} vs $expect")
+    // the draw family has mean ~1: over many keys the counts average out
+    val mean = spark.sql("""
+      SELECT AVG(CAST(d AS DOUBLE)) FROM (
+        SELECT explode(poisson_bootstrap_draws(id, 16)) AS d FROM range(0, 500))
+    """).collect().head.getDouble(0)
+    assert(math.abs(mean - 1.0) < 0.05, s"Poisson(1) mean drifted: $mean")
+  }
+
   test("every native function is callable from SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql("""
