@@ -546,6 +546,54 @@ object EventAnalytics {
         .cast("double") / 1000000L, 6).as("forecast_7"))
   }
 
+  /** Holt–Winters additive forecast with weekly seasonality
+    * (α = 3/10, β = 2/10, γ = 2/10, m = 7) — [[holtForecastDaily]]'s
+    * upgrade when the daily metric has a day-of-week shape (Holt
+    * forever lags a weekly sawtooth; HW learns one additive seasonal
+    * offset per weekday-of-series):
+    *   level_t = α·(x_t − s_{t−m}) + (1−α)·(level + trend)
+    *   trend_t = β·(level_t − level) + (1−β)·trend
+    *   s_t     = γ·(x_t − level_t) + (1−γ)·s_{t−m}
+    * initialized at (x₁, 0, 0⃗) — the zero seasonal init is the
+    * documented deterministic choice (a warm-start average would work
+    * too; the recursion washes the init out at γ > 0).
+    *
+    * Determinism: the whole triple recursion rides integer
+    * micro-units with the portable floor fd(y) = (y − pmod(y,10))
+    * div 10 ([[holtForecastDaily]]'s negative-operand discipline —
+    * trend AND seasonals go negative); season index is (rn−1) mod 7
+    * over the day-ORDER of the series (gaps keep their series
+    * position — the same day-grid contract as SES/Holt). A recursive
+    * CTE carrying the seven seasonal states as columns replays every
+    * step bit-for-bit.
+    *
+    * Scale shape: one exchange to the (type, day) grid, per-type
+    * day-array fold (the state is 9 longs), types in parallel.
+    *
+    * Output: one row per `event_type` — `n_days`, `level`, `trend`,
+    * `season_next7` (the seasonal offset the +7-day forecast lands
+    * on), `forecast_7` = level + 7·trend + that offset (6 dp). */
+  def holtWintersDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val arrs = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+      .withColumn("arr2",
+        expr("transform(arr, (e, i) -> named_struct('c', e.c, 'i', i))"))
+    val folded = arrs.select(col("event_type"),
+      size(col("arr")).cast("long").as("n_days"),
+      expr("aggregate(slice(arr2, 2, greatest(size(arr2) - 1, 0)), named_struct('l6', arr2[0].c * 1000000L, 'b6', 0L, 's6', array_repeat(0L, 7)), (acc, x) -> named_struct('l6', (((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L) - pmod((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L), 10L)) div 10L), 'b6', (((2L * ((((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L) - pmod((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L), 10L)) div 10L) - acc.l6) + 8L * acc.b6 + 5L) - pmod((2L * ((((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L) - pmod((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L), 10L)) div 10L) - acc.l6) + 8L * acc.b6 + 5L), 10L)) div 10L), 's6', transform(acc.s6, (v, vi) -> IF(vi = CAST(x.i % 7 AS INT), (((2L * (1000000L * x.c - (((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L) - pmod((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L), 10L)) div 10L)) + 8L * element_at(acc.s6, CAST(x.i % 7 AS INT) + 1) + 5L) - pmod((2L * (1000000L * x.c - (((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L) - pmod((3L * (1000000L * x.c - element_at(acc.s6, CAST(x.i % 7 AS INT) + 1)) + 7L * (acc.l6 + acc.b6) + 5L), 10L)) div 10L)) + 8L * element_at(acc.s6, CAST(x.i % 7 AS INT) + 1) + 5L), 10L)) div 10L), v))))").as("f"))
+    // forecast lands on series position n+7 → season index (n+6) mod 7
+    val jNext = pmod(col("n_days") + 6, lit(7)).cast("int")
+    val sNext = element_at(col("f").getField("s6"), jNext + 1)
+    folded.select(col("event_type"), col("n_days"),
+      round(col("f").getField("l6").cast("double") / 1000000L, 6).as("level"),
+      round(col("f").getField("b6").cast("double") / 1000000L, 6).as("trend"),
+      round(sNext.cast("double") / 1000000L, 6).as("season_next7"),
+      round((col("f").getField("l6") + lit(7L) * col("f").getField("b6") + sNext)
+        .cast("double") / 1000000L, 6).as("forecast_7"))
+  }
+
   /** Peak session concurrency — the sweep-line readout behind
     * capacity sizing ("how many sessions were open at once, and
     * when"): [[sessionize]]'s inclusive [start, end] intervals become

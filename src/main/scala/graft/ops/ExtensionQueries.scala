@@ -6627,6 +6627,70 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Holt–Winters additive weekly forecast (EventAnalytics
+    * .holtWintersDaily scaladoc: α=3/10 β=2/10 γ=2/10 m=7, the triple
+    * recursion in integer micro-units with the portable
+    * negative-operand floor, zero seasonal init). The oracle's
+    * recursive CTE carries the seven seasonal states as columns and
+    * replays every step bit-for-bit. */
+  val holtWintersQ: Q = Q(
+    "x_holt_winters",
+    (s, d) => EventAnalytics.holtWintersDaily(Tables.events(s, d)),
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+      rec AS (
+        SELECT event_type, rn, n, c * 1000000 AS l6, CAST(0 AS BIGINT) AS b6,
+               CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+               CAST(0 AS BIGINT) AS w4, CAST(0 AS BIGINT) AS w5,
+               CAST(0 AS BIGINT) AS w6
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT event_type, rn, n, l6p,
+               ((2 * (l6p - l0) + 8 * b0 + 5)
+                - (((2 * (l6p - l0) + 8 * b0 + 5) % 10 + 10) % 10)) // 10,
+               CASE WHEN j = 0 THEN wn ELSE w0 END,
+               CASE WHEN j = 1 THEN wn ELSE w1 END,
+               CASE WHEN j = 2 THEN wn ELSE w2 END,
+               CASE WHEN j = 3 THEN wn ELSE w3 END,
+               CASE WHEN j = 4 THEN wn ELSE w4 END,
+               CASE WHEN j = 5 THEN wn ELSE w5 END,
+               CASE WHEN j = 6 THEN wn ELSE w6 END
+        FROM (
+          SELECT *,
+                 ((2 * (x6 - l6p) + 8 * wj + 5)
+                  - (((2 * (x6 - l6p) + 8 * wj + 5) % 10 + 10) % 10)) // 10 AS wn
+          FROM (
+            SELECT *,
+                   ((3 * (x6 - wj) + 7 * (l0 + b0) + 5)
+                    - (((3 * (x6 - wj) + 7 * (l0 + b0) + 5) % 10 + 10) % 10)) // 10 AS l6p
+            FROM (
+              SELECT rk.event_type, rk.rn, rk.n, rec.l6 AS l0, rec.b6 AS b0,
+                     rec.w0, rec.w1, rec.w2, rec.w3, rec.w4, rec.w5, rec.w6,
+                     (rk.rn - 1) % 7 AS j, rk.c * 1000000 AS x6,
+                     CASE (rk.rn - 1) % 7
+                       WHEN 0 THEN rec.w0 WHEN 1 THEN rec.w1 WHEN 2 THEN rec.w2
+                       WHEN 3 THEN rec.w3 WHEN 4 THEN rec.w4 WHEN 5 THEN rec.w5
+                       ELSE rec.w6 END AS wj
+              FROM rec JOIN rk ON rk.event_type = rec.event_type
+                              AND rk.rn = rec.rn + 1) q1) q2) q3)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             ROUND(CAST(l6 AS DOUBLE) / 1000000, 6) AS level,
+             ROUND(CAST(b6 AS DOUBLE) / 1000000, 6) AS trend,
+             ROUND(CAST(wnext AS DOUBLE) / 1000000, 6) AS season_next7,
+             ROUND(CAST(l6 + 7 * b6 + wnext AS DOUBLE) / 1000000, 6) AS forecast_7
+      FROM (SELECT *, CASE (n + 6) % 7
+                        WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2
+                        WHEN 3 THEN w3 WHEN 4 THEN w4 WHEN 5 THEN w5
+                        ELSE w6 END AS wnext
+            FROM rec WHERE rn = n) t
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6666,5 +6730,5 @@ object ExtensionQueries {
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
-    conformalQ, cupedQ, ktrussQ)
+    conformalQ, cupedQ, ktrussQ, holtWintersQ)
 }

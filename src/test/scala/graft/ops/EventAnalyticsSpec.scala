@@ -580,6 +580,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out2("2024-01-06"), out2.toString)
   }
 
+  test("holtWintersDaily == integer recursion mirror; planted weekly shape is learned") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 28 days, counts 5 + 3*(series position mod 7): a pure weekly sawtooth
+    val counts = (0 until 28).map(i => 5 + 3 * (i % 7))
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      val day = f"2024-01-${i + 1}%02d"
+      (1 to c).map { _ => id += 1; (id, s"$day 10:00:00", 1L, "view", 1.0) }
+    }
+    val got = EventAnalytics.holtWintersDaily(events(rows: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).head
+    // mirror: the exact integer micro-unit recursion
+    def fd(y: Long): Long = { val m = ((y % 10) + 10) % 10; (y - m) / 10 }
+    var l = counts(0) * 1000000L; var b = 0L; val sArr = Array.fill(7)(0L)
+    for (t <- 1 until counts.size) {
+      val j = t % 7; val x = counts(t) * 1000000L
+      val lN = fd(3 * (x - sArr(j)) + 7 * (l + b) + 5)
+      val bN = fd(2 * (lN - l) + 8 * b + 5)
+      sArr(j) = fd(2 * (x - lN) + 8 * sArr(j) + 5)
+      l = lN; b = bN
+    }
+    val jNext = (counts.size + 6) % 7
+    assert(got._1 == "view" && got._2 == 28L)
+    assert(got._3 == round6(l / 1e6), s"level ${got._3} vs ${round6(l / 1e6)}")
+    assert(got._4 == round6(b / 1e6), s"trend ${got._4} vs ${round6(b / 1e6)}")
+    assert(got._5 == round6(sArr(jNext) / 1e6), s"season ${got._5}")
+    assert(got._6 == round6((l + 7 * b + sArr(jNext)) / 1e6), s"forecast ${got._6}")
+    // the planted sawtooth is learned: the +7 forecast lands near the
+    // actual next value for that weekday, and the seasonals spread
+    // last observed position is 27 (0-based); +7 lands on position 34
+    val actualNext = 5 + 3 * ((counts.size + 6) % 7)
+    assert(math.abs(got._6 - actualNext) < 1.5,
+      s"forecast ${got._6} should be near $actualNext")
+    assert(sArr.max - sArr.min > 3000000L, "seasonals must spread over the sawtooth")
+  }
+
   test("cupedAb == plain-Scala mirror; planted covariate structure is removed") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
