@@ -388,6 +388,59 @@ object DataQuality {
         round(col("m"), 6).as("ts_slope"))
   }
 
+  /** Mann–Kendall trend test of the per-type daily series — the
+    * SIGNIFICANCE companion to [[theilSenDaily]]'s robust slope (the
+    * pairing every hydrology/monitoring handbook ships together:
+    * Theil–Sen says how steep, Mann–Kendall says whether the monotone
+    * trend is distinguishable from noise at all):
+    * S = Σ_{i<j} sgn(x_j − x_i) over the day-ordered counts,
+    * Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18 with the standard
+    * tie correction, and the continuity-corrected
+    * z = (S∓1)/√Var(S) (0 at S = 0).
+    *
+    * Determinism: S and both variance numerators are exact integer
+    * sums over the day grid; Var(S) is ONE exact-long-over-18 divide
+    * and z one mirrored divide/sqrt chain; an all-tied series has
+    * Var(S) = 0 and reports NULL z (surfaced, not NaN).
+    *
+    * Scale shape: one exchange to the (type, day) grid; the pair
+    * stream is grid², generated per type from the checkpointed grid —
+    * day-grid-sized, never data-sized. */
+  def mannKendallDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).as("d"), col("c"))
+      .localCheckpoint() // pairs + ties + n all read the grid
+    val sTab = daily.select(col("event_type"), col("d").as("d1"), col("c").as("c1"))
+      .join(daily.select(col("event_type"), col("d").as("d2"), col("c").as("c2")),
+        Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("c2") > col("c1"), 1L)
+        .when(col("c2") < col("c1"), -1L).otherwise(0L)).cast("long").as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).cast("long").as("tt"))
+    val base = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .join(broadcast(sTab), Seq("event_type"), "left")
+      .join(broadcast(ties), Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        ((col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tt"))
+          .cast("double") / 18.0).as("var_s"))
+    base.select(col("event_type"), col("n_days"), col("s_stat"),
+      round(col("var_s"), 6).as("var_s"),
+      when(col("var_s") > 0,
+        round(when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6)).as("z"))
+  }
+
   /** Kendall's τ-b between daily event count and daily value mass, per
     * event type — the concordance complement to [[theilSenDaily]]'s
     * robust slope: do busier days carry proportionally more value, read

@@ -6691,6 +6691,41 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Mann–Kendall monotone-trend significance per event type
+    * (DataQuality.mannKendallDaily scaladoc: exact integer S and
+    * tie-corrected variance numerators over the day grid, one
+    * long-over-18 divide, continuity-corrected z, NULL z on an
+    * all-tied series). */
+  val mannKendallQ: Q = Q(
+    "x_mann_kendall",
+    (s, d) => DataQuality.mannKendallDaily(Tables.events(s, d)),
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      dd AS (SELECT event_type, day - DATE '1970-01-01' AS d, c FROM daily),
+      st AS (SELECT a.event_type,
+                    CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                                  WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+             FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.d < b.d
+             GROUP BY 1),
+      ti AS (SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+             FROM (SELECT event_type, c, COUNT(*) AS t FROM dd GROUP BY 1, 2) g
+             GROUP BY 1),
+      b AS (SELECT nd.event_type, nd.n AS n_days, COALESCE(st.s_stat, 0) AS s_stat,
+                   CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ti.tt AS DOUBLE)
+                     / 18.0 AS var_s
+            FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM dd GROUP BY 1) nd
+            LEFT JOIN st USING (event_type) JOIN ti USING (event_type))
+      SELECT event_type, n_days, s_stat, ROUND(var_s, 6) AS var_s,
+             CASE WHEN var_s > 0 THEN
+               ROUND(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+                          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+                          ELSE 0.0 END, 6) END AS z
+      FROM b
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6730,5 +6765,5 @@ object ExtensionQueries {
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
-    conformalQ, cupedQ, ktrussQ, holtWintersQ)
+    conformalQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ)
 }

@@ -159,6 +159,33 @@ class DataQualitySpec extends SparkSpec {
     assert(out("b") == ((1L, 0L, null)), out.toString)
   }
 
+  test("mannKendallDaily: hand S/Var/z on mixed data; strict ramp maxes S; all-tied series reports NULL z") {
+    import spark.implicits._
+    def rows(typ: String, dayCounts: (String, Int)*) =
+      dayCounts.flatMap { case (d, n) => (1 to n).map(i =>
+        (s"$typ$d$i", s"2024-01-0$d 10:0$i:00", 1L, typ, 1.0)) }
+    // type a: counts 1,3,2,3 on days 1..4 — S = sgn-pairs:
+    // (1,3)+ (1,2)+ (1,3)+ (3,2)- (3,3)0 (2,3)+ → S = 3;
+    // ties: value 3 twice → tt = 2·1·9 = 18; Var = (4·3·13 − 18)/18 = 138/18
+    // type b: strict ramp 1,2,3 → S = 3, no ties, Var = 3·2·11/18
+    // type c: all-tied 2,2 → S = 0, Var = 0 → NULL z
+    val ev = (rows("a", ("1", 1), ("2", 3), ("3", 2), ("4", 3)) ++
+      rows("b", ("1", 1), ("2", 2), ("3", 3)) ++ rows("c", ("1", 2), ("2", 2)))
+      .zipWithIndex.map { case ((_, ts, u, t, v), i) => (i.toLong, ts, u, t, v) }
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .selectExpr("event_id", "cast(ts_s as timestamp) as ts", "user_id",
+        "event_type", "value")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = DataQuality.mannKendallDaily(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(out("a") == ((4L, 3L, r6(138.0 / 18.0), r6(2.0 / math.sqrt(138.0 / 18.0)))),
+      out.toString)
+    assert(out("b") == ((3L, 3L, r6(66.0 / 18.0), r6(2.0 / math.sqrt(66.0 / 18.0)))),
+      out.toString)
+    assert(out("c") == ((2L, 0L, 0.0, null)), out.toString)
+  }
+
   test("psiDrift: identical distribution reads exactly 0; total displacement reads the closed form") {
     import spark.implicits._
     // ref A = 1..10 → decile boundaries are exactly 1..9 (rank k at
