@@ -65,4 +65,39 @@ object EventAnalyticsProperties extends Properties("graft.ops.EventAnalytics") {
       out == ref
     }
   }
+
+  property("mannKendallDaily == the literal pairwise-sign definition on tie-heavy random series") = {
+    // small count domain forces heavy ties (the tie-correction path)
+    val genDaily: Gen[List[Int]] = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, Gen.chooseNum(1, 4))
+    } yield cs
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    forAll(genDaily) { counts =>
+      var id = 0L
+      val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+        (1 to c).map { _ =>
+          id += 1
+          (id, 1L, "view", f"2024-01-${i + 1}%02d 10:00:00")
+        }
+      }
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts_s")
+        .selectExpr("event_id", "user_id", "event_type", "cast(ts_s as timestamp) as ts")
+      val got = DataQuality.mannKendallDaily(df).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).head
+      // literal definition
+      val s = (for (i <- counts.indices; j <- counts.indices if i < j)
+        yield math.signum(counts(j) - counts(i)).toLong).sum
+      val n = counts.size.toLong
+      val tt = counts.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tt).toDouble / 18.0
+      val zRef = if (varS > 0) {
+        Some(r6(if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0))
+      } else None
+      got == ((n, s, r6(varS), zRef)) || { println(s"counts=$counts got=$got want=${(n, s, r6(varS), zRef)}"); false }
+    }
+  }
 }

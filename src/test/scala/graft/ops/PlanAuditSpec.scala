@@ -1450,6 +1450,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("x_holt_winters: one grid exchange, the fold is a projection — no window, no join, no cartesian") {
+    val p = plan("x_holt_winters")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"),
+      "the HW recursion is an array fold, never a window:\n" + p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, // (type, day) grid + per-type array rollup
+      s"HW must exchange only grid rows, found $exchanges exchanges:\n" + p)
+  }
+
+  test("x_mann_kendall: pair stream is generated from the checkpointed grid, never the events scan") {
+    val p = plan("x_mann_kendall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Scan parquet"),
+      "pairs/ties/totals must read the checkpointed day grid, not re-scan events:\n" + p)
+  }
+
   test("x_cuped: one user_id exchange shape — no sort-merge join, no data window, no cartesian") {
     val p = plan("x_cuped")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
