@@ -594,6 +594,56 @@ object EventAnalytics {
         .cast("double") / 1000000L, 6).as("forecast_7"))
   }
 
+  /** STL-lite additive decomposition of the per-type daily series —
+    * the classical-decomposition readout (trend = centered 7-point
+    * moving average over series positions; seasonal = per-weekday mean
+    * of the detrended series; residual = the rest) that an analyst
+    * runs BEFORE the model pickers ([[holtWintersDaily]] fits, this
+    * explains): "how much of this metric is trend, how much weekly
+    * rhythm, how much noise", day by day.
+    *
+    * Determinism: the 7-point trend sum t7 and the detrended value
+    * d7 = 7c − t7 are exact integers; the per-weekday seasonal is ONE
+    * exact-integer-over-integer divide (Σd7 / (7·count)); weekday is
+    * epoch-day mod 7 (engine-neutral — both engines' DOW functions
+    * disagree on numbering); trend and residual are mirrored double
+    * chains; only rows with a full 7-point neighborhood are emitted
+    * (count-over-window = 7 is the validity witness, so series edges
+    * and sub-7-day types drop out rather than emitting a ragged
+    * average).
+    *
+    * Scale shape: one exchange to the (type, day) grid; windows and
+    * rollups are grid-sized (the cusum/day-grid precedent); the
+    * weekday seasonal table broadcasts back. */
+  def stlDecomposeDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("day"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).as("d"), col("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("t7", sum(col("c")).over(w).cast("long"))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === 7)
+      .withColumn("dow", pmod(col("d"), lit(7)).cast("int"))
+      .withColumn("d7", lit(7L) * col("c") - col("t7"))
+      .localCheckpoint() // seasonal rollup + the final readout
+    val seasonal = trended.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("d7")).cast("long").as("sd7"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("dow"),
+        (col("sd7").cast("double") / (lit(7L) * col("cnt")).cast("double")).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        round(col("t7").cast("double") / 7.0, 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("c").cast("double") - col("t7").cast("double") / 7.0
+          - col("seasonal"), 6).as("residual"))
+  }
+
   /** Peak session concurrency — the sweep-line readout behind
     * capacity sizing ("how many sessions were open at once, and
     * when"): [[sessionize]]'s inclusive [start, end] intervals become

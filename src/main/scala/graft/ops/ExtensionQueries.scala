@@ -6726,6 +6726,38 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** STL-lite daily decomposition (EventAnalytics.stlDecomposeDaily
+    * scaladoc: exact integer t7/d7, epoch-day-mod-7 weekday, one
+    * exact divide per seasonal, full-neighborhood validity witness,
+    * mirrored trend/residual chains). */
+  val stlQ: Q = Q(
+    "x_stl_decompose",
+    (s, d) => EventAnalytics.stlDecomposeDaily(Tables.events(s, d)),
+    Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      dd AS (SELECT event_type, day, day - DATE '1970-01-01' AS d, c FROM daily),
+      tr AS (SELECT *,
+                    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+                    COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+             FROM dd),
+      v AS (SELECT event_type, day, CAST(d % 7 AS INT) AS dow, c, t7,
+                   7 * c - t7 AS d7
+            FROM tr WHERE nw = 7),
+      se AS (SELECT event_type, dow,
+                    CAST(SUM(d7) AS DOUBLE) / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+             FROM v GROUP BY 1, 2)
+      SELECT v.event_type, v.day, CAST(v.c AS BIGINT) AS n_events,
+             ROUND(CAST(v.t7 AS DOUBLE) / 7.0, 6) AS trend,
+             ROUND(se.seasonal, 6) AS seasonal,
+             ROUND(CAST(v.c AS DOUBLE) - CAST(v.t7 AS DOUBLE) / 7.0
+                   - se.seasonal, 6) AS residual
+      FROM v JOIN se ON v.event_type = se.event_type AND v.dow = se.dow
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6765,5 +6797,5 @@ object ExtensionQueries {
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
-    conformalQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ)
+    conformalQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ, stlQ)
 }

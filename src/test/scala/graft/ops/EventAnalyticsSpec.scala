@@ -618,6 +618,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(sArr.max - sArr.min > 3000000L, "seasonals must spread over the sawtooth")
   }
 
+  test("stlDecomposeDaily: pure weekly signal decomposes exactly — flat trend, planted seasonals, zero residual") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // c(day) = 10 + offset[epoch-day mod 7]: any 7-point window sums to
+    // 7*10 + sum(offsets), so trend is flat, seasonal recovers the
+    // centered offsets, residual is exactly 0
+    val offsets = Array(0, 3, 6, 1, 0, 2, 9)
+    var id = 0L
+    val rows = (0 until 21).flatMap { i =>
+      val day = f"2024-01-${i + 1}%02d"
+      val epochDay = java.time.LocalDate.parse(f"2024-01-${i + 1}%02d").toEpochDay
+      val c = 10 + offsets((epochDay % 7).toInt)
+      (1 to c).map { _ => id += 1; (id, s"$day 10:00:00", 1L, "view", 1.0) }
+    }
+    val out = EventAnalytics.stlDecomposeDaily(events(rows: _*)).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // edges (3 days each side) drop: 21 days -> 15 emitted
+    assert(out.size == 15, out.keys.toSeq.sorted.mkString(","))
+    assert(!out.contains("2024-01-01") && !out.contains("2024-01-21"))
+    val meanOff = offsets.sum.toDouble / 7
+    val expTrend = round6(10 + meanOff)
+    out.foreach { case (day, (c, trend, seasonal, residual)) =>
+      val epochDay = java.time.LocalDate.parse(day).toEpochDay
+      val off = offsets((epochDay % 7).toInt)
+      assert(trend == expTrend, s"$day trend $trend != $expTrend")
+      assert(seasonal == round6(off - meanOff), s"$day seasonal $seasonal")
+      assert(residual == 0.0, s"$day residual $residual")
+      assert(c == 10L + off)
+    }
+  }
+
   test("cupedAb == plain-Scala mirror; planted covariate structure is removed") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
