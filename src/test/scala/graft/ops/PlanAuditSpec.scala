@@ -1467,6 +1467,15 @@ class PlanAuditSpec extends SparkSpec {
       "pairs/ties/totals must read the checkpointed day grid, not re-scan events:\n" + p)
   }
 
+  test("x_stl_decompose: windows and rollups ride the checkpointed day grid; seasonal broadcasts back") {
+    val p = plan("x_stl_decompose")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Scan parquet"),
+      "the seasonal rollup and readout must read the checkpointed grid:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the weekday seasonal table must broadcast back:\n" + p)
+  }
+
   test("x_cuped: one user_id exchange shape — no sort-merge join, no data window, no cartesian") {
     val p = plan("x_cuped")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
