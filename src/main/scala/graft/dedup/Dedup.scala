@@ -244,6 +244,51 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** LSH tuning readout — the knob-turning face of the banded-minhash
+    * tier: for the configured (k, rowsPerBand) banding it reports the
+    * MEASURED candidate expansion on this corpus (bucket count, max
+    * bucket, distinct candidate pairs — the verify-stage bill) next to
+    * the textbook S-curve p(s) = 1 − (1 − s^r)^b (MMDS ch.3: the
+    * probability a pair at Jaccard similarity s shares ≥ 1 band), on a
+    * 19-point s grid. One readout answers both tuning questions: where
+    * this config's similarity knee sits, and what the corpus actually
+    * pays for it.
+    *
+    * Determinism: the banding is the md5 family ([[bandSignaturesMd5]]
+    * — oracle-replayable hash-for-hash); the curve avoids libm pow
+    * (cross-engine last-ulp risk) by expanding the small integer
+    * exponents into explicit left-associated multiplication chains,
+    * mirrored literally in the oracle.
+    *
+    * Scale shape: one signature pass, one (band, s) exchange; stats
+    * and the pair expansion read the SAME checkpointed bucket table;
+    * the s grid is 19 literal rows crossJoined with the 1-row stats. */
+  def lshTuningCurve(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 2,
+                     shingleW: Int = 3): DataFrame = {
+    require(k % rowsPerBand == 0, s"lshTuningCurve: k=$k not divisible by r=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    def ipow(c: Column, e: Int): Column = Seq.fill(e)(c).reduce(_ * _)
+    val grouped = bandSignaturesMd5(docs, "doc_id", "text", k, rowsPerBand, shingleW)
+      .groupBy(col("band"), col("s"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .localCheckpoint() // bucket stats + the pair expansion
+    val cand = pairsFromIdLists(grouped.filter(size(col("ids")) >= 2), "ids")
+      .dropDuplicates()
+    val stats = grouped.agg(
+        count(lit(1)).as("n_buckets"),
+        max(size(col("ids"))).cast("long").as("max_bucket"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidate_pairs"))))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+    val spark = docs.sparkSession
+    val grid = spark.range(1, 20).select(col("id").cast("int").as("i"))
+    grid.crossJoin(broadcast(stats))
+      .withColumn("_y", lit(1.0) - ipow(col("i").cast("double") / 20.0, rowsPerBand))
+      .select(round(col("i").cast("double") / 20.0, 2).as("s"),
+        round(lit(1.0) - ipow(col("_y"), nBands), 6).as("p_collide"),
+        col("n_docs"), col("n_buckets"), col("max_bucket"),
+        col("n_candidate_pairs"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash over an arbitrary per-token hash array: per-token hash →

@@ -6758,6 +6758,46 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** LSH tuning curve (Dedup.lshTuningCurve scaladoc: measured
+    * candidate expansion of the md5 banding next to the exact
+    * 1−(1−s^r)^b S-curve, integer exponents expanded into literal
+    * multiplication chains — no libm pow). The oracle replays the
+    * banding hash-for-hash and mirrors the chains. */
+  val lshCurveQ: Q = Q(
+    "x_lsh_curve",
+    (s, d) => Dedup.lshTuningCurve(Tables.documents(s, d), k = 16, rowsPerBand = 2),
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      sh0 AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 1)),
+                i -> array_to_string(w[i:i+2], ' '))) AS shl FROM w),
+      ab AS (SELECT doc_id, list_transform(shl, g ->
+                      [('0x' || substr(md5(g), 1, 14))::BIGINT,
+                       ('0x' || substr(md5(g), 17, 14))::BIGINT]) AS hp FROM sh0),
+      sigs0 AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+                       list_min(list_transform(hp, p -> p[1] + j * p[2]))) AS sl
+                FROM ab),
+      bands AS (SELECT doc_id, b,
+                       array_to_string(sl[2*b+1:2*b+2], ',') AS s
+                FROM sigs0, (SELECT unnest(generate_series(0, 7)) AS b) bs),
+      g AS (SELECT b, s, COUNT(*) AS sz FROM bands GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+               FROM (SELECT b, s FROM g WHERE sz >= 2) bc
+               JOIN bands x ON x.b = bc.b AND x.s = bc.s
+               JOIN bands y ON y.b = bc.b AND y.s = bc.s
+                           AND x.doc_id < y.doc_id),
+      st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_buckets,
+                    (SELECT CAST(MAX(sz) AS BIGINT) FROM g) AS max_bucket,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs)
+      SELECT ROUND(i / 20.0, 2) AS s,
+             ROUND(1.0 - y*y*y*y*y*y*y*y, 6) AS p_collide,
+             n_docs, n_buckets, max_bucket, n_candidate_pairs
+      FROM (SELECT i, 1.0 - (i / 20.0) * (i / 20.0) AS y
+            FROM (SELECT unnest(generate_series(1, 19)) AS i) gr) q, st
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(dedupExact, dedupExact128, dedupMinhash, dedupSimhash, dedupClusters,
     dedupIncremental, dedupIncrementalBloom, dedupIncrementalBloomSharded,
     dedupIncrementalNearDup, dedupIncrementalNearDupPersisted, dedupIndexMerged,
@@ -6797,5 +6837,5 @@ object ExtensionQueries {
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
-    conformalQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ, stlQ)
+    conformalQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ, stlQ, lshCurveQ)
 }

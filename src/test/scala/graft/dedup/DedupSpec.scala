@@ -525,4 +525,40 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(("s1", "s2", 1L, 2L)), out.mkString(","))
   }
+
+  test("lshTuningCurve: exact S-curve chain, monotone with the textbook knee; measured stats are consistent") {
+    import spark.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // two exact duplicates (guaranteed candidate pair) + unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "red green blue yellow purple orange")).toDF("doc_id", "text")
+    val out = Dedup.lshTuningCurve(docs, k = 16, rowsPerBand = 2).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.length == 19)
+    // curve values equal the exact left-associated chain
+    out.zipWithIndex.foreach { case ((s, p, _, _, _, _), idx) =>
+      val i = idx + 1
+      val sRaw = i.toDouble / 20.0
+      val y = 1.0 - sRaw * sRaw
+      val pRef = round6(1.0 - Seq.fill(8)(y).reduce(_ * _))
+      assert(s == round6(math.floor(sRaw * 100 + 0.5) / 100) || s == BigDecimal(sRaw)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"s=$s")
+      assert(p == pRef, s"p($s)=$p != $pRef")
+    }
+    // monotone, pinned endpoints and the (1/b)^(1/r) knee shape
+    assert(out.map(_._2).sliding(2).forall(w => w(0) <= w(1)), "S-curve must be monotone")
+    assert(out.head._2 < 0.05 && out.last._2 > 0.99)
+    // measured stats: constant across rows; the planted dup pair is a candidate
+    val stats = out.map(t => (t._3, t._4, t._5, t._6)).distinct
+    assert(stats.length == 1, stats.toString)
+    val (nDocs, nBuckets, maxBucket, nCand) = stats.head
+    assert(nDocs == 4L && nCand >= 1L && nCand <= 6L, stats.toString)
+    assert(maxBucket >= 2L, "the exact-dup pair must share every band bucket")
+    assert(nBuckets >= 8L, "at least one bucket per band for the dup pair alone")
+  }
 }
