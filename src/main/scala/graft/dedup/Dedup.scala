@@ -250,22 +250,35 @@ object Dedup {
     * bucket, distinct candidate pairs — the verify-stage bill) next to
     * the textbook S-curve p(s) = 1 − (1 − s^r)^b (MMDS ch.3: the
     * probability a pair at Jaccard similarity s shares ≥ 1 band), on a
-    * 19-point s grid. One readout answers both tuning questions: where
-    * this config's similarity knee sits, and what the corpus actually
-    * pays for it.
+    * 19-point s grid, PLUS the measured recall at `refThreshold`: the
+    * exact-Jaccard true-pair set of a deterministic `sampleN`-doc
+    * sample (md5-ordered take — scale-independent ground-truth cost:
+    * sampleN²/2 exact verifications regardless of corpus size) is
+    * intersected with the candidate set, so one readout is
+    * decision-complete — theoretical knee, actual candidate bill, and
+    * how much of the real ≥θ mass this banding actually catches.
     *
     * Determinism: the banding is the md5 family ([[bandSignaturesMd5]]
     * — oracle-replayable hash-for-hash); the curve avoids libm pow
     * (cross-engine last-ulp risk) by expanding the small integer
     * exponents into explicit left-associated multiplication chains,
-    * mirrored literally in the oracle.
+    * mirrored literally in the oracle; the sample is the first
+    * `sampleN` docs in (md5(doc_id), doc_id) order and the true-pair
+    * test is the exact integer-shingle Jaccard divide both engines
+    * compute identically.
     *
     * Scale shape: one signature pass, one (band, s) exchange; stats
     * and the pair expansion read the SAME checkpointed bucket table;
-    * the s grid is 19 literal rows crossJoined with the 1-row stats. */
+    * the s grid is 19 literal rows crossJoined with the 1-row stats;
+    * the recall leg is a TakeOrdered of sampleN rows, one broadcast
+    * all-pairs verify over sampleN² (bounded by the parameter, never
+    * the corpus), and one semi-join against the candidate pairs. */
   def lshTuningCurve(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 2,
-                     shingleW: Int = 3): DataFrame = {
+                     shingleW: Int = 3, refThreshold: Double = 0.7,
+                     sampleN: Int = 200): DataFrame = {
     require(k % rowsPerBand == 0, s"lshTuningCurve: k=$k not divisible by r=$rowsPerBand")
+    require(sampleN >= 2 && sampleN <= 10000,
+      s"lshTuningCurve: sampleN=$sampleN out of [2, 10000]")
     val nBands = k / rowsPerBand
     def ipow(c: Column, e: Int): Column = Seq.fill(e)(c).reduce(_ * _)
     val grouped = bandSignaturesMd5(docs, "doc_id", "text", k, rowsPerBand, shingleW)
@@ -274,11 +287,37 @@ object Dedup {
       .localCheckpoint() // bucket stats + the pair expansion
     val cand = pairsFromIdLists(grouped.filter(size(col("ids")) >= 2), "ids")
       .dropDuplicates()
+      .localCheckpoint() // candidate count + the recall semi-join
+    // measured recall at refThreshold on the deterministic sample
+    val sample = docs
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(sampleN)
+      .select(col("doc_id"), shingles(col("text"), shingleW).as("sh"))
+      .localCheckpoint()
+    val truePairs = sample.select(col("doc_id").as("id1"), col("sh").as("_sh1"))
+      .crossJoin(broadcast(sample.select(col("doc_id").as("id2"), col("sh").as("_sh2"))))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("_sh1"), col("_sh2"))).as("_nc"),
+        size(col("_sh1")).as("_n1"), size(col("_sh2")).as("_n2"))
+      .filter(col("_nc").cast("double") /
+        (col("_n1") + col("_n2") - col("_nc")) >= refThreshold)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint()
+    val recallStats = truePairs
+      .join(cand, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_true_caught"))
+      .crossJoin(broadcast(truePairs.agg(count(lit(1)).as("n_true_pairs"))))
+      .select(col("n_true_pairs"), col("n_true_caught"),
+        when(col("n_true_pairs") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_true_caught").cast("double")
+            / col("n_true_pairs").cast("double"), 6)).as("recall"))
     val stats = grouped.agg(
         count(lit(1)).as("n_buckets"),
         max(size(col("ids"))).cast("long").as("max_bucket"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidate_pairs"))))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .crossJoin(broadcast(recallStats))
     val spark = docs.sparkSession
     val grid = spark.range(1, 20).select(col("id").cast("int").as("i"))
     grid.crossJoin(broadcast(stats))
@@ -286,7 +325,8 @@ object Dedup {
       .select(round(col("i").cast("double") / 20.0, 2).as("s"),
         round(lit(1.0) - ipow(col("_y"), nBands), 6).as("p_collide"),
         col("n_docs"), col("n_buckets"), col("max_bucket"),
-        col("n_candidate_pairs"))
+        col("n_candidate_pairs"), col("n_true_pairs"), col("n_true_caught"),
+        col("recall"))
   }
 
   // -------------------------------------------------------------- simhash

@@ -511,18 +511,101 @@ object Multimodal {
     }
   }
 
+  /** All-video media table over `documents` — the fixture for a video
+    * dedup job (payload = UTF-8 bytes standing in for an encoded
+    * container; every row takes the video path through [[lumaGrid]]). */
+  def videoTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      lit("video").as("media_type"))
+
+  /** RIFF/AVI magic: `RIFF....AVI ` — the container the JDK can
+    * actually yield pixels from (MJPEG frames are plain JPEGs a stock
+    * ImageIO decodes). Same hot-path contract as the other sniffs. */
+  private[mm] def sniffAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'A'.toByte && p(9) == 'V'.toByte && p(10) == 'I'.toByte && p(11) == ' '.toByte
+
+  /** Bare MJPEG stream magic (concatenated JPEGs): a JPEG SOI at byte
+    * 0 on a `video`-typed payload — the raw-frame subset. */
+  private[mm] def sniffMjpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte
+
+  /** First decodable keyframe of an AVI: a hand walk of the RIFF chunk
+    * list (public byte format, the container twin of
+    * [[decodeVideoMeta]]'s box walk) — `id(4) size(4 LE) payload`,
+    * even-padded; `LIST` chunks (`movi`, `rec `) recurse — to the
+    * first `##dc`/`##db` video chunk whose payload is a JPEG, decoded
+    * with stock ImageIO. Header+first-frame only: the walk SKIPS every
+    * non-JPEG chunk by size, so cost is independent of video length
+    * (a real multi-codec deployment swaps ffmpeg/JNI in here — the
+    * sniff/walk/pool contract stays). None when no frame decodes. */
+  private[mm] def decodeAviFirstJpegFrame(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def walk(start: Int, stop: Int): Option[java.awt.image.BufferedImage] = {
+      var off = start
+      while (off + 8 <= stop) {
+        val size = u32le(off + 4)
+        val pStart = off + 8
+        val pEnd = pStart + size
+        if (size < 0 || pEnd > stop) return None // corrupt tail
+        val isList = p(off) == 'L'.toByte && p(off + 1) == 'I'.toByte &&
+          p(off + 2) == 'S'.toByte && p(off + 3) == 'T'.toByte
+        if (isList && size >= 4) {
+          val hit = walk(pStart + 4, pEnd.toInt)
+          if (hit.isDefined) return hit
+        } else if (size >= 3 &&
+            (p(off + 2) == 'd'.toByte &&
+              (p(off + 3) == 'c'.toByte || p(off + 3) == 'b'.toByte)) &&
+            p(pStart) == 0xFF.toByte && p(pStart + 1) == 0xD8.toByte) {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(p, pStart, pEnd.toInt)))
+            catch { case _: Exception => null }
+          if (img != null) return Some(img)
+        }
+        off = (pEnd + (size & 1L)).toInt // chunks are even-padded
+      }
+      None
+    }
+    try walk(12, p.length)
+    catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** REAL video keyframe luma: decode the first keyframe —
+    * [[decodeAviFirstJpegFrame]] for AVI/MJPEG containers, a straight
+    * `ImageIO.read` for a bare MJPEG stream (reads exactly the first
+    * JPEG) — and pool it through the SAME [[poolLuma66]] grid as still
+    * images, so a video's content fingerprint rides the identical
+    * 66-cell → [[dhash60]] → banded-Hamming machine. None for
+    * payloads with no decodable frame. */
+  private[mm] def videoLuma66(payload: Array[Byte]): Option[Array[Int]] = {
+    val frame =
+      if (sniffAvi(payload)) decodeAviFirstJpegFrame(payload)
+      else if (sniffMjpeg(payload))
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      else None
+    frame.map(poolLuma66)
+  }
+
   /** Distributed decode → 66-cell feature grid: the REAL paths for
     * recognizable payloads — images ([[sniffImage]] gate, full
-    * `ImageIO.read` pixel decode + [[poolLuma66]]) and audio
-    * ([[sniffAudio]] gate, PCM decode + [[audioEnergy66]]) — these are
-    * the multimodal stages that must touch sample data, so each runs
-    * exactly once per row and everything downstream is 8-byte hashes;
-    * [[stubLuma66]] for everything else. The column is named `luma`
-    * for the image case but is modality-generic: any 66-cell 0..255
-    * feature grid feeds [[dhash60]]/[[phashNearDups]] unchanged — ONE
-    * near-dup machine for every modality. Partition-wise like
-    * [[extractFeatures]] (one MessageDigest per row, decoder contexts
-    * reusable per partition). */
+    * `ImageIO.read` pixel decode + [[poolLuma66]]), audio
+    * ([[sniffAudio]] gate, PCM decode + [[audioEnergy66]]), and video
+    * ([[sniffAvi]]/[[sniffMjpeg]] gate, first-keyframe decode +
+    * [[videoLuma66]]) — these are the multimodal stages that must
+    * touch sample data, so each runs exactly once per row and
+    * everything downstream is 8-byte hashes; [[stubLuma66]] for
+    * everything else. The column is named `luma` for the image case
+    * but is modality-generic: any 66-cell 0..255 feature grid feeds
+    * [[dhash60]]/[[phashNearDups]] unchanged — ONE near-dup machine
+    * for every modality. Partition-wise like [[extractFeatures]] (one
+    * MessageDigest per row, decoder contexts reusable per partition). */
   def lumaGrid(media: DataFrame): Dataset[LumaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -537,6 +620,8 @@ object Multimodal {
             if (img != null) poolLuma66(img) else stubLuma66(payload)
           } else if (r.media_type == "audio" && sniffAudio(payload)) {
             audioEnergy66(payload).getOrElse(stubLuma66(payload))
+          } else if (r.media_type == "video" && (sniffAvi(payload) || sniffMjpeg(payload))) {
+            videoLuma66(payload).getOrElse(stubLuma66(payload))
           } else stubLuma66(payload)
         LumaRow(r.media_id, luma)
       }
@@ -611,5 +696,158 @@ object Multimodal {
       .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("dist") <= threshold)
       .select(col("id1"), col("id2"), col("dist"))
+  }
+
+  // ------------------------------------------- incremental pHash index
+
+  /** The reusable corpus half of media near-dup dedup — the pHash twin
+    * of [[graft.dedup.Dedup.CorpusNearDupIndex]]: per-(band, bkey) id
+    * groups (bucket-capped) + the per-media 8-byte dHash for the exact
+    * popcount verify. Build ONCE over the corpus (the only pass that
+    * ever touches payload bytes), persist/cache, and probe with every
+    * ingest batch — per-batch cost then excludes the corpus decode +
+    * hash entirely. */
+  final case class MediaPhashIndex(bands: DataFrame, hashes: DataFrame) {
+    def cache(): this.type = { bands.cache(); hashes.cache(); this }
+    def unpersist(): Unit = { bands.unpersist(); hashes.unpersist() }
+  }
+
+  /** Per-media (band, bkey) rows of a luma grid — the banding half of
+    * [[phashNearDups]], factored so build and probe can never drift. */
+  private def bandRows(grid: DataFrame, bandBits: Int): DataFrame = {
+    require(DHashBits % bandBits == 0,
+      s"bandRows: bandBits must divide $DHashBits, got $bandBits")
+    val nBands = DHashBits / bandBits
+    grid
+      .select(col("media_id"), dhash60(col("luma")).as("dhash"))
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftrightunsigned(dhash, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+      .select(col("media_id"), col("dhash"), col("band"), col("bkey"))
+  }
+
+  /** Build a [[MediaPhashIndex]] over a corpus luma grid: decode+hash
+    * each media once, group band keys into id buckets (dropping buckets
+    * above `maxBucketSize` — a bucket of f members fans every colliding
+    * probe out f ways; the [[graft.dedup.Dedup]] skew policy), and keep
+    * the (media_id, dhash) table for the verify. Everything after the
+    * grid is 8-byte hashes and ids. */
+  def mediaPhashIndex(grid: DataFrame, bandBits: Int = 15,
+                      maxBucketSize: Option[Int] = Some(1024)): MediaPhashIndex = {
+    val rows = bandRows(grid, bandBits)
+    val grouped = rows.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("media_id")).as("ex_ids"))
+    val capped = maxBucketSize.fold(grouped)(m => grouped.filter(size(col("ex_ids")) <= m))
+    MediaPhashIndex(capped,
+      rows.select(col("media_id").as("_ex_id"), col("dhash").as("_ex_hash")).distinct())
+  }
+
+  /** Probe a [[MediaPhashIndex]] with an ingest batch's luma grid:
+    * (in_id, ex_id, dist) for every batch media within Hamming
+    * `threshold` of an indexed one. The batch pays decode+hash over
+    * ITSELF only; the probe is one equi-join on (band, bkey) against
+    * the bucket table, an explode + dropDuplicates over the candidate
+    * id pairs, and two 8-byte hash joins for the exact popcount verify
+    * — the [[graft.dedup.Dedup.dedupAgainstCorpusNearDupIndexed]]
+    * shape on hashes instead of shingle sets. `bandBits` must match
+    * the index build (band keys are compared verbatim). */
+  def probeMediaPhashIndex(grid: DataFrame, index: MediaPhashIndex,
+                           threshold: Int = 6, bandBits: Int = 15): DataFrame = {
+    val inRows = bandRows(grid, bandBits)
+    val cand = inRows.select(col("media_id").as("in_id"), col("band"), col("bkey"))
+      .join(index.bands, Seq("band", "bkey"))
+      .select(col("in_id"), explode(col("ex_ids")).as("ex_id"))
+      .dropDuplicates()
+    cand
+      .join(inRows.select(col("media_id").as("in_id"), col("dhash").as("h1")).distinct(),
+        Seq("in_id"))
+      .join(index.hashes.select(col("_ex_id").as("ex_id"), col("_ex_hash").as("h2")),
+        Seq("ex_id"))
+      .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("dist") <= threshold)
+      .select(col("in_id"), col("ex_id"), col("dist"))
+  }
+
+  /** Batch media that are NOT near-dups of the corpus — the keep set
+    * of an ingest step: [[probeMediaPhashIndex]] matches anti-joined
+    * away. Batch-internal near-dups all survive (the incremental-dedup
+    * family contract; run [[phashNearDups]] within the batch first
+    * when that matters). */
+  def dedupAgainstMediaPhashIndex(media: DataFrame, grid: DataFrame,
+                                  index: MediaPhashIndex, threshold: Int = 6,
+                                  bandBits: Int = 15): DataFrame = {
+    val matched = probeMediaPhashIndex(grid, index, threshold, bandBits)
+      .select(col("in_id")).distinct()
+    media.join(matched, media("media_id") === col("in_id"), "left_anti")
+  }
+
+  /** Index MERGE — append a batch's media to an existing
+    * [[MediaPhashIndex]] at DELTA cost (the
+    * [[graft.dedup.Dedup.corpusNearDupIndexMerge]] fragment
+    * semantics): per-batch fragments unioned, no rescan (and no
+    * re-decode) of what's already indexed. The merged band table is
+    * FRAGMENTED — a (band, bkey) key present in both sides keeps two
+    * rows, which [[probeMediaPhashIndex]] handles by construction (the
+    * probe equi-join matches every fragment row; explode +
+    * dropDuplicates unions the id groups) — so probing a merged index
+    * equals probing a full rebuild, with ONE divergence:
+    * `maxBucketSize` judges each fragment's bucket on its own rather
+    * than the combined bucket (the price of never reading the existing
+    * fragments; run [[compactMediaPhashIndex]] with the cap to restore
+    * build-time semantics). Compute cost: decode + hash over `newGrid`
+    * only. */
+  def mediaPhashIndexMerge(index: MediaPhashIndex, newGrid: DataFrame,
+                           bandBits: Int = 15,
+                           maxBucketSize: Option[Int] = Some(1024)): MediaPhashIndex = {
+    val delta = mediaPhashIndex(newGrid, bandBits, maxBucketSize)
+    MediaPhashIndex(index.bands.unionByName(delta.bands),
+      index.hashes.unionByName(delta.hashes))
+  }
+
+  /** Materialize a [[MediaPhashIndex]] to parquet — the persisted twin
+    * (the [[graft.dedup.Dedup.saveNearDupIndex]] amortization): the
+    * corpus decode + hash + banding are paid once at build; every
+    * batch then reads two hash-sized parquet tables. */
+  def saveMediaPhashIndex(grid: DataFrame, path: String, bandBits: Int = 15,
+                          maxBucketSize: Option[Int] = Some(1024)): Unit = {
+    val idx = mediaPhashIndex(grid, bandBits, maxBucketSize)
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    idx.hashes.write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  /** Append ONLY a new batch's band/hash fragments to a
+    * [[saveMediaPhashIndex]] tree — write volume scales with the
+    * batch, never the corpus. [[loadMediaPhashIndex]] reads fragments
+    * transparently. */
+  def appendMediaPhashIndex(newGrid: DataFrame, path: String, bandBits: Int = 15,
+                            maxBucketSize: Option[Int] = Some(1024)): Unit = {
+    val idx = mediaPhashIndex(newGrid, bandBits, maxBucketSize)
+    idx.bands.write.mode("append").parquet(s"$path/bands")
+    idx.hashes.write.mode("append").parquet(s"$path/hashes")
+  }
+
+  /** Load a persisted [[MediaPhashIndex]]. Probe `bandBits` must match
+    * the build's. */
+  def loadMediaPhashIndex(spark: SparkSession, path: String): MediaPhashIndex =
+    MediaPhashIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/hashes"))
+
+  /** Re-group a fragmented (merged/appended) index into the canonical
+    * one-row-per-(band, bkey) form and re-apply `maxBucketSize`
+    * against the COMBINED buckets — after which the index is exactly
+    * what [[mediaPhashIndex]] over the whole corpus builds
+    * (spec-pinned up to id order inside a bucket). One (band, bkey)
+    * exchange over the band table — index-sized, an occasional
+    * maintenance pass, not part of the per-batch ingest path. */
+  def compactMediaPhashIndex(index: MediaPhashIndex,
+                             maxBucketSize: Option[Int] = Some(1024)): MediaPhashIndex = {
+    val grouped = index.bands
+      .select(col("band"), col("bkey"), explode(col("ex_ids")).as("_id"))
+      .groupBy(col("band"), col("bkey")).agg(collect_list(col("_id")).as("ex_ids"))
+    val capped = maxBucketSize.fold(grouped)(m => grouped.filter(size(col("ex_ids")) <= m))
+    MediaPhashIndex(capped, index.hashes.dropDuplicates())
   }
 }

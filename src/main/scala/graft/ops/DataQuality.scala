@@ -51,49 +51,87 @@ object DataQuality {
   }
 
   /** Evaluate a constraint suite into one report:
-    * (check_name, total, violations, passed), one row per check.
+    * (check_name, total, violations, passed), one row per check, in
+    * the declared suite order.
     *
-    * Plan shape, per the measured [[Profile.profile]] decision: one
-    * column-pruned aggregation branch per check, unioned — each branch
-    * reads only the audited column's bytes (columnar pruning makes the
-    * "N branches" report cost the same scan bytes as one fused pass,
-    * without the fused multi-distinct's Expand row-multiplication).
-    * Counting checks are single map-side-combined aggregates; the
-    * foreign-key check is a LEFT ANTI join on the key columns only
+    * Plan shape (the Deequ scan-sharing discipline): checks are
+    * GROUPED BY SOURCE TABLE and each group compiles to ONE fused
+    * aggregation over that table — completeness / in-set / in-range
+    * indicators and the uniqueness count-distinct are all columns of
+    * a single column-pruned pass, and a foreign-key check's `total`
+    * rides its child table's fused pass too, so a five-check
+    * orders+lineitem suite scans each table ONCE instead of once per
+    * check (the unfused shape billed 3.73× at a 10× scale-up purely
+    * on repeated scans; fused re-measured ~linear — BENCH_SCALE §DQ).
+    * A Uniqueness check makes its table's pass a single-distinct
+    * aggregate (Expand ×2 map-side, exchange = distinct keys — the
+    * unavoidable cost of an exact distinct; unlike [[Profile.profile]]'s
+    * many-distinct-columns case the ×2 never compounds because one
+    * report row audits one key). Only the foreign-key ORPHAN count
+    * keeps its own plan — a LEFT ANTI join on the key columns only
     * (8-byte exchanges; at dimension-sized parents Catalyst broadcasts
-    * it) with its total riding a broadcast-scalar crossJoin, the house
-    * pattern for 1-row sidecars.
+    * it). The per-table 1-row aggregates and per-FK 1-row orphan
+    * counts then crossJoin (broadcast-nested-loop over 1-row sides)
+    * and one literal-ordered array-of-structs inline-explodes into the
+    * report — each table's aggregate is computed exactly once in ONE
+    * job, nothing is collected driver-side.
     */
   def runChecks(checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "runChecks: empty suite")
     require(checks.map(_.name).distinct.size == checks.size,
       "runChecks: duplicate check names in suite")
-    def row(name: String, src: DataFrame, violations: Column): DataFrame =
-      src.agg(count(lit(1)).as("total"), violations.cast("bigint").as("violations"))
-        .select(lit(name).as("check_name"), col("total"),
-          col("violations"), (col("violations") === 0L).as("passed"))
-    val rows = checks.map {
-      case k @ Completeness(df, _, c) =>
-        row(k.name, df.select(col(c)), sum(when(col(c).isNull, 1L).otherwise(0L)))
-      case k @ Uniqueness(df, _, cols) =>
-        row(k.name, df.select(cols.map(col): _*),
-          count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
-      case k @ InSet(df, _, c, values) =>
-        row(k.name, df.select(col(c)),
-          sum(when(col(c).isin(values: _*), 0L).otherwise(1L)))
-      case k @ InRange(df, _, c, lo, hi) =>
-        row(k.name, df.select(col(c)),
-          sum(when(col(c).between(lo, hi), 0L).otherwise(1L)))
-      case k @ ForeignKey(child, _, childCol, parent, parentCol) =>
-        val keys = child.select(col(childCol))
-        val orphans = keys
-          .join(parent.select(col(parentCol)), col(childCol) === col(parentCol), "left_anti")
-          .agg(count(lit(1)).as("violations"))
-        keys.agg(count(lit(1)).as("total")).crossJoin(orphans)
-          .select(lit(k.name).as("check_name"), col("total"),
-            col("violations"), (col("violations") === 0L).as("passed"))
+    // group by source table IDENTITY (the same DataFrame object passed
+    // to several checks shares one scan; distinct objects stay apart —
+    // reference equality is the only safe "same table" witness here)
+    def srcOf(k: Check): DataFrame = k match {
+      case Completeness(df, _, _) => df
+      case Uniqueness(df, _, _) => df
+      case InSet(df, _, _, _) => df
+      case InRange(df, _, _, _, _) => df
+      case ForeignKey(child, _, _, _, _) => child
     }
-    rows.reduce(_ unionAll _)
+    val sources: Seq[DataFrame] = checks.map(srcOf)
+      .foldLeft(Vector.empty[DataFrame]) { (acc, df) =>
+        if (acc.exists(_ eq df)) acc else acc :+ df
+      }
+    def groupIdx(df: DataFrame): Int = sources.indexWhere(_ eq df)
+    // one fused aggregate per table: _tN = row count, _vN_i = check i's
+    // violation count (absent for FK — its violations come from the
+    // anti join below)
+    val violAgg: PartialFunction[(Check, Int), Column] = {
+      case (Completeness(_, _, c), i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("bigint").as(s"_v$i")
+      case (Uniqueness(_, _, cols), i) =>
+        (count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
+          .cast("bigint").as(s"_v$i")
+      case (InSet(_, _, c, values), i) =>
+        sum(when(col(c).isin(values: _*), 0L).otherwise(1L)).cast("bigint").as(s"_v$i")
+      case (InRange(_, _, c, lo, hi), i) =>
+        sum(when(col(c).between(lo, hi), 0L).otherwise(1L)).cast("bigint").as(s"_v$i")
+    }
+    val tableAggs: Seq[DataFrame] = sources.zipWithIndex.map { case (df, t) =>
+      val aggs = count(lit(1)).cast("bigint").as(s"_t$t") +:
+        checks.zipWithIndex.filter { case (k, _) => srcOf(k) eq df }
+          .collect(violAgg)
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val fkOrphans: Seq[DataFrame] = checks.zipWithIndex.collect {
+      case (ForeignKey(child, _, childCol, parent, parentCol), i) =>
+        child.select(col(childCol))
+          .join(parent.select(col(parentCol)), col(childCol) === col(parentCol), "left_anti")
+          .agg(count(lit(1)).cast("bigint").as(s"_v$i"))
+    }
+    val onerow = (tableAggs ++ fkOrphans).reduce(_ crossJoin _)
+    val reportRows: Seq[Column] = checks.zipWithIndex.map { case (k, i) =>
+      val tot = col(s"_t${groupIdx(srcOf(k))}")
+      val v = col(s"_v$i")
+      struct(lit(k.name).as("check_name"), tot.as("total"),
+        v.as("violations"), (v === 0L).as("passed"))
+    }
+    onerow
+      .select(explode(array(reportRows: _*)).as("r"))
+      .select(col("r.check_name").as("check_name"), col("r.total").as("total"),
+        col("r.violations").as("violations"), col("r.passed").as("passed"))
   }
 
   /** Rolling z-score anomaly detection: within each group (ordered by

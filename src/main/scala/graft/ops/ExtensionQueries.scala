@@ -298,6 +298,31 @@ object ExtensionQueries {
       } catch { case _: java.io.IOException => () }
     }))
 
+  /** The part co-occurrence graph's shared [[GraphOps.GraphFace]]
+    * (parts sharing an order — the input of the seven structural graph
+    * queries). Each catalog query previously rebuilt the canonical
+    * edge set (lineitem self-join + distinct, seconds at sf1) and
+    * x_triangles/x_ktruss each built their own orientation+adjacency;
+    * one face per (session, dataset) builds every derived table at
+    * most once and the queries share the checkpoints (the invIndexFor
+    * persistence pattern, in-session — the face holds session-bound
+    * localCheckpoints, hence the session in the key). Results are
+    * unchanged: the face computes exactly the tables the per-query
+    * builds did. */
+  private val graphFaceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphOps.GraphFace]()
+  private def coGraphFace(s: org.apache.spark.sql.SparkSession, d: String): GraphOps.GraphFace =
+    graphFaceCache.computeIfAbsent(
+      System.identityHashCode(s) + ":" + datasetSignature(d, "lineitem.parquet"), _ => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val pairs = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") < col("dst"))
+          .select(col("src"), col("dst"))
+        GraphOps.face(pairs)
+      })
+
   private val ndIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ndIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     ndIndexCache.computeIfAbsent(datasetSignature(d, "documents.parquet"), _ => {
@@ -1307,6 +1332,119 @@ object ExtensionQueries {
                JOIN ok o ON a.band = o.band AND a.bkey = o.bkey)
       SELECT cand.id1, cand.id2, CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS dist
       FROM cand JOIN h h1 ON cand.id1 = h1.media_id JOIN h h2 ON cand.id2 = h2.media_id
+      WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
+    """.trim)
+  )
+
+  /** Video content near-dup pairs through the SAME 66-cell machine as
+    * images and audio: [[graft.mm.Multimodal.videoTable]] rows take
+    * the video dispatch in lumaGrid — REAL first-keyframe decode
+    * (AVI/MJPEG RIFF walk or bare-MJPEG ImageIO read, spec-pinned on
+    * real fixtures against the still-image path) with the md5-chunk
+    * stub for unrecognizable payloads (these text fixtures) — then
+    * dhash60 → banded Hamming → exact popcount verify, identical to
+    * x_mm_phash_dups' pipeline. Fixture: every 7th video gets a
+    * +12-luma re-encode variant (gamma-shift near-dup). The oracle
+    * replays the stub luma, bit layout, banding, cap and distance
+    * filter bit-for-bit. */
+  val mmVideoPhash: Q = Q(
+    "x_mm_video_phash",
+    (s, d) => {
+      val grid = Multimodal.lumaGrid(
+        Multimodal.videoTable(Tables.documents(s, d))).toDF()
+      val variants = grid.filter(col("media_id") % 7 === 0)
+        .select((col("media_id") + 20000000L).as("media_id"),
+          transform(col("luma"), v => least(v + 12, lit(255))).as("luma"))
+      Multimodal.phashNearDups(grid.unionByName(variants), threshold = 6)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      lum AS (SELECT doc_id AS media_id,
+                     list_transform(generate_series(0, 65), j ->
+                       ('0x' || substr(md5(substr(text, CAST((j*n)//66 AS INT) + 1,
+                          CAST(((j+1)*n)//66 - (j*n)//66 AS INT))), 1, 2))::BIGINT) AS lu
+              FROM d),
+      allm AS (SELECT media_id, lu FROM lum
+               UNION ALL
+               SELECT media_id + 20000000, list_transform(lu, v -> least(v + 12, 255))
+               FROM lum WHERE media_id % 7 = 0),
+      h AS (SELECT media_id,
+                   CAST(list_sum(list_transform(generate_series(0, 59), b ->
+                     CASE WHEN lu[(b//10)*11 + (b%10) + 2] > lu[(b//10)*11 + (b%10) + 1]
+                          THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS dhash
+            FROM allm),
+      bands AS (SELECT media_id, dhash, b AS band, (dhash >> CAST(b*15 AS INT)) & 32767 AS bkey
+                FROM h, generate_series(0, 3) t(b)),
+      ok AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1024),
+      cand AS (SELECT DISTINCT a.media_id AS id1, c.media_id AS id2
+               FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+                    AND a.media_id < c.media_id
+               JOIN ok o ON a.band = o.band AND a.bkey = o.bkey)
+      SELECT cand.id1, cand.id2, CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS dist
+      FROM cand JOIN h h1 ON cand.id1 = h1.media_id JOIN h h2 ON cand.id2 = h2.media_id
+      WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
+    """.trim)
+  )
+
+  /** Probe-against-persisted-index media near-dup: the corpus (docs
+    * with id % 4 ≠ 0) is decoded+hashed ONCE into a
+    * [[graft.mm.Multimodal.MediaPhashIndex]] (bucket-capped band
+    * groups + 8-byte hashes); the ingest batch (+16-luma re-encodes of
+    * corpus members, plus brand-new media) pays decode over itself
+    * only and probes with one (band, bkey) equi-join + popcount
+    * verify — the media twin of x_dedup_index_merged's text path.
+    * MERGE/append/compact fragment semantics are spec-pinned
+    * (merged == rebuilt); this row pins the probe arithmetic: the
+    * oracle replays stub luma, banding, the CORPUS-side bucket cap,
+    * the candidate join and the distance filter bit-for-bit. */
+  val mmPhashIndexProbe: Q = Q(
+    "x_mm_phash_index",
+    (s, d) => {
+      val grid = Multimodal.lumaGrid(
+        Multimodal.imageTable(Tables.documents(s, d))).toDF()
+        .localCheckpoint() // decode runs ONCE; corpus and probe both read it
+      val corpus = grid.filter(col("media_id") % 4 =!= 0)
+      val probe = grid.filter(col("media_id") % 4 === 1)
+        .select((col("media_id") + 10000000L).as("media_id"),
+          transform(col("luma"), v => least(v + 16, lit(255))).as("luma"))
+        .unionByName(grid.filter(col("media_id") % 4 === 0))
+      val idx = Multimodal.mediaPhashIndex(corpus)
+      Multimodal.probeMediaPhashIndex(probe, idx, threshold = 6)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      lum AS (SELECT doc_id AS media_id,
+                     list_transform(generate_series(0, 65), j ->
+                       ('0x' || substr(md5(substr(text, CAST((j*n)//66 AS INT) + 1,
+                          CAST(((j+1)*n)//66 - (j*n)//66 AS INT))), 1, 2))::BIGINT) AS lu
+              FROM d),
+      hc AS (SELECT media_id,
+                    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+                      CASE WHEN lu[(b//10)*11 + (b%10) + 2] > lu[(b//10)*11 + (b%10) + 1]
+                           THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS dhash
+             FROM lum WHERE media_id % 4 <> 0),
+      plum AS (SELECT media_id + 10000000 AS media_id,
+                      list_transform(lu, v -> least(v + 16, 255)) AS lu
+               FROM lum WHERE media_id % 4 = 1
+               UNION ALL
+               SELECT media_id, lu FROM lum WHERE media_id % 4 = 0),
+      hp AS (SELECT media_id,
+                    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+                      CASE WHEN lu[(b//10)*11 + (b%10) + 2] > lu[(b//10)*11 + (b%10) + 1]
+                           THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS dhash
+             FROM plum),
+      cbands AS (SELECT media_id, b AS band, (dhash >> CAST(b*15 AS INT)) & 32767 AS bkey
+                 FROM hc, generate_series(0, 3) t(b)),
+      ok AS (SELECT band, bkey FROM cbands GROUP BY 1, 2 HAVING COUNT(*) <= 1024),
+      pbands AS (SELECT media_id, b AS band, (dhash >> CAST(b*15 AS INT)) & 32767 AS bkey
+                 FROM hp, generate_series(0, 3) t(b)),
+      cand AS (SELECT DISTINCT p.media_id AS in_id, c.media_id AS ex_id
+               FROM pbands p JOIN cbands c ON p.band = c.band AND p.bkey = c.bkey
+               JOIN ok o ON c.band = o.band AND c.bkey = o.bkey)
+      SELECT cand.in_id, cand.ex_id,
+             CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS dist
+      FROM cand JOIN hp h1 ON cand.in_id = h1.media_id
+                JOIN hc h2 ON cand.ex_id = h2.media_id
       WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
     """.trim)
   )
@@ -3978,15 +4116,7 @@ object ExtensionQueries {
     * arithmetic replay. */
   val trianglesQ: Q = Q(
     "x_triangles",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      GraphOps.triangleStats(pairs)
-    },
+    (s, d) => GraphOps.triangleStats(coGraphFace(s, d)),
     Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -4013,15 +4143,7 @@ object ExtensionQueries {
     * (count desc, label asc) semantics. */
   val labelPropQ: Q = Q(
     "x_label_prop",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      GraphOps.labelPropagation(pairs, iters = 3)
-    },
+    (s, d) => GraphOps.labelPropagation(coGraphFace(s, d), iters = 3),
     Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -4053,15 +4175,7 @@ object ExtensionQueries {
     * guard; the oracle carries the same integer sums in HUGEINT). */
   val graphStatsQ: Q = Q(
     "x_graph_stats",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      GraphOps.graphStats(pairs)
-    },
+    (s, d) => GraphOps.graphStats(coGraphFace(s, d)),
     Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -4440,15 +4554,9 @@ object ExtensionQueries {
   val bfsHopsQ: Q = Q(
     "x_bfs_hops",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
       val seeds = Tables.part(s, d).select(col("p_partkey").as("node"))
         .filter(col("node") % 97 === 0)
-      GraphOps.bfsHops(pairs, seeds, rounds = 3)
+      GraphOps.bfsHops(coGraphFace(s, d), seeds, seedCol = "node", rounds = 3)
     },
     Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -4750,15 +4858,7 @@ object ExtensionQueries {
     * three genuinely different peeling states, not a fixpoint. */
   val kcoreQ: Q = Q(
     "x_kcore",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      GraphOps.kcorePeel(pairs, k = 80, rounds = 3)
-    },
+    (s, d) => GraphOps.kcorePeel(coGraphFace(s, d), k = 80, rounds = 3),
     Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -4803,15 +4903,7 @@ object ExtensionQueries {
     * stability-witness repeat row. */
   val kcoreFixpointQ: Q = Q(
     "x_kcore_fixpoint",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      GraphOps.kcoreFixpoint(pairs, k = 80, maxRounds = 50)._1
-    },
+    (s, d) => GraphOps.kcoreFixpoint(coGraphFace(s, d), k = 80, maxRounds = 50)._1,
     Some("""
       WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -6299,9 +6391,13 @@ object ExtensionQueries {
             FROM c GROUP BY 1),
       mb AS (SELECT rep, CAST(s AS DOUBLE) / CAST(m AS DOUBLE) / 100.0 AS mean_b
              FROM g WHERE m > 0),
-      r AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, rep) AS rn FROM mb),
-      ci AS (SELECT MAX(CASE WHEN rn = 2 THEN mean_b END) AS lo,
-                    MAX(CASE WHEN rn = 63 THEN mean_b END) AS hi FROM r),
+      r AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, rep) AS rn,
+                   COUNT(*) OVER () AS g FROM mb),
+      ci AS (SELECT MAX(CASE WHEN rn = GREATEST(
+                      CAST(CEIL(CAST(0.025 AS DOUBLE) * g) AS BIGINT), 1)
+                    THEN mean_b END) AS lo,
+                    MAX(CASE WHEN rn = CAST(CEIL(CAST(0.975 AS DOUBLE) * g) AS BIGINT)
+                    THEN mean_b END) AS hi FROM r),
       t AS (SELECT COUNT(*) AS n_rows, SUM(CAST(cents AS HUGEINT)) AS s1 FROM base)
       SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(64 AS BIGINT) AS n_reps,
              ROUND(CAST(s1 AS DOUBLE) / n_rows / 100.0, 6) AS mean,
@@ -6463,6 +6559,92 @@ object ExtensionQueries {
       FROM r, bb, qr, qh
       WHERE NOT r.cal
       GROUP BY bb.ntr, qr.n_cal, qr.q_rank, qh.qv
+    """.trim)
+  )
+
+  /** Per-language split-conformal bands (Ols.conformalPerGroup
+    * scaladoc: Mondrian/group-conditional conformal — per-group
+    * md5-parity split + exact-integer Cramer fit + grid-exact rank
+    * pick, group-conditional ≥0.9 coverage). The oracle replays every
+    * group's fit, residual chain and strict (resid, doc_id) row-number
+    * rank — an independent rank mechanism from the engine's value-grid
+    * pick, same value by the tie-run argument. */
+  val conformalGroupedQ: Q = Q(
+    "x_conformal_grouped",
+    (s, d) => {
+      val toks = split(col("text"), "\\s+")
+      Ols.conformalPerGroup(
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars").as("y"),
+            size(toks).as("x1"), size(array_distinct(toks)).as("x2")),
+        col("lang"), col("doc_id"), col("y"), col("x1"), col("x2"), q = 0.9)
+        .withColumnRenamed("grp", "lang")
+    },
+    Some("""
+      WITH f0 AS (
+        SELECT lang, doc_id, n_chars AS y,
+               len(regexp_split_to_array(text, '\s+')) AS x1,
+               len(list_distinct(regexp_split_to_array(text, '\s+'))) AS x2,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 2 = 1) AS cal
+        FROM documents),
+      m AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS s00,
+               CAST(SUM(x1) AS BIGINT) AS s01, CAST(SUM(x2) AS BIGINT) AS s02,
+               CAST(SUM(x1*x1) AS BIGINT) AS s11,
+               CAST(SUM(x1*x2) AS BIGINT) AS s12,
+               CAST(SUM(x2*x2) AS BIGINT) AS s22,
+               CAST(SUM(y) AS BIGINT) AS t0,
+               CAST(SUM(x1*y) AS BIGINT) AS t1,
+               CAST(SUM(x2*y) AS BIGINT) AS t2
+        FROM f0 WHERE NOT cal GROUP BY lang),
+      h AS (
+        SELECT lang, s00,
+               CAST(s00 AS HUGEINT) AS a, CAST(s01 AS HUGEINT) AS b,
+               CAST(s02 AS HUGEINT) AS c, CAST(s11 AS HUGEINT) AS e,
+               CAST(s12 AS HUGEINT) AS f, CAST(s22 AS HUGEINT) AS g,
+               CAST(t0 AS HUGEINT) AS u, CAST(t1 AS HUGEINT) AS v,
+               CAST(t2 AS HUGEINT) AS w
+        FROM m),
+      dets AS (
+        SELECT lang, s00,
+          a*(e*g - f*f) - b*(b*g - f*c) + c*(b*f - e*c) AS det,
+          u*(e*g - f*f) - b*(v*g - f*w) + c*(v*f - e*w) AS det0,
+          a*(v*g - f*w) - u*(b*g - f*c) + c*(b*w - v*c) AS det1,
+          a*(e*w - v*f) - b*(b*w - v*c) + u*(b*f - e*c) AS det2
+        FROM h),
+      bb AS (
+        SELECT lang, s00 AS ntr,
+               CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+        FROM dets),
+      r AS (
+        SELECT f0.lang, doc_id, cal,
+               ABS(CAST(y AS DOUBLE) - (b0 + b1 * CAST(x1 AS DOUBLE)
+                                           + b2 * CAST(x2 AS DOUBLE))) AS resid
+        FROM f0 JOIN bb ON f0.lang = bb.lang),
+      calr AS (SELECT lang, doc_id, resid FROM r WHERE cal),
+      qr AS (SELECT lang, n_cal,
+                    GREATEST(1, LEAST(n_cal,
+                      CAST(CEIL(CAST(0.9 AS DOUBLE) * (n_cal + 1)) AS BIGINT))) AS q_rank
+             FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cal
+                   FROM calr GROUP BY lang)),
+      rk AS (SELECT lang, resid,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY resid, doc_id) AS rn
+             FROM calr),
+      qh AS (SELECT rk.lang, rk.resid AS qv
+             FROM rk JOIN qr ON rk.lang = qr.lang WHERE rk.rn = qr.q_rank)
+      SELECT r.lang, CAST(bb.ntr AS BIGINT) AS n_train,
+             CAST(qr.n_cal AS BIGINT) AS n_cal,
+             CAST(qr.q_rank AS BIGINT) AS q_rank, ROUND(qh.qv, 6) AS q_hat,
+             ROUND(CAST(SUM(CASE WHEN r.resid <= qh.qv THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS train_coverage
+      FROM r
+      JOIN bb ON r.lang = bb.lang
+      JOIN qr ON r.lang = qr.lang
+      JOIN qh ON r.lang = qh.lang
+      WHERE NOT r.cal
+      GROUP BY r.lang, bb.ntr, qr.n_cal, qr.q_rank, qh.qv
     """.trim)
   )
 
@@ -6743,7 +6925,7 @@ object ExtensionQueries {
                     COUNT(*) OVER (PARTITION BY event_type ORDER BY d
                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
              FROM dd),
-      v AS (SELECT event_type, day, CAST(d % 7 AS INT) AS dow, c, t7,
+      v AS (SELECT event_type, day, CAST(((d % 7) + 7) % 7 AS INT) AS dow, c, t7,
                    7 * c - t7 AS d7
             FROM tr WHERE nw = 7),
       se AS (SELECT event_type, dow,
@@ -6789,12 +6971,28 @@ object ExtensionQueries {
       st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
                     (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_buckets,
                     (SELECT CAST(MAX(sz) AS BIGINT) FROM g) AS max_bucket,
-                    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs)
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs),
+      samp AS (SELECT doc_id, shl FROM sh0
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200),
+      tp AS (SELECT x.doc_id AS id1, y.doc_id AS id2
+             FROM samp x JOIN samp y ON x.doc_id < y.doc_id
+             WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+                   / (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)))
+                   >= CAST(0.7 AS DOUBLE)),
+      rc AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true_pairs,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp
+                     WHERE EXISTS (SELECT 1 FROM cand c
+                                   WHERE c.id1 = tp.id1 AND c.id2 = tp.id2))
+                      AS n_true_caught)
       SELECT ROUND(i / 20.0, 2) AS s,
              ROUND(1.0 - y*y*y*y*y*y*y*y, 6) AS p_collide,
-             n_docs, n_buckets, max_bucket, n_candidate_pairs
+             n_docs, n_buckets, max_bucket, n_candidate_pairs,
+             n_true_pairs, n_true_caught,
+             CASE WHEN n_true_pairs = 0 THEN NULL
+                  ELSE ROUND(CAST(n_true_caught AS DOUBLE) / n_true_pairs, 6)
+             END AS recall
       FROM (SELECT i, 1.0 - (i / 20.0) * (i / 20.0) AS y
-            FROM (SELECT unnest(generate_series(1, 19)) AS i) gr) q, st
+            FROM (SELECT unnest(generate_series(1, 19)) AS i) gr) q, st, rc
     """.trim)
   )
 
@@ -6810,7 +7008,7 @@ object ExtensionQueries {
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,
     clusterReps, dedupApply, textChunks,
-    mmMetadata, mmFeatures, mmChunks, mmPhashDups,
+    mmMetadata, mmFeatures, mmChunks, mmPhashDups, mmVideoPhash, mmPhashIndexProbe,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,
@@ -6837,5 +7035,6 @@ object ExtensionQueries {
     theilSenQ, jaroBlockedQ, erClustersQ, tokenSetErQ, decileMigrationQ, hhiQ, binsegQ,
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
-    conformalQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ, stlQ, lshCurveQ)
+    conformalQ, conformalGroupedQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ, stlQ,
+    lshCurveQ)
 }

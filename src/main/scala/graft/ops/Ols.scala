@@ -111,6 +111,72 @@ object Ols {
           .cast("double") / count(lit(1)), 6).as("train_coverage"))
   }
 
+  /** Per-group split-conformal bands — the grouped twin of
+    * [[conformal2]] (Mondrian/group-conditional conformal, Vovk's
+    * taxonomy-conformal specialization): each group (language, source)
+    * gets its own [[fit2PerGroup]] model AND its own calibration
+    * quantile, so the ≥ q coverage guarantee holds PER GROUP under
+    * within-group exchangeability — a global band would over-cover easy
+    * languages and under-cover hard ones.
+    *
+    * Determinism: the same md5-parity split, exact-integer per-group
+    * Cramer fits (one moment pass for ALL groups), mirrored residual
+    * chains, and a per-group exact rank pick — the quantile comes from
+    * [[graft.ops.Relational.groupedValueRanks]]'s value grid (rank
+    * ⌈q·(n_cal_g+1)⌉, clamped to [1, n_cal_g], falls inside exactly one
+    * tie run, whose value IS the q̂ the strict row-number pick would
+    * return), never a per-group sort window — the group-serialization
+    * anti-pattern groupedPercentRank was built to avoid.
+    *
+    * Output: one row per group — (grp, n_train, n_cal, q_rank, q_hat,
+    * train_coverage). Groups with an empty calibration half drop out
+    * (no quantile exists); groups with a singular train fit surface
+    * null q̂/coverage (the [[fit2]] det-witness convention).
+    *
+    * Scale shape: one checkpointed keyed pass read three times; one
+    * grouped moment exchange (nGroups×9 longs); the fit table and the
+    * per-group q̂ table both broadcast; the rank machinery is
+    * grid-sized. Nothing serializes per group. */
+  def conformalPerGroup(df: DataFrame, grp: Column, id: Column, y: Column,
+                        x1: Column, x2: Column, q: Double = 0.9): DataFrame = {
+    require(q > 0 && q < 1, s"conformalPerGroup: q must be in (0,1), got $q")
+    val keyed = df.select(grp.cast("string").as("_g"), id.cast("long").as("_id"),
+        y.cast("long").as("_y"), x1.cast("long").as("_x1"), x2.cast("long").as("_x2"))
+      .withColumn("_cal",
+        conv(substring(md5(col("_id").cast("string").cast("binary")), 1, 13),
+          16, 10).cast("long") % 2 === 1)
+      .localCheckpoint() // read three times: fit, residuals, coverage
+    val fits = fit2PerGroup(keyed.filter(!col("_cal")), "_g",
+      col("_y"), col("_x1"), col("_x2"))
+    val resid = keyed.join(broadcast(
+        fits.select(col("_g"), col("n_rows").as("_ntr"),
+          col("b0"), col("b1"), col("b2"))), "_g")
+      .select(col("_g"), col("_id"), col("_cal"), col("_ntr"),
+        abs(col("_y").cast("double") - (col("b0")
+          + col("b1") * col("_x1").cast("double")
+          + col("b2") * col("_x2").cast("double"))).as("_resid"))
+      .localCheckpoint() // calibration grid + train coverage
+    val qhat = Relational
+      .groupedValueRanks(resid.filter(col("_cal")).select(col("_g"), col("_resid")),
+        "_g", "_resid")
+      .withColumn("_qrank",
+        greatest(lit(1L), least(col("_gn"),
+          ceil(lit(q) * (col("_gn") + lit(1L))).cast("long"))))
+      .filter(col("_minrank") <= col("_qrank") &&
+        col("_qrank") < col("_minrank") + col("_cnt"))
+      .select(col("_g"), col("_gn").as("_ncal"), col("_qrank"), col("_resid").as("_q"))
+    resid.filter(!col("_cal"))
+      .join(broadcast(qhat), "_g")
+      .groupBy(col("_g"))
+      .agg(max(col("_ntr")).cast("long").as("n_train"),
+        max(col("_ncal")).cast("long").as("n_cal"),
+        max(col("_qrank")).cast("long").as("q_rank"),
+        round(max(col("_q")), 6).as("q_hat"),
+        round(sum(when(col("_resid") <= col("_q"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("train_coverage"))
+      .withColumnRenamed("_g", "grp")
+  }
+
   private def moments(df: DataFrame, y: Column, x1: Column, x2: Column,
                       groupCols: Seq[String]): DataFrame = {
     // widen BEFORE multiplying: the per-row product of two DECIMAL(19,0)

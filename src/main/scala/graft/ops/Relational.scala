@@ -822,19 +822,32 @@ object Relational {
     * Scale shape: one grid collapse, one range exchange over grid rows,
     * one tiny broadcast of per-group totals, one value-key join back —
     * every stage parallel in the DATA, none in the group count. */
-  def groupedPercentRank(df: DataFrame, grp: String, v: String,
-                         out: String): DataFrame = {
-    require(!df.columns.contains(out),
-      s"groupedPercentRank: input already carries '$out'")
+  /** The grid half of [[groupedPercentRank]], exposed for rank-pick
+    * consumers ([[Ols.conformalPerGroup]]'s per-group quantile): the
+    * within-group VALUE GRID with exact long ranks — one row per
+    * (grp, v) with `_cnt` (tie count), `_minrank` (1-based min rank of
+    * the tie run, so the run covers ranks [_minrank, _minrank+_cnt−1])
+    * and `_gn` (group size). Same construction, same scale shape
+    * (grid collapse + two-phase running count + broadcast offsets);
+    * output column names are fixed and `_`-prefixed. */
+  def groupedValueRanks(df: DataFrame, grp: String, v: String): DataFrame = {
     val grid = df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("_cnt"))
     val pre = prefixSum(grid, Seq(col(grp), col(v)), "_cnt", "_pre")
     val gtot = pre.groupBy(col(grp))
       .agg(max(col("_pre")).as("_gend"), sum(col("_cnt")).cast("long").as("_gn"))
       .withColumnRenamed(grp, "_tg")
-    val ranks = pre.join(broadcast(gtot), col(grp) <=> col("_tg"))
-      .select(col(grp).as("_rg"), col(v).as("_rv"),
+    pre.join(broadcast(gtot), col(grp) <=> col("_tg"))
+      .select(col(grp), col(v), col("_cnt"),
         (col("_pre") - col("_cnt") - (col("_gend") - col("_gn")) + 1L).as("_minrank"),
         col("_gn"))
+  }
+
+  def groupedPercentRank(df: DataFrame, grp: String, v: String,
+                         out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"groupedPercentRank: input already carries '$out'")
+    val ranks = groupedValueRanks(df, grp, v)
+      .select(col(grp).as("_rg"), col(v).as("_rv"), col("_minrank"), col("_gn"))
     // Null-safe join back: a plain (grp, v) equi-join silently DROPS rows
     // whose group or value is NULL, whereas the PERCENT_RANK window this
     // replaces keeps them (nulls rank first under Spark's default
@@ -934,8 +947,9 @@ object Relational {
     * thresholds ⌊CDF(k)·2⁵²⌋ (exact integer compares, no float parse
     * anywhere in the draw); per-rep sums are exact decimals; each
     * resample mean is ONE double divide chain mirrored by the oracle;
-    * the percentile picks ranks ⌈0.025·b⌉ and ⌈0.975·b⌉ over the
-    * (mean, rep) total order.
+    * the percentile picks ranks ⌈0.025·g⌉ and ⌈0.975·g⌉ over the
+    * (mean, rep) total order, where g is the SURVIVING rep count
+    * (= b on any non-degenerate input).
     *
     * Scale shape: the ×b row expansion happens map-side (explode of a
     * b-literal array) and is consumed by the partial hash-aggregate in
@@ -959,23 +973,27 @@ object Relational {
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     // Parallelize the draw past a small scan's single input split by
     // round-robining the NARROW base (key + cents — measured
-    // 35.8 s → ~2 s at sf0.1; on a multi-split 100 TB scan the exchange
-    // is a no-op cost-wise). The b draws per row come out of ONE native
-    // kernel call (PoissonBootstrapDraws — b interpreted
-    // concat→md5→substr→conv chains measured a 5.4×-at-10× compute
-    // tax), and the resample sums are 2b RUNNING AGGREGATES over the
-    // base — no ×b row expansion is ever materialized: the b-element
-    // draw array feeds b (m, s) sum pairs in one pass, and only the
-    // 1×2b result reshapes (posexplode of two b-literal arrays) into
-    // the b-row grid.
+    // 35.8 s → ~2 s at sf0.1), but ONLY when the scan is actually
+    // under-split: on a multi-split 100 TB scan the exchange is a full
+    // shuffle of (key, cents) bought for nothing, so it is gated on
+    // the source's planned partition count. The b draws per row come
+    // out of ONE native kernel call (PoissonBootstrapDraws — b/2
+    // interpreted concat→md5→substr→conv chains measured a
+    // 5.4×-at-10× compute tax), and the resample sums are 2b RUNNING
+    // AGGREGATES over the base — no ×b row expansion is ever
+    // materialized: the b-element draw array feeds b (m, s) sum pairs
+    // in one pass, and only the 1×2b result reshapes (posexplode of
+    // two b-literal arrays) into the b-row grid.
     val nPart = orders.sparkSession.sessionState.conf.numShufflePartitions
+    val srcParts = base.rdd.getNumPartitions
+    val spread: DataFrame => DataFrame =
+      if (srcParts < nPart) _.repartition(nPart) else identity
     val perRepAggs: Seq[Column] = (0 until b).flatMap { j =>
       Seq(sum(element_at(col("ks"), j + 1)).cast("decimal(38,0)").as(s"_m$j"),
         sum(element_at(col("ks"), j + 1).cast("decimal(19,0)")
           * col("cents").cast("decimal(19,0)")).cast("decimal(38,0)").as(s"_s$j"))
     }
-    val one = base
-      .repartition(nPart)
+    val one = spread(base)
       .select(col("cents"),
         org.apache.spark.sql.graftext.VectorExpressions
           .poissonBootstrapDraws(col("o_orderkey"), b).as("ks"))
@@ -989,12 +1007,19 @@ object Relational {
       .filter(col("m") > 0)
       .select(col("rep"),
         (col("s").cast("double") / col("m").cast("double") / 100.0).as("mean_b"))
-    val rnW = Window.orderBy(col("mean_b"), col("rep")) // b-row grid
-    val loRank = math.ceil(0.025 * b).toLong.max(1L)
-    val hiRank = math.ceil(0.975 * b).toLong
+    // percentile ranks over the SURVIVING rep count (reps with zero
+    // total Poisson mass — possible only on tiny inputs — drop out of
+    // the grid; ranking over the fixed b there would leave rank
+    // ⌈0.975·b⌉ unoccupied and return a silently-NULL ci_hi). On any
+    // real input every rep survives and the ranks equal the fixed-b
+    // ones. The oracle mirrors the surviving-count ranks.
+    val rnW = Window.orderBy(col("mean_b"), col("rep")) // ≤ b-row grid
+    val gW = Window.partitionBy()
     val ci = perRep.withColumn("rn", row_number().over(rnW).cast("long"))
-      .agg(max(when(col("rn") === loRank, col("mean_b"))).as("lo"),
-        max(when(col("rn") === hiRank, col("mean_b"))).as("hi"))
+      .withColumn("g", count(lit(1)).over(gW))
+      .agg(max(when(col("rn") === greatest(ceil(lit(0.025) * col("g")), lit(1L)),
+          col("mean_b"))).as("lo"),
+        max(when(col("rn") === ceil(lit(0.975) * col("g")), col("mean_b"))).as("hi"))
     val point = base.agg(count(lit(1)).cast("long").as("n_rows"),
       sum(col("cents")).cast("decimal(38,0)").as("s1"))
     point.crossJoin(broadcast(ci))

@@ -655,14 +655,19 @@ object EventStream {
     * derived from a drained stream is bit-equal to the batch CI over
     * the same rows (spec-pinned). This is the scalable-bootstrap
     * deployment story: a live stream maintains 2·b longs and can
-    * answer "mean with CI so far" at any moment. Cent scaling mirrors
-    * the batch HALF_UP for the non-negative values event streams carry. */
+    * answer "mean with CI so far" at any moment. Cent scaling is
+    * HALF-UP (round half away from zero) on BOTH signs — the same
+    * rule as the batch twin's Spark `round()` — so a stream carrying
+    * negative values (refunds) still matches bit-for-bit; a bare
+    * `math.round` would floor negative half-cents (−12.5 → −12 where
+    * the batch says −13). */
   def bootstrapCounters(events: Dataset[Event], b: Int = 64): Dataset[BootRepReadout] = {
     require(b >= 2 && b <= 4096, s"bootstrapCounters: b=$b out of range")
     val spark = events.sparkSession
     import spark.implicits._
     events.flatMap { e =>
-      val cents = math.round(e.value * 100)
+      val v = e.value * 100
+      val cents = if (v >= 0) math.round(v) else -math.round(-v)
       // the SAME kernel as the batch draw — the twins cannot diverge
       val ks = org.apache.spark.sql.graftext.GraftKernels
         .poissonBootstrapDraws(e.event_id, b)

@@ -205,14 +205,18 @@ case class Md5Min(child: Expression)
     copy(child = newChild)
 }
 
-/** Per-row Poisson(1) bootstrap draws: rep ∈ [0, b) → the inverse-CDF
-  * count of the 52-bit md5 uniform of "key_rep" — value-for-value the
-  * SQL form `('0x' || substr(md5(key || '_' || rep), 1, 13))::BIGINT`
-  * compared against ⌊CDF·2⁵²⌋ integer thresholds
-  * ([[GraftKernels.PoissonCdf52]]). One kernel loop per row replaces b
-  * interpreted concat→md5→substr→conv chains (measured 5.4×-at-10×
-  * compute tax on x_bootstrap_ci); the construction stays replayable
-  * hash-for-hash by any engine with md5.
+/** Per-row Poisson(1) bootstrap draws: one digest per BLOCK of two
+  * reps — md5 of "key_blk" (blk = rep div 2) yields two independent
+  * 52-bit uniforms, so rep 2·blk replays as
+  * `('0x' || substr(md5(key || '_' || blk), 1, 13))::BIGINT` and rep
+  * 2·blk+1 as `('0x' || substr(md5(key || '_' || blk), 17, 13))::BIGINT`
+  * (the Md5MinHash a/b-halves precedent), each compared against the
+  * ⌊CDF·2⁵²⌋ integer thresholds ([[GraftKernels.PoissonCdf52]]). One
+  * kernel loop per row replaces b/2 interpreted
+  * concat→md5→substr→conv chains (measured 5.4×-at-10× compute tax on
+  * x_bootstrap_ci); the construction stays replayable hash-for-hash by
+  * any engine with md5 — the x_bootstrap_ci oracle digests the same
+  * per-block scheme.
   */
 case class PoissonBootstrapDraws(child: Expression, b: Int)
     extends UnaryExpression with ExpectsInputTypes {

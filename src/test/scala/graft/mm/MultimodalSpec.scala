@@ -324,4 +324,122 @@ class MultimodalSpec extends SparkSpec {
     assert(dist(1L, 3L) == 0, s"non-clipping brightness shift preserves gradients, got ${dist(1L, 3L)}")
     assert(dist(1L, 4L) > 10, s"unrelated image must be far, got ${dist(1L, 4L)}")
   }
+
+  /** Minimal RIFF/AVI wrapping the given MJPEG frames: RIFF('AVI '
+    * LIST('movi' 00dc…)) — exactly the public chunk layout
+    * decodeAviFirstJpegFrame walks. */
+  private def miniAvi(frames: Array[Byte]*): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("ISO-8859-1")); b.putInt(payload.length); b.put(payload)
+      b.array()
+    }
+    val movi = "movi".getBytes("ISO-8859-1") ++
+      frames.toArray.flatMap(f => chunk("00dc", f))
+    chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ chunk("LIST", movi))
+  }
+
+  private def jpeg(seed: Int, w: Int = 88, h: Int = 48): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = rnd.nextInt(256)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer in JDK")
+    bos.toByteArray
+  }
+
+  test("real-video path: AVI/MJPEG keyframe fingerprint == still-image fingerprint of the same frame") {
+    val f1 = jpeg(101)
+    val f2 = jpeg(202)
+    val media = Seq(
+      (1L, miniAvi(f1, f2), "video"),          // AVI: keyframe = first 00dc
+      (2L, f1 ++ f2, "video"),                 // bare MJPEG stream: first SOI..EOI
+      (3L, f1, "image"),                       // the frame itself, image path
+      (4L, "not a video".getBytes("UTF-8"), "video")) // stub fallback
+      .toDF("media_id", "payload", "media_type")
+    val lu = Multimodal.lumaGrid(media).collect().map(r => r.media_id -> r.luma.toSeq).toMap
+    // identical decode → identical 66-cell grid, exact regardless of JPEG loss
+    assert(lu(1L) == lu(3L), "AVI keyframe luma must equal the still-image luma of its frame")
+    assert(lu(2L) == lu(3L), "bare-MJPEG first-frame luma must equal the still-image luma")
+    assert(lu(4L) == Multimodal.stubLuma66("not a video".getBytes("UTF-8")).toSeq,
+      "unrecognized video payloads keep the deterministic stub grid")
+    // end-to-end through the shared machine: the video and its frame
+    // pair up across modalities at distance 0
+    val pairs = Multimodal.phashNearDups(Multimodal.lumaGrid(media).toDF(), threshold = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 3L, 0)) && pairs.contains((2L, 3L, 0)) &&
+      pairs.contains((1L, 2L, 0)), pairs.toString)
+  }
+
+  test("real-video path: corrupt/truncated AVI containers fall to the stub, never throw") {
+    val f1 = jpeg(7)
+    val whole = miniAvi(f1)
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length / 2) // truncated mid-frame
+    val lying = {
+      val b = whole.clone() // declared sizes point past the end
+      b(16) = 0xff.toByte; b(17) = 0xff.toByte; b(18) = 0xff.toByte
+      b
+    }
+    val media = Seq((1L, cut, "video"), (2L, lying, "video"))
+      .toDF("media_id", "payload", "media_type")
+    val lu = Multimodal.lumaGrid(media).collect().map(r => r.media_id -> r.luma.toSeq).toMap
+    assert(lu(1L) == Multimodal.stubLuma66(cut).toSeq)
+    assert(lu(2L) == Multimodal.stubLuma66(lying).toSeq)
+  }
+
+  test("mediaPhashIndex: merged+compacted == rebuilt; probe equality; append/load; dedup keep set") {
+    import Multimodal._
+    // text long enough that every one of the 66 stub cells sees real
+    // content (distinct grids per seed — a short string collapses all
+    // seeds into one giant bucket and the batch-local cap divergence,
+    // which is documented but not what this spec pins)
+    def grids(ids: Range, seedOf: Int => Int) = ids.map { i =>
+      (i.toLong, stubLuma66((s"w${seedOf(i)} x${seedOf(i) * 7} " * 30).getBytes("UTF-8")))
+    }.toDF("media_id", "luma")
+    // 40 corpus media; near-dup structure via shared seeds (i % 13)
+    val corpusA = grids(0 until 25, _ % 13)
+    val corpusB = grids(25 until 40, _ % 13)
+    val all = grids(0 until 40, _ % 13)
+    val probe = grids(100 until 110, _ % 13) // seeds 9..5 → exact stub collisions
+    val rebuilt = mediaPhashIndex(all, maxBucketSize = Some(8))
+    val merged = mediaPhashIndexMerge(
+      mediaPhashIndex(corpusA, maxBucketSize = Some(8)), corpusB,
+      maxBucketSize = Some(8))
+    val compacted = compactMediaPhashIndex(merged, maxBucketSize = Some(8))
+    def bandSet2(ix: MediaPhashIndex) = ix.bands
+      .select(col("band"), col("bkey"), col("ex_ids")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSet)).toSet
+    assert(bandSet2(compacted) == bandSet2(rebuilt),
+      "compacted merge must equal the full rebuild (up to in-bucket id order)")
+    // probe equality: fragmented merged index == rebuilt index
+    def probeSet(ix: MediaPhashIndex) = probeMediaPhashIndex(probe, ix, threshold = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pm = probeSet(merged)
+    assert(pm == probeSet(rebuilt), "fragmented probe must equal rebuilt probe")
+    assert(pm.nonEmpty, "fixture must produce matches")
+    // persisted append path
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-idx").toString
+    try {
+      saveMediaPhashIndex(corpusA, dir, maxBucketSize = Some(8))
+      appendMediaPhashIndex(corpusB, dir, maxBucketSize = Some(8))
+      assert(probeSet(loadMediaPhashIndex(spark, dir)) == pm,
+        "persisted fragments must probe identically to the in-memory merge")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    // ingest keep set: matched probes dropped, novel media kept
+    val probeMedia = probe.select(col("media_id"),
+      lit(Array.emptyByteArray).as("payload"), lit("image").as("media_type"))
+    val kept = dedupAgainstMediaPhashIndex(probeMedia, probe, rebuilt, threshold = 3)
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    val matchedIds = pm.map(_._1)
+    assert(kept == (100L until 110L).toSet -- matchedIds, s"kept=$kept matched=$matchedIds")
+  }
 }

@@ -699,17 +699,28 @@ class PlanAuditSpec extends SparkSpec {
       "bucketing must group on the computed int key, never rank/sort rows:\n" + p)
   }
 
-  test("x_dq_checks: every counting branch scans ONE pruned column; FK is a LEFT ANTI on keys") {
+  test("x_dq_checks: one fused scan per table + the FK key pair; no full-row read") {
     val p = plan("x_dq_checks")
     assert(p.contains("LeftAnti"),
       "referential integrity must be an anti join, never NOT IN materialization:\n" + p)
-    // 5 checks -> 7 single-column scans (3 orders cols, 2 lineitem
-    // cols, plus the FK pair) — the report never reads a full row
+    // 5 checks -> 4 scans: ONE fused orders aggregate (its 3 audited
+    // columns), ONE fused lineitem aggregate (l_quantity only — the FK
+    // total is a count and needs no column), plus the FK anti join's
+    // key pair. The old one-branch-per-check shape billed 3.73x at a
+    // 10x scale-up purely on repeated scans.
     val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
-    schemas.foreach { s =>
-      assert(!s.contains(","), "every DQ branch scan must read exactly one column: " + s)
-    }
-    assert(schemas.size == 7, s"expected 7 key/column scans, saw ${schemas.size}:\n" + p)
+    assert(schemas.size == 4, s"expected 4 scans (2 fused + FK pair), saw ${schemas.size}:\n" + p)
+    assert(schemas.count(_.contains(",")) == 1,
+      "only the fused orders pass may read >1 column (its 3 audited ones):\n" + schemas.mkString("\n"))
+    val ordersFused = schemas.find(_.contains(",")).get
+    assert(Seq("o_orderkey", "o_custkey", "o_orderstatus").forall(ordersFused.contains) &&
+      !ordersFused.contains("o_totalprice"),
+      "the fused orders scan must read exactly the audited columns: " + ordersFused)
+    // the uniqueness count-distinct fuses into the same pass — Spark
+    // plans the single distinct as a keyed partial aggregate (no
+    // Expand row-doubling), one scan for all three orders checks
+    assert(p.contains("count(distinct o_orderkey"),
+      "uniqueness must ride the fused single-distinct aggregate:\n" + p)
   }
 
   test("x_anomaly_zscore: ONE hash exchange — all moments ride a single customer-partitioned window sort") {

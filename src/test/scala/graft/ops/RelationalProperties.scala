@@ -184,10 +184,14 @@ object RelationalProperties extends Properties("graft.ops.Relational") {
         if (m == 0) None
         else Some((BigInt(ks.map(_._2).sum).toDouble / m.toDouble / 100.0, rep))
       }.sortBy(identity)
-      val loRank = math.ceil(0.025 * b).toInt.max(1)
-      val hiRank = math.ceil(0.975 * b).toInt
-      val lo = if (means.size >= loRank) Some(round6(means(loRank - 1)._1)) else None
-      val hi = if (means.size >= hiRank) Some(round6(means(hiRank - 1)._1)) else None
+      // ranks over the SURVIVING rep count (reps with zero Poisson mass
+      // drop out) — the engine's convention, so tiny inputs still get a
+      // non-NULL CI instead of an unoccupied rank
+      val g = means.size
+      val loRank = math.ceil(0.025 * g).toInt.max(1)
+      val hiRank = math.ceil(0.975 * g).toInt
+      val lo = if (g >= 1) Some(round6(means(loRank - 1)._1)) else None
+      val hi = if (g >= 1) Some(round6(means(hiRank - 1)._1)) else None
       val mean = round6(cents.map(c => BigInt(c._2)).sum.toDouble / rows.size / 100.0)
       val gotLo = if (got.isNullAt(3)) None else Some(got.getDouble(3))
       val gotHi = if (got.isNullAt(4)) None else Some(got.getDouble(4))
