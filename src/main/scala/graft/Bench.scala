@@ -131,13 +131,19 @@ object Bench {
     // checkpoint-heavy dedup queries). Each unpersist is individually
     // guarded: an already-invalidated checkpointed RDD must cost a log
     // line, not the whole bench run.
+    // Durable shared faces (GraftPins — e.g. the cross-query graph
+    // face cache) are SKIPPED: their localCheckpoint lineage is
+    // truncated, so an unpersist would destroy them for every later
+    // query, not free a cache.
     def sweepPinnedBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-        try r.unpersist(blocking = true)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] unpersist of RDD ${r.id} failed: ${e.getMessage}")
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => org.apache.spark.sql.graftext.GraftPins.isPinned(r.id))
+        .foreach { r =>
+          try r.unpersist(blocking = true)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] unpersist of RDD ${r.id} failed: ${e.getMessage}")
+          }
         }
-      }
     val results = SparkEntry.queries.filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
       def once(): Double = {
         // sweep + GC before EVERY timed run (not just the query's

@@ -55,25 +55,23 @@ object DataQuality {
     * the declared suite order.
     *
     * Plan shape (the Deequ scan-sharing discipline): checks are
-    * GROUPED BY SOURCE TABLE and each group compiles to ONE fused
-    * aggregation over that table — completeness / in-set / in-range
-    * indicators and the uniqueness count-distinct are all columns of
-    * a single column-pruned pass, and a foreign-key check's `total`
-    * rides its child table's fused pass too, so a five-check
-    * orders+lineitem suite scans each table ONCE instead of once per
-    * check (the unfused shape billed 3.73× at a 10× scale-up purely
-    * on repeated scans; fused re-measured ~linear — BENCH_SCALE §DQ).
-    * A Uniqueness check makes its table's pass a single-distinct
-    * aggregate (Expand ×2 map-side, exchange = distinct keys — the
-    * unavoidable cost of an exact distinct; unlike [[Profile.profile]]'s
-    * many-distinct-columns case the ×2 never compounds because one
-    * report row audits one key). Only the foreign-key ORPHAN count
-    * keeps its own plan — a LEFT ANTI join on the key columns only
-    * (8-byte exchanges; at dimension-sized parents Catalyst broadcasts
-    * it). The per-table 1-row aggregates and per-FK 1-row orphan
-    * counts then crossJoin (broadcast-nested-loop over 1-row sides)
-    * and one literal-ordered array-of-structs inline-explodes into the
-    * report — each table's aggregate is computed exactly once in ONE
+    * GROUPED BY SOURCE TABLE and each table's ROW-LEVEL checks
+    * (completeness / in-set / in-range) compile to ONE fused
+    * column-pruned aggregation; a foreign-key check's `total` rides
+    * its child table's fused pass too, so a five-check orders+lineitem
+    * suite scans each table once for all its row-level work instead of
+    * once per check. Two check kinds keep their own plans, on
+    * exchange-shape grounds: a Uniqueness check runs as its OWN
+    * key-only two-phase distinct — fusing it would drag every other
+    * check's partial sums through the data-sized distinct exchange
+    * (≈4× the exchange bytes on a unique key, measured slower at sf1)
+    * while the split pass exchanges bare 8-byte keys — and the
+    * foreign-key ORPHAN count is a LEFT ANTI join on the key columns
+    * only (8-byte exchanges; at dimension-sized parents Catalyst
+    * broadcasts it). The per-table 1-row aggregates and per-check
+    * 1-row sidecars then crossJoin (broadcast-nested-loop over 1-row
+    * sides) and one literal-ordered array-of-structs inline-explodes
+    * into the report — each aggregate is computed exactly once in ONE
     * job, nothing is collected driver-side.
     */
   def runChecks(checks: Seq[Check]): DataFrame = {
@@ -95,15 +93,12 @@ object DataQuality {
         if (acc.exists(_ eq df)) acc else acc :+ df
       }
     def groupIdx(df: DataFrame): Int = sources.indexWhere(_ eq df)
-    // one fused aggregate per table: _tN = row count, _vN_i = check i's
-    // violation count (absent for FK — its violations come from the
-    // anti join below)
+    // one fused aggregate per table: _tN = row count, _vN_i = row-level
+    // check i's violation count (absent for Uniqueness and FK — those
+    // come from the key-only sidecars below)
     val violAgg: PartialFunction[(Check, Int), Column] = {
       case (Completeness(_, _, c), i) =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).cast("bigint").as(s"_v$i")
-      case (Uniqueness(_, _, cols), i) =>
-        (count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
-          .cast("bigint").as(s"_v$i")
       case (InSet(_, _, c, values), i) =>
         sum(when(col(c).isin(values: _*), 0L).otherwise(1L)).cast("bigint").as(s"_v$i")
       case (InRange(_, _, c, lo, hi), i) =>
@@ -115,13 +110,19 @@ object DataQuality {
           .collect(violAgg)
       df.agg(aggs.head, aggs.tail: _*)
     }
-    val fkOrphans: Seq[DataFrame] = checks.zipWithIndex.collect {
+    val sidecars: Seq[DataFrame] = checks.zipWithIndex.collect {
+      case (Uniqueness(df, _, cols), i) =>
+        // key-only pass: the distinct exchange carries nothing but the
+        // audited key columns
+        df.select(cols.map(col): _*)
+          .agg((count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
+            .cast("bigint").as(s"_v$i"))
       case (ForeignKey(child, _, childCol, parent, parentCol), i) =>
         child.select(col(childCol))
           .join(parent.select(col(parentCol)), col(childCol) === col(parentCol), "left_anti")
           .agg(count(lit(1)).cast("bigint").as(s"_v$i"))
     }
-    val onerow = (tableAggs ++ fkOrphans).reduce(_ crossJoin _)
+    val onerow = (tableAggs ++ sidecars).reduce(_ crossJoin _)
     val reportRows: Seq[Column] = checks.zipWithIndex.map { case (k, i) =>
       val tot = col(s"_t${groupIdx(srcOf(k))}")
       val v = col(s"_v$i")

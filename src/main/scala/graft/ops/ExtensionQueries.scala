@@ -320,7 +320,9 @@ object ExtensionQueries {
           .join(li.select(col("ok"), col("pk").as("dst")), "ok")
           .filter(col("src") < col("dst"))
           .select(col("src"), col("dst"))
-        GraphOps.face(pairs)
+        // pinned: the cached face must survive graft.Bench's
+        // between-query pinned-block sweep (GraftPins scaladoc)
+        GraphOps.face(pairs, pinned = true)
       })
 
   private val ndIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()

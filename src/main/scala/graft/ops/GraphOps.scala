@@ -36,9 +36,23 @@ object GraphOps {
     * faces it touches.
     */
   final class GraphFace private[GraphOps] (
-      edges: DataFrame, srcCol: String, dstCol: String, assumeCanonical: Boolean) {
+      edges: DataFrame, srcCol: String, dstCol: String, assumeCanonical: Boolean,
+      pinned: Boolean) {
 
     private[GraphOps] def spark = edges.sparkSession
+
+    /** Checkpoint a face; a PINNED face (one cached across queries)
+      * additionally registers its blocks with
+      * [[org.apache.spark.sql.graftext.GraftPins]] so between-query
+      * pinned-block sweeps (graft.Bench) don't destroy it — a
+      * localCheckpoint's lineage is truncated, so an unpersist there
+      * is data loss, not cache eviction. Throwaway faces stay
+      * unpinned and sweepable. */
+    private def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      if (pinned) org.apache.spark.sql.graftext.GraftPins.pin(c)
+      c
+    }
 
     /** Canonical undirected edge set: distinct (a < b), self-loops
       * dropped, checkpointed once for all downstream consumers. When
@@ -50,21 +64,19 @@ object GraphOps {
       * violating input would double-count edges downstream. */
     lazy val canonical: DataFrame =
       if (assumeCanonical)
-        edges.select(col(srcCol).as("a"), col(dstCol).as("b")).localCheckpoint()
-      else edges
+        ck(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+      else ck(edges
         .select(least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
 
     /** Degree table (node, deg), hash-partitioned on node by its own
       * rollup, checkpointed — feeds the orientation joins, graphStats
       * moments, and the k-core peel's initial state. */
-    lazy val deg: DataFrame = canonical.select(col("a").as("node"))
+    lazy val deg: DataFrame = ck(canonical.select(col("a").as("node"))
       .unionAll(canonical.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
 
     /** Symmetrized edge list (u, v), both directions, repartitioned on
       * the probe key `u` and checkpointed: every iterative consumer
@@ -75,10 +87,9 @@ object GraphOps {
       * base 13.26 s vs prepartition 14.15 s at sf1); SHARED across the
       * iterative operators of one graph the build is paid once and
       * every round of every consumer rides it, which flips the trade. */
-    lazy val sym: DataFrame = canonical.select(col("a").as("u"), col("b").as("v"))
+    lazy val sym: DataFrame = ck(canonical.select(col("a").as("u"), col("b").as("v"))
       .unionAll(canonical.select(col("b").as("u"), col("a").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
+      .repartition(col("u")))
 
     /** Degree-(deg, id)-ordered forward edges (src, dst): every
       * undirected edge oriented from its lower-(deg, id) endpoint —
@@ -87,7 +98,7 @@ object GraphOps {
       * closure work downstream is bounded by the orientation's
       * out-degree — O(√m) on any graph. The deg lookups are hash
       * joins by hint: the edge stream never pays a sort. */
-    lazy val oriented: DataFrame = canonical
+    lazy val oriented: DataFrame = ck(canonical
       .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), "b")
       .select(
@@ -95,15 +106,13 @@ object GraphOps {
           struct(col("a").as("s"), col("b").as("d")))
           .otherwise(struct(col("b").as("s"), col("a").as("d")))
           .as("o"))
-      .select(col("o.s").as("src"), col("o.d").as("dst"))
-      .localCheckpoint()
+      .select(col("o.s").as("src"), col("o.d").as("dst")))
 
     /** Packed sorted forward adjacency: one (src, nbrs) row per node
       * with out-edges, nbrs sorted for the merge-scan intersect
       * kernel. Σ array entries = edge count. */
-    lazy val adj: DataFrame = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint()
+    lazy val adj: DataFrame = ck(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
 
     /** Triangle triples (ta < tb < tc), one row per triangle of the
       * graph, from the oriented closure (each triangle {u,v,w}
@@ -112,22 +121,21 @@ object GraphOps {
       * u+v+w−min−max identity — the transient three-way sum could
       * overflow Long for ids above ~Long.MaxValue/3 and silently
       * corrupt triple keys. */
-    lazy val triples: DataFrame = closure(this)
+    lazy val triples: DataFrame = ck(closure(this)
       .select(col("src").as("u"), col("dst").as("v"),
         explode(array_intersect(col("nu"), col("nbrs"))).as("w"))
       .select(least(col("u"), col("v"), col("w")).as("ta"),
         greatest(least(col("u"), col("v")),
           least(greatest(col("u"), col("v")), col("w"))).as("tb"),
-        greatest(col("u"), col("v"), col("w")).as("tc"))
-      .localCheckpoint()
+        greatest(col("u"), col("v"), col("w")).as("tc")))
   }
 
   /** Build the shared face of one graph. `assumeCanonical = true`
     * promises the input is already a distinct, loop-free src < dst
     * edge set (skips the canonicalization exchange). */
   def face(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-           assumeCanonical: Boolean = false): GraphFace =
-    new GraphFace(edges, srcCol, dstCol, assumeCanonical)
+           assumeCanonical: Boolean = false, pinned: Boolean = false): GraphFace =
+    new GraphFace(edges, srcCol, dstCol, assumeCanonical, pinned)
 
   /** The triangle closure join: oriented edges with BOTH endpoints'
     * forward adjacencies attached — (src, dst, nu, nbrs), hash joins

@@ -84,19 +84,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L, 12L), kept.toString)
 
     // same answer with the runtime bloom-filter optimizer on (the
-    // cluster default — a planted filter must only prune, never drop)
-    val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // cluster default — a planted filter must only prune, never drop).
+    // ALL three confs restore in the finally: the session is shared
+    // across suites, and a leaked applicationSideScanSizeThreshold=0
+    // injects runtime bloom filters into every later join on tiny
+    // fixtures, where Spark's own literal-probe codegen trips a Janino
+    // '(Long)<literal> is not an rvalue' fallback — harmless but it
+    // floods the log and would mask a real codegen regression.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val olds = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "10GB")
+    spark.conf.set(keys(2), "0")
     try {
       val kept2 = Dedup.dedupAgainstCorpus(incoming, existing)
         .collect().map(_.getLong(0)).toSet
       assert(kept2 == Set(11L, 12L), s"bloom-filtered plan diverged: $kept2")
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -60,17 +60,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
   }
 
-  test("labelPropagation: prepartition A/B face returns identical labels") {
+  test("heavy-degree chunked closure returns identical triangle counts and truss trajectories") {
+    import spark.implicits._
+    // random graph with a deliberate hub (node 0 connected to all) so
+    // chunking actually splits an adjacency array at T=4
+    val rnd = new scala.util.Random(23)
+    val g = ((1L to 30L).map(v => (0L, v)) ++
+      Seq.fill(120)((rnd.nextInt(30) + 1L, rnd.nextInt(30) + 1L))).distinct
+    val df = g.toDF("src", "dst")
+    val base = rowSet(GraphOps.triangleStats(df))
+    val baseT = rowSet(GraphOps.ktrussPeel(df, k = 4, rounds = 2))
+    spark.conf.set("spark.graft.graph.heavySplitDegree", "4")
+    try {
+      assert(rowSet(GraphOps.triangleStats(df)) == base,
+        "chunked closure must count identically (chunks partition the array)")
+      assert(rowSet(GraphOps.ktrussPeel(df, k = 4, rounds = 2)) == baseT,
+        "chunked triple enumeration must explode each triangle exactly once")
+    } finally spark.conf.unset("spark.graft.graph.heavySplitDegree")
+  }
+
+  test("one shared GraphFace serves every operator with results identical to one-shot entries") {
     import spark.implicits._
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
-    val base = GraphOps.labelPropagation(g.toDF("src", "dst"), iters = 3)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    spark.conf.set("spark.graft.lpa.prepartition", "true")
-    try {
-      val pre = GraphOps.labelPropagation(g.toDF("src", "dst"), iters = 3)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(pre == base)
-    } finally spark.conf.unset("spark.graft.lpa.prepartition")
+    val df = g.toDF("src", "dst")
+    val face = GraphOps.face(df)
+    def m(d: org.apache.spark.sql.DataFrame) = rowSet(d)
+    assert(m(GraphOps.labelPropagation(face, 3)) == m(GraphOps.labelPropagation(df, iters = 3)))
+    assert(m(GraphOps.triangleStats(face)) == m(GraphOps.triangleStats(df)))
+    assert(m(GraphOps.graphStats(face)) == m(GraphOps.graphStats(df)))
+    assert(m(GraphOps.kcorePeel(face, k = 2, rounds = 3)) ==
+      m(GraphOps.kcorePeel(df, k = 2, rounds = 3)))
+    assert(m(GraphOps.ktrussPeel(face, k = 4, rounds = 2)) ==
+      m(GraphOps.ktrussPeel(df, k = 4, rounds = 2)))
+    val seeds = Seq(1L).toDF("node")
+    assert(m(GraphOps.bfsHops(face, seeds, "node", 3)) ==
+      m(GraphOps.bfsHops(df, seeds, rounds = 3)))
   }
 
   test("graphStats: P3 path is perfectly disassortative, K3 has zero degree variance") {

@@ -143,6 +143,24 @@ class RelationalSpec extends SparkSpec {
     assert(rowSet(out) == Set("10|2|3|0.333333", "20|1|1|0.0"), rowSet(out).toString)
   }
 
+  test("bootstrapCiPoisson: round-robin spread only when the source is under-split") {
+    // shuffle.partitions is 4 in the test session: a 32-split source
+    // must NOT pay the data-sized exchange; a 1-split source must
+    def src(slices: Int) = spark.range(0, 200, 1, slices)
+      .selectExpr("id as o_orderkey", "cast(id as double) / 7 as o_totalprice")
+    val wide = Relational.bootstrapCiPoisson(src(32), b = 8)
+      .queryExecution.executedPlan.toString
+    assert(!wide.contains("RoundRobinPartitioning"),
+      "a multi-split source must not be re-shuffled:\n" + wide)
+    val narrow = Relational.bootstrapCiPoisson(src(1), b = 8)
+      .queryExecution.executedPlan.toString
+    assert(narrow.contains("RoundRobinPartitioning"),
+      "a single-split source must spread across cores:\n" + narrow)
+    // and the gate changes no values
+    assert(rowSet(Relational.bootstrapCiPoisson(src(32), b = 8)) ==
+      rowSet(Relational.bootstrapCiPoisson(src(1), b = 8)))
+  }
+
   test("bloomPrunedJoin: exactly the plain join (no false negatives); handle destroy is clean") {
     val big = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (1L, "e"))
       .toDF("k", "payload")
