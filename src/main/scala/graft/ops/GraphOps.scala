@@ -232,16 +232,32 @@ object GraphOps {
     */
   def labelPropagation(f: GraphFace, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"labelPropagation: iters must be in [1, 20], got $iters")
+    // A/B face (spark.graft.lpa.modeAgg=true): collapse the per-round
+    // (v, label) count + argmax TWO-aggregation chain (two data-sized
+    // exchanges) into ONE deterministic mode() aggregate per node —
+    // Spark's Mode with deterministic=true returns the lowest value
+    // among the most-frequent, exactly the (count desc, label asc)
+    // tie rule (equal labels spec-pinned on the hand-computed
+    // fixtures). The trade: mode() is an ObjectHashAggregate with a
+    // per-group hash-map buffer (falls to sort-based past the group
+    // fallback threshold) vs two codegen'd hash aggregates — decided
+    // by measurement (BENCH_SCALE §LPA-MODE).
+    val useMode = f.spark.conf.getOption("spark.graft.lpa.modeAgg").exists(_.toBoolean)
     var labels = f.deg
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      labels = f.sym
+      val joined = f.sym
         .join(labels.select(col("node").as("u"), col("label")).hint("shuffle_hash"), "u")
-        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("v"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("v").as("node"), (-col("m.nl")).as("label"))
+      labels = (if (useMode)
+        joined.groupBy(col("v"))
+          .agg(mode(col("label"), deterministic = true).as("label"))
+          .select(col("v").as("node"), col("label"))
+      else
+        joined.groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("v"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("v").as("node"), (-col("m.nl")).as("label")))
         .localCheckpoint()
     }
     labels
