@@ -246,11 +246,18 @@ object EventAnalytics {
     * full sort.
     *
     * Input columns: `basketCol`, `itemCol`. Output: a, b, n_ab,
-    * support, confidence, lift, rn (1-based rank). */
+    * support, confidence, lift, rn (1-based rank).
+    *
+    * `assumeDistinct = true` promises the input is ALREADY the
+    * distinct (basket, item) membership table (e.g. a shared
+    * checkpointed face) — the dedup exchange is skipped; a violating
+    * input would over-count. The caller-contract posture of
+    * [[GraphOps]]'s assumeCanonical. */
   def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
-                       k: Int = 20): DataFrame = {
+                       k: Int = 20, assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"associationRules: k must be >= 1, got $k")
-    val bi = baskets.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
+    val bi0 = baskets.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+    val bi = if (assumeDistinct) bi0 else bi0.distinct()
     val n = bi.select(col("_bk")).distinct().count()
     val itemCnt = bi.groupBy(col("_it")).agg(count(lit(1)).as("_c"))
     val pairCnt = bi.select(col("_bk"), col("_it").as("a"))

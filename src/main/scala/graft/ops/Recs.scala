@@ -35,14 +35,21 @@ object Recs {
     * (6 dp), ordered-by-construction (cosine desc, neighbor) per item.
     * Ties in cosine are broken by neighbor id, so the top-k set is a
     * deterministic total order. */
+  /** `assumeDistinct = true` promises the input is ALREADY the
+    * distinct (basket, item) membership table AND cheap to rescan
+    * (checkpointed/cached — e.g. a shared face): the dedup exchange
+    * and the membership checkpoint are both skipped. A violating
+    * input double-counts co-occurrence. The caller-contract posture
+    * of [[GraphOps]]'s assumeCanonical. */
   def itemCf(lineitem: DataFrame, topK: Int = 5, minCo: Long = 2,
              maxBasket: Long = 256,
-             basketCol: String = "l_orderkey", itemCol: String = "l_partkey"): DataFrame = {
+             basketCol: String = "l_orderkey", itemCol: String = "l_partkey",
+             assumeDistinct: Boolean = false): DataFrame = {
     require(topK > 0, s"itemCf: topK must be > 0, got $topK")
     require(minCo >= 1, s"itemCf: minCo must be >= 1, got $minCo")
     require(maxBasket >= 2, s"itemCf: maxBasket must be >= 2, got $maxBasket")
-    val bi0 = lineitem.select(col(basketCol).as("ok"), col(itemCol).as("item"))
-      .distinct().localCheckpoint()
+    val renamed = lineitem.select(col(basketCol).as("ok"), col(itemCol).as("item"))
+    val bi0 = if (assumeDistinct) renamed else renamed.distinct().localCheckpoint()
     // skew fuse: drop baskets whose pair cost would be quadratic-pathological
     val big = bi0.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
       .where(col("bs") > maxBasket).select(col("ok"))
