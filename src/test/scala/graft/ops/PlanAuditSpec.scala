@@ -400,6 +400,54 @@ class PlanAuditSpec extends SparkSpec {
         exchangeLines.mkString("\n"))
   }
 
+  test("x_lsh_curve: recall leg is sample-bounded — broadcast pair build, no data-sized cartesian") {
+    val p = plan("x_lsh_curve")
+    // the only nested-loop joins are the sampleN-row broadcast
+    // all-pairs verify and the 19-row grid x 1-row stats sidecars —
+    // never a data-sized CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the sample all-pairs build must broadcast the sample side:\n" + p)
+  }
+
+  test("x_mm_video_phash: exchanges carry 8-byte hashes/ids, never luma grids or payloads; no cartesian") {
+    val p = plan("x_mm_video_phash")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("luma#") && !l.contains("payload#")),
+      "exchanges must carry hashes/ids, never luma or payload:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
+  test("x_mm_phash_index: probe exchanges carry band keys/hashes/ids; the decode grid sits behind its checkpoint") {
+    val p = plan("x_mm_phash_index")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus+probe grids read the ONE checkpointed decode (no
+    // parquet rescan), and nothing after it shuffles luma or payload
+    assert(!p.contains("Scan parquet"),
+      "both sides must ride the decoded grid's checkpoint:\n" + p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("luma#") && !l.contains("payload#")),
+      "exchanges must carry band keys/hashes/ids only:\n" +
+        exchangeLines.mkString("\n"))
+  }
+
+  test("x_conformal_grouped: no per-group sort window over data; exchanges carry residuals/ids, never text") {
+    val p = plan("x_conformal_grouped")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(!_.contains("text#")),
+      "exchanges must carry (group, resid, id), never text:\n" +
+        exchangeLines.mkString("\n"))
+    // the per-group quantile is the groupedValueRanks grid (range
+    // exchange + bounded windows + broadcast offsets) — a
+    // window PARTITIONED BY the group over the residual table would be
+    // the group-serialization anti-pattern
+    assert(!p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(_g#") && l.contains("_resid#")),
+      "no per-group sort window over the residual rows:\n" + p)
+  }
+
   test("x_token_set_er: no cartesian; pair scoring joins on block keys; weight table broadcast-joins the count") {
     val p = plan("x_token_set_er")
     assert(!p.contains("CartesianProduct"), p)
