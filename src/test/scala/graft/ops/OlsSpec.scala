@@ -118,4 +118,51 @@ class OlsSpec extends SparkSpec {
     val calCov = cal.count(r => resid(r) <= qHat).toDouble / nCal
     assert(calCov >= qRank.toDouble / nCal - 1e-12)
   }
+
+  test("conformalPerGroup == conformal2 run per group slice (grid rank pick == strict rank pick)") {
+    val rnd = new scala.util.Random(11)
+    // three groups with different models and noise scales
+    val rows = for {
+      (g, (a, b, noise)) <- Seq("en" -> (5L, 2L, 3), "de" -> (40L, -1L, 9),
+        "fr" -> (0L, 4L, 1))
+      i <- 0 until 90
+    } yield {
+      val x1 = rnd.nextInt(40).toLong; val x2 = rnd.nextInt(40).toLong
+      (g, (g.hashCode.toLong.abs % 97) * 1000 + i,
+        a + b * x1 + 2 * x2 + rnd.nextInt(2 * noise + 1) - noise, x1, x2)
+    }
+    val df = rows.toDF("lang", "id", "y", "x1", "x2")
+    val grouped = Ols.conformalPerGroup(df, col("lang"), col("id"), col("y"),
+      col("x1"), col("x2"), q = 0.9)
+    for (g <- Seq("en", "de", "fr")) {
+      val solo = Ols.conformal2(df.filter(col("lang") === g),
+        col("id"), col("y"), col("x1"), col("x2"), q = 0.9)
+      assert(rowSet(grouped.filter(col("grp") === g).drop("grp")) == rowSet(solo),
+        s"group $g diverged from its solo conformal2")
+    }
+  }
+
+  test("conformalPerGroup: group-conditional coverage >= q on exchangeable fixtures") {
+    // iid-per-group fixtures (the exchangeability premise); train rows
+    // were NOT used for calibration, so their coverage estimates the
+    // guarantee's marginal probability — allow binomial slack at n~130
+    for (seed <- Seq(3, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = for {
+        g <- Seq("a", "b"); i <- 0 until 260
+      } yield {
+        val x1 = rnd.nextInt(30).toLong; val x2 = rnd.nextInt(30).toLong
+        val noise = if (g == "a") 4 else 12
+        (g, g(0).toLong * 10000 + i, 7 + 3 * x1 - x2 +
+          rnd.nextInt(2 * noise + 1) - noise, x1, x2)
+      }
+      val out = Ols.conformalPerGroup(rows.toDF("g", "id", "y", "x1", "x2"),
+        col("g"), col("id"), col("y"), col("x1"), col("x2"), q = 0.9)
+        .select(col("grp"), col("train_coverage")).as[(String, Double)].collect().toMap
+      assert(out.size == 2, out.toString)
+      out.foreach { case (g, cov) =>
+        assert(cov >= 0.9 - 0.08, s"seed $seed group $g coverage $cov < q - slack")
+      }
+    }
+  }
 }
