@@ -726,4 +726,68 @@ object DataQuality {
               (lit(12.0) * col("n").cast("double") * (col("n") - 1).cast("double"))))),
           6).as("z"))
   }
+
+  /** Jensen–Shannon divergence between the reference source's TOKEN
+    * distribution and the rest of the corpus — the vocabulary-drift
+    * companion of [[psiDrift]]'s value-bucket drift (Lin 1991): with
+    * M = ½(P+Q),
+    *   JSD = ½·KL(P‖M) + ½·KL(Q‖M) ∈ [0, ln 2],
+    * symmetric and finite even on disjoint vocabularies (a token
+    * absent from one side contributes only through the present side's
+    * p·ln(p/m) term — no smoothing constant to tune, unlike PSI's
+    * Laplace buckets).
+    *
+    * Determinism: tokens ride the md5-60 hash family (the x_pmi
+    * construction — exchanges carry 8-byte hashes, oracle replays the
+    * digests); the vocabulary floor keeps combined-count ≥ `minCount`
+    * types and the totals renormalize over the KEPT vocabulary (stated
+    * contract — drift is measured on the stable vocabulary); per-type
+    * p/q/m are pinned-order double chains off exact BIGINT counts, and
+    * each p·ln(p/m) term is ROUND(…, 10) then DECIMAL(28,10) before
+    * summing (the theil/psi discipline: the transcendental never rides
+    * an order-dependent double fold; 10 dp keeps rare-type mass that
+    * 6 dp would truncate).
+    *
+    * Scale shape: one tokenize+explode pass collapses to the
+    * vocab-sized (hash, c_ref, c_other) rollup — the only data-sized
+    * exchange, map-side combined, checkpointed once for the totals
+    * and the term pass; the 1-row totals broadcast back; everything
+    * after is vocabulary-sized.
+    *
+    * Output: ONE row — n_vocab, n_tok_ref, n_tok_other, kl_ref,
+    * kl_other, jsd (6 dp, nats). */
+  def jsDivergence(docs: DataFrame, refSource: String, textCol: String = "text",
+                   minCount: Long = 5): DataFrame = {
+    require(minCount >= 1, s"jsDivergence: minCount must be >= 1, got $minCount")
+    val counts = docs
+      .select((col("source") === refSource).as("_ref"),
+        explode(split(col(textCol), "\\s+")).as("_tok"))
+      .select(col("_ref"),
+        conv(substring(md5(col("_tok")), 1, 15), 16, 10).cast("long").as("_h"))
+      .groupBy(col("_h"))
+      .agg(sum(when(col("_ref"), 1L).otherwise(0L)).cast("long").as("_cp"),
+        sum(when(!col("_ref"), 1L).otherwise(0L)).cast("long").as("_cq"))
+      .filter(col("_cp") + col("_cq") >= minCount)
+      .localCheckpoint() // totals + the term pass
+    val totals = counts.agg(
+      count(lit(1)).cast("long").as("n_vocab"),
+      sum(col("_cp")).cast("long").as("n_tok_ref"),
+      sum(col("_cq")).cast("long").as("n_tok_other"))
+    val pi = col("_cp").cast("double") / col("n_tok_ref")
+    val qi = col("_cq").cast("double") / col("n_tok_other")
+    val mi = (pi + qi) / lit(2.0)
+    counts.crossJoin(broadcast(totals))
+      .select(col("n_vocab"), col("n_tok_ref"), col("n_tok_other"),
+        round(when(col("_cp") > 0, pi * log(pi / mi)).otherwise(lit(0.0)), 10)
+          .cast("decimal(28,10)").as("_tp"),
+        round(when(col("_cq") > 0, qi * log(qi / mi)).otherwise(lit(0.0)), 10)
+          .cast("decimal(28,10)").as("_tq"))
+      .groupBy(col("n_vocab"), col("n_tok_ref"), col("n_tok_other"))
+      .agg(sum(col("_tp")).as("_klp"), sum(col("_tq")).as("_klq"))
+      .select(col("n_vocab"), col("n_tok_ref"), col("n_tok_other"),
+        round(col("_klp").cast("double"), 6).as("kl_ref"),
+        round(col("_klq").cast("double"), 6).as("kl_other"),
+        round((col("_klp").cast("double") + col("_klq").cast("double")) / 2.0, 6)
+          .as("jsd"))
+  }
 }

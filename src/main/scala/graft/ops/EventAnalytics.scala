@@ -1445,6 +1445,43 @@ object EventAnalytics {
       .select(col("split_rank").cast("int").as("split_rank"),
         col("split_day"), col("gain"))
   }
+  /** Sample-ratio-mismatch guard — the A/B health check every
+    * experimentation platform runs BEFORE reading any metric (Fabijan
+    * et al., "Diagnosing Sample Ratio Mismatch", KDD 2019): a 50/50
+    * assignment whose realized arm counts differ beyond chance means
+    * the assignment or logging is broken and every downstream readout
+    * ([[cupedAb]], [[graft.ops.Relational.segmentCi]]) is invalid.
+    * Chi-square GOF against the 50/50 design with df = 1 collapses to
+    *   χ² = (n_a − n_b)² / n,
+    * and the 95% flag is the χ²₁ critical value 3.841459.
+    *
+    * Determinism: the arms are [[cupedAb]]'s md5-parity assignment
+    * (same hash, same parity — the two readouts audit the SAME
+    * split); χ² is ONE IEEE divide of exact BIGINTs rounded 6 dp; the
+    * `srm` FLAG is pure exact-integer arithmetic — (n_a−n_b)²·10⁶
+    * compared against 3841459·n in DECIMAL(38,0), so the boundary
+    * can never float-flake.
+    *
+    * Scale shape: one distinct-user rollup (the only exchange), then a
+    * 1-row aggregate. Output: n_users, n_a, n_b, chi2, srm. */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    events.select(col("user_id")).distinct()
+      .select((conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 13),
+        16, 10).cast("long") % 2 === 0).as("arm_a"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(when(col("arm_a"), 1L).otherwise(0L)).cast("long").as("n_a"))
+      .select(col("n_users"), col("n_a"), (col("n_users") - col("n_a")).as("n_b"))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        // the squared diff is widened BEFORE the product (the Ols
+        // moments discipline) — a long·long square overflows past
+        // ~3e9 users of pure imbalance
+        round((d(col("n_a") - col("n_b")) * d(col("n_a") - col("n_b"))).cast("double")
+          / col("n_users"), 6).as("chi2"),
+        (d(col("n_a") - col("n_b")) * d(col("n_a") - col("n_b")) * d(lit(1000000L)) >
+          d(lit(3841459L)) * d(col("n_users"))).as("srm"))
+  }
+
   /** CUPED variance-reduced A/B readout — the experimentation-platform
     * staple (Deng, Xu, Kohavi & Walker, WSDM 2013): users hash into two
     * arms, the observation window splits at its time midpoint, each

@@ -6668,6 +6668,68 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** Sample-ratio-mismatch guard (EventAnalytics.srmCheck scaladoc:
+    * the cupedAb md5-parity arms audited by a χ²₁ GOF against the
+    * 50/50 design; one IEEE divide for the statistic, the 95% flag in
+    * pure exact-integer DECIMAL arithmetic — no float boundary). The
+    * oracle replays the parity split and the HUGEINT flag compare. */
+  val srmCheckQ: Q = Q(
+    "x_srm_check",
+    (s, d) => EventAnalytics.srmCheck(Tables.events(s, d)),
+    Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      a AS (SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+                    % 2 = 0) AS arm_a FROM u),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+            FROM a)
+      SELECT n_users, n_a, n_users - n_a AS n_b,
+             ROUND(CAST(CAST(2*n_a - n_users AS HUGEINT)
+                        * CAST(2*n_a - n_users AS HUGEINT) AS DOUBLE) / n_users, 6) AS chi2,
+             CAST(2*n_a - n_users AS HUGEINT) * CAST(2*n_a - n_users AS HUGEINT) * 1000000
+               > 3841459 * CAST(n_users AS HUGEINT) AS srm
+      FROM s
+    """.trim)
+  )
+
+  /** Jensen–Shannon vocabulary drift between the reference source and
+    * the rest of the corpus (DataQuality.jsDivergence scaladoc: md5-60
+    * token hashes, combined-count vocabulary floor with renormalized
+    * totals, pinned p/q/m double chains, ROUND(…,10)-then-DECIMAL term
+    * sums — the transcendental never rides an order-dependent fold).
+    * The oracle replays digests, floor, and every chain. */
+  val jsDivergenceQ: Q = Q(
+    "x_js_divergence",
+    (s, d) => DataQuality.jsDivergence(Tables.documents(s, d), refSource = "src0"),
+    Some("""
+      WITH t AS (SELECT (source = 'src0') AS ref,
+                        unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents),
+      c AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h,
+                   CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                   CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cq
+            FROM t GROUP BY 1 HAVING COUNT(*) >= 5),
+      tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                    CAST(SUM(cp) AS BIGINT) AS tp,
+                    CAST(SUM(cq) AS BIGINT) AS tq FROM c),
+      terms AS (SELECT n_vocab, tp, tq,
+        CAST(ROUND(CASE WHEN cp > 0 THEN (CAST(cp AS DOUBLE) / tp)
+          * ln((CAST(cp AS DOUBLE) / tp)
+               / ((CAST(cp AS DOUBLE) / tp + CAST(cq AS DOUBLE) / tq) / 2.0))
+          ELSE 0.0 END, 10) AS DECIMAL(28,10)) AS tp_term,
+        CAST(ROUND(CASE WHEN cq > 0 THEN (CAST(cq AS DOUBLE) / tq)
+          * ln((CAST(cq AS DOUBLE) / tq)
+               / ((CAST(cp AS DOUBLE) / tp + CAST(cq AS DOUBLE) / tq) / 2.0))
+          ELSE 0.0 END, 10) AS DECIMAL(28,10)) AS tq_term
+        FROM c, tt)
+      SELECT n_vocab, tp AS n_tok_ref, tq AS n_tok_other,
+             ROUND(CAST(SUM(tp_term) AS DOUBLE), 6) AS kl_ref,
+             ROUND(CAST(SUM(tq_term) AS DOUBLE), 6) AS kl_other,
+             ROUND((CAST(SUM(tp_term) AS DOUBLE) + CAST(SUM(tq_term) AS DOUBLE)) / 2.0, 6) AS jsd
+      FROM terms GROUP BY 1, 2, 3
+    """.trim)
+  )
+
   /** CUPED variance-reduced A/B readout (EventAnalytics.cupedAb
     * scaladoc: md5-parity arms, integer-micros midpoint pre/post
     * split, exact-cent per-user covariate/metric, mirrored θ/ρ²
@@ -7056,5 +7118,5 @@ object ExtensionQueries {
     woeIvQ, spearmanQ, mannWhitneyQ, seqTriplesQ, kendallQ, segmentedTrendQ,
     cusumQ, cramersVQ, fdCheckQ, zipfSlopeQ, theilDecompQ, bootstrapCiQ, textRankQ,
     conformalQ, conformalGroupedQ, cupedQ, ktrussQ, holtWintersQ, mannKendallQ, stlQ,
-    lshCurveQ)
+    lshCurveQ, srmCheckQ, jsDivergenceQ)
 }

@@ -269,4 +269,31 @@ class DataQualitySpec extends SparkSpec {
     // g=a fans out to {x,y}; g=b maps to one value
     assert(out(("g", "v")) == ((2L, 1L, 2L, false)), out.toString)
   }
+
+  test("jsDivergence: identical corpora read 0; disjoint vocabularies read ln 2; floor renormalizes") {
+    import spark.implicits._
+    def docs(rows: (String, String)*) = rows.zipWithIndex
+      .map { case ((src, text), i) => (i.toLong, src, text) }
+      .toDF("doc_id", "source", "text")
+    // identical token distributions on both sides -> every p == q -> 0
+    val same = docs(
+      ("src0", "alpha beta gamma alpha beta"), ("src0", "alpha beta gamma alpha beta"),
+      ("other", "alpha beta gamma alpha beta"), ("other", "alpha beta gamma alpha beta"))
+    val r0 = DataQuality.jsDivergence(same, "src0", minCount = 2).collect()(0)
+    assert(r0.getDouble(5) == 0.0 && r0.getDouble(3) == 0.0 && r0.getDouble(4) == 0.0, r0.toString)
+    // fully disjoint vocabularies -> JSD = ln 2 (each side's KL(P||M) = ln 2)
+    val disj = docs(
+      ("src0", "aa aa aa aa aa bb bb bb bb bb"),
+      ("other", "cc cc cc cc cc dd dd dd dd dd"))
+    val r1 = DataQuality.jsDivergence(disj, "src0", minCount = 2).collect()(0)
+    assert(math.abs(r1.getDouble(5) - math.log(2.0)) < 1e-5, r1.toString)
+    assert(r1.getLong(0) == 4L, "all four types pass the floor: " + r1)
+    // the vocabulary floor drops rare types and renormalizes totals
+    val floored = docs(
+      ("src0", "aa aa aa aa rare"), ("other", "aa aa aa aa other_rare"))
+    val r2 = DataQuality.jsDivergence(floored, "src0", minCount = 5).collect()(0)
+    assert(r2.getLong(0) == 1L && r2.getLong(1) == 4L && r2.getLong(2) == 4L,
+      "only 'aa' (combined 8) survives; totals renormalize: " + r2)
+    assert(r2.getDouble(5) == 0.0, r2.toString)
+  }
 }

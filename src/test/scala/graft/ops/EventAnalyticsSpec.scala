@@ -721,4 +721,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - 3.0) < 0.2, s"theta=${got.getDouble(2)}")
     assert(got.getDouble(5) > 0.9, s"var_reduction=${got.getDouble(5)}")
   }
+
+  test("srmCheck: flags a rigged split, passes a fair one; chi2 matches the hand formula") {
+    import spark.implicits._
+    // arms are md5-parity of the user id — compute the parity locally
+    // and PLANT the imbalance (40 arm-a vs 5 arm-b users)
+    def armA(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2 == 0
+    }
+    val ids = (1L to 2000L)
+    val aIds = ids.filter(armA).take(40)
+    val bIds = ids.filterNot(armA).take(5)
+    def ev(users: Seq[Long]) = users.map(u => (u, "click")).toDF("user_id", "event_type")
+    val rigged = EventAnalytics.srmCheck(ev(aIds ++ bIds)).collect()(0)
+    assert((rigged.getLong(0), rigged.getLong(1), rigged.getLong(2)) == ((45L, 40L, 5L)))
+    val chi2 = BigDecimal(35.0 * 35.0 / 45.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rigged.getDouble(3) == chi2 && rigged.getBoolean(4),
+      s"a 40/5 split must flag: $rigged")
+    // near-even split stays green (|diff| small, chi2 << 3.84)
+    val fair = EventAnalytics.srmCheck(
+      ev(ids.filter(armA).take(30) ++ ids.filterNot(armA).take(28))).collect()(0)
+    assert(!fair.getBoolean(4), s"a 30/28 split must not flag: $fair")
+    // duplicate events per user count once (distinct users)
+    val dup = EventAnalytics.srmCheck(ev(aIds ++ aIds ++ bIds)).collect()(0)
+    assert(dup.getLong(0) == 45L)
+  }
 }
