@@ -50,6 +50,23 @@ object Bench {
           .getOrElse(Seq.empty)
     }
 
+  /** The r11/r12 bracketing-canary set, now measured IN-window: three
+    * byte-stable queries spanning the catalog's plan shapes (scan+agg,
+    * window, join) whose in-run time over their rolling floor measures
+    * the box, not any plan. */
+  val canaryNames: Seq[String] = Seq("q1_agg", "x_winsorize", "j1_twokey_join")
+
+  /** Median canary time/floor ratio, clamped at 1.0 (floors are
+    * all-time mins; a sub-floor canary must not manufacture phantom
+    * regressions in other rows). 1.0 when no canary has a floor. */
+  def boxCoefficient(canaryRatios: Seq[Double]): Double =
+    if (canaryRatios.isEmpty) 1.0
+    else {
+      val s = canaryRatios.sorted
+      val k = s.size
+      math.max(1.0, if (k % 2 == 1) s(k / 2) else (s(k / 2 - 1) + s(k / 2)) / 2.0)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -185,13 +202,39 @@ object Bench {
           java.nio.file.Files.readString(java.nio.file.Paths.get(p)), sfDir)
         catch { case _: Throwable => Map.empty[String, Double] }
       }.find(_.nonEmpty).getOrElse(Map.empty)
+    // In-window box coefficient: the canary rows are byte-stable
+    // reference queries whose floors are refreshed every round, so
+    // their in-run time / floor ratio measures THE BOX, not any plan.
+    // median over the canaries present in this run; clamped at 1.0
+    // (floors are all-time mins — a lucky sub-floor canary must not
+    // manufacture regressions elsewhere). Raw ratios stay reported;
+    // the NORMALIZED ratio (raw / box_coef) is the computed
+    // contamination verdict: on a degraded box raw ratios inflate
+    // together while normalized ones hold, so a real plan regression
+    // is the row whose normalized ratio exceeds the bar.
+    val resMap = results.toMap
+    val canaryRatios = canaryNames.flatMap(n =>
+      for { v <- resMap.get(n); r <- soloRef.get(n) if v >= 0 && r > 0 } yield v / r)
+    val boxCoef = boxCoefficient(canaryRatios)
+    def round3(x: Double): BigDecimal =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val contaminated = results.toSeq.collect {
       case (n, v) if v >= 0 && soloRef.get(n).exists(r => r > 0 && v > r * 1.5 && v - r > 0.3) =>
-        s""""$n":{"sec":$v,"solo_ref":${soloRef(n)}}"""
+        val r = soloRef(n)
+        s""""$n":{"sec":$v,"solo_ref":$r,"ratio":${round3(v / r)},"norm":${round3(v / r / boxCoef)}}"""
+    }
+    // the normalized verdict list: slow even after discounting the box
+    val flaggedNorm = results.toSeq.collect {
+      case (n, v) if v >= 0 && soloRef.get(n).exists(r =>
+          r > 0 && v / r / boxCoef > 1.5 && v - r * boxCoef > 0.3) =>
+        val r = soloRef(n)
+        s""""$n":{"sec":$v,"solo_ref":$r,"ratio":${round3(v / r)},"norm":${round3(v / r / boxCoef)}}"""
     }
     val contJson =
       if (soloRef.isEmpty) "" // no ref for this SF: flag nothing, say so
-      else s""","contaminated":${contaminated.mkString("{", ",", "}")}"""
+      else s""","box_coef":${round3(boxCoef)},"canary_n":${canaryRatios.size}""" +
+        s""","contaminated":${contaminated.mkString("{", ",", "}")}""" +
+        s""","flagged_norm":${flaggedNorm.mkString("{", ",", "}")}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$contJson}"""
     println(json)
@@ -229,7 +272,7 @@ object Bench {
       if (used + s.length + 1 <= budget) { parts += s; used += s.length + 1 }
     }
     val compact =
-      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":${parts.mkString("{", ",", "}")},"queries_total":${results.size},"queries_omitted":${results.size - parts.size},"failed":$failed,"contaminated_n":${contaminated.size},"sf":"$sfDir","full_out":"$outPath"}"""
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":${parts.mkString("{", ",", "}")},"queries_total":${results.size},"queries_omitted":${results.size - parts.size},"failed":$failed,"contaminated_n":${contaminated.size},"flagged_norm_n":${flaggedNorm.size},"box_coef":${round3(boxCoef)},"sf":"$sfDir","full_out":"$outPath"}"""
     println(compact)
   }
 }

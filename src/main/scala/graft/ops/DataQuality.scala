@@ -15,6 +15,15 @@ object DataQuality {
     * report spans tables — e.g. a foreign-key check reads two) and
     * produces exactly one report row. `name` doubles as the stable
     * report key, so two checks in one suite must not share it.
+    *
+    * Scan-fusion contract: [[runChecks]] fuses the row-level checks
+    * of "the same table" into one aggregation, where same-table is
+    * witnessed by DataFrame REFERENCE equality (`eq`) — the only safe
+    * identity here (plan equality is undecidable; schema equality
+    * would fuse different tables). To share one scan across several
+    * checks, pass the SAME DataFrame object to each; two logically
+    * identical but separately-constructed DataFrames are correct but
+    * scan once per object.
     */
   sealed trait Check { def name: String }
 
@@ -125,7 +134,12 @@ object DataQuality {
     val onerow = (tableAggs ++ sidecars).reduce(_ crossJoin _)
     val reportRows: Seq[Column] = checks.zipWithIndex.map { case (k, i) =>
       val tot = col(s"_t${groupIdx(srcOf(k))}")
-      val v = col(s"_v$i")
+      // the fused row-level sums are sum(CASE ...) — NULL over an
+      // EMPTY table, which would report NULL violations and NULL
+      // passed; an empty table has zero violating rows, so coalesce
+      // to 0 (the sidecar counts are count()-shaped and never NULL,
+      // the coalesce is a no-op there)
+      val v = coalesce(col(s"_v$i"), lit(0L))
       struct(lit(k.name).as("check_name"), tot.as("total"),
         v.as("violations"), (v === 0L).as("passed"))
     }

@@ -315,20 +315,72 @@ object ExtensionQueries {
     * x_assoc_rules' pair counts. One distinct per (session, dataset),
     * checkpointed + pinned (GraftPins: survives Bench's between-query
     * sweep), instead of one per query. */
-  private val membershipCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  /** Session-scoped build-once face registry. One value per
+    * (session, slot); a slot's value is REBUILT — and the old value
+    * RELEASED (GraftPins deregistration + checkpoint-block unpersist)
+    * — when its dataset signature changes, and every slot of a
+    * session is released when that session's context ends.
+    *
+    * Keys are the session's `sessionUUID` (collision-free), NOT
+    * `System.identityHashCode`: identity hashes can repeat once an
+    * old session is GC'd, which would hand a later session a face
+    * whose localCheckpoint blocks belong to a stopped context; and a
+    * map that only ever inserts leaks every dead session's
+    * DataFrames. The application-end listener evicts both hazards. */
+  private object FaceCache {
+    import org.apache.spark.sql.SparkSession
+    private final case class Entry(sig: String, value: AnyRef, release: AnyRef => Unit)
+    private val bySession =
+      new java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.ConcurrentHashMap[String, Entry]]()
+    private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // non-classic sessions (none in-repo) get a random stable id;
+    // weak keys so the fallback map can't itself pin dead sessions
+    private val fallbackIds = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+    private def sessionId(s: SparkSession): String =
+      org.apache.spark.sql.graftext.GraftPins.sessionUuid(s).getOrElse(
+        fallbackIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString))
+    private def releaseAll(uuid: String): Unit = {
+      val slots = bySession.remove(uuid)
+      if (slots != null) slots.values.forEach { e =>
+        try e.release(e.value) catch { case _: Throwable => () }
+      }
+      hooked.remove(uuid)
+    }
+    def get[T <: AnyRef](s: SparkSession, slot: String, sig: String)
+                        (build: => T)(releaseFn: T => Unit): T = {
+      val uuid = sessionId(s)
+      if (hooked.add(uuid))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            releaseAll(uuid)
+        })
+      val slots = bySession.computeIfAbsent(uuid,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Entry]())
+      slots.compute(slot, (_, old) => {
+        if (old != null && old.sig == sig) old
+        else {
+          if (old != null) { try old.release(old.value) catch { case _: Throwable => () } }
+          Entry(sig, build, releaseFn.asInstanceOf[AnyRef => Unit])
+        }
+      }).value.asInstanceOf[T]
+    }
+  }
+
+  private def releaseDf(df: org.apache.spark.sql.DataFrame): Unit =
+    org.apache.spark.sql.graftext.GraftPins.unpin(df)
+
   private def coMembership(s: org.apache.spark.sql.SparkSession,
                            d: String): org.apache.spark.sql.DataFrame =
-    membershipCache.computeIfAbsent(
-      System.identityHashCode(s) + ":" + datasetSignature(d, "lineitem.parquet"), _ => {
-        val m = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
-        org.apache.spark.sql.graftext.GraftPins.pin(m)
-        m
-      })
+    FaceCache.get(s, "membership", datasetSignature(d, "lineitem.parquet")) {
+      val m = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
+      org.apache.spark.sql.graftext.GraftPins.pin(m)
+      m
+    }(releaseDf)
 
-  private val graphFaceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, GraphOps.GraphFace]()
   private def pairsFromMembership(li: org.apache.spark.sql.DataFrame) = {
     val m = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     m.select(col("ok"), col("pk").as("src"))
@@ -337,12 +389,11 @@ object ExtensionQueries {
       .select(col("src"), col("dst"))
   }
   private def coGraphFace(s: org.apache.spark.sql.SparkSession, d: String): GraphOps.GraphFace =
-    graphFaceCache.computeIfAbsent(
-      System.identityHashCode(s) + ":" + datasetSignature(d, "lineitem.parquet"), _ => {
-        // pinned: the cached face must survive graft.Bench's
-        // between-query pinned-block sweep (GraftPins scaladoc)
-        GraphOps.face(pairsFromMembership(coMembership(s, d)), pinned = true)
-      })
+    FaceCache.get(s, "graphface", datasetSignature(d, "lineitem.parquet")) {
+      // pinned: the cached face must survive graft.Bench's
+      // between-query pinned-block sweep (GraftPins scaladoc)
+      GraphOps.face(pairsFromMembership(coMembership(s, d)), pinned = true)
+    }(_.release())
 
   /** The co-RETURNED-parts graph face (returnflag = 'R' membership) —
     * x_ktruss's input. Its own cache entry: the filter changes the
@@ -350,13 +401,12 @@ object ExtensionQueries {
     * build recipe; caching it gives repeat invocations the same
     * amortization as the unfiltered face. */
   private def coGraphFaceR(s: org.apache.spark.sql.SparkSession, d: String): GraphOps.GraphFace =
-    graphFaceCache.computeIfAbsent(
-      System.identityHashCode(s) + ":R:" + datasetSignature(d, "lineitem.parquet"), _ => {
-        val li = Tables.lineitem(s, d)
-          .filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        GraphOps.face(pairsFromMembership(li), pinned = true)
-      })
+    FaceCache.get(s, "graphfaceR", datasetSignature(d, "lineitem.parquet")) {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      GraphOps.face(pairsFromMembership(li), pinned = true)
+    }(_.release())
 
   private val ndIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ndIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =

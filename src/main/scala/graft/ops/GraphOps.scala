@@ -41,6 +41,35 @@ object GraphOps {
 
     private[GraphOps] def spark = edges.sparkSession
 
+    /** Session confs are SNAPSHOT at face construction, not read at
+      * first materialization: a face's lazy tables are built once and
+      * cached, so a conf toggled after the face exists could never
+      * affect it anyway — capturing eagerly makes that explicit
+      * (an in-session A/B of these knobs must build a new face). */
+    private[GraphOps] val heavySplitDegree: Int =
+      spark.conf.getOption("spark.graft.graph.heavySplitDegree").map(_.toInt).getOrElse(0)
+    private val validateCanonical: Boolean =
+      spark.conf.getOption("spark.graft.graph.validateCanonical").exists(_.toBoolean)
+
+    /** Every checkpointed face, for [[release]]. */
+    private val materialized =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+    /** Drop every face this instance materialized: deregister its
+      * GraftPins entries (pinned faces) and unpersist the checkpoint
+      * blocks. Call when a cached face is discarded — replaced by a
+      * rebuild after the dataset files changed, or its session ended —
+      * so stale localCheckpoint blocks don't outlive their usefulness
+      * (nothing else may free a pinned face by contract). The face
+      * must not be used afterwards: a localCheckpoint's lineage is
+      * truncated, so the data is gone, not recomputable. */
+    def release(): Unit = materialized.forEach { c =>
+      // unpin deregisters (no-op for throwaway faces) and unpersists
+      // the backing RDD — Dataset.unpersist only consults the
+      // CacheManager, which never saw a localCheckpoint's blocks
+      org.apache.spark.sql.graftext.GraftPins.unpin(c)
+    }
+
     /** Checkpoint a face; a PINNED face (one cached across queries)
       * additionally registers its blocks with
       * [[org.apache.spark.sql.graftext.GraftPins]] so between-query
@@ -51,6 +80,7 @@ object GraphOps {
     private def ck(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint()
       if (pinned) org.apache.spark.sql.graftext.GraftPins.pin(c)
+      materialized.add(c)
       c
     }
 
@@ -61,10 +91,31 @@ object GraphOps {
       * self-join + distinct), the canonicalization's own full exchange
       * of the edge table is skipped: only the checkpoint
       * materialization remains. The promise is a caller contract — a
-      * violating input would double-count edges downstream. */
+      * violating input would SILENTLY double-count edges downstream
+      * (the default posture; all in-repo callers feed a
+      * `x < y` self-join + distinct). Debug builds can make the trap
+      * loud: `spark.graft.graph.validateCanonical=true` (snapshot at
+      * face construction, like the skew knob) adds one cheap
+      * aggregate over the promised edge set — count vs distinct
+      * count, plus a src < dst violation count — and throws on any
+      * breach before the face is checkpointed. */
     lazy val canonical: DataFrame =
-      if (assumeCanonical)
-        ck(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+      if (assumeCanonical) {
+        val c = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        if (validateCanonical) {
+          val st = c.agg(
+            count(lit(1)).as("n"),
+            count_distinct(col("a"), col("b")).as("nd"),
+            sum(when(col("a") >= col("b"), 1L).otherwise(0L)).as("bad")).collect()(0)
+          val (n, nd, bad) = (st.getLong(0), st.getLong(1),
+            if (st.isNullAt(2)) 0L else st.getLong(2))
+          if (n != nd || bad > 0) throw new IllegalArgumentException(
+            s"GraphFace(assumeCanonical = true): input violates the canonical-edge " +
+              s"promise ($n rows, $nd distinct, $bad with src >= dst) — results would " +
+              "double-count edges; canonicalize the input or drop the promise")
+        }
+        ck(c)
+      }
       else ck(edges
         .select(least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
@@ -153,10 +204,12 @@ object GraphOps {
     * graph: deg 38–222 at sf1) total bytes are unchanged and the
     * chunking is a measured no-op, so the default is OFF; it exists
     * for power-law graphs where a single packed hub row would
-    * dominate a partition (BENCH_SCALE §TRI-SPLIT has the A/B). */
+    * dominate a partition (BENCH_SCALE §TRI-SPLIT has the A/B). The
+    * knob is SNAPSHOT at face construction ([[GraphFace]] scaladoc) —
+    * the closure feeds the cached `triples` face, so a post-build
+    * toggle could never apply to it; build a new face to A/B. */
   private def closure(f: GraphFace): DataFrame = {
-    val t = f.spark.conf.getOption("spark.graft.graph.heavySplitDegree")
-      .map(_.toInt).getOrElse(0)
+    val t = f.heavySplitDegree
     val srcAdj =
       if (t <= 0) f.adj
       else f.adj.select(col("src"),
@@ -230,35 +283,98 @@ object GraphOps {
     *
     * Output: (node, label) for every node of the canonicalized graph.
     */
+  /** The shared argmax: most-frequent label per node from (nodeCol,
+    * label) rows, ties to the SMALLEST label. Two codegen'd hash
+    * aggregates by default; `useMode` collapses them into one
+    * deterministic mode() (ObjectHashAggregate) — built for the A/B,
+    * measured slower at sf1 (BENCH_SCALE §LPA-MODE), kept as the
+    * probe face. */
+  private def argmaxLabel(joined: DataFrame, nodeCol: String, useMode: Boolean): DataFrame =
+    if (useMode)
+      joined.groupBy(col(nodeCol))
+        .agg(mode(col("label"), deterministic = true).as("label"))
+        .select(col(nodeCol).as("node"), col("label"))
+    else
+      joined.groupBy(col(nodeCol), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col(nodeCol))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col(nodeCol).as("node"), (-col("m.nl")).as("label"))
+
   def labelPropagation(f: GraphFace, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"labelPropagation: iters must be in [1, 20], got $iters")
-    // A/B face (spark.graft.lpa.modeAgg=true): collapse the per-round
-    // (v, label) count + argmax TWO-aggregation chain (two data-sized
-    // exchanges) into ONE deterministic mode() aggregate per node —
-    // Spark's Mode with deterministic=true returns the lowest value
-    // among the most-frequent, exactly the (count desc, label asc)
-    // tie rule (equal labels spec-pinned on the hand-computed
-    // fixtures). The trade: mode() is an ObjectHashAggregate with a
-    // per-group hash-map buffer (falls to sort-based past the group
-    // fallback threshold) vs two codegen'd hash aggregates — decided
-    // by measurement (BENCH_SCALE §LPA-MODE).
     val useMode = f.spark.conf.getOption("spark.graft.lpa.modeAgg").exists(_.toBoolean)
+    // ADAPTIVE frontier rounds: a node's round-r label depends only on
+    // its neighbors' round-(r−1) labels, so a node NONE of whose
+    // neighbors changed in round r−1 would recompute exactly its
+    // current label (induction: its previous recompute saw the
+    // identical neighbor multiset). A round may therefore recompute
+    // ONLY the neighbors of the previous round's changed set — the
+    // bfsHops frontier discipline applied to LPA — with row-for-row
+    // IDENTICAL output (spec-pinned). WHEN that pays is data-dependent:
+    // the frontier round swaps the dense data-sized (v, label) rollup
+    // for joins bounded by edges incident to affected nodes, PLUS an
+    // affected-distinct and a node-sized label merge — a win only once
+    // the changed set has genuinely collapsed. Measured on the sf1
+    // co-occurrence graph at iters=3 the label field does NOT settle
+    // (changed: 200k → 150k → 146k of 200k nodes), so always-frontier
+    // ran ~7% SLOWER than dense (BENCH_SCALE §LPA-FRONTIER); on
+    // stabilizing graphs (the common LPA regime past a few rounds) the
+    // delta rounds approach free. Hence adaptive: run the frontier
+    // round iff |changed| < frontierFraction · |nodes| (default 0.25,
+    // `spark.graft.lpa.frontierFraction`; 0 disables — the dense A/B
+    // face; the changed-set bookkeeping is a node-sized join per
+    // round, noise next to the edge-sized rollup it can retire). An
+    // empty changed set ends the loop — every later round is a no-op.
+    val frontierFraction = f.spark.conf
+      .getOption("spark.graft.lpa.frontierFraction").map(_.toDouble).getOrElse(0.25)
+    val useFrontier = frontierFraction > 0
+    lazy val nNodes = f.deg.count()
     var labels = f.deg
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val joined = f.sym
-        .join(labels.select(col("node").as("u"), col("label")).hint("shuffle_hash"), "u")
-      labels = (if (useMode)
-        joined.groupBy(col("v"))
-          .agg(mode(col("label"), deterministic = true).as("label"))
-          .select(col("v").as("node"), col("label"))
-      else
-        joined.groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-          .groupBy(col("v"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("v").as("node"), (-col("m.nl")).as("label")))
-        .localCheckpoint()
+    var changed: DataFrame = null // valid after round 1 (frontier mode)
+    var changedCount = Long.MaxValue
+    var converged = false
+    for (r <- 1 to iters if !converged) {
+      if (r == 1 || !useFrontier || changedCount >= frontierFraction * nNodes) {
+        // dense round: every node recomputes
+        val joined = f.sym
+          .join(labels.select(col("node").as("u"), col("label")).hint("shuffle_hash"), "u")
+        val next = argmaxLabel(joined, "v", useMode).localCheckpoint()
+        if (useFrontier) {
+          changed = next.join(
+            labels.select(col("node"), col("label").as("_old")).hint("shuffle_hash"), "node")
+            .filter(col("label") =!= col("_old")).select(col("node"))
+            .localCheckpoint()
+          changedCount = changed.count()
+          converged = changedCount == 0
+        }
+        labels = next
+      } else {
+        // neighbors of the changed set — the only nodes whose argmax
+        // input multiset differs from their last recompute
+        val affected = f.sym
+          .join(changed.select(col("node").as("u")).hint("shuffle_hash"), "u")
+          .select(col("v").as("node")).distinct()
+        // their FULL neighborhoods (sym holds both directions, so
+        // u ∈ affected rows enumerate every neighbor), labeled
+        val subEdges = f.sym
+          .join(affected.select(col("node").as("u")).hint("shuffle_hash"), "u")
+        val joined = subEdges
+          .join(labels.select(col("node").as("v"), col("label")).hint("shuffle_hash"), "v")
+        val newAffected = argmaxLabel(joined, "u", useMode)
+          .withColumnRenamed("label", "_new")
+        val merged = labels
+          .join(newAffected.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("_new"), col("label")).as("label"),
+            (col("_new").isNotNull && col("_new") =!= col("label")).as("_chg"))
+          .localCheckpoint()
+        changed = merged.filter(col("_chg")).select(col("node"))
+        changedCount = changed.count()
+        converged = changedCount == 0
+        labels = merged.select(col("node"), col("label"))
+      }
     }
     labels
   }

@@ -25,6 +25,35 @@ object GraftPins {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }.foreach(id => { ids.add(id); () })
 
+  /** Deregister AND unpersist a previously pinned dataset — the face
+    * is being discarded (its cache entry was replaced because the
+    * dataset files changed, or its session ended), so its blocks must
+    * become reclaimable again: a pin with no unpin path would hold
+    * every stale face's localCheckpoint blocks for the JVM's lifetime
+    * (sweepers skip pinned ids by contract, and nothing else frees
+    * them). Safe on a stopped context: the unpersist failure is
+    * swallowed, the id still leaves the registry. */
+  def unpin(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach { r =>
+      ids.remove(r.id)
+      try r.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+
   /** Is this RDD a registered durable face? (Sweepers must skip it.) */
   def isPinned(rddId: Int): Boolean = ids.contains(rddId)
+
+  /** Registered pin count (test observability). */
+  def pinnedCount: Int = ids.size
+
+  /** The session's collision-free stable id (`sessionUUID` is
+    * private[sql]; this is the face-cache key — identity hashes can
+    * repeat across GC'd sessions, a UUID cannot). None for a
+    * non-classic session implementation. */
+  def sessionUuid(s: org.apache.spark.sql.SparkSession): Option[String] = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }

@@ -31,6 +31,18 @@ class DataQualitySpec extends SparkSpec {
     assert(clean.getBoolean(3), "a violation-free check must report passed=true")
   }
 
+  test("runChecks: an EMPTY table reports 0 violations and passed=true, not NULL") {
+    val empty = Seq.empty[(Option[Long], Double)].toDF("k", "qty")
+    val out = DataQuality.runChecks(Seq(
+      DataQuality.Completeness(empty, "t", "k"),
+      DataQuality.InRange(empty, "t", "qty", 0d, 1d),
+      DataQuality.Uniqueness(empty, "t", Seq("k"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("completeness:t.k") == ((0L, 0L, true)))
+    assert(out("in_range:t.qty") == ((0L, 0L, true)))
+    assert(out("uniqueness:t.k") == ((0L, 0L, true)))
+  }
+
   test("runChecks: duplicate check names are rejected") {
     val df = Seq(1L).toDF("k")
     intercept[IllegalArgumentException] {

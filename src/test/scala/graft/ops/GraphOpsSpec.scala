@@ -234,6 +234,70 @@ class GraphOpsSpec extends SparkSpec {
       rowSet(GraphOps.bfsHops(edges, seeds, rounds = 2)))
   }
 
+  test("labelPropagation: frontier rounds equal the dense loop on hand and pseudo-random graphs") {
+    import spark.implicits._
+    // two bridged triangles, a star, and a 60-node pseudo-random graph;
+    // every iters in 1..5 (frontier kicks in from round 2; the random
+    // graph stabilizes mid-way, exercising the converged early-exit)
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)),
+      Seq((5L, 1L), (5L, 2L), (5L, 3L)),
+      (for {
+        a <- 0L until 60L; b <- a + 1 until 60L
+        if (a * 31 + b * 17 + a * b) % 7 == 0
+      } yield (a, b)).toSeq)
+    for (g <- graphs; iters <- 1 to 5) {
+      val edges = g.toDF("src", "dst")
+      // fraction 2.0: EVERY round after the first is a frontier round
+      spark.conf.set("spark.graft.lpa.frontierFraction", "2.0")
+      val frontier =
+        try rowSet(GraphOps.labelPropagation(edges, iters = iters))
+        finally spark.conf.unset("spark.graft.lpa.frontierFraction")
+      spark.conf.set("spark.graft.lpa.frontierFraction", "0")
+      val dense =
+        try rowSet(GraphOps.labelPropagation(edges, iters = iters))
+        finally spark.conf.unset("spark.graft.lpa.frontierFraction")
+      val adaptive = rowSet(GraphOps.labelPropagation(edges, iters = iters))
+      assert(frontier == dense, s"graph of ${g.size} edges, iters=$iters")
+      assert(adaptive == dense, s"adaptive default, graph of ${g.size} edges, iters=$iters")
+    }
+  }
+
+  test("validateCanonical conf: a violated assumeCanonical promise throws; the default stays silent") {
+    import spark.implicits._
+    // violates twice over: duplicate row AND a src >= dst row
+    val bad = Seq((1L, 2L), (1L, 2L), (3L, 1L)).toDF("src", "dst")
+    // default: silent caller contract (documented) — builds fine
+    GraphOps.face(bad, assumeCanonical = true).canonical.count()
+    spark.conf.set("spark.graft.graph.validateCanonical", "true")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        GraphOps.face(bad, assumeCanonical = true).canonical.count()
+      }
+      assert(ex.getMessage.contains("canonical-edge"))
+      // a true canonical set passes under the conf
+      GraphOps.face(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        assumeCanonical = true).canonical.count()
+    } finally spark.conf.unset("spark.graft.graph.validateCanonical")
+  }
+
+  test("GraphFace.release: pinned checkpoint blocks are deregistered and unpersisted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.GraftPins
+    val f = GraphOps.face(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"),
+      assumeCanonical = true, pinned = true)
+    assert(f.canonical.count() == 3L && f.deg.count() == 3L)
+    val rddIds = (f.canonical.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }) ++ (f.deg.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    })
+    assert(rddIds.nonEmpty && rddIds.forall(GraftPins.isPinned))
+    f.release()
+    assert(rddIds.forall(id => !GraftPins.isPinned(id)))
+    assert(rddIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)))
+  }
+
   test("matches brute-force reference on a deterministic pseudo-random graph") {
     // 40 nodes, edge (a,b) present iff a hash-ish predicate fires
     val edges = for {

@@ -55,6 +55,18 @@ class BenchSoloRefSpec extends AnyFunSuite {
     assert(defaults.forall(n => n.startsWith("BENCH_SOLO_REF") && n.endsWith(".json")))
   }
 
+  test("boxCoefficient: median of canary ratios, clamped at 1.0, 1.0 when empty") {
+    import graft.Bench.boxCoefficient
+    assert(boxCoefficient(Seq.empty) == 1.0)
+    assert(boxCoefficient(Seq(1.3)) == 1.3)
+    // even count -> mean of middle two (order-insensitive)
+    assert(math.abs(boxCoefficient(Seq(2.0, 1.0, 1.4, 1.8)) - 1.6) < 1e-12)
+    // odd count -> middle
+    assert(boxCoefficient(Seq(2.6, 1.2, 1.9)) == 1.9)
+    // sub-floor canaries (ratio < 1) never deflate: clamp at 1.0
+    assert(boxCoefficient(Seq(0.8, 0.9, 0.95)) == 1.0)
+  }
+
   test("end-to-end: a tool-written ref file round-trips through the parser") {
     // simulate tools/update_solo_ref.py output (compact separators)
     val f = java.nio.file.Files.createTempFile("solo_ref", ".json")
