@@ -252,21 +252,48 @@ object EventAnalytics {
     * distinct (basket, item) membership table (e.g. a shared
     * checkpointed face) — the dedup exchange is skipped; a violating
     * input would over-count. The caller-contract posture of
-    * [[GraphOps]]'s assumeCanonical. */
+    * [[GraphOps]]'s assumeCanonical.
+    *
+    * `minCount > 1` is a SUPPORT THRESHOLD (pairs must co-occur in ≥
+    * minCount baskets) with Apriori pre-pruning: by downward closure
+    * no qualifying pair contains an item held by < minCount baskets,
+    * so the membership table is semi-joined to the frequent items
+    * BEFORE the pair self-join — on power-law basket data (real
+    * transaction logs, where most items are rare) that collapses the
+    * pair enumeration superlinearly while provably changing nothing
+    * the n_ab filter wouldn't also drop. On near-uniform item counts
+    * (the TPC-H co-occurrence table: every part in ~30 baskets) the
+    * item prune passes everything and only the pair filter bites —
+    * the prune's cost is one broadcast-sized semi-join against the
+    * item-count table the rule scoring builds anyway. minCount = 1
+    * (default) keeps the exhaustive top-k-by-lift plan unchanged. */
   def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
-                       k: Int = 20, assumeDistinct: Boolean = false): DataFrame = {
+                       k: Int = 20, assumeDistinct: Boolean = false,
+                       minCount: Long = 1L): DataFrame = {
     require(k >= 1, s"associationRules: k must be >= 1, got $k")
+    require(minCount >= 1, s"associationRules: minCount must be >= 1, got $minCount")
     val bi0 = baskets.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
     val bi = if (assumeDistinct) bi0 else bi0.distinct()
     val n = bi.select(col("_bk")).distinct().count()
     val itemCnt = bi.groupBy(col("_it")).agg(count(lit(1)).as("_c"))
-    val pairCnt = bi.select(col("_bk"), col("_it").as("a"))
-      .join(bi.select(col("_bk"), col("_it").as("b")), "_bk")
+    val biFreq =
+      if (minCount <= 1) bi
+      else bi.join(itemCnt.filter(col("_c") >= minCount).select(col("_it")), Seq("_it"),
+        "left_semi")
+    val pairCnt0 = biFreq.select(col("_bk"), col("_it").as("a"))
+      .join(biFreq.select(col("_bk"), col("_it").as("b")), "_bk")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val pairCnt = if (minCount <= 1) pairCnt0 else pairCnt0.filter(col("n_ab") >= minCount)
+    // the item-count dictionary is item-sized (vocabulary-bounded —
+    // the entity-resolution argument) while the pair table is the
+    // data-sized side: broadcasting the dictionary scores the pairs
+    // in place, where the previous shuffle_hash hints exchanged the
+    // ENTIRE pair table twice (once by a, once by b) — at sf1 that
+    // was 2 × 12M-row exchanges to look up 200k counts
     val scored = pairCnt
-      .join(itemCnt.select(col("_it").as("a"), col("_c").as("ca")).hint("shuffle_hash"), "a")
-      .join(itemCnt.select(col("_it").as("b"), col("_c").as("cb")).hint("shuffle_hash"), "b")
+      .join(broadcast(itemCnt.select(col("_it").as("a"), col("_c").as("ca"))), "a")
+      .join(broadcast(itemCnt.select(col("_it").as("b"), col("_c").as("cb"))), "b")
       .select(col("a"), col("b"), col("n_ab"),
         round(col("n_ab").cast("double") / lit(n), 6).as("support"),
         round(col("n_ab").cast("double") / col("ca"), 6).as("confidence"),

@@ -372,11 +372,41 @@ object ExtensionQueries {
   private def releaseDf(df: org.apache.spark.sql.DataFrame): Unit =
     org.apache.spark.sql.graftext.GraftPins.unpin(df)
 
+  /** The shared checkpointed embeddings table — the input of the
+    * ~20-row similarity tier (kNN joins, ANN variants, SemDeDup,
+    * MMR, drift). Schema-identical to the parquet read (the float
+    * vectors are NOT pre-widened: every operator casts to double
+    * itself, so results are byte-identical to reading the files),
+    * which makes the swap universally safe; what's shared is the
+    * scan. At the test SFs the table is megabytes and the saving is
+    * noise — the design point is the 100 TB shape, where an
+    * embedding corpus re-scanned by every catalog row IS the tier's
+    * dominant repeated cost and one materialization per (session,
+    * dataset) is the difference between 1 and N corpus reads
+    * (measured locally as a no-op, recorded in BENCH_SCALE; the
+    * GraphFace amortization argument at corpus scale). */
+  private def coEmbeddings(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame =
+    FaceCache.get(s, "embeddings", datasetSignature(d, "embeddings.parquet")) {
+      val e = Tables.embeddings(s, d).localCheckpoint()
+      org.apache.spark.sql.graftext.GraftPins.pin(e)
+      e
+    }(releaseDf)
+
   private def coMembership(s: org.apache.spark.sql.SparkSession,
                            d: String): org.apache.spark.sql.DataFrame =
     FaceCache.get(s, "membership", datasetSignature(d, "lineitem.parquet")) {
+      // checkpointed HASH-PARTITIONED ON THE BASKET KEY (the GraphFace
+      // `sym` discipline): the distinct alone would leave the table
+      // partitioned on (orderkey, partkey), so every basket-keyed
+      // consumer — the co-occurrence pair self-join feeding the graph
+      // face, x_assoc_rules' pair enumeration, x_item_cf's baskets —
+      // would re-exchange BOTH self-join sides by orderkey. One
+      // build-time repartition makes the self-joins exchange-free
+      // (both sides report the checkpoint's partitioning).
       val m = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .repartition(col("l_orderkey")).localCheckpoint()
       org.apache.spark.sql.graftext.GraftPins.pin(m)
       m
     }(releaseDf)
@@ -625,7 +655,7 @@ object ExtensionQueries {
     * bit-identical to DuckDB's list_dot_product. */
   val knnCosine: Q = Q(
     "x_knn_cosine",
-    (s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d), queryId = 0L, k = 20),
+    (s, d) => Similarity.knnBruteForce(coEmbeddings(s, d), queryId = 0L, k = 20),
     Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -646,7 +676,7 @@ object ExtensionQueries {
     * full-precision rescore. */
   val knnQuantized: Q = Q(
     "x_knn_quantized",
-    (s, d) => Similarity.knnQuantizedRescore(Tables.embeddings(s, d),
+    (s, d) => Similarity.knnQuantizedRescore(coEmbeddings(s, d),
       queryId = 0L, k = 20, shortlist = 50),
     Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -684,7 +714,7 @@ object ExtensionQueries {
       }.mkString(" + ")
     Q(
       "x_ann_lsh",
-      (s, d) => Similarity.annLsh(Tables.embeddings(s, d), queryId = 0L, dim = 64,
+      (s, d) => Similarity.annLsh(coEmbeddings(s, d), queryId = 0L, dim = 64,
         k = 20, nBits = 6),
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -708,7 +738,7 @@ object ExtensionQueries {
     * and the probe with the identical arithmetic. */
   val annIvf: Q = Q(
     "x_ann_ivf",
-    (s, d) => Similarity.annIvf(Tables.embeddings(s, d), queryId = 0L, dim = 64, k = 20),
+    (s, d) => Similarity.annIvf(coEmbeddings(s, d), queryId = 0L, dim = 64, k = 20),
     Some("""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       comps AS (SELECT label, i AS pos, round(v[i], 6) AS x
@@ -781,7 +811,7 @@ object ExtensionQueries {
     val iters = 2
     Q(
       "x_ann_ivf_kmeans",
-      (s, d) => Similarity.annIvfKmeans(Tables.embeddings(s, d), queryId = 0L,
+      (s, d) => Similarity.annIvfKmeans(coEmbeddings(s, d), queryId = 0L,
         dim = 64, k = 20, nLists = nLists, iters = iters),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -814,7 +844,7 @@ object ExtensionQueries {
     val iters = 2
     Q(
       "x_embed_outliers",
-      (s, d) => Similarity.embedOutliers(Tables.embeddings(s, d), dim = 64,
+      (s, d) => Similarity.embedOutliers(coEmbeddings(s, d), dim = 64,
         k = 20, nLists = nLists, iters = iters),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -854,7 +884,7 @@ object ExtensionQueries {
     val joins = (1 until m).map(s => s"JOIN term$s ON term0.vec_id = term$s.vec_id").mkString("\n             ")
     Q(
       "x_ann_pq",
-      (s, d) => Similarity.annPq(Tables.embeddings(s, d), queryId = 0L, dim = 64, k = 20,
+      (s, d) => Similarity.annPq(coEmbeddings(s, d), queryId = 0L, dim = 64, k = 20,
         m = m, nCents = nCents, iters = iters),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -875,7 +905,7 @@ object ExtensionQueries {
     pqIndexCache.computeIfAbsent(datasetSignature(d, "embeddings.parquet"), _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
       deleteOnExitRecursively(path)
-      Similarity.savePqIndex(Tables.embeddings(s, d), dim = 64, path,
+      Similarity.savePqIndex(coEmbeddings(s, d), dim = 64, path,
         m = 8, nCents = 16, iters = 2)
       path
     })
@@ -889,7 +919,7 @@ object ExtensionQueries {
   val annPqPersistedQ: Q = Q(
     "x_ann_pq_persisted",
     (s, d) => {
-      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      val qv = coEmbeddings(s, d).filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0)
       Similarity.annPqPersisted(s, pqIndexFor(s, d), qv, k = 20,
@@ -911,7 +941,7 @@ object ExtensionQueries {
     Q(
       "x_knn_join_ivf",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = coEmbeddings(s, d)
         val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         Similarity.knnJoinIvf(emb, queries, dim = 64, k = 5,
@@ -951,7 +981,7 @@ object ExtensionQueries {
     ivfIndexCache.computeIfAbsent(datasetSignature(d, "embeddings.parquet"), _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
       deleteOnExitRecursively(path)
-      Similarity.saveIndexIvf(Tables.embeddings(s, d), dim = 64, path,
+      Similarity.saveIndexIvf(coEmbeddings(s, d), dim = 64, path,
         nLists = 4, iters = 2)
       path
     })
@@ -970,7 +1000,7 @@ object ExtensionQueries {
     Q(
       "x_knn_join_ivf_persisted",
       (s, d) => {
-        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+        val queries = coEmbeddings(s, d).filter(col("vec_id") < 40)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         Similarity.knnJoinIvfPersisted(s, ivfIndexFor(s, d), queries, k = 5)
       },
@@ -1010,7 +1040,7 @@ object ExtensionQueries {
     Q(
       "x_knn_join_ivf_mp",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = coEmbeddings(s, d)
         val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         Similarity.knnJoinIvf(emb, queries, dim = 64, k = 5,
@@ -1064,7 +1094,7 @@ object ExtensionQueries {
     Q(
       "x_knn_join_lsh_mb",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = coEmbeddings(s, d)
         val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         Similarity.knnJoinLshMultiBand(emb, queries, dim = 64, k = 5,
@@ -1137,7 +1167,7 @@ object ExtensionQueries {
     val maxBucket = 4096
     Q(
       "x_cosine_neardups",
-      (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.5,
+      (s, d) => Similarity.cosineNearDups(coEmbeddings(s, d), threshold = 0.5,
         nBands = nBands, maxBucketSize = maxBucket),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1174,7 +1204,7 @@ object ExtensionQueries {
     val maxClusterSize = 1 << 20
     Q(
       "x_dedup_semantic",
-      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+      (s, d) => Similarity.semanticDedup(coEmbeddings(s, d),
           threshold = threshold, dim = 64, nClusters = nClusters, iters = iters,
           maxClusterSize = maxClusterSize)
         .select(col("vec_id")),
@@ -1211,7 +1241,7 @@ object ExtensionQueries {
     val maxBucket = 4096
     Q(
       "x_dedup_semantic_lsh",
-      (s, d) => Similarity.semanticDedupLshBackstop(Tables.embeddings(s, d),
+      (s, d) => Similarity.semanticDedupLshBackstop(coEmbeddings(s, d),
           threshold = threshold, dim = 64, nClusters = nClusters, iters = iters,
           maxClusterSize = maxClusterSize, nBands = nBands, maxBucketSize = maxBucket)
         .select(col("vec_id")),
@@ -1250,7 +1280,7 @@ object ExtensionQueries {
     val perCluster = 16
     Q(
       "x_sample_semantic",
-      (s, d) => Similarity.semanticSample(Tables.embeddings(s, d),
+      (s, d) => Similarity.semanticSample(coEmbeddings(s, d),
           perCluster = perCluster, dim = 64, nClusters = nClusters, iters = iters)
         .select(col("vec_id"), col("list")),
       Some(s"""
@@ -1274,7 +1304,7 @@ object ExtensionQueries {
     * and exactly-rounded IEEE steps keep both engines bit-identical. */
   val embedQuantize: Q = Q(
     "x_embed_quantize",
-    (s, d) => Tables.embeddings(s, d)
+    (s, d) => coEmbeddings(s, d)
       .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
       .select(col("vec_id"),
         floor(col("qz.scale") * 1e6).cast("long").as("scale_micro"),
@@ -3355,7 +3385,7 @@ object ExtensionQueries {
   val knnJoinBatch: Q = Q(
     "x_knn_join",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = coEmbeddings(s, d)
       val queries = emb.filter(col("vec_id") < 40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.knnJoin(emb, queries, k = 5)
@@ -3386,7 +3416,7 @@ object ExtensionQueries {
     Q(
       "x_knn_join_lsh",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = coEmbeddings(s, d)
         val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         Similarity.knnJoinLsh(emb, queries, dim = 64, k = 5, nBits = 6)
@@ -3692,7 +3722,7 @@ object ExtensionQueries {
   val knnLabel: Q = Q(
     "x_knn_label",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = coEmbeddings(s, d)
       val queries = emb.filter(col("vec_id") < 40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.knnClassify(emb, queries, k = 5)
@@ -3756,7 +3786,7 @@ object ExtensionQueries {
   val hybridRrfQ: Q = Q(
     "x_hybrid_rrf",
     (s, d) => graft.corpus.Corpus.hybridRrf(
-      Tables.documents(s, d), Tables.embeddings(s, d),
+      Tables.documents(s, d), coEmbeddings(s, d),
       Seq("spark", "merge", "vector"), queryVecId = 0L, k = 10, kCand = 20),
     Some("""
       WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
@@ -4111,7 +4141,7 @@ object ExtensionQueries {
   val hardNegativesQ: Q = Q(
     "x_hard_negatives",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = coEmbeddings(s, d)
       val queries = emb.filter(col("vec_id") < 40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.hardNegatives(emb, queries, k = 10, loCos = 0.2, hiCos = 0.9)
@@ -4701,7 +4731,7 @@ object ExtensionQueries {
     * binary-exact) — the PageRank unrolled-fixed-point precedent. */
   val mmrQ: Q = Q(
     "x_mmr_rerank",
-    (s, d) => Similarity.mmrTopK(Tables.embeddings(s, d), queryId = 0L,
+    (s, d) => Similarity.mmrTopK(coEmbeddings(s, d), queryId = 0L,
       k = 5, kCand = 30),
     Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4907,6 +4937,39 @@ object ExtensionQueries {
       SELECT path, n_sessions,
              ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rn
       FROM c ORDER BY n_sessions DESC, path LIMIT 20
+    """.trim)
+  )
+
+  /** Support-thresholded association rules (minCount = 2) with the
+    * Apriori item pre-prune IN the plan (EventAnalytics
+    * .associationRules scaladoc: the membership table is semi-joined
+    * to items in ≥ minCount baskets BEFORE the pair self-join —
+    * downward closure makes that lossless; here the co-occurrence
+    * item counts are near-uniform ~30 so the prune passes everything
+    * and the n_ab filter does the work, but the plan is the one a
+    * power-law basket log needs). The oracle replays the item prune,
+    * the pair threshold and the identical round-then-rank arithmetic. */
+  val assocRulesPrunedQ: Q = Q(
+    "x_assoc_rules_pruned",
+    (s, d) => EventAnalytics.associationRules(
+      coMembership(s, d), "l_orderkey", "l_partkey", k = 20, assumeDistinct = true,
+      minCount = 2L),
+    Some("""
+      WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      nn AS (SELECT COUNT(DISTINCT bk) AS n FROM bi),
+      ic AS (SELECT it, COUNT(*) AS c FROM bi GROUP BY 1),
+      bif AS (SELECT bk, it FROM bi WHERE it IN (SELECT it FROM ic WHERE c >= 2)),
+      pc AS (SELECT x.it AS a, y.it AS b, COUNT(*) AS n_ab
+             FROM bif x JOIN bif y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2
+             HAVING COUNT(*) >= 2),
+      sc AS (SELECT a, b, n_ab,
+                    ROUND(CAST(n_ab AS DOUBLE) / n, 6) AS support,
+                    ROUND(CAST(n_ab AS DOUBLE) / ca.c, 6) AS confidence,
+                    ROUND(CAST(n * n_ab AS DOUBLE) / (ca.c * cb.c), 6) AS lift
+             FROM pc JOIN ic ca ON pc.a = ca.it JOIN ic cb ON pc.b = cb.it, nn)
+      SELECT a, b, n_ab, support, confidence, lift,
+             ROW_NUMBER() OVER (ORDER BY lift DESC, a, b) AS rn
+      FROM sc ORDER BY lift DESC, a, b LIMIT 20
     """.trim)
   )
 
@@ -6254,7 +6317,7 @@ object ExtensionQueries {
     * both intersections, so the recall VALUES are hash-pinned. */
   val annRecallQ: Q = Q(
     "x_ann_recall",
-    (s, d) => Similarity.annRecall(Tables.embeddings(s, d), queryId = 0L, dim = 64,
+    (s, d) => Similarity.annRecall(coEmbeddings(s, d), queryId = 0L, dim = 64,
       k = 20, nLists = 4, iters = 2),
     Some(s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -6420,7 +6483,7 @@ object ExtensionQueries {
     * list_dot_product. */
   val embedDriftQ: Q = Q(
     "x_embed_drift",
-    (s, d) => Similarity.embedDrift(Tables.embeddings(s, d)),
+    (s, d) => Similarity.embedDrift(coEmbeddings(s, d)),
     Some("""
       WITH comps AS (SELECT CAST(label AS BIGINT) AS label, i - 1 AS pos,
                             CAST(ROUND(v[i], 6) AS DECIMAL(18,6)) AS x
@@ -7159,7 +7222,7 @@ object ExtensionQueries {
     sessionizeQ, funnelQ, funnelTimingQ, stickinessQ, attributionQ, aggMergeQ,
     changepointQ, seasonalityQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
-    hllDistinctQ, kcoreQ, kcoreFixpointQ, assocRulesQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
+    hllDistinctQ, kcoreQ, kcoreFixpointQ, assocRulesQ, assocRulesPrunedQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
     corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,

@@ -175,6 +175,28 @@ class EventAnalyticsSpec extends SparkSpec {
       (4, 2L, 3L, 1L, 0.166667, 0.333333, 0.5)), out.toSeq.toString)
   }
 
+  test("associationRules minCount: equals the exhaustive run filtered to n_ab >= minCount (downward closure)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the spec fixture above, plus a rare item 5 in one basket: item 5
+    // is pruned by the Apriori item gate at minCount=2, and its pairs
+    // could never reach n_ab=2 anyway — the closure argument as a test
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (4L, 2L), (4L, 3L), (5L, 3L), (5L, 4L), (6L, 3L), (6L, 4L),
+      (6L, 5L))
+    val df = rows.toDF("bk", "it")
+    val pruned = EventAnalytics.associationRules(df, "bk", "it", k = 10, minCount = 2L)
+    val exhaustiveFiltered = EventAnalytics.associationRules(df, "bk", "it", k = 10)
+      .filter(col("n_ab") >= 2)
+      // re-rank after the filter (rn was assigned pre-filter)
+      .drop("rn")
+    assert(rowSet(pruned.drop("rn")) == rowSet(exhaustiveFiltered),
+      rowSet(pruned.drop("rn")).toString)
+    // and the surviving rules are exactly the hand-computed n_ab>=2 set
+    assert(pruned.count() == 2L)
+  }
+
   test("retention: cohort = Monday week of first event; offsets count whole weeks") {
     val ev = events(
       // user 1: first event Tue Jan 2 2024 (week of Mon Jan 1), active

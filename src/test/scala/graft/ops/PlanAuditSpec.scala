@@ -1536,6 +1536,22 @@ class PlanAuditSpec extends SparkSpec {
       "the weekday seasonal table must broadcast back:\n" + p)
   }
 
+  test("x_assoc_rules: pair scoring broadcasts the item dictionary; no pair-table re-exchange") {
+    val p = plan("x_assoc_rules")
+    // the two count lookups must be broadcast joins — the shuffle_hash
+    // form exchanged the ENTIRE pair table twice to look up item counts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_assoc_rules_pruned: the pair join's inputs are the Apriori-pruned membership (semi-join in plan)") {
+    val p = plan("x_assoc_rules_pruned")
+    assert(p.contains("LeftSemi"),
+      "the membership table must be semi-joined to frequent items BEFORE the pair join:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_cuped: one user_id exchange shape — no sort-merge join, no data window, no cartesian") {
     val p = plan("x_cuped")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
