@@ -542,38 +542,71 @@ object Multimodal {
     * non-JPEG chunk by size, so cost is independent of video length
     * (a real multi-codec deployment swaps ffmpeg/JNI in here — the
     * sniff/walk/pool contract stays). None when no frame decodes. */
-  private[mm] def decodeAviFirstJpegFrame(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+  /** All JPEG video-chunk spans of an AVI, WITHOUT decoding any: the
+    * RIFF walk skips every chunk by its declared size (O(#chunks)
+    * header reads, no pixel work), collecting the [start, end) byte
+    * span of each `##dc`/`##db` chunk whose payload opens with a JPEG
+    * SOI. A corrupt declared size ends the walk at what was collected
+    * so far (the decodeAviFirstJpegFrame posture: salvage, don't
+    * throw). This is the sampling substrate: callers decode only the
+    * spans they pick, so fingerprint cost stays independent of video
+    * length. */
+  private[mm] def aviJpegChunks(p: Array[Byte]): IndexedSeq[(Int, Int)] = {
     def u32le(i: Int): Long =
       (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
         ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
-    def walk(start: Int, stop: Int): Option[java.awt.image.BufferedImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, stop: Int): Boolean = { // false = corrupt tail hit
       var off = start
       while (off + 8 <= stop) {
         val size = u32le(off + 4)
         val pStart = off + 8
         val pEnd = pStart + size
-        if (size < 0 || pEnd > stop) return None // corrupt tail
+        if (size < 0 || pEnd > stop) return false
         val isList = p(off) == 'L'.toByte && p(off + 1) == 'I'.toByte &&
           p(off + 2) == 'S'.toByte && p(off + 3) == 'T'.toByte
         if (isList && size >= 4) {
-          val hit = walk(pStart + 4, pEnd.toInt)
-          if (hit.isDefined) return hit
+          if (!walk(pStart + 4, pEnd.toInt)) return false
         } else if (size >= 3 &&
             (p(off + 2) == 'd'.toByte &&
               (p(off + 3) == 'c'.toByte || p(off + 3) == 'b'.toByte)) &&
             p(pStart) == 0xFF.toByte && p(pStart + 1) == 0xD8.toByte) {
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-              java.util.Arrays.copyOfRange(p, pStart, pEnd.toInt)))
-            catch { case _: Exception => null }
-          if (img != null) return Some(img)
+          out += ((pStart, pEnd.toInt))
         }
         off = (pEnd + (size & 1L)).toInt // chunks are even-padded
       }
-      None
+      true
     }
-    try walk(12, p.length)
-    catch { case _: IndexOutOfBoundsException => None }
+    try { walk(12, p.length); () }
+    catch { case _: IndexOutOfBoundsException => () }
+    out.toIndexedSeq
+  }
+
+  private def decodeJpegSpan(p: Array[Byte], span: (Int, Int)): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Arrays.copyOfRange(p, span._1, span._2))))
+    catch { case _: Exception => None }
+
+  private[mm] def decodeAviFirstJpegFrame(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    aviJpegChunks(p).view.flatMap(decodeJpegSpan(p, _)).headOption
+
+  /** Up to `maxFrames` EVENLY-SPACED decoded keyframes of an AVI —
+    * endpoints included (pick i = ⌊i·(cnt−1)/(maxFrames−1)⌋), so a
+    * prepended intro or appended credits can't push the sampled set
+    * off the content. Only the picked spans are decoded (the
+    * [[aviJpegChunks]] walk skips everything else by size);
+    * undecodable picks are dropped. */
+  private[mm] def decodeAviJpegFrames(p: Array[Byte],
+                                      maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
+    val chunks = aviJpegChunks(p)
+    val cnt = chunks.length
+    if (cnt == 0) return Seq.empty
+    val picks =
+      if (cnt <= maxFrames) chunks.indices
+      else if (maxFrames == 1) Seq(0)
+      else (0 until maxFrames)
+        .map(i => (i.toLong * (cnt - 1) / (maxFrames - 1)).toInt).distinct
+    picks.flatMap(i => decodeJpegSpan(p, chunks(i)))
   }
 
   /** REAL video keyframe luma: decode the first keyframe —
@@ -626,6 +659,119 @@ object Multimodal {
         LumaRow(r.media_id, luma)
       }
     }
+  }
+
+  final case class FrameLumaRow(media_id: Long, frame_no: Int, luma: Array[Int])
+
+  /** Deterministic K-frame STUB: frame f's grid is [[stubLuma66]] of
+    * the f-th of `k` equal character segments of the payload — the
+    * multi-frame twin of the single stub, DuckDB-replayable with the
+    * same md5-substr arithmetic nested one level (segment bounds
+    * ⌊f·n/k⌋, then the 66 cell chunks WITHIN the segment). */
+  private[mm] def stubFrames66(payload: Array[Byte], k: Int): Seq[Array[Int]] = {
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val n = s.length.toLong
+    (0 until k).map { f =>
+      val st = (f * n / k).toInt
+      val en = ((f + 1) * n / k).toInt
+      stubLuma66(s.substring(st, en).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Multi-keyframe video feature grids: up to `maxFrames` sampled
+    * keyframes per video, each pooled through the SAME 66-cell machine
+    * as stills — the fix for the single-keyframe fingerprint's
+    * defining blind spot (one scene change, a prepended intro or a
+    * re-edit defeats a first-frame-only hash; frames sampled evenly
+    * ACROSS the container still overlap on shared content). Real
+    * paths: AVI → [[decodeAviJpegFrames]] (evenly-spaced `##dc`/`##db`
+    * JPEG chunks, only the picked spans decoded — cost independent of
+    * video length); bare MJPEG stream → its first JPEG (no container
+    * index to sample by); unrecognizable payloads → the deterministic
+    * `maxFrames`-segment stub. Output: one (media_id, frame_no, luma)
+    * row per sampled frame, frame_no dense from 0 in stream order.
+    * Downstream is [[videoPhashNearDupsAnyFrame]]: banding per frame,
+    * media match = ANY frame pair within threshold. */
+  def videoFrameGrid(media: DataFrame, maxFrames: Int = 4): Dataset[FrameLumaRow] = {
+    require(maxFrames >= 1 && maxFrames <= 64,
+      s"videoFrameGrid: maxFrames must be in [1, 64], got $maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = Option(r.payload).getOrElse(Array.emptyByteArray)
+        val grids: Seq[Array[Int]] =
+          if (r.media_type == "video" && sniffAvi(payload)) {
+            val fs = decodeAviJpegFrames(payload, maxFrames).map(poolLuma66)
+            if (fs.nonEmpty) fs else stubFrames66(payload, maxFrames)
+          } else if (r.media_type == "video" && sniffMjpeg(payload)) {
+            (try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+            catch { case _: Exception => None })
+              .map(img => Seq(poolLuma66(img)))
+              .getOrElse(stubFrames66(payload, maxFrames))
+          } else stubFrames66(payload, maxFrames)
+        grids.zipWithIndex.map { case (g, i) => FrameLumaRow(r.media_id, i, g) }
+      }
+    }
+  }
+
+  /** Media-level near-dup pairs from a multi-frame grid: per-FRAME
+    * dHash + banded-Hamming blocking (identical banding arithmetic to
+    * [[phashNearDups]], keyed by (media, frame)), exact popcount
+    * verify on candidate frame pairs, and media pairs surface when ANY
+    * cross-media frame pair lands within `threshold` — so two videos
+    * pair if they SHARE content anywhere in the sampled set, which is
+    * what survives re-edits, intros and scene reordering. Output:
+    * (id1, id2, dist), id1 < id2, dist = the MINIMUM matching
+    * frame-pair distance (deterministic: min over an exact set).
+    *
+    * Scale shape: decode+hash once per frame row (checkpointed);
+    * exchanges carry (band, 8-byte key, media, frame); the bucket cap
+    * counts FRAME rows (a hub bucket of f frames fans f²/2 candidate
+    * pairs — same skew policy, applied at frame granularity); the
+    * per-media fan-in is bounded by maxFrames, so the candidate
+    * blowup over single-frame is ≤ maxFrames² per media pair. */
+  def videoPhashNearDupsAnyFrame(frames: DataFrame, threshold: Int = 6,
+                                 bandBits: Int = 15,
+                                 maxBucketSize: Option[Int] = Some(1024)): DataFrame = {
+    require(DHashBits % bandBits == 0,
+      s"videoPhashNearDupsAnyFrame: bandBits must divide $DHashBits, got $bandBits")
+    val nBands = DHashBits / bandBits
+    val hashes = frames
+      .select(col("media_id"), col("frame_no"), dhash60(col("luma")).as("dhash"))
+      .localCheckpoint()
+    val bands = hashes
+      .select(col("media_id"), col("frame_no"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("dhash"))
+      .withColumn("bkey",
+        expr(s"shiftrightunsigned(dhash, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+      .select(col("media_id"), col("frame_no"), col("band"), col("bkey"))
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        bands.join(
+          bands.groupBy(col("band"), col("bkey"))
+            .agg(count(lit(1)).as("_f")).filter(col("_f") <= cap)
+            .select(col("band"), col("bkey")),
+          Seq("band", "bkey"))
+      case None => bands
+    }
+    val cand = capped.select(col("band"), col("bkey"),
+        col("media_id").as("id1"), col("frame_no").as("f1"))
+      .join(capped.select(col("band"), col("bkey"),
+        col("media_id").as("id2"), col("frame_no").as("f2")),
+        Seq("band", "bkey"))
+      .filter(col("id1") < col("id2")) // cross-media only
+      .select(col("id1"), col("f1"), col("id2"), col("f2")).distinct()
+    cand
+      .join(hashes.select(col("media_id").as("id1"), col("frame_no").as("f1"),
+        col("dhash").as("h1")), Seq("id1", "f1"))
+      .join(hashes.select(col("media_id").as("id2"), col("frame_no").as("f2"),
+        col("dhash").as("h2")), Seq("id2", "f2"))
+      .withColumn("fdist", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("fdist") <= threshold)
+      .groupBy(col("id1"), col("id2")).agg(min(col("fdist")).cast("int").as("dist"))
   }
 
   /** 60-bit gradient dHash over a [[LumaCells]]-wide luma array column:

@@ -1512,6 +1512,75 @@ object ExtensionQueries {
     * (merged == rebuilt); this row pins the probe arithmetic: the
     * oracle replays stub luma, banding, the CORPUS-side bucket cap,
     * the candidate join and the distance filter bit-for-bit. */
+  /** Multi-keyframe video near-dup through the any-frame machine
+    * ([[graft.mm.Multimodal.videoFrameGrid]]: up to 4 evenly-sampled
+    * keyframes per video — real AVI chunk sampling on real
+    * containers, the deterministic 4-segment stub on these text
+    * fixtures — then per-frame dHash → banded Hamming → exact verify,
+    * media match = ANY frame pair within threshold,
+    * dist = min matching frame distance). Fixture: every 7th video
+    * gets a re-edit variant whose FIRST frame is luma-INVERTED
+    * (gradient complement — far beyond threshold) and whose remaining
+    * frames are untouched: the pair still surfaces at dist 0 through
+    * frames 1–3, which is exactly the scene-change/prepended-intro
+    * robustness the single-keyframe x_mm_video_phash lacks. The
+    * oracle replays the segment stub, per-frame banding, the
+    * frame-row bucket cap, the cross-media candidate join and the
+    * min-distance collapse bit-for-bit. */
+  val mmVideoPhashMulti: Q = Q(
+    "x_mm_video_phash_multi",
+    (s, d) => {
+      // a third of the corpus: the row pins the multi-frame arithmetic
+      // end-to-end; at 4 sampled frames it pays ~4x the single-frame
+      // row's decode per media, so the fixture subsets like ndIndexFor
+      val frames = Multimodal.videoFrameGrid(
+        Multimodal.videoTable(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 0)),
+        maxFrames = 4).toDF()
+      val variants = frames.filter(col("media_id") % 7 === 0)
+        .select((col("media_id") + 20000000L).as("media_id"), col("frame_no"),
+          when(col("frame_no") === 0,
+            transform(col("luma"), v => lit(255) - v))
+            .otherwise(col("luma")).as("luma"))
+      Multimodal.videoPhashNearDupsAnyFrame(
+        frames.unionByName(variants), threshold = 6)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+                 WHERE doc_id % 3 = 0),
+      seg AS (SELECT doc_id AS media_id, f, text, n,
+                     (f * n) // 4 AS st, ((f + 1) * n) // 4 - (f * n) // 4 AS nf
+              FROM d, generate_series(0, 3) t(f)),
+      lum AS (SELECT media_id, CAST(f AS INT) AS f,
+                     list_transform(generate_series(0, 65), j ->
+                       ('0x' || substr(md5(substr(text, CAST(st + (j*nf)//66 AS INT) + 1,
+                          CAST(((j+1)*nf)//66 - (j*nf)//66 AS INT))), 1, 2))::BIGINT) AS lu
+              FROM seg),
+      allm AS (SELECT media_id, f, lu FROM lum
+               UNION ALL
+               SELECT media_id + 20000000, f,
+                      CASE WHEN f = 0 THEN list_transform(lu, v -> 255 - v) ELSE lu END
+               FROM lum WHERE media_id % 7 = 0),
+      h AS (SELECT media_id, f,
+                   CAST(list_sum(list_transform(generate_series(0, 59), b ->
+                     CASE WHEN lu[(b//10)*11 + (b%10) + 2] > lu[(b//10)*11 + (b%10) + 1]
+                          THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS dhash
+            FROM allm),
+      bands AS (SELECT media_id, f, dhash, b AS band, (dhash >> CAST(b*15 AS INT)) & 32767 AS bkey
+                FROM h, generate_series(0, 3) t(b)),
+      ok AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1024),
+      cand AS (SELECT DISTINCT a.media_id AS id1, a.f AS f1, c.media_id AS id2, c.f AS f2
+               FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+                    AND a.media_id < c.media_id
+               JOIN ok o ON a.band = o.band AND a.bkey = o.bkey),
+      v AS (SELECT id1, id2, bit_count(xor(h1.dhash, h2.dhash)) AS fdist
+            FROM cand JOIN h h1 ON cand.id1 = h1.media_id AND cand.f1 = h1.f
+                      JOIN h h2 ON cand.id2 = h2.media_id AND cand.f2 = h2.f
+            WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6)
+      SELECT id1, id2, CAST(MIN(fdist) AS INT) AS dist FROM v GROUP BY 1, 2
+    """.trim)
+  )
+
   val mmPhashIndexProbe: Q = Q(
     "x_mm_phash_index",
     (s, d) => {
@@ -7209,7 +7278,7 @@ object ExtensionQueries {
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,
     clusterReps, dedupApply, textChunks,
-    mmMetadata, mmFeatures, mmChunks, mmPhashDups, mmVideoPhash, mmPhashIndexProbe,
+    mmMetadata, mmFeatures, mmChunks, mmPhashDups, mmVideoPhash, mmVideoPhashMulti, mmPhashIndexProbe,
     asofJoin, asofForward, rangeJoin, tumblingWindow, corpusPipeline,
     contamination, stratifiedSample, sampleFixedKQ, corpusShuffleQ, corpusMix,
     corpusMixTemperature, shardPack, adaptiveFilter,

@@ -377,6 +377,56 @@ class MultimodalSpec extends SparkSpec {
       pairs.contains((1L, 2L, 0)), pairs.toString)
   }
 
+  test("multi-keyframe: prepended-intro and reordered videos still pair; first-frame-only provably misses them") {
+    import org.apache.spark.sql.functions.col
+    val a = jpeg(11); val b = jpeg(22); val c = jpeg(33)
+    val intro = jpeg(99)
+    val media = Seq(
+      (1L, miniAvi(a, b, c), "video"),        // the original cut
+      (2L, miniAvi(intro, a, b, c), "video"), // re-release with an intro
+      (3L, miniAvi(c, a, b), "video"),        // re-edit: scenes reordered
+      (4L, miniAvi(jpeg(71), jpeg(72)), "video")) // unrelated video
+      .toDF("media_id", "payload", "media_type")
+    val frames = Multimodal.videoFrameGrid(media, maxFrames = 4).toDF()
+    // every container here has <= 4 keyframes, so all frames sampled
+    assert(frames.groupBy(col("media_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 3L, 2L -> 4L, 3L -> 3L, 4L -> 2L))
+    val pairs = Multimodal.videoPhashNearDupsAnyFrame(frames, threshold = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"intro-prepended re-release must pair: $pairs")
+    assert(pairs.contains((1L, 3L)), s"reordered re-edit must pair: $pairs")
+    assert(pairs.contains((2L, 3L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated video must not pair: $pairs")
+    // the single-keyframe machine misses both (first frames differ),
+    // which is exactly the blind spot the multi-frame sampler fixes
+    val single = Multimodal.phashNearDups(Multimodal.lumaGrid(media).toDF(), threshold = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 2L)) && !single.contains((1L, 3L)), single.toString)
+  }
+
+  test("decodeAviJpegFrames: even spacing with endpoints; only sampled spans decode; stub is per-segment") {
+    val frames10 = (0 until 10).map(i => jpeg(1000 + i))
+    val avi = miniAvi(frames10: _*)
+    // 10 chunks, maxFrames=4 -> indices floor(i*9/3) = 0,3,6,9
+    val sampled = Multimodal.decodeAviJpegFrames(avi, maxFrames = 4)
+    assert(sampled.length == 4)
+    val expect = Seq(0, 3, 6, 9).map(i =>
+      Multimodal.poolLuma66(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frames10(i)))).toSeq)
+    assert(sampled.map(Multimodal.poolLuma66(_).toSeq) == expect)
+    // maxFrames = 1 degenerates to the first frame (the old contract)
+    assert(Multimodal.decodeAviJpegFrames(avi, maxFrames = 1)
+      .map(Multimodal.poolLuma66(_).toSeq) == Seq(expect.head))
+    // stub: frame f = stubLuma66 of the f-th of k equal char segments
+    val payload = ("x" * 400).getBytes("UTF-8")
+    val sf = Multimodal.stubFrames66(payload, 4)
+    assert(sf.length == 4)
+    assert(sf(1).toSeq ==
+      Multimodal.stubLuma66(("x" * 100).getBytes("UTF-8")).toSeq)
+  }
+
   test("real-video path: corrupt/truncated AVI containers fall to the stub, never throw") {
     val f1 = jpeg(7)
     val whole = miniAvi(f1)
