@@ -329,10 +329,26 @@ object ExtensionQueries {
     * DataFrames. The application-end listener evicts both hazards. */
   private object FaceCache {
     import org.apache.spark.sql.SparkSession
-    private final case class Entry(sig: String, value: AnyRef, release: AnyRef => Unit)
+    /** One slot's memo. The BUILD runs under the cell's own monitor,
+      * NEVER inside the ConcurrentHashMap update: a face build may
+      * itself request another face (coGraphFace builds from
+      * coMembership — a nested get on the same map), and a nested
+      * `compute` is a CHM "recursive update" error whenever the two
+      * slot keys share a bin. Per-cell monitors nest safely (distinct
+      * locks, dependency order is acyclic); a build failure leaves the
+      * cell empty so the next caller retries instead of caching the
+      * exception. */
+    private final class Cell(val sig: String, build0: () => AnyRef,
+                             releaseFn: AnyRef => Unit) {
+      private var v: AnyRef = null
+      def value: AnyRef = synchronized { if (v == null) v = build0(); v }
+      def release(): Unit = synchronized {
+        if (v != null) { try releaseFn(v) catch { case _: Throwable => () }; v = null }
+      }
+    }
     private val bySession =
       new java.util.concurrent.ConcurrentHashMap[
-        String, java.util.concurrent.ConcurrentHashMap[String, Entry]]()
+        String, java.util.concurrent.ConcurrentHashMap[String, Cell]]()
     private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     // non-classic sessions (none in-repo) get a random stable id;
     // weak keys so the fallback map can't itself pin dead sessions
@@ -343,9 +359,7 @@ object ExtensionQueries {
         fallbackIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString))
     private def releaseAll(uuid: String): Unit = {
       val slots = bySession.remove(uuid)
-      if (slots != null) slots.values.forEach { e =>
-        try e.release(e.value) catch { case _: Throwable => () }
-      }
+      if (slots != null) slots.values.forEach(_.release())
       hooked.remove(uuid)
     }
     def get[T <: AnyRef](s: SparkSession, slot: String, sig: String)
@@ -358,14 +372,19 @@ object ExtensionQueries {
             releaseAll(uuid)
         })
       val slots = bySession.computeIfAbsent(uuid,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, Entry]())
-      slots.compute(slot, (_, old) => {
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Cell]())
+      // the map update only swaps CELLS (cheap, lock-brief); the
+      // replaced cell is released after the update, outside the map
+      var replaced: Cell = null
+      val cell = slots.compute(slot, (_, old) => {
         if (old != null && old.sig == sig) old
         else {
-          if (old != null) { try old.release(old.value) catch { case _: Throwable => () } }
-          Entry(sig, build, releaseFn.asInstanceOf[AnyRef => Unit])
+          replaced = old
+          new Cell(sig, () => build, releaseFn.asInstanceOf[AnyRef => Unit])
         }
-      }).value.asInstanceOf[T]
+      })
+      if (replaced != null) replaced.release()
+      cell.value.asInstanceOf[T]
     }
   }
 
