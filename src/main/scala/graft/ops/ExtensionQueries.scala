@@ -423,9 +423,13 @@ object ExtensionQueries {
       // would re-exchange BOTH self-join sides by orderkey. One
       // build-time repartition makes the self-joins exchange-free
       // (both sides report the checkpoint's partitioning).
-      val m = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .repartition(col("l_orderkey")).localCheckpoint()
+      // AQE-off materialization: an adaptive plan's checkpoint records
+      // UnknownPartitioning, silently discarding the basket-key layout
+      // this face exists to provide (GraftPins.withAqeOff scaladoc)
+      val m = org.apache.spark.sql.graftext.GraftPins.withAqeOff(s)(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .repartition(col("l_orderkey")).localCheckpoint())
       org.apache.spark.sql.graftext.GraftPins.pin(m)
       m
     }(releaseDf)

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Checkpoint keeping the dataset's physical partitioning readable
+    * by downstream planners: materialized AQE-off because an adaptive
+    * plan's checkpoint records UnknownPartitioning — which silently
+    * re-introduces every exchange the face/round layout was built to
+    * avoid (GraftPins.withAqeOff scaladoc; probed r13). Used for ALL
+    * face and per-round checkpoints in this file. */
+  private implicit class CkOps(private val df: DataFrame) {
+    def ckKeepPartitioning: DataFrame =
+      org.apache.spark.sql.graftext.GraftPins.withAqeOff(df.sparkSession)(
+        df.localCheckpoint())
+  }
+
   /** The shared faces of one undirected graph, each materialized at
     * most once (lazy + localCheckpoint — the invIndexFor persistence
     * idea, in-session). Build via [[GraphOps.face]].
@@ -78,7 +90,12 @@ object GraphOps {
       * is data loss, not cache eviction. Throwaway faces stay
       * unpinned and sweepable. */
     private def ck(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
+      // AQE-off materialization: under AQE the checkpoint's LogicalRDD
+      // records UnknownPartitioning, silently discarding the layout
+      // the face just paid to establish (sym's u-repartition, deg's
+      // rollup) — every downstream join/agg would then re-exchange
+      // the face (GraftPins.withAqeOff scaladoc; probed r13)
+      val c = df.ckKeepPartitioning
       if (pinned) org.apache.spark.sql.graftext.GraftPins.pin(c)
       materialized.add(c)
       c
@@ -328,24 +345,52 @@ object GraphOps {
     val frontierFraction = f.spark.conf
       .getOption("spark.graft.lpa.frontierFraction").map(_.toDouble).getOrElse(0.25)
     val useFrontier = frontierFraction > 0
+    // Dense-round exchange budget. The naive round pays TWO data-sized
+    // exchanges (the (v, label) rollup, then the per-node argmax).
+    //   - BROADCAST rounds (node table ≤ broadcastNodesMax, default
+    //     4M — a few-hundred-MB ceiling): join the labels onto the
+    //     NEIGHBOR column v of the u-partitioned sym and aggregate on
+    //     u. By symmetry that computes exactly each node's neighbor-
+    //     label histogram, and u IS the checkpoint's partition key, so
+    //     the rollup AND the argmax run in place: ZERO exchanges per
+    //     round beyond the node-sized broadcast itself.
+    //   - SHUFFLE rounds (the 100 TB path, node table too big to
+    //     broadcast): keep the u-side hash join (label side alone
+    //     exchanges, node-sized) but repartition the joined stream by
+    //     v ONCE — HashPartitioning(v) satisfies both the (v, label)
+    //     rollup and the argmax, so the two aggregations ride ONE
+    //     data-sized exchange instead of two. (The exchange carries
+    //     raw pairs instead of map-side partials; on a near-regular
+    //     graph the combine ratio was negligible anyway.)
+    // Identical results either way — same join semantics, same
+    // multiset into the same argmax (spec-pinned across both paths).
+    val broadcastMax = f.spark.conf
+      .getOption("spark.graft.lpa.broadcastNodesMax").map(_.toLong).getOrElse(4000000L)
     lazy val nNodes = f.deg.count()
     var labels = f.deg
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .ckKeepPartitioning
     var changed: DataFrame = null // valid after round 1 (frontier mode)
     var changedCount = Long.MaxValue
     var converged = false
     for (r <- 1 to iters if !converged) {
       if (r == 1 || !useFrontier || changedCount >= frontierFraction * nNodes) {
         // dense round: every node recomputes
-        val joined = f.sym
-          .join(labels.select(col("node").as("u"), col("label")).hint("shuffle_hash"), "u")
-        val next = argmaxLabel(joined, "v", useMode).localCheckpoint()
+        val next = (if (nNodes <= broadcastMax)
+          argmaxLabel(
+            f.sym.join(broadcast(labels.select(col("node").as("v"), col("label"))), "v"),
+            "u", useMode)
+        else
+          argmaxLabel(
+            f.sym.join(labels.select(col("node").as("u"), col("label"))
+              .hint("shuffle_hash"), "u")
+              .repartition(col("v")),
+            "v", useMode)).ckKeepPartitioning
         if (useFrontier) {
           changed = next.join(
             labels.select(col("node"), col("label").as("_old")).hint("shuffle_hash"), "node")
             .filter(col("label") =!= col("_old")).select(col("node"))
-            .localCheckpoint()
+            .ckKeepPartitioning
           changedCount = changed.count()
           converged = changedCount == 0
         }
@@ -369,7 +414,7 @@ object GraphOps {
           .select(col("node"),
             coalesce(col("_new"), col("label")).as("label"),
             (col("_new").isNotNull && col("_new") =!= col("label")).as("_chg"))
-          .localCheckpoint()
+          .ckKeepPartitioning
         changed = merged.filter(col("_chg")).select(col("node"))
         changedCount = changed.count()
         converged = changedCount == 0
@@ -413,7 +458,7 @@ object GraphOps {
     // distance table every round would write the cumulative reachable
     // set `rounds` times over
     var dist = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint()
+      .withColumn("hop", lit(0)).ckKeepPartitioning
     var frontier = dist.select(col("node"))
     for (r <- 1 to rounds) {
       val next = f.sym
@@ -421,7 +466,7 @@ object GraphOps {
         .select(col("v").as("node")).distinct()
         .join(dist.select(col("node")).hint("shuffle_hash"), Seq("node"), "left_anti")
         .withColumn("hop", lit(r))
-        .localCheckpoint()
+        .ckKeepPartitioning
       dist = dist.unionAll(next)
       frontier = next.select(col("node"))
     }
@@ -475,7 +520,7 @@ object GraphOps {
         .select(col("node"),
           (col("deg") - coalesce(col("_loss"), lit(0L))).as("deg"))
         .filter(col("deg") > 0)
-        .localCheckpoint()
+        .ckKeepPartitioning
       val st = deg.agg(count(lit(1)).as("n"),
         coalesce(sum(col("deg")), lit(0L)).cast("bigint").as("s")).collect()(0)
       val cur = (st.getLong(0), st.getLong(1) / 2)
@@ -578,13 +623,13 @@ object GraphOps {
           struct(col("tb").as("ea"), col("tc").as("eb")))).as("p"))
         .select(col("p.ea").as("a"), col("p.eb").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
-        .localCheckpoint()
+        .ckKeepPartitioning
       val nTri = sup.agg(coalesce(sum(col("sup")), lit(0L)).cast("bigint").as("s"))
         .collect()(0).getLong(0) / 3
       e = e.join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .ckKeepPartitioning
       val nKept = e.count()
       buf += ((r, ne, nTri, ne - nKept))
       if (r < rounds) alive = alive
@@ -594,7 +639,7 @@ object GraphOps {
           Seq("ta", "tc"), "left_semi")
         .join(e.select(col("a").as("tb"), col("b").as("tc")).hint("shuffle_hash"),
           Seq("tb", "tc"), "left_semi")
-        .localCheckpoint()
+        .ckKeepPartitioning
     }
     val spark = f.spark
     import spark.implicits._

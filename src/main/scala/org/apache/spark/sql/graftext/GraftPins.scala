@@ -56,4 +56,29 @@ object GraftPins {
     case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
     case _ => None
   }
+
+  /** Run `body` with AQE disabled in the session conf, restoring the
+    * previous value after. WHY: a checkpoint materialized under AQE
+    * records `UnknownPartitioning` on its LogicalRDD (an adaptive
+    * plan reports no partitioning until its final plan, and the
+    * checkpoint captures the metadata before that), which silently
+    * DISCARDS the layout a face's repartition just paid for — every
+    * downstream consumer then re-exchanges the face (measured r13:
+    * the u-partitioned sym self-join planned 2 exchanges under
+    * AQE-on checkpointing, 0 when the checkpoint was built AQE-off
+    * and queried AQE-on; the metadata, not the layout, was the
+    * loss). Scope caveat: the toggle is session-conf-wide for the
+    * duration of `body`, so plans COMPILED concurrently in the same
+    * session during a face build would also lose AQE — face builds
+    * are serial one-checkpoint windows in-process. */
+  def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
 }

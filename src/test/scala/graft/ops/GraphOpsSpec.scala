@@ -257,8 +257,19 @@ class GraphOpsSpec extends SparkSpec {
       val dense =
         try rowSet(GraphOps.labelPropagation(edges, iters = iters))
         finally spark.conf.unset("spark.graft.lpa.frontierFraction")
+      // shuffle dense path (node table "too big to broadcast")
+      spark.conf.set("spark.graft.lpa.frontierFraction", "0")
+      spark.conf.set("spark.graft.lpa.broadcastNodesMax", "0")
+      val denseShuffle =
+        try rowSet(GraphOps.labelPropagation(edges, iters = iters))
+        finally {
+          spark.conf.unset("spark.graft.lpa.frontierFraction")
+          spark.conf.unset("spark.graft.lpa.broadcastNodesMax")
+        }
       val adaptive = rowSet(GraphOps.labelPropagation(edges, iters = iters))
       assert(frontier == dense, s"graph of ${g.size} edges, iters=$iters")
+      assert(denseShuffle == dense,
+        s"broadcast and shuffle dense rounds must agree, graph of ${g.size} edges, iters=$iters")
       assert(adaptive == dense, s"adaptive default, graph of ${g.size} edges, iters=$iters")
     }
   }
