@@ -88,14 +88,22 @@ object GraphOps {
       * pinned-block sweeps (graft.Bench) don't destroy it — a
       * localCheckpoint's lineage is truncated, so an unpersist there
       * is data loss, not cache eviction. Throwaway faces stay
-      * unpinned and sweepable. */
-    private def ck(df: DataFrame): DataFrame = {
-      // AQE-off materialization: under AQE the checkpoint's LogicalRDD
-      // records UnknownPartitioning, silently discarding the layout
-      // the face just paid to establish (sym's u-repartition, deg's
-      // rollup) — every downstream join/agg would then re-exchange
-      // the face (GraftPins.withAqeOff scaladoc; probed r13)
-      val c = df.ckKeepPartitioning
+      * unpinned and sweepable.
+      *
+      * `keepLayout` picks the materialization mode PER FACE (the r14
+      * ktruss adjudication): AQE-off (partitioning-preserving — under
+      * AQE the checkpoint's LogicalRDD records UnknownPartitioning,
+      * silently discarding the layout the face just paid to establish;
+      * GraftPins.withAqeOff scaladoc, probed r13) ONLY for the faces
+      * whose layout downstream consumers actually cluster on — `deg`
+      * (node), `sym` (u), `adj` (src). `canonical` is HashPartitioning
+      * (a, b), which no consumer's single-key join can ride; `oriented`
+      * and `triples` are struct-projections with no alias-trackable
+      * layout — for those three AQE-off materialization costs the
+      * small-table partition coalescing and buys nothing (measured: the
+      * sf0.1 ktruss 2x-vs-floor flag). */
+    private def ck(df: DataFrame, keepLayout: Boolean): DataFrame = {
+      val c = if (keepLayout) df.ckKeepPartitioning else df.localCheckpoint()
       if (pinned) org.apache.spark.sql.graftext.GraftPins.pin(c)
       materialized.add(c)
       c
@@ -120,31 +128,42 @@ object GraphOps {
       if (assumeCanonical) {
         val c = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         if (validateCanonical) {
+          // NULL endpoints are counted on their own: count_distinct
+          // skips NULL-bearing rows, so without the explicit term a
+          // NULL edge would surface as a misleading n != nd
+          // "duplicate edges" report instead of naming the NULLs
           val st = c.agg(
             count(lit(1)).as("n"),
             count_distinct(col("a"), col("b")).as("nd"),
-            sum(when(col("a") >= col("b"), 1L).otherwise(0L)).as("bad")).collect()(0)
-          val (n, nd, bad) = (st.getLong(0), st.getLong(1),
-            if (st.isNullAt(2)) 0L else st.getLong(2))
+            sum(when(col("a") >= col("b"), 1L).otherwise(0L)).as("bad"),
+            sum(when(col("a").isNull || col("b").isNull, 1L).otherwise(0L)).as("nulls"))
+            .collect()(0)
+          val (n, nd, bad, nulls) = (st.getLong(0), st.getLong(1),
+            if (st.isNullAt(2)) 0L else st.getLong(2),
+            if (st.isNullAt(3)) 0L else st.getLong(3))
+          if (nulls > 0) throw new IllegalArgumentException(
+            s"GraphFace(assumeCanonical = true): input violates the canonical-edge " +
+              s"promise ($nulls rows with a NULL endpoint) — canonicalize the input " +
+              "or drop the promise")
           if (n != nd || bad > 0) throw new IllegalArgumentException(
             s"GraphFace(assumeCanonical = true): input violates the canonical-edge " +
               s"promise ($n rows, $nd distinct, $bad with src >= dst) — results would " +
               "double-count edges; canonicalize the input or drop the promise")
         }
-        ck(c)
+        ck(c, keepLayout = false)
       }
       else ck(edges
         .select(least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct())
+        .distinct(), keepLayout = false)
 
     /** Degree table (node, deg), hash-partitioned on node by its own
       * rollup, checkpointed — feeds the orientation joins, graphStats
       * moments, and the k-core peel's initial state. */
     lazy val deg: DataFrame = ck(canonical.select(col("a").as("node"))
       .unionAll(canonical.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")), keepLayout = true)
 
     /** Symmetrized edge list (u, v), both directions, repartitioned on
       * the probe key `u` and checkpointed: every iterative consumer
@@ -157,7 +176,7 @@ object GraphOps {
       * every round of every consumer rides it, which flips the trade. */
     lazy val sym: DataFrame = ck(canonical.select(col("a").as("u"), col("b").as("v"))
       .unionAll(canonical.select(col("b").as("u"), col("a").as("v")))
-      .repartition(col("u")))
+      .repartition(col("u")), keepLayout = true)
 
     /** Degree-(deg, id)-ordered forward edges (src, dst): every
       * undirected edge oriented from its lower-(deg, id) endpoint —
@@ -174,13 +193,13 @@ object GraphOps {
           struct(col("a").as("s"), col("b").as("d")))
           .otherwise(struct(col("b").as("s"), col("a").as("d")))
           .as("o"))
-      .select(col("o.s").as("src"), col("o.d").as("dst")))
+      .select(col("o.s").as("src"), col("o.d").as("dst")), keepLayout = false)
 
     /** Packed sorted forward adjacency: one (src, nbrs) row per node
       * with out-edges, nbrs sorted for the merge-scan intersect
       * kernel. Σ array entries = edge count. */
     lazy val adj: DataFrame = ck(oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")), keepLayout = true)
 
     /** Triangle triples (ta < tb < tc), one row per triangle of the
       * graph, from the oriented closure (each triangle {u,v,w}
@@ -195,7 +214,7 @@ object GraphOps {
       .select(least(col("u"), col("v"), col("w")).as("ta"),
         greatest(least(col("u"), col("v")),
           least(greatest(col("u"), col("v")), col("w"))).as("tb"),
-        greatest(col("u"), col("v"), col("w")).as("tc")))
+        greatest(col("u"), col("v"), col("w")).as("tc")), keepLayout = false)
   }
 
   /** Build the shared face of one graph. `assumeCanonical = true`
@@ -611,11 +630,41 @@ object GraphOps {
   def ktrussPeel(f: GraphFace, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"ktrussPeel: k must be >= 3, got $k")
     require(rounds >= 1 && rounds <= 10, s"ktrussPeel: rounds must be in [1, 10], got $rounds")
+    // Per-round checkpoints are SIZE-GATED between the two materialization
+    // modes (the r13/r14 adjudication): AQE-off (partitioning-preserving,
+    // fixed partition count) only once the round's edge table is large
+    // enough that the preserved layout retires real re-exchanges; below
+    // the gate the round tables keep AQE, whose partition coalescing
+    // dominates on tiny tables (the dedupClusters CC-pair pathology —
+    // fixed 32-partition rounds on a 133k-edge sf0.1 graph measured
+    // 2.0x the plain-checkpoint floor, while the 1.33M-edge sf1 graph
+    // runs 2.1x FASTER with partitioning kept). The gate rides the
+    // `ne` count each round already pays for the trajectory row.
+    val aqeOffMinRows = f.spark.conf
+      .getOption("spark.graft.graph.roundCkAqeOffMinRows").map(_.toLong).getOrElse(500000L)
+    // THREE jobs per round, not six (the r14 adjudication — at sf0.1
+    // the peel was scheduling-bound, ~6 tiny jobs x 3 rounds):
+    //  1. materialize eSup = edges LEFT JOIN their support rollup —
+    //     ONE table carrying both the survivor set (filter sup >= k−2,
+    //     a free projection over the checkpoint) and the trajectory
+    //     inputs, where the old shape materialized sup and the
+    //     filtered e separately;
+    //  2. one fused 1-row aggregate: Σsup (= 3Δ, n_triangles) and the
+    //     survivor count in the same pass — and that count IS the next
+    //     round's n_edges, so no round re-counts the table the
+    //     previous round already counted;
+    //  3. materialize the alive-triple maintenance (unchanged).
+    // The LAST round skips both materializations: its trajectory row
+    // needs only the fused aggregate, evaluated in one unmaterialized
+    // pass. At scale the fused table is strictly cheaper too: one
+    // edge-sized write per round instead of two.
     var e = f.canonical
     var alive = f.triples
+    var ne = e.count()
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     for (r <- 1 to rounds) {
-      val ne = e.count()
+      def ckRound(df: DataFrame): DataFrame =
+        if (ne >= aqeOffMinRows) df.ckKeepPartitioning else df.localCheckpoint()
       val sup = alive
         .select(explode(array(
           struct(col("ta").as("ea"), col("tb").as("eb")),
@@ -623,23 +672,25 @@ object GraphOps {
           struct(col("tb").as("ea"), col("tc").as("eb")))).as("p"))
         .select(col("p.ea").as("a"), col("p.eb").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
-        .ckKeepPartitioning
-      val nTri = sup.agg(coalesce(sum(col("sup")), lit(0L)).cast("bigint").as("s"))
-        .collect()(0).getLong(0) / 3
-      e = e.join(sup, Seq("a", "b"), "left")
-        .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
-        .select(col("a"), col("b"))
-        .ckKeepPartitioning
-      val nKept = e.count()
+      val eSup0 = e.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
+      val eSup = if (r < rounds) ckRound(eSup0) else eSup0
+      val st = eSup.agg(
+        coalesce(sum(col("sup")), lit(0L)).cast("bigint").as("s"),
+        count(when(col("sup") >= (k - 2).toLong, 1)).as("kept")).collect()(0)
+      val (nTri, nKept) = (st.getLong(0) / 3, st.getLong(1))
       buf += ((r, ne, nTri, ne - nKept))
-      if (r < rounds) alive = alive
-        .join(e.select(col("a").as("ta"), col("b").as("tb")).hint("shuffle_hash"),
-          Seq("ta", "tb"), "left_semi")
-        .join(e.select(col("a").as("ta"), col("b").as("tc")).hint("shuffle_hash"),
-          Seq("ta", "tc"), "left_semi")
-        .join(e.select(col("a").as("tb"), col("b").as("tc")).hint("shuffle_hash"),
-          Seq("tb", "tc"), "left_semi")
-        .ckKeepPartitioning
+      if (r < rounds) {
+        e = eSup.filter(col("sup") >= (k - 2).toLong).select(col("a"), col("b"))
+        ne = nKept
+        alive = ckRound(alive
+          .join(e.select(col("a").as("ta"), col("b").as("tb")).hint("shuffle_hash"),
+            Seq("ta", "tb"), "left_semi")
+          .join(e.select(col("a").as("ta"), col("b").as("tc")).hint("shuffle_hash"),
+            Seq("ta", "tc"), "left_semi")
+          .join(e.select(col("a").as("tb"), col("b").as("tc")).hint("shuffle_hash"),
+            Seq("tb", "tc"), "left_semi"))
+      }
     }
     val spark = f.spark
     import spark.implicits._

@@ -25,23 +25,48 @@ import org.apache.spark.sql.functions._
   * the standard correction; dropping it would leak rank at bipartite
   * sinks like the customer→supplier graph the catalog query ranks.
   *
-  * Scale shape (100 TB): per iteration, ONE equi-join of the node-sized
-  * rank table against the edge table on src (both hash-partitioned on
-  * the same key; Catalyst reuses the edge exchange across iterations
-  * when AQE materializes it) and ONE map-side-combined aggregation on
-  * dst; the dangling term is a single driver-tiny scalar. Nothing per
-  * iteration carries more than (node, BIGINT) or (edge, BIGINT) rows. N
-  * (node count) is a one-off count() action — a driver scalar by
-  * construction, the same justified pattern as the bigram-LM V scalar.
+  * Scale shape (100 TB) — the labelPropagation broadcast-round
+  * discipline applied to rank flow:
+  *  - BROADCAST rounds (node table ≤ `spark.graft.pagerank
+  *    .broadcastNodesMax`, default 4M — a few-hundred-MB ceiling):
+  *    the node-sized (src, contribution) vector is broadcast onto the
+  *    _dst-partitioned checkpointed edge table; the contribution
+  *    rollup groups on _dst, which IS the checkpoint's partition key,
+  *    and the rank update joins the node-partitioned node table
+  *    against the _dst-keyed rollup co-partitioned — ZERO data-sized
+  *    exchanges per round beyond the node-sized broadcast itself.
+  *  - SHUFFLE rounds (node table too big to broadcast): the edge table
+  *    is checkpointed _src-partitioned instead, the contribution join
+  *    runs co-partitioned (rank side node-keyed, edge side _src-keyed
+  *    — no exchange on either), and the _dst rollup pays the round's
+  *    ONE data-sized exchange (map-side combined).
+  * Both layouts are decided once at graph build (the node count is
+  * already a build scalar); all build tables and per-round rank tables
+  * are checkpointed AQE-OFF (GraftPins.withAqeOff) so their
+  * partitioning survives into the LogicalRDD — a checkpoint
+  * materialized under AQE records UnknownPartitioning and every
+  * downstream consumer silently re-exchanges (the r13 face probe).
+  * Per-round rank checkpoints also keep plan depth O(1) and make the
+  * broadcast collection read a shallow plan instead of re-executing
+  * every earlier round.
   */
 object PageRankOp {
 
   val Unit12: Long = 1000000000000L // 1.0 in 1e-12 fixed-point units
 
+  /** Checkpoint preserving the dataset's physical partitioning
+    * (AQE-off materialization — see [[org.apache.spark.sql.graftext
+    * .GraftPins.withAqeOff]]). */
+  private def ck(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftext.GraftPins.withAqeOff(df.sparkSession)(
+      df.localCheckpoint())
+
   /** The materialized graph tables every iteration reads (see
-    * [[pageRank]]'s checkpoint rationale) plus the derived scalars. */
+    * [[pageRank]]'s checkpoint rationale) plus the derived scalars.
+    * `e` is partitioned on `_dst` when `broadcastRounds` (the rollup
+    * key), on `_src` otherwise (the contribution-join key). */
   private case class Graph(e: DataFrame, nodes: DataFrame, deg: DataFrame,
-                           nN: Long, teleport: Long)
+                           nN: Long, teleport: Long, broadcastRounds: Boolean)
 
   private def buildGraph(edges: DataFrame, src: String, dst: String): Graph = {
     // Materialize the edge list, node set, and out-degree table ONCE:
@@ -52,34 +77,73 @@ object PageRankOp {
     // idiom as the bigram-LM and dup-span chains; a cluster deployment
     // with preemptible executors would use reliable checkpoints exactly
     // as Dedup.dedupClusters documents.
-    // hash-partitioned by _src before the checkpoint: localCheckpoint
-    // preserves output partitioning, so the per-iteration contrib join
-    // exchanges only the node-sized rank table, never the edges.
-    val e = edges.select(col(src).cast("long").as("_src"), col(dst).cast("long").as("_dst"))
-      .repartition(col("_src"))
-      .localCheckpoint()
-    val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
-    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")).localCheckpoint()
+    val spark = edges.sparkSession
+    val broadcastMax = spark.conf
+      .getOption("spark.graft.pagerank.broadcastNodesMax").map(_.toLong)
+      .getOrElse(4000000L)
+    // first materialization is _dst-partitioned — the broadcast-round
+    // layout, and the common case; the rare huge-graph path pays one
+    // extra repartition below (amortized over every round)
+    val e0 = ck(edges
+      .select(col(src).cast("long").as("_src"), col(dst).cast("long").as("_dst"))
+      .repartition(col("_dst")))
+    val nodes = ck(e0.select(col("_src").as("node"))
+      .union(e0.select(col("_dst").as("node"))).distinct())
+    val deg = ck(e0.groupBy(col("_src")).agg(count(lit(1)).as("_deg")))
     val nN: Long = nodes.count() // driver scalar: node count only
-    Graph(e, nodes, deg, nN, (Unit12 - Unit12 * 85L / 100L) / nN)
+    val broadcastRounds = nN <= broadcastMax
+    val e =
+      if (broadcastRounds) e0
+      else {
+        val r = ck(e0.repartition(col("_src")))
+        // e0's blocks are dead once the relayout is materialized
+        org.apache.spark.sql.graftext.GraftPins.unpin(e0)
+        r
+      }
+    Graph(e, nodes, deg, nN, (Unit12 - Unit12 * 85L / 100L) / nN, broadcastRounds)
+  }
+
+  /** One round's shared inputs: the _dst-keyed contribution rollup and
+    * the 1-row dangling-mass aggregate, planned per the graph's layout
+    * (scaladoc above). `ranks` must be node-partitioned — round-0 ranks
+    * project off the checkpointed node table and every later round is a
+    * [[ck]] of a node-side join, so the invariant holds by
+    * construction. */
+  private def roundInputs(g: Graph, ranks: DataFrame): (DataFrame, DataFrame) = {
+    // co-partitioned left join (ranks node-keyed, deg _src-keyed):
+    // no exchange on either side
+    val rd = ranks.join(g.deg.hint("shuffle_hash"),
+      ranks("node") === g.deg("_src"), "left")
+    val contrib = rd.filter(col("_deg").isNotNull)
+      .select(col("node").as("_csrc"), expr("rank_u DIV _deg").as("_c"))
+    val contribs =
+      if (g.broadcastRounds)
+        // node-sized broadcast onto the _dst-partitioned edges; the
+        // rollup rides the checkpoint's partitioning: zero exchanges
+        g.e.join(broadcast(contrib), col("_src") === col("_csrc"))
+          .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
+      else
+        // co-partitioned contribution join; the _dst rollup is the
+        // round's one data-sized exchange (map-side combined)
+        contrib.hint("shuffle_hash")
+          .join(g.e, col("_csrc") === col("_src"))
+          .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
+    val dangling = rd.filter(col("_deg").isNull)
+      .agg(coalesce(sum(col("rank_u")), lit(0L)).as("_dm"))
+    (contribs, dangling)
   }
 
   /** One synchronous PageRank step: rank-weighted contributions along
     * edges, dangling mass redistributed uniformly, damped at 0.85 —
     * all in 1e-12 fixed point. Shared verbatim by the fixed-iteration
-    * and iterate-to-convergence faces, so their arithmetic can't drift. */
+    * and iterate-to-convergence faces, so their arithmetic can't drift.
+    * The final join is co-partitioned (nodes node-keyed, rollup
+    * _dst-keyed): no exchange. */
   private def step(g: Graph, ranks: DataFrame): DataFrame = {
-    val rd = ranks.join(g.deg, ranks("node") === g.deg("_src"), "left")
-    val contribs = rd.filter(col("_deg").isNotNull)
-      .select(col("node").as("_csrc"), expr("rank_u DIV _deg").as("_c"))
-      .join(g.e, col("_csrc") === col("_src"))
-      .groupBy(col("_dst"))
-      .agg(sum(col("_c")).as("_s"))
-    val dangling = rd.filter(col("_deg").isNull)
-      .agg(coalesce(sum(col("rank_u")), lit(0L)).as("_dm"))
+    val (contribs, dangling) = roundInputs(g, ranks)
     g.nodes
-      .join(contribs, g.nodes("node") === contribs("_dst"), "left")
+      .join(contribs.hint("shuffle_hash"),
+        g.nodes("node") === contribs("_dst"), "left")
       .crossJoin(dangling)
       .select(col("node"),
         (lit(g.teleport) +
@@ -94,7 +158,11 @@ object PageRankOp {
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
     val g = buildGraph(edges, src, dst)
     var ranks = g.nodes.select(col("node"), lit(Unit12 / g.nN).as("rank_u"))
-    for (_ <- 1 to iters) ranks = step(g, ranks)
+    // per-round checkpoint: keeps the node partitioning flowing into
+    // the next round's co-partitioned joins, bounds plan depth, and
+    // (broadcast rounds) keeps the broadcast collection shallow —
+    // without it round r's broadcast would re-execute rounds 1..r−1
+    for (_ <- 1 to iters) ranks = ck(step(g, ranks))
     ranks
   }
 
@@ -109,11 +177,12 @@ object PageRankOp {
     * `seeds` is a 1-column DataFrame of node ids (ids absent from the
     * graph are counted in nS but hold their teleport share inertly —
     * matching the standard definition where the personalization vector
-    * is given, not graph-derived). Scale shape unchanged from
-    * [[pageRank]]: the seed set joins once into a node-sized
-    * is-seed flag before the checkpoint; per iteration it is the same
-    * one rank exchange + one map-side-combined aggregation; |S| is a
-    * driver scalar like N. */
+    * is given, not graph-derived). Scale shape identical to
+    * [[pageRank]]: the seed set joins once into a node-sized is-seed
+    * flag before the checkpoint; per round the same broadcast/shuffle
+    * layouts apply, with the rank update reading the seed-flagged node
+    * table (node-partitioned, so still co-partitioned with the
+    * rollup); |S| is a driver scalar like N. */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
                            seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
@@ -124,36 +193,30 @@ object PageRankOp {
     // scalar + the node-flag join) — without the checkpoint that
     // upstream runs twice (the same re-derivation trap the edge
     // checkpoint in buildGraph closes)
-    val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .localCheckpoint()
+    val s = ck(seeds.select(col(seedCol).cast("long").as("node")).distinct())
     val nS: Long = s.count() // driver scalar: seed count
     require(nS > 0, "personalizedPageRank: seed set is empty")
     val teleportS: Long = (Unit12 - Unit12 * 85L / 100L) / nS
-    // node-sized seed flag, materialized once like the degree table
-    val nodes = g.nodes.join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
-      .localCheckpoint()
+    // node-sized seed flag, materialized once like the degree table;
+    // the join is co-partitioned (both sides node-keyed)
+    val nodes = ck(g.nodes
+      .join(s.withColumn("_seed", lit(true)).hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed")))
     var ranks = nodes.select(col("node"),
       when(col("_seed"), lit(Unit12 / nS)).otherwise(lit(0L)).as("rank_u"))
     for (_ <- 1 to iters) {
-      val rd = ranks.join(g.deg, ranks("node") === g.deg("_src"), "left")
-      val contribs = rd.filter(col("_deg").isNotNull)
-        .select(col("node").as("_csrc"), expr("rank_u DIV _deg").as("_c"))
-        .join(g.e, col("_csrc") === col("_src"))
-        .groupBy(col("_dst"))
-        .agg(sum(col("_c")).as("_s"))
-      val dangling = rd.filter(col("_deg").isNull)
-        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("_dm"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("_dst"), "left")
+      val (contribs, dangling) = roundInputs(g, ranks)
+      ranks = ck(nodes
+        .join(contribs.hint("shuffle_hash"),
+          nodes("node") === contribs("_dst"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (when(col("_seed"), lit(teleportS)).otherwise(lit(0L)) +
             expr(s"((coalesce(_s, 0L) + (CASE WHEN _seed THEN _dm DIV ${nS}L ELSE 0L END)) * 85) DIV 100")
               .cast("long"))
-            .as("rank_u"))
+            .as("rank_u")))
     }
-    ranks
+    ranks.select(col("node"), col("rank_u"))
   }
 
   /** PageRank iterated UNTIL the L1 rank delta ‖r_t − r_{t−1}‖₁ drops
@@ -163,15 +226,17 @@ object PageRankOp {
     *
     * Two things keep it scale-shaped where the fixed loop could lean
     * on its `iters ≤ 10` guard:
-    *  - the rank table is localCheckpointed EVERY round, so plan depth
-    *    stays constant at any iteration count (the fixed loop stacks
-    *    `iters` joins into one plan — fine at ≤10, not at 100);
-    *  - convergence costs NO extra job: the L1 delta accumulates in a
-    *    LongAccumulator while the checkpoint materializes the round's
-    *    ranks (the same fused-convergence idiom as
-    *    Dedup.dedupClusters' changed-label count — task retries can
-    *    only overcount, which can only delay convergence by a round,
-    *    never falsely declare it).
+    *  - the rank table is checkpointed EVERY round (as the fixed loop
+    *    now also does), so plan depth stays constant at any iteration
+    *    count;
+    *  - the L1 delta is a co-partitioned join of two already-
+    *    checkpointed node-keyed rank tables — one node-sized pass per
+    *    round whose only exchange is the 1-row aggregate. (The
+    *    previous accumulator-fused mapPartitions counter saved that
+    *    pass but erased the rank table's partitioning metadata —
+    *    SerializeFromObject reports unknown partitioning — which under
+    *    the co-partitioned round plan would re-introduce per-round
+    *    data-sized exchanges costing far more than the scan saves.)
     *
     * Arithmetic per round is [[step]] — byte-identical to the fixed
     * API, so `pageRankConverged(...)._1` equals `pageRank(...)` run for
@@ -187,26 +252,20 @@ object PageRankOp {
     require(maxIters >= 1 && maxIters <= 1000,
       s"maxIters must be in [1,1000], got $maxIters")
     val g = buildGraph(edges, src, dst)
-    val spark = edges.sparkSession
-    var ranks = g.nodes.select(col("node"), lit(Unit12 / g.nN).as("rank_u"))
-      .localCheckpoint()
+    var ranks = ck(g.nodes.select(col("node"), lit(Unit12 / g.nN).as("rank_u")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val tagged = step(g, ranks)
-        .join(ranks.withColumnRenamed("rank_u", "_prev"), "node")
-      val delta = spark.sparkContext
-        .longAccumulator(s"graft.pagerank.delta.round$iters")
-      val counted = tagged.mapPartitions { it =>
-        it.map { r => // (node, rank_u, _prev)
-          delta.add(math.abs(r.getLong(1) - r.getLong(2)))
-          r
-        }
-      }(org.apache.spark.sql.Encoders.row(tagged.schema))
-      ranks = counted.toDF().select(col("node"), col("rank_u"))
-        .localCheckpoint() // materializes the round AND fills the accumulator
+      val next = ck(step(g, ranks))
+      // both sides are node-keyed checkpoints: the join is
+      // exchange-free; only the 1-row sum exchanges
+      val delta = next
+        .join(ranks.withColumnRenamed("rank_u", "_prev").hint("shuffle_hash"), "node")
+        .agg(coalesce(sum(abs(col("rank_u") - col("_prev"))), lit(0L)).as("_d"))
+        .collect()(0).getLong(0)
+      ranks = next
       iters += 1
-      converged = delta.value <= epsUnits
+      converged = delta <= epsUnits
     }
     if (!converged) throw new IllegalStateException(
       s"pageRankConverged: L1 delta still above $epsUnits after $maxIters rounds; " +

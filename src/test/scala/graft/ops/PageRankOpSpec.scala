@@ -145,4 +145,66 @@ class PageRankOpSpec extends SparkSpec {
     // No nested-loop join may involve the edge or node tables directly.
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("broadcast and shuffle round layouts agree integer-for-integer (pageRank + PPR)") {
+    val df = graph.toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val basePr = PageRankOp.pageRank(df, "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val basePpr = PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    // force the shuffle layout (every graph over the broadcast ceiling)
+    spark.conf.set("spark.graft.pagerank.broadcastNodesMax", "0")
+    try {
+      assert(PageRankOp.pageRank(df, "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap == basePr)
+      assert(PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
+        .as[(Long, Long)].collect().toMap == basePpr)
+    } finally spark.conf.unset("spark.graft.pagerank.broadcastNodesMax")
+  }
+
+  test("broadcast rounds plan ZERO data-sized exchanges; shuffle rounds exactly one") {
+    val df = graph.toDF("src", "dst")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    def roundPlans(body: => Unit): Seq[String] = {
+      plans.synchronized(plans.clear())
+      spark.listenerManager.register(l)
+      try {
+        body
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      } finally spark.listenerManager.unregister(l)
+      // the per-round rank materializations: the only captured plans
+      // carrying both the rank column and a join (build-table
+      // checkpoints carry no rank_u; scalar counts carry no join)
+      plans.synchronized(
+        plans.filter(p => p.contains("rank_u") && p.contains("Join")).toSeq)
+    }
+    val b = roundPlans(PageRankOp.pageRank(df, "src", "dst", 2))
+    assert(b.nonEmpty)
+    b.foreach { p =>
+      // the 1-row dangling aggregate's SinglePartition exchange is the
+      // only shuffle a broadcast round may plan
+      assert(!p.contains("Exchange hashpartitioning"),
+        "broadcast-path round must plan zero data-sized exchanges:\n" + p)
+    }
+    spark.conf.set("spark.graft.pagerank.broadcastNodesMax", "0")
+    try {
+      val s = roundPlans(PageRankOp.pageRank(df, "src", "dst", 2))
+      assert(s.nonEmpty)
+      s.foreach { p =>
+        val n = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(n == 1,
+          s"shuffle-path round must ride ONE data-sized exchange (the _dst rollup), saw $n:\n" + p)
+      }
+    } finally spark.conf.unset("spark.graft.pagerank.broadcastNodesMax")
+  }
 }
