@@ -188,4 +188,31 @@ object GenData {
       .select(col("vec_id"),
         col("_out").cast("array<float>").as("embedding"), col("label"))
   }
+
+  /** Deterministic POWER-LAW basket membership — the fixture TPC-H's
+    * near-uniform item counts can't provide (every part sits in ~30
+    * orders, so Apriori's frequent-item gate passes everything). Here
+    * item popularity follows an inverse-CDF power law: item =
+    * ⌊nItems · u^skew⌋ for a hash-uniform u ∈ [0,1), so at skew 3 the
+    * head items appear in a large share of baskets while most of the
+    * item space is singleton-rare — real transaction-log shape, where
+    * the downward-closure prune collapses the pair self-join
+    * superlinearly. Basket sizes cycle 1..2·avgSize−1 by basket-id
+    * hash (mean ≈ avgSize). Fully hash-deterministic (xxhash64 —
+    * no RNG state), so A/B runs and specs see the identical table.
+    * Output: distinct (bk, it) — the membership contract
+    * `associationRules(assumeDistinct = true)` expects. */
+  def powerLawBaskets(spark: SparkSession, nBaskets: Long, nItems: Long,
+                      avgSize: Int, skew: Double = 3.0): DataFrame = {
+    require(nBaskets >= 1 && nItems >= 1 && avgSize >= 1 && skew >= 1.0)
+    spark.range(nBaskets).select(col("id").as("bk"),
+        explode(sequence(lit(1L),
+          pmod(xxhash64(col("id")), lit(2L * avgSize - 1)) + 1L)).as("_slot"))
+      .select(col("bk"),
+        // u from the (bk, slot) hash, mapped through the power curve
+        floor(lit(nItems) * pow(
+          (pmod(xxhash64(col("bk"), col("_slot")), lit(1000000007L)).cast("double")
+            / lit(1000000007.0)), lit(skew))).cast("long").as("it"))
+      .distinct()
+  }
 }

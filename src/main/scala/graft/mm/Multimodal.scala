@@ -594,8 +594,13 @@ object Multimodal {
     * endpoints included (pick i = ⌊i·(cnt−1)/(maxFrames−1)⌋), so a
     * prepended intro or appended credits can't push the sampled set
     * off the content. Only the picked spans are decoded (the
-    * [[aviJpegChunks]] walk skips everything else by size);
-    * undecodable picks are dropped. */
+    * [[aviJpegChunks]] walk skips everything else by size). A pick
+    * whose chunk fails ImageIO decode PROBES FORWARD to the next
+    * not-yet-taken chunk (bounded by the chunk count) instead of being
+    * dropped — so a container whose sampled chunks are corrupt but
+    * whose others decode still yields frames, and maxFrames = 1
+    * matches [[decodeAviFirstJpegFrame]]'s first-DECODABLE-frame
+    * contract instead of silently degrading to the whole-video stub. */
   private[mm] def decodeAviJpegFrames(p: Array[Byte],
                                       maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
     val chunks = aviJpegChunks(p)
@@ -606,7 +611,16 @@ object Multimodal {
       else if (maxFrames == 1) Seq(0)
       else (0 until maxFrames)
         .map(i => (i.toLong * (cnt - 1) / (maxFrames - 1)).toInt).distinct
-    picks.flatMap(i => decodeJpegSpan(p, chunks(i)))
+    val taken = scala.collection.mutable.BitSet.empty // decoded OR probed-bad
+    picks.flatMap { i =>
+      var j = i
+      var img: Option[java.awt.image.BufferedImage] = None
+      while (img.isEmpty && j < cnt) {
+        if (taken.add(j)) img = decodeJpegSpan(p, chunks(j))
+        if (img.isEmpty) j += 1
+      }
+      img
+    }
   }
 
   /** REAL video keyframe luma: decode the first keyframe —

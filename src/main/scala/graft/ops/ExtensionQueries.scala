@@ -322,7 +322,7 @@ object ExtensionQueries {
     * whose localCheckpoint blocks belong to a stopped context; and a
     * map that only ever inserts leaks every dead session's
     * DataFrames. The application-end listener evicts both hazards. */
-  private object FaceCache {
+  private[ops] object FaceCache {
     import org.apache.spark.sql.SparkSession
     /** One slot's memo. The BUILD runs under the cell's own monitor,
       * NEVER inside the ConcurrentHashMap update: a face build may
@@ -345,6 +345,34 @@ object ExtensionQueries {
       new java.util.concurrent.ConcurrentHashMap[
         String, java.util.concurrent.ConcurrentHashMap[String, Cell]]()
     private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    /** Last-get stamp per session — the LRU order for [[evictOverCap]].
+      * Monotonic nanoTime, never wall clock. */
+    private val lastUsed =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    /** Replaced cells awaiting release: a signature change swaps the
+      * CELL immediately (new readers build fresh), but the old value's
+      * checkpoint blocks are freed only after a grace period — a
+      * concurrent reader may still hold the old face, or hold a LAZY
+      * derivative whose first materialization reads the old blocks
+      * (coGraphFace's tables recompute from coMembership's
+      * checkpoint; an immediate release would turn that rebuild into
+      * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The grace window bounds the
+      * exposure instead of refcounting every handout; a reader
+      * holding a face across a mid-session dataset swap for longer
+      * than the grace is outside the cache's contract (in-repo
+      * drivers never swap datasets mid-query). Swept on later gets
+      * and drained at application end. */
+    private final case class Retired(cell: Cell, atNanos: Long)
+    private val graveyard =
+      new java.util.concurrent.ConcurrentLinkedQueue[Retired]()
+    private def sweepGraveyard(graceNanos: Long): Unit = {
+      val now = System.nanoTime()
+      var r = graveyard.peek()
+      while (r != null && (graceNanos == 0L || now - r.atNanos >= graceNanos)) {
+        if (graveyard.remove(r)) r.cell.release()
+        r = graveyard.peek()
+      }
+    }
     // non-classic sessions (none in-repo) get a random stable id;
     // weak keys so the fallback map can't itself pin dead sessions
     private val fallbackIds = java.util.Collections.synchronizedMap(
@@ -356,20 +384,54 @@ object ExtensionQueries {
       val slots = bySession.remove(uuid)
       if (slots != null) slots.values.forEach(_.release())
       hooked.remove(uuid)
+      lastUsed.remove(uuid)
+      ()
     }
+    /** Dead-session bound (the r13 ADVICE leak): `SparkSession.stop()`
+      * IS `sparkContext.stop()` (bytecode-verified), so the only
+      * session teardown the application-end listener can miss is a
+      * dropped `newSession()` instance — GC-invisible here because
+      * cached DataFrames strongly reference their session. The cache
+      * therefore keeps faces for at most `maxSessions` sessions
+      * (LRU by last get): inserting one beyond the cap releases the
+      * least-recently-used session's slots. Sessions beyond the cap
+      * are assumed dead — a process genuinely interleaving more
+      * concurrent face-holding sessions than the cap raises
+      * `spark.graft.faceCache.maxSessions`. */
+    private def evictOverCap(maxSessions: Int, keep: String): Unit =
+      while (bySession.size > maxSessions) {
+        var oldest: String = null
+        var oldestAt = Long.MaxValue
+        bySession.keySet.forEach { u =>
+          val at = lastUsed.getOrDefault(u, java.lang.Long.valueOf(Long.MinValue)).longValue()
+          if (u != keep && at < oldestAt) { oldest = u; oldestAt = at }
+        }
+        if (oldest == null) return
+        releaseAll(oldest)
+      }
+    /** Test observability. */
+    private[ops] def sessionCount: Int = bySession.size
+    private[ops] def retiredCount: Int = graveyard.size
+    private[ops] def hasSession(s: SparkSession): Boolean =
+      bySession.containsKey(sessionId(s))
     def get[T <: AnyRef](s: SparkSession, slot: String, sig: String)
                         (build: => T)(releaseFn: T => Unit): T = {
       val uuid = sessionId(s)
       if (hooked.add(uuid))
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             releaseAll(uuid)
+            sweepGraveyard(0L) // drain: nothing can hold a face past the app
+          }
         })
+      lastUsed.put(uuid, java.lang.Long.valueOf(System.nanoTime()))
       val slots = bySession.computeIfAbsent(uuid,
         _ => new java.util.concurrent.ConcurrentHashMap[String, Cell]())
+      evictOverCap(s.conf.getOption("spark.graft.faceCache.maxSessions")
+        .map(_.toInt).getOrElse(8), keep = uuid)
       // the map update only swaps CELLS (cheap, lock-brief); the
-      // replaced cell is released after the update, outside the map
+      // replaced cell is RETIRED, not released — see graveyard
       var replaced: Cell = null
       val cell = slots.compute(slot, (_, old) => {
         if (old != null && old.sig == sig) old
@@ -378,7 +440,9 @@ object ExtensionQueries {
           new Cell(sig, () => build, releaseFn.asInstanceOf[AnyRef => Unit])
         }
       })
-      if (replaced != null) replaced.release()
+      if (replaced != null) graveyard.add(Retired(replaced, System.nanoTime()))
+      sweepGraveyard(s.conf.getOption("spark.graft.faceCache.replaceGraceMs")
+        .map(_.toLong).getOrElse(60000L) * 1000000L)
       cell.value.asInstanceOf[T]
     }
   }

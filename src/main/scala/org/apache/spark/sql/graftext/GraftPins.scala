@@ -57,28 +57,56 @@ object GraftPins {
     case _ => None
   }
 
+  /** Per-session reentrancy state for [[withAqeOff]]: only the
+    * OUTERMOST entry snapshots the previous conf value and only the
+    * matching outermost exit restores it. Without the depth counter,
+    * two overlapping `withAqeOff` bodies in one session race the
+    * read-modify-restore: the second entry snapshots the 'false' the
+    * first just set, and its finally restores 'false' — leaving AQE
+    * permanently disabled for the session (the r13 ADVICE sticky-
+    * restore race). States are keyed by session and never removed —
+    * one small object per session for the JVM's lifetime, bounded by
+    * session count (removal would race a thread still holding the
+    * old state object through computeIfAbsent). */
+  private final class AqeState { var depth = 0; var prev: Option[String] = None }
+  private val aqeStates =
+    new java.util.concurrent.ConcurrentHashMap[String, AqeState]()
+
   /** Run `body` with AQE disabled in the session conf, restoring the
-    * previous value after. WHY: a checkpoint materialized under AQE
-    * records `UnknownPartitioning` on its LogicalRDD (an adaptive
-    * plan reports no partitioning until its final plan, and the
-    * checkpoint captures the metadata before that), which silently
-    * DISCARDS the layout a face's repartition just paid for — every
-    * downstream consumer then re-exchanges the face (measured r13:
-    * the u-partitioned sym self-join planned 2 exchanges under
-    * AQE-on checkpointing, 0 when the checkpoint was built AQE-off
-    * and queried AQE-on; the metadata, not the layout, was the
-    * loss). Scope caveat: the toggle is session-conf-wide for the
-    * duration of `body`, so plans COMPILED concurrently in the same
-    * session during a face build would also lose AQE — face builds
-    * are serial one-checkpoint windows in-process. */
+    * previous value after the OUTERMOST nested/concurrent call exits
+    * (per-session depth counter — see [[AqeState]]). WHY: a checkpoint
+    * materialized under AQE records `UnknownPartitioning` on its
+    * LogicalRDD (an adaptive plan reports no partitioning until its
+    * final plan, and the checkpoint captures the metadata before
+    * that), which silently DISCARDS the layout a face's repartition
+    * just paid for — every downstream consumer then re-exchanges the
+    * face (measured r13: the u-partitioned sym self-join planned 2
+    * exchanges under AQE-on checkpointing, 0 when the checkpoint was
+    * built AQE-off and queried AQE-on; the metadata, not the layout,
+    * was the loss). Scope caveat: the toggle is session-conf-wide for
+    * the duration of `body`, so unrelated plans COMPILED concurrently
+    * in the same session during a face build would also lose AQE —
+    * the depth counter makes overlap SAFE (no sticky restore), not
+    * side-effect-free. */
   def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val k = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "false")
+    val key = sessionUuid(spark)
+      .getOrElse("@" + System.identityHashCode(spark))
+    val st = aqeStates.computeIfAbsent(key, _ => new AqeState)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.prev = spark.conf.getOption(k)
+        spark.conf.set(k, "false")
+      }
+      st.depth += 1
+    }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
+    finally st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0) st.prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
     }
   }
 }

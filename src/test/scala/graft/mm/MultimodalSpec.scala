@@ -427,6 +427,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.stubLuma66(("x" * 100).getBytes("UTF-8")).toSeq)
   }
 
+  test("decodeAviJpegFrames: a corrupt pick probes forward to the next decodable chunk") {
+    // zero the body of a frame INSIDE the container (keeps its FF D8
+    // header, so the chunk walk still lists it; ImageIO decode fails)
+    def corruptFrame(avi: Array[Byte], frame: Array[Byte]): Array[Byte] = {
+      val at = avi.indexOfSlice(frame)
+      assert(at >= 0, "fixture frame not found in container")
+      val b = avi.clone()
+      java.util.Arrays.fill(b, at + 2, at + frame.length, 0.toByte)
+      b
+    }
+    def grids(frames: Seq[java.awt.image.BufferedImage]): Seq[Seq[Int]] =
+      frames.map(Multimodal.poolLuma66(_).toSeq)
+    def still(f: Array[Byte]): Seq[Int] =
+      Multimodal.poolLuma66(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f))).toSeq
+    val fs = (0 until 6).map(i => jpeg(2000 + i))
+    // first chunk corrupt, maxFrames = 1: first-DECODABLE contract —
+    // must yield frame 1, exactly like decodeAviFirstJpegFrame
+    val avi0 = corruptFrame(miniAvi(fs: _*), fs(0))
+    assert(grids(Multimodal.decodeAviJpegFrames(avi0, maxFrames = 1)) ==
+      Seq(still(fs(1))))
+    assert(Multimodal.decodeAviFirstJpegFrame(avi0).map(
+      Multimodal.poolLuma66(_).toSeq) == Some(still(fs(1))))
+    // 6 chunks, maxFrames = 3 picks 0, 2, 5; corrupting chunk 2 slides
+    // that pick to chunk 3 — three frames, not two
+    val avi2 = corruptFrame(miniAvi(fs: _*), fs(2))
+    assert(grids(Multimodal.decodeAviJpegFrames(avi2, maxFrames = 3)) ==
+      Seq(still(fs(0)), still(fs(3)), still(fs(5))))
+    // a healthy container is untouched by the fallback machinery
+    assert(grids(Multimodal.decodeAviJpegFrames(miniAvi(fs: _*), maxFrames = 3)) ==
+      Seq(still(fs(0)), still(fs(2)), still(fs(5))))
+    // every chunk corrupt: no frames (caller falls to the stub)
+    val allBad = fs.foldLeft(miniAvi(fs: _*))(corruptFrame)
+    assert(Multimodal.decodeAviJpegFrames(allBad, maxFrames = 3).isEmpty)
+  }
+
   test("real-video path: corrupt/truncated AVI containers fall to the stub, never throw") {
     val f1 = jpeg(7)
     val whole = miniAvi(f1)

@@ -197,6 +197,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(pruned.count() == 2L)
   }
 
+  test("associationRules minCount: downward-closure equality holds on a POWER-LAW fixture (r14)") {
+    import org.apache.spark.sql.functions.col
+    // the skewed-basket shape where the Apriori gate actually bites
+    // (TPC-H item counts are near-uniform, so the small fixture above
+    // exercises the plan but not the payoff): head items in hundreds
+    // of baskets, a long singleton tail the item gate drops BEFORE the
+    // pair self-join. Equality vs the exhaustive-then-filter run is
+    // the proof the prune changes nothing the n_ab filter wouldn't.
+    val df = graft.GenData.powerLawBaskets(spark,
+      nBaskets = 4000L, nItems = 20000L, avgSize = 6).localCheckpoint()
+    // sanity: the fixture is genuinely skewed — the gate must drop
+    // most of the item vocabulary at this threshold
+    val counts = df.groupBy(col("it")).count()
+    val nItems = counts.count()
+    val nFrequent = counts.filter(col("count") >= 8).count()
+    assert(nFrequent > 0 && nFrequent < nItems / 4,
+      s"power-law fixture must have a rare-majority vocabulary: $nFrequent/$nItems frequent")
+    // k past the rule count: the equality claim is about the UNRANKED
+    // rule set — with a binding k the exhaustive arm's top-k-by-lift
+    // fills up with rare high-lift pairs the filter then drops
+    val pruned = EventAnalytics.associationRules(df, "bk", "it", k = 1000000,
+      assumeDistinct = true, minCount = 8L)
+    val exhaustiveFiltered = EventAnalytics.associationRules(df, "bk", "it", k = 1000000,
+      assumeDistinct = true).filter(col("n_ab") >= 8).drop("rn")
+    assert(rowSet(pruned.drop("rn")) == rowSet(exhaustiveFiltered))
+    assert(pruned.count() > 0, "threshold too high — the fixture produced no rules")
+  }
+
   test("retention: cohort = Monday week of first event; offsets count whole weeks") {
     val ev = events(
       // user 1: first event Tue Jan 2 2024 (week of Mon Jan 1), active
