@@ -395,7 +395,7 @@ object GraphOps {
     for (r <- 1 to iters if !converged) {
       if (r == 1 || !useFrontier || changedCount >= frontierFraction * nNodes) {
         // dense round: every node recomputes
-        val next = (if (nNodes <= broadcastMax)
+        val next = if (nNodes <= broadcastMax)
           argmaxLabel(
             f.sym.join(broadcast(labels.select(col("node").as("v"), col("label"))), "v"),
             "u", useMode)
@@ -404,16 +404,28 @@ object GraphOps {
             f.sym.join(labels.select(col("node").as("u"), col("label"))
               .hint("shuffle_hash"), "u")
               .repartition(col("v")),
-            "v", useMode)).ckKeepPartitioning
+            "v", useMode)
         if (useFrontier) {
-          changed = next.join(
-            labels.select(col("node"), col("label").as("_old")).hint("shuffle_hash"), "node")
-            .filter(col("label") =!= col("_old")).select(col("node"))
+          // the changed flag rides the round's ONE checkpoint (the
+          // old-label join is node-sized and co-partitioned, so it
+          // folds into the materialization); the count is a cheap
+          // aggregate over the checkpoint and the changed SET is a
+          // free filter over it — the previous shape materialized a
+          // second node-sized checkpoint per round just for the set
+          val tagged = next.join(
+            labels.select(col("node"), col("label").as("_old")).hint("shuffle_hash"),
+            "node")
+            .select(col("node"), col("label"),
+              (col("label") =!= col("_old")).as("_chg"))
             .ckKeepPartitioning
-          changedCount = changed.count()
+          changed = tagged.filter(col("_chg")).select(col("node"))
+          changedCount = tagged
+            .agg(count(when(col("_chg"), 1)).as("c")).collect()(0).getLong(0)
           converged = changedCount == 0
+          labels = tagged.select(col("node"), col("label"))
+        } else {
+          labels = next.ckKeepPartitioning
         }
-        labels = next
       } else {
         // neighbors of the changed set — the only nodes whose argmax
         // input multiset differs from their last recompute
