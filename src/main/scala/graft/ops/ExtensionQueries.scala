@@ -558,6 +558,19 @@ object ExtensionQueries {
       Dedup.CorpusNearDupIndex(b, sh)
     }(idx => { releaseDf(idx.bands); releaseDf(idx.shingles) })
 
+  /** The SemDeDup k-means centroids (nClusters 4, dim 64, iters 2 —
+    * the two semantic-dedup rows' shared clustering) — a DRIVER-HELD
+    * value face: kmeans is deterministic (md5-seeded, fixed iteration
+    * order), so the cached centroids equal a recompute exactly, and
+    * the two rows that previously each paid the seed scan + 2 Lloyd's
+    * passes over the embeddings corpus share one run. No blocks to
+    * release (the value is a small Seq on the driver). */
+  private def coSemCentroids(s: org.apache.spark.sql.SparkSession,
+                             d: String): Seq[(Int, Seq[Double])] =
+    FaceCache.get(s, "semcents", datasetSignature(d, "embeddings.parquet")) {
+      Similarity.kmeans(coEmbeddings(s, d), nLists = 4, dim = 64, iters = 2)
+    }(_ => ())
+
   private def coGraphFace(s: org.apache.spark.sql.SparkSession, d: String): GraphOps.GraphFace =
     FaceCache.get(s, "graphface", datasetSignature(d, "lineitem.parquet")) {
       // pinned: the cached face must survive graft.Bench's
@@ -1346,7 +1359,7 @@ object ExtensionQueries {
       "x_dedup_semantic",
       (s, d) => Similarity.semanticDedup(coEmbeddings(s, d),
           threshold = threshold, dim = 64, nClusters = nClusters, iters = iters,
-          maxClusterSize = maxClusterSize)
+          maxClusterSize = maxClusterSize, centroids = Some(coSemCentroids(s, d)))
         .select(col("vec_id")),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1383,7 +1396,8 @@ object ExtensionQueries {
       "x_dedup_semantic_lsh",
       (s, d) => Similarity.semanticDedupLshBackstop(coEmbeddings(s, d),
           threshold = threshold, dim = 64, nClusters = nClusters, iters = iters,
-          maxClusterSize = maxClusterSize, nBands = nBands, maxBucketSize = maxBucket)
+          maxClusterSize = maxClusterSize, nBands = nBands, maxBucketSize = maxBucket,
+          centroids = Some(coSemCentroids(s, d)))
         .select(col("vec_id")),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1406,6 +1420,50 @@ object ExtensionQueries {
                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $threshold)
       SELECT vec_id FROM e
       WHERE vec_id NOT IN (SELECT vid FROM cdrops UNION SELECT vid FROM ldrops)
+    """.trim)
+    )
+  }
+
+  /** SemDeDup with a KEEP-PREFERENCE score (the scoreCol contract —
+    * previously spec-only, now oracle-pinned): within each twin set,
+    * keep the member that precedes by (score DESC, id ASC) — "keep the
+    * highest-quality / longest / earliest-crawl copy", the decision
+    * every production dedup actually wants (the plain rule keeps the
+    * LOWEST ID, i.e. an arbitrary copy). Here score = `label`, so a
+    * row is dropped iff some cluster-mate at cos ≥ t has a higher
+    * label (ties: lower id). The oracle replays the Lloyd's run and
+    * the precedence comparison literally — the hash pins WHICH copy
+    * of every twin set survives, not just how many. Rides the shared
+    * [[coSemCentroids]]/[[coEmbeddings]] faces. */
+  val dedupSemanticScored: Q = {
+    val nClusters = 4
+    val iters = 2
+    val threshold = 0.3
+    val maxClusterSize = 1 << 20
+    Q(
+      "x_dedup_semantic_scored",
+      (s, d) => Similarity.semanticDedup(coEmbeddings(s, d),
+          threshold = threshold, dim = 64, nClusters = nClusters, iters = iters,
+          maxClusterSize = maxClusterSize, scoreCol = Some("label"),
+          centroids = Some(coSemCentroids(s, d)))
+        .select(col("vec_id"), col("label")),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${kmeansCtesSql(nClusters, iters)},
+      lab AS (SELECT vec_id, label FROM embeddings),
+      sizes AS (SELECT list, COUNT(*) AS csz FROM asgf GROUP BY list),
+      drops AS (SELECT DISTINCT x.vec_id AS vid
+                FROM asgf y
+                JOIN asgf x ON y.list = x.list AND y.vec_id <> x.vec_id
+                JOIN sizes s ON s.list = x.list AND s.csz <= $maxClusterSize
+                JOIN lab ly ON ly.vec_id = y.vec_id
+                JOIN lab lx ON lx.vec_id = x.vec_id
+                WHERE list_dot_product(y.v, x.v) /
+                      (sqrt(list_dot_product(y.v, y.v)) * sqrt(list_dot_product(x.v, x.v))) >= $threshold
+                  AND (ly.label > lx.label
+                       OR (ly.label = lx.label AND y.vec_id < x.vec_id)))
+      SELECT em.vec_id, em.label FROM embeddings em
+      WHERE em.vec_id NOT IN (SELECT vid FROM drops)
     """.trim)
     )
   }
@@ -7403,7 +7461,7 @@ object ExtensionQueries {
     ngramJaccard, containmentPairs,
     knnCosine, knnQuantized, annLsh, annIvf, annIvfKmeans, annPqQ, annPqPersistedQ,
     cosineNearDups,
-    dedupSemantic, dedupSemanticLsh, sampleSemantic, embedQuantize,
+    dedupSemantic, dedupSemanticLsh, dedupSemanticScored, sampleSemantic, embedQuantize,
     knnJoinBatch, knnJoinLshBatch, knnJoinLshMultiBandQ,
     knnJoinIvfBatch, knnJoinIvfMultiProbe,
     knnJoinIvfPersistedQ,

@@ -1068,9 +1068,10 @@ object Similarity {
                     nClusters: Int = 4, iters: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     maxClusterSize: Int = 1 << 20,
-                    scoreCol: Option[String] = None): DataFrame = {
+                    scoreCol: Option[String] = None,
+                    centroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val drops = semanticDedupDrops(emb, threshold, dim, nClusters, iters,
-      idCol, vecCol, maxClusterSize, scoreCol)
+      idCol, vecCol, maxClusterSize, scoreCol, centroids)
     emb.join(drops, emb(idCol) === drops("_drop_id"), "left_anti")
   }
 
@@ -1094,11 +1095,17 @@ object Similarity {
                                  nClusters: Int, iters: Int,
                                  idCol: String, vecCol: String,
                                  maxClusterSize: Int,
-                                 scoreCol: Option[String]): DataFrame = {
+                                 scoreCol: Option[String],
+                                 centroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     require(nClusters >= 0,
       s"semanticDedup: nClusters must be > 0 (or 0 = adaptive), got $nClusters")
-    val k = if (nClusters > 0) nClusters else adaptiveNClusters(emb.count())
-    val cents = kmeans(emb, k, dim, iters, idCol, vecCol)
+    // a caller-supplied centroid set (a session face — kmeans is
+    // deterministic, so cached == recomputed exactly) skips the
+    // clustering's corpus passes AND the adaptive count
+    val cents = centroids.getOrElse {
+      val k = if (nClusters > 0) nClusters else adaptiveNClusters(emb.count())
+      kmeans(emb, k, dim, iters, idCol, vecCol)
+    }
     val base = emb.select(
       (col(idCol).as("id") +: asDouble(col(vecCol)).as("v") +:
         scoreCol.map(c => col(c).as("sc")).toSeq): _*)
@@ -1150,9 +1157,10 @@ object Similarity {
                                maxClusterSize: Int = 1 << 20,
                                scoreCol: Option[String] = None,
                                nBands: Int = 16, bitsPerBand: Int = 0,
-                               maxBucketSize: Int = 4096): DataFrame = {
+                               maxBucketSize: Int = 4096,
+                               centroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val clusterDrops = semanticDedupDrops(emb, threshold, dim, nClusters, iters,
-      idCol, vecCol, maxClusterSize, scoreCol)
+      idCol, vecCol, maxClusterSize, scoreCol, centroids)
     // (id1, id2) verified pairs at the same threshold, id1 < id2
     val pairs = cosineNearDupsLsh(emb, threshold, idCol, vecCol, dim,
       nBands, bitsPerBand, maxBucketSize)
