@@ -804,4 +804,26 @@ object DataQuality {
         round((col("_klp").cast("double") + col("_klq").cast("double")) / 2.0, 6)
           .as("jsd"))
   }
+
+  /** k-anonymity audit over a quasi-identifier combination (Sweeney
+    * 2002, public): every group of rows sharing the quasi-identifier
+    * values with FEWER than k members is a re-identification risk —
+    * the standard pre-release check on any table whose "anonymous"
+    * rows still carry linkable attribute combinations (training-data
+    * compliance runs this before publishing metadata/provenance
+    * tables). Returns the violating groups with their occupancy; an
+    * empty result IS the k-anonymity certificate.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the quasi
+    * columns and a filter — no joins, no windows; the output is
+    * bounded by the quasi-value cross-product, never the data. Exact
+    * integer counts, so the result is engine-reproducible. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[Column],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityViolations: need quasi-identifier columns")
+    require(k >= 2, s"kAnonymityViolations: k must be >= 2, got $k")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

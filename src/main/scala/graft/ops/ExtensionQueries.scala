@@ -4740,6 +4740,32 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** k-anonymity audit (DataQuality.kAnonymityViolations): customer
+    * groups sharing (nation, market segment, account-balance band)
+    * with fewer than k = 5 members — the re-identification risk
+    * surface a compliance pass reports before releasing "anonymous"
+    * attribute tables. The hash pins the exact violating combinations
+    * and occupancies; the balance band is one exactly-rounded IEEE
+    * divide + floor, identical in both engines. One map-side-combined
+    * aggregation — output bounded by the quasi-value cross-product,
+    * never the data. */
+  val kAnonymityQ: Q = Q(
+    "x_k_anonymity",
+    (s, d) => DataQuality.kAnonymityViolations(
+      Tables.customer(s, d),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")),
+      k = 5L),
+    Some("""
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) < 5
+    """.trim)
+  )
+
   /** Deequ-style declarative constraint suite over orders+lineitem
     * (DataQuality.runChecks scaladoc: one column-pruned aggregation
     * branch per check; the FK check is a LEFT ANTI on keys only). */
@@ -7480,7 +7506,7 @@ object ExtensionQueries {
     changepointQ, seasonalityQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, kcoreFixpointQ, assocRulesQ, assocRulesPrunedQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
-    corrMatrixQ, histogramQ, dqChecksQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
+    corrMatrixQ, histogramQ, dqChecksQ, kAnonymityQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,

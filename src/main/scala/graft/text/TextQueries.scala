@@ -391,6 +391,87 @@ object TextQueries {
     """.trim)
   )
 
+  /** Cohen's kappa between the labeled language and the x_langid
+    * detector — chance-corrected agreement (Cohen 1960, public), the
+    * label-QA companion of [[langConfusion]]: raw accuracy on a
+    * skewed label mix is inflated by chance hits; kappa subtracts
+    * them ((po − pe)/(1 − pe)). Everything up to the final division
+    * is EXACT integer arithmetic on the tiny confusion-cell table —
+    * kappa = (n·agree − Σ rowMarg·colMarg) / (n² − Σ rowMarg·colMarg)
+    * in DECIMAL(38,0) (the graphStats overflow discipline), ONE
+    * exactly-rounded IEEE divide at the end, so both engines agree
+    * bit-for-bit. po/pe are reported rounded for the reader; kappa is
+    * computed from the integers, never from the rounded shares.
+    * Degenerate pe = 1 (single class on both sides) reports 0.0.
+    * Scale: one map-side-combined corpus pass into a cells table
+    * bounded by labels × detections; everything after is cell-sized. */
+  val cohensKappa: Q = Q(
+    "x_cohens_kappa",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("lang").as("a"), TextAnalysis.detectLang(col("text")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // tiny; read by three aggregates below
+      val tot = cells.agg(
+        sum(col("n")).cast("long").as("n_rows"),
+        coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L))
+          .cast("long").as("n_agree"))
+      val pes = cells.groupBy(col("a")).agg(sum(col("n")).as("_rm"))
+        .join(cells.groupBy(col("b")).agg(sum(col("n")).as("_cm")),
+          col("a") === col("b"))
+        .agg(coalesce(sum(col("_rm").cast("decimal(19,0)")
+          * col("_cm").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("_pes"))
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      tot.crossJoin(pes).select(
+        col("n_rows"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_rows"), 6).as("po"),
+        round(col("_pes").cast("double")
+          / (col("n_rows").cast("double") * col("n_rows").cast("double")), 6).as("pe"),
+        when(d38(col("n_rows")) * d38(col("n_rows")) === col("_pes"), lit(0.0))
+          .otherwise(round(
+            (d38(col("n_agree")) * d38(col("n_rows")) - col("_pes")).cast("double") /
+              (d38(col("n_rows")) * d38(col("n_rows")) - col("_pes")).cast("double"),
+            6)).as("kappa"))
+    },
+    Some("""
+      WITH scores AS (
+        SELECT lang AS a,
+               len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+               len(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS c_de,
+               len(regexp_extract_all(text, '\b(el|la|los|de)\b')) AS c_es,
+               len(regexp_extract_all(text, '\b(le|la|les|des)\b')) AS c_fr,
+               len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+        FROM documents),
+      det AS (SELECT a,
+               CASE
+                 WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                 WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                 WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                 WHEN c_fr > 0 AND c_fr >= c_zh THEN 'fr'
+                 WHEN c_zh > 0 THEN 'zh'
+                 ELSE 'unknown'
+               END AS b
+              FROM scores),
+      cells AS (SELECT a, b, COUNT(*) AS n FROM det GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                     CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT) AS n_agree
+              FROM cells),
+      pes AS (SELECT CAST(COALESCE(SUM(rm.m * cm.m), 0) AS HUGEINT) AS pes
+              FROM (SELECT a, CAST(SUM(n) AS HUGEINT) AS m FROM cells GROUP BY 1) rm
+              JOIN (SELECT b, CAST(SUM(n) AS HUGEINT) AS m FROM cells GROUP BY 1) cm
+                ON rm.a = cm.b)
+      SELECT n_rows, n_agree,
+             ROUND(CAST(n_agree AS DOUBLE) / n_rows, 6) AS po,
+             ROUND(CAST(pes AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS pe,
+             CASE WHEN CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT) = pes THEN 0.0
+                  ELSE ROUND(CAST(CAST(n_agree AS HUGEINT) * CAST(n_rows AS HUGEINT) - pes AS DOUBLE) /
+                             CAST(CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT) - pes AS DOUBLE), 6)
+             END AS kappa
+      FROM tot, pes
+    """.trim)
+  )
+
   def all: Seq[Q] = Seq(stats, langid, fingerprints, piiScrub, selfRepetition,
-    gopherRules, qualityClassifier, filterFunnel, langConfusion)
+    gopherRules, qualityClassifier, filterFunnel, langConfusion, cohensKappa)
 }
