@@ -965,7 +965,8 @@ object ExtensionQueries {
     Q(
       "x_ann_ivf_kmeans",
       (s, d) => Similarity.annIvfKmeans(coEmbeddings(s, d), queryId = 0L,
-        dim = 64, k = 20, nLists = nLists, iters = iters),
+        dim = 64, k = 20, nLists = nLists, iters = iters,
+        centroids = Some(coSemCentroids(s, d))),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       ${kmeansCtesSql(nLists, iters)},
@@ -1479,7 +1480,8 @@ object ExtensionQueries {
     Q(
       "x_sample_semantic",
       (s, d) => Similarity.semanticSample(coEmbeddings(s, d),
-          perCluster = perCluster, dim = 64, nClusters = nClusters, iters = iters)
+          perCluster = perCluster, dim = 64, nClusters = nClusters, iters = iters,
+          centroids = Some(coSemCentroids(s, d)))
         .select(col("vec_id"), col("list")),
       Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -275,10 +275,13 @@ object Similarity {
     * then probe the nearest list exactly as annIvfWithCentroids. */
   def annIvfKmeans(emb: DataFrame, queryId: Long, dim: Int, k: Int = 20,
                    nLists: Int = 4, iters: Int = 2,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   centroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = kmeans(emb, nLists, dim, iters, idCol, vecCol)
+    // caller-supplied centroids (a session face) skip the clustering's
+    // corpus passes; kmeans is deterministic, so cached == recomputed
+    val cents = centroids.getOrElse(kmeans(emb, nLists, dim, iters, idCol, vecCol))
     val assigned = emb.withColumn("list", kmeansAssign(asDouble(col(vecCol)), cents))
     val centDf = cents.toDF("list", "cv")
     annIvfWithCentroids(assigned, centDf, queryId, k, idCol, vecCol, listCol = "list")
@@ -1199,10 +1202,13 @@ object Similarity {
   def semanticSample(emb: DataFrame, perCluster: Int, dim: Int,
                      nClusters: Int = 4, iters: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     salt: String = "ssample:"): DataFrame = {
+                     salt: String = "ssample:",
+                     centroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     require(perCluster > 0, s"semanticSample: perCluster must be > 0, got $perCluster")
     import org.apache.spark.sql.expressions.Window
-    val cents = kmeans(emb, nClusters, dim, iters, idCol, vecCol)
+    // caller-supplied centroids (a session face) skip the clustering's
+    // corpus passes; kmeans is deterministic, so cached == recomputed
+    val cents = centroids.getOrElse(kmeans(emb, nClusters, dim, iters, idCol, vecCol))
     val assigned = emb
       .select(col(idCol).as("_sid"), asDouble(col(vecCol)).as("_v"))
       .withColumn("list", kmeansAssign(col("_v"), cents))
