@@ -826,4 +826,23 @@ object DataQuality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    * companion check [[kAnonymityViolations]] can't express: a
+    * quasi-identifier group can satisfy k-anonymity and STILL leak the
+    * sensitive attribute if (nearly) all its members share one value
+    * (the homogeneity attack). Reports every quasi-group whose
+    * sensitive column carries fewer than `l` DISTINCT values, with
+    * occupancy and diversity. Same scale shape as the k check — one
+    * aggregation (the distinct count is exact), output bounded by the
+    * quasi cross-product. */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[Column],
+                           sensitiveCol: Column, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityViolations: need quasi-identifier columns")
+    require(l >= 2, s"lDiversityViolations: l must be >= 2, got $l")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(sensitiveCol).as("l_div"))
+      .filter(col("l_div") < l)
+  }
 }

@@ -4768,6 +4768,30 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** l-diversity audit (DataQuality.lDiversityViolations) — the
+    * homogeneity-attack check k-anonymity can't express: quasi-groups
+    * (nation, balance band) where the sensitive market segment takes
+    * fewer than l = 3 distinct values, i.e. membership in the group
+    * (nearly) reveals the segment even when the group is large. Exact
+    * integer counts and distinct-counts; one aggregation. */
+  val lDiversityQ: Q = Q(
+    "x_l_diversity",
+    (s, d) => DataQuality.lDiversityViolations(
+      Tables.customer(s, d),
+      Seq(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")),
+      sensitiveCol = col("c_mktsegment"), l = 3L),
+    Some("""
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS n,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      FROM customer
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT c_mktsegment) < 3
+    """.trim)
+  )
+
   /** Deequ-style declarative constraint suite over orders+lineitem
     * (DataQuality.runChecks scaladoc: one column-pruned aggregation
     * branch per check; the FK check is a LEFT ANTI on keys only). */
@@ -7508,7 +7532,7 @@ object ExtensionQueries {
     changepointQ, seasonalityQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, kcoreFixpointQ, assocRulesQ, assocRulesPrunedQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
-    corrMatrixQ, histogramQ, dqChecksQ, kAnonymityQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
+    corrMatrixQ, histogramQ, dqChecksQ, kAnonymityQ, lDiversityQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,
