@@ -29,7 +29,9 @@ object Bench {
       case None => Map.empty
       case Some(m) =>
         val body = txt.substring(m.end, txt.indexOf("}", m.end).max(m.end))
-        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r.findAllMatchIn(body)
+        // key charset includes ':' — `face:<slot>` rows are the shared-
+        // face build metrics (warmFaces), floored like any other row
+        """"([A-Za-z0-9_:]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r.findAllMatchIn(body)
           .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
     }
   }
@@ -132,6 +134,29 @@ object Bench {
       case Some(p) => val re = p.r; n => re.findFirstIn(n).isDefined
       case None => _ => true
     }
+
+    // Shared-face pre-warm: build every cross-query artifact (FaceCache
+    // faces + persisted indexes) BEFORE the timed loop and bill each to
+    // its own `face:<name>` metric row. Tier floors are amortized by
+    // convention (min-of-N rides the face built in run 1), but in a
+    // FULL leg the first tier row's run 1 pays the whole build and on
+    // a 3-second face even the min self-flags at norm ~20× (r14:
+    // x_sample_semantic 3.01 s vs its 0.14 floor). Pre-warm moves the
+    // build off every query row and ON the books: face rows enter the
+    // same totals/floors/flag pipeline as queries (they are one-shot —
+    // a build can't re-run against its own cache — so their floors
+    // carry the usual single-shot noise; adjudicate flags like any
+    // sub-second row). Default ON for full legs, OFF when a filter is
+    // set (solo probes already amortize via min-of-N and shouldn't pay
+    // a 13-artifact build); SPARK_GRAFT_BENCH_WARM_FACES=1/0 overrides.
+    val warmFacesOn = sys.env.get("SPARK_GRAFT_BENCH_WARM_FACES") match {
+      case Some(v) => v == "1"
+      case None => sys.env.get("SPARK_GRAFT_BENCH_FILTER").isEmpty
+    }
+    val faceTimes: Seq[(String, Double)] =
+      if (!warmFacesOn) Seq.empty
+      else ops.ExtensionQueries.warmFaces(spark, sfDir)
+        .map { case (n, t) => s"face:$n" -> t }
     // Each query runs twice and records the min: 59 queries share one
     // JVM, and accumulated GC / JIT / code-cache noise otherwise lands
     // on whichever query happens to run next (BENCH_r02 charged ~59s of
@@ -161,7 +186,7 @@ object Bench {
             System.err.println(s"[bench] unpersist of RDD ${r.id} failed: ${e.getMessage}")
           }
         }
-    val results = SparkEntry.queries.filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
+    val queryResults = SparkEntry.queries.filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
       def once(): Double = {
         // sweep + GC before EVERY timed run (not just the query's
         // first): run 1's leftover pinned blocks would otherwise
@@ -185,6 +210,9 @@ object Bench {
         }
       name -> best
     }
+    // face metrics join the result set: same totals, floors, and flag
+    // pipeline as catalog rows (warm-faces comment above)
+    val results = faceTimes.toMap ++ queryResults
     val failed = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -591,6 +591,43 @@ object ExtensionQueries {
       GraphOps.face(pairsFromMembership(li), pinned = true)
     }(_.release())
 
+  /** Pre-builds every shared build-once artifact for (session, dir) —
+    * the FaceCache faces AND the persisted on-disk indexes — returning
+    * (metric-name, build-seconds) per artifact. Bench calls this
+    * BEFORE the timed loop (full legs only) so the shared-face build
+    * cost is attributed to its own `face:<name>` metric instead of
+    * landing on whichever tier row happens to run first: amortized
+    * rolling floors exclude the build by convention (the EMBTIER
+    * precedent), so a full leg's first tier row otherwise self-flags
+    * at norm ~20× (r14: x_sample_semantic 3.01 s vs its 0.14
+    * post-fold floor) and every record leg needs manual adjudication.
+    * Build order follows the dependency chain (membership before the
+    * graph faces, embeddings before centroids/PQ/IVF) so each metric
+    * prices exactly its own artifact, not a dependency's. */
+  def warmFaces(s: org.apache.spark.sql.SparkSession,
+                d: String): Seq[(String, Double)] = {
+    def timed(name: String)(body: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("membership") { coMembership(s, d) },
+      timed("graphface") { coGraphFace(s, d) },
+      timed("graphface_r") { coGraphFaceR(s, d) },
+      timed("embeddings") { coEmbeddings(s, d) },
+      timed("semcents") { coSemCentroids(s, d) },
+      timed("ndpairs") { coNdPairs(s, d) },
+      timed("ndclusters") { coNdClusters(s, d) },
+      timed("ndcorpusindex") { coNdCorpusIndex(s, d) },
+      timed("ndindex_saved") { ndIndexFor(s, d) },
+      timed("ndindex_merged") { ndMergeIndexFor(s, d) },
+      timed("pqindex_saved") { pqIndexFor(s, d) },
+      timed("ivfindex_saved") { ivfIndexFor(s, d) },
+      timed("invindex_saved") { invIndexFor(s, d) }
+    )
+  }
+
   private val ndIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ndIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     ndIndexCache.computeIfAbsent(datasetSignature(d, "documents.parquet"), _ => {

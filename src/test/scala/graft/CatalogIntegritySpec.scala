@@ -27,4 +27,40 @@ class CatalogIntegritySpec extends AnyFunSuite {
       assert(n.nonEmpty && n.matches("[a-z][a-z0-9_]*"), s"malformed query name: '$n'")
     }
   }
+
+  /** Queries that once had rolling-ref floors and were deliberately
+    * removed or renamed. A name goes here ONLY with a commit message
+    * explaining the retirement; an unexplained ref-orphan is exactly
+    * the r14 shadowing tell (the stale x_hybrid_rrf floor was the only
+    * witness that the r8 row had vanished), so it must fail this spec,
+    * not wait for floor archaeology. */
+  val retiredRefKeys: Set[String] = Set.empty
+
+  test("every rolling-ref floor names a live catalog row (or is retired)") {
+    val names = SparkEntry.catalog.map(_.name).toSet
+    val refFiles = Seq("BENCH_SOLO_REF.json", "BENCH_SOLO_REF_SF1.json")
+      .map(new java.io.File(_)).filter(_.isFile)
+    assume(refFiles.nonEmpty, "no rolling refs in cwd (non-repo-root test run)")
+    refFiles.foreach { f =>
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val keys = Bench.parseSoloRef(txt, sfDir = parseSf(txt)).keySet
+      assert(keys.nonEmpty, s"${f.getName}: parsed no keys — ref format drifted?")
+      // face:<slot> rows are shared-face build metrics (Bench pre-warm
+      // accounting), not catalog queries — validated by shape only
+      val (faceKeys, queryKeys) = keys.partition(_.startsWith("face:"))
+      faceKeys.foreach { k =>
+        assert(k.matches("face:[a-z][a-z0-9_]*"), s"${f.getName}: malformed face key '$k'")
+      }
+      val orphans = queryKeys -- names -- retiredRefKeys
+      assert(orphans.isEmpty,
+        s"${f.getName}: floors for queries not in the catalog (silent " +
+          s"shadowing or un-retired rename?): ${orphans.toSeq.sorted}")
+      val zombie = retiredRefKeys.intersect(names)
+      assert(zombie.isEmpty, s"retired keys that are live again: $zombie")
+    }
+  }
+
+  /** The ref's own "sf" field, so parseSoloRef's SF gate matches. */
+  private def parseSf(txt: String): String =
+    """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
 }
