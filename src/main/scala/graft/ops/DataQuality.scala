@@ -845,4 +845,55 @@ object DataQuality {
         count_distinct(sensitiveCol).as("l_div"))
       .filter(col("l_div") < l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, public) —
+    * the distributional check [[lDiversityViolations]] stops short of:
+    * a quasi-group can carry l distinct sensitive values and STILL
+    * leak (skewness/similarity attacks) if its sensitive-value
+    * DISTRIBUTION sits far from the table-wide one. For a categorical
+    * sensitive attribute the paper's Earth Mover's Distance reduces to
+    * the variational distance D(g) = ½ Σ_v |c_gv/n_g − c_v/n|; groups
+    * with D > t are reported with occupancy and distance.
+    *
+    * Exactness: D(g)·(2·n_g·n) = Σ_{v∈g} |c_gv·n − c_v·n_g| +
+    * n_g·(n − Σ_{v∈g} c_v) (values absent from the group contribute
+    * their global share — folded into one closed form so only values
+    * PRESENT in the group are enumerated). Both terms are exact
+    * integers in DECIMAL(38,0) (c·n products clear a 64-bit long at
+    * corpus scale); the single divide casts exact numerator and
+    * denominator to double and rounds at 6 dp — engine-reproducible
+    * like the Cohen's-kappa row.
+    *
+    * Scale shape: ONE map-side-combined aggregation over
+    * quasi × sensitive to the cell table (bounded by the value
+    * cross-product, never the data), a broadcast of the
+    * sensitive-marginal table, a cell-sized window for the group
+    * totals, and a cell-sized rollup — no data-sized join or window
+    * anywhere past the first aggregation. */
+  def tClosenessViolations(df: DataFrame, quasiCols: Seq[Column],
+                           sensitiveCol: Column, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessViolations: need quasi-identifier columns")
+    require(t > 0.0 && t < 1.0, s"tClosenessViolations: t must be in (0,1), got $t")
+    val base = df.select(quasiCols :+ sensitiveCol.as("_sv"): _*)
+    val quasiNames = base.columns.dropRight(1).toSeq
+    val cells = base.groupBy(base.columns.map(col): _*)
+      .agg(count(lit(1)).as("_cgv"))
+    val glob = cells.groupBy(col("_sv")).agg(sum(col("_cgv")).as("_cv"))
+    val tot = glob.agg(sum(col("_cv")).cast("long").as("_n"))
+    val w = Window.partitionBy(quasiNames.map(col): _*)
+    cells.join(broadcast(glob), "_sv").crossJoin(broadcast(tot))
+      .withColumn("_ng", sum(col("_cgv")).over(w))
+      .withColumn("_spres", sum(col("_cv")).over(w))
+      .groupBy(quasiNames.map(col): _*)
+      .agg(max(col("_ng")).as("n"),
+        sum(abs(col("_cgv").cast("decimal(38,0)") * col("_n") -
+          col("_cv").cast("decimal(38,0)") * col("_ng"))).as("_present"),
+        max(col("_n")).as("_nTot"),
+        max(col("_n") - col("_spres")).as("_absentCv"))
+      .select((quasiNames.map(col) :+ col("n") :+
+        round((col("_present") +
+          col("n").cast("decimal(38,0)") * col("_absentCv")).cast("double") /
+          (lit(2.0) * col("n") * col("_nTot")), 6).as("t_dist")): _*)
+      .filter(col("t_dist") > t)
+  }
 }

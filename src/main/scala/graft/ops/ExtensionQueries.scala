@@ -4829,6 +4829,49 @@ object ExtensionQueries {
     """.trim)
   )
 
+  /** t-closeness audit (DataQuality.tClosenessViolations) — completes
+    * the privacy-audit family: quasi-groups (nation, balance band)
+    * whose market-segment DISTRIBUTION sits further than t = 0.25
+    * (variational distance — the categorical EMD of Li et al. 2007)
+    * from the table-wide marginal, i.e. groups that leak through
+    * skew even when k-anonymous and l-diverse. Exact-integer
+    * numerator/denominator (DECIMAL(38,0) c·n products), one rounded
+    * divide — the hash pins every group's distance. One aggregation
+    * to the quasi × sensitive cell table; everything after is
+    * cell-bounded. */
+  val tClosenessQ: Q = Q(
+    "x_t_closeness",
+    (s, d) => DataQuality.tClosenessViolations(
+      Tables.customer(s, d),
+      Seq(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")),
+      sensitiveCol = col("c_mktsegment"), t = 0.25),
+    Some("""
+      WITH cells AS (
+        SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment AS sv, COUNT(*) AS cgv
+        FROM customer GROUP BY 1, 2, 3),
+      marg AS (SELECT sv, CAST(SUM(cgv) AS BIGINT) AS cv FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n FROM marg),
+      j AS (SELECT c.c_nationkey, c.bal_band, c.cgv, g.cv, t.n,
+                   SUM(c.cgv) OVER (PARTITION BY c.c_nationkey, c.bal_band) AS ng,
+                   SUM(g.cv) OVER (PARTITION BY c.c_nationkey, c.bal_band) AS spres
+            FROM cells c JOIN marg g USING (sv) CROSS JOIN tot t),
+      g2 AS (SELECT c_nationkey, bal_band,
+                    CAST(MAX(ng) AS BIGINT) AS n,
+                    SUM(ABS(CAST(cgv AS HUGEINT) * n - CAST(cv AS HUGEINT) * ng)) AS pres,
+                    CAST(MAX(n) AS BIGINT) AS ntot,
+                    CAST(MAX(n - spres) AS BIGINT) AS absent_cv
+             FROM j GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT c_nationkey, bal_band, n,
+               ROUND(CAST(pres + CAST(n AS HUGEINT) * absent_cv AS DOUBLE) /
+                     (2.0 * n * ntot), 6) AS t_dist
+        FROM g2)
+      WHERE t_dist > 0.25
+    """.trim)
+  )
+
   /** Deequ-style declarative constraint suite over orders+lineitem
     * (DataQuality.runChecks scaladoc: one column-pruned aggregation
     * branch per check; the FK check is a LEFT ANTI on keys only). */
@@ -7569,7 +7612,7 @@ object ExtensionQueries {
     changepointQ, seasonalityQ, retentionQ, knLmQ,
     trianglesQ, labelPropQ, graphStatsQ,
     hllDistinctQ, kcoreQ, kcoreFixpointQ, assocRulesQ, assocRulesPrunedQ, bm25IndexedQ, transitionsQ, profileQ, chi2Q,
-    corrMatrixQ, histogramQ, dqChecksQ, kAnonymityQ, lDiversityQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
+    corrMatrixQ, histogramQ, dqChecksQ, kAnonymityQ, lDiversityQ, tClosenessQ, anomalyZscoreQ, anomalyDailyQ, benfordQ, skewReportQ,
     bfsHopsQ, decayedCountsQ, topPathsQ, joinSizeQ, featureHashQ, crossSourceQ, mmrQ, embedOutliersQ, quantileNormQ, abTtestQ,
     acfQ, gapFillQ, bitmapDistinctQ, rfmQ,
     windowFunnelQ, ltvCohortQ, itemCfQ, madDailyQ,

@@ -308,4 +308,25 @@ class DataQualitySpec extends SparkSpec {
       "only 'aa' (combined 8) survives; totals renormalize: " + r2)
     assert(r2.getDouble(5) == 0.0, r2.toString)
   }
+
+  test("tClosenessViolations: hand-computed variational distance, absent-value term, strict threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // global marginal: a 4/8, b 2/8, c 2/8
+    // group A (a,a,a,b): D = .5*(|3/4-1/2| + |1/4-1/4| + |0-1/4|) = 0.25
+    //   — 'c' is absent from A, so the absent-value closed-form term carries 1/4
+    // group B (a,b,c,c): D = .5*(|1/4-1/2| + 0 + |1/2-1/4|) = 0.25
+    val df = Seq(("A", "a"), ("A", "a"), ("A", "a"), ("A", "b"),
+      ("B", "a"), ("B", "b"), ("B", "c"), ("B", "c")).toDF("g", "sv")
+    val out = DataQuality.tClosenessViolations(df, Seq(col("g")), col("sv"), t = 0.2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("A" -> ((4L, 0.25)), "B" -> ((4L, 0.25))), out.toString)
+    // the threshold is strict: groups AT t are compliant
+    assert(DataQuality.tClosenessViolations(df, Seq(col("g")), col("sv"), t = 0.25)
+      .isEmpty, "D == t must not violate")
+    // a group matching the marginal exactly reads 0 and never violates
+    val uniform = Seq(("A", "a"), ("A", "b"), ("B", "a"), ("B", "b")).toDF("g", "sv")
+    assert(DataQuality.tClosenessViolations(uniform, Seq(col("g")), col("sv"), t = 0.01)
+      .isEmpty, "groups identical to the marginal are 0-distance")
+  }
 }
