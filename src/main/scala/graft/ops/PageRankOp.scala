@@ -64,9 +64,30 @@ object PageRankOp {
   /** The materialized graph tables every iteration reads (see
     * [[pageRank]]'s checkpoint rationale) plus the derived scalars.
     * `e` is partitioned on `_dst` when `broadcastRounds` (the rollup
-    * key), on `_src` otherwise (the contribution-join key). */
+    * key), on `_src` otherwise (the contribution-join key).
+    *
+    * `tiny` (node count ≤ `spark.graft.pagerank.tinyGraphMaxNodes`,
+    * default 10k, AND edge count ≤ `…tinyGraphMaxEdges`, default 2M)
+    * marks graphs where the round machinery itself IS the bill: every
+    * per-round broadcast collect and checkpoint is a scheduled job,
+    * and on a vocabulary-sized graph (x_textrank's word graph is 31
+    * nodes at sf0.1) ~9 tiny jobs cost ~1.2 s while the actual rank
+    * flow costs microseconds — the ktruss scheduling-bound lesson,
+    * pagerank edition. (Fusing the rounds into one un-checkpointed
+    * plan was measured FIRST and is 3× worse: under AQE each of the
+    * ~3 shuffles per round is its own stage-job, so the fused plan
+    * schedules MORE jobs, not fewer.) Since the per-round state is
+    * node-sized by construction, a graph under the gate iterates ON
+    * THE DRIVER: collect the checkpointed edge list once (bounded by
+    * the gate — ≤ 2M pairs ≈ 32 MB), run the identical fixed-point
+    * arithmetic in Scala longs, return the ranks as one local
+    * relation. Results are byte-identical ([[step]]'s integer ops are
+    * order-free; the spec asserts tiny == distributed equality); only
+    * the job count changes (~10 → 4). The 100 TB story is untouched —
+    * graphs over the gate ride the broadcast/shuffle round engine. */
   private case class Graph(e: DataFrame, nodes: DataFrame, deg: DataFrame,
-                           nN: Long, teleport: Long, broadcastRounds: Boolean)
+                           nN: Long, teleport: Long, broadcastRounds: Boolean,
+                           tiny: Boolean)
 
   private def buildGraph(edges: DataFrame, src: String, dst: String): Graph = {
     // Materialize the edge list, node set, and out-degree table ONCE:
@@ -84,23 +105,82 @@ object PageRankOp {
     // first materialization is _dst-partitioned — the broadcast-round
     // layout, and the common case; the rare huge-graph path pays one
     // extra repartition below (amortized over every round)
+    val tinyMaxNodes = spark.conf
+      .getOption("spark.graft.pagerank.tinyGraphMaxNodes").map(_.toLong)
+      .getOrElse(10000L)
+    val tinyMaxEdges = spark.conf
+      .getOption("spark.graft.pagerank.tinyGraphMaxEdges").map(_.toLong)
+      .getOrElse(2000000L)
     val e0 = ck(edges
       .select(col(src).cast("long").as("_src"), col(dst).cast("long").as("_dst"))
       .repartition(col("_dst")))
     val nodes = ck(e0.select(col("_src").as("node"))
       .union(e0.select(col("_dst").as("node"))).distinct())
-    val deg = ck(e0.groupBy(col("_src")).agg(count(lit(1)).as("_deg")))
     val nN: Long = nodes.count() // driver scalar: node count only
-    val broadcastRounds = nN <= broadcastMax
+    // the edge-count job (cheap — e0 is checkpointed) is only paid by
+    // tiny-gate CANDIDATES; big graphs never see it
+    val tiny = nN <= tinyMaxNodes && e0.count() <= tinyMaxEdges
+    // tiny graphs never read the degree table as a DataFrame (the
+    // driver derives degrees from the collected edges)
+    val degRaw = e0.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val deg = if (tiny) degRaw else ck(degRaw)
+    val broadcastRounds = !tiny && nN <= broadcastMax
     val e =
-      if (broadcastRounds) e0
+      if (broadcastRounds || tiny) e0
       else {
         val r = ck(e0.repartition(col("_src")))
         // e0's blocks are dead once the relayout is materialized
         org.apache.spark.sql.graftext.GraftPins.unpin(e0)
         r
       }
-    Graph(e, nodes, deg, nN, (Unit12 - Unit12 * 85L / 100L) / nN, broadcastRounds)
+    Graph(e, nodes, deg, nN, (Unit12 - Unit12 * 85L / 100L) / nN, broadcastRounds,
+      tiny)
+  }
+
+  /** Driver-side fixed iteration for graphs under the tiny gate
+    * ([[Graph]] scaladoc): the EXACT arithmetic of [[step]] —
+    * truncating integer division, 0.85 damping as `(x*85)/100`,
+    * dangling mass to all nodes (`seeds` empty) or the seed set —
+    * over the collected edge list. `seeds` non-empty selects the
+    * personalized variant with `nS` the DECLARED seed-set size
+    * (seed ids absent from the graph hold their share inertly,
+    * matching [[personalizedPageRank]]). */
+  private def tinyRanks(g: Graph, iters: Int,
+                        seeds: Set[Long], nS: Long): DataFrame = {
+    val spark = g.e.sparkSession
+    val edges = g.e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodeIds = g.nodes.collect().map(_.getLong(0))
+    val deg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
+    val personalized = seeds.nonEmpty
+    val teleport = if (personalized) (Unit12 - Unit12 * 85L / 100L) / nS
+                   else g.teleport
+    var rank = new java.util.HashMap[Long, Long]()
+    nodeIds.foreach { n =>
+      rank.put(n, if (!personalized) Unit12 / g.nN
+                  else if (seeds(n)) Unit12 / nS else 0L)
+    }
+    for (_ <- 1 to iters) {
+      val contrib = new java.util.HashMap[Long, Long]()
+      var dangling = 0L
+      nodeIds.foreach { n =>
+        val r = rank.get(n)
+        if (!deg.containsKey(n)) dangling += r
+      }
+      edges.foreach { case (s, d) =>
+        contrib.merge(d, rank.get(s) / deg.get(s), _ + _)
+      }
+      val next = new java.util.HashMap[Long, Long]()
+      nodeIds.foreach { n =>
+        val isSeed = !personalized || seeds(n)
+        val base = contrib.getOrDefault(n, 0L) +
+          (if (isSeed) dangling / (if (personalized) nS else g.nN) else 0L)
+        next.put(n, (if (isSeed) teleport else 0L) + base * 85L / 100L)
+      }
+      rank = next
+    }
+    import spark.implicits._
+    nodeIds.map(n => (n, rank.get(n))).toSeq.toDF("node", "rank_u")
   }
 
   /** One round's shared inputs: the _dst-keyed contribution rollup and
@@ -157,6 +237,7 @@ object PageRankOp {
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
     val g = buildGraph(edges, src, dst)
+    if (g.tiny) return tinyRanks(g, iters, seeds = Set.empty, nS = 0L)
     var ranks = g.nodes.select(col("node"), lit(Unit12 / g.nN).as("rank_u"))
     // per-round checkpoint: keeps the node partitioning flowing into
     // the next round's co-partitioned joins, bounds plan depth, and
@@ -196,6 +277,11 @@ object PageRankOp {
     val s = ck(seeds.select(col(seedCol).cast("long").as("node")).distinct())
     val nS: Long = s.count() // driver scalar: seed count
     require(nS > 0, "personalizedPageRank: seed set is empty")
+    // the tiny driver path needs the seed SET; only collect it when the
+    // graph is under the gate AND the set itself is gate-sized (a huge
+    // declared seed set over a tiny graph stays on the distributed path)
+    if (g.tiny && nS <= 10000L)
+      return tinyRanks(g, iters, seeds = s.collect().map(_.getLong(0)).toSet, nS = nS)
     val teleportS: Long = (Unit12 - Unit12 * 85L / 100L) / nS
     // node-sized seed flag, materialized once like the degree table;
     // the join is co-partitioned (both sides node-keyed)

@@ -153,18 +153,44 @@ class PageRankOpSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val basePpr = PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
       .as[(Long, Long)].collect().toMap
-    // force the shuffle layout (every graph over the broadcast ceiling)
+    // force the shuffle layout (every graph over the broadcast ceiling;
+    // tiny gate off too, else this graph would retake the driver path)
     spark.conf.set("spark.graft.pagerank.broadcastNodesMax", "0")
+    spark.conf.set("spark.graft.pagerank.tinyGraphMaxNodes", "0")
     try {
       assert(PageRankOp.pageRank(df, "src", "dst", 3)
         .as[(Long, Long)].collect().toMap == basePr)
       assert(PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
         .as[(Long, Long)].collect().toMap == basePpr)
-    } finally spark.conf.unset("spark.graft.pagerank.broadcastNodesMax")
+    } finally {
+      spark.conf.unset("spark.graft.pagerank.broadcastNodesMax")
+      spark.conf.unset("spark.graft.pagerank.tinyGraphMaxNodes")
+    }
+  }
+
+  test("tiny driver path equals the distributed rounds integer-for-integer") {
+    val df = graph.toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    // this graph is under the tiny gate: the default path is the
+    // driver iteration; force the distributed engine for the reference
+    val tinyPr = PageRankOp.pageRank(df, "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val tinyPpr = PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.pagerank.tinyGraphMaxNodes", "0")
+    try {
+      assert(PageRankOp.pageRank(df, "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap == tinyPr)
+      assert(PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
+        .as[(Long, Long)].collect().toMap == tinyPpr)
+    } finally spark.conf.unset("spark.graft.pagerank.tinyGraphMaxNodes")
   }
 
   test("broadcast rounds plan ZERO data-sized exchanges; shuffle rounds exactly one") {
     val df = graph.toDF("src", "dst")
+    // the spec graph is tiny — disable the driver path so the round
+    // engine's plans are what the listener captures
+    spark.conf.set("spark.graft.pagerank.tinyGraphMaxNodes", "0")
     val plans = scala.collection.mutable.ArrayBuffer.empty[String]
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -188,16 +214,16 @@ class PageRankOpSpec extends SparkSpec {
       plans.synchronized(
         plans.filter(p => p.contains("rank_u") && p.contains("Join")).toSeq)
     }
-    val b = roundPlans(PageRankOp.pageRank(df, "src", "dst", 2))
-    assert(b.nonEmpty)
-    b.foreach { p =>
-      // the 1-row dangling aggregate's SinglePartition exchange is the
-      // only shuffle a broadcast round may plan
-      assert(!p.contains("Exchange hashpartitioning"),
-        "broadcast-path round must plan zero data-sized exchanges:\n" + p)
-    }
-    spark.conf.set("spark.graft.pagerank.broadcastNodesMax", "0")
     try {
+      val b = roundPlans(PageRankOp.pageRank(df, "src", "dst", 2))
+      assert(b.nonEmpty)
+      b.foreach { p =>
+        // the 1-row dangling aggregate's SinglePartition exchange is the
+        // only shuffle a broadcast round may plan
+        assert(!p.contains("Exchange hashpartitioning"),
+          "broadcast-path round must plan zero data-sized exchanges:\n" + p)
+      }
+      spark.conf.set("spark.graft.pagerank.broadcastNodesMax", "0")
       val s = roundPlans(PageRankOp.pageRank(df, "src", "dst", 2))
       assert(s.nonEmpty)
       s.foreach { p =>
@@ -205,6 +231,9 @@ class PageRankOpSpec extends SparkSpec {
         assert(n == 1,
           s"shuffle-path round must ride ONE data-sized exchange (the _dst rollup), saw $n:\n" + p)
       }
-    } finally spark.conf.unset("spark.graft.pagerank.broadcastNodesMax")
+    } finally {
+      spark.conf.unset("spark.graft.pagerank.broadcastNodesMax")
+      spark.conf.unset("spark.graft.pagerank.tinyGraphMaxNodes")
+    }
   }
 }
