@@ -215,4 +215,30 @@ object GenData {
             / lit(1000000007.0)), lit(skew))).cast("long").as("it"))
       .distinct()
   }
+
+  /** Power-law directed graph — the web/citation shape the PageRank
+    * layout crossover has to be measured on (the test SFs top out at
+    * 160k purchase-graph nodes, far under the broadcast ceiling):
+    * every node 0..nNodes−1 is a source with out-degree cycling
+    * 1..2·avgOutDeg−1 by id hash (mean ≈ avgOutDeg, no dangling tail
+    * by construction — dangling redistribution is already spec-pinned
+    * on the tiny fixture), and each destination is ⌊nNodes · u^skew⌋
+    * for a hash-uniform u, so in-degree is Zipf-heavy: node 0 is the
+    * hub every source cites. Same determinism contract as
+    * [[powerLawBaskets]] (pure xxhash64, no RNG state): interleaved
+    * A/B arms and specs see the identical edge set. Self-loops
+    * dropped; output is distinct (src, dst). */
+  def powerLawGraph(spark: SparkSession, nNodes: Long, avgOutDeg: Int,
+                    skew: Double = 2.0): DataFrame = {
+    require(nNodes >= 2 && avgOutDeg >= 1 && skew >= 1.0)
+    spark.range(nNodes).select(col("id").as("src"),
+        explode(sequence(lit(1L),
+          pmod(xxhash64(col("id")), lit(2L * avgOutDeg - 1)) + 1L)).as("_slot"))
+      .select(col("src"),
+        floor(lit(nNodes) * pow(
+          (pmod(xxhash64(col("src"), col("_slot")), lit(1000000007L)).cast("double")
+            / lit(1000000007.0)), lit(skew))).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
 }

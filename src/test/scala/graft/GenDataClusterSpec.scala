@@ -63,4 +63,27 @@ class GenDataClusterSpec extends SparkSpec {
     assert(pairs(true) > 0.5, s"intra-cluster mean ${pairs(true)} must be clustered")
     assert(math.abs(pairs(false)) < 0.1, s"cross-cluster mean ${pairs(false)} must be ~0")
   }
+
+  test("powerLawGraph: deterministic, distinct, loop-free, Zipf-headed in-degree") {
+    val g = GenData.powerLawGraph(spark, nNodes = 2000, avgOutDeg = 4, skew = 2.0)
+      .cache()
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // hash-deterministic: a second build is the identical edge set
+    val again = GenData.powerLawGraph(spark, nNodes = 2000, avgOutDeg = 4, skew = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet == again.toSet && rows.length == again.length)
+    assert(rows.distinct.length == rows.length, "edges must be distinct")
+    assert(rows.forall { case (s, d) => s != d }, "no self-loops")
+    assert(rows.forall { case (s, d) =>
+      s >= 0 && s < 2000 && d >= 0 && d < 2000 }, "ids in range")
+    // every node is a source (no dangling tail by construction)...
+    assert(rows.map(_._1).distinct.length == 2000)
+    // ...and the in-degree head is Zipf-heavy: the hub (node 0 region)
+    // absorbs a large multiple of the mean in-degree
+    val inDeg = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val mean = rows.length.toDouble / 2000
+    assert(inDeg.getOrElse(0L, 0) > 10 * mean,
+      s"hub in-degree ${inDeg.getOrElse(0L, 0)} vs mean $mean")
+    g.unpersist()
+  }
 }
