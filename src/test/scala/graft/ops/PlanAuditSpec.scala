@@ -1400,13 +1400,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x_spearman: rank windows are per-partition (_pid), never a global sort; one wide moment pass") {
-    val p = plan("x_spearman")
-    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(winLines.forall(_.contains("_pid")),
-      "every rank window must be per-partition (prefixSum's two-phase), never global:\n" +
+  /** prefixSum plans two legitimate window shapes since r15: the
+    * two-phase per-range-partition window keyed by `_pid` (data-sized
+    * inputs), and the gate-bounded single-partition window whose
+    * constant pmod partition key Spark extracts as `_w0` (inputs ≤
+    * tinyMaxRows — value grids). What stays FORBIDDEN is a window
+    * with neither: an ungated global sort, or one keyed by a
+    * low-cardinality data column. */
+  private def prefixWindowShapes(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+
+  test("x_spearman: rank windows are per-partition (_pid) or gate-bounded (_w0), never an ungated global sort") {
+    val winLines = prefixWindowShapes(plan("x_spearman"))
+    assert(winLines.forall(w => w.contains("_pid") || w.contains("_w0")),
+      "every rank window must be prefixSum's two-phase or its bounded tiny form:\n" +
         winLines.mkString("\n"))
-    assert(!p.contains("CartesianProduct"), p)
+    // force the gate off: the original all-_pid discipline must hold
+    // (at audit scale every grid is under the gate — sf0.1's
+    // near-unique l_extendedprice grid is what exercises the mixed
+    // shape; the bench floors cover that side)
+    spark.conf.set("spark.graft.prefixSum.tinyMaxRows", "0")
+    try {
+      // the two-phase windows run behind prefixSum's output checkpoint
+      // at construction, so the final plan may carry none at all —
+      // what it must NOT carry is a window keyed by anything else
+      val big = prefixWindowShapes(plan("x_spearman"))
+      assert(big.forall(_.contains("_pid")),
+        "with the tiny gate off, any visible rank window must be two-phase:\n" +
+          big.mkString("\n"))
+    } finally spark.conf.unset("spark.graft.prefixSum.tinyMaxRows")
+    assert(!plan("x_spearman").contains("CartesianProduct"))
   }
 
   test("x_seq_triples: one user_id exchange; top-k is TakeOrderedAndProject, never a global sort") {
@@ -1418,16 +1441,28 @@ class PlanAuditSpec extends SparkSpec {
       "session marking and leads must be per-user windows:\n" + winLines.mkString("\n"))
   }
 
-  test("x_quantile_norm: rank windows are per-partition (_pid), never a per-type serialized sort") {
+  test("x_quantile_norm: rank windows are per-partition (_pid) or gate-bounded (_w0), never a per-type serialized sort") {
     // the old percent_rank().over(partitionBy(event_type)) plan put
     // each type through ONE task — 3.7x at 10x; the replacement's only
-    // windows are prefixSum's per-range-partition ones
+    // windows are prefixSum's per-range-partition ones, or (audit
+    // scale) its gate-bounded tiny form — NEVER one keyed by the
+    // low-cardinality type column
     val p = plan("x_quantile_norm")
-    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(winLines.forall(_.contains("_pid")),
+    val winLines = prefixWindowShapes(p)
+    assert(winLines.forall(w => w.contains("_pid") || w.contains("_w0")),
       "no window may partition by the low-cardinality type column:\n" +
         winLines.mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
+    // gate off: the two-phase discipline must hold at any size
+    spark.conf.set("spark.graft.prefixSum.tinyMaxRows", "0")
+    try {
+      // same vacuous-or-_pid contract as the spearman audit: the big
+      // path's windows run behind the output checkpoint
+      val big = prefixWindowShapes(plan("x_quantile_norm"))
+      assert(big.forall(_.contains("_pid")),
+        "with the tiny gate off, any visible rank window must be two-phase:\n" +
+          big.mkString("\n"))
+    } finally spark.conf.unset("spark.graft.prefixSum.tinyMaxRows")
   }
 
   test("x_embed_drift: one component exchange; the embedding array never crosses an exchange") {
