@@ -633,9 +633,15 @@ object ExtensionQueries {
     ndIndexCache.computeIfAbsent(datasetSignature(d, "documents.parquet"), _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-nd-index").toString
       deleteOnExitRecursively(path)
-      Dedup.saveNearDupIndex(
-        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0), path,
-        maxBucketSize = Some(64))
+      // ride the ndcorpusindex face: saveNearDupIndex would recompute
+      // corpusNearDupIndex on the IDENTICAL input (docs with id%5 != 0,
+      // same k/rowsPerBand/shingleW/maxBucketSize) — the face already
+      // holds those two tables checkpointed, so the build is just the
+      // two writes; loaded probes join the tables, so row order is
+      // immaterial and results are unchanged (oracle-pinned)
+      val idx = coNdCorpusIndex(s, d)
+      idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+      idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
       path
     })
 
@@ -1172,8 +1178,14 @@ object ExtensionQueries {
     ivfIndexCache.computeIfAbsent(datasetSignature(d, "embeddings.parquet"), _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
       deleteOnExitRecursively(path)
-      Similarity.saveIndexIvf(coEmbeddings(s, d), dim = 64, path,
-        nLists = 4, iters = 2)
+      // ride the semcents face: saveIndexIvf's own kmeans would be the
+      // IDENTICAL deterministic call (nLists 4, dim 64, iters 2, same
+      // salt, same checkpointed embeddings face), so the index bytes
+      // are unchanged (saveIndexIvfWithCentroids is the spec-pinned
+      // same-centroids building block) and the build skips a duplicate
+      // seed scan + 2 Lloyd corpus passes
+      Similarity.saveIndexIvfWithCentroids(coEmbeddings(s, d),
+        coSemCentroids(s, d), path)
       path
     })
 

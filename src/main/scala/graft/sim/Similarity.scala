@@ -287,6 +287,88 @@ object Similarity {
     annIvfWithCentroids(assigned, centDf, queryId, k, idCol, vecCol, listCol = "list")
   }
 
+  /** The m per-subspace PQ codebooks, trained in FUSED passes. The
+    * serial form (one [[kmeans]] per subspace, kept below the
+    * `spark.graft.pq.fusedTrain=false` gate as the parity oracle)
+    * schedules m·(1 seed + iters Lloyd) jobs — 24 at the catalog's
+    * m=8/iters=2 — each a full corpus pass; on the bench box that is
+    * nearly all per-job scheduling (the ktruss/textrank lesson), and
+    * at 100 TB it is 24 corpus scans where 3 suffice. Subspaces are
+    * INDEPENDENT, so every per-subspace job fuses into one job across
+    * all m:
+    *
+    *  - one checkpoint of the exploded (s, _draw, sv) table — same
+    *    bytes as the corpus (m subvectors of dim/m re-assemble the
+    *    vector) plus a 60-bit draw per piece;
+    *  - one seed job: row_number over (s) ordered by (_draw, id),
+    *    rn ≤ nCents — the per-subspace `orderBy(_draw, id).limit(n)`
+    *    verbatim, all m at once;
+    *  - one job per Lloyd round: per-row assignment against its own
+    *    subspace's centroids (a CASE over the m native kernels — each
+    *    row evaluates exactly one), then ONE groupBy(s, list) with
+    *    dim/m decimal sums — [[ivfCentroids]]'s exact arithmetic
+    *    (6-dp-rounded components, exact DECIMAL sums — order-
+    *    independent, so fused == serial BYTE-IDENTICALLY; spec-pinned
+    *    incl. the empty-list-death case).
+    *
+    * Job count m·(iters+1) → iters+2; corpus passes likewise. */
+  def pqTrainCodebooks(v: DataFrame, m: Int, sub: Int, nCents: Int,
+                       iters: Int, idCol: String,
+                       saltPrefix: String = "pq"): Seq[Seq[(Int, Seq[Double])]] = {
+    val spark = v.sparkSession
+    val fused = spark.conf.getOption("spark.graft.pq.fusedTrain")
+      .forall(_.toBoolean)
+    if (!fused) {
+      return (0 until m).map { s =>
+        val sliced = v.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
+        kmeans(sliced, nCents, sub, iters, idCol, "v", salt = s"$saltPrefix$s:")
+      }
+    }
+    val pieces = array((0 until m).map(s => struct(
+      lit(s).as("s"),
+      graft.dedup.Dedup.md5Hash60(
+        concat(lit(s"$saltPrefix$s:"), col(idCol).cast("string"))).as("_draw"),
+      slice(col("v"), s * sub + 1, sub).as("sv"))): _*)
+    val ex = v.select(col(idCol).as("_id"), explode(pieces).as("e"))
+      .select(col("_id"), col("e.s").as("s"), col("e._draw").as("_draw"),
+        col("e.sv").as("sv"))
+      .localCheckpoint()
+    val seedRows = ex
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("_draw"), col("_id"))))
+      .filter(col("_rn") <= nCents)
+      .select(col("s"), col("_rn"), col("sv"))
+      .collect()
+    var cents: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      seedRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .zipWithIndex.map { case (r, j) => (j, r.getSeq[Double](2)) }.toSeq
+    }
+    val sumCols = (0 until sub).map(i =>
+      sum(round(element_at(col("sv"), i + 1), 6).cast("decimal(18,6)")).as(s"_s$i"))
+    for (_ <- 0 until iters) {
+      // each row evaluates exactly one branch of the CASE — the same
+      // native nearest-centroid kernel the serial path runs, against
+      // its own subspace's centroid matrix
+      val assign = (1 until m).foldLeft(
+        when(col("s") === 0, kmeansAssign(col("sv"), cents(0)))) { (acc, s) =>
+        acc.when(col("s") === s, kmeansAssign(col("sv"), cents(s)))
+      }
+      val updated = ex.withColumn("list", assign)
+        .groupBy(col("s"), col("list"))
+        .agg(count(lit(1)).as("_n"), sumCols: _*)
+        .select(col("s"), col("list"),
+          array((0 until sub).map(i =>
+            col(s"_s$i").cast("double") / col("_n")): _*).as("cv"))
+        .collect()
+      cents = (0 until m).map { s =>
+        updated.filter(_.getInt(0) == s)
+          .map(r => (r.getInt(1), r.getSeq[Double](2)))
+          .sortBy(_._1).toSeq
+      }
+    }
+    cents
+  }
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search"): split each dim-`dim` vector into `m`
     * subspaces of dim/m components, run an independent k-means
@@ -328,10 +410,7 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"annPq: m=$m must divide dim=$dim")
     val sub = dim / m
     val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val cents: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
-      val sliced = v.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
-      kmeans(sliced, nCents, sub, iters, idCol, "v", salt = s"pq$s:")
-    }
+    val cents = pqTrainCodebooks(v, m, sub, nCents, iters, idCol)
     val codes = (0 until m).foldLeft(v) { (df, s) =>
       df.withColumn(s"_c$s", kmeansAssign(slice(col("v"), s * sub + 1, sub), cents(s)))
     }
@@ -401,10 +480,7 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"savePqIndex: m=$m must divide dim=$dim")
     val sub = dim / m
     val v = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val cents: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
-      val sliced = v.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
-      kmeans(sliced, nCents, sub, iters, idCol, "v", salt = s"pq$s:")
-    }
+    val cents = pqTrainCodebooks(v, m, sub, nCents, iters, idCol)
     val codes = (0 until m).foldLeft(v) { (df, s) =>
       df.withColumn(s"c$s", kmeansAssign(slice(col("v"), s * sub + 1, sub), cents(s)))
     }.drop("v")
