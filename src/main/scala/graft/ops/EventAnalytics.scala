@@ -1353,19 +1353,67 @@ object EventAnalytics {
       .select(col("_v"), explode(array(lit("_CONV"), lit("_NULL"))).as("i"))
       .select(col("_v"), col("i"), col("i").as("j"), lit(1.0).cast(dec).as("p"))
     val matrix = variants.unionAll(loops).localCheckpoint()
-    // the mass vector carries its variant key under a DIFFERENT name
-    // (vv) so the L join-iterations against `matrix` never self-join
-    // on a shared attribute id
-    var v = variantIds
-      .select(col("_v").as("vv"), lit("_START").as("state"), lit(1.0).cast(dec).as("m"))
-    for (_ <- 1 to steps)
-      v = v.join(matrix, col("vv") === col("_v") && col("state") === col("i"))
-        .groupBy(col("vv"), col("j"))
-        .agg(round(sum(col("m") * col("p")), 12).cast(dec).as("m"))
-        .select(col("vv"), col("j").as("state"), col("m"))
-    val pConv = v.filter(col("state") === "_CONV")
-      .select(col("vv"), col("m").as("pc"))
-      .localCheckpoint() // base row + per-channel rows both read it
+    // The stepped mass propagation: state is (variant, state, mass) —
+    // at most |variants|·|states| rows, kilobytes for any realistic
+    // channel vocabulary — yet the distributed loop is `steps` chained
+    // join+aggregate rounds whose stage-jobs dominate the row (the
+    // textrank/ktruss scheduling lesson). Size-gated driver iteration
+    // (spark.graft.markov.driverStepsMaxMatrixRows, default 100k;
+    // 0 disables — the distributed parity face): collect the
+    // checkpointed matrix once and run the IDENTICAL decimal
+    // arithmetic in BigDecimal — products of two scale-12 decimals are
+    // exact at scale 24 (Spark: decimal(37,24), no rounding), sums are
+    // exact, then one HALF_UP round to scale 12 per (variant, state),
+    // matching round(sum(m·p), 12)::decimal(18,12) bit-for-bit
+    // (spec-pinned driver == distributed on real data).
+    val driverMax = events.sparkSession.conf
+      .getOption("spark.graft.markov.driverStepsMaxMatrixRows").map(_.toLong)
+      .getOrElse(100000L)
+    val pConv = if (driverMax > 0 && matrix.count() <= driverMax) {
+      val mRows = matrix.collect()
+      val byVi = mRows.groupBy(r => (r.getString(0), r.getString(1)))
+        .map { case (k, rs) =>
+          k -> rs.map(r => (r.getString(2), r.getDecimal(3))).toSeq
+        }
+      var vm: Map[(String, String), java.math.BigDecimal] =
+        variantIds.collect().map(r => (r.getString(0), "_START") ->
+          new java.math.BigDecimal("1.000000000000")).toMap
+      for (_ <- 1 to steps) {
+        val acc = scala.collection.mutable.Map.empty[(String, String), java.math.BigDecimal]
+        for (((vv, st), m) <- vm; (j, p) <- byVi.getOrElse((vv, st), Seq.empty)) {
+          val k = (vv, j)
+          acc(k) = acc.getOrElse(k, java.math.BigDecimal.ZERO).add(m.multiply(p))
+        }
+        vm = acc.map { case (k, s) =>
+          k -> s.setScale(12, java.math.RoundingMode.HALF_UP)
+        }.toMap
+      }
+      val spark = events.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vv",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pc",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12))))
+      val rows = vm.toSeq.collect { case ((vv, "_CONV"), m) =>
+        org.apache.spark.sql.Row(vv, m)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } else {
+      // the mass vector carries its variant key under a DIFFERENT name
+      // (vv) so the L join-iterations against `matrix` never self-join
+      // on a shared attribute id
+      var v = variantIds
+        .select(col("_v").as("vv"), lit("_START").as("state"), lit(1.0).cast(dec).as("m"))
+      for (_ <- 1 to steps)
+        v = v.join(matrix, col("vv") === col("_v") && col("state") === col("i"))
+          .groupBy(col("vv"), col("j"))
+          .agg(round(sum(col("m") * col("p")), 12).cast(dec).as("m"))
+          .select(col("vv"), col("j").as("state"), col("m"))
+      v.filter(col("state") === "_CONV")
+        .select(col("vv"), col("m").as("pc"))
+        .localCheckpoint() // base row + per-channel rows both read it
+    }
     // a variant whose mass NEVER reaches CONV has no pConv row at all
     // (its removal killed every converting path) — that is pc = 0, not
     // a dropped channel, so the channel list left-joins the masses

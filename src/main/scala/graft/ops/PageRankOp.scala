@@ -67,7 +67,12 @@ object PageRankOp {
     * key), on `_src` otherwise (the contribution-join key).
     *
     * `tiny` (node count ≤ `spark.graft.pagerank.tinyGraphMaxNodes`,
-    * default 10k, AND edge count ≤ `…tinyGraphMaxEdges`, default 2M)
+    * default 200k, AND edge count ≤ `…tinyGraphMaxEdges`, default 2M
+    * — the EDGE gate is the binding ≈32 MB collect/state bound; the
+    * r15 gate A/B raised the node default from a conservative 10k
+    * after the 16k-node/587k-edge purchase graph measured 32–36%
+    * faster on the driver path, while its sf1 twin at 5.9M edges
+    * stays on the engine via the edge gate)
     * marks graphs where the round machinery itself IS the bill: every
     * per-round broadcast collect and checkpoint is a scheduled job,
     * and on a vocabulary-sized graph (x_textrank's word graph is 31
@@ -107,7 +112,7 @@ object PageRankOp {
     // extra repartition below (amortized over every round)
     val tinyMaxNodes = spark.conf
       .getOption("spark.graft.pagerank.tinyGraphMaxNodes").map(_.toLong)
-      .getOrElse(10000L)
+      .getOrElse(200000L)
     val tinyMaxEdges = spark.conf
       .getOption("spark.graft.pagerank.tinyGraphMaxEdges").map(_.toLong)
       .getOrElse(2000000L)

@@ -78,6 +78,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out("click") == ((0.666667, 0.333333, 0.5, 0.4)), out.toString)
   }
 
+  test("markovAttribution: driver-stepped masses == distributed loop, row for row") {
+    // the r15 size-gated driver iteration must reproduce the
+    // distributed join-loop's decimal arithmetic bit-for-bit: products
+    // of two scale-12 decimals are exact at scale 24, sums exact, one
+    // HALF_UP round to 12 per step — on a fixture big enough to
+    // exercise multi-channel removal variants, a never-converting
+    // variant, and repeated-visit loops (view→click→view)
+    val rows = (0L until 40L).flatMap { u =>
+      val types = Seq("view", "click", "email", "search", "view", "click")
+      val n = 1 + (u % 5).toInt
+      val path = (0 until n).map(i => types(((u * 7 + i * 3) % 6).toInt)) ++
+        (if (u % 3 == 0) Seq("purchase") else Seq.empty)
+      path.zipWithIndex.map { case (t, i) =>
+        (u * 100 + i, f"2024-01-01 10:${i}%02d:00", u, t, 1.0)
+      }
+    }
+    val ev = events(rows: _*)
+    val driver = EventAnalytics.markovAttribution(ev).collect()
+      .map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.markov.driverStepsMaxMatrixRows", "0")
+    val dist =
+      try EventAnalytics.markovAttribution(ev).collect()
+        .map(_.toString).sorted.toSeq
+      finally spark.conf.unset("spark.graft.markov.driverStepsMaxMatrixRows")
+    assert(driver.nonEmpty && driver == dist,
+      s"driver:\n${driver.mkString("\n")}\ndist:\n${dist.mkString("\n")}")
+  }
+
   test("markovAttribution: events after the first conversion are outside the journey") {
     // user 1 converts at 10:05; the later click must not create
     // transitions (view→CONV only), so click never appears as a channel
