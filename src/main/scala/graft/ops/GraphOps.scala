@@ -531,8 +531,90 @@ object GraphOps {
     * The trajectory is row-for-row identical to the old
     * recompute-from-edges loop — both compute degrees of the induced
     * surviving subgraph; only the maintenance is incremental. */
+  /** Edge-count gate for the driver-iterated peels (k-core, k-truss):
+    * graphs whose CANONICAL edge table is at or under this many rows
+    * collect once (≤ ~32 MB of id pairs at the default) and peel in
+    * exact integer arithmetic on the driver — the per-round state of
+    * both peels is already driver-held (the trajectory rows), and at
+    * gate-sized graphs the distributed rounds are almost pure
+    * stage-job scheduling (the textrank/ktruss r14 lesson). 0 disables
+    * (the distributed parity face); results are identical either way —
+    * the peel is a pure integer function of the edge set (spec-pinned
+    * trajectory equality on both operators). */
+  private def driverPeelMaxEdges(f: GraphFace): Long = f.spark.conf
+    .getOption("spark.graft.graph.driverPeelMaxEdges").map(_.toLong)
+    .getOrElse(2000000L)
+
+  /** Collected canonical edges as id pairs (lossless long casts). */
+  private def collectCanonical(f: GraphFace): Array[(Long, Long)] =
+    f.canonical.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** The k-core peel on the driver — the exact integer twin of the
+    * distributed round below: same per-round removed set (deg < k over
+    * the CURRENT survivors), same loss accounting (each removed node
+    * decrements its surviving neighbors once per incident edge), same
+    * deg > 0 survival filter, same (n_nodes, Σdeg/2) trajectory row. */
+  private def kcoreLoopDriver(edges: Array[(Long, Long)], k: Int, maxRounds: Int,
+                              stopWhenStable: Boolean): (Seq[(Int, Long, Long)], Boolean, Int) = {
+    // index nodes; CSR adjacency over both directions
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    edges.foreach { case (a, b) =>
+      if (!idx.contains(a)) idx(a) = idx.size
+      if (!idx.contains(b)) idx(b) = idx.size
+    }
+    val n = idx.size
+    val degArr = new Array[Long](n)
+    edges.foreach { case (a, b) => degArr(idx(a)) += 1; degArr(idx(b)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + degArr(i).toInt; i += 1 }
+    val nbr = new Array[Int](2 * edges.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    edges.foreach { case (a, b) =>
+      val ia = idx(a); val ib = idx(b)
+      nbr(fill(ia)) = ib; fill(ia) += 1
+      nbr(fill(ib)) = ia; fill(ib) += 1
+    }
+    val alive = new Array[Boolean](n); java.util.Arrays.fill(alive, true)
+    val deg = degArr.clone()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var prev: Option[(Long, Long)] = None
+    var stable = false
+    var r = 0
+    while (r < maxRounds && !(stopWhenStable && stable)) {
+      r += 1
+      val removed = (0 until n).filter(v => alive(v) && deg(v) < k)
+      removed.foreach { v => alive(v) = false }
+      removed.foreach { v =>
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val w = nbr(j)
+          if (alive(w)) deg(w) -= 1
+          j += 1
+        }
+      }
+      var nn = 0L; var s = 0L
+      i = 0
+      while (i < n) {
+        if (alive(i)) {
+          if (deg(i) > 0) { nn += 1; s += deg(i) } else alive(i) = false
+        }
+        i += 1
+      }
+      val cur = (nn, s / 2)
+      buf += ((r, nn, s / 2))
+      stable = prev.contains(cur)
+      prev = Some(cur)
+    }
+    (buf.toSeq, stable, r)
+  }
+
   private def kcoreLoop(f: GraphFace, k: Int, maxRounds: Int,
                         stopWhenStable: Boolean): (Seq[(Int, Long, Long)], Boolean, Int) = {
+    val driverMax = driverPeelMaxEdges(f)
+    if (driverMax > 0 && f.canonical.count() <= driverMax)
+      return kcoreLoopDriver(collectCanonical(f), k, maxRounds, stopWhenStable)
     var deg = f.deg
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var prev: Option[(Long, Long)] = None
@@ -639,9 +721,137 @@ object GraphOps {
     *
     * Output: one row per round — (round, n_edges entering the round,
     * n_triangles on that edge set, n_removed by the round's peel). */
+  /** The k-truss peel on the driver — the exact integer twin of the
+    * distributed rounds below. Triangles are enumerated once on the
+    * initial graph via the same compact-forward orientation the face
+    * uses (the triangle SET of a graph is unique, so enumeration
+    * method is immaterial); each round recounts per-edge support over
+    * the alive triples, removes sup < k−2 edges, and kills triples
+    * with a dead edge — the identical trajectory algebra
+    * ((round, entering edges, Σsup/3 = alive triples, removed)). */
+  private def ktrussPeelDriver(edges: Array[(Long, Long)], k: Int,
+                               rounds: Int): Seq[(Int, Long, Long, Long)] = {
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    edges.foreach { case (a, b) =>
+      if (!idx.contains(a)) idx(a) = idx.size
+      if (!idx.contains(b)) idx(b) = idx.size
+    }
+    val n = idx.size
+    val ids = new Array[Long](n)
+    idx.foreach { case (id, i) => ids(i) = id }
+    val degArr = new Array[Int](n)
+    edges.foreach { case (a, b) => degArr(idx(a)) += 1; degArr(idx(b)) += 1 }
+    // edge index by endpoint pair (a < b by original id)
+    val eIdx = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+    var i = 0
+    while (i < edges.length) { eIdx(edges(i)) = i; i += 1 }
+    // compact-forward orientation: lower (deg, id) endpoint → other;
+    // out-lists sorted by ORIGINAL id for the two-pointer intersect
+    val outDeg = new Array[Int](n)
+    edges.foreach { case (a, b) =>
+      val ia = idx(a); val ib = idx(b)
+      val aLow = degArr(ia) < degArr(ib) || (degArr(ia) == degArr(ib) && a < b)
+      outDeg(if (aLow) ia else ib) += 1
+    }
+    val oOff = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { oOff(i + 1) = oOff(i) + outDeg(i); i += 1 }
+    val oNbr = new Array[Long](edges.length)
+    val oFill = java.util.Arrays.copyOf(oOff, n)
+    edges.foreach { case (a, b) =>
+      val ia = idx(a); val ib = idx(b)
+      val aLow = degArr(ia) < degArr(ib) || (degArr(ia) == degArr(ib) && a < b)
+      val s = if (aLow) ia else ib
+      oNbr(oFill(s)) = if (aLow) b else a
+      oFill(s) += 1
+    }
+    i = 0
+    while (i < n) {
+      java.util.Arrays.sort(oNbr, oOff(i), oOff(i + 1)); i += 1
+    }
+    // one (e1, e2, e3) row per triangle, as edge indices
+    val tris = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    edges.foreach { case (a, b) =>
+      val ia = idx(a); val ib = idx(b)
+      val aLow = degArr(ia) < degArr(ib) || (degArr(ia) == degArr(ib) && a < b)
+      val s = if (aLow) ia else ib
+      val dId = if (aLow) b else a
+      val d = idx(dId)
+      var p = oOff(s); var q = oOff(d)
+      while (p < oOff(s + 1) && q < oOff(d + 1)) {
+        val x = oNbr(p); val y = oNbr(q)
+        if (x == y) {
+          val sId = ids(s)
+          val ta = math.min(math.min(sId, dId), x)
+          val tc = math.max(math.max(sId, dId), x)
+          // median-of-3, NOT the sum identity — same overflow caution
+          // as GraphFace.triples
+          val tb = math.max(math.min(sId, dId),
+            math.min(math.max(sId, dId), x))
+          tris += ((eIdx((ta, tb)), eIdx((ta, tc)), eIdx((tb, tc))))
+          p += 1; q += 1
+        } else if (x < y) p += 1 else q += 1
+      }
+    }
+    val eAlive = new Array[Boolean](edges.length)
+    java.util.Arrays.fill(eAlive, true)
+    val tAlive = new Array[Boolean](tris.length)
+    java.util.Arrays.fill(tAlive, true)
+    var nTriAlive = tris.length.toLong
+    var ne = edges.length.toLong
+    val sup = new Array[Long](edges.length)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      java.util.Arrays.fill(sup, 0L)
+      var t = 0
+      while (t < tris.length) {
+        if (tAlive(t)) {
+          val (e1, e2, e3) = tris(t)
+          sup(e1) += 1; sup(e2) += 1; sup(e3) += 1
+        }
+        t += 1
+      }
+      var kept = 0L
+      i = 0
+      while (i < edges.length) {
+        if (eAlive(i) && sup(i) >= (k - 2).toLong) kept += 1
+        i += 1
+      }
+      buf += ((r, ne, nTriAlive, ne - kept))
+      if (r < rounds) {
+        i = 0
+        while (i < edges.length) {
+          if (eAlive(i) && sup(i) < (k - 2).toLong) eAlive(i) = false
+          i += 1
+        }
+        t = 0
+        while (t < tris.length) {
+          if (tAlive(t)) {
+            val (e1, e2, e3) = tris(t)
+            if (!eAlive(e1) || !eAlive(e2) || !eAlive(e3)) {
+              tAlive(t) = false; nTriAlive -= 1
+            }
+          }
+          t += 1
+        }
+        ne = kept
+      }
+    }
+    buf.toSeq
+  }
+
   def ktrussPeel(f: GraphFace, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"ktrussPeel: k must be >= 3, got $k")
     require(rounds >= 1 && rounds <= 10, s"ktrussPeel: rounds must be in [1, 10], got $rounds")
+    val driverMax = driverPeelMaxEdges(f)
+    if (driverMax > 0 && f.canonical.count() <= driverMax) {
+      val buf = ktrussPeelDriver(collectCanonical(f), k, rounds)
+      val spark = f.spark
+      import spark.implicits._
+      return buf.toDF("round", "n_edges", "n_triangles", "n_removed")
+        .select(col("round").cast("int").as("round"), col("n_edges"),
+          col("n_triangles"), col("n_removed"))
+    }
     // Per-round checkpoints are SIZE-GATED between the two materialization
     // modes (the r13/r14 adjudication): AQE-off (partitioning-preserving,
     // fixed partition count) only once the round's edge table is large

@@ -274,6 +274,47 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("driver peels == distributed peels: k-core and k-truss trajectories, hand and pseudo-random graphs") {
+    import spark.implicits._
+    // the r15 size-gated driver peel must reproduce the distributed
+    // rounds' integer trajectories exactly — k-core (fixed rounds AND
+    // fixpoint incl. the stability-witness row) and k-truss — on the
+    // hand graphs the earlier tests pin and on a denser pseudo-random
+    // graph with real triangle cascades
+    val k4tail = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) :+ (4L, 9L)
+    val rnd = (for {
+      a <- 0L until 80L; b <- a + 1 until 80L
+      if (a * 31 + b * 17 + a * b) % 5 == 0
+    } yield (a, b)).toSeq
+    for (g <- Seq(k4tail.toSeq, rnd)) {
+      val edges = g.toDF("src", "dst")
+      def distributed[T](body: => T): T = {
+        spark.conf.set("spark.graft.graph.driverPeelMaxEdges", "0")
+        try body
+        finally spark.conf.unset("spark.graft.graph.driverPeelMaxEdges")
+      }
+      for (k <- Seq(2, 3, 5); rounds <- Seq(1, 3)) {
+        val drv = rowSet(GraphOps.kcorePeel(edges, k = k, rounds = rounds))
+        val dst = distributed(rowSet(GraphOps.kcorePeel(edges, k = k, rounds = rounds)))
+        assert(drv == dst, s"kcorePeel k=$k rounds=$rounds on ${g.size} edges")
+      }
+      for (k <- Seq(2, 4)) {
+        val (dTraj, dRounds) = GraphOps.kcoreFixpoint(edges, k = k, maxRounds = 50)
+        val drv = (rowSet(dTraj), dRounds)
+        val dst = distributed {
+          val (t, r) = GraphOps.kcoreFixpoint(edges, k = k, maxRounds = 50)
+          (rowSet(t), r)
+        }
+        assert(drv == dst, s"kcoreFixpoint k=$k on ${g.size} edges")
+      }
+      for (k <- Seq(3, 4); rounds <- Seq(1, 3)) {
+        val drv = rowSet(GraphOps.ktrussPeel(edges, k = k, rounds = rounds))
+        val dst = distributed(rowSet(GraphOps.ktrussPeel(edges, k = k, rounds = rounds)))
+        assert(drv == dst, s"ktrussPeel k=$k rounds=$rounds on ${g.size} edges")
+      }
+    }
+  }
+
   test("validateCanonical conf: a violated assumeCanonical promise throws; the default stays silent") {
     import spark.implicits._
     // violates twice over: duplicate row AND a src >= dst row
