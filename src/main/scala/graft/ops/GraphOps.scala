@@ -336,8 +336,81 @@ object GraphOps {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col(nodeCol).as("node"), (-col("m.nl")).as("label"))
 
+  /** Synchronous LPA on the driver — exact twin of the dense rounds
+    * below: every node simultaneously adopts its neighbors' most
+    * frequent previous-round label, ties to the SMALLEST label;
+    * stops early when a round changes nothing (identical output — the
+    * remaining rounds are no-ops, same as the distributed
+    * converged exit). */
+  private def lpaDriver(f: GraphFace, iters: Int): Option[DataFrame] = {
+    val nodeType = f.canonical.schema.head.dataType
+    if (!integralNodeType(nodeType)) return None
+    val edges = collectCanonical(f)
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    edges.foreach { case (a, b) =>
+      if (!idx.contains(a)) idx(a) = idx.size
+      if (!idx.contains(b)) idx(b) = idx.size
+    }
+    val n = idx.size
+    val ids = new Array[Long](n)
+    idx.foreach { case (id, i) => ids(i) = id }
+    val degArr = new Array[Int](n)
+    edges.foreach { case (a, b) => degArr(idx(a)) += 1; degArr(idx(b)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + degArr(i); i += 1 }
+    val nbr = new Array[Int](2 * edges.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    edges.foreach { case (a, b) =>
+      val ia = idx(a); val ib = idx(b)
+      nbr(fill(ia)) = ib; fill(ia) += 1
+      nbr(fill(ib)) = ia; fill(ib) += 1
+    }
+    var labels: Array[Long] = ids.clone()
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val next = new Array[Long](n)
+      val counts = new scala.collection.mutable.LongMap[Long]()
+      var changedAny = false
+      i = 0
+      while (i < n) {
+        counts.clear()
+        var j = off(i)
+        while (j < off(i + 1)) {
+          val l = labels(nbr(j))
+          counts(l) = counts.getOrElse(l, 0L) + 1L
+          j += 1
+        }
+        var bestLabel = Long.MaxValue; var bestCount = -1L
+        counts.foreach { case (l, c) =>
+          if (c > bestCount || (c == bestCount && l < bestLabel)) {
+            bestCount = c; bestLabel = l
+          }
+        }
+        next(i) = bestLabel
+        if (bestLabel != labels(i)) changedAny = true
+        i += 1
+      }
+      labels = next
+      converged = !changedAny
+    }
+    val spark = f.spark
+    import spark.implicits._
+    val out =
+      if (nodeType == org.apache.spark.sql.types.LongType)
+        (0 until n).map(i => (ids(i), labels(i))).toDF("node", "label")
+      else
+        (0 until n).map(i => (ids(i).toInt, labels(i).toInt)).toDF("node", "label")
+    Some(out)
+  }
+
   def labelPropagation(f: GraphFace, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"labelPropagation: iters must be in [1, 20], got $iters")
+    val driverMax = driverMaxEdges(f)
+    if (driverMax > 0 && f.canonical.count() <= driverMax) {
+      val d = lpaDriver(f, iters)
+      if (d.isDefined) return d.get
+    }
     val useMode = f.spark.conf.getOption("spark.graft.lpa.modeAgg").exists(_.toBoolean)
     // ADAPTIVE frontier rounds: a node's round-r label depends only on
     // its neighbors' round-(r−1) labels, so a node NONE of whose
@@ -481,8 +554,59 @@ object GraphOps {
     * lineage).
     *
     * Output: (node, hop), one row per reached node. */
+  /** Long-or-int node column support for the driver graph paths: the
+    * driver twins must emit the SAME schema the distributed path
+    * would, so they only engage for integral node types and rebuild
+    * typed local relations; anything else stays distributed. */
+  private def integralNodeType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType
+
+  /** BFS on the driver — exact twin of the frontier rounds below:
+    * hop 0 = the distinct seed set (including seeds with no edges),
+    * hop r = unvisited neighbors of the previous frontier. */
+  private def bfsHopsDriver(f: GraphFace, seeds: DataFrame, seedCol: String,
+                            rounds: Int): Option[DataFrame] = {
+    val seedDf = seeds.select(col(seedCol).as("node")).distinct()
+    val nodeType = seedDf.schema.head.dataType
+    if (!integralNodeType(nodeType) ||
+        f.canonical.schema.head.dataType != nodeType) return None
+    val seedVals = seedDf.select(col("node").cast("long")).collect().map(_.getLong(0))
+    val edges = collectCanonical(f)
+    val adjacency = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+    edges.foreach { case (a, b) =>
+      adjacency.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adjacency.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val dist = new scala.collection.mutable.LongMap[Int]()
+    var frontier = seedVals.toSeq
+    frontier.foreach(s => dist(s) = 0)
+    for (r <- 1 to rounds) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { u =>
+        adjacency.get(u).foreach(_.foreach { v =>
+          if (!dist.contains(v)) { dist(v) = r; next += v }
+        })
+      }
+      frontier = next.toSeq
+    }
+    val spark = f.spark
+    import spark.implicits._
+    val out =
+      if (nodeType == org.apache.spark.sql.types.LongType)
+        dist.toSeq.map { case (n, h) => (n, h) }.toDF("node", "hop")
+      else
+        dist.toSeq.map { case (n, h) => (n.toInt, h) }.toDF("node", "hop")
+    Some(out)
+  }
+
   def bfsHops(f: GraphFace, seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"bfsHops: rounds must be in [1, 20], got $rounds")
+    val driverMax = driverMaxEdges(f)
+    if (driverMax > 0 && f.canonical.count() <= driverMax) {
+      val d = bfsHopsDriver(f, seeds, seedCol, rounds)
+      if (d.isDefined) return d.get
+    }
     // only each round's FRONTIER is materialized; the visited set is
     // the union of the already-checkpointed round tables (O(rounds)
     // plan width, zero recompute) — re-materializing the whole
@@ -531,18 +655,23 @@ object GraphOps {
     * The trajectory is row-for-row identical to the old
     * recompute-from-edges loop — both compute degrees of the induced
     * surviving subgraph; only the maintenance is incremental. */
-  /** Edge-count gate for the driver-iterated peels (k-core, k-truss):
-    * graphs whose CANONICAL edge table is at or under this many rows
-    * collect once (≤ ~32 MB of id pairs at the default) and peel in
-    * exact integer arithmetic on the driver — the per-round state of
-    * both peels is already driver-held (the trajectory rows), and at
-    * gate-sized graphs the distributed rounds are almost pure
-    * stage-job scheduling (the textrank/ktruss r14 lesson). 0 disables
-    * (the distributed parity face); results are identical either way —
-    * the peel is a pure integer function of the edge set (spec-pinned
-    * trajectory equality on both operators). */
-  private def driverPeelMaxEdges(f: GraphFace): Long = f.spark.conf
-    .getOption("spark.graft.graph.driverPeelMaxEdges").map(_.toLong)
+  /** Edge-count gate for the driver-iterated graph operators (k-core,
+    * k-truss, BFS, LPA): graphs whose CANONICAL edge table is at or
+    * under this many rows collect once (≤ ~32 MB of id pairs at the
+    * default) and iterate in exact integer arithmetic on the driver —
+    * the per-round state of these operators is node- or
+    * trajectory-sized, and at gate-sized graphs the distributed
+    * rounds are almost pure stage-job scheduling (the textrank/ktruss
+    * r14 lesson). 0 disables (the distributed parity face); results
+    * are identical either way — each operator is a pure integer
+    * function of the edge set (spec-pinned equality per operator).
+    * Conf `spark.graft.graph.driverMaxEdges`; the transitional r15
+    * name `…driverPeelMaxEdges` is honored when the new one is
+    * unset. */
+  private def driverMaxEdges(f: GraphFace): Long = f.spark.conf
+    .getOption("spark.graft.graph.driverMaxEdges")
+    .orElse(f.spark.conf.getOption("spark.graft.graph.driverPeelMaxEdges"))
+    .map(_.toLong)
     .getOrElse(2000000L)
 
   /** Collected canonical edges as id pairs (lossless long casts). */
@@ -612,7 +741,7 @@ object GraphOps {
 
   private def kcoreLoop(f: GraphFace, k: Int, maxRounds: Int,
                         stopWhenStable: Boolean): (Seq[(Int, Long, Long)], Boolean, Int) = {
-    val driverMax = driverPeelMaxEdges(f)
+    val driverMax = driverMaxEdges(f)
     if (driverMax > 0 && f.canonical.count() <= driverMax)
       return kcoreLoopDriver(collectCanonical(f), k, maxRounds, stopWhenStable)
     var deg = f.deg
@@ -843,7 +972,7 @@ object GraphOps {
   def ktrussPeel(f: GraphFace, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"ktrussPeel: k must be >= 3, got $k")
     require(rounds >= 1 && rounds <= 10, s"ktrussPeel: rounds must be in [1, 10], got $rounds")
-    val driverMax = driverPeelMaxEdges(f)
+    val driverMax = driverMaxEdges(f)
     if (driverMax > 0 && f.canonical.count() <= driverMax) {
       val buf = ktrussPeelDriver(collectCanonical(f), k, rounds)
       val spark = f.spark

@@ -68,13 +68,19 @@ class GraphOpsSpec extends SparkSpec {
     val star = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("src", "dst")
     val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
       (10L, 12L), (3L, 10L)).toDF("src", "dst")
-    for (g <- Seq(star, bridged); it <- Seq(1, 3)) {
-      val base = rowSet(GraphOps.labelPropagation(g, iters = it))
-      spark.conf.set("spark.graft.lpa.modeAgg", "true")
-      try assert(rowSet(GraphOps.labelPropagation(g, iters = it)) == base,
-        s"mode face diverged at iters=$it")
-      finally spark.conf.unset("spark.graft.lpa.modeAgg")
-    }
+    // force distributed rounds: the mode-vs-argmax A/B is about the
+    // DISTRIBUTED aggregate shapes, which the r15 driver gate would
+    // otherwise bypass on these tiny graphs
+    spark.conf.set("spark.graft.graph.driverMaxEdges", "0")
+    try {
+      for (g <- Seq(star, bridged); it <- Seq(1, 3)) {
+        val base = rowSet(GraphOps.labelPropagation(g, iters = it))
+        spark.conf.set("spark.graft.lpa.modeAgg", "true")
+        try assert(rowSet(GraphOps.labelPropagation(g, iters = it)) == base,
+          s"mode face diverged at iters=$it")
+        finally spark.conf.unset("spark.graft.lpa.modeAgg")
+      }
+    } finally spark.conf.unset("spark.graft.graph.driverMaxEdges")
   }
 
   test("heavy-degree chunked closure returns identical triangle counts and truss trajectories") {
@@ -85,15 +91,21 @@ class GraphOpsSpec extends SparkSpec {
     val g = ((1L to 30L).map(v => (0L, v)) ++
       Seq.fill(120)((rnd.nextInt(30) + 1L, rnd.nextInt(30) + 1L))).distinct
     val df = g.toDF("src", "dst")
-    val base = rowSet(GraphOps.triangleStats(df))
-    val baseT = rowSet(GraphOps.ktrussPeel(df, k = 4, rounds = 2))
-    spark.conf.set("spark.graft.graph.heavySplitDegree", "4")
+    // force the distributed peel: the chunked-closure A/B pins the
+    // DISTRIBUTED triple enumeration, which the r15 driver gate would
+    // otherwise bypass on this tiny graph
+    spark.conf.set("spark.graft.graph.driverMaxEdges", "0")
     try {
-      assert(rowSet(GraphOps.triangleStats(df)) == base,
-        "chunked closure must count identically (chunks partition the array)")
-      assert(rowSet(GraphOps.ktrussPeel(df, k = 4, rounds = 2)) == baseT,
-        "chunked triple enumeration must explode each triangle exactly once")
-    } finally spark.conf.unset("spark.graft.graph.heavySplitDegree")
+      val base = rowSet(GraphOps.triangleStats(df))
+      val baseT = rowSet(GraphOps.ktrussPeel(df, k = 4, rounds = 2))
+      spark.conf.set("spark.graft.graph.heavySplitDegree", "4")
+      try {
+        assert(rowSet(GraphOps.triangleStats(df)) == base,
+          "chunked closure must count identically (chunks partition the array)")
+        assert(rowSet(GraphOps.ktrussPeel(df, k = 4, rounds = 2)) == baseT,
+          "chunked triple enumeration must explode each triangle exactly once")
+      } finally spark.conf.unset("spark.graft.graph.heavySplitDegree")
+    } finally spark.conf.unset("spark.graft.graph.driverMaxEdges")
   }
 
   test("one shared GraphFace serves every operator with results identical to one-shot entries") {
@@ -236,6 +248,12 @@ class GraphOpsSpec extends SparkSpec {
 
   test("labelPropagation: frontier rounds equal the dense loop on hand and pseudo-random graphs") {
     import spark.implicits._
+    // force the distributed engine: this test pins the dense/frontier/
+    // shuffle ROUND shapes against each other, which the r15 driver
+    // gate would otherwise bypass on these tiny graphs (driver ==
+    // distributed is pinned separately by the driver-peel parity test)
+    spark.conf.set("spark.graft.graph.driverMaxEdges", "0")
+    try {
     // two bridged triangles, a star, and a 60-node pseudo-random graph;
     // every iters in 1..5 (frontier kicks in from round 2; the random
     // graph stabilizes mid-way, exercising the converged early-exit)
@@ -272,6 +290,7 @@ class GraphOpsSpec extends SparkSpec {
         s"broadcast and shuffle dense rounds must agree, graph of ${g.size} edges, iters=$iters")
       assert(adaptive == dense, s"adaptive default, graph of ${g.size} edges, iters=$iters")
     }
+    } finally spark.conf.unset("spark.graft.graph.driverMaxEdges")
   }
 
   test("driver peels == distributed peels: k-core and k-truss trajectories, hand and pseudo-random graphs") {
@@ -289,9 +308,9 @@ class GraphOpsSpec extends SparkSpec {
     for (g <- Seq(k4tail.toSeq, rnd)) {
       val edges = g.toDF("src", "dst")
       def distributed[T](body: => T): T = {
-        spark.conf.set("spark.graft.graph.driverPeelMaxEdges", "0")
+        spark.conf.set("spark.graft.graph.driverMaxEdges", "0")
         try body
-        finally spark.conf.unset("spark.graft.graph.driverPeelMaxEdges")
+        finally spark.conf.unset("spark.graft.graph.driverMaxEdges")
       }
       for (k <- Seq(2, 3, 5); rounds <- Seq(1, 3)) {
         val drv = rowSet(GraphOps.kcorePeel(edges, k = k, rounds = rounds))
@@ -311,6 +330,18 @@ class GraphOpsSpec extends SparkSpec {
         val drv = rowSet(GraphOps.ktrussPeel(edges, k = k, rounds = rounds))
         val dst = distributed(rowSet(GraphOps.ktrussPeel(edges, k = k, rounds = rounds)))
         assert(drv == dst, s"ktrussPeel k=$k rounds=$rounds on ${g.size} edges")
+      }
+      // BFS: seeds include a node absent from the graph (hop 0 only)
+      val seeds = Seq(1L, 999L, 40L).toDF("node")
+      for (rounds <- Seq(1, 3)) {
+        val drv = rowSet(GraphOps.bfsHops(edges, seeds, rounds = rounds))
+        val dst = distributed(rowSet(GraphOps.bfsHops(edges, seeds, rounds = rounds)))
+        assert(drv == dst, s"bfsHops rounds=$rounds on ${g.size} edges")
+      }
+      for (iters <- Seq(1, 3, 5)) {
+        val drv = rowSet(GraphOps.labelPropagation(edges, iters = iters))
+        val dst = distributed(rowSet(GraphOps.labelPropagation(edges, iters = iters)))
+        assert(drv == dst, s"labelPropagation iters=$iters on ${g.size} edges")
       }
     }
   }

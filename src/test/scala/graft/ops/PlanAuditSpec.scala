@@ -802,15 +802,25 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("x_bfs_hops: final plan is checkpoint-bounded — no parquet rescan, no join, no exchange survives") {
+    // two legal shapes (the prefixSum-audit precedent): the r15
+    // driver-gate path yields a LOCAL relation (the whole BFS ran on
+    // the driver), the distributed path reads only the checkpointed
+    // round tables; both must be free of rescans/joins/exchanges
     val p = plan("x_bfs_hops")
-    // every round materialized via localCheckpoint: the result plan must
-    // read ONLY the checkpointed round tables (bounded lineage — the
-    // labelPropagation/PageRank discipline), never re-deriving the
-    // edge joins
-    assert(p.contains("ExistingRDD") || p.contains("Scan RDD"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan RDD") ||
+      p.contains("LocalTableScan"), p)
     assert(!p.contains("Scan parquet"), "all parquet cost is paid inside the rounds:\n" + p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("Exchange"), p)
+    // gate off: the DISTRIBUTED shape stays pinned
+    spark.conf.set("spark.graft.graph.driverMaxEdges", "0")
+    try {
+      val pd = plan("x_bfs_hops")
+      assert(pd.contains("ExistingRDD") || pd.contains("Scan RDD"), pd)
+      assert(!pd.contains("Scan parquet"), pd)
+      assert(!pd.contains("Join"), pd)
+      assert(!pd.contains("Exchange"), pd)
+    } finally spark.conf.unset("spark.graft.graph.driverMaxEdges")
   }
 
   test("x_decayed_counts: max-date scalar broadcasts onto ONE data pass; weighting rides the tiny (type,step) grid") {
