@@ -562,6 +562,17 @@ object GraphOps {
     dt == org.apache.spark.sql.types.LongType ||
       dt == org.apache.spark.sql.types.IntegerType
 
+  /** Both endpoint columns of the canonical edge table are integral —
+    * the precondition for EVERY driver graph twin: collectCanonical
+    * casts node ids to long, so a non-integral node column (string ids
+    * cast to NULL and read back as 0, double/decimal ids truncate)
+    * would silently collapse distinct nodes. Non-integral graphs stay
+    * on the type-generic distributed paths. */
+  private def integralEndpoints(f: GraphFace): Boolean = {
+    val s = f.canonical.schema
+    s.length >= 2 && integralNodeType(s(0).dataType) && integralNodeType(s(1).dataType)
+  }
+
   /** BFS on the driver — exact twin of the frontier rounds below:
     * hop 0 = the distinct seed set (including seeds with no edges),
     * hop r = unvisited neighbors of the previous frontier. */
@@ -569,9 +580,14 @@ object GraphOps {
                             rounds: Int): Option[DataFrame] = {
     val seedDf = seeds.select(col(seedCol).as("node")).distinct()
     val nodeType = seedDf.schema.head.dataType
-    if (!integralNodeType(nodeType) ||
+    if (!integralNodeType(nodeType) || !integralEndpoints(f) ||
         f.canonical.schema.head.dataType != nodeType) return None
-    val seedVals = seedDf.select(col("node").cast("long")).collect().map(_.getLong(0))
+    // a NULL seed survives distinct() as one row; in the distributed
+    // path it is an inert (NULL, 0) row (NULL never equi-joins sym) —
+    // mirror that here instead of letting getLong read NULL as node 0
+    val seedRows = seedDf.select(col("node").cast("long")).collect()
+    val nullSeed = seedRows.exists(_.isNullAt(0))
+    val seedVals = seedRows.filterNot(_.isNullAt(0)).map(_.getLong(0))
     val edges = collectCanonical(f)
     val adjacency = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
     edges.foreach { case (a, b) =>
@@ -593,10 +609,15 @@ object GraphOps {
     val spark = f.spark
     import spark.implicits._
     val out =
-      if (nodeType == org.apache.spark.sql.types.LongType)
-        dist.toSeq.map { case (n, h) => (n, h) }.toDF("node", "hop")
-      else
-        dist.toSeq.map { case (n, h) => (n.toInt, h) }.toDF("node", "hop")
+      if (nodeType == org.apache.spark.sql.types.LongType) {
+        val rows = dist.toSeq.map { case (n, h) => (Option(n), h) } ++
+          (if (nullSeed) Seq((Option.empty[Long], 0)) else Nil)
+        rows.toDF("node", "hop")
+      } else {
+        val rows = dist.toSeq.map { case (n, h) => (Option(n.toInt), h) } ++
+          (if (nullSeed) Seq((Option.empty[Int], 0)) else Nil)
+        rows.toDF("node", "hop")
+      }
     Some(out)
   }
 
@@ -742,7 +763,7 @@ object GraphOps {
   private def kcoreLoop(f: GraphFace, k: Int, maxRounds: Int,
                         stopWhenStable: Boolean): (Seq[(Int, Long, Long)], Boolean, Int) = {
     val driverMax = driverMaxEdges(f)
-    if (driverMax > 0 && f.canonical.count() <= driverMax)
+    if (driverMax > 0 && integralEndpoints(f) && f.canonical.count() <= driverMax)
       return kcoreLoopDriver(collectCanonical(f), k, maxRounds, stopWhenStable)
     var deg = f.deg
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
@@ -858,8 +879,8 @@ object GraphOps {
     * the alive triples, removes sup < k−2 edges, and kills triples
     * with a dead edge — the identical trajectory algebra
     * ((round, entering edges, Σsup/3 = alive triples, removed)). */
-  private def ktrussPeelDriver(edges: Array[(Long, Long)], k: Int,
-                               rounds: Int): Seq[(Int, Long, Long, Long)] = {
+  private def ktrussPeelDriver(edges: Array[(Long, Long)], k: Int, rounds: Int,
+                               maxTriangles: Long): Option[Seq[(Int, Long, Long, Long)]] = {
     val idx = new scala.collection.mutable.LongMap[Int]()
     edges.foreach { case (a, b) =>
       if (!idx.contains(a)) idx(a) = idx.size
@@ -870,10 +891,16 @@ object GraphOps {
     idx.foreach { case (id, i) => ids(i) = id }
     val degArr = new Array[Int](n)
     edges.foreach { case (a, b) => degArr(idx(a)) += 1; degArr(idx(b)) += 1 }
-    // edge index by endpoint pair (a < b by original id)
-    val eIdx = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+    // edge index by endpoint pair (a < b by original id), keyed on the
+    // two PACKED node indices (each < n ≤ 2·edges, always an Int) —
+    // one primitive LongMap entry per edge, no boxed tuple keys
+    val eIdx = new scala.collection.mutable.LongMap[Int](edges.length * 2)
+    @inline def eKey(loId: Long, hiId: Long): Long =
+      (idx(loId).toLong << 32) | (idx(hiId).toLong & 0xffffffffL)
     var i = 0
-    while (i < edges.length) { eIdx(edges(i)) = i; i += 1 }
+    while (i < edges.length) {
+      eIdx(eKey(edges(i)._1, edges(i)._2)) = i; i += 1
+    }
     // compact-forward orientation: lower (deg, id) endpoint → other;
     // out-lists sorted by ORIGINAL id for the two-pointer intersect
     val outDeg = new Array[Int](n)
@@ -898,16 +925,27 @@ object GraphOps {
     while (i < n) {
       java.util.Arrays.sort(oNbr, oOff(i), oOff(i + 1)); i += 1
     }
-    // one (e1, e2, e3) row per triangle, as edge indices
-    val tris = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
-    edges.foreach { case (a, b) =>
+    // one (e1, e2, e3) row per triangle, as edge indices in a FLAT
+    // primitive int array (3 slots per triangle) — the boxed-tuple
+    // buffer was O(#triangles) of tuple objects, which a dense
+    // sub-2M-edge graph can blow past the heap with. The same density
+    // hazard motivates the maxTriangles bail-out: the edge GATE bounds
+    // edge count, not triangle count (a ~2000-node near-clique under
+    // the gate has ~1.3e9 triangles), so enumeration aborts to the
+    // spilling distributed peel once the cap is crossed.
+    val trisB = new scala.collection.mutable.ArrayBuilder.ofInt
+    var nTris = 0L
+    var aborted = false
+    val eIt = edges.iterator
+    while (eIt.hasNext && !aborted) {
+      val (a, b) = eIt.next()
       val ia = idx(a); val ib = idx(b)
       val aLow = degArr(ia) < degArr(ib) || (degArr(ia) == degArr(ib) && a < b)
       val s = if (aLow) ia else ib
       val dId = if (aLow) b else a
       val d = idx(dId)
       var p = oOff(s); var q = oOff(d)
-      while (p < oOff(s + 1) && q < oOff(d + 1)) {
+      while (p < oOff(s + 1) && q < oOff(d + 1) && !aborted) {
         val x = oNbr(p); val y = oNbr(q)
         if (x == y) {
           val sId = ids(s)
@@ -917,26 +955,30 @@ object GraphOps {
           // as GraphFace.triples
           val tb = math.max(math.min(sId, dId),
             math.min(math.max(sId, dId), x))
-          tris += ((eIdx((ta, tb)), eIdx((ta, tc)), eIdx((tb, tc))))
+          trisB += eIdx(eKey(ta, tb)); trisB += eIdx(eKey(ta, tc)); trisB += eIdx(eKey(tb, tc))
+          nTris += 1
+          if (nTris > maxTriangles) aborted = true
           p += 1; q += 1
         } else if (x < y) p += 1 else q += 1
       }
     }
+    if (aborted) return None
+    val tris = trisB.result()
+    val nT = (tris.length / 3)
     val eAlive = new Array[Boolean](edges.length)
     java.util.Arrays.fill(eAlive, true)
-    val tAlive = new Array[Boolean](tris.length)
+    val tAlive = new Array[Boolean](nT)
     java.util.Arrays.fill(tAlive, true)
-    var nTriAlive = tris.length.toLong
+    var nTriAlive = nT.toLong
     var ne = edges.length.toLong
     val sup = new Array[Long](edges.length)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     for (r <- 1 to rounds) {
       java.util.Arrays.fill(sup, 0L)
       var t = 0
-      while (t < tris.length) {
+      while (t < nT) {
         if (tAlive(t)) {
-          val (e1, e2, e3) = tris(t)
-          sup(e1) += 1; sup(e2) += 1; sup(e3) += 1
+          sup(tris(3 * t)) += 1; sup(tris(3 * t + 1)) += 1; sup(tris(3 * t + 2)) += 1
         }
         t += 1
       }
@@ -954,10 +996,9 @@ object GraphOps {
           i += 1
         }
         t = 0
-        while (t < tris.length) {
+        while (t < nT) {
           if (tAlive(t)) {
-            val (e1, e2, e3) = tris(t)
-            if (!eAlive(e1) || !eAlive(e2) || !eAlive(e3)) {
+            if (!eAlive(tris(3 * t)) || !eAlive(tris(3 * t + 1)) || !eAlive(tris(3 * t + 2))) {
               tAlive(t) = false; nTriAlive -= 1
             }
           }
@@ -966,20 +1007,30 @@ object GraphOps {
         ne = kept
       }
     }
-    buf.toSeq
+    Some(buf.toSeq)
   }
 
   def ktrussPeel(f: GraphFace, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"ktrussPeel: k must be >= 3, got $k")
     require(rounds >= 1 && rounds <= 10, s"ktrussPeel: rounds must be in [1, 10], got $rounds")
     val driverMax = driverMaxEdges(f)
-    if (driverMax > 0 && f.canonical.count() <= driverMax) {
-      val buf = ktrussPeelDriver(collectCanonical(f), k, rounds)
-      val spark = f.spark
-      import spark.implicits._
-      return buf.toDF("round", "n_edges", "n_triangles", "n_removed")
-        .select(col("round").cast("int").as("round"), col("n_edges"),
-          col("n_triangles"), col("n_removed"))
+    if (driverMax > 0 && integralEndpoints(f) && f.canonical.count() <= driverMax) {
+      // the edge gate does not bound triangle count, so the driver
+      // twin additionally caps enumerated triangles (flat int storage,
+      // ~12 B/triangle: the 30M default is ~360 MB transient) and
+      // falls through to the spilling distributed peel past the cap
+      val maxTris = f.spark.conf
+        .getOption("spark.graft.graph.driverMaxTriangles")
+        .map(_.toLong).getOrElse(30000000L)
+      ktrussPeelDriver(collectCanonical(f), k, rounds, maxTris) match {
+        case Some(buf) =>
+          val spark = f.spark
+          import spark.implicits._
+          return buf.toDF("round", "n_edges", "n_triangles", "n_removed")
+            .select(col("round").cast("int").as("round"), col("n_edges"),
+              col("n_triangles"), col("n_removed"))
+        case None => // triangle cap crossed — distributed peel below
+      }
     }
     // Per-round checkpoints are SIZE-GATED between the two materialization
     // modes (the r13/r14 adjudication): AQE-off (partitioning-preserving,

@@ -346,6 +346,53 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("driver-gate guards: string ids stay distributed, triangle cap falls back, NULL seeds stay inert") {
+    import spark.implicits._
+    def distributed[T](body: => T): T = {
+      spark.conf.set("spark.graft.graph.driverMaxEdges", "0")
+      try body
+      finally spark.conf.unset("spark.graft.graph.driverMaxEdges")
+    }
+    // 1. non-integral node ids: the driver twins cast ids to long, so a
+    //    string-id graph under the default edge gate must take the
+    //    type-generic distributed path and keep distinct nodes distinct
+    //    (string ids cast to NULL and would all collapse into node 0)
+    val sEdges = Seq(("xa", "xb"), ("xb", "xc"), ("xa", "xc"), ("xc", "xd"),
+      ("xd", "xe"), ("xa", "xd"), ("xb", "xd")).toDF("src", "dst")
+    assert(rowSet(GraphOps.kcorePeel(sEdges, k = 2, rounds = 3)) ==
+      distributed(rowSet(GraphOps.kcorePeel(sEdges, k = 2, rounds = 3))),
+      "string-id kcorePeel must match the distributed trajectory")
+    val (sT, sR) = GraphOps.kcoreFixpoint(sEdges, k = 3, maxRounds = 50)
+    val (dT, dR) = distributed(GraphOps.kcoreFixpoint(sEdges, k = 3, maxRounds = 50))
+    assert((rowSet(sT), sR) == ((rowSet(dT), dR)),
+      "string-id kcoreFixpoint must match the distributed trajectory")
+    assert(rowSet(GraphOps.ktrussPeel(sEdges, k = 3, rounds = 2)) ==
+      distributed(rowSet(GraphOps.ktrussPeel(sEdges, k = 3, rounds = 2))),
+      "string-id ktrussPeel must match the distributed trajectory")
+    // 2. triangle cap: the edge gate does not bound triangle count, so
+    //    a cap below the graph's triangle count must fall back to the
+    //    distributed peel with an identical trajectory
+    val k5tail = (for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)) :+ (5L, 9L)
+    val k5df = k5tail.toDF("src", "dst")
+    val uncapped = rowSet(GraphOps.ktrussPeel(k5df, k = 4, rounds = 3))
+    spark.conf.set("spark.graft.graph.driverMaxTriangles", "2")
+    try assert(rowSet(GraphOps.ktrussPeel(k5df, k = 4, rounds = 3)) == uncapped,
+      "capped driver enumeration must fall back to an identical distributed peel")
+    finally spark.conf.unset("spark.graft.graph.driverMaxTriangles")
+    assert(uncapped == distributed(rowSet(GraphOps.ktrussPeel(k5df, k = 4, rounds = 3))))
+    // 3. NULL seed: the distributed path keeps one inert (NULL, 0) row
+    //    (NULL never equi-joins sym); the driver twin must mirror it
+    //    instead of reading NULL back as node 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nullSeeds = Seq(Option(3L), Option.empty[Long]).toDF("node")
+    val drvB = rowSet(GraphOps.bfsHops(edges, nullSeeds, rounds = 2))
+    val dstB = distributed(rowSet(GraphOps.bfsHops(edges, nullSeeds, rounds = 2)))
+    assert(drvB == dstB, "NULL-seed BFS: driver must match distributed (inert NULL row)")
+    // rowSet stringifies as hop|node with NULL literal; columns sorted
+    assert(drvB.exists(_.contains("NULL")), "the NULL seed row must survive")
+    assert(!drvB.contains("0|0"), "NULL must not be traversed as node 0")
+  }
+
   test("validateCanonical conf: a violated assumeCanonical promise throws; the default stays silent") {
     import spark.implicits._
     // violates twice over: duplicate row AND a src >= dst row
