@@ -262,9 +262,116 @@ object Profile {
       .getOption("spark.graft.spearman.fused").contains("true")
     def ix(c: String): Column =
       round(col(c) * pow(lit(10), lit(scale))).cast("long")
+    // r16 size-gated driver tiny path (the textrank/peel discipline —
+    // OPTIMIZATION_r15 "Not yet" #1): at gate size the per-column shape
+    // is ~15 tiny scheduled jobs around microseconds of integer rank
+    // arithmetic (sf0.1 floor 2.76 s ≈ sf1 floor 2.84 s at 10× data),
+    // so inputs whose KEYED table is at or under
+    // spark.graft.spearman.driverMaxRows (1M — ≈24 MB of id-free longs,
+    // the graph-gate collect bound; 0 disables) collect once and rank
+    // on the driver in the IDENTICAL exact integer arithmetic
+    // (spec-pinned driver == distributed, and the gate guarantees the
+    // Long moment sums can't overflow: Σr² ≤ 4n³ < 2⁶³ at n ≤ 1M). Any
+    // NULL keyed value falls back to the distributed path (whose inner
+    // rank joins drop such rows) rather than re-deriving that
+    // semantics. At 100 TB the distributed two-phase shape is the plan.
+    val driverMax = df.sparkSession.conf
+      .getOption("spark.graft.spearman.driverMaxRows").map(_.toLong)
+      .getOrElse(1000000L)
+    if (!fused && driverMax > 0) {
+      val keyed = df.select(cols.map(c => ix(c).as(s"_v_$c")): _*)
+      if (keyed.count() <= driverMax) {
+        val d = spearmanDriver(df.sparkSession, keyed, cols)
+        if (d.isDefined) return d.get
+      }
+    }
     val ranked = if (fused) spearmanRanksFused(df, cols, ix)
                  else spearmanRanksPerColumn(df, cols, ix)
     spearmanMoments(ranked, cols)
+  }
+
+  /** Driver twin of the per-column rank pipeline + moment tail: exact
+    * doubled average ranks (2r̄ = 2·prefix − cnt + 1 over each sorted
+    * value array), Long moment sums (overflow-safe by the caller's
+    * gate), BigInt cov/var products mirroring the DECIMAL(38,0)
+    * arithmetic, and the same double-divide + round(…, 6) tail
+    * (Spark's Round on double is BigDecimal(d).setScale(6, HALF_UP)
+    * with NaN/Infinity passed through — mirrored verbatim). Returns
+    * None when any keyed value is NULL: the distributed inner rank
+    * joins drop those rows, and the driver twin stays out of that
+    * semantics instead of duplicating it. */
+  private def spearmanDriver(spark: org.apache.spark.sql.SparkSession,
+                             keyed: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+    val rows = keyed.collect()
+    val m = rows.length
+    if (m == 0) return None // distributed emits NULL moments on empty input
+    val k = cols.size
+    val data = Array.ofDim[Long](k, m)
+    var i = 0
+    while (i < m) {
+      val r = rows(i)
+      var j = 0
+      while (j < k) {
+        if (r.isNullAt(j)) return None
+        data(j)(i) = r.getLong(j)
+        j += 1
+      }
+      i += 1
+    }
+    // per-column doubled average ranks off the sorted value array
+    val rk = Array.ofDim[Long](k, m)
+    var j = 0
+    while (j < k) {
+      val sorted = data(j).clone()
+      java.util.Arrays.sort(sorted)
+      val rankOf = new scala.collection.mutable.LongMap[Long]()
+      var p = 0
+      while (p < m) {
+        val v = sorted(p)
+        var q = p
+        while (q < m && sorted(q) == v) q += 1
+        // prefix (count ≤ v) is q; tied-group doubled average rank
+        rankOf(v) = 2L * q - (q - p) + 1L
+        p = q
+      }
+      i = 0
+      while (i < m) { rk(j)(i) = rankOf(data(j)(i)); i += 1 }
+      j += 1
+    }
+    // Long moment sums (gate-bounded: r ≤ 2n, Σr² ≤ 4n³)
+    val s = new Array[Long](k)
+    val q2 = new Array[Long](k)
+    val pairs = for { a <- cols.indices; b <- cols.indices if a < b } yield (a, b)
+    val pp = new Array[Long](pairs.size)
+    i = 0
+    while (i < m) {
+      j = 0
+      while (j < k) {
+        val r = rk(j)(i)
+        s(j) += r; q2(j) += r * r
+        j += 1
+      }
+      var pi = 0
+      while (pi < pairs.size) {
+        pp(pi) += rk(pairs(pi)._1)(i) * rk(pairs(pi)._2)(i)
+        pi += 1
+      }
+      i += 1
+    }
+    def toD(x: BigInt): Double = BigDecimal(x).toDouble
+    val out = pairs.zipWithIndex.map { case ((a, b), pi) =>
+      val n = BigInt(m)
+      val cov = toD(n * BigInt(pp(pi)) - BigInt(s(a)) * BigInt(s(b)))
+      val va = toD(n * BigInt(q2(a)) - BigInt(s(a)) * BigInt(s(a)))
+      val vb = toD(n * BigInt(q2(b)) - BigInt(s(b)) * BigInt(s(b)))
+      val rho0 = cov / (math.sqrt(va) * math.sqrt(vb))
+      val rho =
+        if (rho0.isNaN || rho0.isInfinite) rho0
+        else BigDecimal(rho0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cols(a), cols(b), m.toLong, rho)
+    }
+    import spark.implicits._
+    Some(out.toDF("col_x", "col_y", "n", "rho"))
   }
 
   /** PER-COLUMN rank attachment (the r10 shape, kept as the measured

@@ -1421,25 +1421,35 @@ class PlanAuditSpec extends SparkSpec {
     p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
 
   test("x_spearman: rank windows are per-partition (_pid) or gate-bounded (_w0), never an ungated global sort") {
-    val winLines = prefixWindowShapes(plan("x_spearman"))
-    assert(winLines.forall(w => w.contains("_pid") || w.contains("_w0")),
-      "every rank window must be prefixSum's two-phase or its bounded tiny form:\n" +
-        winLines.mkString("\n"))
-    // force the gate off: the original all-_pid discipline must hold
-    // (at audit scale every grid is under the gate — sf0.1's
-    // near-unique l_extendedprice grid is what exercises the mixed
-    // shape; the bench floors cover that side)
-    spark.conf.set("spark.graft.prefixSum.tinyMaxRows", "0")
+    // at audit scale the r16 driver tiny path serves the row: the
+    // final plan is a driver-local result, no exchange, no window
+    val tiny = plan("x_spearman")
+    assert(tiny.contains("LocalTableScan") && !tiny.contains("Exchange"),
+      "under the driver gate the row must be a local result:\n" + tiny)
+    // the DISTRIBUTED shape audits run with the driver gate off — this
+    // is the 100 TB plan and must keep the prefixSum discipline
+    spark.conf.set("spark.graft.spearman.driverMaxRows", "0")
     try {
-      // the two-phase windows run behind prefixSum's output checkpoint
-      // at construction, so the final plan may carry none at all —
-      // what it must NOT carry is a window keyed by anything else
-      val big = prefixWindowShapes(plan("x_spearman"))
-      assert(big.forall(_.contains("_pid")),
-        "with the tiny gate off, any visible rank window must be two-phase:\n" +
-          big.mkString("\n"))
-    } finally spark.conf.unset("spark.graft.prefixSum.tinyMaxRows")
-    assert(!plan("x_spearman").contains("CartesianProduct"))
+      val winLines = prefixWindowShapes(plan("x_spearman"))
+      assert(winLines.forall(w => w.contains("_pid") || w.contains("_w0")),
+        "every rank window must be prefixSum's two-phase or its bounded tiny form:\n" +
+          winLines.mkString("\n"))
+      // force the gate off: the original all-_pid discipline must hold
+      // (at audit scale every grid is under the gate — sf0.1's
+      // near-unique l_extendedprice grid is what exercises the mixed
+      // shape; the bench floors cover that side)
+      spark.conf.set("spark.graft.prefixSum.tinyMaxRows", "0")
+      try {
+        // the two-phase windows run behind prefixSum's output checkpoint
+        // at construction, so the final plan may carry none at all —
+        // what it must NOT carry is a window keyed by anything else
+        val big = prefixWindowShapes(plan("x_spearman"))
+        assert(big.forall(_.contains("_pid")),
+          "with the tiny gate off, any visible rank window must be two-phase:\n" +
+            big.mkString("\n"))
+      } finally spark.conf.unset("spark.graft.prefixSum.tinyMaxRows")
+      assert(!plan("x_spearman").contains("CartesianProduct"))
+    } finally spark.conf.unset("spark.graft.spearman.driverMaxRows")
   }
 
   test("x_seq_triples: one user_id exchange; top-k is TakeOrderedAndProject, never a global sort") {

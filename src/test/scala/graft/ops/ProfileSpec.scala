@@ -95,6 +95,30 @@ class ProfileSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.spearman.fused")
   }
 
+  test("spearmanMatrix: driver tiny path == distributed per-column bit-for-bit; NULL input falls back") {
+    import spark.implicits._
+    def distributed[T](body: => T): T = {
+      spark.conf.set("spark.graft.spearman.driverMaxRows", "0")
+      try body
+      finally spark.conf.unset("spark.graft.spearman.driverMaxRows")
+    }
+    // tie-heavy (x, z) plus a near-unique column (y) — the catalog's
+    // grid-shape mix — on a fixture large enough for real tied groups
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(500)((rnd.nextInt(8).toDouble, rnd.nextDouble() * 100,
+      rnd.nextInt(3).toDouble)).toDF("x", "y", "z")
+    val drv = rowSet(Profile.spearmanMatrix(df, Seq("x", "y", "z")))
+    val dst = distributed(rowSet(Profile.spearmanMatrix(df, Seq("x", "y", "z"))))
+    assert(drv == dst, s"driver=$drv distributed=$dst")
+    // a NULL keyed value: the driver twin must fall back (distributed
+    // inner rank joins drop the row) and match the distributed result
+    val dfn = Seq((Option(1.0), 2.0), (Option.empty[Double], 3.0),
+      (Option(2.0), 1.0), (Option(3.0), 5.0), (Option(4.0), 4.0)).toDF("a", "b")
+    val drvN = rowSet(Profile.spearmanMatrix(dfn, Seq("a", "b")))
+    val dstN = distributed(rowSet(Profile.spearmanMatrix(dfn, Seq("a", "b"))))
+    assert(drvN == dstN, s"driver=$drvN distributed=$dstN")
+  }
+
   test("cramersV: perfect association = 1.0, independence = 0.0") {
     import spark.implicits._
     // perfect: b determined by a (2x2 diagonal)
