@@ -129,6 +129,29 @@ object Bench {
         .queryExecution.toRdd.count()
     }
 
+    // Tier-kernel warmup on SYNTHETIC in-memory rows — no testdata
+    // file is touched, nothing computed here is reused: purely the
+    // JVM/codegen warm the generic block above gives the scan/join/agg
+    // operators, extended to the tier kernels the shared faces use.
+    // The face builds run ONCE per session (single-shot bill), so the
+    // first face row otherwise absorbs the session's one-shot
+    // Janino/JIT compilation of those kernels (r15 KmeansWarmProbe:
+    // the IDENTICAL kmeans call reads 7.3 s cold / 1.7 s warm — ~75%
+    // of face:semcents was session warmup, not structure).
+    // SPARK_GRAFT_BENCH_TIER_WARMUP=0 disables (A/B face).
+    if (!sys.env.get("SPARK_GRAFT_BENCH_TIER_WARMUP").contains("0")) {
+      import org.apache.spark.sql.functions._
+      val warmEmb = spark.range(64).select(col("id").as("vec_id"),
+        array((0 until 64).map(i =>
+          pmod(col("id") * (i + 1), lit(97)).cast("double")): _*).as("embedding"))
+      sim.Similarity.kmeans(warmEmb, nLists = 4, dim = 64, iters = 2)
+      val warmDocs = spark.range(24).select(col("id").as("doc_id"),
+        concat(lit("warm up tokens alpha beta gamma delta epsilon zeta "),
+          (col("id") % 5).cast("string")).as("text"))
+      dedup.Dedup.minhashNearDupsMd5(warmDocs, threshold = 0.5,
+        maxBucketSize = Some(64)).queryExecution.toRdd.count()
+    }
+
     // Optional local-iteration filter (regex); the driver sets no filter.
     val nameFilter: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
       case Some(p) => val re = p.r; n => re.findFirstIn(n).isDefined
