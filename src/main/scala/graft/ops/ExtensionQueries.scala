@@ -591,6 +591,27 @@ object ExtensionQueries {
       GraphOps.face(pairsFromMembership(li), pinned = true)
     }(_.release())
 
+  /** The shared PREPARED purchase graph — the bipartite
+    * customer→supplier edge set (orders ⋈ lineitem, node ids
+    * disambiguated 2k / 2k+1) that BOTH x_pagerank and x_ppr iterate
+    * over. r15 left each row rebuilding the identical join + distinct
+    * + layout checkpoints (and, under the tiny gate, re-collecting the
+    * edge array) per query; one PreparedGraph per (session, dataset)
+    * pays that once — the r14 ND-tier rewiring, PageRank edition.
+    * Results are byte-identical: the same buildGraph output feeds the
+    * same round loops (PageRankOpSpec pins prepared == direct). */
+  private def coPurchaseGraph(s: org.apache.spark.sql.SparkSession,
+                              d: String): PageRankOp.PreparedGraph =
+    FaceCache.get(s, "purchasegraph", datasetSignature(d, "orders.parquet")) {
+      val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      PageRankOp.prepare(e, "src", "dst", pinned = true)
+    }(_.release())
+
   /** Pre-builds every shared build-once artifact for (session, dir) —
     * the FaceCache faces AND the persisted on-disk indexes — returning
     * (metric-name, build-seconds) per artifact. Bench calls this
@@ -615,6 +636,7 @@ object ExtensionQueries {
       timed("membership") { coMembership(s, d) },
       timed("graphface") { coGraphFace(s, d) },
       timed("graphface_r") { coGraphFaceR(s, d) },
+      timed("purchasegraph") { coPurchaseGraph(s, d) },
       timed("embeddings") { coEmbeddings(s, d) },
       timed("semcents") { coSemCentroids(s, d) },
       timed("ndpairs") { coNdPairs(s, d) },
@@ -3154,15 +3176,9 @@ object ExtensionQueries {
     * pinned exactly, dangling redistribution included. */
   val pageRankQ: Q = Q(
     "x_pagerank",
-    (s, d) => {
-      val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      PageRankOp.pageRank(e, "src", "dst", iters = 3)
-    },
+    // rides the shared prepared purchase graph (coPurchaseGraph —
+    // identical edge expression, byte-identical ranks)
+    (s, d) => PageRankOp.pageRank(coPurchaseGraph(s, d), iters = 3),
     Some("""
       WITH e AS (
         SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
@@ -4335,19 +4351,14 @@ object ExtensionQueries {
     Q(
       "x_ppr",
       (s, d) => {
-        val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        // seeds from the cheap orders scan, NOT from e: deriving them
-        // from the edge expression would replay the orders x lineitem
-        // join a second time just to enumerate seed ids
+        // the graph rides the shared prepared purchase-graph face;
+        // seeds from the cheap orders scan, NOT from the edge
+        // expression (which would replay the orders x lineitem join
+        // just to enumerate seed ids)
         val seeds = Tables.orders(s, d)
           .select((col("o_custkey") * 2).as("node"))
           .filter(col("node") % 20 === 0).distinct()
-        PageRankOp.personalizedPageRank(e, "src", "dst", seeds, iters = 3)
+        PageRankOp.personalizedPageRank(coPurchaseGraph(s, d), seeds, iters = 3)
       },
       Some(s"""
       WITH e AS (

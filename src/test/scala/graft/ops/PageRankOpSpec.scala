@@ -186,6 +186,28 @@ class PageRankOpSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pagerank.tinyGraphMaxNodes")
   }
 
+  test("PreparedGraph: prepared == direct integer-for-integer (pageRank + PPR), repeated calls included") {
+    val df = graph.toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val directPr = PageRankOp.pageRank(df, "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val directPpr = PageRankOp.personalizedPageRank(df, "src", "dst", seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    for (forceEngine <- Seq(false, true)) {
+      if (forceEngine) spark.conf.set("spark.graft.pagerank.tinyGraphMaxNodes", "0")
+      try {
+        val pg = PageRankOp.prepare(df, "src", "dst")
+        // two calls each: the shared handle must serve repeat queries
+        for (_ <- 1 to 2) {
+          assert(PageRankOp.pageRank(pg, 3)
+            .as[(Long, Long)].collect().toMap == directPr, s"engine=$forceEngine")
+          assert(PageRankOp.personalizedPageRank(pg, seeds, 3)
+            .as[(Long, Long)].collect().toMap == directPpr, s"engine=$forceEngine")
+        }
+      } finally if (forceEngine) spark.conf.unset("spark.graft.pagerank.tinyGraphMaxNodes")
+    }
+  }
+
   test("broadcast rounds plan ZERO data-sized exchanges; shuffle rounds exactly one") {
     val df = graph.toDF("src", "dst")
     // the spec graph is tiny — disable the driver path so the round
